@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar building blocks shared across the engine.
+  *
+  * Each function re-expresses a scalar idiom of the reference pipeline
+  * (SURVEY.md §2.2) as a codegen-friendly `Column` expression — no UDFs, so
+  * every one of these stays inside whole-stage codegen and is pushdown /
+  * constant-folding eligible at 100 TB.
+  */
+object Scalars {
+
+  /** The "no debt" / clamp sentinel of the reference's health factor
+    * (reference: src/pipelines/features/transformations/
+    * view_defi_historical_health_and_risk_factor.sql:32-39).
+    */
+  val HealthFactorMax = 1000000.0
+  val HealthFactorMin = 0.000001
+
+  /** Sentinel for "never happened" time-since features
+    * (reference: defi_features_calculation.sql:162-172).
+    */
+  val TimeSinceSentinel = 999999999L
+
+  /** The 6-branch health-factor CASE of the reference, factored into ONE
+    * function (the reference copy-pastes it 6×; see SURVEY.md §2.2
+    * `scalar_health_factor_case`). Semantics preserved branch-for-branch:
+    *
+    *   - no (or zero/NULL) borrow balance        -> 1e6  ("no debt")
+    *   - ratio 0 and balance < 1e-6              -> 1e6
+    *   - ratio 0 and balance > 1e-6              -> 1e-6
+    *   - ratio 0 (balance == 1e-6 exactly)       -> 1e-6
+    *   - ratio < 1e-6                            -> 1e-6
+    *   - else                                    -> ratio
+    */
+  def healthFactor(numerator: Column, borrowBalance: Column): Column = {
+    val ratio = numerator / borrowBalance
+    when(coalesce(borrowBalance, lit(0.0)) === 0.0, lit(HealthFactorMax))
+      .when(ratio === 0.0 && borrowBalance < HealthFactorMin, lit(HealthFactorMax))
+      .when(ratio === 0.0 && borrowBalance > HealthFactorMin, lit(HealthFactorMin))
+      .when(ratio === 0.0, lit(HealthFactorMin))
+      .when(ratio < HealthFactorMin, lit(HealthFactorMin))
+      .otherwise(ratio)
+  }
+
+  /** `GREATEST(0, a - b)` expressed as the reference's CASE
+    * (reference: defi_features_calculation.sql:143-150).
+    */
+  def clampDiff(a: Column, b: Column): Column =
+    when(a - b < 0, lit(0.0)).otherwise(a - b)
+
+  /** `CASE WHEN x = 0 THEN 999999999 ELSE x END` cast BIGINT
+    * (reference: defi_features_calculation.sql:162-172).
+    */
+  def zeroToSentinel(x: Column): Column =
+    when(x === 0, lit(TimeSinceSentinel)).otherwise(x).cast("long")
+
+  /** `COALESCE(num / NULLIF(den, 0), 0)` — safe ratio-of-sums
+    * (reference: view_defi_current_health_factor_features.sql:207).
+    */
+  def safeDiv(num: Column, den: Column): Column =
+    coalesce(num / when(den === 0, lit(null)).otherwise(den), lit(0.0))
+
+  /** Token-quantity → ETH conversion: `q / 10^decimals`, multiplied by the
+    * token price unless the token IS native ETH (zero address)
+    * (reference: src/pipelines/analytics/transformations/transformations.sql:29-33).
+    */
+  val ZeroAddress = "0x0000000000000000000000000000000000000000"
+  def toEth(token: Column, quantity: Column, decimals: Column, price: Column): Column =
+    when(token === ZeroAddress, quantity / pow(lit(10.0), decimals))
+      .otherwise(quantity / pow(lit(10.0), decimals) * price)
+
+  /** 256-way address bucket: first hex byte after "0x"
+    * (reference: transformations.sql:38 `SUBSTR(addr, 3, 2)`).
+    * Used as the key-partitioning column for analytics tables; at 100 TB
+    * this is the co-location key that lets per-wallet aggregations run
+    * shuffle-free after one repartition.
+    */
+  def addressBucket(address: Column): Column = substring(address, 3, 2)
+
+  /** Epoch seconds as LONG. The reference stores
+    * `CAST(TO_UNIXTIME(ts) AS DECIMAL)` (stage_tranformation_queries.py:8);
+    * this engine standardizes on long epochs (SURVEY.md §7.4.6).
+    */
+  def epochSeconds(ts: Column): Column = unix_timestamp(ts)
+
+  /** Round for oracle-stable doubles: partial-aggregation order is
+    * nondeterministic across partitions, so every double the engine emits
+    * from a sum/avg is rounded to a fixed scale before comparison.
+    */
+  def r(c: Column, scale: Int = 6): Column = round(c, scale)
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All pure `Column` expressions (whole-stage codegen, no UDFs): language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting,
+  * shingling. Designed to run as a projection over a 100 TB `documents`
+  * scan — column-pruned to `text` only, no shuffle.
+  */
+object Text {
+
+  /** Whitespace word tokens (lowercased, empty tokens dropped). */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), " +"), w => length(w) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single non-alnum,
+    * non-space marks each count as one token — a cheap deterministic proxy
+    * for a byte-pair-encoded length.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Punctuation marks per character. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Tiny English-ish stopword list used by the quality score. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(ws, w => array_contains(stops, w))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+  }
+
+  /** Mean word length (chars, whitespace excluded). */
+  def avgWordLen(text: Column): Column = {
+    val ws = words(text)
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents and
+    * normal word shape, penalizes punctuation soup and stopword-free strings
+    * (a proxy for the classic C4/CCNet-style heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val wordScore =
+      when(avgWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    (lenScore * 0.4 + wordScore * 0.2 + punctScore * 0.2 + stopScore * 0.2)
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Marker hits are counted per language; argmax wins.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "que", "dans"))
+
+  def langMarkerHits(text: Column, markers: Seq[String]): Column = {
+    val ws = words(text)
+    val m = array(markers.map(lit): _*)
+    size(filter(ws, w => array_contains(m, w)))
+  }
+
+  /** Predicted language: argmax of marker hits, 'und' when no marker hits.
+    * Ties break in `LangMarkers` declaration order (en > es > de > fr),
+    * matching the oracle's CASE evaluation order.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> langMarkerHits(text, ms) }
+    val best = greatest(hits.map(_._2): _*)
+    hits
+      .foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, h)) =>
+        acc.when(h === best, lit(lang))
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct word set.
+    * Word-order- and duplication-insensitive, so reordered near-copies
+    * collide — the batch analog of a rolling-hash document fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Distinct word n-gram shingles (n >= 1). Documents shorter than n words
+    * yield an empty set.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    array_distinct(when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Set Jaccard similarity of two shingle arrays (assumed distinct). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+}

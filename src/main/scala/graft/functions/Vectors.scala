@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as pure Column
+  * expressions (`zip_with`/`aggregate` — codegen'd, no UDF, no driver loop).
+  *
+  * Elements are cast to double BEFORE arithmetic so results are reproducible
+  * against the DuckDB oracle (float32 accumulation differs).
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit bucket for random-hyperplane LSH. Plane weights are a
+    * deterministic integer pseudo-random grid,
+    * `w(p, i) = ((p * 131 + i * 31) % 17) - 8`, so the identical bucketing is
+    * expressible in the DuckDB oracle SQL (no shared hash library needed).
+    * `planes` sign bits pack into one integer bucket id.
+    *
+    * Scale: bucketing turns O(n^2) all-pairs cosine into an equi join on
+    * `bucket` — the candidate set per probe is n / 2^planes on average.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * (((lit(p) * 131 + i * 31) % 17) - 8).cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

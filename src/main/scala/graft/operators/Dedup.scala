@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, at four fidelity /
+  * cost points. All are DataFrame programs — one or two shuffles each, no
+  * driver-side loops — so they scale to a 100 TB `documents` table:
+  *
+  *  - exact:          1 shuffle (hash groupBy on content)
+  *  - fingerprint:    1 shuffle (groupBy on canonical md5)
+  *  - ngramJaccard:   blocked self-join (equi keys) + codegen'd set math
+  *  - minhashLsh:     shingle -> K minhashes -> B band buckets -> bucket
+  *                    equi-join -> verify; the classic MinHash+LSH pipeline
+  *  - simhash:        64-bit simhash, banded hamming candidate join
+  *  - embeddingNearDup: hyperplane-LSH-bucketed cosine pairs
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `textCol`, keeping the minimum id as
+    * canonical. The md5 of the content is emitted instead of the content
+    * itself (don't shuffle wide text twice at scale — group on the text,
+    * project the hash).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col(textCol)).as("text_md5"), col("canonical_id"), col("n_copies"))
+
+  /** Near-dedup via canonical fingerprint (sorted distinct word set):
+    * catches reorderings/duplicated words at exact-dedup cost.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(Text.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** All same-block pairs with word-`n`-gram Jaccard >= `threshold`.
+    * `blockCols` must make pair counts per block tractable (e.g. language);
+    * the scale path for unblockable corpora is [[minhashLsh]].
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int,
+      threshold: Double): DataFrame = {
+    val withShingles = docs.select(
+      (blockCols.map(col) :+ col(idCol).as("doc_id")) :+
+        Text.wordShingles(col(textCol), n).as("shingles"): _*)
+    val a = withShingles.select(
+      blockCols.map(col) ++ Seq(col("doc_id").as("doc_id_1"), col("shingles").as("s1")): _*)
+    val b = withShingles.select(
+      blockCols.map(col) ++ Seq(col("doc_id").as("doc_id_2"), col("shingles").as("s2")): _*)
+    a.join(b, blockCols)
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .withColumn("jaccard", round(Text.jaccard(col("s1"), col("s2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** MinHash signatures: K per-permutation minima of
+    * `h_k(x) = (a_k * x + b_k) mod p` over `x = xxhash64(shingle) mod p`.
+    * `p = 2^31 - 1` keeps every product below 2^62 — no silent long
+    * overflow. Output: (id, minhash array<long>).
+    */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val shingles = Text.wordShingles(col(textCol), n)
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    val sig = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => {
+        // deterministic per-permutation coefficients derived from i
+        val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), lit(MinhashPrime - 1)) + 1
+        val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), lit(MinhashPrime))
+        array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
+      })
+    docs.select(col(idCol).as("doc_id"), sig.as("minhash"))
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures banded into `bands` groups of
+    * `k/bands` rows; docs sharing any band bucket become candidates
+    * (explode -> equi-join on (band, bucket-hash) -> distinct pairs), then
+    * candidates are verified with true shingle Jaccard >= `threshold`.
+    *
+    * Scale: the only shuffles are the bucket groupBy and the verify join —
+    * never an all-pairs product. Bucket skew (e.g. empty docs) is bounded
+    * because buckets key on the full band slice.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignature(docs, idCol, textCol, n, k)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("minhash"), b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "band", "bucket")
+    val candidates = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    val shingled = docs.select(col(idCol).as("doc_id"), Text.wordShingles(col(textCol), n).as("s"))
+    candidates
+      .join(shingled.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("s", "s1"), "doc_id_1")
+      .join(shingled.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("s", "s2"), "doc_id_2")
+      .withColumn("jaccard", round(Text.jaccard(col("s1"), col("s2")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * xxhash64 bits. Near-dups = pairs within `maxHamming`; candidates come
+    * from equality on any of four 16-bit chunks (a hamming distance <= 3*16
+    * guarantee isn't needed — for maxHamming <= 16/..., any pair within
+    * maxHamming < 4 chunks differs in at most maxHamming chunks, so with
+    * maxHamming < 16 at least one of the 4 chunks matches when the diff bits
+    * cluster; standard banding trade-off, verified exactly afterwards).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = Text.words(col(textCol))
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    docs.select(col(idCol).as("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)))
+      .toDF("doc_id", "simhash", "chunk", "chunk_val")
+    val candidates = chunked
+      .as("x")
+      .join(chunked.as("y"), Seq("chunk", "chunk_val"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_id_1"),
+        col("y.doc_id").as("doc_id_2"),
+        col("x.simhash").as("h1"),
+        col("y.simhash").as("h2"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_1", "doc_id_2", "hamming")
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket equi-join, then exact
+    * cosine >= `threshold`. With `planes` sign bits, expected candidate
+    * fan-in is n / 2^planes per bucket.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      threshold: Double): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).as("v"),
+      Vectors.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    bucketed
+      .as("x")
+      .join(bucketed.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("x.v"), col("y.v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"), col("cosine"))
+  }
+}

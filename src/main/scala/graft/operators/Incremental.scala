@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-batch lifecycle: watermark reads, bounded catch-up filters,
+  * append / full-refresh / keyed-upsert sinks (SURVEY.md §2.1, §2.7).
+  *
+  * The reference's mechanism is a scalar-subquery high-watermark
+  * (`WHERE ts > (SELECT MAX(ts) FROM target)`,
+  * stage_tranformation_queries.py:20) with a default resume epoch when the
+  * target is empty (utils.py:22), strict `>` so re-runs are idempotent-ish,
+  * plus DISTINCT at stage.
+  */
+object Incremental {
+
+  /** The reference's default resume point for an empty target
+    * (src/pipelines/utils.py:22 — 2019-05-07T00:00:00Z).
+    */
+  val DefaultStartEpoch = 1557187200L
+
+  /** Two-phase watermark read: `COALESCE(MAX(col), default)` on the target.
+    * One tiny job (parquet footer stats usually answer MAX without a full
+    * scan); the literal then pushes down into the source scan — at 100 TB
+    * this prunes whole `year,month` partitions.
+    */
+  def maxWatermark(target: DataFrame, c: Column, default: Long = 0L): Long = {
+    val row = target.agg(max(c)).head()
+    if (row.isNullAt(0)) default else row.get(0) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case t: java.sql.Timestamp => t.getTime / 1000
+      case d: Double => d.toLong
+      case other => other.toString.toDouble.toLong
+    }
+  }
+
+  /** Strict-`>` watermark filter — the incremental slice. */
+  def newerThan(source: DataFrame, c: Column, watermark: Long): DataFrame =
+    source.filter(c > watermark)
+
+  /** Bounded catch-up: at most `windowSize` units past the watermark per run
+    * (reference MAX_TIMEWINDOW_DAYS=10, raw/defi_events.py:58).
+    */
+  def boundedCatchUp(source: DataFrame, c: Column, watermark: Long, windowSize: Long): DataFrame =
+    source.filter(c > watermark && c <= watermark + windowSize)
+
+  /** Append-sink with partition columns — the raw/stage layer write
+    * (reference: df.write partitioned by year,month, raw/defi_events.py:38-45).
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Full-refresh (CTAS-equivalent) sink — drop + rebuild
+    * (reference: save_defi_features_datalake.py:34-53). Spark's overwrite is
+    * atomic-enough per directory; no manual S3 prefix delete needed.
+    */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Keyed upsert: merge `updates` into the keyed table at `path` —
+    * last-writer-wins per key, preferring the update row. This is the
+    * Mongo-upsert equivalent (save_defi_features_features_db.py:28-34)
+    * realized as a keyed-overwrite: full-outer on the key, update wins.
+    * For a remote KV store, swap the write for `df.foreachPartition` with a
+    * bulk-upsert client; the dataflow upstream is identical.
+    */
+  def upsertByKey(spark: SparkSession, updates: DataFrame, path: String, key: String): Unit = {
+    val merged =
+      if (!new java.io.File(path).exists()) updates
+      else {
+        val existing = spark.read.parquet(path)
+        val updCols = updates.columns
+        val u = updates.select(updCols.map(c => col(c).as(s"u_$c")): _*)
+        existing
+          .join(u, col(key) === col(s"u_$key"), "full_outer")
+          .select(updCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+      }
+    // two-phase write: the merge reads `path`, so materialize to a temp dir
+    // first, then swap — Spark can't overwrite its own input in one pass.
+    val tmp = path + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

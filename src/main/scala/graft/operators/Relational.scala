@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operator patterns of the reference, re-expressed Spark-first
+  * (SURVEY.md §2.3, §2.6).
+  */
+object Relational {
+
+  /** N-way `UNION ALL` + outer `DISTINCT` — the wallet-spine pattern
+    * (reference: view_distinct_defi_events_addresses.sql:2-33). Each input
+    * must be a single-column frame; output column is `outName`.
+    *
+    * Scale: union is a no-shuffle narrow op; the single shuffle is the final
+    * distinct (hash partition on the key). Partial (map-side) distinct makes
+    * the shuffle carry unique keys per task only.
+    */
+  def unionDistinct(outName: String, inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.nonEmpty)
+    inputs
+      .map(df => df.toDF(outName))
+      .reduce(_ union _)
+      .distinct()
+  }
+
+  /** FULL OUTER join of two per-group aggregate frames on `key`, then
+    * COALESCE-merge of the key and of every value column (missing side -> 0)
+    * (reference: view_defi_historical_health_and_risk_factor.sql:151-170).
+    * Value columns that exist on both sides get `{name}_left`/`{name}_right`
+    * suffixes; the caller projects the merge.
+    */
+  def fullOuterCoalesceKey(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      mergedKey: String): DataFrame = {
+    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, col(s"l_$key") === col(s"r_$key"), "full_outer")
+      .withColumn(mergedKey, coalesce(col(s"r_$key"), col(s"l_$key")))
+  }
+
+  /** Disjunctive theta left-join rewritten as a UNION of two equi joins.
+    *
+    * The reference writes `LEFT JOIN hf ON (b.account = hf.account OR
+    * b.sender = hf.account) AND hf.health_factor < 1.2`
+    * (view_defi_historical_count_above_threshold.sql:66-67). Spark would plan
+    * the OR as a BroadcastNestedLoopJoin — quadratic at scale — so the engine
+    * rewrites it as two shuffled equi joins unioned, which is
+    * semantics-preserving for the downstream `COUNT(DISTINCT ...)` because
+    * count-distinct collapses the duplicate matches the union introduces
+    * (SURVEY.md §7.4.4).
+    *
+    * @param leftKeys the left columns, any of which may equal `rightKey`
+    */
+  def disjunctiveLeftJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKey: String,
+      extraCond: Column): DataFrame = {
+    leftKeys
+      .map { k =>
+        left.join(right, left(k) === right(rightKey) && extraCond, "left")
+      }
+      .reduce(_ union _)
+  }
+
+  /** "Latest row per group" via the reference's max + `>=` re-join
+    * (view_defi_current_health_factor_features.sql:3-32). Deliberately NOT a
+    * row_number window: the `>=` re-join can keep >1 row per group (e.g. two
+    * protocols sharing a market name at the same block) and the reference
+    * depends on that (SURVEY.md §7.4.3).
+    */
+  def latestPerGroupGeq(df: DataFrame, groupCol: String, orderCol: String): DataFrame = {
+    val latest = df.groupBy(groupCol).agg(max(col(orderCol)).as("__max_order"))
+    df.join(latest, Seq(groupCol), "inner")
+      .filter(col(orderCol) >= col("__max_order"))
+      .drop("__max_order")
+  }
+
+  /** Left-join a feature frame onto a spine and COALESCE its value columns
+    * to a default — one link of the reference's 9-join feature chain
+    * (defi_features_calculation.sql:1-138). `distinct` mirrors the
+    * reference's SELECT DISTINCT at each step.
+    */
+  def leftFeatureJoin(
+      spine: DataFrame,
+      features: DataFrame,
+      spineKey: String,
+      featureKey: String,
+      defaults: Map[String, Column],
+      dedup: Boolean = true): DataFrame = {
+    val joined = spine
+      .join(features, spine(spineKey) === features(featureKey), "left")
+      .drop(features(featureKey))
+    val projected = defaults.foldLeft(joined) { case (df, (c, default)) =>
+      df.withColumn(c, coalesce(col(c), default))
+    }
+    if (dedup) projected.distinct() else projected
+  }
+}
