@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.registry.Registry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator inventory itself lives in [[graft.registry.Registry]]
+  * (one Q per SURVEY.md §2 key, each with its DuckDB oracle SQL).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (sf0.001 smoke): the wallet-spine feature chain —
+    * union-distinct spine left-joined with per-wallet aggregate features,
+    * COALESCE defaults (reference: defi_features_calculation.sql shape).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry.ParityQueries.featureChain(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(q => q.name -> q.run).toMap
+
+  /** DuckDB-equivalent ANSI SQL per query key (omitted where not
+    * SQL-expressible, e.g. xxhash64-based MinHash — those get the driver's
+    * rows-only check plus scalatest recall coverage).
+    */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Headline subset for Bench (one per operator family). */
+  def benchQueries: Seq[String] = Registry.all.filter(_.bench).map(_.name)
 }

@@ -53,7 +53,9 @@ object Stage {
       col("liquidationThreshold").cast("double").as("liquidation_threshold"),
       col("name"),
       col("inputTokenPriceUSD").cast("double").as("input_token_price_usd"),
-      lower(col("id")).as("id"),
+      // reference keeps market-data id unmodified (only positions lowercase
+      // market.id/account.id) — subgraph ids are already lowercase hex
+      col("id"),
       col("inputToken.decimals").cast("int").as("decimals"),
       col("protocol"),
       col("block_number").cast("long"),

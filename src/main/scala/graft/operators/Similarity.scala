@@ -34,7 +34,7 @@ object Similarity {
     val scored = q
       .crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(Vectors.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -61,7 +61,7 @@ object Similarity {
     val scored = q
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(Vectors.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,782 @@
+package graft.registry
+
+import graft.functions.Scalars
+import graft.operators.{AsOfJoin, Incremental, Relational}
+import graft.quality.Constraints
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-independent exact aggregates shared by all registry queries:
+  * decimal(38,6) accumulation makes sums reproducible across partition
+  * orders, so a hash-exact oracle compare is possible (Registry doc).
+  */
+private[registry] object Agg {
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+  def davg(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double") / count(c)
+}
+
+/** The reference's relational operator inventory (SURVEY.md §2) realized on
+  * the driver testdata per the FIXTURES.md §B mapping, one registry entry
+  * per inventory key. Every query routes through the graft operator modules
+  * (Relational / AsOfJoin / Incremental / Scalars / Constraints) so the
+  * DuckDB oracle exercises the engine code, not ad-hoc reimplementations.
+  */
+object ParityQueries {
+  import Agg._
+  import Registry.Ora.{DA, DS, EV}
+
+  /** Deterministic "now" for time-since features (2024-02-01T00:00:00Z) —
+    * the engine injects a fixed as-of literal where the reference uses
+    * current_timestamp (SURVEY.md §7.4.5).
+    */
+  val AsOfEpoch = 1706745600L
+
+  /** Watermark split point for incremental/upsert tests (2024-01-15). */
+  val MidEpoch = 1705276800L
+
+  /** events with integer epoch seconds/days (ts is a nanos long). */
+  private[registry] def evDf(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("ts div 1000000000").as("epoch"),
+      expr("ts div 86400000000000").as("day"),
+      col("user_id"),
+      col("event_type"),
+      col("value"))
+
+  /** The 6-branch health-factor CASE as oracle SQL (mirrors
+    * [[Scalars.healthFactor]] branch-for-branch).
+    */
+  private def hfSql(num: String, den: String): String = {
+    val ratio = s"($num) / ($den)"
+    s"""CASE WHEN COALESCE($den, 0.0) = 0.0 THEN 1000000.0
+       WHEN $ratio = 0.0 AND ($den) < 0.000001 THEN 1000000.0
+       WHEN $ratio = 0.0 AND ($den) > 0.000001 THEN 0.000001
+       WHEN $ratio = 0.0 THEN 0.000001
+       WHEN $ratio < 0.000001 THEN 0.000001
+       ELSE $ratio END"""
+  }
+
+  // ----------------------------------------------------------------------
+  // aggregations
+  // ----------------------------------------------------------------------
+
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${DS("l_quantity")} AS sum_qty,
+      ${DS("l_extendedprice")} AS sum_base_price,
+      ${DS("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${DA("l_quantity")} AS avg_qty,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY 1, 2"""),
+    bench = true)
+
+  private val perWallet = Q(
+    "agg_per_wallet_sum_avg_count",
+    (s, d) =>
+      evDf(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          dsum(abs(col("value"))).as("sum_value"),
+          davg(abs(col("value"))).as("avg_value"),
+          countDistinct(col("event_id")).as("n_tx")),
+    Some(s"""WITH $EV
+      SELECT user_id, ${DS("ABS(value)")} AS sum_value, ${DA("ABS(value)")} AS avg_value,
+      COUNT(DISTINCT event_id) AS n_tx
+      FROM ev WHERE event_type = 'purchase' GROUP BY 1"""),
+    bench = true)
+
+  private val creditMix = Q(
+    "agg_count_distinct_protocols",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(
+          countDistinct(when(col("value") > 100, col("event_type"))).as("mix_high"),
+          countDistinct(when(col("value") <= 100, col("event_type"))).as("mix_low"))
+        .select(
+          col("user_id"), col("mix_high"), col("mix_low"),
+          greatest(col("mix_high"), col("mix_low")).as("credit_mix")),
+    Some(s"""WITH $EV, m AS (SELECT user_id,
+      COUNT(DISTINCT CASE WHEN value > 100 THEN event_type END) AS mix_high,
+      COUNT(DISTINCT CASE WHEN value <= 100 THEN event_type END) AS mix_low
+      FROM ev GROUP BY 1)
+      SELECT user_id, mix_high, mix_low, GREATEST(mix_high, mix_low) AS credit_mix FROM m"""))
+
+  private val timeSince = Q(
+    "agg_time_since_extremes",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(
+          coalesce(lit(AsOfEpoch) - min(when(col("event_type") === "signup", col("epoch"))), lit(0L)).as("raw_first"),
+          coalesce(lit(AsOfEpoch) - max(when(col("event_type") === "error", col("epoch"))), lit(0L)).as("raw_last"))
+        .select(
+          col("user_id"),
+          Scalars.zeroToSentinel(col("raw_first")).as("time_since_first_signup"),
+          Scalars.zeroToSentinel(col("raw_last")).as("time_since_last_error")),
+    Some(s"""WITH $EV, r AS (SELECT user_id,
+      COALESCE($AsOfEpoch - MIN(CASE WHEN event_type = 'signup' THEN epoch END), 0) AS raw_first,
+      COALESCE($AsOfEpoch - MAX(CASE WHEN event_type = 'error' THEN epoch END), 0) AS raw_last
+      FROM ev GROUP BY 1)
+      SELECT user_id,
+      CAST(CASE WHEN raw_first = 0 THEN 999999999 ELSE raw_first END AS BIGINT) AS time_since_first_signup,
+      CAST(CASE WHEN raw_last = 0 THEN 999999999 ELSE raw_last END AS BIGINT) AS time_since_last_error
+      FROM r"""))
+
+  private val positionRollup = Q(
+    "agg_position_rollup",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id", "event_type")
+        .agg(
+          dsum(col("value")).as("balance_usd"),
+          dsum(col("value") * lit(0.85)).as("weighted_balance"),
+          count(lit(1)).as("n_rows")),
+    Some(s"""WITH $EV
+      SELECT user_id, event_type, ${DS("value")} AS balance_usd,
+      ${DS("value * 0.85")} AS weighted_balance, COUNT(*) AS n_rows
+      FROM ev GROUP BY 1, 2"""))
+
+  private val conditionalAvg = Q(
+    "agg_conditional_avg",
+    (s, d) =>
+      evDf(s, d).filter(col("event_type") === "error")
+        .groupBy("user_id")
+        .agg(
+          when(count(lit(1)) === 1, davg(col("value")))
+            .otherwise(davg(when(col("value") <= 300, col("value"))))
+            .as("avg_value_excl")),
+    Some(s"""WITH $EV
+      SELECT user_id,
+      CASE WHEN COUNT(*) = 1 THEN ${DA("value")}
+           ELSE ${DA("CASE WHEN value <= 300 THEN value END")} END AS avg_value_excl
+      FROM ev WHERE event_type = 'error' GROUP BY 1"""))
+
+  private val riskFactorStats = Q(
+    "agg_risk_factor_stats",
+    (s, d) => {
+      val lvl1 = evDf(s, d).groupBy("user_id", "day")
+        .agg(
+          coalesce(dsum(when(col("event_type") === "click", col("value"))), lit(0.0)).as("num"),
+          coalesce(dsum(when(col("event_type") === "error", col("value"))), lit(0.0)).as("den"))
+        .select(col("user_id"), col("day"),
+          Scalars.healthFactor(col("num") * lit(0.8), col("den")).as("hf"))
+      lvl1.groupBy("user_id")
+        .agg(
+          davg(lit(1.0) / col("hf")).as("avg_risk_factor"),
+          min(col("hf")).as("min_hf"),
+          count(lit(1)).as("n_days"))
+        .withColumn("max_risk_factor", lit(1.0) / col("min_hf"))
+    },
+    Some(s"""WITH $EV, l1 AS (SELECT user_id, day,
+      COALESCE(${DS("CASE WHEN event_type = 'click' THEN value END")}, 0.0) AS num,
+      COALESCE(${DS("CASE WHEN event_type = 'error' THEN value END")}, 0.0) AS den
+      FROM ev GROUP BY 1, 2),
+      h AS (SELECT user_id, day, ${hfSql("num * 0.8", "den")} AS hf FROM l1)
+      SELECT user_id, ${DA("1.0 / hf")} AS avg_risk_factor, MIN(hf) AS min_hf,
+      COUNT(*) AS n_days, 1.0 / MIN(hf) AS max_risk_factor
+      FROM h GROUP BY user_id"""))
+
+  private val weightedAvg = Q(
+    "agg_weighted_avg",
+    (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("num"),
+          dsum(col("l_quantity")).as("den"))
+        .select(col("l_suppkey"), Scalars.safeDiv(col("num"), col("den")).as("weighted_avg")),
+    Some(s"""WITH a AS (SELECT l_suppkey,
+      ${DS("l_extendedprice * (1.0 - l_discount)")} AS num, ${DS("l_quantity")} AS den
+      FROM lineitem GROUP BY 1)
+      SELECT l_suppkey, COALESCE(num / NULLIF(den, 0), 0.0) AS weighted_avg FROM a"""))
+
+  private val scalarWatermark = Q(
+    "agg_scalar_watermark",
+    (s, d) => {
+      val wm = Incremental.maxWatermark(
+        evDf(s, d).filter(col("event_type") === "signup"), col("epoch"), 0L)
+      s.range(1).select(lit(wm).as("watermark"))
+    },
+    Some(s"""WITH $EV
+      SELECT COALESCE(MAX(epoch), 0) AS watermark FROM ev WHERE event_type = 'signup'"""))
+
+  private val firstBlockOfDay = Q(
+    "agg_first_block_of_day",
+    (s, d) =>
+      evDf(s, d).groupBy("day")
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_events"))
+        .orderBy("day"),
+    Some(s"""WITH $EV
+      SELECT day, MIN(event_id) AS first_event, COUNT(*) AS n_events
+      FROM ev GROUP BY 1 ORDER BY 1"""))
+
+  private val distinctDedup = Q(
+    "agg_distinct_dedup",
+    (s, d) => evDf(s, d).select("user_id", "event_type").distinct(),
+    Some("SELECT DISTINCT user_id, event_type FROM events"))
+
+  private val dqConstraints = Q(
+    "agg_dq_constraints",
+    (s, d) => {
+      val features = evDf(s, d).groupBy("user_id").agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        coalesce(sum(when(col("event_type") === "click", col("value"))), lit(0.0)).as("sum_click"),
+        min(when(col("event_type") === "error", col("value"))).as("min_error"))
+      Constraints.evaluate(features, Seq(
+        Constraints.AllZero("sum_click_all_zero", col("sum_click")),
+        Constraints.AnyNegative("negative_purchase_count", col("n_purchase")),
+        Constraints.AnyNull("null_min_error", col("min_error"))))
+    },
+    Some(s"""WITH $EV, f AS (SELECT user_id,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0) AS sum_click,
+      MIN(CASE WHEN event_type = 'error' THEN value END) AS min_error
+      FROM ev GROUP BY 1)
+      SELECT 'sum_click_all_zero' AS "constraint",
+        (COUNT(CASE WHEN sum_click = 0 THEN 1 END) = COUNT(*)) AND COUNT(*) > 0 AS is_fail FROM f
+      UNION ALL SELECT 'negative_purchase_count', COUNT(CASE WHEN n_purchase < 0 THEN 1 END) > 0 FROM f
+      UNION ALL SELECT 'null_min_error', COUNT(CASE WHEN min_error IS NULL THEN 1 END) > 0 FROM f"""))
+
+  // ----------------------------------------------------------------------
+  // filters / projections / scalars
+  // ----------------------------------------------------------------------
+
+  private val incrementalWatermark = Q(
+    "filter_incremental_watermark",
+    (s, d) => {
+      val e = evDf(s, d)
+      val wm = Incremental.maxWatermark(
+        e.filter(col("event_type") === "signup"), col("epoch"), 0L)
+      Incremental.newerThan(e.filter(col("event_type") === "purchase"), col("epoch"), wm)
+        .select("event_id", "user_id", "epoch", "value")
+    },
+    Some(s"""WITH $EV
+      SELECT event_id, user_id, epoch, value FROM ev
+      WHERE event_type = 'purchase'
+      AND epoch > (SELECT COALESCE(MAX(epoch), 0) FROM ev WHERE event_type = 'signup')"""))
+
+  private val literalPredicates = Q(
+    "filter_literal_predicates",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_returnflag") === "A" && col("l_linestatus") === "F" &&
+            col("l_quantity").between(10, 30) &&
+            col("l_discount").isin(0.05, 0.06, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+      AND l_quantity BETWEEN 10 AND 30 AND l_discount IN (0.05, 0.06, 0.07)"""))
+
+  private val projStageEvents = Q(
+    "proj_stage_events",
+    (s, d) =>
+      evDf(s, d).select(
+        col("event_id"),
+        lower(col("event_type")).as("category"),
+        col("epoch").as("epoch_timestamp"),
+        year(timestamp_seconds(col("epoch"))).cast("string").as("year"),
+        month(timestamp_seconds(col("epoch"))).cast("string").as("month"),
+        col("value").cast("double").as("quantity")),
+    Some(s"""WITH $EV
+      SELECT event_id, lower(event_type) AS category, epoch AS epoch_timestamp,
+      CAST(year(epoch_ms(epoch * 1000)) AS VARCHAR) AS year,
+      CAST(month(epoch_ms(epoch * 1000)) AS VARCHAR) AS month,
+      CAST(value AS DOUBLE) AS quantity FROM ev"""))
+
+  private val dateParts = Q(
+    "scalar_date_parts",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("string").as("year"),
+          month(col("o_orderdate")).cast("string").as("month"))
+        .agg(count(lit(1)).as("n_orders")),
+    Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS year,
+      CAST(month(o_orderdate) AS VARCHAR) AS month, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2"""))
+
+  private val epochExtract = Q(
+    "scalar_epoch_extract",
+    (s, d) => evDf(s, d).filter(col("event_id") < 1000).select("event_id", "epoch", "day"),
+    Some(s"""WITH $EV SELECT event_id, epoch, day FROM ev WHERE event_id < 1000"""))
+
+  private val substrBucket = Q(
+    "scalar_substr_bucket",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(Scalars.addressBucket(col("c_name")).as("bucket"))
+        .agg(count(lit(1)).as("n")),
+    Some("SELECT substr(c_name, 3, 2) AS bucket, COUNT(*) AS n FROM customer GROUP BY 1"))
+
+  private val ethConversion = Q(
+    "scalar_eth_conversion",
+    (s, d) =>
+      evDf(s, d).select(
+        col("event_id"),
+        Scalars.toEth(
+          when(col("event_type") === "view", lit(Scalars.ZeroAddress)).otherwise(col("event_type")),
+          col("value"),
+          pmod(col("user_id"), lit(3)) + lit(1L),
+          (pmod(col("user_id"), lit(7)) + lit(1L)).cast("double")).as("quantity_in_eth")),
+    Some(s"""WITH $EV
+      SELECT event_id,
+      CASE WHEN (CASE WHEN event_type = 'view' THEN '${Scalars.ZeroAddress}' ELSE event_type END) = '${Scalars.ZeroAddress}'
+           THEN value / POWER(10.0, user_id % 3 + 1)
+           ELSE value / POWER(10.0, user_id % 3 + 1) * CAST(user_id % 7 + 1 AS DOUBLE) END AS quantity_in_eth
+      FROM ev"""))
+
+  private val clampDiff = Q(
+    "scalar_clamp_diff",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(
+          coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0)).as("borrow"),
+          coalesce(dsum(when(col("event_type") === "error", col("value"))), lit(0.0)).as("repay"))
+        .select(col("user_id"), col("borrow"), col("repay"),
+          Scalars.clampDiff(col("borrow"), col("repay")).as("borrow_repay_diff")),
+    Some(s"""WITH $EV, a AS (SELECT user_id,
+      COALESCE(${DS("CASE WHEN event_type = 'purchase' THEN value END")}, 0.0) AS borrow,
+      COALESCE(${DS("CASE WHEN event_type = 'error' THEN value END")}, 0.0) AS repay
+      FROM ev GROUP BY 1)
+      SELECT user_id, borrow, repay,
+      CASE WHEN borrow - repay < 0 THEN 0.0 ELSE borrow - repay END AS borrow_repay_diff FROM a"""))
+
+  private val sentinelReplace = Q(
+    "scalar_sentinel_replace",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(coalesce(lit(AsOfEpoch) - max(when(col("event_type") === "error", col("epoch"))), lit(0L)).as("raw"))
+        .select(col("user_id"), Scalars.zeroToSentinel(col("raw")).as("time_since_last_error")),
+    Some(s"""WITH $EV, r AS (SELECT user_id,
+      COALESCE($AsOfEpoch - MAX(CASE WHEN event_type = 'error' THEN epoch END), 0) AS raw
+      FROM ev GROUP BY 1)
+      SELECT user_id, CAST(CASE WHEN raw = 0 THEN 999999999 ELSE raw END AS BIGINT) AS time_since_last_error FROM r"""))
+
+  private val greatestLeast = Q(
+    "scalar_greatest_least",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          count(when(col("event_type") === "view", 1)).as("n_view"))
+        .select(
+          col("user_id"),
+          greatest(col("n_click"), col("n_purchase"), col("n_error"), col("n_view")).as("max_mix"),
+          least(col("n_click"), col("n_purchase"), col("n_error"), col("n_view")).as("min_mix"),
+          (lit(1.0) / (least(col("n_click"), col("n_purchase"), col("n_error"), col("n_view")) + lit(1L)).cast("double")).as("inv_mix")),
+    Some(s"""WITH $EV, a AS (SELECT user_id,
+      COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      FROM ev GROUP BY 1)
+      SELECT user_id, GREATEST(n_click, n_purchase, n_error, n_view) AS max_mix,
+      LEAST(n_click, n_purchase, n_error, n_view) AS min_mix,
+      1.0 / CAST(LEAST(n_click, n_purchase, n_error, n_view) + 1 AS DOUBLE) AS inv_mix FROM a"""))
+
+  private val coalesceNullif = Q(
+    "scalar_coalesce_nullif",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(
+          dsum(when(col("event_type") === "purchase", col("value"))).as("num"),
+          dsum(when(col("event_type") === "click", col("value"))).as("den"))
+        .select(col("user_id"), Scalars.safeDiv(col("num"), col("den")).as("purchase_per_click")),
+    Some(s"""WITH $EV, a AS (SELECT user_id,
+      ${DS("CASE WHEN event_type = 'purchase' THEN value END")} AS num,
+      ${DS("CASE WHEN event_type = 'click' THEN value END")} AS den
+      FROM ev GROUP BY 1)
+      SELECT user_id, COALESCE(num / NULLIF(den, 0), 0.0) AS purchase_per_click FROM a"""))
+
+  private val healthFactorCase = Q(
+    "scalar_health_factor_case",
+    (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("num"),
+          dsum(col("l_quantity")).as("den"))
+        .select(col("l_suppkey"),
+          Scalars.healthFactor(col("num") * lit(0.8), col("den")).as("health_factor")),
+    Some(s"""WITH a AS (SELECT l_suppkey,
+      ${DS("l_extendedprice * l_discount")} AS num, ${DS("l_quantity")} AS den
+      FROM lineitem GROUP BY 1)
+      SELECT l_suppkey, ${hfSql("num * 0.8", "den")} AS health_factor FROM a"""))
+
+  // ----------------------------------------------------------------------
+  // joins / set ops / sorts / sinks
+  // ----------------------------------------------------------------------
+
+  /** Reference-shaped positions frame fabricated from click events
+    * (FIXTURES.md §A.5 shape on testdata).
+    */
+  private def refPositions(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "click").select(
+      col("value").as("balance"),
+      concat(lit("p"), col("event_id").cast("string")).as("id"),
+      concat(lit("m"), pmod(col("user_id"), lit(10)).cast("string")).as("market_id"),
+      when(pmod(col("user_id"), lit(2)) === 0, "BORROWER").otherwise("LENDER").as("side"),
+      concat(lit("0xw"), col("user_id").cast("string")).as("account"),
+      col("day").as("block_number"),
+      when(pmod(col("user_id"), lit(2)) === 0, "aave").otherwise("compound").as("protocol"))
+
+  /** Reference-shaped market-data frame (FIXTURES.md §A.4): per-market daily
+    * price rows from view events plus the two per-protocol ETH reference
+    * price rows from signup events.
+    */
+  private def refMarketData(e: DataFrame): DataFrame = {
+    val mkts = e.filter(col("event_type") === "view")
+      .groupBy(
+        concat(lit("m"), pmod(col("user_id"), lit(10)).cast("string")).as("id"),
+        col("day").as("block_number"))
+      .agg(dsum(col("value")).as("input_token_price_usd"))
+      .select(col("id"), col("id").as("name"), col("block_number"),
+        col("input_token_price_usd"), lit(80.0).as("liquidation_threshold"),
+        lit(2).as("decimals"), lit("none").as("protocol"))
+    val eth = e.filter(col("event_type") === "signup")
+      .groupBy(col("day").as("block_number"))
+      .agg(dsum(col("value")).as("input_token_price_usd"))
+    def ethRows(proto: String, marketName: String) =
+      eth.select(
+        lit(s"eth-$proto").as("id"), lit(marketName).as("name"), col("block_number"),
+        col("input_token_price_usd"), lit(80.0).as("liquidation_threshold"),
+        lit(18).as("decimals"), lit(proto).as("protocol"))
+    mkts.unionByName(ethRows("aave", "Aave interest bearing WETH"))
+      .unionByName(ethRows("compound", "Compound Ether"))
+  }
+
+  private val mergeCtes =
+    s"""$EV,
+      pos AS (SELECT value AS balance, 'p' || CAST(event_id AS VARCHAR) AS id,
+        'm' || CAST(user_id % 10 AS VARCHAR) AS market_id,
+        CASE WHEN user_id % 2 = 0 THEN 'BORROWER' ELSE 'LENDER' END AS side,
+        '0xw' || CAST(user_id AS VARCHAR) AS account, day AS block_number,
+        CASE WHEN user_id % 2 = 0 THEN 'aave' ELSE 'compound' END AS protocol
+        FROM ev WHERE event_type = 'click'),
+      mkts AS (SELECT 'm' || CAST(user_id % 10 AS VARCHAR) AS id, day AS block_number,
+        ${DS("value")} AS price FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      ethp AS (SELECT day AS block_number, ${DS("value")} AS pp
+        FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      ethp2 AS (SELECT block_number, 'aave' AS protocol, pp FROM ethp
+        UNION ALL SELECT block_number, 'compound', pp FROM ethp)"""
+
+  private val equi2Key = Q(
+    "join_equi_2key_inner",
+    (s, d) => {
+      val e = evDf(s, d)
+      graft.features.Analytics.mergeMarketAndPositions(refPositions(e), refMarketData(e))
+        .select("id", "account", "block_number", "protocol", "side",
+          "balance_in_usd", "balance_in_eth", "address_partition")
+    },
+    Some(s"""WITH $mergeCtes
+      SELECT p.id, p.account, p.block_number, p.protocol, p.side,
+        p.balance * m.price / POWER(10.0, 2) AS balance_in_usd,
+        CASE WHEN p.balance * m.price / POWER(10.0, 2) = 0.0 OR e.pp = 0.0 THEN 0.0
+             ELSE (1.0 / e.pp) * (p.balance * m.price / POWER(10.0, 2)) END AS balance_in_eth,
+        substr(p.account, 3, 2) AS address_partition
+      FROM pos p
+      JOIN mkts m ON p.market_id = m.id AND p.block_number = m.block_number
+      JOIN ethp2 e ON p.block_number = e.block_number AND p.protocol = e.protocol"""),
+    bench = true)
+
+  private val asOfPrice = Q(
+    "join_asof_price_7d",
+    (s, d) => {
+      val e = evDf(s, d)
+      val trades = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "epoch", "value")
+      val prices = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("epoch").as("price_epoch"), col("value").as("price"))
+      AsOfJoin.asOf(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"), rightPrefix = "asof_")
+    },
+    Some(s"""WITH $EV,
+      trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
+      prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
+      lk AS (SELECT DISTINCT user_id, epoch FROM trades),
+      mx AS (SELECT l.user_id, l.epoch, MAX(p.price_epoch) AS max_ts
+        FROM lk l JOIN prices p ON p.user_id = l.user_id
+          AND p.price_epoch BETWEEN l.epoch - 604800 AND l.epoch
+        GROUP BY 1, 2)
+      SELECT t.event_id, t.user_id, t.epoch, t.value, p.price AS asof_price
+      FROM trades t
+      LEFT JOIN mx ON mx.user_id = t.user_id AND mx.epoch = t.epoch
+      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mx.max_ts"""),
+    bench = true)
+
+  private val antiBlocklist = Q(
+    "join_left_null_reject",
+    (s, d) => {
+      val block = Tables.part(s, d).filter(col("p_size") > 45).select("p_partkey")
+      Tables.lineitem(s, d)
+        .join(block, col("l_partkey") === col("p_partkey"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some(s"""SELECT l.l_returnflag, COUNT(*) AS n, ${DS("l.l_quantity")} AS sum_qty
+      FROM lineitem l
+      LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 45) b ON l.l_partkey = b.p_partkey
+      WHERE b.p_partkey IS NULL GROUP BY 1"""))
+
+  private val innerMetadata = Q(
+    "join_inner_metadata",
+    (s, d) => {
+      val dim = broadcast(Tables.part(s, d).filter(col("p_size") > 0).select("p_partkey", "p_brand"))
+      Tables.lineitem(s, d)
+        .join(dim, col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT p.p_brand, COUNT(*) AS n, ${DS("l.l_extendedprice")} AS sum_price
+      FROM lineitem l JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 0) p
+      ON l.l_partkey = p.p_partkey GROUP BY 1"""))
+
+  private val fullOuterMerge = Q(
+    "join_full_outer_protocol_merge",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_returnflag") === "A").groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("qty_a"), count(lit(1)).as("n_a"))
+      val r = li.filter(col("l_returnflag") === "R").groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("qty_r"), count(lit(1)).as("n_r"))
+      Relational.fullOuterCoalesceKey(a, r, "l_suppkey", "suppkey")
+        .select(
+          col("suppkey"),
+          coalesce(col("l_qty_a"), lit(0.0)).as("qty_returned_a"),
+          coalesce(col("r_qty_r"), lit(0.0)).as("qty_returned_r"),
+          (coalesce(col("l_n_a"), lit(0L)) + coalesce(col("r_n_r"), lit(0L))).as("n_total"))
+    },
+    Some(s"""WITH a AS (SELECT l_suppkey, ${DS("l_quantity")} AS qty_a, COUNT(*) AS n_a
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      r AS (SELECT l_suppkey, ${DS("l_quantity")} AS qty_r, COUNT(*) AS n_r
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+      SELECT COALESCE(r.l_suppkey, a.l_suppkey) AS suppkey,
+        COALESCE(a.qty_a, 0.0) AS qty_returned_a, COALESCE(r.qty_r, 0.0) AS qty_returned_r,
+        COALESCE(a.n_a, 0) + COALESCE(r.n_r, 0) AS n_total
+      FROM a FULL OUTER JOIN r ON a.l_suppkey = r.l_suppkey"""))
+
+  private val argmaxLatest = Q(
+    "join_argmax_latest_market",
+    (s, d) =>
+      Relational.latestPerGroupGeq(Tables.orders(s, d), "o_custkey", "o_orderdate")
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+    Some("""SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN (SELECT o_custkey, MAX(o_orderdate) AS m FROM orders GROUP BY 1) x
+      ON o.o_custkey = x.o_custkey WHERE o.o_orderdate >= x.m"""))
+
+  def featureChain(s: SparkSession, d: String): DataFrame = {
+    val e = evDf(s, d)
+    val spine = Relational.unionDistinct("wallet_id", Seq(
+      e.filter(col("event_type") === "purchase").select(col("user_id")),
+      e.filter(col("event_type") === "click").select(col("user_id")),
+      Tables.orders(s, d).select(col("o_custkey"))))
+    val f1 = e.filter(col("event_type") === "purchase").groupBy("user_id")
+      .agg(dsum(col("value")).as("sum_purchase"), countDistinct(col("event_id")).as("n_purchase"))
+    val f2 = e.filter(col("event_type") === "click").groupBy("user_id")
+      .agg(davg(col("value")).as("avg_click"))
+    val f3 = e.filter(col("event_type") === "error").groupBy("user_id")
+      .agg(count(lit(1)).as("n_error"))
+    val s1 = Relational.leftFeatureJoin(spine, f1, "wallet_id", "user_id",
+      Map("sum_purchase" -> lit(0.0), "n_purchase" -> lit(0L)))
+    val s2 = Relational.leftFeatureJoin(s1, f2, "wallet_id", "user_id",
+      Map("avg_click" -> lit(0.0)))
+    Relational.leftFeatureJoin(s2, f3, "wallet_id", "user_id",
+      Map("n_error" -> lit(0L)))
+  }
+
+  private val featureChainQ = Q(
+    "join_left_feature_chain",
+    (s, d) => featureChain(s, d),
+    Some(s"""WITH $EV,
+      spine AS (SELECT DISTINCT wallet_id FROM (
+        SELECT user_id AS wallet_id FROM ev WHERE event_type = 'purchase'
+        UNION ALL SELECT user_id FROM ev WHERE event_type = 'click'
+        UNION ALL SELECT o_custkey FROM orders)),
+      f1 AS (SELECT user_id, ${DS("value")} AS sum_purchase, COUNT(DISTINCT event_id) AS n_purchase
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      f2 AS (SELECT user_id, ${DA("value")} AS avg_click FROM ev WHERE event_type = 'click' GROUP BY 1),
+      f3 AS (SELECT user_id, COUNT(*) AS n_error FROM ev WHERE event_type = 'error' GROUP BY 1)
+      SELECT DISTINCT s.wallet_id,
+        COALESCE(f1.sum_purchase, 0.0) AS sum_purchase, COALESCE(f1.n_purchase, 0) AS n_purchase,
+        COALESCE(f2.avg_click, 0.0) AS avg_click, COALESCE(f3.n_error, 0) AS n_error
+      FROM spine s
+      LEFT JOIN f1 ON s.wallet_id = f1.user_id
+      LEFT JOIN f2 ON s.wallet_id = f2.user_id
+      LEFT JOIN f3 ON s.wallet_id = f3.user_id"""),
+    bench = true)
+
+  /** Shared (sender, account) pair + per-(user, day) hf frames for the
+    * union/disjunctive/reassign join patterns.
+    */
+  private def pairsDf(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("sender"),
+        pmod(col("user_id") * 7 + 3, lit(150)).as("account"))
+      .distinct()
+
+  private def hfDf(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("hf_user"), col("day").as("hf_day"))
+      .agg(coalesce(dsum(col("value")), lit(0.0)).as("hfv"))
+
+  private val pairsCtes = s"""$EV,
+      pairs AS (SELECT DISTINCT user_id AS sender, (user_id * 7 + 3) % 150 AS account
+        FROM ev WHERE event_type = 'purchase'),
+      hf AS (SELECT user_id AS hf_user, day AS hf_day, COALESCE(${DS("value")}, 0.0) AS hfv
+        FROM ev WHERE event_type = 'error' GROUP BY 1, 2)"""
+
+  private val unionAccountSender = Q(
+    "join_left_union_account_sender",
+    (s, d) => {
+      val e = evDf(s, d)
+      val pairs = pairsDf(e)
+      val hf = hfDf(e)
+      val viaAccount = pairs.join(hf, pairs("account") === hf("hf_user"), "left")
+        .select(col("sender"), col("account"), col("hf_day"), col("hfv"))
+      val viaSender = pairs.join(hf, pairs("sender") === hf("hf_user"), "left")
+        .select(col("sender"), col("account"), col("hf_day"), col("hfv"))
+      viaAccount.union(viaSender).distinct()
+        .groupBy("sender")
+        .agg(davg(col("hfv")).as("avg_hf"), count(lit(1)).as("n_rows"))
+    },
+    Some(s"""WITH $pairsCtes,
+      u AS (SELECT p.sender, p.account, h.hf_day, h.hfv FROM pairs p LEFT JOIN hf h ON p.account = h.hf_user
+            UNION
+            SELECT p.sender, p.account, h.hf_day, h.hfv FROM pairs p LEFT JOIN hf h ON p.sender = h.hf_user)
+      SELECT sender, ${DA("hfv")} AS avg_hf, COUNT(*) AS n_rows FROM u GROUP BY 1"""))
+
+  private val liquidationReassign = Q(
+    "join_liquidation_reassign",
+    (s, d) => {
+      val e = evDf(s, d)
+      val pairs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("sender"), pmod(col("event_id"), lit(150)).as("account"))
+        .distinct()
+      val liq = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("account_id"))
+        .agg(
+          coalesce(dsum(col("value")), lit(0.0)).as("sum_liq"),
+          Scalars.zeroToSentinel(
+            coalesce(lit(AsOfEpoch) - max(col("epoch")), lit(0L))).as("time_since_liq"))
+      pairs.join(liq, pairs("account") === liq("account_id"), "left")
+        .groupBy("sender")
+        .agg(
+          coalesce(dsum(col("sum_liq")), lit(0.0)).as("total_liq"),
+          min(col("time_since_liq")).as("min_time_since_liq"),
+          max(col("sum_liq")).as("max_liq"),
+          count(lit(1)).as("n_accounts"))
+    },
+    Some(s"""WITH $EV,
+      pairs AS (SELECT DISTINCT user_id AS sender, event_id % 150 AS account
+        FROM ev WHERE event_type = 'purchase'),
+      liq AS (SELECT user_id AS account_id, COALESCE(${DS("value")}, 0.0) AS sum_liq,
+        CAST(CASE WHEN COALESCE($AsOfEpoch - MAX(epoch), 0) = 0 THEN 999999999
+                  ELSE COALESCE($AsOfEpoch - MAX(epoch), 0) END AS BIGINT) AS time_since_liq
+        FROM ev WHERE event_type = 'error' GROUP BY 1)
+      SELECT p.sender, COALESCE(${DS("l.sum_liq")}, 0.0) AS total_liq,
+        MIN(l.time_since_liq) AS min_time_since_liq, MAX(l.sum_liq) AS max_liq,
+        COUNT(*) AS n_accounts
+      FROM pairs p LEFT JOIN liq l ON p.account = l.account_id GROUP BY 1"""))
+
+  private val disjunctiveTheta = Q(
+    "join_left_disjunctive_theta",
+    (s, d) => {
+      val e = evDf(s, d)
+      Relational.disjunctiveLeftJoin(pairsDf(e), hfDf(e), Seq("account", "sender"), "hf_user",
+        col("hfv") < 50)
+        .groupBy("sender", "account")
+        .agg(countDistinct(col("hf_day")).as("n_days_at_risk"))
+    },
+    Some(s"""WITH $pairsCtes
+      SELECT p.sender, p.account, COUNT(DISTINCT h.hf_day) AS n_days_at_risk
+      FROM pairs p LEFT JOIN hf h
+        ON (p.account = h.hf_user OR p.sender = h.hf_user) AND h.hfv < 50
+      GROUP BY 1, 2"""))
+
+  private val countDistinctBelow = Q(
+    "agg_count_distinct_blocks_below_threshold",
+    (s, d) => {
+      val e = evDf(s, d)
+      Relational.disjunctiveLeftJoin(pairsDf(e), hfDf(e), Seq("account", "sender"), "hf_user",
+        col("hfv") < 100)
+        .groupBy("sender")
+        .agg(countDistinct(col("hf_day")).as("n_days_at_risk"))
+    },
+    Some(s"""WITH $pairsCtes
+      SELECT p.sender, COUNT(DISTINCT h.hf_day) AS n_days_at_risk
+      FROM pairs p LEFT JOIN hf h
+        ON (p.account = h.hf_user OR p.sender = h.hf_user) AND h.hfv < 100
+      GROUP BY 1"""))
+
+  private val unionAllAddresses = Q(
+    "set_union_all_addresses",
+    (s, d) => {
+      val e = evDf(s, d)
+      Relational.unionDistinct("wallet_id",
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          e.filter(col("event_type") === t).select(col("user_id"))) :+
+          Tables.orders(s, d).select(col("o_custkey")))
+    },
+    Some(s"""WITH $EV
+      SELECT DISTINCT wallet_id FROM (
+        SELECT user_id AS wallet_id FROM ev WHERE event_type = 'click'
+        UNION ALL SELECT user_id FROM ev WHERE event_type = 'view'
+        UNION ALL SELECT user_id FROM ev WHERE event_type = 'purchase'
+        UNION ALL SELECT user_id FROM ev WHERE event_type = 'signup'
+        UNION ALL SELECT user_id FROM ev WHERE event_type = 'error'
+        UNION ALL SELECT o_custkey FROM orders)"""),
+    bench = true)
+
+  private val sortPagination = Q(
+    "sort_pagination",
+    (s, d) =>
+      evDf(s, d).orderBy(col("value").desc, col("event_id")).limit(100)
+        .select("event_id", "user_id", "value"),
+    Some(s"""WITH $EV
+      SELECT event_id, user_id, value FROM ev ORDER BY value DESC, event_id LIMIT 100"""))
+
+  private val upsertKeyed = Q(
+    "snk_upsert_keyed",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/upsert_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      Incremental.upsertByKey(s, base, path, "user_id")
+      Incremental.upsertByKey(s, upd, path, "user_id")
+      s.read.parquet(path)
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
+  val all: Seq[Q] = Seq(
+    q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
+    riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
+    dqConstraints, incrementalWatermark, literalPredicates, projStageEvents,
+    dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
+    sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
+    equi2Key, asOfPrice, antiBlocklist, innerMetadata, fullOuterMerge,
+    argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
+    disjunctiveTheta, countDistinctBelow, unionAllAddresses, sortPagination,
+    upsertKeyed)
+}

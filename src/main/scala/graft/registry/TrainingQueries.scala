@@ -1,0 +1,256 @@
+package graft.registry
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing, streaming) over the `documents` /
+  * `embeddings` / `events` testdata.
+  *
+  * Oracle-SQL notes: the vector math oracles are GENERATED — the dot
+  * products / hyperplane projections are unrolled into the same
+  * left-associated IEEE-754 expression chains Spark's `aggregate` fold
+  * produces, so doubles compare bit-identical without any rounding.
+  * MinHash/SimHash have no DuckDB equivalent (no xxhash64) — those are
+  * rows-only here and get exact-recall scalatest coverage instead.
+  */
+object TrainingQueries {
+  import Agg._
+  import Registry.Ora.{DS, EV}
+
+  /** Embedding dimensionality of the testdata `embeddings` table. */
+  private val Dim = 64
+
+  /** Whitespace-words SQL fragment mirroring [[Text.words]]. */
+  private val WS = "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> length(x) > 0)"
+
+  private def sqlList(xs: Seq[String]): String = xs.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Left-assoc dot product chain: ((0.0 + a1*b1) + a2*b2) + ... — exactly
+    * the fold order of Spark's `aggregate(zip_with(...), 0.0, _ + _)`.
+    */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).foldLeft("0.0")((acc, i) =>
+      s"($acc + (CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)))")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Hyperplane-LSH bucket mirroring [[graft.functions.Vectors.hyperplaneBucket]]:
+    * plane weights are the same deterministic grid, projections are the same
+    * left-assoc fold, sign bits pack identically.
+    */
+  private def bucketSql(v: String, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until Dim).foldLeft("0.0") { (acc, i) =>
+        val w = ((p * 131 + i * 31) % 17) - 8
+        s"($acc + (CAST($v[${i + 1}] AS DOUBLE) * ($w.0)))"
+      }
+      s"(CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END)"
+    }
+    bits.reduce((x, y) => s"($x + $y)")
+  }
+
+  /** documents plus near-duplicate mutations of the first 25 docs (id+100000,
+    * one appended token) — gives the LSH dedup operators guaranteed
+    * near-dup pairs to find on otherwise-random testdata.
+    */
+  private def augmentedDocs(df: DataFrame): DataFrame = {
+    val docs = df.select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xq")).as("text")))
+  }
+
+  // ----------------------------------------------------------------------
+  // dedup
+  // ----------------------------------------------------------------------
+
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+    Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text"""),
+    bench = true)
+
+  private val dedupFingerprint = Q(
+    "dedup_fingerprint",
+    (s, d) => Dedup.fingerprint(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents)
+      SELECT md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fingerprint,
+        MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+      FROM w GROUP BY 1"""))
+
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      blockCols = Seq("lang"), n = 1, threshold = 0.25),
+    Some(s"""WITH w AS (SELECT doc_id, lang, list_distinct($WS) AS sh FROM documents)
+      SELECT * FROM (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) AS DOUBLE) AS jaccard
+        FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.25"""))
+
+  private val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5),
+    None, // no xxhash64 in DuckDB; exact-recall covered by scalatest
+    bench = true)
+
+  private val dedupSimhash = Q(
+    "dedup_simhash_pairs",
+    (s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
+      maxHamming = 3),
+    None)
+
+  private val dedupEmbedding = Q(
+    "dedup_embedding_neardup",
+    (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      planes = 4, threshold = 0.1),
+    Some(s"""WITH b AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+      SELECT * FROM (
+        SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2, ${cosSql("x.v", "y.v")} AS cosine
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+      WHERE cosine >= 0.1"""))
+
+  // ----------------------------------------------------------------------
+  // similarity search
+  // ----------------------------------------------------------------------
+
+  private val simBruteForce = Q(
+    "sim_bruteforce_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5"""),
+    bench = true)
+
+  private val simLsh = Q(
+    "sim_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        planes = 4, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 4)} AS bucket
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${bucketSql("embedding", 4)} AS bucket
+        FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
+        FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 3"""))
+
+  // ----------------------------------------------------------------------
+  // text analysis
+  // ----------------------------------------------------------------------
+
+  private val tokenCount = Q(
+    "text_token_count",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Text.bpeishCount(col("text")).cast("long").as("n_bpeish")),
+    Some(s"""SELECT doc_id, len($WS) AS n_tokens,
+      len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)) AS n_bpeish
+      FROM documents"""))
+
+  private val qualityScore = Q(
+    "text_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.punctRatio(col("text")).as("punct_ratio"),
+      Text.stopwordRatio(col("text")).as("stopword_ratio"),
+      Text.avgWordLen(col("text")).as("avg_word_len"),
+      Text.qualityScore(col("text")).as("quality_score")),
+    Some {
+      val stops = sqlList(Text.Stopwords)
+      val punct = s"(CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE))"
+      val stop = s"(CAST(len(list_filter($WS, x -> list_contains($stops, x))) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
+      val awl = s"(CAST(COALESCE(list_sum(list_transform($WS, x -> length(x))), 0) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
+      val lenScore = s"LEAST(CAST(len($WS) AS DOUBLE) / 100.0, 1.0)"
+      val wordScore = s"(CASE WHEN $awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
+      val punctScore = s"GREATEST(0.0, 1.0 - $punct * 10.0)"
+      val stopScore = s"LEAST($stop * 5.0, 1.0)"
+      s"""SELECT doc_id, $punct AS punct_ratio, $stop AS stopword_ratio, $awl AS avg_word_len,
+        ($lenScore * 0.4 + $wordScore * 0.2 + $punctScore * 0.2 + $stopScore * 0.2) AS quality_score
+        FROM documents"""
+    },
+    bench = true)
+
+  private val langId = Q(
+    "text_langid",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("dataset_lang"),
+      Text.langId(col("text")).as("lang_pred")),
+    Some {
+      val hitCols = Text.LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(ws, x -> list_contains(${sqlList(ms)}, x))) AS h_$lang"
+      }.mkString(", ")
+      val langs = Text.LangMarkers.map(_._1)
+      val best = s"GREATEST(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, lang AS dataset_lang, $WS AS ws FROM documents),
+        h AS (SELECT doc_id, dataset_lang, $hitCols FROM w)
+        SELECT doc_id, dataset_lang,
+          CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+        FROM h"""
+    })
+
+  // ----------------------------------------------------------------------
+  // multimodal + streaming
+  // ----------------------------------------------------------------------
+
+  private val multimodalDecode = Q(
+    "multimodal_decode",
+    (s, d) => Multimodal.decodeStub(
+      Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")),
+    None) // byte-level checksum not expressible in DuckDB SQL; scalatest-covered
+
+  private val streamingWindowed = Q(
+    "streaming_windowed_agg",
+    (s, d) => {
+      Tables.configure(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "graft_stream_daily"
+      try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = stream
+        .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))
+        .withWatermark("ts_sec", "1 day")
+        .groupBy(window(col("ts_sec"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(expr("unix_timestamp(w.start) div 86400").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    },
+    Some(s"""WITH $EV
+      SELECT day, event_type, COUNT(*) AS n_events, ${DS("value")} AS total_value
+      FROM ev GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
+    dedupSimhash, dedupEmbedding, simBruteForce, simLsh, tokenCount,
+    qualityScore, langId, multimodalDecode, streamingWindowed)
+}

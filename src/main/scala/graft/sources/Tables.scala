@@ -21,8 +21,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Session conf the engine standardizes on (all runtime-settable, so this
+    * also works inside a caller-provided SparkSession):
+    *  - `nanosAsLong`: the testdata `events.ts` is parquet TIMESTAMP(NANOS),
+    *    which Spark's reader rejects as a timestamp; reading it as a nanos
+    *    LONG keeps epoch math exact (no ns->us truncation).
+    *  - UTC session TZ: reference pins all date semantics to UTC.
+    *  - ANSI off: Trino-style null-on-bad-arithmetic semantics; all division
+    *    in the engine is explicitly zero-guarded anyway (SURVEY.md §7.4.6).
+    */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
