@@ -9,12 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query (sf0.001 smoke): the wallet-spine feature chain —
-    * union-distinct spine left-joined with per-wallet aggregate features,
-    * COALESCE defaults (reference: defi_features_calculation.sql shape).
+  /** Flagship query (sf0.001 smoke): the full 28-column feature assembly —
+    * 10 views + defi_features_calculation.sql semantics over
+    * reference-shaped fixtures (graft.features.Views / Assembly).
     */
   def entry(spark: SparkSession): DataFrame =
-    registry.ParityQueries.featureChain(spark, "/root/testdata/sf0.001")
+    registry.FeaturePipeline.assembly(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,9 +86,13 @@ object Scalars {
     */
   def epochSeconds(ts: Column): Column = unix_timestamp(ts)
 
-  /** Round for oracle-stable doubles: partial-aggregation order is
-    * nondeterministic across partitions, so every double the engine emits
-    * from a sum/avg is rounded to a fixed scale before comparison.
+  /** Order-independent exact sum: decimal(38,6) accumulation, double out.
+    * Plain double sums differ in the last ulps across partition orders —
+    * at 100 TB that's nondeterministic output between runs; the engine
+    * standardizes every money/ratio aggregate on this (SURVEY.md §7.4.6).
     */
-  def r(c: Column, scale: Int = 6): Column = round(c, scale)
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Order-independent exact average: decimal sum over non-null count. */
+  def davg(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double") / count(c)
 }

@@ -1,0 +1,455 @@
+package graft.registry
+
+import graft.features.{Assembly, Views}
+import graft.functions.Scalars.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship end-to-end feature build, oracle-checked: reference-shaped
+  * fixtures (FIXTURES.md §A) are fabricated deterministically from the
+  * `events` testdata, run through [[Views]] + [[Assembly]], and compared
+  * against a DuckDB oracle that mirrors every CTE of
+  * defi_features_calculation.sql (plus the three health-factor views).
+  */
+object FeaturePipeline {
+  import ParityQueries.{evDf, hfSql, AsOfEpoch}
+  import Registry.Ora.{DA, DS, EV}
+
+  // ---------------------------------------------------------------- fixtures
+
+  /** Analytics-event shape from one event type. */
+  private def eventsShaped(e: DataFrame, typ: String): DataFrame =
+    e.filter(col("event_type") === typ).select(
+      concat(lit("w"), col("user_id").cast("string")).as("sender_address"),
+      concat(lit("w"), pmod(col("user_id") * 7 + 3, lit(150)).cast("string")).as("account_address"),
+      concat(lit("tx"), col("event_id").cast("string")).as("transaction_hash"),
+      col("value").as("quantity_in_eth"),
+      col("epoch").as("epoch_timestamp"),
+      when(pmod(col("user_id"), lit(2)) === 0, "aave").otherwise("compound").as("protocol_name"),
+      col("day").as("block_number"))
+
+  private def evtCte(name: String, typ: String): String =
+    s"""$name AS (SELECT 'w' || CAST(user_id AS VARCHAR) AS sender_address,
+      'w' || CAST((user_id * 7 + 3) % 150 AS VARCHAR) AS account_address,
+      'tx' || CAST(event_id AS VARCHAR) AS transaction_hash,
+      value AS quantity_in_eth, epoch AS epoch_timestamp,
+      CASE WHEN user_id % 2 = 0 THEN 'aave' ELSE 'compound' END AS protocol_name,
+      day AS block_number FROM ev WHERE event_type = '$typ')"""
+
+  /** Merged-positions shape (FIXTURES.md §A.6) from click events. */
+  private def mergedPositionsShaped(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "click").select(
+      concat(lit("w"), pmod(col("user_id") * 11, lit(150)).cast("string")).as("account"),
+      col("day").as("block_number"),
+      when(pmod(col("user_id"), lit(2)) === 0, "aave-v2-eth").otherwise("compound-v2-eth").as("protocol"),
+      when(pmod(col("event_id"), lit(2)) === 0, "BORROWER").otherwise("LENDER").as("side"),
+      (pmod(col("event_id"), lit(3)) =!= 0).as("is_collateral"),
+      col("value").as("balance_in_usd"),
+      (col("value") * 0.5).as("balance_in_eth"),
+      lit(0.8).as("liquidation_threshold"))
+
+  private val posCte =
+    """pos AS (SELECT 'w' || CAST((user_id * 11) % 150 AS VARCHAR) AS account,
+      day AS block_number,
+      CASE WHEN user_id % 2 = 0 THEN 'aave-v2-eth' ELSE 'compound-v2-eth' END AS protocol,
+      CASE WHEN event_id % 2 = 0 THEN 'BORROWER' ELSE 'LENDER' END AS side,
+      (event_id % 3 <> 0) AS is_collateral,
+      value AS balance_in_usd, value * 0.5 AS balance_in_eth,
+      0.8 AS liquidation_threshold FROM ev WHERE event_type = 'click')"""
+
+  /** Stage market-data shape (§A.4): per-market daily prices from view
+    * events plus the two ETH reference markets from signup events.
+    */
+  private def stageMdShaped(e: DataFrame): DataFrame = {
+    val mkts = e.filter(col("event_type") === "view")
+      .groupBy(
+        concat(lit("m"), pmod(col("user_id"), lit(10)).cast("string")).as("name"),
+        col("day").as("block_number"),
+        when(pmod(col("user_id"), lit(2)) === 0, "aave-v2-eth").otherwise("compound-v2-eth").as("protocol"))
+      .agg(dsum(col("value")).as("input_token_price_usd"))
+      .select(col("name").as("id"), col("name"), col("block_number"),
+        col("input_token_price_usd"), lit(80.0).as("liquidation_threshold"),
+        lit(2).as("decimals"), col("protocol"))
+    val eth = e.filter(col("event_type") === "signup")
+      .groupBy(col("day").as("block_number"))
+      .agg(dsum(col("value")).as("input_token_price_usd"))
+    def ethRows(id: String, nm: String, proto: String) =
+      eth.select(lit(id).as("id"), lit(nm).as("name"), col("block_number"),
+        col("input_token_price_usd"), lit(80.0).as("liquidation_threshold"),
+        lit(18).as("decimals"), lit(proto).as("protocol"))
+    mkts.unionByName(ethRows("eth-a", "Aave interest bearing WETH", "aave-v2-eth"))
+      .unionByName(ethRows("eth-c", "Compound Ether", "compound-v2-eth"))
+  }
+
+  private val smdCte =
+    s"""smd AS (
+      SELECT 'm' || CAST(user_id % 10 AS VARCHAR) AS id, 'm' || CAST(user_id % 10 AS VARCHAR) AS name,
+        day AS block_number, ${DS("value")} AS input_token_price_usd,
+        80.0 AS liquidation_threshold, 2 AS decimals,
+        CASE WHEN user_id % 2 = 0 THEN 'aave-v2-eth' ELSE 'compound-v2-eth' END AS protocol
+      FROM ev WHERE event_type = 'view' GROUP BY 1, 2, 3, 7
+      UNION ALL
+      SELECT 'eth-a', 'Aave interest bearing WETH', day, ${DS("value")}, 80.0, 18, 'aave-v2-eth'
+      FROM ev WHERE event_type = 'signup' GROUP BY 1, 2, 3, 5, 6, 7
+      UNION ALL
+      SELECT 'eth-c', 'Compound Ether', day, ${DS("value")}, 80.0, 18, 'compound-v2-eth'
+      FROM ev WHERE event_type = 'signup' GROUP BY 1, 2, 3, 5, 6, 7)"""
+
+  /** Current-collateral-positions shape from error events. */
+  private def currentPositionsShaped(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "error").select(
+      col("value").as("balance"),
+      concat(lit("m"), pmod(col("user_id"), lit(10)).cast("string")).as("market_id"),
+      when(pmod(col("event_id"), lit(2)) === 0, "BORROWER").otherwise("LENDER").as("side"),
+      (pmod(col("event_id"), lit(3)) =!= 0).as("is_collateral"),
+      concat(lit("w"), pmod(col("user_id") * 7 + 3, lit(150)).cast("string")).as("account"),
+      when(pmod(col("user_id"), lit(2)) === 0, "aave-v2-eth").otherwise("compound-v2-eth").as("protocol"))
+
+  private val cposCte =
+    """cpos AS (SELECT value AS balance, 'm' || CAST(user_id % 10 AS VARCHAR) AS market_id,
+      CASE WHEN event_id % 2 = 0 THEN 'BORROWER' ELSE 'LENDER' END AS side,
+      (event_id % 3 <> 0) AS is_collateral,
+      'w' || CAST((user_id * 7 + 3) % 150 AS VARCHAR) AS account,
+      CASE WHEN user_id % 2 = 0 THEN 'aave-v2-eth' ELSE 'compound-v2-eth' END AS protocol
+      FROM ev WHERE event_type = 'error')"""
+
+  // ------------------------------------------------------- shared oracle CTEs
+
+  /** account_health_factor over `pos` (both historical views share it). */
+  private val ahfCtes =
+    s"""bt AS (SELECT account, block_number, protocol, ${DS("balance_in_usd")} AS tbb,
+        ${DS("balance_in_eth")} AS tbbe
+        FROM pos WHERE side = 'BORROWER' GROUP BY 1, 2, 3),
+      ltb AS (SELECT account, block_number, protocol,
+        ${DS("balance_in_usd * liquidation_threshold")} AS hfn,
+        ${DS("balance_in_eth * liquidation_threshold")} AS mabe_c,
+        ${DS("balance_in_eth")} AS mtce
+        FROM pos WHERE side = 'LENDER' AND is_collateral = TRUE GROUP BY 1, 2, 3),
+      ahf0 AS (SELECT ltb.account, ltb.block_number, ltb.hfn, ltb.mtce, ltb.mabe_c,
+        bt.tbb, bt.tbbe, ltb.protocol,
+        ${hfSql("ltb.hfn", "bt.tbb")} AS health_factor
+        FROM ltb LEFT JOIN bt ON bt.account = ltb.account AND bt.block_number = ltb.block_number),
+      ahf AS (SELECT account, block_number, hfn AS health_factor_numerator, mtce AS misc_total_collateral_eth,
+        tbbe, health_factor,
+        COALESCE(CASE WHEN tbbe IS NULL THEN mabe_c ELSE mabe_c - tbbe END, 0.0) AS misc_available_borrows_eth,
+        CASE WHEN tbbe IS NULL THEN 0.0 ELSE tbbe * (1.0 / health_factor) END AS weighted_risk_factor,
+        protocol FROM ahf0)"""
+
+  /** per-protocol historical health/risk aggregate. */
+  private def histProtoCte(name: String, proto: String): String =
+    s"""${name}_u AS (
+        SELECT b.sender_address, hf.block_number AS block_number_hf, hf.health_factor,
+          hf.weighted_risk_factor, hf.misc_available_borrows_eth, hf.misc_total_collateral_eth
+        FROM (SELECT sender_address, account_address, block_number FROM borrow) b
+        JOIN ahf hf ON b.account_address = hf.account AND hf.protocol = '$proto'
+        UNION
+        SELECT b.sender_address, hf.block_number, hf.health_factor,
+          hf.weighted_risk_factor, hf.misc_available_borrows_eth, hf.misc_total_collateral_eth
+        FROM (SELECT sender_address, account_address, block_number FROM borrow) b
+        JOIN ahf hf ON b.sender_address = hf.account AND hf.protocol = '$proto'),
+      $name AS (SELECT sender_address,
+        CASE WHEN COUNT(*) = 1 THEN ${DA("health_factor")}
+             ELSE ${DA("CASE WHEN health_factor <> 1000000.0 THEN health_factor END")} END AS avg_health_factor,
+        ${DA("1.0 / health_factor")} AS harf,
+        ${DA("weighted_risk_factor")} AS hwarf,
+        MIN(health_factor) AS hmhf,
+        1.0 / MIN(health_factor) AS hmrf,
+        ${DA("misc_available_borrows_eth")} AS maabe,
+        ${DA("misc_total_collateral_eth")} AS matce
+        FROM ${name}_u GROUP BY 1)"""
+
+  private val histMergedCtes =
+    s"""${histProtoCte("h_aave", "aave-v2-eth")},
+      ${histProtoCte("h_comp", "compound-v2-eth")},
+      hist_m AS (SELECT COALESCE(c.sender_address, a.sender_address) AS sender_address,
+        COALESCE(c.hmrf, 0.0) AS c_hmrf, COALESCE(a.hmrf, 0.0) AS a_hmrf,
+        COALESCE(c.matce, 0.0) AS c_matce, COALESCE(a.matce, 0.0) AS a_matce,
+        COALESCE(c.maabe, 0.0) AS c_maabe, COALESCE(a.maabe, 0.0) AS a_maabe,
+        COALESCE(c.hwarf, 0.0) AS c_hwarf, COALESCE(a.hwarf, 0.0) AS a_hwarf,
+        COALESCE(c.harf, 0.0) AS c_harf, COALESCE(a.harf, 0.0) AS a_harf
+        FROM h_comp c FULL OUTER JOIN h_aave a ON a.sender_address = c.sender_address),
+      hist_f AS (SELECT DISTINCT sender_address,
+        COALESCE(GREATEST(c_hmrf, a_hmrf), 0.0) AS historical_max_risk_factor,
+        COALESCE(c_matce + a_matce, 0.0) AS misc_avg_total_collateral_eth,
+        COALESCE(c_maabe + a_maabe, 0.0) AS misc_avg_available_borrows_eth,
+        CASE WHEN a_hwarf = 0.0 AND c_hwarf <> 0.0 THEN c_hwarf
+             WHEN c_hwarf = 0.0 AND a_hwarf <> 0.0 THEN a_hwarf
+             ELSE (c_hwarf + a_hwarf) / 2 END AS historical_weighted_avg_risk_factor,
+        CASE WHEN a_harf = 0.0 AND c_harf <> 0.0 THEN c_harf
+             WHEN c_harf = 0.0 AND a_harf <> 0.0 THEN a_harf
+             ELSE (c_harf + a_harf) / 2 END AS historical_average_risk_factor
+        FROM hist_m)"""
+
+  private def catProtoCte(name: String, proto: String): String =
+    s"""$name AS (SELECT b.sender_address,
+        COALESCE(COUNT(DISTINCT hf.block_number), 0) AS c
+        FROM (SELECT sender_address, account_address FROM borrow) b
+        JOIN (SELECT account, block_number FROM ahf WHERE protocol = '$proto' AND health_factor < 1.2) hf
+        ON b.account_address = hf.account OR b.sender_address = hf.account
+        GROUP BY 1)"""
+
+  private val catCtes =
+    s"""${catProtoCte("cat_aave", "aave-v2-eth")},
+      ${catProtoCte("cat_comp", "compound-v2-eth")},
+      cat_f AS (SELECT DISTINCT COALESCE(c.sender_address, a.sender_address) AS sender_address,
+        COALESCE(COALESCE(c.c, 0) + COALESCE(a.c, 0), 0) AS historical_count_above_threshold
+        FROM cat_comp c FULL OUTER JOIN cat_aave a ON a.sender_address = c.sender_address)"""
+
+  /** current-health-factor view over smd + cpos. */
+  private val curCtes = {
+    val leastHf = "LEAST(health_factor_compound, health_factor_aave)"
+    val biu = "(balance * input_token_price_usd) / POWER(10.0, decimals)"
+    def protoHf(name: String, proto: String) =
+      s"""${name}_b AS (SELECT account, ${DS("balance_in_usd")} AS tbb, ${DS("balance_in_eth")} AS tbbe
+          FROM cmdp WHERE protocol = '$proto' AND side = 'BORROWER' GROUP BY 1),
+        ${name}_l AS (SELECT account, ${DS("balance_in_usd * liquidation_threshold")} AS hfn,
+          ${DS("balance_in_eth * liquidation_threshold")} AS mabe_c, ${DS("balance_in_eth")} AS mtce
+          FROM cmdp WHERE protocol = '$proto' AND side = 'LENDER' AND is_collateral = TRUE GROUP BY 1),
+        ${name}0 AS (SELECT l.account, l.hfn, l.mtce, l.mabe_c, b.tbb, b.tbbe,
+          ${hfSql("l.hfn", "b.tbb")} AS health_factor
+          FROM ${name}_l l LEFT JOIN ${name}_b b ON b.account = l.account),
+        $name AS (SELECT account, health_factor,
+          CASE WHEN tbbe IS NULL THEN 0.0 ELSE tbbe * (1.0 / health_factor) END AS weighted_risk_factor,
+          mtce AS misc_total_collateral_eth,
+          CASE WHEN tbbe IS NULL THEN mabe_c ELSE mabe_c - tbbe END AS misc_available_borrows_eth,
+          tbbe AS total_borrow_balance_eth
+          FROM ${name}0)"""
+    s"""lastmd AS (SELECT name, MAX(block_number) AS mb FROM smd GROUP BY 1),
+      latest AS (SELECT smd.* FROM smd JOIN lastmd ON smd.name = lastmd.name
+        WHERE smd.block_number >= lastmd.mb),
+      cmd AS (SELECT id AS md_id, input_token_price_usd, decimals,
+        liquidation_threshold * 0.01 AS liquidation_threshold FROM latest),
+      cmdproto AS (SELECT input_token_price_usd AS proto_price, protocol AS proto_protocol
+        FROM latest WHERE name IN ('Aave interest bearing WETH', 'Compound Ether')),
+      cmdp AS (SELECT cpos.account, cpos.side, cpos.is_collateral, cpos.protocol,
+        cmd.liquidation_threshold,
+        $biu AS balance_in_usd,
+        (1.0 / proto_price) * ($biu) AS balance_in_eth
+        FROM cpos JOIN cmd ON cpos.market_id = cmd.md_id
+        JOIN cmdproto ON cpos.protocol = cmdproto.proto_protocol),
+      ${protoHf("cur_a", "aave-v2-eth")},
+      ${protoHf("cur_c", "compound-v2-eth")},
+      cur_both AS (SELECT COALESCE(c.account, a.account) AS account,
+        COALESCE(a.health_factor, 1000000.0) AS health_factor_aave,
+        a.weighted_risk_factor AS wrf_aave,
+        COALESCE(c.health_factor, 1000000.0) AS health_factor_compound,
+        COALESCE(c.weighted_risk_factor, 0.0) AS wrf_compound,
+        COALESCE(a.misc_total_collateral_eth, 0.0) AS mtce_aave,
+        COALESCE(c.misc_total_collateral_eth, 0.0) AS mtce_compound,
+        COALESCE(a.misc_available_borrows_eth, 0.0) AS mabe_aave,
+        COALESCE(c.misc_available_borrows_eth, 0.0) AS mabe_compound,
+        COALESCE(a.total_borrow_balance_eth, 0.0) AS tbbe_aave,
+        COALESCE(c.total_borrow_balance_eth, 0.0) AS tbbe_compound
+        FROM cur_c c FULL OUTER JOIN cur_a a ON a.account = c.account),
+      cur_t AS (SELECT account,
+        CASE WHEN $leastHf > 1000000.0 THEN 1000000.0 ELSE $leastHf END AS current_health_factor,
+        mtce_compound + mtce_aave AS total_collateral_eth,
+        mabe_compound + mabe_aave AS available_borrows_eth,
+        wrf_compound + wrf_aave AS weighted_risk_factor,
+        tbbe_compound + tbbe_aave AS total_borrow_balance_eth,
+        1.0 / $leastHf AS current_risk_factor,
+        CASE WHEN 1.0 / $leastHf > 1000000.0 THEN 1000000.0
+             ELSE 1.0 / (CASE WHEN $leastHf > 1000000.0 THEN 1000000.0 ELSE $leastHf END)
+        END AS borrow_current_risk_factor_capped
+        FROM cur_both),
+      cur_f AS (SELECT account, current_health_factor,
+        ${DS("total_collateral_eth")} AS misc_total_collateral_eth,
+        ${DS("available_borrows_eth")} AS misc_available_borrows_eth,
+        ${DS("weighted_risk_factor")} AS weighted_risk_factor,
+        ${DS("total_borrow_balance_eth")} AS total_borrow_balance_eth,
+        COALESCE(${DS("weighted_risk_factor")} / NULLIF(${DS("total_borrow_balance_eth")}, 0), 0.0)
+          AS borrow_weighted_avg_risk_factor,
+        current_risk_factor, borrow_current_risk_factor_capped
+        FROM cur_t
+        GROUP BY account, current_health_factor, current_risk_factor, borrow_current_risk_factor_capped)"""
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def assembly(s: SparkSession, d: String): DataFrame = {
+    val e = evDf(s, d)
+    val borrow = eventsShaped(e, "purchase")
+    val repay = eventsShaped(e, "error")
+    val deposit = eventsShaped(e, "click")
+    val withdraw = eventsShaped(e, "view")
+    val liq = eventsShaped(e, "signup")
+    val spine = Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay))
+    val ahf = Views.accountHealthFactor(mergedPositionsShaped(e))
+    Assembly.featureAssembly(
+      spine, borrow,
+      Views.repayFeatures(repay),
+      Views.borrowFeatures(borrow),
+      Views.creditMixFeatures(spine, borrow, deposit, withdraw, repay),
+      Views.lendingSumRedeemsFeatures(withdraw),
+      Views.lendingTimeAndCountFeatures(deposit, AsOfEpoch),
+      Views.historicalHealthAndRiskFactor(borrow, ahf),
+      Views.historicalCountAboveThreshold(borrow, ahf),
+      Views.liquidationFeatures(liq, AsOfEpoch),
+      Views.currentHealthFactorFeatures(stageMdShaped(e), currentPositionsShaped(e)))
+  }
+
+  private val eventCtes = Seq(
+    evtCte("borrow", "purchase"), evtCte("repay", "error"), evtCte("deposit", "click"),
+    evtCte("withdraw", "view"), evtCte("liq", "signup")).mkString(",\n")
+
+  private val spineCte =
+    """spine AS (SELECT DISTINCT wallet_address FROM (
+      SELECT sender_address AS wallet_address FROM borrow UNION ALL SELECT account_address FROM borrow
+      UNION ALL SELECT sender_address FROM deposit UNION ALL SELECT account_address FROM deposit
+      UNION ALL SELECT sender_address FROM withdraw UNION ALL SELECT account_address FROM withdraw
+      UNION ALL SELECT sender_address FROM liq UNION ALL SELECT account_address FROM liq
+      UNION ALL SELECT sender_address FROM repay UNION ALL SELECT account_address FROM repay))"""
+
+  private val viewCtes =
+    s"""repay_f AS (SELECT sender_address,
+        COALESCE(${DS("ABS(quantity_in_eth)")}, 0.0) AS borrow_total_eth_repaid_sum,
+        COALESCE(${DA("ABS(quantity_in_eth)")}, 0.0) AS borrow_total_eth_repaid_avg,
+        COALESCE(COUNT(DISTINCT transaction_hash), 0) AS borrow_total_repays
+        FROM repay GROUP BY 1),
+      borrow_f AS (SELECT sender_address,
+        COALESCE(${DS("ABS(quantity_in_eth)")}, 0.0) AS loan_amount_eth_sum,
+        COALESCE(${DA("ABS(quantity_in_eth)")}, 0.0) AS loan_amount_eth_avg,
+        COALESCE(COUNT(DISTINCT transaction_hash), 0) AS borrow_total_borrows
+        FROM borrow GROUP BY 1),
+      deposit_f AS (SELECT sender_address,
+        COALESCE(COUNT(DISTINCT transaction_hash), 0) AS lending_total_deposits,
+        $AsOfEpoch - MIN(epoch_timestamp) AS lending_time_since_first_lending,
+        COALESCE(${DS("ABS(quantity_in_eth)")}, 0.0) AS total_deposits_in_eth
+        FROM deposit GROUP BY 1),
+      withdraw_f AS (SELECT sender_address,
+        COALESCE(${DS("ABS(quantity_in_eth)")}, 0.0) AS lending_sum_redeems
+        FROM withdraw GROUP BY 1),
+      liq_f AS (SELECT account_address,
+        COALESCE(COUNT(DISTINCT transaction_hash), 0) AS liquidation_total_liquidations,
+        COALESCE(${DS("ABS(quantity_in_eth)")}, 0.0) AS liquidation_total_amount_eth,
+        COALESCE($AsOfEpoch - MAX(epoch_timestamp), 999999999) AS liquidation_time_since_last_liquidated
+        FROM liq GROUP BY 1),
+      cm_b AS (SELECT sender_address, COALESCE(COUNT(DISTINCT protocol_name), 0) AS c FROM borrow GROUP BY 1),
+      cm_d AS (SELECT sender_address, COALESCE(COUNT(DISTINCT protocol_name), 0) AS c FROM deposit GROUP BY 1),
+      cm_w AS (SELECT sender_address, COALESCE(COUNT(DISTINCT protocol_name), 0) AS c FROM withdraw GROUP BY 1),
+      cm_r AS (SELECT sender_address, COALESCE(COUNT(DISTINCT protocol_name), 0) AS c FROM repay GROUP BY 1),
+      credit_f AS (SELECT s.wallet_address AS sender_address,
+        COALESCE(cm_b.c, 0) AS credit_mix_count_borrow_protocol,
+        COALESCE(cm_d.c, 0) AS credit_mix_count_lending_protocol,
+        GREATEST(COALESCE(cm_b.c, 0), COALESCE(cm_d.c, 0), COALESCE(cm_w.c, 0), COALESCE(cm_r.c, 0))
+          AS credit_mix_count_protocol
+        FROM spine s
+        LEFT JOIN cm_b ON s.wallet_address = cm_b.sender_address
+        LEFT JOIN cm_d ON s.wallet_address = cm_d.sender_address
+        LEFT JOIN cm_w ON s.wallet_address = cm_w.sender_address
+        LEFT JOIN cm_r ON s.wallet_address = cm_r.sender_address)"""
+
+  private val reassignCtes =
+    s"""pairs AS (SELECT DISTINCT sender_address, account_address FROM borrow),
+      liq_per AS (SELECT sender_address,
+        CAST(COALESCE(SUM(ltl), 0) AS BIGINT) AS liquidation_total_liquidations,
+        COALESCE(${DS("ltae")}, 0.0) AS liquidation_total_amount_eth,
+        COALESCE(MIN(ltsll), 0) AS liquidation_time_since_last_liquidated
+        FROM (SELECT p.sender_address,
+          COALESCE(l.liquidation_total_liquidations, 0) AS ltl,
+          COALESCE(l.liquidation_total_amount_eth, 0.0) AS ltae,
+          COALESCE(l.liquidation_time_since_last_liquidated, 0) AS ltsll
+          FROM pairs p LEFT JOIN liq_f l ON p.account_address = l.account_address)
+        GROUP BY 1),
+      cur_per AS (SELECT sender_address,
+        COALESCE(${DS("mtce")}, 0.0) AS misc_total_collateral_eth,
+        COALESCE(${DS("mabe")}, 0.0) AS misc_available_borrows_eth,
+        COALESCE(MAX(crf), 0.0) AS current_risk_factor,
+        COALESCE(MAX(bwarf), 0.0) AS borrow_weighted_avg_risk_factor,
+        COALESCE(MAX(capped), 0.0) AS borrow_current_risk_factor_capped
+        FROM (SELECT p.sender_address, c.misc_total_collateral_eth AS mtce,
+          c.misc_available_borrows_eth AS mabe, c.current_risk_factor AS crf,
+          c.borrow_weighted_avg_risk_factor AS bwarf,
+          c.borrow_current_risk_factor_capped AS capped
+          FROM pairs p LEFT JOIN cur_f c ON p.account_address = c.account)
+        GROUP BY 1)"""
+
+  private val finalSelect =
+    """SELECT DISTINCT s.wallet_address,
+      COALESCE(credit_f.credit_mix_count_borrow_protocol, 0) AS unique_borrow_protocol_count,
+      COALESCE(credit_f.credit_mix_count_lending_protocol, 0) AS unique_lending_protocol_count,
+      COALESCE(cur_per.misc_total_collateral_eth, 0.0) AS total_collateral_eth,
+      COALESCE(cur_per.current_risk_factor, 0.0) AS risk_factor,
+      COALESCE(cur_per.misc_available_borrows_eth, 0.0) AS total_available_borrows_eth,
+      COALESCE(deposit_f.lending_total_deposits, 0) AS deposit_count,
+      CAST(CASE WHEN COALESCE(deposit_f.lending_time_since_first_lending, 0) = 0 THEN 999999999
+                ELSE COALESCE(deposit_f.lending_time_since_first_lending, 0) END AS BIGINT)
+        AS time_since_first_deposit,
+      COALESCE(deposit_f.total_deposits_in_eth, 0.0) AS deposit_amount_sum_eth,
+      COALESCE(liq_per.liquidation_total_liquidations, 0) AS liquidation_count,
+      COALESCE(liq_per.liquidation_total_amount_eth, 0.0) AS liquidation_amount_sum_eth,
+      CAST(CASE WHEN COALESCE(liq_per.liquidation_time_since_last_liquidated, 0) = 0 THEN 999999999
+                ELSE COALESCE(liq_per.liquidation_time_since_last_liquidated, 0) END AS BIGINT)
+        AS time_since_last_liquidated,
+      COALESCE(withdraw_f.lending_sum_redeems, 0.0) AS withdraw_amount_sum_eth,
+      COALESCE(borrow_f.loan_amount_eth_sum, 0.0) AS borrow_amount_sum_eth,
+      COALESCE(borrow_f.loan_amount_eth_avg, 0.0) AS borrow_amount_avg_eth,
+      COALESCE(borrow_f.borrow_total_borrows, 0) AS borrow_count,
+      COALESCE(repay_f.borrow_total_eth_repaid_sum, 0.0) AS repay_amount_sum_eth,
+      COALESCE(repay_f.borrow_total_eth_repaid_avg, 0.0) AS repay_amount_avg_eth,
+      COALESCE(repay_f.borrow_total_repays, 0) AS repay_count,
+      CASE WHEN COALESCE(borrow_f.loan_amount_eth_sum, 0.0) - COALESCE(repay_f.borrow_total_eth_repaid_sum, 0.0) < 0 THEN 0.0
+           ELSE COALESCE(borrow_f.loan_amount_eth_sum, 0.0) - COALESCE(repay_f.borrow_total_eth_repaid_sum, 0.0)
+      END AS borrow_repay_diff_eth,
+      CASE WHEN COALESCE(withdraw_f.lending_sum_redeems, 0.0) - COALESCE(deposit_f.total_deposits_in_eth, 0.0) < 0 THEN 0.0
+           ELSE COALESCE(withdraw_f.lending_sum_redeems, 0.0) - COALESCE(deposit_f.total_deposits_in_eth, 0.0)
+      END AS withdraw_deposit_diff_if_positive_eth,
+      COALESCE(hist_f.misc_avg_available_borrows_eth, 0.0) AS total_available_borrows_avg_eth,
+      COALESCE(hist_f.historical_weighted_avg_risk_factor, 0.0) AS avg_weighted_risk_factor,
+      COALESCE(hist_f.historical_average_risk_factor, 0.0) AS avg_risk_factor,
+      COALESCE(hist_f.historical_max_risk_factor, 0.0) AS max_risk_factor,
+      COALESCE(cat_f.historical_count_above_threshold, 0) AS risk_factor_above_threshold_daily_count,
+      COALESCE(hist_f.misc_avg_total_collateral_eth, 0.0) AS total_collateral_avg_eth
+    FROM spine s
+    LEFT JOIN repay_f ON s.wallet_address = repay_f.sender_address
+    LEFT JOIN borrow_f ON s.wallet_address = borrow_f.sender_address
+    LEFT JOIN credit_f ON s.wallet_address = credit_f.sender_address
+    LEFT JOIN withdraw_f ON s.wallet_address = withdraw_f.sender_address
+    LEFT JOIN deposit_f ON s.wallet_address = deposit_f.sender_address
+    LEFT JOIN hist_f ON s.wallet_address = hist_f.sender_address
+    LEFT JOIN cat_f ON s.wallet_address = cat_f.sender_address
+    LEFT JOIN liq_per ON s.wallet_address = liq_per.sender_address
+    LEFT JOIN cur_per ON s.wallet_address = cur_per.sender_address"""
+
+  private val assemblyOracle =
+    s"""WITH $EV,
+      $eventCtes,
+      $spineCte,
+      $posCte,
+      $smdCte,
+      $cposCte,
+      $viewCtes,
+      $ahfCtes,
+      $histMergedCtes,
+      $catCtes,
+      $curCtes,
+      $reassignCtes
+      $finalSelect"""
+
+  private val featureAssemblyQ = Q(
+    "feature_assembly",
+    (s, d) => assembly(s, d),
+    Some(assemblyOracle),
+    bench = true)
+
+  private val histViewQ = Q(
+    "view_historical_health_risk",
+    (s, d) => {
+      val e = evDf(s, d)
+      Views.historicalHealthAndRiskFactor(
+        eventsShaped(e, "purchase"),
+        Views.accountHealthFactor(mergedPositionsShaped(e)))
+    },
+    Some(s"""WITH $EV, ${evtCte("borrow", "purchase")}, $posCte, $ahfCtes, $histMergedCtes
+      SELECT * FROM hist_f"""))
+
+  private val currentViewQ = Q(
+    "view_current_health_factor",
+    (s, d) => {
+      val e = evDf(s, d)
+      Views.currentHealthFactorFeatures(stageMdShaped(e), currentPositionsShaped(e))
+    },
+    Some(s"""WITH $EV, $smdCte, $cposCte, $curCtes SELECT * FROM cur_f"""))
+
+  val all: Seq[Q] = Seq(featureAssemblyQ, histViewQ, currentViewQ)
+}

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * orders, so a hash-exact oracle compare is possible (Registry doc).
   */
 private[registry] object Agg {
-  def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
-  def davg(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double") / count(c)
+  def dsum(c: Column): Column = Scalars.dsum(c)
+  def davg(c: Column): Column = Scalars.davg(c)
 }
 
 /** The reference's relational operator inventory (SURVEY.md §2) realized on
@@ -48,7 +48,7 @@ object ParityQueries {
   /** The 6-branch health-factor CASE as oracle SQL (mirrors
     * [[Scalars.healthFactor]] branch-for-branch).
     */
-  private def hfSql(num: String, den: String): String = {
+  private[registry] def hfSql(num: String, den: String): String = {
     val ratio = s"($num) / ($den)"
     s"""CASE WHEN COALESCE($den, 0.0) = 0.0 THEN 1000000.0
        WHEN $ratio = 0.0 AND ($den) < 0.000001 THEN 1000000.0

@@ -22,7 +22,7 @@ final case class Q(
     bench: Boolean = false)
 
 object Registry {
-  lazy val all: Seq[Q] = ParityQueries.all ++ TrainingQueries.all
+  lazy val all: Seq[Q] = ParityQueries.all ++ TrainingQueries.all ++ FeaturePipeline.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
