@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Recall/precision guarantees of the sketch-based dedup operators — the
+  * part the DuckDB oracle can't check (no xxhash64 there).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randText(seed: Int, words: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(words)("w" + rnd.nextInt(500)).mkString(" ")
+  }
+
+  /** 40 random docs + near-dup copies of the first 10 (one word appended). */
+  private lazy val corpus = {
+    val base = (0 until 40).map(i => (i.toLong, randText(i, 60)))
+    val dups = (0 until 10).map(i => (i + 1000L, base(i)._2 + " extra"))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact: duplicate text collapses to min id with copy count") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("fingerprint: word order and duplication insensitive") {
+    val docs = Seq((1L, "a b c"), (2L, "c b a a"), (3L, "a b d")).toDF("doc_id", "text")
+    val r = Dedup.fingerprint(docs, "doc_id", "text").collect()
+    assert(r.length == 2)
+    assert(r.find(_.getLong(1) == 1L).get.getLong(2) == 2L)
+  }
+
+  test("minhashLsh finds every true near-dup pair (recall vs exact jaccard)") {
+    val truth = Dedup.ngramJaccard(corpus.withColumn("blk", lit(1)), "doc_id", "text",
+      Seq("blk"), n = 3, threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 10, s"fixture should contain near-dups, got ${truth.size}")
+    val found = Dedup.minhashLsh(corpus, "doc_id", "text", n = 3, k = 64, bands = 16,
+      threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    // verify step makes precision exact; banding should catch all 0.5+ pairs here
+    assert(found == truth)
+  }
+
+  test("minhash signatures drop docs with fewer than n words") {
+    val docs = Seq((1L, "only two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val ids = Dedup.minhashSignature(docs, "doc_id", "text", n = 3, k = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("simhashPairs: pigeonhole banding has exact recall within maxHamming") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = for {
+      (i1, h1) <- sh.toSeq; (i2, h2) <- sh.toSeq
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (i1, i2)
+    val found = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(found == truth.toSet)
+    assert(found.nonEmpty, "near-dup fixture should produce close simhashes")
+  }
+
+  test("embeddingNearDup and lshTopK agree with brute force inside a bucket") {
+    val vecs = (0 until 30).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat()))
+    } :+ (999L, {
+      val rnd = new scala.util.Random(3)
+      Array.fill(16)(rnd.nextFloat() * 1.0001f) // near-copy of vec 3
+    })
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", planes = 2, threshold = 0.999)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 999L)))
+    val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 3), emb,
+      "vec_id", "embedding", k = 1).select("neighbor_id").as[Long].head()
+    assert(topk == 999L)
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: n-grams distinct, short docs empty") {
+    val r = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("t")
+      .select(Text.wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+  }
+
+  test("langId picks the marker-dominant language, 'und' with no markers") {
+    val r = Seq("the cat and the dog is in it", "el que de la y los", "zzz qqq")
+      .toDF("t").select(Text.langId(col("t"))).as[String].collect()
+    assert(r.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("jaccard of shingle sets") {
+    val r = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(Text.jaccard(Text.wordShingles(col("x"), 1), Text.wordShingles(col("y"), 1)))
+      .as[Double].head()
+    assert(r == 0.5) // {b,c} over {a,b,c,d}
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import graft.functions.Scalars
+import graft.operators._
+import graft.quality.Constraints
+import org.apache.spark.sql.functions._
+
+/** Branch-level semantics the DuckDB oracle queries can't reach with the
+  * all-positive testdata: health-factor clamp branches, as-of boundary
+  * inclusivity, `>=` argmax ties, upsert lifecycle, decode stub.
+  */
+class ScalarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hf(num: java.lang.Double, den: java.lang.Double): Double =
+    Seq((num, den)).toDF("num", "den")
+      .select(Scalars.healthFactor(col("num"), col("den")).as("hf"))
+      .head().getDouble(0)
+
+  test("healthFactor: null/zero borrow balance -> 1e6 sentinel") {
+    assert(hf(5.0, null) == 1000000.0)
+    assert(hf(5.0, 0.0) == 1000000.0)
+  }
+  test("healthFactor: zero ratio with tiny balance -> 1e6; larger -> 1e-6") {
+    assert(hf(0.0, 0.0000005) == 1000000.0) // ratio 0, den < 1e-6
+    assert(hf(0.0, 2.0) == 0.000001) // ratio 0, den > 1e-6
+  }
+  test("healthFactor: ratio below clamp -> 1e-6; normal ratio passes through") {
+    assert(hf(1e-9, 10.0) == 0.000001)
+    assert(hf(15.0, 10.0) == 1.5)
+  }
+
+  test("clampDiff floors negatives at 0; zeroToSentinel replaces only exact 0") {
+    val r = Seq((3.0, 5.0, 0L), (5.0, 3.0, 7L)).toDF("a", "b", "t")
+      .select(Scalars.clampDiff(col("a"), col("b")).as("d"),
+        Scalars.zeroToSentinel(col("t")).as("s"))
+      .collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(0.0, 2.0))
+    assert(r.map(_.getLong(1)).toSeq == Seq(999999999L, 7L))
+  }
+
+  test("safeDiv: zero and null denominators coalesce to 0") {
+    val r = Seq((1.0, 0.0), (6.0, 3.0)).toDF("n", "d")
+      .select(Scalars.safeDiv(col("n"), col("d"))).as[Double].collect()
+    assert(r.toSeq == Seq(0.0, 2.0))
+  }
+
+  test("toEth: zero-address (native ETH) skips the price multiply") {
+    val r = Seq((Scalars.ZeroAddress, 200.0, 2, 5.0), ("0xabc", 200.0, 2, 5.0))
+      .toDF("tok", "q", "dec", "p")
+      .select(Scalars.toEth(col("tok"), col("q"), col("dec"), col("p"))).as[Double].collect()
+    assert(r.toSeq == Seq(2.0, 10.0))
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq((1L, "k", 1000L), (2L, "k", 2000L), (3L, "x", 500L))
+    .toDF("id", "key", "ts")
+  private val prices = Seq(
+    ("k", 900L, 9.0), ("k", 990L, 9.9), // both in range of trade 1
+    ("k", 1500L, 15.0), // in range of trade 2 only
+    ("k", 2100L, 21.0)) // after everything
+    .toDF("key", "pts", "price")
+
+  private def run(tolerance: Long) =
+    AsOfJoin.asOf(trades, prices, Seq("key"), "ts", "pts", tolerance, Seq("price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("asOf picks the LATEST right row in the window; no match -> null") {
+    val m = run(200L)
+    assert(m(1L).contains(9.9)) // 990 beats 900
+    assert(m(2L).isEmpty) // 1500 is 500 old > 200 tolerance; 2100 is in the future
+    assert(m(3L).isEmpty) // no rows for key x
+  }
+
+  test("asOf window is inclusive at exactly `tolerance` old") {
+    val m = run(500L)
+    assert(m(2L).contains(15.0)) // 2000 - 1500 == tolerance: BETWEEN is inclusive
+  }
+
+  test("asOf ties at the argmax timestamp keep one row per tied price row") {
+    val dupPrices = prices.union(Seq(("k", 990L, 9.9)).toDF("key", "pts", "price"))
+    val rows = AsOfJoin.asOf(trades.filter($"id" === 1), dupPrices, Seq("key"), "ts", "pts",
+      200L, Seq("price")).collect()
+    assert(rows.length == 2) // faithful to the reference's argmax re-join
+  }
+}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestPerGroupGeq keeps ALL rows tied at the max order key") {
+    val df = Seq(("a", 1, "x"), ("a", 5, "y"), ("a", 5, "z"), ("b", 2, "w"))
+      .toDF("g", "o", "v")
+    val r = Relational.latestPerGroupGeq(df, "g", "o").select("v").as[String].collect().toSet
+    assert(r == Set("y", "z", "w"))
+  }
+
+  test("disjunctiveLeftJoin + countDistinct matches the OR-join semantics") {
+    val left = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+    val right = Seq((1L, 100L, 5.0), (20L, 200L, 5.0), (1L, 100L, 5.0), (3L, 300L, 99.0))
+      .toDF("k", "blk", "v")
+    val viaUnion = Relational.disjunctiveLeftJoin(left, right, Seq("a", "b"), "k", col("v") < 50)
+      .groupBy("a").agg(countDistinct(col("blk")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference semantics: LEFT JOIN ON (a=k OR b=k) AND v<50, COUNT(DISTINCT blk)
+    val viaOr = left.join(right, (col("a") === col("k") || col("b") === col("k")) && col("v") < 50, "left")
+      .groupBy("a").agg(countDistinct(col("blk")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnion == viaOr)
+    assert(viaUnion == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("leftFeatureJoin under shared lineage leaves no duplicate key column") {
+    val base = Seq((1L, "x")).toDF("id", "v")
+    val spine = base.select(col("id").as("wallet"))
+    val feat = base.groupBy("id").agg(count(lit(1)).as("n"))
+    val out = Relational.leftFeatureJoin(spine, feat, "wallet", "id", Map("n" -> lit(0L)))
+    assert(out.columns.toSeq == Seq("wallet", "n"))
+    out.write.mode("overwrite").parquet("target/tmp/lfj_spec") // write fails on dup names
+  }
+}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertByKey: create, then merge preferring the update row, keeping unmatched") {
+    val path = "target/tmp/upsert_spec"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Incremental.upsertByKey(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, "k")
+    Incremental.upsertByKey(spark, Seq((2L, "B"), (3L, "C")).toDF("k", "v"), path, "k")
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
+  test("maxWatermark: default on empty, value otherwise") {
+    val df = Seq(5L, 9L).toDF("ts")
+    assert(Incremental.maxWatermark(df, col("ts")) == 9L)
+    assert(Incremental.maxWatermark(df.filter(col("ts") > 100), col("ts"), 42L) == 42L)
+  }
+}
+
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enforce throws naming exactly the failing constraints") {
+    val df = Seq((0.0, -1L), (0.0, 2L)).toDF("x", "n")
+    val checks = Seq(
+      Constraints.AllZero("all_zero_x", col("x")),
+      Constraints.AnyNegative("neg_n", col("n")),
+      Constraints.AnyNull("null_x", col("x")))
+    val e = intercept[IllegalStateException] { Constraints.enforce(df, checks) }
+    assert(e.getMessage.contains("all_zero_x") && e.getMessage.contains("neg_n"))
+    assert(!e.getMessage.contains("null_x"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeStub: deterministic checksum/frames/feature from payload bytes") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val out = Multimodal.decodeStub(Multimodal.fromText(docs, "doc_id", "text")).collect()(0)
+    assert(out.getLong(2) == 4L) // byte_len
+    assert(out.getLong(3) == ('a' + 'b' + 'c' + 'd').toLong) // checksum
+    assert(out.getInt(4) == 1) // n_frames = 1 + 4/64
+    val feat = out.getSeq[Double](5)
+    assert(feat.length == 8 && feat.head == 'a'.toInt / 255.0)
+  }
+}
