@@ -22,12 +22,16 @@ object Bench {
     val qs = SparkEntry.queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $dt%.2f s")
-      name -> dt
+      var dt = 0.0
+      for (i <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name run$i $dt%.2f s")
+      }
+      name -> dt // last (warmest) run
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -98,16 +98,25 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
-  /** Distinct word n-gram shingles (n >= 1). Documents shorter than n words
-    * yield an empty set.
+  /** Shingles from a PRE-MATERIALIZED words array column. Hot paths must
+    * project `words(text)` into its own column first and pass that
+    * attribute here: the per-gram lambda indexes `ws` n times per gram, and
+    * if `ws` is a computed expression (not an attribute) Spark's
+    * interpreted higher-order functions re-tokenize the whole document on
+    * every access — measured ~10x on the dedup pipeline.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def shinglesFromWords(ws: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
     array_distinct(when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct word n-gram shingles (n >= 1). Documents shorter than n words
+    * yield an empty set. Convenience form — see [[shinglesFromWords]] for
+    * the two-step shape hot paths should use.
+    */
+  def wordShingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
   /** Set Jaccard similarity of two shingle arrays (assumed distinct). */
   def jaccard(a: Column, b: Column): Column =

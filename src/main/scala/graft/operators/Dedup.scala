@@ -48,9 +48,11 @@ object Dedup {
       blockCols: Seq[String],
       n: Int,
       threshold: Double): DataFrame = {
-    val withShingles = docs.select(
-      (blockCols.map(col) :+ col(idCol).as("doc_id")) :+
-        Text.wordShingles(col(textCol), n).as("shingles"): _*)
+    val withShingles = docs
+      .select((blockCols.map(col) :+ col(idCol).as("doc_id")) :+
+        Text.words(col(textCol)).as("__w"): _*)
+      .select((blockCols.map(col) :+ col("doc_id")) :+
+        Text.shinglesFromWords(col("__w"), n).as("shingles"): _*)
     val a = withShingles.select(
       blockCols.map(col) ++ Seq(col("doc_id").as("doc_id_1"), col("shingles").as("s1")): _*)
     val b = withShingles.select(
@@ -88,10 +90,12 @@ object Dedup {
   }
 
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
-    val shingles = Text.wordShingles(col(textCol), n)
-    val hashed = docs.select(
-      col(idCol).as("doc_id"),
-      explode(transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))).as("hx"))
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .select(
+        col("doc_id"),
+        explode(transform(Text.shinglesFromWords(col("__w"), n),
+          s => pmod(xxhash64(s), lit(MinhashPrime)))).as("hx"))
     val minima = (0 until k).map { i =>
       val a = Math.floorMod(mix64(2L * i), MinhashPrime - 1) + 1
       val b = Math.floorMod(mix64(2L * i + 1), MinhashPrime)
@@ -135,7 +139,9 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
       .distinct()
-    val shingled = docs.select(col(idCol).as("doc_id"), Text.wordShingles(col(textCol), n).as("s"))
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), Text.shinglesFromWords(col("__w"), n).as("s"))
     candidates
       .join(shingled.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("s", "s1"), "doc_id_1")
       .join(shingled.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("s", "s2"), "doc_id_2")
