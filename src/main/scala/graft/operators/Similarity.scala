@@ -42,6 +42,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) top-k: the classic two-stage ANN.
+    *
+    *  1. Coarse quantize: every corpus vector is assigned to its
+    *     nearest-centroid cell (centroids = the deterministic first
+    *     `nCentroids` corpus rows by id; broadcast join + per-vector argmax
+    *     window — O(N * C) map-side work, one shuffle).
+    *  2. Probe: each query searches only the `nProbe` cells whose centroids
+    *     score highest for it — an equi join on cell id, so the candidate
+    *     set is ~N * nProbe / nCentroids per query instead of N.
+    *
+    * With nProbe == nCentroids every cell is probed and the result equals
+    * [[bruteForceTopK]] exactly (the scalatest recall check). At 100 TB the
+    * centroid set stays driver-small (broadcast), assignments are computed
+    * once and can be persisted as a bucketed table keyed by cell.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
+
+    def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(out))
+        .join(centroids)
+        .withColumn("__cs", Vectors.cosine(col(out), col("centroid")))
+      val w = Window.partitionBy(id).orderBy(col("__cs").desc, col("cell_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(id), col(out), col("cell_id"))
+    }
+
+    val corpusCells = assign(corpus, "neighbor_id", "cv", keep = 1)
+    val queryCells = assign(queries, "query_id", "qv", keep = nProbe)
+    val scored = queryCells
+      .join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed top-k: rank within the probe's hyperplane bucket only. */
   def lshTopK(
       queries: DataFrame,

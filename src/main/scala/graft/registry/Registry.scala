@@ -22,7 +22,8 @@ final case class Q(
     bench: Boolean = false)
 
 object Registry {
-  lazy val all: Seq[Q] = ParityQueries.all ++ TrainingQueries.all ++ FeaturePipeline.all
+  lazy val all: Seq[Q] =
+    ParityQueries.all ++ TrainingQueries.all ++ FeaturePipeline.all ++ StageQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

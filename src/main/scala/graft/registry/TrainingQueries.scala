@@ -125,6 +125,18 @@ object TrainingQueries {
   // similarity search
   // ----------------------------------------------------------------------
 
+  /** Exact top-k oracle over the vec_id < 10 query set — shared by the
+    * brute-force query and the all-cells-probed IVF query (identical
+    * results by construction).
+    */
+  def bruteForceOracle(k: Int): Option[String] =
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= $k""")
+
   private val simBruteForce = Q(
     "sim_bruteforce_topk",
     (s, d) => {
@@ -132,12 +144,7 @@ object TrainingQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast("long"))
     },
-    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-      sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
-        FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
-      SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5"""),
+    bruteForceOracle(5),
     bench = true)
 
   private val simLsh = Q(

@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
     assert(found.nonEmpty, "near-dup fixture should produce close simhashes")
   }
 
+  test("ivfTopK: probing every cell equals brute force; fewer cells is a subset") {
+    val vecs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat()))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val ivfAll = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 6, nProbe = 6, k = 3))
+    assert(ivfAll == brute)
+    val ivfProbe = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 6, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    assert(ivfProbe.nonEmpty && ivfProbe.subsetOf(
+      pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 60)).map(t => (t._1, t._2))))
+    // recall sanity: at least some of the true top-3 survive 2-of-6 probing
+    assert((ivfProbe intersect bruteIds).nonEmpty)
+  }
+
   test("embeddingNearDup and lshTopK agree with brute force inside a bucket") {
     val vecs = (0 until 30).map { i =>
       val rnd = new scala.util.Random(i)
