@@ -240,13 +240,9 @@ object TrainingQueries {
       try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      val q = stream
-        .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))
-        .withWatermark("ts_sec", "1 day")
-        .groupBy(window(col("ts_sec"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-        .select(expr("unix_timestamp(w.start) div 86400").as("day"),
-          col("event_type"), col("n_events"), col("total_value"))
+      val q = graft.streaming.Streams.dailyRollup(
+        stream.withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000"))),
+        "ts_sec", Seq("event_type"), "value", lateness = "1 day")
         .writeStream.format("memory").queryName(qn)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

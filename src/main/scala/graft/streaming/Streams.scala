@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.functions.Scalars.dsum
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming realizations of the reference's incremental-batch
+  * semantics (SURVEY.md §2.7): the daily pipeline is a bounded catch-up
+  * loop over an append-only event table with a max-watermark resume point —
+  * exactly what `Trigger.AvailableNow` + checkpointed file streams give us
+  * natively, with the watermark bookkeeping moved from hand-rolled
+  * `MAX(ts)` scans (src/pipelines/utils.py:8-22) into the engine.
+  *
+  * All entry points return the STREAMING DataFrame (caller picks the sink)
+  * or a started query; at 100 TB the file source lists incrementally and
+  * each micro-batch is a normal partitioned scan.
+  */
+object Streams {
+
+  /** Incremental ingest of a parquet event directory: every new file is a
+    * micro-batch; `AvailableNow` drains the backlog and stops — the
+    * streaming equivalent of the reference's bounded catch-up run
+    * (MAX_TIMEWINDOW_DAYS loop, raw/defi_events.py:58).
+    */
+  def incrementalParquet(spark: SparkSession, path: String, schemaFrom: String): DataFrame = {
+    graft.sources.Tables.configure(spark)
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Tumbling daily rollup with late-data tolerance: the streaming form of
+    * the reference's first-block-of-day downsampling + trailing-7-day
+    * lateness allowance (SURVEY.md §2.7). `tsCol` must be a TimestampType
+    * column; sums are decimal-exact ([[dsum]]).
+    */
+  def dailyRollup(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      lateness: String = "7 days"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 day").as("w") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), dsum(col(valueCol)).as("total_value"))
+      .select(expr("unix_timestamp(w.start) div 86400").as("day") +:
+        (keyCols.map(col) :+ col("n_events") :+ col("total_value")): _*)
+
+  /** Append the stream to a partitioned parquet table with exactly-once
+    * file-sink semantics (checkpointed), AvailableNow: one call = one
+    * drained incremental batch, replacing the reference's
+    * `INSERT INTO ... WHERE ts > (SELECT MAX(ts) ...)` pattern.
+    */
+  def appendAvailableNow(
+      stream: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil): StreamingQuery = {
+    val w = stream.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+
+  /** Per-key running state via mapGroupsWithState: maintains (count,
+    * decimal-exact running sum scaled 1e6, max epoch) per key across
+    * micro-batches — the stateful form of the reference's per-wallet
+    * incremental aggregates. State is a flat case class (Spark-encoded,
+    * spillable); timeout is none because the reference's features are
+    * all-time aggregates.
+    */
+  case class KeyState(n: Long, sumMicros: Long, maxEpoch: Long)
+  case class KeyUpdate(key: Long, n: Long, total: Double, maxEpoch: Long)
+
+  def runningPerKey(
+      events: Dataset[(Long, Double, Long)]): Dataset[KeyUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyUpdate](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(0L, 0L, 0L))
+          var n = prev.n
+          var sumMicros = prev.sumMicros
+          var maxEpoch = prev.maxEpoch
+          rows.foreach { case (_, v, ep) =>
+            n += 1
+            sumMicros += Math.round(v * 1e6) // exact integer accumulation
+            if (ep > maxEpoch) maxEpoch = ep
+          }
+          state.update(KeyState(n, sumMicros, maxEpoch))
+          KeyUpdate(key, n, sumMicros / 1e6, maxEpoch)
+      }
+  }
+}

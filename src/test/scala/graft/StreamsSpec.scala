@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming semantics: incremental file drain, running
+  * per-key state across micro-batches.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalParquet + appendAvailableNow: drains once, resumes from checkpoint") {
+    val base = "target/tmp/streams_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.parquet(in)
+    val q1 = Streams.appendAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second batch of files: only the NEW rows flow (checkpointed offset)
+    Seq((3L, 30.0)).toDF("k", "v").write.mode("append").parquet(in)
+    val q2 = Streams.appendAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out).as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("runningPerKey: state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    val q = Streams.runningPerKey(mem.toDS())
+      .writeStream.format("memory").queryName("rpk")
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData((1L, 1.5, 100L), (1L, 2.5, 200L), (2L, 7.0, 50L))
+    q.processAllAvailable()
+    mem.addData((1L, 1.0, 150L)) // out-of-order epoch; count/sum still grow
+    q.processAllAvailable()
+    val last = spark.table("rpk").as[Streams.KeyUpdate].collect()
+      .groupBy(_.key).map { case (k, us) => k -> us.maxBy(_.n) }
+    assert(last(1L).n == 3 && last(1L).total == 5.0 && last(1L).maxEpoch == 200L)
+    assert(last(2L).n == 1 && last(2L).total == 7.0 && last(2L).maxEpoch == 50L)
+    q.stop()
+  }
+}
