@@ -140,6 +140,13 @@ class IncrementalSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("overwriteTable: full refresh replaces prior contents") {
+    val path = "target/tmp/overwrite_spec"
+    Incremental.overwriteTable(Seq((1L, "old")).toDF("k", "v"), path)
+    Incremental.overwriteTable(Seq((2L, "new")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq == Seq((2L, "new")))
+  }
+
   test("maxWatermark: default on empty, value otherwise") {
     val df = Seq(5L, 9L).toDF("ts")
     assert(Incremental.maxWatermark(df, col("ts")) == 9L)
