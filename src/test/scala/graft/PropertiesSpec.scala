@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{Scalars, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests mirroring the reference's runtime DQ invariants
+  * (SURVEY.md §5.3): clamp bounds, non-negative diffs, order-independent
+  * exact sums, set-measure bounds.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Raw-scalacheck sampling (no scalatestplus bridge in the offline deps):
+    * draw `n` generated cases and run the assertion block on each.
+    */
+  private def forSamples[A](g: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(f)
+
+  import spark.implicits._
+
+  private val finiteD = Gen.chooseNum(-1e9, 1e9)
+
+  test("healthFactor: lower-clamped at 1e-6; zero debt hits the 1e6 sentinel exactly") {
+    // NB: the reference clamps only the LOWER bound — a huge-collateral /
+    // tiny-debt ratio legitimately exceeds 1e6 (the 1e6 is a no-debt
+    // sentinel, not an upper cap); replicated faithfully.
+    forSamples(Gen.listOfN(50, Gen.zip(Gen.chooseNum(0.0, 1e9), Gen.chooseNum(0.0, 1e9)))) { pairs: List[(Double, Double)] =>
+        if (pairs.nonEmpty) {
+          val rows = pairs.toDF("n", "d")
+            .select(col("d"), Scalars.healthFactor(col("n"), col("d")).as("hf"))
+            .collect()
+          assert(rows.forall(_.getDouble(1) >= Scalars.HealthFactorMin))
+          assert(rows.filter(_.getDouble(0) == 0.0)
+            .forall(_.getDouble(1) == Scalars.HealthFactorMax))
+        }
+    }
+  }
+
+  test("clampDiff is never negative") {
+    forSamples(Gen.listOfN(50, Gen.zip(finiteD, finiteD))) { pairs: List[(Double, Double)] =>
+      if (pairs.nonEmpty) {
+        val ds = pairs.toDF("a", "b")
+          .select(Scalars.clampDiff(col("a"), col("b"))).as[Double].collect()
+        assert(ds.forall(_ >= 0.0))
+      }
+    }
+  }
+
+  test("dsum is partition-order independent (decimal-exact accumulation)") {
+    forSamples(Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))) { xs: List[Double] =>
+        if (xs.nonEmpty) {
+          val a = xs.toDF("v").repartition(7).agg(Scalars.dsum(col("v"))).head().getDouble(0)
+          val b = xs.reverse.toDF("v").repartition(3).agg(Scalars.dsum(col("v"))).head().getDouble(0)
+          assert(a == b)
+        }
+    }
+  }
+
+  test("jaccard is within [0,1], symmetric, and 1 for identical docs") {
+    forSamples(Gen.listOfN(8, Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e")))) { docs: List[List[String]] =>
+        if (docs.nonEmpty) {
+          val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+            .toDF("doc_id", "text")
+          val sh = Text.wordShingles(col("text"), 1)
+          val pairs = df.as("x").crossJoin(df.as("y"))
+            .select(
+              Text.jaccard(
+                Text.wordShingles(col("x.text"), 1),
+                Text.wordShingles(col("y.text"), 1)).as("j"),
+              (col("x.doc_id") === col("y.doc_id")).as("same"))
+            .collect()
+          assert(pairs.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+          assert(pairs.filter(_.getBoolean(1)).forall(_.getDouble(0) == 1.0))
+        }
+    }
+  }
+
+  test("zeroToSentinel preserves non-zero values and never emits 0") {
+    forSamples(Gen.listOfN(50, Gen.chooseNum(0L, 1000L))) { xs: List[Long] =>
+      if (xs.nonEmpty) {
+        val out = xs.toDF("x").select(Scalars.zeroToSentinel(col("x"))).as[Long].collect()
+        assert(out.forall(_ != 0L))
+        assert(xs.zip(out).forall { case (in, o) => in == 0L && o == 999999999L || in == o })
+      }
+    }
+  }
+}
