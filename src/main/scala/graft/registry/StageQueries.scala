@@ -185,7 +185,49 @@ object StageQueries {
     TrainingQueries.bruteForceOracle(5),
     bench = true)
 
+  /** Co-located bucketed join: both per-user aggregates land bucketed on
+    * the wallet key, the join reads them shuffle-free (plan asserted in
+    * LayoutSpec; values oracle-checked here).
+    */
+  private val bucketedJoin = Q(
+    "layout_bucketed_join",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val a = e.filter(col("event_type") === "purchase").groupBy("user_id")
+        .agg(dsum(col("value")).as("purchase_total"))
+      val b = e.filter(col("event_type") === "click").groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+      graft.sources.Layout.writeBucketed(a, "graft_bkt_a", 8, "user_id", Seq("user_id"))
+      graft.sources.Layout.writeBucketed(b, "graft_bkt_b", 8, "user_id", Seq("user_id"))
+      s.table("graft_bkt_a").join(s.table("graft_bkt_b"), Seq("user_id"), "inner")
+    },
+    Some(s"""WITH $EV,
+      a AS (SELECT user_id, ${DS("value")} AS purchase_total FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      b AS (SELECT user_id, COUNT(*) AS n_clicks FROM ev WHERE event_type = 'click' GROUP BY 1)
+      SELECT a.user_id, a.purchase_total, b.n_clicks FROM a JOIN b ON a.user_id = b.user_id"""))
+
+  /** Salted skew join: hot keys fan out over 8 salts; result is
+    * row-identical to the plain join (the oracle IS the plain join).
+    */
+  private val saltedJoin = Q(
+    "skew_salted_join",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val left = e.select(col("event_id"), pmod(col("user_id"), lit(5)).as("k"), col("value"))
+      val right = e.filter(col("event_type") === "signup")
+        .groupBy(pmod(col("user_id"), lit(5)).as("k"))
+        .agg(dsum(col("value")).as("rv"))
+      graft.operators.Skew.saltedInnerJoin(left, right, "k", saltFrom = "event_id", nSalts = 8)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"), max(col("rv")).as("rv"))
+    },
+    Some(s"""WITH $EV,
+      l AS (SELECT event_id, user_id % 5 AS k, value FROM ev),
+      r AS (SELECT user_id % 5 AS k, ${DS("value")} AS rv FROM ev WHERE event_type = 'signup' GROUP BY 1)
+      SELECT l.k, COUNT(*) AS n, ${DS("l.value")} AS sum_value, MAX(r.rv) AS rv
+      FROM l JOIN r ON l.k = r.k GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     stageEvents, stageMarketData, stagePositions, partitionedSink,
-    sessionWindows, simIvf)
+    sessionWindows, simIvf, bucketedJoin, saltedJoin)
 }

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout control for the 100 TB path: bucketed tables co-locate
+  * rows by key AT REST, so every join/aggregation on the bucket key reads
+  * pre-partitioned data and skips the shuffle entirely — the Spark-native
+  * replacement for the reference's 256-way `address_partition` directory
+  * scheme (SURVEY.md §1.4), which only pruned, never co-located.
+  *
+  * Pattern: land the analytics tables bucketed by wallet once per refresh;
+  * the 9-join feature chain then runs shuffle-free on the wallet key
+  * (verified by LayoutSpec's no-Exchange plan assertion).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, bucket-sorted managed table. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      nBuckets: Int,
+      key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(nBuckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
