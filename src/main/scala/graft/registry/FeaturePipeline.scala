@@ -267,14 +267,24 @@ object FeaturePipeline {
   // --------------------------------------------------------------- queries
 
   def assembly(s: SparkSession, d: String): DataFrame = {
-    val e = evDf(s, d)
-    val borrow = eventsShaped(e, "purchase")
+    import org.apache.spark.storage.StorageLevel
+    // stand-in for the materialized stage layer (medallion): every event
+    // frame below derives from this one scan
+    val e = evDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // the borrow events, the wallet spine and the account-health-factor
+    // CTE each feed 4-8 consumers in the assembly tree; without explicit
+    // materialization Catalyst re-derives them per consumer (measured: 107
+    // source scans, zero reused exchanges) — persist once, like the
+    // reference's result-cache reuse of the shared hf CTE (SURVEY.md §4)
+    val borrow = eventsShaped(e, "purchase").persist(StorageLevel.MEMORY_AND_DISK)
     val repay = eventsShaped(e, "error")
     val deposit = eventsShaped(e, "click")
     val withdraw = eventsShaped(e, "view")
     val liq = eventsShaped(e, "signup")
     val spine = Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ahf = Views.accountHealthFactor(mergedPositionsShaped(e))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     Assembly.featureAssembly(
       spine, borrow,
       Views.repayFeatures(repay),

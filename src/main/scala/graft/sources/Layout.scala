@@ -23,6 +23,12 @@ object Layout {
       sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with the default in-memory catalog, a previous JVM's managed-table
+    // FILES survive even though the registration didn't — saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS; clear the leftover location
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.split('.').last.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(nBuckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet")
