@@ -118,6 +118,14 @@ object Text {
     */
   def wordShingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
+  /** 60-bit token hash derived from the md5 hex prefix — slower than
+    * xxhash64 but computable identically in external SQL engines
+    * (`('0x' || substr(md5(x),1,15))::BIGINT`), which makes sketches built
+    * on it oracle-checkable. Always non-negative (top 4 bits zero).
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Set Jaccard similarity of two shingle arrays (assumed distinct). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

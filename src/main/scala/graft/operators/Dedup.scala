@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Text, Vectors}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at four fidelity /
@@ -162,10 +162,14 @@ object Dedup {
     * folds over the token array, which would re-tokenize per bit per row.
     * Docs with no words are dropped (no tokens -> no hash).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(
       col(idCol).as("doc_id"),
-      explode(transform(Text.words(col(textCol)), t => xxhash64(t))).as("h"))
+      explode(transform(Text.words(col(textCol)), t => tokenHash(t))).as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
@@ -181,12 +185,13 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    val sh = simhash(docs, idCol, textCol)
+    val sh = simhash(docs, idCol, textCol, tokenHash)
     val chunkCols = (0 until nChunks).map { c =>
       val width = bounds(c + 1) - bounds(c)
       val mask = if (width >= 64) -1L else (1L << width) - 1L

@@ -105,11 +105,34 @@ object TrainingQueries {
     None, // no xxhash64 in DuckDB; exact-recall covered by scalatest
     bench = true)
 
+  /** SimHash with the md5-derived token hash ([[Text.md5Hash64]]) so the
+    * whole sketch is reproducible in DuckDB: the oracle recomputes every
+    * 64-bit simhash from scratch and takes ALL pairs within maxHamming —
+    * the banding's pigeonhole guarantee means the engine must find exactly
+    * that set.
+    */
   private val dedupSimhash = Q(
     "dedup_simhash_pairs",
     (s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
-      maxHamming = 3),
-    None)
+      maxHamming = 3, tokenHash = Text.md5Hash64)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some {
+      val votes = (0 until 64).map(i =>
+        s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+      val bits = (0 until 64).map(i =>
+        s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
+        w AS (SELECT doc_id, unnest($WS) AS tok FROM aug),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM w),
+        v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+        sh AS (SELECT doc_id, ($bits) AS simhash FROM v)
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    })
 
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
