@@ -89,16 +89,36 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  def minhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+  /** Deterministic (a_k, b_k) permutation coefficients — public so an
+    * external oracle can recompute the identical signatures.
+    */
+  def minhashCoefficients(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      (Math.floorMod(mix64(2L * i), MinhashPrime - 1) + 1,
+        Math.floorMod(mix64(2L * i + 1), MinhashPrime))
+    }
+
+  /** Default shingle -> [0, p) hash (fast xxhash64 path). Swap for
+    * [[Text.md5Hash64]]-based hashing when the sketch must be reproducible
+    * in an external SQL engine.
+    */
+  def defaultShingleHash(s: Column): Column = pmod(xxhash64(s), lit(MinhashPrime))
+
+  def md5ShingleHash(s: Column): Column = pmod(Text.md5Hash64(s), lit(MinhashPrime))
+
+  def minhashSignature(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      shingleHash: Column => Column = defaultShingleHash): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
       .select(
         col("doc_id"),
-        explode(transform(Text.shinglesFromWords(col("__w"), n),
-          s => pmod(xxhash64(s), lit(MinhashPrime)))).as("hx"))
-    val minima = (0 until k).map { i =>
-      val a = Math.floorMod(mix64(2L * i), MinhashPrime - 1) + 1
-      val b = Math.floorMod(mix64(2L * i + 1), MinhashPrime)
+        explode(transform(Text.shinglesFromWords(col("__w"), n), shingleHash)).as("hx"))
+    val minima = minhashCoefficients(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hx") * a + b, lit(MinhashPrime))).as(s"m$i")
     }
     hashed.groupBy("doc_id")

@@ -264,6 +264,20 @@ object ParityQueries {
       WHERE event_type = 'purchase'
       AND epoch > (SELECT COALESCE(MAX(epoch), 0) FROM ev WHERE event_type = 'signup')"""))
 
+  private val boundedCatchup = Q(
+    "filter_bounded_catchup",
+    (s, d) => {
+      val e = evDf(s, d)
+      val wm = Incremental.maxWatermark(e.filter(col("epoch") < MidEpoch), col("epoch"), 0L)
+      Incremental.boundedCatchUp(e.filter(col("event_type") === "purchase"),
+        col("epoch"), wm, windowSize = 5 * 86400L)
+        .select("event_id", "user_id", "epoch", "value")
+    },
+    Some(s"""WITH $EV,
+      wm AS (SELECT COALESCE(MAX(epoch), 0) AS w FROM ev WHERE epoch < $MidEpoch)
+      SELECT event_id, user_id, epoch, value FROM ev, wm
+      WHERE event_type = 'purchase' AND epoch > wm.w AND epoch <= wm.w + ${5 * 86400L}"""))
+
   private val literalPredicates = Q(
     "filter_literal_predicates",
     (s, d) =>
@@ -772,7 +786,7 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
-    dqConstraints, incrementalWatermark, literalPredicates, projStageEvents,
+    dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
     equi2Key, asOfPrice, antiBlocklist, innerMetadata, fullOuterMerge,

@@ -98,6 +98,34 @@ object TrainingQueries {
         FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
       WHERE jaccard >= 0.25"""))
 
+  /** MinHash signature core, oracle-checked: md5-based shingle hashing so
+    * DuckDB recomputes the identical k=16 per-permutation minima (the
+    * coefficients come from [[Dedup.minhashCoefficients]] on both sides).
+    * The LSH banding/verify stages on top stay rows-only (probabilistic
+    * recall at the threshold boundary) with scalatest recall coverage.
+    */
+  private val dedupMinhashSignature = Q(
+    "dedup_minhash_signature",
+    (s, d) => {
+      val sig = Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 16, shingleHash = Dedup.md5ShingleHash)
+      sig.select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("minhash"), i + 1).as(s"m$i")): _*)
+    },
+    Some {
+      val p = 2147483647L
+      val minima = Dedup.minhashCoefficients(16).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((hv * $a + $b) % $p) AS m$i"
+      }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS grams FROM w),
+        h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS hv
+          FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+        v AS (SELECT doc_id, $minima FROM h GROUP BY 1)
+        SELECT * FROM v"""
+    })
+
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
@@ -276,7 +304,7 @@ object TrainingQueries {
       FROM ev GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupEmbedding, simBruteForce, simLsh, tokenCount,
-    qualityScore, langId, multimodalDecode, streamingWindowed)
+    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
+    dedupMinhashLsh, dedupSimhash, dedupEmbedding, simBruteForce, simLsh,
+    tokenCount, qualityScore, langId, multimodalDecode, streamingWindowed)
 }
