@@ -733,6 +733,28 @@ object ParityQueries {
         ON (p.account = h.hf_user OR p.sender = h.hf_user) AND h.hfv < 100
       GROUP BY 1"""))
 
+  /** Engine-side semantics of the address-list-filtered source
+    * (src_graphql_address_filtered): a LEFT SEMI join against an explicit
+    * key list — what the reference pushes to the GraphQL API as
+    * `account_in: $address_list`, here pushed into the scan via a
+    * broadcast semi join.
+    */
+  private val semiAddressList = Q(
+    "join_semi_address_list",
+    (s, d) => {
+      val e = evDf(s, d)
+      val addressList = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("wallet_id"))
+      e.join(broadcast(addressList), e("user_id") === addressList("wallet_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    },
+    Some(s"""WITH $EV
+      SELECT user_id, COUNT(*) AS n_events, ${DS("value")} AS sum_value
+      FROM ev WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY 1"""))
+
   private val unionAllAddresses = Q(
     "set_union_all_addresses",
     (s, d) => {
@@ -791,6 +813,6 @@ object ParityQueries {
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
     equi2Key, asOfPrice, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
-    disjunctiveTheta, countDistinctBelow, unionAllAddresses, sortPagination,
-    upsertKeyed)
+    disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
+    sortPagination, upsertKeyed)
 }
