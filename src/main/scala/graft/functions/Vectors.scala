@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** Dot product — native codegen'd Catalyst expression
+    * ([[graft.functions.expressions.DotProduct]]). Bit-identical to the
+    * declarative fold `aggregate(zip_with(a, b, (x,y) => x.cast*y.cast),
+    * 0.0, _ + _)` (same element order, same IEEE-754 widening), but that
+    * fold runs interpreted per element — the native loop is the hot-path
+    * form for ANN over array<float>/array<double> columns.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.graftnative.NativeColumns.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,77 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two numeric arrays.
+  *
+  * The declarative formulation — `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`
+  * — is semantically right but executes INTERPRETED: Spark's higher-order
+  * functions fall out of whole-stage codegen and pay per-element lambda
+  * dispatch, which dominates ANN workloads (corpus x centroids x dim
+  * evaluations). This expression generates a tight primitive loop instead
+  * (`doGenCode`), with an interpreted `nullSafeEval` fallback.
+  *
+  * Semantics mirror the HOF version bit-for-bit so the DuckDB oracle
+  * parity holds: elements are widened to double BEFORE multiplying, the
+  * accumulation is sequential left-to-right from 0.0, any null element
+  * (or length mismatch, where zip_with would pad with null) yields NULL.
+  *
+  * Inputs must be array<float> or array<double> (callers are internal;
+  * see [[org.apache.spark.sql.graftnative.NativeColumns]] for the Column
+  * entry point).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      val x = if (lf) l.getFloat(i).toDouble else l.getDouble(i)
+      val y = if (rf) r.getFloat(i).toDouble else r.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getL = if (elemIsFloat(left)) s"(double) $l.getFloat($i)" else s"$l.getDouble($i)"
+      val getR = if (elemIsFloat(right)) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      s"""
+        |int $n = $l.numElements();
+        |if ($n != $r.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += $getL * $getR;
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftnative
+
+import graft.functions.expressions.DotProduct
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
+
+/** Column-API bridge for graft's native Catalyst expressions.
+  *
+  * Lives under `org.apache.spark.sql` because the Spark-Connect-era
+  * `Column`/`ColumnNode` indirection is `private[sql]` — this is the
+  * standard extension-library escape hatch for wrapping a custom
+  * `Expression` into a `Column` on the classic execution path.
+  */
+object NativeColumns {
+
+  /** Codegen'd dot product over array<float>/array<double> columns —
+    * drop-in for the interpreted `aggregate(zip_with(...))` fold with
+    * identical IEEE-754 semantics (see [[DotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column =
+    Column(ExpressionColumnNode(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b))))
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.NativeColumns
+
+/** The native DotProduct expression must be bit-identical to the
+  * declarative HOF fold it replaces (that equivalence is what keeps the
+  * DuckDB oracle parity valid).
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("native dot == HOF fold bit-for-bit on random float vectors") {
+    val vecs = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+    val diffs = vecs.select(
+      NativeColumns.dot(col("a"), col("b")).as("nat"),
+      hofDot(col("a"), col("b")).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(diffs.count() == 0)
+  }
+
+  test("native dot: length mismatch and null elements yield NULL (zip_with parity)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f)), // length mismatch
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))) // clean
+      .toDF("a", "b")
+    val out = df.select(NativeColumns.dot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(11.0)))
+  }
+
+  test("native dot works on array<double> too") {
+    val r = Seq((Array(1.5, 2.0), Array(2.0, -1.0))).toDF("a", "b")
+      .select(NativeColumns.dot(col("a"), col("b"))).as[Double].head()
+    assert(r == 1.0)
+  }
+}
