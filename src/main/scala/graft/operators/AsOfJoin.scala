@@ -71,4 +71,59 @@ object AsOfJoin {
         left.columns.map(col) ++
           rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
   }
+
+  /** Time-binned as-of join — the 100 TB path (SURVEY.md §4 option b).
+    *
+    * [[asOf]]'s range stage joins every left key row against the key's
+    * ENTIRE right-side history and filters the BETWEEN residual afterwards;
+    * for hot keys with years of price points that residual input explodes.
+    * Here both sides are bucketed into `tolerance`-wide time bins and the
+    * range stage equi-joins on (keys, bin) — each right row is replicated
+    * into exactly the 2 bins whose left rows could see it, so the
+    * candidate set per left row is bounded by two bins of history
+    * regardless of how long the key's timeline is.
+    *
+    * Result is row-identical to [[asOf]] (the bin pre-filter is implied by
+    * the BETWEEN residual; the argmax and re-join stages are unchanged).
+    */
+  def asOfBinned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "asof_"): DataFrame = {
+    require(tolerance > 0)
+    val rp = "__r_"
+    val rightCols = (keyCols ++ (rightTs +: rightValueCols)).distinct
+    val r0 = right.select(rightCols.map(c => col(c).as(rp + c)): _*)
+
+    // a right row at t serves left bins (t div T) and (t div T) + 1
+    val rBinned = r0.withColumn("__bin",
+      explode(array(expr(s"$rp$rightTs div $tolerance"),
+        expr(s"$rp$rightTs div $tolerance") + 1)))
+    val lk = left.select((keyCols :+ leftTs).map(col): _*).distinct()
+      .withColumn("__lbin", expr(s"$leftTs div $tolerance"))
+    val rangeCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col("__lbin") === col("__bin") &&
+        col(rp + rightTs).between(col(leftTs) - tolerance, col(leftTs))
+    // double bin membership can duplicate a candidate; MAX absorbs it
+    val maxTs = lk
+      .join(rBinned, rangeCond, "inner")
+      .groupBy((keyCols :+ leftTs).map(col): _*)
+      .agg(max(col(rp + rightTs)).as("__max_right_ts"))
+
+    val withMax = left.join(maxTs, keyCols :+ leftTs, "left")
+    val backCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col("__max_right_ts") === col(rp + rightTs)
+    withMax
+      .join(r0, backCond, "left")
+      .select(
+        left.columns.map(col) ++
+          rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
 }

@@ -504,18 +504,16 @@ object ParityQueries {
       JOIN ethp2 e ON p.block_number = e.block_number AND p.protocol = e.protocol"""),
     bench = true)
 
-  private val asOfPrice = Q(
-    "join_asof_price_7d",
-    (s, d) => {
-      val e = evDf(s, d)
-      val trades = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "epoch", "value")
-      val prices = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("epoch").as("price_epoch"), col("value").as("price"))
-      AsOfJoin.asOf(trades, prices, Seq("user_id"), "epoch", "price_epoch",
-        tolerance = 604800L, rightValueCols = Seq("price"), rightPrefix = "asof_")
-    },
-    Some(s"""WITH $EV,
+  private def asOfInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = evDf(s, d)
+    val trades = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "epoch", "value")
+    val prices = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("epoch").as("price_epoch"), col("value").as("price"))
+    (trades, prices)
+  }
+
+  private val asOfOracle = Some(s"""WITH $EV,
       trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
       prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
       lk AS (SELECT DISTINCT user_id, epoch FROM trades),
@@ -526,8 +524,29 @@ object ParityQueries {
       SELECT t.event_id, t.user_id, t.epoch, t.value, p.price AS asof_price
       FROM trades t
       LEFT JOIN mx ON mx.user_id = t.user_id AND mx.epoch = t.epoch
-      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mx.max_ts"""),
+      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mx.max_ts""")
+
+  private val asOfPrice = Q(
+    "join_asof_price_7d",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOf(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"), rightPrefix = "asof_")
+    },
+    asOfOracle,
     bench = true)
+
+  /** The binned scale path must be row-identical to [[AsOfJoin.asOf]] —
+    * it shares the same oracle.
+    */
+  private val asOfBinned = Q(
+    "join_asof_binned",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfBinned(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"), rightPrefix = "asof_")
+    },
+    asOfOracle)
 
   private val antiBlocklist = Q(
     "join_left_null_reject",
@@ -811,7 +830,7 @@ object ParityQueries {
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
-    equi2Key, asOfPrice, antiBlocklist, innerMetadata, fullOuterMerge,
+    equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     sortPagination, upsertKeyed)

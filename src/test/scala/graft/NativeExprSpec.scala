@@ -41,4 +41,10 @@ class NativeExprSpec extends SparkSpec {
       .select(NativeColumns.dot(col("a"), col("b"))).as[Double].head()
     assert(r == 1.0)
   }
+
+  test("graft_dot is SQL-callable via GraftExtensions") {
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
 }

@@ -81,6 +81,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m(2L).contains(15.0)) // 2000 - 1500 == tolerance: BETWEEN is inclusive
   }
 
+  test("asOfBinned is row-identical to asOf for every tolerance") {
+    for (tol <- Seq(200L, 500L, 10000L)) {
+      val plain = AsOfJoin.asOf(trades, prices, Seq("key"), "ts", "pts", tol, Seq("price"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val binned = AsOfJoin.asOfBinned(trades, prices, Seq("key"), "ts", "pts", tol, Seq("price"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(binned == plain, s"tolerance $tol")
+    }
+  }
+
   test("asOf ties at the argmax timestamp keep one row per tied price row") {
     val dupPrices = prices.union(Seq(("k", 990L, 9.9)).toDF("key", "pts", "price"))
     val rows = AsOfJoin.asOf(trades.filter($"id" === 1), dupPrices, Seq("key"), "ts", "pts",
