@@ -19,15 +19,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one row per distinct `textCol`, keeping the minimum id as
-    * canonical. The md5 of the content is emitted instead of the content
-    * itself (don't shuffle wide text twice at scale — group on the text,
-    * project the hash).
+    * canonical. Groups on the 128-bit md5 digest, NOT the text — at 100 TB
+    * that shuffles 16 bytes per row instead of whole documents, and the
+    * map-side partial aggregation still collapses local duplicates.
+    * (md5 collisions are negligible at any realistic corpus size; swap in
+    * a 256-bit `sha2` if the risk budget says otherwise.)
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .groupBy(col(textCol))
+      .groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col(textCol)).as("text_md5"), col("canonical_id"), col("n_copies"))
 
   /** Near-dedup via canonical fingerprint (sorted distinct word set):
     * catches reorderings/duplicated words at exact-dedup cost.

@@ -134,6 +134,29 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.features.Analytics
+
+  test("enrichEventsWithEth LiquidationSpec converts the LIQUIDATED token and buckets by account") {
+    val events = Seq(
+      // liquidated token 0xaa (2 decimals), liquidator's own token ignored
+      ("0xsender1", "0xacct99", "0xzz", "0xaa", 500.0, 1000L))
+      .toDF("sender_address", "account_address", "token_address",
+        "liquidated_token_address", "quantity_liquidated", "epoch_timestamp")
+      .withColumn("quantity", org.apache.spark.sql.functions.lit(-1.0)) // must be ignored
+    val metadata = Seq(("0xaa", 2), ("0xzz", 6)).toDF("contract_address", "decimals")
+    val toDrop = Seq.empty[String].toDF("contract_address")
+    val prices = Seq(("0xaa", 900L, 3.0)).toDF("address", "timestamp", "price")
+    val out = Analytics.enrichEventsWithEth(events, metadata, toDrop, prices,
+      Analytics.LiquidationSpec)
+      .select("quantity_in_eth", "index_address", "address_partition").collect()(0)
+    assert(out.getDouble(0) == 500.0 / 100.0 * 3.0) // liquidated qty / 10^2 * price
+    assert(out.getString(1) == "0xacct99") // indexed by liquidated account, not sender
+    assert(out.getString(2) == "ac")
+  }
+}
+
 class IncrementalSpec extends SparkSpec {
   import spark.implicits._
 
