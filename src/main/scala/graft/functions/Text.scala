@@ -126,6 +126,30 @@ object Text {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Raw (non-distinct) word n-grams from a materialized words array —
+    * the counting form behind repetition heuristics.
+    */
+  def ngramsFromWords(ws: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate-n-gram fraction (Gopher-style repetition filter):
+    * 1 - distinct grams / total grams. 0 for texts shorter than n words.
+    */
+  def repetitionRatio(ws: Column, n: Int): Column = {
+    val grams = ngramsFromWords(ws, n)
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      greatest(size(grams), lit(1)).cast("double")
+  }
+
+  /** Symbol marks per word (another classic junk-text heuristic). */
+  def symbolWordRatio(text: Column, ws: Column): Column =
+    size(regexp_extract_all(text, lit("[#@%$^*=~|_{}<>]"), lit(0))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+
   /** Set Jaccard similarity of two shingle arrays (assumed distinct). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

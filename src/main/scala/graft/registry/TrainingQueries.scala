@@ -252,6 +252,39 @@ object TrainingQueries {
     },
     bench = true)
 
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Text.words(col("text")).as("__w"))
+      .select(
+        col("doc_id"),
+        Text.repetitionRatio(col("__w"), 2).as("rep_2gram_ratio"),
+        Text.symbolWordRatio(col("text"), col("__w")).as("symbol_word_ratio")),
+    Some(s"""WITH w AS (SELECT doc_id, text, $WS AS ws FROM documents),
+      g AS (SELECT doc_id, text, ws,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END AS grams FROM w)
+      SELECT doc_id,
+        1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(GREATEST(len(grams), 1) AS DOUBLE)
+          AS rep_2gram_ratio,
+        CAST(len(regexp_extract_all(text, '[#@%$$^*=~|_{}<>]', 0)) AS DOUBLE) /
+          CAST(GREATEST(len(ws), 1) AS DOUBLE) AS symbol_word_ratio
+      FROM g"""))
+
+  /** Sketch-based distinct for 100 TB cardinalities (SURVEY §2.8 notes
+    * exact count-distinct suffices for parity; this is the documented
+    * at-scale alternative). HLL implementations differ across engines, so
+    * the check is a scalatest error bound vs the exact count, not an
+    * oracle hash.
+    */
+  private val approxDistinct = Q(
+    "agg_approx_distinct",
+    (s, d) => ParityQueries.evDf(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users")),
+    None)
+
   private val langId = Q(
     "text_langid",
     (s, d) => Tables.documents(s, d).select(
@@ -306,5 +339,6 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
     dedupMinhashLsh, dedupSimhash, dedupEmbedding, simBruteForce, simLsh,
-    tokenCount, qualityScore, langId, multimodalDecode, streamingWindowed)
+    tokenCount, qualityScore, textRepetition, approxDistinct, langId,
+    multimodalDecode, streamingWindowed)
 }

@@ -187,6 +187,22 @@ class IncrementalSpec extends SparkSpec {
   }
 }
 
+class ApproxDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within the default 5% rsd of exact") {
+    val df = (1 to 20000).map(i => (i % 7, (i * 131) % 4211)).toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(approx_count_distinct(col("v")).as("approx"),
+        countDistinct(col("v")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
+    }
+  }
+}
+
 class ConstraintsSpec extends SparkSpec {
   import spark.implicits._
 
