@@ -29,8 +29,13 @@ object Bench {
       var dt = 0.0
       for (i <- 1 to repeat) {
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a crashing query must not read as a fast success: negate the
+        // elapsed time so failures are visible in the emitted JSON
+        val ok =
+          try { qs(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         dt = (System.nanoTime() - t0) / 1e9
+        if (!ok) dt = -dt
         System.err.println(f"[bench] $name run$i $dt%.2f s")
       }
       name -> dt // last (warmest) run

@@ -62,7 +62,10 @@ object Analytics {
       col("timestamp").cast("long").as("price_epoch"),
       col("price"))
 
-    val withPrice = AsOfJoin.asOf(
+    // binned variant: row-identical to asOf, but the range stage equi-joins
+    // on (token, 7-day bin) instead of token alone, so a hot token's years
+    // of price history never cross-product against its events
+    val withPrice = AsOfJoin.asOfBinned(
       withoutBlocked,
       prices,
       keyCols = Seq(spec.tokenCol),

@@ -155,7 +155,17 @@ object Views {
       accountHf: DataFrame,
       aaveProtocol: String = "aave-v2-eth",
       compoundProtocol: String = "compound-v2-eth"): DataFrame = {
-    val b = borrowEvents.select("sender_address", "account_address", "block_number")
+    // The reference joins the RAW borrow-event rows to hf on account only
+    // (not block), so every event of an account fans out against every
+    // block-day of that account's history before the UNION dedup collapses
+    // it again. Since the join output carries nothing from the borrow side
+    // but the address columns, pre-deduplicating the borrow side to its
+    // distinct (sender, account) pairs / distinct senders is
+    // result-identical under the trailing distinct() and turns an
+    // |events_per_account| × |blocks_per_account| blow-up into
+    // |pairs| × |blocks| — the 100 TB-safe shape.
+    val bPairs = borrowEvents.select("sender_address", "account_address").distinct()
+    val bSenders = borrowEvents.select("sender_address").distinct()
 
     def perProtocol(p: String): DataFrame = {
       // LEFT JOIN ... WHERE hf.protocol = p collapses to an inner join
@@ -167,9 +177,9 @@ object Views {
       val outCols = Seq(col("sender_address"), col("block_number_hf"), col("health_factor"),
         col("weighted_risk_factor"), col("misc_available_borrows_eth"),
         col("misc_total_collateral_eth"))
-      val viaAccount = b.join(hfp, b("account_address") === hfp("hf_account"), "inner")
+      val viaAccount = bPairs.join(hfp, bPairs("account_address") === hfp("hf_account"), "inner")
         .select(outCols: _*)
-      val viaSender = b.join(hfp, b("sender_address") === hfp("hf_account"), "inner")
+      val viaSender = bSenders.join(hfp, bSenders("sender_address") === hfp("hf_account"), "inner")
         .select(outCols: _*)
       viaAccount.union(viaSender).distinct() // reference UNION = dedup; weights matter
         .groupBy("sender_address")
@@ -185,9 +195,12 @@ object Views {
           davg(col("misc_total_collateral_eth")).as("misc_avg_total_collateral_eth"))
     }
 
-    // COALESCE(compound, aave) key order: compound is the left side
+    // reference merge is COALESCE(compound, aave): compound is the LEFT
+    // side of the full outer join (l_ = compound, r_ = aave — matching the
+    // reference's c/a aliases), so an asymmetric merge column added later
+    // lands on the right protocol
     val merged = Relational.fullOuterCoalesceKey(
-      perProtocol(aaveProtocol), perProtocol(compoundProtocol),
+      perProtocol(compoundProtocol), perProtocol(aaveProtocol),
       "sender_address", "sender_address")
     def c(side: String, name: String) = coalesce(col(s"${side}_$name"), lit(0.0))
     def avgOfTwo(a: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
@@ -196,15 +209,15 @@ object Views {
         .otherwise((cc + a) / 2)
     merged.select(
       col("sender_address"),
-      coalesce(greatest(c("r", "historical_max_risk_factor"), c("l", "historical_max_risk_factor")), lit(0.0))
+      coalesce(greatest(c("l", "historical_max_risk_factor"), c("r", "historical_max_risk_factor")), lit(0.0))
         .as("historical_max_risk_factor"),
-      coalesce(c("r", "misc_avg_total_collateral_eth") + c("l", "misc_avg_total_collateral_eth"), lit(0.0))
+      coalesce(c("l", "misc_avg_total_collateral_eth") + c("r", "misc_avg_total_collateral_eth"), lit(0.0))
         .as("misc_avg_total_collateral_eth"),
-      coalesce(c("r", "misc_avg_available_borrows_eth") + c("l", "misc_avg_available_borrows_eth"), lit(0.0))
+      coalesce(c("l", "misc_avg_available_borrows_eth") + c("r", "misc_avg_available_borrows_eth"), lit(0.0))
         .as("misc_avg_available_borrows_eth"),
-      avgOfTwo(c("l", "historical_weighted_avg_risk_factor"), c("r", "historical_weighted_avg_risk_factor"))
+      avgOfTwo(c("r", "historical_weighted_avg_risk_factor"), c("l", "historical_weighted_avg_risk_factor"))
         .as("historical_weighted_avg_risk_factor"),
-      avgOfTwo(c("l", "historical_average_risk_factor"), c("r", "historical_average_risk_factor"))
+      avgOfTwo(c("r", "historical_average_risk_factor"), c("l", "historical_average_risk_factor"))
         .as("historical_average_risk_factor"))
       .distinct()
   }
@@ -222,28 +235,34 @@ object Views {
       accountHf: DataFrame,
       aaveProtocol: String = "aave-v2-eth",
       compoundProtocol: String = "compound-v2-eth"): DataFrame = {
-    val b = borrowEvents.select("sender_address", "account_address")
+    // as in historicalHealthAndRiskFactor: the borrow side contributes only
+    // address columns and the aggregate is COUNT(DISTINCT block), so the
+    // per-event duplication the reference's join produces is invisible —
+    // join from the distinct pairs/senders instead of the raw event rows
+    val bPairs = borrowEvents.select("sender_address", "account_address").distinct()
+    val bSenders = borrowEvents.select("sender_address").distinct()
 
     def perProtocol(p: String): DataFrame = {
       val hfp = accountHf.filter(col("protocol") === p && col("health_factor") < 1.2)
         .select(col("account").as("hf_account"), col("block_number").as("hf_block"))
-      val m1 = b.join(hfp, b("account_address") === hfp("hf_account"), "inner")
+      val m1 = bPairs.join(hfp, bPairs("account_address") === hfp("hf_account"), "inner")
         .select(col("sender_address"), col("hf_block"))
-      val m2 = b.join(hfp, b("sender_address") === hfp("hf_account"), "inner")
+      val m2 = bSenders.join(hfp, bSenders("sender_address") === hfp("hf_account"), "inner")
         .select(col("sender_address"), col("hf_block"))
       m1.union(m2)
         .groupBy("sender_address")
         .agg(coalesce(countDistinct(col("hf_block")), lit(0L)).as("historical_count_above_threshold"))
     }
 
+    // compound on the left, matching the reference's COALESCE(c, a) merge
     val merged = Relational.fullOuterCoalesceKey(
-      perProtocol(aaveProtocol), perProtocol(compoundProtocol),
+      perProtocol(compoundProtocol), perProtocol(aaveProtocol),
       "sender_address", "sender_address")
     merged.select(
       col("sender_address"),
       coalesce(
-        coalesce(col("r_historical_count_above_threshold"), lit(0L)) +
-          coalesce(col("l_historical_count_above_threshold"), lit(0L)),
+        coalesce(col("l_historical_count_above_threshold"), lit(0L)) +
+          coalesce(col("r_historical_count_above_threshold"), lit(0L)),
         lit(0L)).as("historical_count_above_threshold"))
       .distinct()
   }

@@ -90,8 +90,23 @@ object Scalars {
     * Plain double sums differ in the last ulps across partition orders —
     * at 100 TB that's nondeterministic output between runs; the engine
     * standardizes every money/ratio aggregate on this (SURVEY.md §7.4.6).
+    *
+    * KNOWN DATA CONTRACT — 1e-6 quantization: each input is rounded to 6
+    * fractional digits before accumulating, so amounts below 5e-7 (e.g.
+    * sub-microtoken dust of 18-decimal assets, if fed in un-scaled native
+    * units) vanish from the aggregate. The feature pipeline operates on
+    * ETH/USD-denominated doubles where 1e-6 is far below feature
+    * resolution, and the DuckDB oracle mirrors the same cast, so parity
+    * holds by construction. Callers aggregating raw 18-decimal token
+    * quantities should use [[dsumHi]] instead.
     */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** [[dsum]] at decimal(38,18): full wei-scale (18 fractional digits)
+    * precision, at the cost of integer headroom (20 digits — still ~1e20,
+    * ample for ETH-scale magnitudes).
+    */
+  def dsumHi(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
 
   /** Order-independent exact average: decimal sum over non-null count. */
   def davg(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double") / count(c)

@@ -64,6 +64,19 @@ object Incremental {
     * realized as a keyed-overwrite: full-outer on the key, update wins.
     * For a remote KV store, swap the write for `df.foreachPartition` with a
     * bulk-upsert client; the dataflow upstream is identical.
+    *
+    * Durability contract (single-writer, rename-capable FS): the swap below
+    * is two renames, NOT atomic as a pair. A crash between rename(dst, old)
+    * and rename(tmp, dst) leaves no live directory at `path`; RECOVERY is
+    * manual but mechanical — whichever of `path__staging` (the fully
+    * written merge) or `path__old` (the pre-merge table) exists, rename it
+    * back to `path`; prefer `__staging` (it already contains the merge).
+    * Readers concurrent with the swap window can fail and should retry.
+    * On object stores (S3A) rename is a non-atomic O(data) copy, so that
+    * window is long — for such targets use a versioned-directory pointer
+    * (write `path/v=N+1`, then flip a small `_CURRENT` marker file whose
+    * single-object PUT IS atomic) or a table format with a commit protocol
+    * (Delta/Iceberg). Local/HDFS bench and test paths use this rename swap.
     */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String, key: String): Unit = {
     import org.apache.hadoop.fs.Path

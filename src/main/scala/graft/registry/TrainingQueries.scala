@@ -311,8 +311,18 @@ object TrainingQueries {
 
   private val multimodalDecode = Q(
     "multimodal_decode",
-    (s, d) => Multimodal.decodeStub(
-      Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")),
+    (s, d) => {
+      // flatten the 8-dim feature array to scalar columns: the driver's
+      // rows-only check still sorts the frame, and array cells are
+      // unsortable in pandas (r02: "unhashable type: numpy.ndarray")
+      val decoded = Multimodal.decodeStub(
+        Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"))
+      val fCols = (0 until 8).map(i =>
+        element_at(col("feature"), i + 1).as(s"f$i"))
+      decoded.select(
+        Seq(col("media_id"), col("modality"), col("byte_len"),
+          col("checksum"), col("n_frames")) ++ fCols: _*)
+    },
     None) // byte-level checksum not expressible in DuckDB SQL; scalatest-covered
 
   private val streamingWindowed = Q(
