@@ -24,7 +24,10 @@ object Bench {
     val qs = SparkEntry.queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // default 2 runs per query: run1 absorbs JVM/codegen warmup, run2 (the
+    // recorded one) measures the steady-state plan — the number a long-lived
+    // cluster actually sees
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val results = names.map { name =>
       var dt = 0.0
       for (i <- 1 to repeat) {

@@ -35,8 +35,16 @@ object Assembly {
       liquidationF: DataFrame,
       currentHfF: DataFrame): DataFrame = {
 
+    // The reference puts SELECT DISTINCT on (almost) every link. Here every
+    // feature frame is unique-keyed by construction (each is a groupBy
+    // output, or a groupBy-after-merge) and the spine is distinct, so a
+    // left join can never duplicate a spine row and the per-link DISTINCT
+    // is a provable no-op — skipping it removes 8 full-width shuffles of
+    // the widening spine (the reference's DISTINCTs guard Athena CTEs it
+    // cannot prove unique; Spark doesn't propagate uniqueness either, so
+    // we encode the proof here instead of paying the shuffle).
     def link(acc: DataFrame, f: DataFrame, key: String, defaults: Map[String, Any],
-        dedup: Boolean = true): DataFrame =
+        dedup: Boolean = false): DataFrame =
       Relational.leftFeatureJoin(acc, f, "wallet_address", key,
         defaults.map { case (k, v) =>
           k -> (v match {
@@ -63,8 +71,7 @@ object Assembly {
     acc = link(acc, historicalF, "sender_address", Map(
       "historical_max_risk_factor" -> 0.0, "misc_avg_total_collateral_eth" -> 0.0,
       "misc_avg_available_borrows_eth" -> 0.0, "historical_weighted_avg_risk_factor" -> 0.0,
-      "historical_average_risk_factor" -> 0.0),
-      dedup = false) // the one link the reference does NOT dedup (:49-60)
+      "historical_average_risk_factor" -> 0.0)) // also the one link the reference itself does NOT dedup (:49-60)
     acc = link(acc, countAboveF, "sender_address",
       Map("historical_count_above_threshold" -> 0L))
 
