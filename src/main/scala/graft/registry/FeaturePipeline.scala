@@ -485,7 +485,12 @@ object FeaturePipeline {
         tokenCol.as("contract_address"),
         (pmod(pmod(col("user_id"), lit(8)), lit(3)) + 1).cast("int").as("decimals"))
         .distinct()
-      val toDrop = s.range(1).select(lit("0xtok7").as("contract_address"))
+      // blocklist derived from data (drop set is exactly {'0xtok7'}): a
+      // literal 1-row frame would constant-fold, turning the left_anti's
+      // equi condition into a filter-only predicate that plans as a
+      // BroadcastNestedLoopJoin — a real blocklist is a table, so model one
+      val toDrop = e.filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(8)) === 7)
+        .select(tokenCol.as("contract_address")).distinct()
       val prices = e.filter(col("event_type") === "view").select(
         tokenCol.as("address"), col("epoch").as("timestamp"), col("value").as("price"))
       graft.features.Analytics.enrichEventsWithEth(events, metadata, toDrop, prices)
@@ -501,10 +506,12 @@ object FeaturePipeline {
         meta AS (SELECT DISTINCT $tok AS contract_address,
           CAST((user_id % 8) % 3 + 1 AS INT) AS decimals
           FROM ev WHERE event_type = 'purchase'),
+        dr AS (SELECT DISTINCT $tok AS contract_address
+          FROM ev WHERE event_type = 'purchase' AND user_id % 8 = 7),
         filtered AS (SELECT e.*, m.decimals AS token_decimal
           FROM evts e
           JOIN meta m ON e.token_address = m.contract_address AND m.decimals > 0
-          LEFT JOIN (SELECT '0xtok7' AS contract_address) dr ON e.token_address = dr.contract_address
+          LEFT JOIN dr ON e.token_address = dr.contract_address
           WHERE dr.contract_address IS NULL),
         prices AS (SELECT $tok AS token_address, epoch AS price_epoch, value AS price
           FROM ev WHERE event_type = 'view'),

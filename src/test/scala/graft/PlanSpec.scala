@@ -1,0 +1,83 @@
+package graft
+
+import graft.registry.Registry
+
+/** Physical-plan hygiene for the whole query registry — the 100 TB
+  * guarantees that don't show up in row-level correctness checks:
+  *
+  *  - no accidental CartesianProduct / BroadcastNestedLoopJoin anywhere
+  *    (quadratic at scale); the only sanctioned nested-loop sites are the
+  *    two ANN map-side expansions that are cross products BY DEFINITION;
+  *  - literal predicates reach the parquet scan (PushedFilters);
+  *  - scans read only the projected columns (ReadSchema pruning);
+  *  - the hot aggregation path stays inside WholeStageCodegen;
+  *  - small dimension joins broadcast.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose run() performs side effects (writes, stream starts) —
+    * covered by their own specs; planning them here would re-execute them.
+    */
+  private val effectful = Set(
+    "streaming_windowed_agg", "streaming_session_window",
+    "snk_parquet_partitioned", "snk_upsert_keyed", "layout_bucketed_join")
+
+  /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
+    * product by definition; IVF's coarse-quantization joins every vector
+    * against the (driver-small, broadcast) centroid set — an intentional
+    * map-side expansion, not a planning accident.
+    */
+  private val intentionallyUnkeyed = Set("sim_bruteforce_topk", "sim_ivf_topk")
+
+  test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
+    graft.sources.Tables.configure(spark)
+    val offenders = Registry.all
+      .filterNot(q => effectful(q.name) || intentionallyUnkeyed(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.nonEmpty) Some(s"${q.name}: ${bad.mkString(", ")}") else None
+      }
+    assert(offenders.isEmpty, s"quadratic joins found:\n${offenders.mkString("\n")}")
+  }
+
+  test("event-type predicate pushes down to the parquet scan in the enrich pipeline") {
+    graft.sources.Tables.configure(spark)
+    // feature_assembly (run in the sweep above) persists the events frame;
+    // drop it so this plan shows the real parquet scan, not the cache
+    spark.sharedState.cacheManager.clearCache()
+    val plan = Registry.byName("analytics_enrich_events").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"expected event_type pushdown:\n$plan")
+  }
+
+  test("scans prune to the referenced columns (no props in q1_agg's ReadSchema)") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("q1_agg").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("props")),
+      s"q1_agg should not read the wide props column:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("q1_agg's aggregation runs inside WholeStageCodegen") {
+    graft.sources.Tables.configure(spark)
+    val df = Registry.byName("q1_agg").run(spark, sf)
+    df.collect() // AQE only materializes codegen stages in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage marker in final plan:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      s"aggregation fell out of codegen:\n$plan")
+  }
+
+  test("the enrich pipeline's metadata and blocklist joins broadcast") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("analytics_enrich_events").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+  }
+}
