@@ -42,20 +42,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Lloyd-refined IVF centroids as a short sequence of DataFrame jobs:
+    * seed = first `k` corpus rows by id (deterministic), then `iters`
+    * rounds of (assign every vector to its best centroid via broadcast
+    * argmax) -> (new centroid = per-dimension mean, computed by
+    * posexplode + groupBy(cell, dim) + re-assembly). Each round is two
+    * shuffles whose size is independent of dimensionality tricks — no
+    * driver-side vectors beyond the k-row centroid frame itself. Cells
+    * that lose all members drop out (standard Lloyd behavior).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .join(broadcast(centroids))
+        .withColumn("__cs", Vectors.cosine(col("v"), col("centroid")))
+      val w = Window.partitionBy("vid").orderBy(col("__cs").desc, col("cell_id"))
+      val best = assigned.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("cell_id"), col("v"))
+      centroids = best
+        .select(col("cell_id"), posexplode(col("v")))
+        .toDF("cell_id", "pos", "x")
+        .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"), expr("transform(pm, e -> e.m)").as("centroid"))
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) top-k: the classic two-stage ANN.
     *
     *  1. Coarse quantize: every corpus vector is assigned to its
     *     nearest-centroid cell (centroids = the deterministic first
-    *     `nCentroids` corpus rows by id; broadcast join + per-vector argmax
-    *     window — O(N * C) map-side work, one shuffle).
+    *     `nCentroids` corpus rows by id, optionally Lloyd-refined with
+    *     [[kmeansCentroids]] when `kmeansIters > 0`; broadcast join +
+    *     per-vector argmax window — O(N * C) map-side work, one shuffle).
     *  2. Probe: each query searches only the `nProbe` cells whose centroids
     *     score highest for it — an equi join on cell id, so the candidate
     *     set is ~N * nProbe / nCentroids per query instead of N.
     *
     * With nProbe == nCentroids every cell is probed and the result equals
-    * [[bruteForceTopK]] exactly (the scalatest recall check). At 100 TB the
-    * centroid set stays driver-small (broadcast), assignments are computed
-    * once and can be persisted as a bucketed table keyed by cell.
+    * [[bruteForceTopK]] exactly (the scalatest recall check) — regardless
+    * of centroid quality, which only affects recall at nProbe < nCentroids.
+    * At 100 TB the centroid set stays driver-small (broadcast), assignments
+    * are computed once and can be persisted as a bucketed table keyed by
+    * cell.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -64,11 +103,11 @@ object Similarity {
       vecCol: String,
       nCentroids: Int,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      kmeansIters: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cell_id"), col(vecCol).as("centroid")))
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
 
     def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(out))

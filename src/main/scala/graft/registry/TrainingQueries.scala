@@ -346,9 +346,37 @@ object TrainingQueries {
       SELECT day, event_type, COUNT(*) AS n_events, ${DS("value")} AS total_value
       FROM ev GROUP BY 1, 2"""))
 
+  /** Streaming dedup run end to end (memory sink, AvailableNow): one row
+    * survives per (user_id, day); the deterministic check aggregates the
+    * surviving KEYS (which row of a duplicate group wins the race across
+    * input partitions is not deterministic — the key set is).
+    */
+  private val streamingDedup = Q(
+    "streaming_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "graft_stream_dedup"
+      try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("day", expr("ts div 86400000000000"))
+      val q = graft.streaming.Streams
+        .dedupWithinWatermark(stream, "ts_sec", Seq("user_id", "day"), "2 days")
+        .select("user_id", "day")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).groupBy("user_id")
+        .agg(count(lit(1)).as("n_active_days"))
+    },
+    Some(s"""WITH $EV
+      SELECT user_id, COUNT(DISTINCT day) AS n_active_days FROM ev GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
     dedupMinhashLsh, dedupSimhash, dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, textRepetition, approxDistinct, langId,
-    multimodalDecode, streamingWindowed)
+    multimodalDecode, streamingWindowed, streamingDedup)
 }

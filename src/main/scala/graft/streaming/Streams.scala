@@ -66,6 +66,24 @@ object Streams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Streaming exact dedup with BOUNDED state: one state entry per key,
+    * evicted once the event-time watermark passes `lateness` behind it —
+    * the streaming form of [[graft.operators.Dedup.exact]] for an
+    * always-on ingest pipeline. Plain `dropDuplicates` on a stream keeps
+    * every key forever (state grows with the corpus, OOM at 100 TB);
+    * within-watermark dedup holds only the trailing window, which is the
+    * correct contract for ingest dedup where duplicates arrive close
+    * together (retries, at-least-once upstreams).
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      lateness: String): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-key running state via mapGroupsWithState: maintains (count,
     * decimal-exact running sum scaled 1e6, max epoch) per key across
     * micro-batches — the stateful form of the reference's per-wallet

@@ -91,6 +91,31 @@ class DedupSpec extends SparkSpec {
     assert((ivfProbe intersect bruteIds).nonEmpty)
   }
 
+  test("kmeans-refined IVF: single-probe search is exact on well-separated clusters") {
+    // 4 tight clusters along orthogonal axes of an 8-dim space: after Lloyd
+    // refinement each cluster owns one centroid, so probing ONE cell per
+    // query already recovers the true in-cluster top-3
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 4
+      val rnd = new scala.util.Random(i)
+      val base = Array.fill(8)(0.02f * rnd.nextFloat())
+      base(cluster * 2) = 1.0f + 0.05f * rnd.nextFloat()
+      (i.toLong, base)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val ivf1 = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 1, k = 3, kmeansIters = 2))
+    assert(ivf1 == brute)
+    // centroid refinement converges to <= k cells of the right dimensionality
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .select("centroid").as[Array[Double]].collect()
+    assert(cents.length <= 4 && cents.forall(_.length == 8))
+  }
+
   test("embeddingNearDup and lshTopK agree with brute force inside a bucket") {
     val vecs = (0 until 30).map { i =>
       val rnd = new scala.util.Random(i)

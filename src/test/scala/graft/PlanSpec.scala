@@ -21,7 +21,7 @@ class PlanSpec extends SparkSpec {
     * covered by their own specs; planning them here would re-execute them.
     */
   private val effectful = Set(
-    "streaming_windowed_agg", "streaming_session_window",
+    "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
     "snk_parquet_partitioned", "snk_upsert_keyed", "layout_bucketed_join")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
