@@ -78,6 +78,18 @@ object Incremental {
     * single-object PUT IS atomic) or a table format with a commit protocol
     * (Delta/Iceberg). Local/HDFS bench and test paths use this rename swap.
     */
+  /** Last-writer-wins merge of `updates` into `existing` on `key`:
+    * full-outer join, update row preferred, unmatched rows from both kept.
+    * Shared by both upsert sinks below.
+    */
+  private def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val updCols = updates.columns
+    val u = updates.select(updCols.map(c => col(c).as(s"u_$c")): _*)
+    existing
+      .join(u, col(key) === col(s"u_$key"), "full_outer")
+      .select(updCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+  }
+
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String, key: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
@@ -87,14 +99,7 @@ object Incremental {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (!fs.exists(dst)) updates
-      else {
-        val existing = spark.read.parquet(path)
-        val updCols = updates.columns
-        val u = updates.select(updCols.map(c => col(c).as(s"u_$c")): _*)
-        existing
-          .join(u, col(key) === col(s"u_$key"), "full_outer")
-          .select(updCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
-      }
+      else mergeByKey(spark.read.parquet(path), updates, key)
     // two-phase commit: the merge reads `path`, so materialize to a staging
     // dir first (Spark can't overwrite its own input), then swap with a
     // backup kept until the new data is in place — a crash mid-swap leaves
@@ -111,5 +116,88 @@ object Incremental {
       throw new java.io.IOException(s"upsertByKey: failed to commit $tmp -> $dst")
     }
     if (hadPrev) fs.delete(old, true)
+  }
+
+  /** Object-store-safe keyed upsert: versioned snapshot directories plus an
+    * atomically-committed pointer file. This is the production path for
+    * targets where directory rename is a non-atomic O(data) copy (S3A, GCS):
+    *
+    *   path/v=1/part-*.parquet        immutable committed snapshots
+    *   path/v=2/part-*.parquet
+    *   path/_CURRENT                  tiny marker holding the live version
+    *
+    * Commit = write the full merged snapshot to `v=N+1` (invisible to
+    * readers), then replace `_CURRENT` — a single small-object write that is
+    * all-or-nothing on object stores and an atomic `FileContext` overwrite-
+    * rename on HDFS/POSIX. A crash before the pointer flip leaves `v=N`
+    * live and `v=N+1` as inert garbage for the next run to overwrite; there
+    * is no window with no live table, unlike [[upsertByKey]]'s rename swap.
+    * Readers that race the flip see either version, both complete.
+    *
+    * If `_CURRENT` is missing or unreadable, [[readCurrent]] falls back to
+    * the highest snapshot directory that carries Spark's `_SUCCESS` marker,
+    * so even marker loss degrades to the last fully-written snapshot.
+    * Snapshots older than `keepVersions` are pruned after commit (kept > 1
+    * so a reader that resolved the pointer just before the flip can finish
+    * its scan).
+    */
+  def upsertByKeyVersioned(spark: SparkSession, updates: DataFrame, path: String, key: String,
+      keepVersions: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentVersion(spark, path)
+    val merged = cur match {
+      case None => updates
+      case Some(v) => mergeByKey(spark.read.parquet(versionDir(path, v)), updates, key)
+    }
+    val next = cur.getOrElse(0L) + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(path, next))
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val marker = new Path(root, "_CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, marker, Options.Rename.OVERWRITE)
+    committedVersions(spark, path).filter(_ <= next - keepVersions)
+      .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
+  }
+
+  /** Read the live snapshot of a [[upsertByKeyVersioned]] table. */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(versionDir(path, v))
+      case None => throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
+  private def versionDir(path: String, v: Long): String = s"$path/v=$v"
+
+  /** Live version: the `_CURRENT` marker, else the highest `_SUCCESS`-bearing
+    * snapshot (marker-loss fallback), else None (fresh table).
+    */
+  private def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_CURRENT")
+    val fromMarker =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        txt.toLongOption.filter(v => fs.exists(new Path(versionDir(path, v))))
+      }
+    fromMarker.orElse(committedVersions(spark, path).sorted.lastOption)
+  }
+
+  private def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
   }
 }

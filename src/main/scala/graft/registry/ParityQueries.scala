@@ -824,6 +824,26 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  private val upsertVersioned = Q(
+    "snk_upsert_versioned",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val path = "/root/repo/target/tmp/upsertv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Incremental.upsertByKeyVersioned(s, aggOf(e.filter(col("epoch") < MidEpoch)), path, "user_id")
+      Incremental.upsertByKeyVersioned(s, aggOf(e.filter(col("epoch") >= MidEpoch)), path, "user_id")
+      Incremental.readCurrent(s, path)
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
@@ -833,5 +853,5 @@ object ParityQueries {
     equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
-    sortPagination, upsertKeyed)
+    sortPagination, upsertKeyed, upsertVersioned)
 }

@@ -173,6 +173,25 @@ class IncrementalSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("upsertByKeyVersioned: pointer commit, merge, prune, marker-loss fallback") {
+    val path = "target/tmp/upsert_versioned_spec"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    Incremental.upsertByKeyVersioned(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, "k")
+    Incremental.upsertByKeyVersioned(spark, Seq((2L, "B"), (3L, "C")).toDF("k", "v"), path, "k")
+    Incremental.upsertByKeyVersioned(spark, Seq((4L, "d")).toDF("k", "v"), path, "k")
+    val out = Incremental.readCurrent(spark, path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C", 4L -> "d"))
+    // keepVersions=2: v=1 pruned, v=2 retained for in-flight readers, v=3 live
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=2")))
+    // a lost pointer degrades to the highest _SUCCESS-committed snapshot
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_CURRENT"), false)
+    val fallback = Incremental.readCurrent(spark, path).as[(Long, String)].collect().toMap
+    assert(fallback == out)
+  }
+
   test("overwriteTable: full refresh replaces prior contents") {
     val path = "target/tmp/overwrite_spec"
     Incremental.overwriteTable(Seq((1L, "old")).toDF("k", "v"), path)

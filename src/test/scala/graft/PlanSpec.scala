@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
     */
   private val effectful = Set(
     "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
-    "snk_parquet_partitioned", "snk_upsert_keyed", "layout_bucketed_join")
+    "snk_parquet_partitioned", "snk_upsert_keyed", "snk_upsert_versioned",
+    "layout_bucketed_join")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition; IVF's coarse-quantization joins every vector
