@@ -55,6 +55,27 @@ object Multimodal {
         (octet_length(col(textCol)) * 10).cast("long").as("duration_ms")).as("meta"))
   }
 
+  /** Frame sampling with built-ins only — no UDF, no decode: treat the
+    * payload as fixed-size `frameBytes` frames and keep every `stride`-th.
+    * `sequence` + `explode` generate the kept frame indices and a codegen'd
+    * binary `substr` slices each frame, so the whole op stays inside one
+    * WholeStageCodegen pipeline: the full payload is never shuffled, and
+    * each output row carries only its own `frameBytes`-sized slice.
+    * Empty payloads yield one empty frame; null payloads are dropped
+    * (explode of null sequence), matching "nothing to sample".
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = greatest(lit(1),
+      ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+    media
+      .select(col("media_id"), col("modality"), col("payload"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).cast("long").as("frame_no"))
+      .select(col("media_id"), col("modality"), col("frame_no"),
+        col("payload").substr(col("frame_no").cast("int") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
   /** Decoded-feature schema produced by [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -87,5 +108,37 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Schema produced by [[resizeStub]]. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** STUB resize — the other codec seam. A real implementation decodes
+    * pixels and interpolates; the deterministic fake nearest-neighbor-
+    * samples the raw bytes down to `outW*outH` so the output size contract
+    * (payload length = width*height) and the per-partition batch shape are
+    * real and testable. Like [[decodeStub]], runs one `mapPartitions` pass
+    * and emits payloads no larger than the target, so downstream shuffles
+    * move only resized data.
+    */
+  def resizeStub(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    val outLen = outW * outH
+    val rdd = media.select("media_id", "modality", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+        val resized =
+          if (bytes.isEmpty) new Array[Byte](outLen)
+          else Array.tabulate(outLen)(i => bytes((i.toLong * bytes.length / outLen).toInt))
+        Row(r.getLong(0), r.getString(1), outW, outH, resized)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
   }
 }

@@ -325,6 +325,30 @@ object TrainingQueries {
     },
     None) // byte-level checksum not expressible in DuckDB SQL; scalatest-covered
 
+  private val multimodalFrameSample = Q(
+    "multimodal_framesample",
+    (s, d) => {
+      // pure built-ins end to end (sequence/explode/binary substr) — the
+      // frame column is hex'd only for the differential harness: DuckDB has
+      // no BLOB substring, but hex-string slicing is byte-equivalent.
+      val media = Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.frameSample(media, frameBytes = 64, stride = 4)
+        .select(col("media_id"), col("modality"), col("frame_no"),
+          hex(col("frame")).as("frame_hex"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id AS media_id,
+          (['image','audio','video'])[(CAST(doc_id AS INT) % 3) + 1] AS modality,
+          hex(encode(text)) AS ph
+        FROM documents),
+      f AS (
+        SELECT media_id, modality, ph,
+          unnest(range(0, GREATEST(1, CAST(CEIL((length(ph) / 2) / 64.0) AS INT)), 4)) AS frame_no
+        FROM m)
+      SELECT media_id, modality, frame_no,
+        substring(ph, CAST(frame_no AS INT) * 128 + 1, 128) AS frame_hex
+      FROM f"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -378,5 +402,5 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
     dedupMinhashLsh, dedupSimhash, dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, textRepetition, approxDistinct, langId,
-    multimodalDecode, streamingWindowed, streamingDedup)
+    multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup)
 }

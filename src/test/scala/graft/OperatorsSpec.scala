@@ -249,4 +249,26 @@ class MultimodalSpec extends SparkSpec {
     val feat = out.getSeq[Double](5)
     assert(feat.length == 8 && feat.head == 'a'.toInt / 255.0)
   }
+
+  test("frameSample: stride-sampled fixed-size slices, short tail, empty payload") {
+    // 10-byte payload, 4-byte frames -> frames 0..2; stride 2 keeps 0 and 2
+    val docs = Seq((0L, "abcdefghij"), (3L, "")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    val out = Multimodal.frameSample(media, frameBytes = 4, stride = 2)
+      .orderBy("media_id", "frame_no")
+      .select("media_id", "frame_no", "frame")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(out.toSeq == Seq((0L, 0L, "abcd"), (0L, 2L, "ij"), (3L, 0L, "")))
+  }
+
+  test("resizeStub: output honors width*height contract and samples bytes") {
+    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(Multimodal.fromText(docs, "doc_id", "text"), 2, 2)
+      .collect()(0)
+    assert(out.getInt(2) == 2 && out.getInt(3) == 2)
+    val bytes = out.getAs[Array[Byte]](4)
+    // nearest-neighbor over 8 bytes down to 4: indices 0,2,4,6 -> a,c,e,g
+    assert(new String(bytes, "UTF-8") == "aceg")
+  }
 }
