@@ -62,17 +62,21 @@ object Multimodal {
     * WholeStageCodegen pipeline: the full payload is never shuffled, and
     * each output row carries only its own `frameBytes`-sized slice.
     * Empty payloads yield one empty frame; null payloads are dropped
-    * (explode of null sequence), matching "nothing to sample".
+    * explicitly (nothing to sample). The generator must stay top-level in
+    * its select (Spark rejects explode nested in any other expression), so
+    * the sequence is generated as longs and sliced in a follow-up
+    * projection.
     */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
-    val nFrames = greatest(lit(1),
-      ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+    val nFrames = greatest(lit(1L),
+      ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("long"))
     media
+      .filter(col("payload").isNotNull)
       .select(col("media_id"), col("modality"), col("payload"),
-        explode(sequence(lit(0), nFrames - 1, lit(stride))).cast("long").as("frame_no"))
+        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("frame_no"))
       .select(col("media_id"), col("modality"), col("frame_no"),
-        col("payload").substr(col("frame_no").cast("int") * frameBytes + 1, lit(frameBytes))
+        col("payload").substr((col("frame_no") * frameBytes + 1).cast("int"), lit(frameBytes))
           .as("frame"))
   }
 

@@ -340,7 +340,7 @@ object TrainingQueries {
         SELECT doc_id AS media_id,
           (['image','audio','video'])[(CAST(doc_id AS INT) % 3) + 1] AS modality,
           hex(encode(text)) AS ph
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       f AS (
         SELECT media_id, modality, ph,
           unnest(range(0, GREATEST(1, CAST(CEIL((length(ph) / 2) / 64.0) AS INT)), 4)) AS frame_no

@@ -262,6 +262,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, "abcd"), (0L, 2L, "ij"), (3L, 0L, "")))
   }
 
+  test("frameSample: null payloads are dropped, not emitted as null frames") {
+    val media = Seq((7L, "image", null: Array[Byte]), (8L, "image", "abcd".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "payload")
+    val out = Multimodal.frameSample(media, frameBytes = 4, stride = 1)
+      .select("media_id").as[Long].collect()
+    assert(out.toSeq == Seq(8L))
+  }
+
   test("resizeStub: output honors width*height contract and samples bytes") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
     val out = Multimodal.resizeStub(Multimodal.fromText(docs, "doc_id", "text"), 2, 2)
