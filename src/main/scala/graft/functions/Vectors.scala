@@ -35,17 +35,35 @@ object Vectors {
     * Scale: bucketing turns O(n^2) all-pairs cosine into an equi join on
     * `bucket` — the candidate set per probe is n / 2^planes on average.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    hyperplaneBucketAt(vec, 0, planes)
+
+  /** Sign-bit bucket over the `planes` hyperplanes starting at global plane
+    * id `planeOffset` — each LSH band gets its own disjoint plane range, so
+    * B banded hash tables are mutually independent.
+    */
+  def hyperplaneBucketAt(vec: Column, planeOffset: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
+      val g = planeOffset + p
       val proj = aggregate(
         zip_with(
           vec,
           sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * (((lit(p) * 131 + i * 31) % 17) - 8).cast("double")),
+          (x, i) => x.cast("double") * (((lit(g) * 131 + i * 31) % 17) - 8).cast("double")),
         lit(0.0),
         (acc, v) => acc + v)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
+
+  /** All `bands` band buckets at once (band b = planes
+    * [b*planesPerBand, (b+1)*planesPerBand)), as an array to `posexplode`
+    * into (band, bucket) candidate keys — the OR-of-ANDs banded LSH
+    * construction: a pair is a candidate if ANY band bucket matches, and
+    * each band's bucket requires ALL its sign bits to match.
+    */
+  def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hyperplaneBucketAt(vec, b * planesPerBand, planesPerBand)): _*)
 }

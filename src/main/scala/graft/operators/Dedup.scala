@@ -143,10 +143,11 @@ object Dedup {
       n: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      shingleHash: Column => Column = defaultShingleHash): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minhashSignature(docs, idCol, textCol, n, k)
+    val sigs = minhashSignature(docs, idCol, textCol, n, k, shingleHash)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(
@@ -239,26 +240,43 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "hamming")
   }
 
-  /** Embedding near-dup pairs: hyperplane-LSH bucket equi-join, then exact
-    * cosine >= `threshold`. With `planes` sign bits, expected candidate
-    * fan-in is n / 2^planes per bucket.
+  /** Embedding near-dup pairs: BANDED hyperplane LSH (OR of `bands`
+    * independent hash tables of `planesPerBand` sign bits each), then exact
+    * cosine >= `threshold` on the distinct candidate set.
+    *
+    * Scale: a single hash table forces an impossible trade — few planes
+    * means huge buckets (the bucket self-join degenerates toward O(n^2)),
+    * many planes collapses recall (AND-only). Banding decouples them:
+    * per-band buckets hold ~n / 2^planesPerBand rows (keep planesPerBand
+    * high enough that the bucket join stays linear-ish), while recall is
+    * recovered by OR-ing the `bands` tables — the same construction
+    * [[minhashLsh]] uses. Candidates are deduped on the 2-id pair BEFORE
+    * vectors are re-joined for the exact verify, so the wide embedding rows
+    * never ride through the distinct shuffle.
     */
   def embeddingNearDup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int,
+      bands: Int,
+      planesPerBand: Int,
       threshold: Double): DataFrame = {
-    val bucketed = emb.select(
-      col(idCol).as("vec_id"),
-      col(vecCol).as("v"),
-      Vectors.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    bucketed
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val bucketed = base.select(
+      col("vec_id"),
+      posexplode(Vectors.bandedBuckets(col("v"), bands, planesPerBand)))
+      .toDF("vec_id", "band", "bucket")
+    val candidates = bucketed
       .as("x")
-      .join(bucketed.as("y"), Seq("bucket"))
+      .join(bucketed.as("y"), Seq("band", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine", Vectors.cosine(col("x.v"), col("y.v")))
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"))
+      .distinct()
+    candidates
+      .join(base.select(col("vec_id").as("vec_id_1"), col("v").as("v1")), "vec_id_1")
+      .join(base.select(col("vec_id").as("vec_id_2"), col("v").as("v2")), "vec_id_2")
+      .withColumn("cosine", Vectors.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
-      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"), col("cosine"))
+      .select("vec_id_1", "vec_id_2", "cosine")
   }
 }

@@ -132,25 +132,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed top-k: rank within the probe's hyperplane bucket only. */
+  /** BANDED LSH top-k: candidates are corpus vectors sharing ANY of the
+    * probe's `bands` band buckets (`planesPerBand` sign bits each — the
+    * OR-of-ANDs construction, see [[graft.operators.Dedup.embeddingNearDup]]
+    * for the scale rationale), deduped per (query, neighbor) pair on ids
+    * only, then exactly cosine-ranked. A single-table LSH is the degenerate
+    * bands=1 case.
+    */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int,
+      bands: Int,
+      planesPerBand: Int,
       k: Int): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("qv"),
-      Vectors.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      Vectors.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = q
-      .join(c, Seq("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(id),
+        posexplode(Vectors.bandedBuckets(col(vec), bands, planesPerBand)))
+        .toDF(id, "band", "bucket")
+    val candidates = bucketed(q, "query_id", "qv")
+      .join(bucketed(c, "neighbor_id", "cv"), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = candidates
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored

@@ -40,20 +40,32 @@ object TrainingQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** Hyperplane-LSH bucket mirroring [[graft.functions.Vectors.hyperplaneBucket]]:
-    * plane weights are the same deterministic grid, projections are the same
-    * left-assoc fold, sign bits pack identically.
+  /** Hyperplane-LSH band bucket mirroring
+    * [[graft.functions.Vectors.hyperplaneBucketAt]]: plane weights are the
+    * same deterministic grid over GLOBAL plane ids (offset + p), projections
+    * are the same left-assoc fold, sign bits pack identically.
     */
-  private def bucketSql(v: String, planes: Int): String = {
+  private def bucketSqlAt(v: String, planeOffset: Int, planes: Int): String = {
     val bits = (0 until planes).map { p =>
+      val g = planeOffset + p
       val proj = (0 until Dim).foldLeft("0.0") { (acc, i) =>
-        val w = ((p * 131 + i * 31) % 17) - 8
+        val w = ((g * 131 + i * 31) % 17) - 8
         s"($acc + (CAST($v[${i + 1}] AS DOUBLE) * ($w.0)))"
       }
       s"(CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END)"
     }
     bits.reduce((x, y) => s"($x + $y)")
   }
+
+  /** Per-band bucket select-list (`pfx0..pfx{bands-1}`) + the OR-of-ANDs
+    * banded match predicate between two aliases.
+    */
+  private def bandCols(v: String, bands: Int, planesPerBand: Int, pfx: String): String =
+    (0 until bands).map(b =>
+      s"${bucketSqlAt(v, b * planesPerBand, planesPerBand)} AS $pfx$b").mkString(", ")
+
+  private def bandMatch(x: String, y: String, bands: Int, pfx: String): String =
+    (0 until bands).map(b => s"$x.$pfx$b = $y.$pfx$b").mkString("(", " OR ", ")")
 
   /** documents plus near-duplicate mutations of the first 25 docs (id+100000,
     * one appended token) — gives the LSH dedup operators guaranteed
@@ -130,8 +142,48 @@ object TrainingQueries {
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
       n = 3, k = 64, bands = 16, threshold = 0.5),
-    None, // no xxhash64 in DuckDB; exact-recall covered by scalatest
+    None, // no xxhash64 in DuckDB; exact semantics oracle-checked by the md5 variant below
     bench = true)
+
+  /** The FULL MinHash+LSH pipeline (signature -> 16 bands -> candidate join
+    * -> Jaccard verify) under the md5 shingle hash, so DuckDB recomputes
+    * the identical banded candidate set (band membership = equality of the
+    * 4-row signature slice; the engine's internal xxhash64 bucket key only
+    * collapses equal slices) and the same verified pairs. This makes the
+    * banding + verify stages oracle-checked end to end — the xxhash64
+    * variant above keeps the fast hash for the bench path.
+    */
+  private val dedupMinhashLshMd5 = Q(
+    "dedup_minhash_lsh_md5",
+    (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.md5ShingleHash),
+    Some {
+      val p = 2147483647L
+      val minima = Dedup.minhashCoefficients(64).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((hv * $a + $b) % $p) AS m$i"
+      }.mkString(", ")
+      val bandKeys = (0 until 16).map { bnd =>
+        val key = (0 until 4).map(i => s"CAST(m${bnd * 4 + i} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS bkey FROM v"
+      }.mkString(" UNION ALL ")
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
+        w AS (SELECT doc_id, $WS AS ws FROM aug),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS grams FROM w),
+        h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS hv
+          FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+        v AS (SELECT doc_id, $minima FROM h GROUP BY 1),
+        bd AS ($bandKeys),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+          FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        j AS (SELECT c.doc_id_1, c.doc_id_2,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE) AS jaccard
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_id_1 JOIN sh b ON b.doc_id = c.doc_id_2)
+        SELECT doc_id_1, doc_id_2, jaccard FROM j WHERE jaccard >= 0.5"""
+    })
 
   /** SimHash with the md5-derived token hash ([[Text.md5Hash64]]) so the
     * whole sketch is reproducible in DuckDB: the oracle recomputes every
@@ -165,11 +217,12 @@ object TrainingQueries {
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
     (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-      planes = 4, threshold = 0.1),
-    Some(s"""WITH b AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+      bands = 4, planesPerBand = 4, threshold = 0.1),
+    Some(s"""WITH b AS (SELECT vec_id, embedding AS v,
+        ${bandCols("embedding", 4, 4, "b")} FROM embeddings)
       SELECT * FROM (
         SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2, ${cosSql("x.v", "y.v")} AS cosine
-        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+        FROM b x JOIN b y ON ${bandMatch("x", "y", 4, "b")} AND x.vec_id < y.vec_id) t
       WHERE cosine >= 0.1"""))
 
   // ----------------------------------------------------------------------
@@ -203,15 +256,15 @@ object TrainingQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        planes = 4, k = 3)
+        bands = 4, planesPerBand = 4, k = 3)
         .withColumn("rank", col("rank").cast("long"))
     },
-    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 4)} AS bucket
-        FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${bucketSql("embedding", 4)} AS bucket
-        FROM embeddings),
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        ${bandCols("embedding", 4, 4, "b")} FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+        ${bandCols("embedding", 4, 4, "b")} FROM embeddings),
       sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
-        FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> neighbor_id),
+        FROM q JOIN c ON ${bandMatch("q", "c", 4, "b")} AND query_id <> neighbor_id),
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 3"""))
 
@@ -400,7 +453,8 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
-    dedupMinhashLsh, dedupSimhash, dedupEmbedding, simBruteForce, simLsh,
+    dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash, dedupEmbedding,
+    simBruteForce, simLsh,
     tokenCount, qualityScore, textRepetition, approxDistinct, langId,
     multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup)
 }

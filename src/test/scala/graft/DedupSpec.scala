@@ -125,12 +125,30 @@ class DedupSpec extends SparkSpec {
       Array.fill(16)(rnd.nextFloat() * 1.0001f) // near-copy of vec 3
     })
     val emb = vecs.toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", planes = 2, threshold = 0.999)
+    // a positively-scaled copy projects to the same sign on EVERY hyperplane,
+    // so the pair shares all band buckets regardless of banding parameters
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      bands = 2, planesPerBand = 2, threshold = 0.999)
       .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 999L)))
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 3), emb,
       "vec_id", "embedding", k = 1).select("neighbor_id").as[Long].head()
     assert(topk == 999L)
+  }
+
+  test("banded LSH: per-band-bucket occupancy is bounded well below the corpus") {
+    // the bucket self-join is O(size^2) per (band, bucket) group — the scale
+    // contract is that no single bucket concentrates the corpus
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val occupancy = emb
+      .select(col("vec_id"),
+        posexplode(graft.functions.Vectors.bandedBuckets(col("embedding"), 4, 4)))
+      .toDF("vec_id", "band", "bucket")
+      .groupBy("band", "bucket").count()
+    val maxBucket = occupancy.agg(max("count")).as[Long].head()
+    assert(maxBucket * 4 <= n,
+      s"largest band bucket holds $maxBucket of $n vectors — banding is not splitting")
   }
 }
 
