@@ -35,6 +35,23 @@ object Incremental {
     }
   }
 
+  /** First-run probe: the target table, or an empty frame of `schema` when
+    * the target does not exist yet — the path-level analog of the
+    * reference's exists-then-CTAS-or-INSERT catalog probe
+    * (defi_events.py:90-94,137-139). Feeding the empty frame into
+    * [[maxWatermark]] bootstraps the first load from the default epoch,
+    * which is exactly the hole the reference's NULL scalar-subquery
+    * watermark falls into on an empty target (SURVEY §7.4.8).
+    */
+  def readTargetOrEmpty(spark: SparkSession, path: String, schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
   /** Strict-`>` watermark filter — the incremental slice. */
   def newerThan(source: DataFrame, c: Column, watermark: Long): DataFrame =
     source.filter(c > watermark)
@@ -146,12 +163,17 @@ object Incremental {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = currentVersion(spark, path)
+    // the WRITER trusts only the pointer: merging from a _SUCCESS-complete
+    // but never-pointer-committed snapshot would resurrect an upsert the
+    // caller saw fail (the crash-before-flip contract says v=N+1 is inert).
+    // `next` comes from max over ALL v= dirs so an inert orphan is never
+    // re-used as a base yet never collides with a live reader's scan.
+    val cur = markerVersion(spark, path)
     val merged = cur match {
       case None => updates
       case Some(v) => mergeByKey(spark.read.parquet(versionDir(path, v)), updates, key)
     }
-    val next = cur.getOrElse(0L) + 1
+    val next = (cur.toSeq ++ allVersionDirs(spark, path)).foldLeft(0L)(math.max) + 1
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(path, next))
     val tmp = new Path(root, "_CURRENT.tmp")
     val marker = new Path(root, "_CURRENT")
@@ -163,31 +185,61 @@ object Incremental {
       .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
   }
 
-  /** Read the live snapshot of a [[upsertByKeyVersioned]] table. */
+  /** Serve-boundary schema: storage snake_case -> serve camelCase. The
+    * reference renames `wallet_address` -> `walletAddress` when handing the
+    * datalake features table to the serving KV store
+    * (save_defi_features_features_db.py:57); this is that contract for the
+    * whole row, as a single narrow projection (no per-column plan rewrites).
+    */
+  def toServeSchema(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(camelCase(c))).toSeq: _*)
+
+  private[operators] def camelCase(s: String): String =
+    "_([a-z0-9])".r.replaceAllIn(s, m => m.group(1).toUpperCase)
+
+  /** Read the live snapshot of a [[upsertByKeyVersioned]] table: the
+    * `_CURRENT` pointer, else — READ-SIDE RECOVERY ONLY, for a lost or
+    * corrupted marker — the highest `_SUCCESS`-complete snapshot. The
+    * writer never takes this fallback (see [[upsertByKeyVersioned]]): a
+    * reader degrading to the last complete snapshot is safe, a writer
+    * merging from one could commit an upsert the caller saw fail.
+    */
   def readCurrent(spark: SparkSession, path: String): DataFrame =
-    currentVersion(spark, path) match {
+    markerVersion(spark, path)
+      .orElse(committedVersions(spark, path).sorted.lastOption) match {
       case Some(v) => spark.read.parquet(versionDir(path, v))
       case None => throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
     }
 
   private def versionDir(path: String, v: Long): String = s"$path/v=$v"
 
-  /** Live version: the `_CURRENT` marker, else the highest `_SUCCESS`-bearing
-    * snapshot (marker-loss fallback), else None (fresh table).
+  /** The pointer-committed live version: `_CURRENT` contents (validated to
+    * point at an existing snapshot), else None.
     */
-  private def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+  private def markerVersion(spark: SparkSession, path: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(root, "_CURRENT")
-    val fromMarker =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        txt.toLongOption.filter(v => fs.exists(new Path(versionDir(path, v))))
-      }
-    fromMarker.orElse(committedVersions(spark, path).sorted.lastOption)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      txt.toLongOption.filter(v => fs.exists(new Path(versionDir(path, v))))
+    }
+  }
+
+  /** Every `v=` directory, committed or not — the writer's collision-free
+    * `next` floor.
+    */
+  private def allVersionDirs(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
   }
 
   private def committedVersions(spark: SparkSession, path: String): Seq[Long] = {

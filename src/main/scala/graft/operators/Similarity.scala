@@ -67,10 +67,15 @@ object Similarity {
       val best = assigned.withColumn("__r", row_number().over(w))
         .filter(col("__r") === 1)
         .select(col("cell_id"), col("v"))
+      // decimal-exact mean (order-independent accumulation): plain avg()
+      // over doubles is partition-order-dependent, so refined centroids —
+      // and therefore IVF assignments at nProbe < nCentroids — would differ
+      // bit-wise between runs (repo determinism standard, SURVEY §7.4.6)
       centroids = best
         .select(col("cell_id"), posexplode(col("v")))
         .toDF("cell_id", "pos", "x")
-        .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell_id", "pos")
+        .agg((graft.functions.Scalars.dsumHi(col("x")) / count(col("x"))).as("m"))
         .groupBy("cell_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"), expr("transform(pm, e -> e.m)").as("centroid"))

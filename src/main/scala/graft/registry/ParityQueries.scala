@@ -824,6 +824,59 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
+    * the serve-boundary camelCase projection — the public output schema the
+    * reference's KV loader exposes (wallet_address -> walletAddress,
+    * save_defi_features_features_db.py:57, keyed on walletAddress in the
+    * store, :31).
+    */
+  private val upsertServe = Q(
+    "snk_upsert_serve",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy(concat(lit("0xw"), col("user_id").cast("string")).as("wallet_address"))
+          .agg(dsum(col("value")).as("total_eth_value"), count(lit(1)).as("n_events"))
+      val path = "/root/repo/target/tmp/upserts_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Incremental.upsertByKey(s, aggOf(e.filter(col("epoch") < MidEpoch)), path, "wallet_address")
+      Incremental.upsertByKey(s, aggOf(e.filter(col("epoch") >= MidEpoch)), path, "wallet_address")
+      Incremental.toServeSchema(s.read.parquet(path))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT '0xw' || CAST(user_id AS VARCHAR) AS wa, ${DS("value")} AS total, COUNT(*) AS n
+        FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT '0xw' || CAST(user_id AS VARCHAR) AS wa, ${DS("value")} AS total, COUNT(*) AS n
+        FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.wa, b.wa) AS "walletAddress",
+        COALESCE(u.total, b.total) AS "totalEthValue",
+        COALESCE(u.n, b.n) AS "nEvents"
+      FROM base b FULL OUTER JOIN upd u ON b.wa = u.wa"""))
+
+  /** Full-refresh (CTAS drop+rebuild) sink round trip, overwrite-of-existing
+    * included: a first build writes a STALE slice (pre-mid epochs only), the
+    * refresh overwrites with the full rebuild — the oracle aggregates the
+    * full input only, so any merge-instead-of-drop leakage of the stale
+    * build would break the hash (reference drop + CTAS semantics,
+    * save_defi_features_datalake.py:34-53).
+    */
+  private val ctasFullRefresh = Q(
+    "snk_ctas_full_refresh",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val path = "/root/repo/target/tmp/ctas_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Incremental.overwriteTable(aggOf(e.filter(col("epoch") < MidEpoch)), path)
+      Incremental.overwriteTable(aggOf(e), path)
+      s.read.parquet(path)
+    },
+    Some(s"""WITH $EV
+      SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev GROUP BY 1"""))
+
   private val upsertVersioned = Q(
     "snk_upsert_versioned",
     (s, d) => {
@@ -853,5 +906,5 @@ object ParityQueries {
     equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
-    sortPagination, upsertKeyed, upsertVersioned)
+    sortPagination, upsertKeyed, upsertVersioned, ctasFullRefresh, upsertServe)
 }

@@ -374,9 +374,30 @@ object TrainingQueries {
         element_at(col("feature"), i + 1).as(s"f$i"))
       decoded.select(
         Seq(col("media_id"), col("modality"), col("byte_len"),
-          col("checksum"), col("n_frames")) ++ fCols: _*)
+          col("checksum"), col("n_frames").cast("long").as("n_frames")) ++ fCols: _*)
     },
-    None) // byte-level checksum not expressible in DuckDB SQL; scalatest-covered
+    // the decode stub's byte math IS expressible in DuckDB: a byte of the
+    // UTF-8 payload is a 2-char slice of hex(encode(text)), so checksum =
+    // sum over hex pairs and feature f_i = evenly-sampled byte / 255.0 —
+    // the same byte-equivalence trick the framesample oracle uses
+    Some {
+      val byteAt = (j: String) => s"('0x' || substr(ph, ($j) * 2 + 1, 2))::BIGINT"
+      val fCols = (0 until 8).map { i =>
+        s"CASE WHEN blen = 0 THEN 0.0 ELSE ${byteAt(s"($i * blen) // 8")} / 255.0 END AS f$i"
+      }.mkString(", ")
+      s"""WITH m AS (
+          SELECT doc_id AS media_id,
+            (['image','audio','video'])[(CAST(doc_id AS INT) % 3) + 1] AS modality,
+            COALESCE(hex(encode(text)), '') AS ph
+          FROM documents),
+        b AS (SELECT media_id, modality, ph, length(ph) // 2 AS blen FROM m)
+        SELECT media_id, modality, CAST(blen AS BIGINT) AS byte_len,
+          CAST(COALESCE(list_sum(list_transform(range(0, blen),
+            j -> ('0x' || substr(ph, j * 2 + 1, 2))::BIGINT)), 0) AS BIGINT) AS checksum,
+          CAST(1 + blen // 64 AS BIGINT) AS n_frames,
+          $fCols
+        FROM b"""
+    })
 
   private val multimodalFrameSample = Q(
     "multimodal_framesample",

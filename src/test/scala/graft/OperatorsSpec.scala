@@ -192,6 +192,21 @@ class IncrementalSpec extends SparkSpec {
     assert(fallback == out)
   }
 
+  test("upsertByKeyVersioned: a never-pointer-committed snapshot is not a merge base") {
+    val path = "target/tmp/upsert_versioned_orphan_spec"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // simulate a crash after the v=1 snapshot write (it carries _SUCCESS)
+    // but before the first pointer flip: the contract says v=1 is inert
+    Seq((1L, "ghost")).toDF("k", "v").write.parquet(s"$path/v=1")
+    Incremental.upsertByKeyVersioned(spark, Seq((2L, "b")).toDF("k", "v"), path, "k")
+    val out = Incremental.readCurrent(spark, path).as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "b"), "ghost row resurrected from uncommitted snapshot")
+    // the writer skipped past the orphan instead of re-using its slot
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=2")))
+  }
+
   test("overwriteTable: full refresh replaces prior contents") {
     val path = "target/tmp/overwrite_spec"
     Incremental.overwriteTable(Seq((1L, "old")).toDF("k", "v"), path)
@@ -204,20 +219,79 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.maxWatermark(df, col("ts")) == 9L)
     assert(Incremental.maxWatermark(df.filter(col("ts") > 100), col("ts"), 42L) == 42L)
   }
+
+  test("toServeSchema: snake_case storage names become camelCase serve names") {
+    val df = Seq((("0xabc"), 1.5, 3L)).toDF("wallet_address", "total_eth_value", "n")
+    assert(Incremental.toServeSchema(df).columns.toSeq ==
+      Seq("walletAddress", "totalEthValue", "n"))
+  }
+
+  /** The full first-run-to-steady-state lifecycle of SURVEY §7.4.8: an
+    * EMPTY target must bootstrap from the default epoch (the reference's
+    * own empty-target bug — a NULL scalar-subquery watermark silently
+    * matches nothing; maxWatermark's COALESCE default is the fix), then
+    * resume from its own MAX across runs, with the catch-up window bounding
+    * each slice.
+    */
+  test("bootstrap lifecycle: empty target -> full load -> bounded catch-up -> resume") {
+    val path = "target/tmp/bootstrap_spec"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val d = Incremental.DefaultStartEpoch
+    val source = Seq(
+      (d - 50, "too_old", 2020), // at/below the default epoch: never loaded
+      (d, "at_default", 2020),
+      (d + 5, "a", 2020), (d + 8, "b", 2020),
+      (d + 12, "c", 2021), (d + 25, "d", 2021))
+      .toDF("ts", "v", "year")
+    def target = Incremental.readTargetOrEmpty(spark, path, "ts LONG, v STRING, year INT")
+
+    // run 1: empty target reads as the default watermark; window 10 bounds
+    // the first slice to (d, d+10] — strict > drops the at-default row
+    val w1 = Incremental.maxWatermark(target, col("ts"), d)
+    assert(w1 == d)
+    Incremental.appendPartitioned(
+      Incremental.boundedCatchUp(source, col("ts"), w1, 10), path, Seq("year"))
+    assert(target.select("v").as[String].collect().toSet == Set("a", "b"))
+
+    // run 2: resumes from its own max (d+8), catches up the next window
+    val w2 = Incremental.maxWatermark(target, col("ts"), d)
+    assert(w2 == d + 8)
+    Incremental.appendPartitioned(
+      Incremental.boundedCatchUp(source, col("ts"), w2, 10), path, Seq("year"))
+    assert(target.select("v").as[String].collect().toSet == Set("a", "b", "c"))
+
+    // run 3: unbounded incremental drains the tail; a 4th run is a no-op
+    val w3 = Incremental.maxWatermark(target, col("ts"), d)
+    Incremental.appendPartitioned(
+      Incremental.newerThan(source, col("ts"), w3), path, Seq("year"))
+    assert(target.select("v").as[String].collect().toSet == Set("a", "b", "c", "d"))
+    val w4 = Incremental.maxWatermark(target, col("ts"), d)
+    assert(Incremental.newerThan(source, col("ts"), w4).isEmpty)
+  }
 }
 
 class ApproxDistinctSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct stays within the default 5% rsd of exact") {
+  /** HLL++ error contract: relative error stays within 3x the requested
+    * rsd (a ~3-sigma bound; the default rsd=0.05 run lands ~7% on this
+    * fixture — within spec, which is why the oracle check for
+    * `agg_approx_distinct` is this bound and not a cross-engine hash).
+    */
+  test("approx_count_distinct error is bounded by 3x the requested rsd") {
     val df = (1 to 20000).map(i => (i % 7, (i * 131) % 4211)).toDF("g", "v")
-    val rows = df.groupBy("g")
-      .agg(approx_count_distinct(col("v")).as("approx"),
-        countDistinct(col("v")).as("exact"))
-      .collect()
-    rows.foreach { r =>
-      val (a, e) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
+    for (rsd <- Seq(0.05, 0.01)) {
+      val rows = df.groupBy("g")
+        .agg(approx_count_distinct(col("v"), rsd).as("approx"),
+          countDistinct(col("v")).as("exact"))
+        .collect()
+      rows.foreach { r =>
+        val (a, e) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(a - e).toDouble / e < 3 * rsd,
+          s"approx $a vs exact $e at rsd=$rsd")
+      }
     }
   }
 }
