@@ -133,8 +133,12 @@ object Dedup {
     * candidates are verified with true shingle Jaccard >= `threshold`.
     *
     * Scale: the only shuffles are the bucket groupBy and the verify join —
-    * never an all-pairs product. Bucket skew (e.g. empty docs) is bounded
-    * because buckets key on the full band slice.
+    * never an all-pairs product. Bucket skew from random collisions is
+    * bounded because buckets key on the full band slice, but EXACT
+    * duplicates share every band (a 1M-copy boilerplate doc would make a
+    * 1M-row bucket in all 16 tables): run [[exact]] first, or set
+    * `maxBucket` to deterministically drop over-full buckets (see
+    * [[capBuckets]]).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -144,17 +148,20 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      shingleHash: Column => Column = defaultShingleHash): DataFrame = {
+      shingleHash: Column => Column = defaultShingleHash,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sigs = minhashSignature(docs, idCol, textCol, n, k, shingleHash)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("minhash"), b * rows + 1, lit(rows)), b))))
-      .toDF("doc_id", "band", "bucket")
+    val banded = capBuckets(
+      sigs.select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("minhash"), b * rows + 1, lit(rows)), b))))
+        .toDF("doc_id", "band", "bucket"),
+      maxBucket)
     val candidates = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bucket"))
@@ -240,6 +247,20 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "hamming")
   }
 
+  /** Keep only (band, bucket) groups of at most `cap` members — one
+    * map-side-combined count aggregation over narrow (band, bucket) keys
+    * plus a broadcast-able semi-join of the small oversized-keys set
+    * (at a sane cap almost no buckets exceed it). No-op at Int.MaxValue.
+    */
+  private[operators] def capBuckets(bucketed: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bucketed
+    else {
+      val oversized = bucketed.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "bucket")
+      bucketed.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    }
+
   /** Embedding near-dup pairs: BANDED hyperplane LSH (OR of `bands`
     * independent hash tables of `planesPerBand` sign bits each), then exact
     * cosine >= `threshold` on the distinct candidate set.
@@ -253,6 +274,13 @@ object Dedup {
     * [[minhashLsh]] uses. Candidates are deduped on the 2-id pair BEFORE
     * vectors are re-joined for the exact verify, so the wide embedding rows
     * never ride through the distinct shuffle.
+    *
+    * An over-full (band, bucket) group — a degenerate region of the
+    * embedding space, e.g. a spam cluster or all-zero vectors — would pay
+    * O(size^2) in the self-join; `maxBucket` (off by default) drops those
+    * whole groups deterministically (the pair either IS or is not emitted —
+    * no sampling), bounding per-bucket work at the cost of recall inside
+    * the dropped region, where near-dups are better handled by exact dedup.
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -260,12 +288,15 @@ object Dedup {
       vecCol: String,
       bands: Int,
       planesPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val bucketed = base.select(
-      col("vec_id"),
-      posexplode(Vectors.bandedBuckets(col("v"), bands, planesPerBand)))
-      .toDF("vec_id", "band", "bucket")
+    val bucketed = capBuckets(
+      base.select(
+        col("vec_id"),
+        posexplode(Vectors.bandedBuckets(col("v"), bands, planesPerBand)))
+        .toDF("vec_id", "band", "bucket"),
+      maxBucket)
     val candidates = bucketed
       .as("x")
       .join(bucketed.as("y"), Seq("band", "bucket"))

@@ -151,7 +151,8 @@ object Similarity {
       vecCol: String,
       bands: Int,
       planesPerBand: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
@@ -159,8 +160,11 @@ object Similarity {
         col(id),
         posexplode(Vectors.bandedBuckets(col(vec), bands, planesPerBand)))
         .toDF(id, "band", "bucket")
+    // cap applies to the CORPUS side only: an over-full corpus bucket is the
+    // O(size^2) risk; probes are few and must keep all their bands
     val candidates = bucketed(q, "query_id", "qv")
-      .join(bucketed(c, "neighbor_id", "cv"), Seq("band", "bucket"))
+      .join(Dedup.capBuckets(bucketed(c, "neighbor_id", "cv"), maxBucket),
+        Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()

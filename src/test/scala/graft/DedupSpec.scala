@@ -136,6 +136,22 @@ class DedupSpec extends SparkSpec {
     assert(topk == 999L)
   }
 
+  test("minhashLsh maxBucket: duplicate floods drop whole buckets, normal near-dups survive") {
+    // 30 exact copies share EVERY band bucket (identical signatures) — the
+    // degenerate O(size^2) case the cap exists for — plus one normal
+    // near-dup pair in its own buckets
+    val boiler = (0 until 30).map(i => (i.toLong, randText(999, 40)))
+    val docs = (boiler ++ Seq((100L, randText(5, 60)), (101L, randText(5, 60) + " extra")))
+      .toDF("doc_id", "text")
+    def pairsOf(maxBucket: Int) =
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 16, bands = 4,
+        threshold = 0.5, maxBucket = maxBucket)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val uncapped = pairsOf(Int.MaxValue)
+    assert(uncapped.contains((100L, 101L)) && uncapped.size == 435 + 1) // C(30,2) flood pairs
+    assert(pairsOf(10) == Set((100L, 101L))) // flood buckets (30 > 10) dropped whole
+  }
+
   test("banded LSH: per-band-bucket occupancy is bounded well below the corpus") {
     // the bucket self-join is O(size^2) per (band, bucket) group — the scale
     // contract is that no single bucket concentrates the corpus
