@@ -110,6 +110,28 @@ object TrainingQueries {
         FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
       WHERE jaccard >= 0.25"""))
 
+  /** Inverted-index exact Jaccard (no blocking, no sketch): identical
+    * result to all-pairs bigram Jaccard at posting-list cost — the oracle
+    * IS the all-pairs computation, so the equivalence is hash-checked, not
+    * asserted.
+    */
+  private val dedupNgramIndexed = Q(
+    "dedup_ngram_jaccard_indexed",
+    (s, d) => Dedup.ngramJaccardIndexed(augmentedDocs(Tables.documents(s, d)),
+      "doc_id", "text", n = 2, threshold = 0.3),
+    Some(s"""WITH aug AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
+      w AS (SELECT doc_id, $WS AS ws FROM aug),
+      g AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+          THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+          ELSE [] END AS sh FROM w)
+      SELECT * FROM (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.3"""))
+
   /** MinHash signature core, oracle-checked: md5-based shingle hashing so
     * DuckDB recomputes the identical k=16 per-permutation minima (the
     * coefficients come from [[Dedup.minhashCoefficients]] on both sides).
@@ -473,9 +495,9 @@ object TrainingQueries {
       SELECT user_id, COUNT(DISTINCT day) AS n_active_days FROM ev GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupMinhashSignature,
-    dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash, dedupEmbedding,
-    simBruteForce, simLsh,
+    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
+    dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
+    dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, textRepetition, approxDistinct, langId,
     multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup)
 }

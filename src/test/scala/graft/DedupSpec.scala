@@ -136,6 +136,20 @@ class DedupSpec extends SparkSpec {
     assert(topk == 999L)
   }
 
+  test("ngramJaccardIndexed equals blocked all-pairs exactly; maxDf only drops stop-shingle overlap") {
+    val blocked = Dedup.ngramJaccard(corpus.withColumn("blk", lit(1)),
+      "doc_id", "text", blockCols = Seq("blk"), n = 2, threshold = 0.2)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val indexed = Dedup.ngramJaccardIndexed(corpus, "doc_id", "text", n = 2, threshold = 0.2)
+      .select("doc_id_1", "doc_id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(indexed == blocked && indexed.nonEmpty)
+    // a df cap can only shrink the result (undercounted intersections)
+    val capped = Dedup.ngramJaccardIndexed(corpus, "doc_id", "text", n = 2,
+      threshold = 0.2, maxDf = 3)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(indexed.map(p => (p._1, p._2))))
+  }
+
   test("minhashLsh maxBucket: duplicate floods drop whole buckets, normal near-dups survive") {
     // 30 exact copies share EVERY band bucket (identical signatures) — the
     // degenerate O(size^2) case the cap exists for — plus one normal
