@@ -62,8 +62,22 @@ object Vectors {
     * into (band, bucket) candidate keys — the OR-of-ANDs banded LSH
     * construction: a pair is a candidate if ANY band bucket matches, and
     * each band's bucket requires ALL its sign bits to match.
+    *
+    * Runs as the native codegen'd
+    * [[graft.functions.expressions.HyperplaneBuckets]] (one tight loop per
+    * row): the declarative per-plane folds ([[bandedBucketsDeclarative]])
+    * execute interpreted — bands * planes lambda dispatches per row — and
+    * dominated the LSH family's runtime. Arithmetic is bit-identical
+    * (NativeExprSpec asserts it), so DuckDB oracle parity is unchanged.
     */
   def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
+    org.apache.spark.sql.graftnative.NativeColumns.hyperplaneBuckets(vec, bands, planesPerBand)
+
+  /** The declarative reference formulation of [[bandedBuckets]] — kept as
+    * the executable spec the native expression is differentially tested
+    * against (interpreted; do not use on hot paths).
+    */
+  def bandedBucketsDeclarative(vec: Column, bands: Int, planesPerBand: Int): Column =
     array((0 until bands).map(b =>
       hyperplaneBucketAt(vec, b * planesPerBand, planesPerBand)): _*)
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -20,4 +20,12 @@ object NativeColumns {
   def dot(a: Column, b: Column): Column =
     Column(ExpressionColumnNode(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b))))
+
+  /** Codegen'd banded hyperplane-LSH buckets (array<int>, one int bucket
+    * per band) — drop-in for the per-plane interpreted folds with identical
+    * arithmetic (see [[HyperplaneBuckets]]).
+    */
+  def hyperplaneBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
+    Column(ExpressionColumnNode(
+      HyperplaneBuckets(ExpressionUtils.expression(vec), bands, planesPerBand)))
 }

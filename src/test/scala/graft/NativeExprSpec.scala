@@ -47,4 +47,40 @@ class NativeExprSpec extends SparkSpec {
       .as[Double].head()
     assert(r == 11.0)
   }
+
+  test("native hyperplane buckets == declarative per-plane folds on random vectors") {
+    val vecs = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      Tuple1(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("v")
+    val diffs = vecs.select(
+      graft.functions.Vectors.bandedBuckets(col("v"), 4, 4).as("nat"),
+      graft.functions.Vectors.bandedBucketsDeclarative(col("v"), 4, 4).as("dec"))
+      .filter(not(col("nat") === col("dec")))
+    assert(diffs.count() == 0)
+  }
+
+  test("native hyperplane buckets: null vector -> NULL row; null element -> all-zero buckets") {
+    val df = Seq(
+      (1L, null: Array[java.lang.Float]),
+      (2L, Array[java.lang.Float](1.0f, null, 2.0f)),
+      (3L, Array[java.lang.Float](1.0f, -1.0f, 2.0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+      graft.functions.Vectors.bandedBuckets(col("v"), 2, 2).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1)))
+      .toMap
+    assert(out(1L) == null)
+    assert(out(2L) == Seq(0, 0))
+    assert(out(3L) != null && out(3L).length == 2)
+  }
+
+  test("native hyperplane buckets rejects non-array types at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("nope")).toDF("v")
+        .select(graft.functions.Vectors.bandedBuckets(col("v"), 2, 2)).collect()
+    }
+    assert(e.getMessage.contains("graft_hyperplane_buckets"))
+  }
 }
