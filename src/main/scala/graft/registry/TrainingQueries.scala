@@ -494,10 +494,49 @@ object TrainingQueries {
     Some(s"""WITH $EV
       SELECT user_id, COUNT(DISTINCT day) AS n_active_days FROM ev GROUP BY 1"""))
 
+  /** Stream-stream interval self-join (purchases enriched with the trailing
+    * hour of same-user views), run end to end through the memory sink. The
+    * oracle is the batch interval join — the streaming plan must produce
+    * exactly the batch answer once the backlog drains (AvailableNow), while
+    * holding only watermark-bounded state along the way.
+    */
+  private val streamingIntervalJoin = Q(
+    "streaming_interval_join",
+    (s, d) => {
+      Tables.configure(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "graft_stream_ijoin"
+      try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("epoch", expr("ts div 1000000000"))
+        .withColumn("ts_sec", timestamp_seconds(col("epoch")))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_sec"), col("epoch").as("e_epoch"))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_sec").as("v_ts"),
+          col("value").as("v_value"), col("epoch").as("v_epoch"))
+      val q = graft.streaming.Streams
+        .intervalJoin(purchases, "ts_sec", views, "v_ts",
+          Seq("user_id" -> "v_user"), tolerance = "1 hour", lateness = "1 day")
+        .select("event_id", "user_id", "e_epoch", "v_epoch", "v_value")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    },
+    Some(s"""WITH $EV
+      SELECT p.event_id, p.user_id, p.epoch AS e_epoch, v.epoch AS v_epoch, v.value AS v_value
+      FROM ev p JOIN ev v
+        ON p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.user_id = p.user_id
+        AND v.epoch <= p.epoch AND v.epoch >= p.epoch - 3600"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, textRepetition, approxDistinct, langId,
-    multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup)
+    multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup,
+    streamingIntervalJoin)
 }

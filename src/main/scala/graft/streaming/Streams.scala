@@ -84,6 +84,35 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join — the streaming form of the
+    * batch as-of/interval enrichment ([[graft.operators.AsOfJoin]]): every
+    * right row with `rightTs` in `[leftTs - tolerance, leftTs]` (inclusive)
+    * joins its equi-keyed left row. Both sides carry event-time watermarks,
+    * and the time-range condition lets Spark bound BOTH join buffers: a
+    * buffered row is dropped as soon as the other side's watermark makes a
+    * future match impossible — state is O(tolerance + lateness window), not
+    * O(stream), which is what makes this runnable forever at ingest scale.
+    *
+    * `keyPairs` maps left-column -> right-column equi keys (names must
+    * differ across sides so the joined schema is unambiguous).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      keyPairs: Seq[(String, String)],
+      tolerance: String,
+      lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val cond = (keyPairs.map { case (lk, rk) => l(lk) === r(rk) } :+
+      (r(rightTs) <= l(leftTs)) :+
+      (r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance")))
+      .reduce(_ && _)
+    l.join(r, cond, "inner")
+  }
+
   /** Per-key running state via mapGroupsWithState: maintains (count,
     * decimal-exact running sum scaled 1e6, max epoch) per key across
     * micro-batches — the stateful form of the reference's per-wallet

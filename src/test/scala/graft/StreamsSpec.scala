@@ -33,6 +33,27 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, Long)]
+    val rm = MemoryStream[(Long, Long, Double)]
+    val left = lm.toDS().toDF("k", "e").withColumn("lts", timestamp_seconds(col("e")))
+    val right = rm.toDS().toDF("rk", "re", "v").withColumn("rts", timestamp_seconds(col("re")))
+    val q = Streams.intervalJoin(left, "lts", right, "rts", Seq("k" -> "rk"),
+      tolerance = "10 seconds", lateness = "1 minute")
+      .select("k", "e", "re", "v")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    lm.addData((1L, 100L))
+    rm.addData((1L, 90L, 1.0), (1L, 89L, 2.0), (1L, 100L, 3.0), (1L, 101L, 4.0), (2L, 95L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("ij").as[(Long, Long, Long, Double)].collect().toSet
+    // 90 is ON the lower bound (inclusive), 89 just below, 101 in the
+    // future, key 2 unmatched
+    assert(rows == Set((1L, 100L, 90L, 1.0), (1L, 100L, 100L, 3.0)))
+    q.stop()
+  }
+
   test("runningPerKey: state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double, Long)]
