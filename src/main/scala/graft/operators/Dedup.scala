@@ -120,19 +120,12 @@ object Dedup {
   }
 
   /** MinHash signatures: K per-permutation minima of
-    * `h_k(x) = (a_k * x + b_k) mod p` over `x = xxhash64(shingle) mod p`.
+    * `h_k(x) = (a_k * x + b_k) mod p` over hashed word n-gram shingles.
     * `p = 2^31 - 1` keeps every product below 2^62 — no silent long
     * overflow. Docs with fewer than `n` words (no shingles) are dropped —
     * they have no signature (and can never pass a Jaccard > 0 verify).
-    *
-    * Shape: shingle hashes are EXPLODED to (doc_id, hash) rows and the K
-    * minima run as K codegen'd `min` aggregates in one hash aggregation
-    * (map-side partial -> one shuffle on doc_id). The tempting alternative
-    * — K nested `transform`/`array_min` lambdas over an array column —
-    * re-evaluates the whole shingle pipeline once per permutation per row,
-    * interpreted: ~60x slower measured, and it only gets worse at scale.
-    *
-    * Output: (doc_id, minhash array<long>).
+    * Output: (doc_id, minhash array<long>). See [[minhashSignature]] for
+    * the zero-shuffle execution shape.
     */
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
@@ -153,32 +146,42 @@ object Dedup {
         Math.floorMod(mix64(2L * i + 1), MinhashPrime))
     }
 
-  /** Default shingle -> [0, p) hash (fast xxhash64 path). Swap for
-    * [[Text.md5Hash64]]-based hashing when the sketch must be reproducible
-    * in an external SQL engine.
+  /** Shingle-hash choice: fast xxhash64 (seed 42, Spark-native) or the
+    * md5-hex-prefix hash (`conv(substr(md5(s),1,15),16,10)`) that external
+    * SQL engines can recompute — both reduced mod p inside the native
+    * signature expression.
     */
-  def defaultShingleHash(s: Column): Column = pmod(xxhash64(s), lit(MinhashPrime))
+  sealed trait ShingleHash { def md5: Boolean }
+  case object XxShingleHash extends ShingleHash { val md5 = false }
+  case object Md5ShingleHash extends ShingleHash { val md5 = true }
 
-  def md5ShingleHash(s: Column): Column = pmod(Text.md5Hash64(s), lit(MinhashPrime))
-
+  /** A signature is a pure per-row function of the shingle set, so it runs
+    * as a PROJECTION: shingling, hashing, and all K minima happen inside
+    * one native expression over the words array
+    * ([[graft.functions.expressions.MinHashWordsSig]]) — zero shuffles, and
+    * no higher-order function for Catalyst's CollapseProject to turn
+    * quadratic (see the expression's scaladoc for that war story). The
+    * previous explode -> groupBy(doc) -> K min-aggregates shape paid a full
+    * shuffle of every (doc, shingle-hash) row to re-group row-local data;
+    * `min` is commutative so both forms (and the DuckDB oracle) agree
+    * bit-for-bit. Docs with no shingles yield a null signature and are
+    * dropped, as the explode form did implicitly.
+    */
   def minhashSignature(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       k: Int,
-      shingleHash: Column => Column = defaultShingleHash): DataFrame = {
-    val hashed = docs
+      shingleHash: ShingleHash = XxShingleHash): DataFrame = {
+    val (as, bs) = minhashCoefficients(k).unzip
+    docs
       .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
-      .select(
-        col("doc_id"),
-        explode(transform(Text.shinglesFromWords(col("__w"), n), shingleHash)).as("hx"))
-    val minima = minhashCoefficients(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hx") * a + b, lit(MinhashPrime))).as(s"m$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(minima.head, minima.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("minhash"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.NativeColumns
+          .minhashWordsSig(col("__w"), n, shingleHash.md5, as, bs, MinhashPrime)
+          .as("minhash"))
+      .filter(col("minhash").isNotNull)
   }
 
   /** MinHash + LSH near-dup pairs: signatures banded into `bands` groups of
@@ -202,7 +205,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      shingleHash: Column => Column = defaultShingleHash,
+      shingleHash: ShingleHash = XxShingleHash,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands

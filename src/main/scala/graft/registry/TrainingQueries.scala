@@ -142,7 +142,7 @@ object TrainingQueries {
     "dedup_minhash_signature",
     (s, d) => {
       val sig = Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text",
-        n = 3, k = 16, shingleHash = Dedup.md5ShingleHash)
+        n = 3, k = 16, shingleHash = Dedup.Md5ShingleHash)
       sig.select(col("doc_id") +:
         (0 until 16).map(i => element_at(col("minhash"), i + 1).as(s"m$i")): _*)
     },
@@ -178,7 +178,7 @@ object TrainingQueries {
   private val dedupMinhashLshMd5 = Q(
     "dedup_minhash_lsh_md5",
     (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
-      n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.md5ShingleHash),
+      n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.Md5ShingleHash),
     Some {
       val p = 2147483647L
       val minima = Dedup.minhashCoefficients(64).zipWithIndex.map { case ((a, b), i) =>

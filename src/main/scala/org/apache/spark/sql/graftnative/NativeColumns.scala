@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -28,4 +28,14 @@ object NativeColumns {
   def hyperplaneBuckets(vec: Column, bands: Int, planesPerBand: Int): Column =
     Column(ExpressionColumnNode(
       HyperplaneBuckets(ExpressionUtils.expression(vec), bands, planesPerBand)))
+
+  /** Per-row MinHash signature straight from an array<string> words column:
+    * shingling + hashing + K minima in one pass, no explode/shuffle/HOF
+    * (see [[MinHashWordsSig]]).
+    */
+  def minhashWordsSig(
+      words: Column, n: Int, md5: Boolean,
+      as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    Column(ExpressionColumnNode(
+      MinHashWordsSig(ExpressionUtils.expression(words), n, md5, as, bs, p)))
 }

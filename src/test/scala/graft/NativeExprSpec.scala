@@ -76,6 +76,38 @@ class NativeExprSpec extends SparkSpec {
     assert(out(3L) != null && out(3L).length == 2)
   }
 
+  test("native minhash signature == explode/groupBy/min-aggregate form") {
+    val docs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(40)("w" + rnd.nextInt(300)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 16
+    val native = graft.operators.Dedup
+      .minhashSignature(docs, "doc_id", "text", n = 3, k = k)
+      .as[(Long, Seq[Long])].collect().toMap
+    // the original aggregate formulation, reproduced as the reference spec
+    val p = 2147483647L
+    val hashed = docs
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("__w"))
+      .select(col("doc_id"), explode(transform(
+        graft.functions.Text.shinglesFromWords(col("__w"), 3),
+        s => pmod(xxhash64(s), lit(p)))).as("hx"))
+    val minima = graft.operators.Dedup.minhashCoefficients(k).zipWithIndex.map {
+      case ((a, b), i) => min(pmod(col("hx") * a + b, lit(p))).as(s"m$i")
+    }
+    val agg = hashed.groupBy("doc_id").agg(minima.head, minima.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == agg)
+  }
+
+  test("native minhash signature: empty shingle set -> doc dropped") {
+    val docs = Seq((1L, "only two"), (2L, "three word doc here")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.minhashSignature(docs, "doc_id", "text", n = 3, k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(2L)) // doc 1 has < 3 words: no 3-gram shingles
+  }
+
   test("native hyperplane buckets rejects non-array types at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1("nope")).toDF("v")
