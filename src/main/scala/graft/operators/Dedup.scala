@@ -146,10 +146,11 @@ object Dedup {
         Math.floorMod(mix64(2L * i + 1), MinhashPrime))
     }
 
-  /** Shingle-hash choice: fast xxhash64 (seed 42, Spark-native) or the
+  /** Content-hash choice for the sketch operators (MinHash shingles,
+    * SimHash tokens): fast xxhash64 (seed 42, Spark-native) or the
     * md5-hex-prefix hash (`conv(substr(md5(s),1,15),16,10)`) that external
-    * SQL engines can recompute — both reduced mod p inside the native
-    * signature expression.
+    * SQL engines can recompute. The hashing runs inside the native sketch
+    * expressions (MinHash additionally reduces mod p there).
     */
   sealed trait ShingleHash { def md5: Boolean }
   case object XxShingleHash extends ShingleHash { val md5 = false }
@@ -243,36 +244,32 @@ object Dedup {
     * most maxHamming chunks and MUST share at least one chunk — 100% recall,
     * with an exact hamming verify after the candidate join.
     */
-  /** Same explode->aggregate shape as [[minhashSignature]] (64 per-bit vote
-    * sums as codegen'd aggregates, one shuffle on doc_id) — NOT 64 lambda
-    * folds over the token array, which would re-tokenize per bit per row.
-    * Docs with no words are dropped (no tokens -> no hash).
+  /** Like [[minhashSignature]], the sketch is a pure per-row function of
+    * the token multiset, so it runs as a zero-shuffle projection: all 64
+    * vote sums happen inside the native
+    * [[graft.functions.expressions.SimHashWords]] pass (vote sums are
+    * commutative, so the result is bit-identical to the old
+    * explode -> groupBy vote aggregation and to the DuckDB oracle). Docs
+    * with no words are dropped (no tokens -> no hash).
     */
   def simhash(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      explode(transform(Text.words(col(textCol)), t => tokenHash(t))).as("h"))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    toks.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+      tokenHash: ShingleHash = XxShingleHash): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.NativeColumns
+          .simhashWords(col("__w"), tokenHash.md5).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: ShingleHash = XxShingleHash): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
     val nChunks = maxHamming + 1

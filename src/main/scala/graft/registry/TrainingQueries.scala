@@ -216,7 +216,7 @@ object TrainingQueries {
   private val dedupSimhash = Q(
     "dedup_simhash_pairs",
     (s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
-      maxHamming = 3, tokenHash = Text.md5Hash64)
+      maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
       .withColumn("hamming", col("hamming").cast("long")),
     Some {
       val votes = (0 until 64).map(i =>

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, SimHashWords}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -38,4 +38,12 @@ object NativeColumns {
       as: Seq[Long], bs: Seq[Long], p: Long): Column =
     Column(ExpressionColumnNode(
       MinHashWordsSig(ExpressionUtils.expression(words), n, md5, as, bs, p)))
+
+  /** Per-row 64-bit SimHash from an array<string> words column: token
+    * hashing + all 64 bit votes in one pass, no explode/shuffle/HOF
+    * (see [[SimHashWords]]).
+    */
+  def simhashWords(words: Column, md5: Boolean): Column =
+    Column(ExpressionColumnNode(
+      SimHashWords(ExpressionUtils.expression(words), md5)))
 }

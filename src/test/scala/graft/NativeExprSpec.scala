@@ -101,6 +101,28 @@ class NativeExprSpec extends SparkSpec {
     assert(native == agg)
   }
 
+  test("native simhash == explode/vote-aggregate form") {
+    val docs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i + 7)
+      (i.toLong, Seq.fill(30)("w" + rnd.nextInt(200)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val native = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // the original vote-aggregation formulation, reproduced as the spec
+    val toks = docs.select(col("doc_id"),
+      explode(transform(graft.functions.Text.words(col("text")), t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == agg)
+  }
+
   test("native minhash signature: empty shingle set -> doc dropped") {
     val docs = Seq((1L, "only two"), (2L, "three word doc here")).toDF("doc_id", "text")
     val out = graft.operators.Dedup.minhashSignature(docs, "doc_id", "text", n = 3, k = 4)
