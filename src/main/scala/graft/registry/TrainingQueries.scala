@@ -304,6 +304,21 @@ object TrainingQueries {
       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)) AS n_bpeish
       FROM documents"""))
 
+  /** DuckDB mirrors of the [[Text]] quality heuristics, shared by the
+    * score and quantile-filter oracles.
+    */
+  private object QSql {
+    val stops: String = sqlList(Text.Stopwords)
+    val punct = s"(CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE))"
+    val stop = s"(CAST(len(list_filter($WS, x -> list_contains($stops, x))) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
+    val awl = s"(CAST(COALESCE(list_sum(list_transform($WS, x -> length(x))), 0) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
+    val lenScore = s"LEAST(CAST(len($WS) AS DOUBLE) / 100.0, 1.0)"
+    val wordScore = s"(CASE WHEN $awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
+    val punctScore = s"GREATEST(0.0, 1.0 - $punct * 10.0)"
+    val stopScore = s"LEAST($stop * 5.0, 1.0)"
+    val score = s"($lenScore * 0.4 + $wordScore * 0.2 + $punctScore * 0.2 + $stopScore * 0.2)"
+  }
+
   private val qualityScore = Q(
     "text_quality_score",
     (s, d) => Tables.documents(s, d).select(
@@ -312,20 +327,26 @@ object TrainingQueries {
       Text.stopwordRatio(col("text")).as("stopword_ratio"),
       Text.avgWordLen(col("text")).as("avg_word_len"),
       Text.qualityScore(col("text")).as("quality_score")),
-    Some {
-      val stops = sqlList(Text.Stopwords)
-      val punct = s"(CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE))"
-      val stop = s"(CAST(len(list_filter($WS, x -> list_contains($stops, x))) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
-      val awl = s"(CAST(COALESCE(list_sum(list_transform($WS, x -> length(x))), 0) AS DOUBLE) / CAST(GREATEST(len($WS), 1) AS DOUBLE))"
-      val lenScore = s"LEAST(CAST(len($WS) AS DOUBLE) / 100.0, 1.0)"
-      val wordScore = s"(CASE WHEN $awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
-      val punctScore = s"GREATEST(0.0, 1.0 - $punct * 10.0)"
-      val stopScore = s"LEAST($stop * 5.0, 1.0)"
-      s"""SELECT doc_id, $punct AS punct_ratio, $stop AS stopword_ratio, $awl AS avg_word_len,
-        ($lenScore * 0.4 + $wordScore * 0.2 + $punctScore * 0.2 + $stopScore * 0.2) AS quality_score
-        FROM documents"""
-    },
+    Some(s"""SELECT doc_id, ${QSql.punct} AS punct_ratio, ${QSql.stop} AS stopword_ratio,
+        ${QSql.awl} AS avg_word_len, ${QSql.score} AS quality_score
+      FROM documents"""),
     bench = true)
+
+  /** Bottom-quartile quality cut — the canonical training-data selection
+    * step, oracle-checked: the threshold is an exact interpolated
+    * percentile on both engines, and any threshold strictly between the
+    * same two order statistics selects the identical document set, so the
+    * hash compare is robust to last-bit interpolation differences.
+    */
+  private val qualityFilter = Q(
+    "text_quality_filter",
+    (s, d) => graft.quality.Selection.filterByScoreQuantile(
+      Tables.documents(s, d).select(
+        col("doc_id"), Text.qualityScore(col("text")).as("quality_score")),
+      "quality_score", quantile = 0.25),
+    Some(s"""WITH q AS (SELECT doc_id, ${QSql.score} AS quality_score FROM documents),
+      t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q)
+      SELECT doc_id, quality_score FROM q, t WHERE quality_score >= thr"""))
 
   private val textRepetition = Q(
     "text_repetition",
@@ -536,7 +557,7 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupEmbedding, simBruteForce, simLsh,
-    tokenCount, qualityScore, textRepetition, approxDistinct, langId,
+    tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct, langId,
     multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup,
     streamingIntervalJoin)
 }

@@ -311,6 +311,23 @@ class ConstraintsSpec extends SparkSpec {
   }
 }
 
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filterByScoreQuantile keeps the top (1-q) of rows, inclusive threshold") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = graft.quality.Selection.filterByScoreQuantile(df, "score", 0.25)
+      .select("id").as[Long].collect().toSet
+    // exact p25 of 1..100 is 25.75 -> keep 26..100
+    assert(kept == (26L to 100L).toSet)
+  }
+
+  test("filterByScoreQuantile: empty input stays empty (no NPE on null percentile)") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "score")
+    assert(graft.quality.Selection.filterByScoreQuantile(df, "score", 0.5).count() == 0)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 

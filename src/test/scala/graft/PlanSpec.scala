@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
     */
   private val effectful = Set(
     "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
-    "snk_parquet_partitioned", "snk_upsert_keyed", "snk_upsert_versioned",
+    "streaming_interval_join", "snk_parquet_partitioned", "snk_upsert_keyed",
+    "snk_upsert_versioned", "snk_upsert_serve", "snk_ctas_full_refresh",
     "layout_bucketed_join")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
@@ -42,6 +43,14 @@ class PlanSpec extends SparkSpec {
         if (bad.nonEmpty) Some(s"${q.name}: ${bad.mkString(", ")}") else None
       }
     assert(offenders.isEmpty, s"quadratic joins found:\n${offenders.mkString("\n")}")
+  }
+
+  test("minhash signature plans as a pure projection — zero shuffles") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("dedup_minhash_signature").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the per-row native signature must not shuffle:\n$plan")
   }
 
   test("event-type predicate pushes down to the parquet scan in the enrich pipeline") {
