@@ -1,6 +1,8 @@
 package graft.quality
 
+import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data selection: score-quantile document filtering — the
@@ -31,5 +33,48 @@ object Selection {
     val row = df.agg(expr(s"percentile($scoreCol, $quantile)")).head()
     if (row.isNullAt(0)) df.limit(0) // empty input: nothing at any quantile
     else df.filter(col(scoreCol) >= row.getDouble(0))
+  }
+
+  /** Deterministic hash sample: keeps a row iff
+    * `md5hash64(key || salt) mod 10000 < rate * 10000`. Unlike
+    * `df.sample()` (seeded RNG over partition iteration order — different
+    * rows after a repartition), the kept set is a pure function of the KEY:
+    * reproducible across runs, engines, partitionings, and cluster sizes,
+    * and consistent across tables sharing the key (sample `documents` and
+    * its `embeddings` at the same rate/salt and the join is sample-aligned).
+    * `salt` decorrelates independent samples at the same rate. Pure
+    * filter — pipelines into the scan, no shuffle.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    val bucket = pmod(Text.md5Hash64(concat(col(keyCol).cast("string"), lit(salt))), lit(10000))
+    df.filter(bucket < math.round(rate * 10000))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs — the
+    * standard pre-training batching step (concatenate ~`budget` tokens per
+    * training sequence). Deterministic streaming assignment: docs are
+    * ordered by `idCol` WITHIN each `shardCol` partition, and a doc starts
+    * at the running token total before it, so
+    * `pack_id = floor(cum_before / budget)`.
+    *
+    * Scale: the window partitions by shard — pack locality is per shard
+    * (language, source, date bucket...), so no global sort exists anywhere
+    * and each shard's cumsum is an independent task. A budget-overflow doc
+    * (tokens > budget) still lands in exactly one pack, as in practice
+    * (it gets truncated downstream).
+    */
+  def packByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      shardCol: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    docs
+      .withColumn("__cum_before", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id", expr(s"__cum_before div $budget"))
+      .drop("__cum_before")
   }
 }

@@ -466,6 +466,32 @@ object TrainingQueries {
         substring(ph, CAST(frame_no AS INT) * 128 + 1, 128) AS frame_hex
       FROM f"""))
 
+  /** Deterministic 25% hash sample — the kept set is a pure function of
+    * doc_id + salt, so DuckDB recomputes it exactly (unlike RNG sampling).
+    */
+  private val hashSample = Q(
+    "sel_hash_sample",
+    (s, d) => graft.quality.Selection.hashSample(
+      Tables.documents(s, d).select("doc_id", "lang"), "doc_id", rate = 0.25, salt = "r4"),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 15))::BIGINT % 10000 < 2500"""))
+
+  /** Token-budget sequence packing, sharded by language: pack_id =
+    * floor(running-token-total-before / budget) within (lang, doc_id
+    * order) — recomputed exactly by a window cumsum in DuckDB.
+    */
+  private val tokenPack = Q(
+    "sel_token_pack",
+    (s, d) => graft.quality.Selection.packByTokenBudget(
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048, shardCol = "lang"),
+    Some(s"""WITH w AS (SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
+      SELECT doc_id, lang, n_tokens, cum_before // 2048 AS pack_id FROM c"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -558,6 +584,6 @@ object TrainingQueries {
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct, langId,
-    multimodalDecode, multimodalFrameSample, streamingWindowed, streamingDedup,
-    streamingIntervalJoin)
+    hashSample, tokenPack, multimodalDecode, multimodalFrameSample,
+    streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

@@ -326,6 +326,38 @@ class SelectionSpec extends SparkSpec {
     val df = Seq.empty[(Long, Double)].toDF("id", "score")
     assert(graft.quality.Selection.filterByScoreQuantile(df, "score", 0.5).count() == 0)
   }
+
+  test("hashSample: reproducible, partitioning-independent, key-aligned across tables") {
+    val a = (1L to 2000L).toDF("k")
+    val s1 = graft.quality.Selection.hashSample(a, "k", 0.3).as[Long].collect().toSet
+    val s2 = graft.quality.Selection.hashSample(a.repartition(7), "k", 0.3)
+      .as[Long].collect().toSet
+    assert(s1 == s2) // same kept set under any partitioning
+    assert(math.abs(s1.size - 600) < 100) // ~rate * n
+    // a second table sharing the key samples the SAME rows
+    val b = (1L to 2000L).map(k => (k, k * 10)).toDF("k", "payload")
+    val sb = graft.quality.Selection.hashSample(b, "k", 0.3)
+      .select("k").as[Long].collect().toSet
+    assert(sb == s1)
+    // a different salt decorrelates
+    val salted = graft.quality.Selection.hashSample(a, "k", 0.3, salt = "x")
+      .as[Long].collect().toSet
+    assert(salted != s1)
+  }
+
+  test("packByTokenBudget: packs fill in id order per shard, no pack skips the budget") {
+    val docs = Seq(
+      (1L, "a", 1000L), (2L, "a", 900L), (3L, "a", 300L), (4L, "a", 5000L), (5L, "a", 10L),
+      (10L, "b", 2048L), (11L, "b", 1L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val out = graft.quality.Selection
+      .packByTokenBudget(docs, "doc_id", "n_tokens", budget = 2048, shardCol = "shard")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // shard a cum_before: 0, 1000, 1900, 2200, 7200 -> packs 0,0,0,1,3
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 1 && out(5L) == 3)
+    // shard b independent: 0, 2048 -> packs 0, 1
+    assert(out(10L) == 0 && out(11L) == 1)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
