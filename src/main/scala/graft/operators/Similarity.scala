@@ -60,12 +60,14 @@ object Similarity {
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      // per-vector argmax via map-side-combined max_by: only N rows shuffle,
+      // not the N * k broadcast-join blowup (see ivfTopK's corpus assignment)
+      val best = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
         .join(broadcast(centroids))
         .withColumn("__cs", Vectors.cosine(col("v"), col("centroid")))
-      val w = Window.partitionBy("vid").orderBy(col("__cs").desc, col("cell_id"))
-      val best = assigned.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
+        .groupBy("vid")
+        .agg(max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell_id"),
+          first(col("v")).as("v"))
         .select(col("cell_id"), col("v"))
       // decimal-exact mean (order-independent accumulation): plain avg()
       // over doubles is partition-order-dependent, so refined centroids —
@@ -89,7 +91,8 @@ object Similarity {
     *     nearest-centroid cell (centroids = the deterministic first
     *     `nCentroids` corpus rows by id, optionally Lloyd-refined with
     *     [[kmeansCentroids]] when `kmeansIters > 0`; broadcast join +
-    *     per-vector argmax window — O(N * C) map-side work, one shuffle).
+    *     map-side-combined `max_by` argmax — O(N * C) map-side work, but
+    *     only N rows ever shuffle).
     *  2. Probe: each query searches only the `nProbe` cells whose centroids
     *     score highest for it — an equi join on cell id, so the candidate
     *     set is ~N * nProbe / nCentroids per query instead of N.
@@ -114,18 +117,33 @@ object Similarity {
     val centroids = broadcast(
       kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
 
-    def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(out))
+    def cellScored(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(out))
         .join(centroids)
         .withColumn("__cs", Vectors.cosine(col(out), col("centroid")))
-      val w = Window.partitionBy(id).orderBy(col("__cs").desc, col("cell_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(id), col(out), col("cell_id"))
-    }
 
-    val corpusCells = assign(corpus, "neighbor_id", "cv", keep = 1)
-    val queryCells = assign(queries, "query_id", "qv", keep = nProbe)
+    // Corpus assignment (keep=1) is an ARGMAX, not a ranking: max_by gets
+    // map-side partial aggregation, so the broadcast-join blowup (N * C
+    // scored rows) collapses back to N rows BEFORE the shuffle. The window
+    // alternative ships and sorts all N * C rows — a C-times-larger
+    // shuffle for the same answer. Ties break to the lowest cell_id
+    // (negated id in the ordering struct), matching the window's
+    // (desc cosine, asc cell_id) determinism.
+    val corpusCells = cellScored(corpus, "neighbor_id", "cv")
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell_id"),
+        first(col("cv")).as("cv"))
+      .select(col("neighbor_id"), col("cv"), col("cell_id"))
+    // Query probing keeps nProbe cells per (few) probes — the window stays,
+    // partitioned by query id over a small frame.
+    val queryCells = {
+      val w = Window.partitionBy("query_id").orderBy(col("__cs").desc, col("cell_id"))
+      cellScored(queries, "query_id", "qv")
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nProbe)
+        .select(col("query_id"), col("qv"), col("cell_id"))
+    }
     val scored = queryCells
       .join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
