@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Final top-k ranking of a (query_id, neighbor_id, cosine) candidate
+    * frame — as a map-side-combined bounded-heap AGGREGATE
+    * ([[graft.functions.expressions.TopKByScore]]), not a rank window: the
+    * window form shuffles and sorts EVERY candidate row per query, the
+    * aggregate reduces each map partition to k rows per query before the
+    * exchange. Ordering (cosine desc, neighbor_id asc) and the emitted
+    * (query_id, neighbor_id, cosine, rank) schema match the window form
+    * row for row.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftnative.NativeColumns
+        .topKByScore(col("cosine"), col("neighbor_id"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k by cosine. `queries` and `corpus` both need (idCol, vecCol);
     * self-matches (same id) are excluded. Ties break on candidate id.
     */
@@ -35,11 +53,7 @@ object Similarity {
       .crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Lloyd-refined IVF centroids as a short sequence of DataFrame jobs:
@@ -148,11 +162,7 @@ object Similarity {
       .join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** BANDED LSH top-k: candidates are corpus vectors sharing ANY of the
@@ -190,10 +200,6 @@ object Similarity {
       .join(q, "query_id")
       .join(c, "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, SimHashWords}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, SimHashWords, TopKByScore}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -46,4 +46,12 @@ object NativeColumns {
   def simhashWords(words: Column, md5: Boolean): Column =
     Column(ExpressionColumnNode(
       SimHashWords(ExpressionUtils.expression(words), md5)))
+
+  /** Map-side-combined bounded top-k aggregate: array of (score, id)
+    * structs, best first (see [[TopKByScore]]).
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Column(ExpressionColumnNode(
+      TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
+        .toAggregateExpression()))
 }

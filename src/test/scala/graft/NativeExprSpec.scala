@@ -130,6 +130,25 @@ class NativeExprSpec extends SparkSpec {
     assert(out == Seq(2L)) // doc 1 has < 3 words: no 3-gram shingles
   }
 
+  test("topKByScore == rank window, incl. score ties and multi-partition merge") {
+    val rnd = new scala.util.Random(11)
+    // duplicate scores force tie-breaks; 13 partitions force partial merges
+    val rows = (0 until 5000).map(i => (i % 40L, rnd.nextInt(50).toDouble, i.toLong))
+    val df = rows.toDF("query_id", "cosine", "neighbor_id").repartition(13)
+    val agg = df.groupBy("query_id")
+      .agg(NativeColumns.topKByScore(col("cosine"), col("neighbor_id"), 7).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).as("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val win = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win)
+  }
+
   test("native hyperplane buckets rejects non-array types at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1("nope")).toDF("v")
