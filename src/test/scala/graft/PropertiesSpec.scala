@@ -75,6 +75,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hashSample: monotone in rate (a higher rate keeps a superset)") {
+    forSamples(Gen.zip(Gen.chooseNum(0.05, 0.5), Gen.chooseNum(0.5, 0.95)), n = 5) {
+      case (lo: Double, hi: Double) =>
+        val df = (1L to 500L).toDF("k")
+        val small = graft.quality.Selection.hashSample(df, "k", lo)
+          .as[Long].collect().toSet
+        val big = graft.quality.Selection.hashSample(df, "k", hi)
+          .as[Long].collect().toSet
+        assert(small.subsetOf(big), s"rate $lo not nested in $hi")
+    }
+  }
+
+  test("packByTokenBudget: pack ids are contiguous from 0 and non-decreasing in id order") {
+    forSamples(Gen.listOfN(40, Gen.chooseNum(1L, 3000L)), n = 10) { tokens: List[Long] =>
+      if (tokens.nonEmpty) {
+        val docs = tokens.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+          .toDF("doc_id", "shard", "n_tokens")
+        val out = graft.quality.Selection
+          .packByTokenBudget(docs, "doc_id", "n_tokens", budget = 4096, shardCol = "shard")
+          .orderBy("doc_id").select("pack_id").as[Long].collect()
+        assert(out.head == 0L)
+        assert(out.sliding(2).forall(w => w.length < 2 || w(1) - w(0) >= 0))
+      }
+    }
+  }
+
   test("zeroToSentinel preserves non-zero values and never emits 0") {
     forSamples(Gen.listOfN(50, Gen.chooseNum(0L, 1000L))) { xs: List[Long] =>
       if (xs.nonEmpty) {
