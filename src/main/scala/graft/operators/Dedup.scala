@@ -226,8 +226,17 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
       .distinct()
+    // verify only docs that actually appear in a candidate pair: a
+    // semi-join restriction before shingling, so the exact-Jaccard stage
+    // re-tokenizes O(|candidates|) docs, not the whole corpus twice —
+    // at 100 TB the candidate set is orders of magnitude smaller
+    val candIds = candidates.select(col("doc_id_1").as("doc_id"))
+      .union(candidates.select(col("doc_id_2").as("doc_id")))
+      .distinct()
     val shingled = docs
-      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.words(col("__t")).as("__w"))
       .select(col("doc_id"), Text.shinglesFromWords(col("__w"), n).as("s"))
     candidates
       .join(shingled.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("s", "s1"), "doc_id_1")
