@@ -154,4 +154,30 @@ object Text {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** PII-redaction patterns, applied in this order (order matters: emails
+    * contain URL-ish hosts and digit runs, so they redact first; a pure
+    * digit run becomes NUM before the separator-tolerant PHONE pattern can
+    * claim it). Kept to RE2-compatible constructs (no lookaround/backrefs)
+    * so the identical patterns run in Java's regex (Spark) and RE2-based
+    * engines.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>",
+    "\\+?[0-9][0-9 ()+.-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact emails / URLs / phone-ish digit runs / long numbers with typed
+    * placeholder tokens — the standard pre-training PII scrub, as a chain
+    * of codegen'd `regexp_replace`s (one projection, no shuffle).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tok)) => regexp_replace(c, pat, tok) }
+
+  /** Canonical whitespace normalization: trim + collapse runs of
+    * whitespace to single spaces (pre-tokenization cleanup).
+    */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 }

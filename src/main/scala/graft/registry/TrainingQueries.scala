@@ -381,6 +381,35 @@ object TrainingQueries {
         countDistinct(col("user_id")).as("exact_users")),
     None)
 
+  /** PII scrub over documents salted with deterministic synthetic PII
+    * (emails, URLs, phone-ish runs, long numbers derived from doc_id — the
+    * corpus itself is random words), then whitespace-normalized. The
+    * oracle applies the IDENTICAL RE2-safe patterns with DuckDB's 'g'
+    * flag, so the redaction chain is hash-checked end to end.
+    */
+  private val redactPii = Q(
+    "text_redact_pii",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.redactPii(Text.normalizeWhitespace(concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example"), pmod(col("doc_id"), lit(7)), lit(".org"),
+        lit(" or +1 (555) 01"), pmod(col("doc_id"), lit(100)), lit("-99"),
+        lit(" ref 1234567"), col("doc_id"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(5)), lit(".example/x?id="), col("doc_id"))))
+        .as("clean")),
+    Some {
+      val salted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '.org' || ' or +1 (555) 01' || " +
+        "CAST(doc_id % 100 AS VARCHAR) || '-99' || ' ref 1234567' || CAST(doc_id AS VARCHAR) || " +
+        "' see https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/x?id=' || CAST(doc_id AS VARCHAR)"
+      val normalized = s"trim(regexp_replace($salted, '\\s+', ' ', 'g'))"
+      val redacted = Text.PiiPatterns.foldLeft(normalized) { case (acc, (pat, tok)) =>
+        s"regexp_replace($acc, '$pat', '$tok', 'g')"
+      }
+      s"SELECT doc_id, $redacted AS clean FROM documents"
+    })
+
   private val langId = Q(
     "text_langid",
     (s, d) => Tables.documents(s, d).select(
@@ -583,7 +612,8 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupEmbedding, simBruteForce, simLsh,
-    tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct, langId,
+    tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
+    redactPii, langId,
     hashSample, tokenPack, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

@@ -204,4 +204,25 @@ class TextSpec extends SparkSpec {
       .as[Double].head()
     assert(r == 0.5) // {b,c} over {a,b,c,d}
   }
+
+  test("redactPii: typed placeholders, email wins over URL-host and digit runs") {
+    val r = Seq(
+      "mail a.b+c@host.co.uk now",
+      "go to https://x.io/p?q=1 then stop",
+      "call +1 (555) 012-3499 ok",
+      "order 1234567890 shipped",
+      "short 12345 stays").toDF("t")
+      .select(Text.redactPii(col("t"))).as[String].collect()
+    assert(r(0) == "mail <EMAIL> now")
+    assert(r(1) == "go to <URL> then stop")
+    assert(r(2) == "call <PHONE> ok")
+    assert(r(3) == "order <NUM> shipped")
+    assert(r(4) == "short 12345 stays") // 5 digits: below both thresholds
+  }
+
+  test("normalizeWhitespace collapses runs and trims") {
+    val r = Seq(Tuple1("  a \t b\n\nc  ")).toDF("t")
+      .select(Text.normalizeWhitespace(col("t"))).as[String].head()
+    assert(r == "a b c")
+  }
 }
