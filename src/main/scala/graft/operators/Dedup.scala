@@ -310,6 +310,61 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "hamming")
   }
 
+  /** Resolve near-dup PAIRS into CLUSTER assignments: every node of the
+    * pair graph gets the MINIMUM doc id reachable from it (its connected
+    * component's canonical representative), so the corpus dedupes by
+    * keeping rows where `doc_id == cluster`. Output: (node, cluster) for
+    * every node that appears in a pair; singletons (docs in no pair) are
+    * absent — callers left-join and coalesce to themselves.
+    *
+    * Algorithm: iterated MIN-CONTRACTION. Each round computes
+    * `m(u) = min(u, min neighbor)` on the current (contracted) graph —
+    * one map-side-combinable groupBy — then rewrites every edge to
+    * `(m(u), m(v))`, dropping self-loops. A component's global minimum is
+    * a fixpoint of `m`; chains of local minima connect directly after one
+    * contraction, so the graph collapses in O(log n) rounds (vs O(diameter)
+    * for plain label propagation) — at 100 TB that is ~a few tens of
+    * shuffles over a pair set that LSH already made sparse, with each
+    * round's input STRICTLY smaller than the last. `localCheckpoint`
+    * truncates the per-round lineage (a cluster deployment with flaky
+    * executors would set a checkpoint dir and use `checkpoint` instead).
+    * All reductions are `min` — fully deterministic, any partitioning.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster")).localCheckpoint()
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val m = edges.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+        .localCheckpoint()
+      val contracted = edges.join(m, "u")
+        .select(col("m").as("cu"), col("v"))
+        .join(m.select(col("u").as("v"), col("m").as("cv")), "v")
+        .select(col("cu").as("u"), col("cv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // compose: a label not in m belongs to a component that already
+      // fully contracted (no edges left) — it is final, keep it
+      labels = labels.join(m.select(col("u").as("cluster"), col("m")), Seq("cluster"), "left")
+        .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      edges = contracted
+      converged = edges.isEmpty
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters contraction rounds")
+    labels
+  }
+
   /** Keep only (band, bucket) groups of at most `cap` members — one
     * map-side-combined count aggregation over narrow (band, bucket) keys
     * plus a broadcast-able semi-join of the small oversized-keys set

@@ -213,28 +213,64 @@ object TrainingQueries {
     * the banding's pigeonhole guarantee means the engine must find exactly
     * that set.
     */
+  /** CTE chain recomputing every md5-token 64-bit simhash of the augmented
+    * corpus from scratch (ends with `sh(doc_id, simhash)`) — shared by the
+    * pair oracle and the cluster-assignment oracle built on those pairs.
+    */
+  private val simhashShCtes: String = {
+    val votes = (0 until 64).map(i =>
+      s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+    val bits = (0 until 64).map(i =>
+      s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""aug AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
+      w AS (SELECT doc_id, unnest($WS) AS tok FROM aug),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM w),
+      v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+      sh AS (SELECT doc_id, ($bits) AS simhash FROM v)"""
+  }
+
   private val dedupSimhash = Q(
     "dedup_simhash_pairs",
     (s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
       maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
       .withColumn("hamming", col("hamming").cast("long")),
-    Some {
-      val votes = (0 until 64).map(i =>
-        s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
-      val bits = (0 until 64).map(i =>
-        s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
-      s"""WITH aug AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
-        w AS (SELECT doc_id, unnest($WS) AS tok FROM aug),
-        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM w),
-        v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
-        sh AS (SELECT doc_id, ($bits) AS simhash FROM v)
+    Some(s"""WITH $simhashShCtes
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
-    })
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
+
+  /** Pairs -> clusters -> a deduplicated corpus: [[Dedup.connectedComponents]]
+    * resolves the simhash near-dup pair graph to per-doc canonical ids (min
+    * reachable doc_id), singletons map to themselves. The oracle recomputes
+    * the same pairs, then takes the true transitive closure with a recursive
+    * CTE — so the engine's O(log n) min-contraction is checked against an
+    * independent fixpoint construction, not a reimplementation of itself.
+    */
+  private val dedupClusterAssign = Q(
+    "dedup_cluster_assign",
+    (s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE $simhashShCtes,
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
+        reach AS (SELECT eu AS node, ev AS r FROM edges
+          UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
+        cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
+        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
 
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
@@ -611,7 +647,7 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
-    dedupEmbedding, simBruteForce, simLsh,
+    dedupClusterAssign, dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
     redactPii, langId,
     hashSample, tokenPack, multimodalDecode, multimodalFrameSample,

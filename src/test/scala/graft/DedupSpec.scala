@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpec {
     (base ++ dups).toDF("doc_id", "text")
   }
 
+  test("connectedComponents: chain + clique resolve to component minima") {
+    // chain 1-2-...-8 (worst case for naive propagation: diameter 7),
+    // clique {20,21,22}, plus an isolated pair {30,31}
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val pairs = (chain ++ clique ++ Seq((30L, 31L))).toDF("doc_id_1", "doc_id_2")
+    val r = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 8L).forall(r(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(r(_) == 20L))
+    assert(Seq(30L, 31L).forall(r(_) == 30L))
+    assert(r.size == 13) // only nodes that appear in pairs
+  }
+
+  test("connectedComponents: empty pair set yields empty assignment") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)
+  }
+
   test("exact: duplicate text collapses to min id with copy count") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exact(docs, "doc_id", "text")
