@@ -310,6 +310,46 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "hamming")
   }
 
+  /** Train/eval CONTAMINATION detection (decontamination): emit every
+    * (train doc, benchmark doc) pair where the train doc's word-`n`-gram
+    * set covers at least `minFrac` of the benchmark doc's — the standard
+    * "did an eval set leak into the training corpus" check, measured as
+    * coverage OF THE BENCHMARK doc (a long train doc that embeds a whole
+    * eval question scores 1.0 regardless of its own length).
+    *
+    * Scale shape: both sides explode to distinct (doc, shingle) postings and
+    * equi-join on the shingle. The benchmark side is a FIXED SMALL corpus by
+    * nature (eval sets are thousands of docs, training corpora are billions)
+    * — it is broadcast, so the 100 TB train side joins map-side with no
+    * shuffle of its postings; the only shuffle is the (train, bench) pair
+    * aggregation, whose size is bounded by actually-shared shingles, never
+    * |train| x |bench|. Stop-shingles that would make every train doc a
+    * candidate pair can be pruned upstream with the same `maxDf` trick as
+    * [[ngramJaccardIndexed]] — at the default (exact) every shared shingle
+    * counts.
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minFrac: Double): DataFrame = {
+    def postings(df: DataFrame, idAs: String, szAs: String, gAs: String) = df
+      .select(col(idCol).as(idAs), Text.words(col(textCol)).as("__w"))
+      .select(col(idAs), Text.shinglesFromWords(col("__w"), n).as("__s"))
+      .select(col(idAs), size(col("__s")).cast("long").as(szAs), explode(col("__s")).as(gAs))
+    val t = postings(train, "train_id", "train_sz", "g")
+    val b = postings(bench, "bench_id", "bench_sz", "g")
+    t.join(broadcast(b), "g")
+      .groupBy("train_id", "bench_id", "bench_sz")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("bench_frac",
+        col("common").cast("double") / greatest(col("bench_sz"), lit(1L)).cast("double"))
+      .filter(col("bench_frac") >= minFrac)
+      .select("train_id", "bench_id", "common", "bench_frac")
+  }
+
   /** Resolve near-dup PAIRS into CLUSTER assignments: every node of the
     * pair graph gets the MINIMUM doc id reachable from it (its connected
     * component's canonical representative), so the corpus dedupes by

@@ -51,6 +51,43 @@ object Selection {
     df.filter(bucket < math.round(rate * 10000))
   }
 
+  /** STRATIFIED sample: exactly `min(k, |stratum|)` rows per stratum,
+    * chosen as the k smallest deterministic hash-ranks (uniform within the
+    * stratum, reproducible across runs/engines/partitionings like
+    * [[hashSample]]; `salt` decorrelates draws). The balanced-per-group
+    * counterpart to the rate-based [[hashSample]] — e.g. equal-size
+    * per-language eval subsets from a wildly imbalanced corpus.
+    *
+    * Scale shape: the rank heap runs as a map-side-bounded k-heap aggregate
+    * ([[graft.functions.expressions.TopKByScore]]) over narrow
+    * (strata, id, rank) rows — the exchange carries O(k) rows per stratum
+    * per partition, never a per-stratum sort window — and the winners
+    * (|strata| x k ids, tiny by construction) come back as a BROADCAST
+    * semi-join, so the full-width corpus is never shuffled at all.
+    *
+    * Rank ties (two ids hashing to doubles that compare equal) break to the
+    * lower id — same rule as an `ORDER BY rank, id` row_number, so external
+    * oracles reproduce the exact kept set.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rank = Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt)))
+    val picked = df
+      .select(strataCols.map(col) :+ col(idCol).cast("long").as("__id") :+
+        (-rank.cast("double")).as("__score"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(org.apache.spark.sql.graftnative.NativeColumns
+        .topKByScore(col("__score"), col("__id"), k).as("__tk"))
+      .select(explode(col("__tk")).as("__e"))
+      .select(col("__e.id").as("__picked_id"))
+    df.join(broadcast(picked), col(idCol).cast("long") === col("__picked_id"), "left_semi")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
     * standard pre-training batching step (concatenate ~`budget` tokens per
     * training sequence). Deterministic streaming assignment: docs are

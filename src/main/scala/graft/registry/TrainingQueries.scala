@@ -272,6 +272,40 @@ object TrainingQueries {
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
         FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
 
+  /** Decontamination fixture: benchmark = every 10th doc; train = the rest
+    * PLUS "leaked" copies of each benchmark doc (one appended token, shifted
+    * id) — the leak keeps every benchmark bigram, so it must be flagged at
+    * full coverage, while the tiny-vocab corpus noise floor (~6% chance
+    * coverage) stays far below the 0.6 threshold.
+    */
+  private val dedupContamination = Q(
+    "dedup_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).unionByName(
+        bench.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xq")).as("text")))
+      Dedup.contamination(train, bench, "doc_id", "text", n = 2, minFrac = 0.6)
+    },
+    Some {
+      val bigrams = """CASE WHEN len(ws) >= 2
+        THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+        ELSE [] END"""
+      s"""WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+          UNION ALL SELECT doc_id + 200000, text || ' xq' FROM documents WHERE doc_id % 10 = 0),
+        b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        tg AS (SELECT doc_id, $bigrams AS sh FROM (SELECT doc_id, $WS AS ws FROM t0)),
+        bg AS (SELECT doc_id, $bigrams AS sh FROM (SELECT doc_id, $WS AS ws FROM b0))
+        SELECT * FROM (
+          SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+            CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS common,
+            CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE) /
+              CAST(GREATEST(len(b.sh), 1) AS DOUBLE) AS bench_frac
+          FROM tg t, bg b) p
+        WHERE bench_frac >= 0.6"""
+    })
+
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
     (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -541,6 +575,23 @@ object TrainingQueries {
     Some("""SELECT doc_id, lang FROM documents
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 15))::BIGINT % 10000 < 2500"""))
 
+  /** Per-language stratified sample of exactly 20 docs: the kept set is the
+    * 20 hash-smallest doc_ids of each lang, which DuckDB reproduces with a
+    * row_number over the SAME double-cast rank (the cast is mirrored so any
+    * rounding ties break identically on both engines).
+    */
+  private val stratSample = Q(
+    "sel_stratified_sample",
+    (s, d) => graft.quality.Selection.stratifiedSample(
+      Tables.documents(s, d).select("doc_id", "lang"), Seq("lang"), "doc_id",
+      k = 20, salt = "st4"),
+    Some("""WITH r AS (SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'st4'), 1, 15))::BIGINT AS DOUBLE) AS rk
+        FROM documents),
+      rn AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS n FROM r)
+      SELECT doc_id, lang FROM rn WHERE n <= 20"""))
+
   /** Token-budget sequence packing, sharded by language: pack_id =
     * floor(running-token-total-before / budget) within (lang, doc_id
     * order) — recomputed exactly by a window cumsum in DuckDB.
@@ -647,9 +698,9 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
-    dedupClusterAssign, dedupEmbedding, simBruteForce, simLsh,
+    dedupClusterAssign, dedupContamination, dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
     redactPii, langId,
-    hashSample, tokenPack, multimodalDecode, multimodalFrameSample,
+    hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

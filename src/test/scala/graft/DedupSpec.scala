@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 13) // only nodes that appear in pairs
   }
 
+  test("contamination: embedded bench doc flagged at full coverage, noise not") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha beta gamma delta suffix words"), // embeds bench
+      (11L, "alpha beta unrelated tail here"), // 1 of 3 bench bigrams
+      (12L, "totally different content")).toDF("doc_id", "text")
+    val r = Dedup.contamination(train, bench, "doc_id", "text", n = 2, minFrac = 0.6)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((10L, 3L, 1.0))) // all 3 bench bigrams covered
+  }
+
   test("connectedComponents: empty pair set yields empty assignment") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
     assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)

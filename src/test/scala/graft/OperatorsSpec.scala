@@ -345,6 +345,23 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1)
   }
 
+  test("stratifiedSample: exactly min(k, n) per stratum, partitioning-independent") {
+    // stratum a: 100 rows, stratum b: 3 rows (fewer than k)
+    val df = ((1L to 100L).map(i => (i, "a")) ++ Seq((201L, "b"), (202L, "b"), (203L, "b")))
+      .toDF("id", "g")
+    val s1 = graft.quality.Selection.stratifiedSample(df, Seq("g"), "id", k = 10)
+      .select("id", "g").as[(Long, String)].collect().toSet
+    assert(s1.count(_._2 == "a") == 10)
+    assert(s1.count(_._2 == "b") == 3) // undersized stratum kept whole
+    val s2 = graft.quality.Selection.stratifiedSample(df.repartition(7), Seq("g"), "id", k = 10)
+      .select("id", "g").as[(Long, String)].collect().toSet
+    assert(s1 == s2) // pure function of (id, salt), any partitioning
+    val salted = graft.quality.Selection
+      .stratifiedSample(df, Seq("g"), "id", k = 10, salt = "x")
+      .select("id", "g").as[(Long, String)].collect().toSet
+    assert(salted != s1) // different salt draws a different subset
+  }
+
   test("packByTokenBudget: packs fill in id order per shard, no pack skips the budget") {
     val docs = Seq(
       (1L, "a", 1000L), (2L, "a", 900L), (3L, "a", 300L), (4L, "a", 5000L), (5L, "a", 10L),
