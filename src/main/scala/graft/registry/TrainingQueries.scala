@@ -213,30 +213,48 @@ object TrainingQueries {
     * the banding's pigeonhole guarantee means the engine must find exactly
     * that set.
     */
-  /** CTE chain recomputing every md5-token 64-bit simhash of the augmented
-    * corpus from scratch (ends with `sh(doc_id, simhash)`) — shared by the
-    * pair oracle and the cluster-assignment oracle built on those pairs.
+  /** The augmented-corpus CTE shared by the sketch-dedup oracles. */
+  private val augCte: String =
+    """aug AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25)"""
+
+  /** CTE chain recomputing every md5-token 64-bit simhash of `src(doc_id,
+    * text)` from scratch (ends with `sh(doc_id, simhash)`) — shared by the
+    * pair oracle, the cluster-assignment oracle, and the composed corpus
+    * pipeline.
     */
-  private val simhashShCtes: String = {
+  private def simhashCtes(src: String): String = {
     val votes = (0 until 64).map(i =>
       s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
     val bits = (0 until 64).map(i =>
       s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    s"""aug AS (SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
-      w AS (SELECT doc_id, unnest($WS) AS tok FROM aug),
+    s"""w AS (SELECT doc_id, unnest($WS) AS tok FROM $src),
       h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM w),
       v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
       sh AS (SELECT doc_id, ($bits) AS simhash FROM v)"""
   }
+
+  /** Recursive-CTE transitive closure over the `sh` simhash table:
+    * `cl(node, cluster)` = min doc_id reachable through the <=3-hamming
+    * pair graph — the independent fixpoint the engine's min-contraction is
+    * differentially checked against.
+    */
+  private val ccCloseCtes: String =
+    """pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
+      reach AS (SELECT eu AS node, ev AS r FROM edges
+        UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
+      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)"""
 
   private val dedupSimhash = Q(
     "dedup_simhash_pairs",
     (s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
       maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
       .withColumn("hamming", col("hamming").cast("long")),
-    Some(s"""WITH $simhashShCtes
+    Some(s"""WITH $augCte, ${simhashCtes("aug")}
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -261,14 +279,7 @@ object TrainingQueries {
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
     },
-    Some(s"""WITH RECURSIVE $simhashShCtes,
-        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
-        reach AS (SELECT eu AS node, ev AS r FROM edges
-          UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
-        cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+    Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
         FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
 
@@ -305,6 +316,40 @@ object TrainingQueries {
           FROM tg t, bg b) p
         WHERE bench_frac >= 0.6"""
     })
+
+  /** The composed corpus-cleaning pipeline — the operators chained the way
+    * a production training-data build runs them: whitespace-normalize +
+    * PII-redact -> quality-gate (literal threshold on the cleaned text) ->
+    * exact dedup (min doc_id per cleaned text) -> simhash near-dup pairs ->
+    * connected-components cluster resolution -> keep canonical docs.
+    * Every stage is DuckDB-recomputed in one oracle query, so the CHAIN is
+    * hash-checked end to end, not just each operator in isolation.
+    */
+  private val pipelineCorpusClean = Q(
+    "pipeline_corpus_clean",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cleaned = docs.select(col("doc_id"),
+        Text.redactPii(Text.normalizeWhitespace(col("text"))).as("clean"))
+      val gated = cleaned.filter(Text.qualityScore(col("clean")) >= 0.6)
+      val exact = gated.groupBy(col("clean")).agg(min(col("doc_id")).as("doc_id"))
+      val pairs = Dedup.simhashPairs(exact, "doc_id", "clean",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      exact.join(cc, Seq("doc_id"), "left")
+        .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+        .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
+    },
+    Some(s"""WITH RECURSIVE
+        c AS (SELECT doc_id, ${redactChainSql("text")} AS text FROM documents),
+        gq AS (SELECT doc_id, text FROM c WHERE ${QSql.score} >= 0.6),
+        e AS (SELECT MIN(doc_id) AS doc_id, text FROM gq GROUP BY text),
+        ${simhashCtes("e")},
+        $ccCloseCtes
+        SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
+        FROM e LEFT JOIN cl ON cl.node = e.doc_id
+        WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""))
 
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
@@ -473,12 +518,18 @@ object TrainingQueries {
         "CAST(doc_id % 7 AS VARCHAR) || '.org' || ' or +1 (555) 01' || " +
         "CAST(doc_id % 100 AS VARCHAR) || '-99' || ' ref 1234567' || CAST(doc_id AS VARCHAR) || " +
         "' see https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/x?id=' || CAST(doc_id AS VARCHAR)"
-      val normalized = s"trim(regexp_replace($salted, '\\s+', ' ', 'g'))"
-      val redacted = Text.PiiPatterns.foldLeft(normalized) { case (acc, (pat, tok)) =>
-        s"regexp_replace($acc, '$pat', '$tok', 'g')"
-      }
-      s"SELECT doc_id, $redacted AS clean FROM documents"
+      s"SELECT doc_id, ${redactChainSql(salted)} AS clean FROM documents"
     })
+
+  /** SQL mirror of `Text.redactPii(Text.normalizeWhitespace(inner))` — the
+    * identical RE2-safe patterns applied in the identical order.
+    */
+  private def redactChainSql(inner: String): String = {
+    val normalized = s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
+    Text.PiiPatterns.foldLeft(normalized) { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+  }
 
   private val langId = Q(
     "text_langid",
@@ -698,7 +749,8 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
-    dedupClusterAssign, dedupContamination, dedupEmbedding, simBruteForce, simLsh,
+    dedupClusterAssign, dedupContamination, pipelineCorpusClean,
+    dedupEmbedding, simBruteForce, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
     redactPii, langId,
     hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,
