@@ -349,7 +349,8 @@ object TrainingQueries {
         $ccCloseCtes
         SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
         FROM e LEFT JOIN cl ON cl.node = e.doc_id
-        WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""))
+        WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""),
+    bench = true)
 
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
@@ -361,6 +362,33 @@ object TrainingQueries {
         SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2, ${cosSql("x.v", "y.v")} AS cosine
         FROM b x JOIN b y ON ${bandMatch("x", "y", 4, "b")} AND x.vec_id < y.vec_id) t
       WHERE cosine >= 0.1"""))
+
+  /** Symmetric int8 quantization of every embedding: (scale, quantized
+    * vector) — the 4x-smaller representation the ANN candidate pass scans
+    * at corpus scale. The quantized array is emitted CAST to its string
+    * form ("[q1, q2, ...]" — identical formatting on both engines) because
+    * the driver's pandas compare can't sort raw array cells; the scale is
+    * an order-independent max, so the doubles compare bit-identical.
+    */
+  private val embQuantize = Q(
+    "emb_quantize_int8",
+    (s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      (aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0).as("scale"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .quantizeInt8(col("embedding")).cast("string").as("q_str")),
+    Some("""WITH m AS (SELECT vec_id, embedding,
+          list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> GREATEST(acc, x)) AS ma
+        FROM embeddings)
+      SELECT vec_id, ma / 127.0 AS scale,
+        CASE WHEN ma > 0
+          THEN CAST(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT)) AS VARCHAR)
+          ELSE CAST(list_transform(embedding, x -> CAST(0 AS INT)) AS VARCHAR)
+        END AS q_str
+      FROM m"""))
 
   // ----------------------------------------------------------------------
   // similarity search
@@ -750,7 +778,7 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupClusterAssign, dedupContamination, pipelineCorpusClean,
-    dedupEmbedding, simBruteForce, simLsh,
+    dedupEmbedding, embQuantize, simBruteForce, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
     redactPii, langId,
     hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, SimHashWords, TopKByScore}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, QuantizeInt8, SimHashWords, TopKByScore}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -46,6 +46,12 @@ object NativeColumns {
   def simhashWords(words: Column, md5: Boolean): Column =
     Column(ExpressionColumnNode(
       SimHashWords(ExpressionUtils.expression(words), md5)))
+
+  /** Per-vector symmetric int8 quantization (max-abs scaling, round half
+    * toward +inf) as one codegen'd two-pass loop (see [[QuantizeInt8]]).
+    */
+  def quantizeInt8(vec: Column): Column =
+    Column(ExpressionColumnNode(QuantizeInt8(ExpressionUtils.expression(vec))))
 
   /** Map-side-combined bounded top-k aggregate: array of (score, id)
     * structs, best first (see [[TopKByScore]]).

@@ -149,6 +149,35 @@ class NativeExprSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("quantizeInt8: known vectors, zero vector, null element, dequant error bound") {
+    val r = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), NativeColumns.quantizeInt8(col("v")).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    assert(r(1L) == Seq(127, -63, 0)) // -0.5*127+0.5 = -63.0 exactly
+    assert(r(2L) == Seq(0, 0, 0)) // zero vector: no division by zero
+    // null element -> NULL result
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null))).toDF("v")
+      .select(NativeColumns.quantizeInt8(col("v"))).collect()
+    assert(withNull(0).isNullAt(0))
+    // reconstruction error <= scale/2 on random vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).map(_ => Array.fill(64)(rnd.nextFloat() * 2 - 1)).toDF("v")
+    val bad = vecs.select(col("v"), NativeColumns.quantizeInt8(col("v")).as("q"))
+      .select(aggregate(
+        zip_with(col("v"), col("q"),
+          (x, q) => abs(x.cast("double") -
+            q * (aggregate(col("v"), lit(0.0),
+              (a, e) => greatest(a, abs(e.cast("double")))) / 127.0))),
+        lit(0.0), (a, e) => greatest(a, e)).as("maxerr"),
+        (aggregate(col("v"), lit(0.0),
+          (a, e) => greatest(a, abs(e.cast("double")))) / 254.0).as("halfscale"))
+      .filter(col("maxerr") > col("halfscale") + lit(1e-9))
+    assert(bad.count() == 0)
+  }
+
   test("native hyperplane buckets rejects non-array types at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1("nope")).toDF("v")
