@@ -66,6 +66,43 @@ object Streams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Streaming SERVE-SINK upsert: each micro-batch is key-merged into the
+    * KV table via [[graft.operators.Incremental.upsertByKey]] — the
+    * always-on form of the reference's daily features->serving load
+    * (save_defi_features_features_db.py: overwrite per key), with
+    * `foreachBatch` supplying exactly the batch-DataFrame seam the batch
+    * sink already implements. Latest-batch-wins per key; the upsert's
+    * two-phase swap keeps the serve table readable mid-commit, and the
+    * checkpoint makes replayed batches idempotent (merging the same batch
+    * twice yields the same table).
+    *
+    * The micro-batch is deduped to ONE row per key (max watermark wins)
+    * before merging — foreachBatch gives at-least-once delivery, so the
+    * merge itself must be deterministic under replay.
+    */
+  def upsertAvailableNow(
+      stream: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      key: String,
+      versionCol: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one row per key: max_by struct argmax on (version, full row) —
+        // no window shuffle+sort, map-side combinable, and deterministic
+        // even if an upstream ever emits two rows at the same version
+        val cols = batch.columns
+        val row = struct(cols.map(col): _*)
+        val one = batch.groupBy(col(key))
+          .agg(max_by(row, struct(col(versionCol), row)).as("__r"))
+          .select(col("__r.*"))
+        graft.operators.Incremental.upsertByKey(batch.sparkSession, one, outPath, key)
+      }
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: one state entry per key,
     * evicted once the event-time watermark passes `lateness` behind it —
     * the streaming form of [[graft.operators.Dedup.exact]] for an

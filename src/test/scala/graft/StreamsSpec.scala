@@ -33,6 +33,32 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("upsertAvailableNow: micro-batches key-merge into the serve table") {
+    val base = "target/tmp/streams_upsert_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+
+    // batch 1: two keys, key 1 appears twice — max version (7) must win
+    Seq((1L, 5L, 10.0), (1L, 7L, 11.0), (2L, 5L, 20.0)).toDF("k", "ver", "v")
+      .write.parquet(in)
+    Streams.upsertAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt, "k", "ver")
+      .awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 7L, 11.0), (2L, 5L, 20.0)))
+
+    // batch 2: update key 2, insert key 3; key 1 untouched survives
+    Seq((2L, 9L, 21.0), (3L, 9L, 30.0)).toDF("k", "ver", "v")
+      .write.mode("append").parquet(in)
+    Streams.upsertAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt, "k", "ver")
+      .awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 7L, 11.0), (2L, 9L, 21.0), (3L, 9L, 30.0)))
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
