@@ -332,7 +332,19 @@ object TrainingQueries {
       val cleaned = docs.select(col("doc_id"),
         Text.redactPii(Text.normalizeWhitespace(col("text"))).as("clean"))
       val gated = cleaned.filter(Text.qualityScore(col("clean")) >= 0.6)
-      val exact = gated.groupBy(col("clean")).agg(min(col("doc_id")).as("doc_id"))
+      // exact dedup in ONE digest-keyed shuffle: group on the 16-byte md5
+      // (map-side partials collapse local copies) with a min_by carrying
+      // the canonical row — no second pass over the corpus, no re-join.
+      // localCheckpoint then materializes the cleaned canonical corpus
+      // ONCE: the regex-redaction chain above feeds four downstream
+      // consumers (pair sketching, the cluster join, token counting) and
+      // would otherwise re-run per consumer — at 100 TB this boundary is
+      // where a pipeline would persist its cleaned corpus to storage
+      // anyway.
+      val exact = gated.groupBy(md5(col("clean")).as("__d"))
+        .agg(min_by(struct(col("doc_id"), col("clean")), col("doc_id")).as("__r"))
+        .select(col("__r.doc_id").as("doc_id"), col("__r.clean").as("clean"))
+        .localCheckpoint()
       val pairs = Dedup.simhashPairs(exact, "doc_id", "clean",
         maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
       val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
