@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure,
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst dot product over two numeric arrays.
   *
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulation is sequential left-to-right from 0.0, any null element
   * (or length mismatch, where zip_with would pad with null) yields NULL.
   *
-  * Inputs must be array<float> or array<double> (callers are internal;
-  * see [[org.apache.spark.sql.graftnative.NativeColumns]] for the Column
-  * entry point).
+  * Inputs must be array<float>, array<double>, or array<int> — int
+  * elements serve the quantized-embedding path, where |q| <= 127 keeps
+  * every product and partial sum exactly representable in the double
+  * accumulator, so the result equals exact integer arithmetic. (Callers
+  * are internal; see [[org.apache.spark.sql.graftnative.NativeColumns]]
+  * for the Column entry point.)
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -37,29 +40,38 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   // at execution time
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) | ArrayType(IntegerType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckSuccess
     else TypeCheckFailure(
-      s"$prettyName requires two array<float> or array<double> arguments, " +
+      s"$prettyName requires two array<float>, array<double>, or array<int> arguments, " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemKind(e: Expression): Char =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 'f'
+      case IntegerType => 'i'
+      case _ => 'd'
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = l.numElements()
     if (n != r.numElements()) return null
-    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val (lk, rk) = (elemKind(left), elemKind(right))
+    def get(a: ArrayData, kind: Char, i: Int): Double = kind match {
+      case 'f' => a.getFloat(i).toDouble
+      case 'i' => a.getInt(i).toDouble
+      case _ => a.getDouble(i)
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (l.isNullAt(i) || r.isNullAt(i)) return null
-      val x = if (lf) l.getFloat(i).toDouble else l.getDouble(i)
-      val y = if (rf) r.getFloat(i).toDouble else r.getDouble(i)
+      val x = get(l, lk, i)
+      val y = get(r, rk, i)
       acc += x * y
       i += 1
     }
@@ -71,8 +83,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      val getL = if (elemIsFloat(left)) s"(double) $l.getFloat($i)" else s"$l.getDouble($i)"
-      val getR = if (elemIsFloat(right)) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      def getter(v: String, kind: Char): String = kind match {
+        case 'f' => s"(double) $v.getFloat($i)"
+        case 'i' => s"(double) $v.getInt($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      val getL = getter(l, elemKind(left))
+      val getR = getter(r, elemKind(right))
       s"""
         |int $n = $l.numElements();
         |if ($n != $r.numElements()) {

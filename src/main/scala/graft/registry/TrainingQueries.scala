@@ -428,6 +428,45 @@ object TrainingQueries {
     bruteForceOracle(5),
     bench = true)
 
+  /** Two-phase int8 ANN: the oracle mirrors BOTH phases — the same
+    * quantization, the same integer-array cosine candidate ranking (scales
+    * cancel out of the cosine, so phase 1 is pure int math widened to
+    * double), the same float re-rank — so the full two-phase pipeline is
+    * hash-checked, not just its final answer on easy inputs.
+    */
+  private val simQuantized = Q(
+    "sim_quantized_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5, refine = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some {
+      val ma = "list_reduce(list_prepend(0.0, list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> GREATEST(acc, x))"
+      s"""WITH m AS (SELECT vec_id, embedding, $ma AS ma FROM embeddings),
+        z AS (SELECT vec_id, embedding,
+          CASE WHEN ma > 0
+            THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
+            ELSE list_transform(embedding, x -> CAST(0 AS INT)) END AS qz FROM m),
+        ac AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ${cosSql("q.qz", "c.qz")} AS approx_cos
+          FROM z q JOIN z c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rn
+          FROM ac) t WHERE rn <= 15),
+        re AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("a.embedding", "b.embedding")} AS cosine
+          FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM re) t WHERE rn <= 5"""
+    })
+
   private val simLsh = Q(
     "sim_lsh_topk",
     (s, d) => {
@@ -790,7 +829,7 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupClusterAssign, dedupContamination, pipelineCorpusClean,
-    dedupEmbedding, embQuantize, simBruteForce, simLsh,
+    dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
     redactPii, langId,
     hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,

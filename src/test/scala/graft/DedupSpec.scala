@@ -121,6 +121,21 @@ class DedupSpec extends SparkSpec {
     assert((ivfProbe intersect bruteIds).nonEmpty)
   }
 
+  test("quantizedTopK: int8 two-phase recovers the exact brute-force top-k") {
+    val vecs = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(i + 100)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val quant = pairs(Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 3, refine = 4))
+    // the refine margin absorbs int8 rank error: final answer is the exact one
+    assert(quant == brute)
+  }
+
   test("kmeans-refined IVF: single-probe search is exact on well-separated clusters") {
     // 4 tight clusters along orthogonal axes of an 8-dim space: after Lloyd
     // refinement each cluster owns one centroid, so probing ONE cell per

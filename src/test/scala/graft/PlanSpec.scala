@@ -27,11 +27,13 @@ class PlanSpec extends SparkSpec {
     "layout_bucketed_join")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
-    * product by definition; IVF's coarse-quantization joins every vector
-    * against the (driver-small, broadcast) centroid set — an intentional
-    * map-side expansion, not a planning accident.
+    * product by definition (and the quantized two-phase variant scans the
+    * same product, just 4x narrower int8 rows); IVF's coarse-quantization
+    * joins every vector against the (driver-small, broadcast) centroid
+    * set — an intentional map-side expansion, not a planning accident.
     */
-  private val intentionallyUnkeyed = Set("sim_bruteforce_topk", "sim_ivf_topk")
+  private val intentionallyUnkeyed =
+    Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_ivf_topk")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)
