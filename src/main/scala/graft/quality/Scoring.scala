@@ -1,0 +1,49 @@
+package graft.quality
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics document scoring: signals that need a pass over the
+  * whole corpus (not just the row), distilled to a small broadcastable
+  * model — the "train a tiny model, score every doc" shape of LLM-pipeline
+  * quality filters.
+  */
+object Scoring {
+
+  /** Unigram-LM surprisal per document: the mean of `-log2 p(w)` over the
+    * doc's tokens, where `p` is the corpus unigram distribution — the
+    * classic perplexity-proxy quality signal (high = unusual vocabulary,
+    * low = boilerplate). Output: (doc_id, surprisal, n_tokens); docs with
+    * no tokens are absent.
+    *
+    * Shape at scale: one narrow (word, count) aggregation builds the
+    * "model"; the corpus total comes back as a two-phase scalar literal
+    * (one tiny job, like the watermark read — no 1-row cross join in the
+    * plan); the vocabulary — orders of magnitude smaller than the corpus —
+    * broadcasts into the scoring join, so the token stream is never
+    * shuffled; the per-doc mean is one map-side-combinable aggregation.
+    *
+    * Determinism: the log2 terms are quantized to decimal(38,3) before the
+    * order-independent exact decimal sum (the [[graft.functions.Scalars.davg]]
+    * pattern). Unlike add/multiply/divide/sqrt, `log2` is not
+    * IEEE-correctly-rounded, so
+    * engines may differ in the last ulp — the 1e-3 quantization puts the
+    * agreement boundary ~1e13 ulps wide, far beyond any libm divergence,
+    * while 3 decimals is ample resolution for a quality score.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Text.words(col(textCol))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt")).head().getLong(0)
+    toks
+      .join(broadcast(vocab), "w")
+      .withColumn("t", -log2(col("cnt").cast("double") / lit(total).cast("double")))
+      .groupBy("doc_id")
+      .agg(
+        (sum(col("t").cast("decimal(38,3)")).cast("double") / count(lit(1)))
+          .as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+  }
+}

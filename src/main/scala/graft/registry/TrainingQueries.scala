@@ -542,6 +542,25 @@ object TrainingQueries {
       t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q)
       SELECT doc_id, quality_score FROM q, t WHERE quality_score >= thr"""))
 
+  /** Unigram-LM surprisal (perplexity proxy): the corpus unigram model is
+    * rebuilt from scratch in DuckDB and the decimal-quantized log terms
+    * summed exactly, so the whole train-tiny-model-then-score loop is
+    * hash-checked.
+    */
+  private val textSurprisal = Q(
+    "text_unigram_surprisal",
+    (s, d) => graft.quality.Scoring.unigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+      v AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+      sc AS (SELECT doc_id, -log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS t
+        FROM tk JOIN v USING (w) CROSS JOIN tot)
+      SELECT doc_id,
+        CAST(SUM(CAST(t AS DECIMAL(38,3))) AS DOUBLE) / COUNT(*) AS surprisal,
+        COUNT(*) AS n_tokens
+      FROM sc GROUP BY doc_id"""))
+
   private val textRepetition = Q(
     "text_repetition",
     (s, d) => Tables.documents(s, d)
@@ -830,8 +849,8 @@ object TrainingQueries {
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
     dedupClusterAssign, dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
-    tokenCount, qualityScore, qualityFilter, textRepetition, approxDistinct,
-    redactPii, langId,
+    tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
+    approxDistinct, redactPii, langId,
     hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

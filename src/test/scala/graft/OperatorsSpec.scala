@@ -345,6 +345,18 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1)
   }
 
+  test("unigramSurprisal: hand-computed corpus, empty docs absent") {
+    // counts: a:2 b:2 c:1, total 5; -log2(2/5)=1.321928 -> 1.322 (dec3),
+    // -log2(1/5)=2.321928 -> 2.322
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val r = graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id", "surprisal", "n_tokens").as[(Long, Double, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(math.abs(r(1L)._1 - 1.322) < 1e-9 && r(1L)._2 == 3)
+    assert(math.abs(r(2L)._1 - (1.322 + 2.322) / 2) < 1e-9 && r(2L)._2 == 2)
+    assert(!r.contains(3L)) // no tokens -> no row
+  }
+
   test("stratifiedSample: exactly min(k, n) per stratum, partitioning-independent") {
     // stratum a: 100 rows, stratum b: 3 rows (fewer than k)
     val df = ((1L to 100L).map(i => (i, "a")) ++ Seq((201L, "b"), (202L, "b"), (203L, "b")))
