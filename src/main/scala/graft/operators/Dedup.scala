@@ -198,6 +198,33 @@ object Dedup {
     * `maxBucket` to deterministically drop over-full buckets (see
     * [[capBuckets]]).
     */
+  /** The LSH "index at rest": (doc_id, band, bucket) rows — the banded
+    * signature table a pipeline persists so later batches can join against
+    * it without re-sketching the corpus (see [[minhashLshIncremental]]).
+    */
+  def minhashBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      shingleHash: ShingleHash = XxShingleHash,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignature(docs, idCol, textCol, n, k, shingleHash)
+    capBuckets(
+      sigs.select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("minhash"), b * rows + 1, lit(rows)), b))))
+        .toDF("doc_id", "band", "bucket"),
+      maxBucket)
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -208,18 +235,7 @@ object Dedup {
       threshold: Double = 0.5,
       shingleHash: ShingleHash = XxShingleHash,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sigs = minhashSignature(docs, idCol, textCol, n, k, shingleHash)
-    val banded = capBuckets(
-      sigs.select(
-        col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("minhash"), b * rows + 1, lit(rows)), b))))
-        .toDF("doc_id", "band", "bucket"),
-      maxBucket)
+    val banded = minhashBuckets(docs, idCol, textCol, n, k, bands, shingleHash, maxBucket)
     val candidates = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bucket"))
@@ -244,6 +260,50 @@ object Dedup {
       .withColumn("jaccard", Text.jaccard(col("s1"), col("s2")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** INCREMENTAL near-dup: check a new ingest batch against an existing
+    * corpus through its persisted LSH index ([[minhashBuckets]] at rest) —
+    * the daily-pipeline form of [[minhashLsh]]. Only the NEW batch is
+    * sketched; the corpus contributes its (doc_id, band, bucket) index and
+    * is re-read only for the docs that land in a shared bucket (semi-join
+    * restricted), so a day's ingest dedups against a 100 TB history
+    * without ever re-sketching or re-scanning it. Emits (new_id,
+    * corpus_id, jaccard >= threshold); the caller appends the new batch's
+    * buckets to the index afterwards (same [[minhashBuckets]] output).
+    *
+    * Parameters must match the ones the index was built with — a mismatch
+    * silently finds nothing (bucket keys from different k/bands never
+    * collide meaningfully), so pipelines should store them with the index.
+    */
+  def minhashLshIncremental(
+      newDocs: DataFrame,
+      corpusBuckets: DataFrame,
+      corpusDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleHash: ShingleHash = XxShingleHash,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val newBuckets =
+      minhashBuckets(newDocs, idCol, textCol, n, k, bands, shingleHash, maxBucket)
+    val candidates = newBuckets.as("x")
+      .join(corpusBuckets.select("doc_id", "band", "bucket").as("y"), Seq("band", "bucket"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    def shingled(docs: DataFrame, idAs: String, sAs: String) = docs
+      .select(col(idCol).as(idAs), col(textCol).as("__t"))
+      .join(candidates.select(idAs).distinct(), Seq(idAs), "left_semi")
+      .select(col(idAs), Text.shinglesFromWords(Text.words(col("__t")), n).as(sAs))
+    candidates
+      .join(shingled(newDocs, "new_id", "s1"), "new_id")
+      .join(shingled(corpusDocs, "corpus_id", "s2"), "corpus_id")
+      .withColumn("jaccard", Text.jaccard(col("s1"), col("s2")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

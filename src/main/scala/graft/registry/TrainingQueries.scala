@@ -28,6 +28,29 @@ object TrainingQueries {
   /** Whitespace-words SQL fragment mirroring [[Text.words]]. */
   private val WS = "list_filter(string_split_regex(lower(trim(text)), ' +'), x -> length(x) > 0)"
 
+  /** The augmented-corpus CTE shared by the sketch-dedup oracles. (Shared
+    * SQL-fragment VALs live up here: object vals initialize in declaration
+    * order, and a query val referencing a fragment declared below it would
+    * silently interpolate "null".)
+    */
+  private val augCte: String =
+    """aug AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25)"""
+
+  /** Recursive-CTE transitive closure over the `sh` simhash table:
+    * `cl(node, cluster)` = min doc_id reachable through the <=3-hamming
+    * pair graph — the independent fixpoint the engine's min-contraction is
+    * differentially checked against.
+    */
+  private val ccCloseCtes: String =
+    """pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
+      reach AS (SELECT eu AS node, ev AS r FROM edges
+        UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
+      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)"""
+
   private def sqlList(xs: Seq[String]): String = xs.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Left-assoc dot product chain: ((0.0 + a1*b1) + a2*b2) + ... — exactly
@@ -175,37 +198,73 @@ object TrainingQueries {
     * banding + verify stages oracle-checked end to end — the xxhash64
     * variant above keeps the fast hash for the bench path.
     */
+  /** md5-MinHash CTE chain over `src(doc_id, text)`: trigram shingles ->
+    * md5 hashes -> k per-permutation minima (`v`, columns m0..m{k-1}) plus
+    * the per-band bucket keys (`bd`) — band membership = equality of the
+    * signature slice, which is exactly what the engine's internal xxhash64
+    * bucket key collapses. Shared by the batch and incremental LSH oracles.
+    */
+  private def md5MinhashCtes(src: String, k: Int, bands: Int): String = {
+    val p = 2147483647L
+    val rows = k / bands
+    val minima = Dedup.minhashCoefficients(k).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((hv * $a + $b) % $p) AS m$i"
+    }.mkString(", ")
+    val bandKeys = (0 until bands).map { bnd =>
+      val key = (0 until rows).map(i => s"CAST(m${bnd * rows + i} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM v"
+    }.mkString(" UNION ALL ")
+    s"""w AS (SELECT doc_id, $WS AS ws FROM $src),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS grams FROM w),
+      h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS hv
+        FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+      v AS (SELECT doc_id, $minima FROM h GROUP BY 1),
+      bd AS ($bandKeys)"""
+  }
+
+  /** Exact-Jaccard verify fragment over the `sh` grams for a candidate CTE
+    * with columns (`c1`, `c2`).
+    */
+  private def lshVerifySql(cand: String, c1: String, c2: String, threshold: Double): String =
+    s"""j AS (SELECT c.$c1, c.$c2,
+        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE) AS jaccard
+      FROM $cand c JOIN sh a ON a.doc_id = c.$c1 JOIN sh b ON b.doc_id = c.$c2)
+      SELECT $c1, $c2, jaccard FROM j WHERE jaccard >= $threshold"""
+
   private val dedupMinhashLshMd5 = Q(
     "dedup_minhash_lsh_md5",
     (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
       n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.Md5ShingleHash),
-    Some {
-      val p = 2147483647L
-      val minima = Dedup.minhashCoefficients(64).zipWithIndex.map { case ((a, b), i) =>
-        s"MIN((hv * $a + $b) % $p) AS m$i"
-      }.mkString(", ")
-      val bandKeys = (0 until 16).map { bnd =>
-        val key = (0 until 4).map(i => s"CAST(m${bnd * 4 + i} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $bnd AS band, $key AS bkey FROM v"
-      }.mkString(" UNION ALL ")
-      s"""WITH aug AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25),
-        w AS (SELECT doc_id, $WS AS ws FROM aug),
-        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
-          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS grams FROM w),
-        h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS hv
-          FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
-        v AS (SELECT doc_id, $minima FROM h GROUP BY 1),
-        bd AS ($bandKeys),
+    Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
         cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
           FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        j AS (SELECT c.doc_id_1, c.doc_id_2,
-            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE) AS jaccard
-          FROM cand c JOIN sh a ON a.doc_id = c.doc_id_1 JOIN sh b ON b.doc_id = c.doc_id_2)
-        SELECT doc_id_1, doc_id_2, jaccard FROM j WHERE jaccard >= 0.5"""
-    })
+        ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
+
+  /** Incremental LSH: the 25-doc mutated batch dedups against the corpus
+    * through its (doc_id, band, bucket) index — only new-x-corpus pairs,
+    * never corpus-x-corpus. The oracle recomputes both sides' signatures
+    * and restricts the band join the same way.
+    */
+  private val dedupMinhashIncremental = Q(
+    "dedup_minhash_incremental",
+    (s, d) => {
+      val corpus = Tables.documents(s, d).select("doc_id", "text")
+      val batch = corpus.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xq")).as("text"))
+      val index = Dedup.minhashBuckets(corpus, "doc_id", "text",
+        n = 3, k = 64, bands = 16, shingleHash = Dedup.Md5ShingleHash)
+      Dedup.minhashLshIncremental(batch, index, corpus, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.Md5ShingleHash)
+    },
+    Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
+        cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+          FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+            AND x.doc_id >= 100000 AND y.doc_id < 100000),
+        ${lshVerifySql("cand", "new_id", "corpus_id", 0.5)}"""))
 
   /** SimHash with the md5-derived token hash ([[Text.md5Hash64]]) so the
     * whole sketch is reproducible in DuckDB: the oracle recomputes every
@@ -213,11 +272,6 @@ object TrainingQueries {
     * the banding's pigeonhole guarantee means the engine must find exactly
     * that set.
     */
-  /** The augmented-corpus CTE shared by the sketch-dedup oracles. */
-  private val augCte: String =
-    """aug AS (SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text || ' xq' FROM documents WHERE doc_id < 25)"""
-
   /** CTE chain recomputing every md5-token 64-bit simhash of `src(doc_id,
     * text)` from scratch (ends with `sh(doc_id, simhash)`) — shared by the
     * pair oracle, the cluster-assignment oracle, and the composed corpus
@@ -234,20 +288,6 @@ object TrainingQueries {
       v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
       sh AS (SELECT doc_id, ($bits) AS simhash FROM v)"""
   }
-
-  /** Recursive-CTE transitive closure over the `sh` simhash table:
-    * `cl(node, cluster)` = min doc_id reachable through the <=3-hamming
-    * pair graph — the independent fixpoint the engine's min-contraction is
-    * differentially checked against.
-    */
-  private val ccCloseCtes: String =
-    """pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-      edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
-      reach AS (SELECT eu AS node, ev AS r FROM edges
-        UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
-      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)"""
 
   private val dedupSimhash = Q(
     "dedup_simhash_pairs",
@@ -846,7 +886,8 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
-    dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5, dedupSimhash,
+    dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
+    dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,

@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 13) // only nodes that appear in pairs
   }
 
+  test("minhashLshIncremental: batch finds its corpus near-dups via the index only") {
+    val corpus2 = corpus // 40 base docs + 10 near-dups (ids 1000+)
+    val batch = corpus2.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val index = Dedup.minhashBuckets(corpus2, "doc_id", "text", n = 3, k = 64, bands = 16)
+    val found = Dedup.minhashLshIncremental(batch, index, corpus2, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // every batch doc must find its source (one appended word ~ jaccard .95)
+    assert((0L until 5L).forall(i => found.contains((i + 5000, i))))
+    // and only new-x-corpus pairs appear
+    assert(found.forall { case (n2, c) => n2 >= 5000 && c < 5000 })
+  }
+
   test("contamination: embedded bench doc flagged at full coverage, noise not") {
     val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
