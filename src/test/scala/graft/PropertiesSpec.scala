@@ -110,4 +110,32 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponents == driver-side union-find on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+    forSamples(edgeGen, n = 8) { edges: List[(Long, Long)] =>
+      if (edges.nonEmpty) {
+        // reference: plain union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // union-find roots are not necessarily component minima; normalize
+        val byRoot = nodes.groupBy(find)
+        val expect = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect)
+      }
+    }
+  }
 }
