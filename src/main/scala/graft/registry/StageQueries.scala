@@ -143,6 +143,35 @@ object StageQueries {
         MAX(event_id) AS max_event
       FROM ev GROUP BY 1"""))
 
+  /** Range-clustered layout roundtrip: events land sorted + range-sliced
+    * on `epoch` ([[graft.sources.Layout.writeRangeClustered]] — the at-rest
+    * layout that lets time-range scans skip files/row-groups on footer
+    * stats), then a time-range read-back aggregates; the oracle applies
+    * the same two-phase range literal to the original table, proving the
+    * clustered copy is byte-equivalent under range predicates.
+    */
+  private val rangeClusteredSink = Q(
+    "snk_range_clustered",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val path = "/root/repo/target/tmp/rangeclu_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Layout.writeRangeClustered(
+        e.select("event_id", "user_id", "value", "epoch"), path, 8, "epoch")
+      // two-phase range literal (like the watermark read): 10 days past the
+      // corpus start — the same literal the oracle recomputes
+      val lo = e.agg(min(col("epoch"))).head().getLong(0) + 10L * 86400L
+      s.read.parquet(path)
+        .filter(col("epoch") >= lo)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("epoch")).as("min_epoch"), max(col("epoch")).as("max_epoch"))
+    },
+    Some(s"""WITH $EV
+      SELECT COUNT(*) AS n, ${DS("value")} AS sum_value,
+        MIN(epoch) AS min_epoch, MAX(epoch) AS max_epoch
+      FROM ev WHERE epoch >= (SELECT MIN(epoch) + 864000 FROM ev)"""))
+
   /** Session windows (Structured Streaming's sessionization operator, run
     * in batch mode for a deterministic oracle): 4-hour inactivity gap per
     * user. Oracle reproduces Spark's end-exclusive merge rule (an event
@@ -228,6 +257,6 @@ object StageQueries {
       FROM l JOIN r ON l.k = r.k GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(
-    stageEvents, stageMarketData, stagePositions, partitionedSink,
+    stageEvents, stageMarketData, stagePositions, partitionedSink, rangeClusteredSink,
     sessionWindows, simIvf, bucketedJoin, saltedJoin)
 }

@@ -36,4 +36,28 @@ object Layout {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Write `df` RANGE-CLUSTERED on `rangeCol`: `repartitionByRange` gives
+    * each output file a disjoint slice of the key space and the
+    * within-partition sort orders rows inside it, so every parquet
+    * row-group's min/max stats span a narrow range — a reader filtering
+    * `rangeCol BETWEEN a AND b` skips all but the overlapping files/row
+    * groups at footer level, before any IO. This is the at-rest layout for
+    * monotone scan keys (block number, event time) where bucketing's hash
+    * scatter would destroy locality; [[writeBucketed]] remains the choice
+    * for equi-JOIN keys.
+    *
+    * The range boundaries come from Spark's reservoir sample of `df`
+    * (one extra pass), so skewed key distributions still yield ~equal-size
+    * files — the knob a 100 TB table needs for both pruning AND balanced
+    * tasks.
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      nRanges: Int,
+      rangeCol: String): Unit =
+    df.repartitionByRange(nRanges, org.apache.spark.sql.functions.col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -31,6 +31,31 @@ class LayoutSpec extends SparkSpec {
     assert(agg.count() == 500)
   }
 
+  test("writeRangeClustered: per-file key ranges are pairwise disjoint") {
+    val base = "target/tmp/layout_range_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 5000).map(_ => (rnd.nextLong().abs % 100000L, rnd.nextDouble()))
+      .toDF("k", "v")
+    Layout.writeRangeClustered(df, base, 8, "k")
+    val files = new java.io.File(base).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint slices: every file's max < the next file's min (footer-level
+    // skipping needs non-overlapping ranges)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ => ()
+    }
+    // roundtrip completeness
+    assert(spark.read.parquet(base).count() == 5000)
+  }
+
   test("saltedInnerJoin is row-identical to the plain join under heavy skew") {
     // 90% of left rows share one hot key
     val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))

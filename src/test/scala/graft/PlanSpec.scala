@@ -22,9 +22,9 @@ class PlanSpec extends SparkSpec {
     */
   private val effectful = Set(
     "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
-    "streaming_interval_join", "snk_parquet_partitioned", "snk_upsert_keyed",
-    "snk_upsert_versioned", "snk_upsert_serve", "snk_ctas_full_refresh",
-    "layout_bucketed_join")
+    "streaming_interval_join", "snk_parquet_partitioned", "snk_range_clustered",
+    "snk_upsert_keyed", "snk_upsert_versioned", "snk_upsert_serve",
+    "snk_ctas_full_refresh", "layout_bucketed_join")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition (and the quantized two-phase variant scans the
