@@ -323,6 +323,39 @@ object TrainingQueries {
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
         FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
 
+  /** Cluster canonicalization by QUALITY instead of min-id: per near-dup
+    * cluster, keep the highest-quality-score doc (ties to the lower id via
+    * the `max_by(id, struct(score, -id))` argmax — map-side combinable, no
+    * window). The policy a production dedup actually wants: survivors are
+    * the best copies, not the earliest ids.
+    */
+  private val dedupClusterKeepBest = Q(
+    "dedup_cluster_keep_best",
+    (s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          Text.qualityScore(col("text")).as("score"))
+        .groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
+          count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes,
+        qs AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+            ${QSql.score} AS score
+          FROM aug d LEFT JOIN cl ON cl.node = d.doc_id),
+        r AS (SELECT cluster, doc_id, score,
+            row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+          FROM qs)
+        SELECT cluster, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1"""))
+
   /** Decontamination fixture: benchmark = every 10th doc; train = the rest
     * PLUS "leaked" copies of each benchmark doc (one appended token, shifted
     * id) — the leak keeps every benchmark bigram, so it must be flagged at
@@ -888,7 +921,7 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
-    dedupClusterAssign, dedupContamination, pipelineCorpusClean,
+    dedupClusterAssign, dedupClusterKeepBest, dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, langId,
