@@ -32,6 +32,46 @@ object Scoring {
     * agreement boundary ~1e13 ulps wide, far beyond any libm divergence,
     * while 3 decimals is ample resolution for a quality score.
     */
+  /** MIXTURE RESAMPLING: downsample each stratum (language, source, ...) so
+    * the kept corpus matches `targetWeights` by token share — the data-mixing
+    * step between cleaning and packing. The achievable budget is
+    * `B = min_s(T_s / w_s)` (the largest corpus the weights permit with NO
+    * upsampling: the scarcest stratum is kept whole); each stratum then
+    * keeps `rate_s = w_s * B / T_s` of its tokens via the deterministic
+    * key-hash rule of [[Selection.hashSample]] (reproducible across runs,
+    * engines, and partitionings; rates apply to docs as atomic units, the
+    * standard approximation).
+    *
+    * Shape: one narrow per-stratum token aggregation, a two-phase scalar
+    * for B (tiny job -> literal, like the watermark read), and a broadcast
+    * of the |strata|-row rate table back onto the corpus — the scan itself
+    * is one pass, never shuffled.
+    */
+  def mixtureResample(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      tokenCol: String,
+      targetWeights: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(targetWeights.values.forall(_ > 0), "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = targetWeights.toSeq.sortBy(_._1).toDF(strataCol, "__wt")
+    val totals = docs.groupBy(strataCol).agg(sum(col(tokenCol)).as("__T"))
+      .join(broadcast(weights), strataCol) // strata without a weight drop out
+    val b = totals
+      .agg(min(col("__T").cast("double") / col("__wt"))).head().getDouble(0)
+    val rates = totals.select(col(strataCol),
+      (col("__wt") * lit(b) / col("__T").cast("double")).as("__rate"))
+    docs
+      .join(broadcast(rates), strataCol)
+      .filter(
+        pmod(Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt))), lit(10000)) <
+          floor(col("__rate") * 10000.0 + 0.5))
+      .drop("__rate")
+  }
+
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Text.words(col(textCol))).as("w"))

@@ -814,6 +814,33 @@ object TrainingQueries {
         row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS n FROM r)
       SELECT doc_id, lang FROM rn WHERE n <= 20"""))
 
+  /** Mixture resampling to target language weights: the scarcest stratum
+    * (de at these weights) is kept whole, the rest downsample by the
+    * deterministic key-hash rule — DuckDB recomputes totals, the B scalar,
+    * the rates, and every per-doc keep decision from scratch.
+    */
+  private val mixResample = Q(
+    "sel_mixture_resample",
+    (s, d) => graft.quality.Scoring.mixtureResample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", "doc_id", "n_tokens",
+      Map("en" -> 0.4, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+      salt = "mix4"),
+    Some(s"""WITH dv AS (SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n_tokens FROM documents),
+        wt AS (SELECT * FROM (VALUES
+          ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),
+          ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+          ('zh', CAST(0.15 AS DOUBLE))) AS t(lang, w)),
+        tt AS (SELECT lang, SUM(n_tokens) AS T FROM dv GROUP BY lang),
+        bb AS (SELECT MIN(CAST(T AS DOUBLE) / w) AS b FROM tt JOIN wt USING (lang)),
+        rr AS (SELECT lang, w * (SELECT b FROM bb) / CAST(T AS DOUBLE) AS rate
+          FROM tt JOIN wt USING (lang))
+        SELECT d.doc_id, d.lang, d.n_tokens
+        FROM dv d JOIN rr USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix4'), 1, 15))::BIGINT % 10000
+          < floor(rate * 10000 + 0.5)"""))
+
   /** Token-budget sequence packing, sharded by language: pack_id =
     * floor(running-token-total-before / budget) within (lang, doc_id
     * order) — recomputed exactly by a window cumsum in DuckDB.
@@ -925,6 +952,6 @@ object TrainingQueries {
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, langId,
-    hashSample, stratSample, tokenPack, multimodalDecode, multimodalFrameSample,
+    hashSample, stratSample, mixResample, tokenPack, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

@@ -345,6 +345,25 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1)
   }
 
+  test("mixtureResample: scarce stratum kept whole, deterministic, weight-less strata drop") {
+    // tokens: a = 20 docs x 50 = 1000, b = 2 x 100 = 200, c unweighted
+    val docs = ((1L to 20L).map(i => (i, "a", 50L)) ++
+      Seq((100L, "b", 100L), (101L, "b", 100L), (200L, "c", 10L)))
+      .toDF("doc_id", "g", "n_tokens")
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    // B = min(1000/0.5, 200/0.5) = 400 -> rate_a = 0.2, rate_b = 1.0
+    val kept = graft.quality.Scoring.mixtureResample(docs, "g", "doc_id", "n_tokens", w)
+      .select("doc_id", "g").as[(Long, String)].collect().toSet
+    assert(kept.contains((100L, "b")) && kept.contains((101L, "b"))) // scarce: kept whole
+    assert(!kept.exists(_._2 == "c")) // no weight -> dropped
+    val nA = kept.count(_._2 == "a")
+    assert(nA > 0 && nA < 20) // genuinely downsampled
+    val again = graft.quality.Scoring
+      .mixtureResample(docs.repartition(5), "g", "doc_id", "n_tokens", w)
+      .select("doc_id", "g").as[(Long, String)].collect().toSet
+    assert(again == kept) // pure function of (id, salt)
+  }
+
   test("unigramSurprisal: hand-computed corpus, empty docs absent") {
     // counts: a:2 b:2 c:1, total 5; -log2(2/5)=1.321928 -> 1.322 (dec3),
     // -log2(1/5)=2.321928 -> 2.322
