@@ -321,7 +321,8 @@ object TrainingQueries {
     },
     Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
-        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
+        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""),
+    bench = true)
 
   /** Cluster canonicalization by QUALITY instead of min-id: per near-dup
     * cluster, keep the highest-quality-score doc (ties to the lower id via
