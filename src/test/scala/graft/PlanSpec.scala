@@ -92,4 +92,29 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
   }
+
+  test("contamination joins the benchmark postings as the broadcast build side") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("dedup_contamination").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the 100 TB train side must stream map-side against the broadcast
+    // benchmark — a shuffled postings join here is the scale bug
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train postings must not shuffle-join:\n$plan")
+  }
+
+  test("surprisal broadcasts the vocabulary into the scoring join") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("text_unigram_surprisal").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+  }
+
+  test("stratified sample semi-joins the picked ids as a broadcast, corpus unshuffled") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("sel_stratified_sample").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"picked-id set must broadcast semi-join:\n$plan")
+  }
 }
