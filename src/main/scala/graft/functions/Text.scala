@@ -180,4 +180,12 @@ object Text {
     */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
+
+  /** All URL host names in the text (capture group of the same RE2-safe
+    * URL pattern [[PiiPatterns]] redacts) — the unit of domain-level
+    * corpus statistics (per-domain doc counts feed source weighting and
+    * blocklists).
+    */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([^/ ]+)"), lit(1))
 }

@@ -703,6 +703,28 @@ object TrainingQueries {
     }
   }
 
+  /** Per-domain corpus stats over documents salted with deterministic URLs
+    * (two per doc: 5 primary + 3 ref domains) — extraction and the
+    * distinct-doc/url counts recomputed identically in DuckDB.
+    */
+  private val domainStats = Q(
+    "text_domain_stats",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(5)),
+        lit(".example/x?id="), col("doc_id"),
+        lit(" and http://ref"), pmod(col("doc_id"), lit(3)), lit(".example/y")).as("t"))
+      .select(col("doc_id"), explode(Text.urlDomains(col("t"))).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls")),
+    Some("""WITH s AS (SELECT doc_id,
+          text || ' see https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/x?id=' ||
+          CAST(doc_id AS VARCHAR) || ' and http://ref' || CAST(doc_id % 3 AS VARCHAR) ||
+          '.example/y' AS t FROM documents),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([^/ ]+)', 1)) AS domain FROM s)
+      SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+      FROM u GROUP BY domain"""))
+
   private val langId = Q(
     "text_langid",
     (s, d) => Tables.documents(s, d).select(
@@ -952,7 +974,7 @@ object TrainingQueries {
     dedupClusterAssign, dedupClusterKeepBest, dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
-    approxDistinct, redactPii, langId,
+    approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, mixResample, tokenPack, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }
