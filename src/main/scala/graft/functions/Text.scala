@@ -188,4 +188,25 @@ object Text {
     */
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit("https?://([^/ ]+)"), lit(1))
+
+  /** Sliding-window chunks over a words array: chunk `i` is words
+    * `[i*stride, i*stride + size)` joined by single spaces, strides
+    * `size - overlap`, and chunks start while any word remains — so the
+    * last chunk may be shorter (a trailing chunk of <= `overlap` words is
+    * possible; downstream packing handles short tails). The context-length
+    * chunking step of a pre-training pipeline, as a pure per-row
+    * projection — callers explode the result, so chunking a 100 TB corpus
+    * is scan -> generate, no shuffle.
+    */
+  def chunkWords(ws: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val nChunks = floor((org.apache.spark.sql.functions.size(ws) + (stride - 1))
+      / lit(stride.toDouble)).cast("long")
+    when(org.apache.spark.sql.functions.size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L), nChunks - 1),
+        i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(size)), " ")))
+  }
 }

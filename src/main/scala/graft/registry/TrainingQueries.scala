@@ -864,6 +864,29 @@ object TrainingQueries {
         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix4'), 1, 15))::BIGINT % 10000
           < floor(rate * 10000 + 0.5)"""))
 
+  /** Context-length chunking: 64-token windows, 8-token overlap, exploded
+    * to one row per chunk with its md5 — DuckDB rebuilds every window by
+    * list slicing, so boundaries, overlap duplication, and short tails are
+    * all hash-checked.
+    */
+  private val chunkTokens = Q(
+    "sel_chunk_tokens",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), posexplode(Text.chunkWords(col("__w"), 64, 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        md5(col("col")).as("chunk_md5"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens")),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+        nn AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        c AS (SELECT doc_id, i AS chunk_no,
+            array_to_string(ws[(CAST(i AS INT)*56+1):(CAST(i AS INT)*56+64)], ' ') AS chunk
+          FROM nn, unnest(range(0, (n + 55) // 56)) AS u(i))
+        SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, md5(chunk) AS chunk_md5,
+          CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+        FROM c"""))
+
   /** Token-budget sequence packing, sharded by language: pack_id =
     * floor(running-token-total-before / budget) within (lang, doc_id
     * order) — recomputed exactly by a window cumsum in DuckDB.
@@ -975,6 +998,7 @@ object TrainingQueries {
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, domainStats, langId,
-    hashSample, stratSample, mixResample, tokenPack, multimodalDecode, multimodalFrameSample,
+    hashSample, stratSample, mixResample, chunkTokens, tokenPack,
+    multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }

@@ -280,6 +280,20 @@ class TextSpec extends SparkSpec {
     assert(r(4) == "short 12345 stays") // 5 digits: below both thresholds
   }
 
+  test("chunkWords: stride windows, overlap duplicated, short tail, empty -> none") {
+    val r = Seq(Tuple1("a b c d e"), Tuple1("a b"), Tuple1(""))
+      .toDF("t")
+      .select(Text.chunkWords(Text.words(col("t")), size = 3, overlap = 1))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "c d e", "e")) // stride 2; trailing window kept
+    assert(r(1) == Seq("a b")) // shorter than size: one chunk
+    assert(r(2).isEmpty) // empty doc: no chunks
+    // trailing tail shorter than overlap still emitted
+    val tail = Seq(Tuple1("a b c d")).toDF("t")
+      .select(Text.chunkWords(Text.words(col("t")), 3, 1)).as[Seq[String]].head()
+    assert(tail == Seq("a b c", "c d"))
+  }
+
   test("normalizeWhitespace collapses runs and trims") {
     val r = Seq(Tuple1("  a \t b\n\nc  ")).toDF("t")
       .select(Text.normalizeWhitespace(col("t"))).as[String].head()
