@@ -745,6 +745,29 @@ object TrainingQueries {
         FROM h"""
     })
 
+  /** JSONL roundtrip: documents written as .jsonl, read back with the
+    * EXPLICIT schema (inference is banned at corpus scale — see
+    * [[graft.sources.Formats.readJsonl]]), then aggregated; the oracle
+    * aggregates the original table, so serialization must be lossless for
+    * every row to hash-match (unicode text, longs, per-lang grouping).
+    */
+  private val jsonlRoundtrip = Q(
+    "src_jsonl_roundtrip",
+    (s, d) => {
+      val path = "/root/repo/target/tmp/jsonl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      graft.sources.Formats.writeJsonl(docs, path)
+      graft.sources.Formats.readJsonl(s, path, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang"""))
+
   // ----------------------------------------------------------------------
   // multimodal + streaming
   // ----------------------------------------------------------------------
@@ -999,6 +1022,6 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, mixResample, chunkTokens, tokenPack,
-    multimodalDecode, multimodalFrameSample,
+    jsonlRoundtrip, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin)
 }
