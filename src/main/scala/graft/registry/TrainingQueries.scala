@@ -357,6 +357,34 @@ object TrainingQueries {
         SELECT cluster, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
         FROM r WHERE rn = 1"""))
 
+  /** LEAKAGE-SAFE train/validation split: the split key is the near-dup
+    * CLUSTER, not the doc — near-duplicates always land on the same side,
+    * so validation never contains a near-copy of a training doc (the
+    * standard eval-integrity requirement). Assignment is the deterministic
+    * key-hash rule at 10% validation; singleton docs are their own cluster.
+    */
+  private val dedupClusterSplit = Q(
+    "dedup_cluster_split",
+    (s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(pmod(Text.md5Hash64(concat(col("cluster").cast("string"), lit("sp4"))),
+            lit(10000)) < 1000, lit("val")).otherwise(lit("train")))
+    },
+    Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes,
+        asg AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+          FROM aug d LEFT JOIN cl ON cl.node = d.doc_id)
+        SELECT doc_id, cluster,
+          CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'sp4'), 1, 15))::BIGINT
+            % 10000 < 1000 THEN 'val' ELSE 'train' END AS split
+        FROM asg"""))
+
   /** Decontamination fixture: benchmark = every 10th doc; train = the rest
     * PLUS "leaked" copies of each benchmark doc (one appended token, shifted
     * id) — the leak keeps every benchmark bigram, so it must be flagged at
@@ -1017,7 +1045,8 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
-    dedupClusterAssign, dedupClusterKeepBest, dedupContamination, pipelineCorpusClean,
+    dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit,
+    dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, domainStats, langId,

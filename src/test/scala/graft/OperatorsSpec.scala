@@ -345,6 +345,27 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1)
   }
 
+  test("readJsonl: explicit schema survives malformed lines with nulls, not type drift") {
+    val base = "target/tmp/formats_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    new java.io.File(base).mkdirs()
+    val f = new java.io.PrintWriter(s"$base/part.jsonl")
+    f.println("""{"doc_id": 1, "text": "ok"}""")
+    f.println("""{"doc_id": "not a number", "text": "drift bait"}""")
+    f.println("""{"doc_id": 3, "text": "fine"}""")
+    f.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val rows = graft.sources.Formats.readJsonl(spark, base, schema)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+    // PERMISSIVE keeps the bad line's parsable fields: doc_id nulls under
+    // the declared LONG type (never silently widening to string), text
+    // survives
+    assert(rows.toSet == Set((Some(1L), "ok"), (None, "drift bait"), (Some(3L), "fine")))
+  }
+
   test("mixtureResample: scarce stratum kept whole, deterministic, weight-less strata drop") {
     // tokens: a = 20 docs x 50 = 1000, b = 2 x 100 = 200, c unweighted
     val docs = ((1L to 20L).map(i => (i, "a", 50L)) ++
