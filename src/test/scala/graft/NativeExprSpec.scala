@@ -149,6 +149,14 @@ class NativeExprSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("native dot on int arrays is integer-exact (quantized path)") {
+    val r = Seq((Array(127, -127, 100, 1), Array(127, 127, -100, 0))).toDF("a", "b")
+      .select(NativeColumns.dot(col("a"), col("b"))).as[Double].head()
+    // 127*127 - 127*127 - 100*100 + 0 = -10000 — every partial sum is an
+    // integer well inside double's exact range
+    assert(r == -10000.0)
+  }
+
   test("quantizeInt8: known vectors, zero vector, null element, dequant error bound") {
     val r = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f)),
