@@ -410,6 +410,29 @@ object Dedup {
       .select("train_id", "bench_id", "common", "bench_frac")
   }
 
+  /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus
+    * versions as added / removed / changed / unchanged — the versioning
+    * primitive behind incremental reprocessing (only `added`+`changed`
+    * flow into the next pipeline run) and audit trails. Content equality
+    * is by md5 digest, so the full-outer join carries 16-byte digests,
+    * never document text — at 100 TB the diff shuffles ids + digests only.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def digests(df: DataFrame, dAs: String) = df
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as(dAs))
+    digests(oldDocs, "__old")
+      .join(digests(newDocs, "__new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") === col("__new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Resolve near-dup PAIRS into CLUSTER assignments: every node of the
     * pair graph gets the MINIMUM doc id reachable from it (its connected
     * component's canonical representative), so the corpus dedupes by

@@ -357,6 +357,33 @@ object TrainingQueries {
         SELECT cluster, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
         FROM r WHERE rn = 1"""))
 
+  /** Snapshot diff fixture: v2 = documents minus every 20th doc (removed),
+    * plus 10 mutated (changed), plus 10 fresh ids (added); everything else
+    * unchanged — all four statuses exercised and recomputed in DuckDB.
+    */
+  private val corpusDiffQ = Q(
+    "dedup_corpus_diff",
+    (s, d) => {
+      val v1 = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = v1.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") < 10, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        v2 AS (SELECT doc_id,
+            md5(CASE WHEN doc_id < 10 THEN text || ' v2' ELSE text END) AS dg
+          FROM documents WHERE doc_id % 20 != 0
+          UNION ALL SELECT doc_id + 300000, md5(text) FROM documents WHERE doc_id < 10)
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.dg = v2.dg THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id"""))
+
   /** LEAKAGE-SAFE train/validation split: the split key is the near-dup
     * CLUSTER, not the doc — near-duplicates always land on the same side,
     * so validation never contains a near-copy of a training doc (the
@@ -1045,7 +1072,7 @@ object TrainingQueries {
     dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
-    dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit,
+    dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
