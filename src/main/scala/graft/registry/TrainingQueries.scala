@@ -981,6 +981,36 @@ object TrainingQueries {
           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
       SELECT doc_id, lang, n_tokens, cum_before // 2048 AS pack_id FROM c"""))
 
+  /** Streaming serve upsert run end to end: the event stream drains in
+    * 1-file micro-batches (order unspecified) into the KV serve table,
+    * highest epoch per user winning globally — the oracle is a plain
+    * per-user argmax over the whole table, so the batch-order independence
+    * is what's actually being hash-checked.
+    */
+  private val streamingUpsert = Q(
+    "streaming_upsert_serve",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_upsert_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .select(col("user_id"), expr("ts div 1000000000").as("epoch"),
+          col("event_id"), col("value"))
+      graft.streaming.Streams.upsertAvailableNow(
+        stream, s"$base/out", s"$base/ckpt", "user_id", "epoch")
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    Some(s"""WITH $EV,
+        r AS (SELECT user_id, epoch, event_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC, event_id DESC) AS rn
+        FROM ev)
+        SELECT user_id, epoch, event_id, value FROM r WHERE rn = 1"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -1079,5 +1109,5 @@ object TrainingQueries {
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample,
-    streamingWindowed, streamingDedup, streamingIntervalJoin)
+    streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert)
 }

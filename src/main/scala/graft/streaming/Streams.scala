@@ -71,14 +71,16 @@ object Streams {
     * always-on form of the reference's daily features->serving load
     * (save_defi_features_features_db.py: overwrite per key), with
     * `foreachBatch` supplying exactly the batch-DataFrame seam the batch
-    * sink already implements. Latest-batch-wins per key; the upsert's
-    * two-phase swap keeps the serve table readable mid-commit, and the
-    * checkpoint makes replayed batches idempotent (merging the same batch
-    * twice yields the same table).
+    * sink already implements. The upsert's two-phase swap keeps the serve
+    * table readable mid-commit.
     *
-    * The micro-batch is deduped to ONE row per key (max watermark wins)
-    * before merging — foreachBatch gives at-least-once delivery, so the
-    * merge itself must be deterministic under replay.
+    * HIGHEST VERSION WINS — globally, not latest-batch-wins: the batch is
+    * unioned with the existing table before the per-key argmax, so the
+    * final table is independent of micro-batch ORDER (file listings carry
+    * no time order), of replays (at-least-once delivery re-merges
+    * idempotently), and of late data (a stale row can never clobber a
+    * newer one already served). Ties on the version break through the full
+    * row ordering — deterministic even for same-version duplicates.
     */
   def upsertAvailableNow(
       stream: DataFrame,
@@ -91,15 +93,18 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one row per key: max_by struct argmax on (version, full row) —
-        // no window shuffle+sort, map-side combinable, and deterministic
-        // even if an upstream ever emits two rows at the same version
+        val spark = batch.sparkSession
         val cols = batch.columns
+        val dst = new org.apache.hadoop.fs.Path(outPath)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val all =
+          if (!fs.exists(dst)) batch
+          else batch.unionByName(spark.read.parquet(outPath).select(cols.map(col): _*))
         val row = struct(cols.map(col): _*)
-        val one = batch.groupBy(col(key))
+        val one = all.groupBy(col(key))
           .agg(max_by(row, struct(col(versionCol), row)).as("__r"))
           .select(col("__r.*"))
-        graft.operators.Incremental.upsertByKey(batch.sparkSession, one, outPath, key)
+        graft.operators.Incremental.upsertByKey(spark, one, outPath, key)
       }
       .start()
 

@@ -49,8 +49,9 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[(Long, Long, Double)].collect().toSet ==
       Set((1L, 7L, 11.0), (2L, 5L, 20.0)))
 
-    // batch 2: update key 2, insert key 3; key 1 untouched survives
-    Seq((2L, 9L, 21.0), (3L, 9L, 30.0)).toDF("k", "ver", "v")
+    // batch 2: update key 2 (newer), insert key 3, and a STALE row for
+    // key 1 (ver 3 < served 7) — highest version wins, stale can't clobber
+    Seq((2L, 9L, 21.0), (3L, 9L, 30.0), (1L, 3L, 9.0)).toDF("k", "ver", "v")
       .write.mode("append").parquet(in)
     Streams.upsertAvailableNow(
       Streams.incrementalParquet(spark, in, in), out, ckpt, "k", "ver")
