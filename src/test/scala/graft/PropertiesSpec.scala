@@ -111,6 +111,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("chunkWords reassembles losslessly: head chunk + overlap-stripped tails == words") {
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 40), // word count
+      Gen.chooseNum(2, 8), // size
+      Gen.chooseNum(0, 1)) // overlap selector
+    forSamples(gen, n = 15) { case (nw, size, ovSel) =>
+      val overlap = math.min(ovSel * (size / 2), size - 1)
+      val text = (0 until nw).map(i => s"w$i").mkString(" ")
+      val chunks = Seq(Tuple1(text)).toDF("t")
+        .select(graft.functions.Text.chunkWords(graft.functions.Text.words(col("t")), size, overlap))
+        .as[Seq[String]].head()
+      val words = if (nw == 0) Seq.empty else (0 until nw).map(i => s"w$i")
+      val reassembled =
+        if (chunks.isEmpty) Seq.empty
+        else chunks.head.split(" ").toSeq ++
+          chunks.tail.flatMap(_.split(" ").drop(overlap))
+      assert(reassembled == words,
+        s"nw=$nw size=$size overlap=$overlap chunks=$chunks")
+    }
+  }
+
   test("connectedComponents == driver-side union-find on random graphs") {
     val edgeGen = Gen.listOfN(30,
       Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
