@@ -476,10 +476,13 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // compose: a label not in m belongs to a component that already
-      // fully contracted (no edges left) — it is final, keep it
+      // fully contracted (no edges left) — it is final, keep it. No
+      // checkpoint here: labels is a LINEAR join chain over the (already
+      // materialized) per-round m tables, evaluated once by the caller —
+      // unlike edges, nothing re-derives from it each round, so there is
+      // no recompute amplification to cut, just one saved job per round.
       labels = labels.join(m.select(col("u").as("cluster"), col("m")), Seq("cluster"), "left")
         .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
-        .localCheckpoint()
       edges = contracted
       converged = edges.isEmpty
       iter += 1
