@@ -447,8 +447,9 @@ object TrainingQueries {
     })
 
   /** The composed corpus-cleaning pipeline — the operators chained the way
-    * a production training-data build runs them: whitespace-normalize +
-    * PII-redact -> quality-gate (literal threshold on the cleaned text) ->
+    * a production training-data build runs them: quality-gate on the RAW
+    * text (filter first — never pay the redaction regexes for docs that
+    * get dropped) -> whitespace-normalize + PII-redact the survivors ->
     * exact dedup (min doc_id per cleaned text) -> simhash near-dup pairs ->
     * connected-components cluster resolution -> keep canonical docs.
     * Every stage is DuckDB-recomputed in one oracle query, so the CHAIN is
@@ -458,9 +459,9 @@ object TrainingQueries {
     "pipeline_corpus_clean",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val cleaned = docs.select(col("doc_id"),
+      val gated0 = docs.filter(Text.qualityScore(col("text")) >= 0.6)
+      val gated = gated0.select(col("doc_id"),
         Text.redactPii(Text.normalizeWhitespace(col("text"))).as("clean"))
-      val gated = cleaned.filter(Text.qualityScore(col("clean")) >= 0.6)
       // exact dedup in ONE digest-keyed shuffle: group on the 16-byte md5
       // (map-side partials collapse local copies) with a min_by carrying
       // the canonical row — no second pass over the corpus, no re-join.
@@ -483,9 +484,9 @@ object TrainingQueries {
         .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
     },
     Some(s"""WITH RECURSIVE
-        c AS (SELECT doc_id, ${redactChainSql("text")} AS text FROM documents),
-        gq AS (SELECT doc_id, text FROM c WHERE ${QSql.score} >= 0.6),
-        e AS (SELECT MIN(doc_id) AS doc_id, text FROM gq GROUP BY text),
+        gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),
+        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+          SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
         ${simhashCtes("e")},
         $ccCloseCtes
         SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
