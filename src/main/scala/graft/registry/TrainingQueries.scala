@@ -505,6 +505,32 @@ object TrainingQueries {
         FROM b x JOIN b y ON ${bandMatch("x", "y", 4, "b")} AND x.vec_id < y.vec_id) t
       WHERE cosine >= 0.1"""))
 
+  /** L2 normalization of every embedding: the norm and 8 sampled
+    * components of the unit vector, all bit-exact against DuckDB (the
+    * norm is the same left-assoc square fold; sqrt and divide are
+    * IEEE-correctly-rounded). Doubles are emitted as COLUMNS — double
+    * -> string formatting differs across engines, so arrays of doubles
+    * never go through the string-cast trick the int arrays use.
+    */
+  private val embNormalize = Q(
+    "emb_normalize",
+    (s, d) => {
+      val nv = org.apache.spark.sql.graftnative.NativeColumns.l2Normalize(col("embedding"))
+      Tables.embeddings(s, d).select(
+        col("vec_id") +:
+          sqrt(org.apache.spark.sql.graftnative.NativeColumns
+            .dot(col("embedding"), col("embedding"))).as("norm") +:
+          (0 until 8).map(i => element_at(nv, i * 8 + 1).as(s"n$i")): _*)
+    },
+    Some {
+      val comps = (0 until 8).map(i =>
+        s"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(embedding[${i * 8 + 1}] AS DOUBLE) / nrm END AS n$i")
+        .mkString(", ")
+      s"""WITH m AS (SELECT vec_id, embedding,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+        SELECT vec_id, nrm AS norm, $comps FROM m"""
+    })
+
   /** Symmetric int8 quantization of every embedding: (scale, quantized
     * vector) — the 4x-smaller representation the ANN candidate pass scans
     * at corpus scale. The quantized array is emitted CAST to its string
@@ -1105,7 +1131,7 @@ object TrainingQueries {
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
-    dedupEmbedding, embQuantize, simBruteForce, simQuantized, simLsh,
+    dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, mixResample, chunkTokens, tokenPack,

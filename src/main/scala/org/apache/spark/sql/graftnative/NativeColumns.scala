@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, QuantizeInt8, SimHashWords, TopKByScore}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
@@ -46,6 +46,12 @@ object NativeColumns {
   def simhashWords(words: Column, md5: Boolean): Column =
     Column(ExpressionColumnNode(
       SimHashWords(ExpressionUtils.expression(words), md5)))
+
+  /** L2 normalization as one codegen'd two-pass loop — zero vectors map
+    * to zeros, no per-element norm re-evaluation (see [[NormalizeVec]]).
+    */
+  def l2Normalize(vec: Column): Column =
+    Column(ExpressionColumnNode(NormalizeVec(ExpressionUtils.expression(vec))))
 
   /** Per-vector symmetric int8 quantization (max-abs scaling, round half
     * toward +inf) as one codegen'd two-pass loop (see [[QuantizeInt8]]).

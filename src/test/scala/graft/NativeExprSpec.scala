@@ -149,6 +149,22 @@ class NativeExprSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("l2Normalize: unit norm, zero vector to zeros, null element to NULL") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(_ => Tuple1(Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("v")
+    val bad = vecs
+      .select(NativeColumns.l2Normalize(col("v")).as("n"))
+      .select(NativeColumns.dot(col("n"), col("n")).as("d"))
+      .filter(abs(col("d") - 1.0) > 1e-12)
+    assert(bad.count() == 0)
+    val zero = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(NativeColumns.l2Normalize(col("v"))).as[Seq[Double]].head()
+    assert(zero == Seq(0.0, 0.0))
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null))).toDF("v")
+      .select(NativeColumns.l2Normalize(col("v"))).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("native dot on int arrays is integer-exact (quantized path)") {
     val r = Seq((Array(127, -127, 100, 1), Array(127, 127, -100, 0))).toDF("a", "b")
       .select(NativeColumns.dot(col("a"), col("b"))).as[Double].head()
