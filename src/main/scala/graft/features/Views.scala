@@ -1,7 +1,7 @@
 package graft.features
 
 import graft.functions.Scalars
-import graft.functions.Scalars.{davg, dsum, healthFactor}
+import graft.functions.Scalars.{davg, davgQ, dsum, healthFactor}
 import graft.operators.Relational
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -184,15 +184,17 @@ object Views {
       viaAccount.union(viaSender).distinct() // reference UNION = dedup; weights matter
         .groupBy("sender_address")
         .agg(
-          when(count(lit(1)) === 1, davg(col("health_factor")))
-            .otherwise(davg(when(col("health_factor") =!= 1000000.0, col("health_factor"))))
+          // davgQ (explicit microunit floor): the decimal cast's
+          // half-unit tie bit these very columns at sf0.1 (Scalars.davgQ)
+          when(count(lit(1)) === 1, davgQ(col("health_factor")))
+            .otherwise(davgQ(when(col("health_factor") =!= 1000000.0, col("health_factor"))))
             .as("avg_health_factor"),
-          davg(lit(1.0) / col("health_factor")).as("historical_average_risk_factor"),
-          davg(col("weighted_risk_factor")).as("historical_weighted_avg_risk_factor"),
+          davgQ(lit(1.0) / col("health_factor")).as("historical_average_risk_factor"),
+          davgQ(col("weighted_risk_factor")).as("historical_weighted_avg_risk_factor"),
           min(col("health_factor")).as("historical_min_health_factor"),
           (lit(1.0) / min(col("health_factor"))).as("historical_max_risk_factor"),
-          davg(col("misc_available_borrows_eth")).as("misc_avg_available_borrows_eth"),
-          davg(col("misc_total_collateral_eth")).as("misc_avg_total_collateral_eth"))
+          davgQ(col("misc_available_borrows_eth")).as("misc_avg_available_borrows_eth"),
+          davgQ(col("misc_total_collateral_eth")).as("misc_avg_total_collateral_eth"))
     }
 
     // reference merge is COALESCE(compound, aave): compound is the LEFT

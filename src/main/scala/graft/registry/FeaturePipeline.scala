@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object FeaturePipeline {
   import ParityQueries.{evDf, hfSql, AsOfEpoch}
-  import Registry.Ora.{DA, DS, EV}
+  import Registry.Ora.{DA, DAQ, DS, EV}
 
   // ---------------------------------------------------------------- fixtures
 
@@ -148,14 +148,14 @@ object FeaturePipeline {
         FROM (SELECT sender_address, account_address, block_number FROM borrow) b
         JOIN ahf hf ON b.sender_address = hf.account AND hf.protocol = '$proto'),
       $name AS (SELECT sender_address,
-        CASE WHEN COUNT(*) = 1 THEN ${DA("health_factor")}
-             ELSE ${DA("CASE WHEN health_factor <> 1000000.0 THEN health_factor END")} END AS avg_health_factor,
-        ${DA("1.0 / health_factor")} AS harf,
-        ${DA("weighted_risk_factor")} AS hwarf,
+        CASE WHEN COUNT(*) = 1 THEN ${DAQ("health_factor")}
+             ELSE ${DAQ("CASE WHEN health_factor <> 1000000.0 THEN health_factor END")} END AS avg_health_factor,
+        ${DAQ("1.0 / health_factor")} AS harf,
+        ${DAQ("weighted_risk_factor")} AS hwarf,
         MIN(health_factor) AS hmhf,
         1.0 / MIN(health_factor) AS hmrf,
-        ${DA("misc_available_borrows_eth")} AS maabe,
-        ${DA("misc_total_collateral_eth")} AS matce
+        ${DAQ("misc_available_borrows_eth")} AS maabe,
+        ${DAQ("misc_total_collateral_eth")} AS matce
         FROM ${name}_u GROUP BY 1)"""
 
   private val histMergedCtes =

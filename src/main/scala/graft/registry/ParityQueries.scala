@@ -24,7 +24,7 @@ private[registry] object Agg {
   */
 object ParityQueries {
   import Agg._
-  import Registry.Ora.{DA, DS, EV}
+  import Registry.Ora.{DA, DAQ, DS, EV}
 
   /** Deterministic "now" for time-since features (2024-02-01T00:00:00Z) —
     * the engine injects a fixed as-of literal where the reference uses
@@ -172,7 +172,10 @@ object ParityQueries {
           Scalars.healthFactor(col("num") * lit(0.8), col("den")).as("hf"))
       lvl1.groupBy("user_id")
         .agg(
-          davg(lit(1.0) / col("hf")).as("avg_risk_factor"),
+          // davgQ, not davg: 1/hf reaches 1e6, where the decimal cast's
+          // scaled-double rounding diverges across engines by an ulp
+          // (see Scalars.davgQ) — bit at sf0.1
+          Scalars.davgQ(lit(1.0) / col("hf")).as("avg_risk_factor"),
           min(col("hf")).as("min_hf"),
           count(lit(1)).as("n_days"))
         .withColumn("max_risk_factor", lit(1.0) / col("min_hf"))
@@ -182,7 +185,7 @@ object ParityQueries {
       COALESCE(${DS("CASE WHEN event_type = 'error' THEN value END")}, 0.0) AS den
       FROM ev GROUP BY 1, 2),
       h AS (SELECT user_id, day, ${hfSql("num * 0.8", "den")} AS hf FROM l1)
-      SELECT user_id, ${DA("1.0 / hf")} AS avg_risk_factor, MIN(hf) AS min_hf,
+      SELECT user_id, ${DAQ("1.0 / hf")} AS avg_risk_factor, MIN(hf) AS min_hf,
       COUNT(*) AS n_days, 1.0 / MIN(hf) AS max_risk_factor
       FROM h GROUP BY user_id"""))
 

@@ -42,5 +42,12 @@ object Registry {
 
     /** Exact avg: decimal sum over non-null count. */
     def DA(x: String): String = s"${DS(x)} / COUNT($x)"
+
+    /** [[DA]] with explicit microunit quantization — mirrors
+      * `Scalars.davgQ`; used where the decimal cast's half-unit tie hazard
+      * has actually bitten (see davgQ's scaladoc).
+      */
+    def DAQ(x: String): String =
+      s"CAST(SUM(CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT($x)"
   }
 }
