@@ -1006,7 +1006,7 @@ object TrainingQueries {
       c AS (SELECT doc_id, lang, n_tokens,
         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
-      SELECT doc_id, lang, n_tokens, cum_before // 2048 AS pack_id FROM c"""))
+      SELECT doc_id, lang, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM c"""))
 
   /** Streaming serve upsert run end to end: the event stream drains in
     * 1-file micro-batches (order unspecified) into the KV serve table,

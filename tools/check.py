@@ -63,6 +63,17 @@ def main():
             print(f"SCHEMA   {name}: spark={list(s.columns)} oracle={list(o.columns)}")
             n_bad += 1
             continue
+        # The driver's hash is dtype-sensitive: a value-equal column arriving
+        # as int64 from Spark but float64/object (e.g. DuckDB HUGEINT) from the
+        # oracle still mismatches. Both frames pass through duckdb->pandas
+        # here, so exact dtype equality is the faithful local replica.
+        dt_bad = [(c, str(s[c].dtype), str(o[c].dtype))
+                  for c in s.columns if s[c].dtype != o[c].dtype]
+        if dt_bad:
+            print(f"DTYPE    {name}: " + "; ".join(
+                f"{c} spark={sd} oracle={od}" for c, sd, od in dt_bad))
+            n_bad += 1
+            continue
         if len(s) != len(o):
             print(f"ROWCOUNT {name}: spark={len(s)} oracle={len(o)}")
             n_bad += 1
