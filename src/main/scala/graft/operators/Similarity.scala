@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,12 @@ object Similarity {
     * Both phases rank via the map-side bounded k-heap; the refine margin
     * absorbs quantization rank error (int8 cosine error is ~1e-2; only
     * near-ties can reorder, and those sit well inside `refine * k`).
+    *
+    * SCALE NOTE: phase 1 here is still the full |queries| x |corpus|
+    * product — 4x narrower, not sub-quadratic. This form is the
+    * correctness/differential baseline; the production scale path is
+    * [[ivfQuantizedTopK]], which runs the same int8 phase inside IVF's
+    * probed cells only.
     */
   def quantizedTopK(
       queries: DataFrame,
@@ -90,6 +96,90 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qz"), col("cz")))
     val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
+    val rescored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    rankTopK(rescored, k)
+  }
+
+  /** IVF-probed QUANTIZED top-k: [[quantizedTopK]]'s int8 scan run inside
+    * [[ivfTopK]]'s probed cells — the sub-quadratic composition of the two.
+    *
+    * Standalone `quantizedTopK` still scans the full |queries| x |corpus|
+    * product (4x narrower rows, same quadratic compute); here phase 1 only
+    * scans the `nProbe / nCentroids` fraction of the corpus that shares a
+    * probed cell with the query, so at 100 TB the bill is the IVF candidate
+    * fraction AND each candidate row is the 4x-smaller int8 vector. Phase 2
+    * re-ranks the tiny surviving candidate set with the exact float cosine,
+    * exactly as in [[quantizedTopK]].
+    *
+    * Centroids are the deterministic first-`nCentroids` corpus rows by id,
+    * COLLECTED and inlined as literal columns: the centroid set is
+    * driver-small by construction (it is what [[ivfTopK]] broadcasts), and
+    * as literals both cell assignments become pure projections over the
+    * scan — the plan has NO BroadcastNestedLoopJoin at all, where ivfTopK's
+    * broadcast-join assignment needs a PlanSpec sanction. Assignment argmax
+    * = first index of the array max (ties to the lowest cell id, matching
+    * `ORDER BY cosine DESC, cell_id` determinism).
+    */
+  def ivfQuantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int,
+      refine: Int = 3): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    require(refine >= 1, "refine must be >= 1")
+    import org.apache.spark.sql.graftnative.NativeColumns
+    // float -> double element cast is exact, so literal-double centroids
+    // score bit-identically to the raw float rows (and to the SQL oracle's
+    // per-element CAST(x AS DOUBLE))
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cellIds = typedLit(cents.map(_._1).toSeq)
+    def cellScores(vec: Column): Column =
+      array(cents.map { case (_, cv) => Vectors.cosine(vec, typedLit(cv)) }: _*)
+
+    // corpus side: ONE pass over the scan emits (id, int8 vector, cell) —
+    // this narrow frame is the only thing phase 1 ever reads
+    val corpusCells = corpus.select(
+      col(idCol).as("neighbor_id"),
+      NativeColumns.quantizeInt8(col(vecCol)).as("cz"),
+      element_at(
+        cellIds,
+        array_position(cellScores(col(vecCol)), array_max(cellScores(col(vecCol))))
+          .cast("int")).as("cell_id"))
+    // query side: top-nProbe cells per probe (probes are few; the window is
+    // tiny). pos is the centroid index == rank of cell_id, so ordering by
+    // pos IS ordering by cell_id.
+    val queryCells = {
+      val w = Window.partitionBy("query_id").orderBy(col("__cs").desc, col("pos"))
+      queries
+        .select(
+          col(idCol).as("query_id"),
+          NativeColumns.quantizeInt8(col(vecCol)).as("qz"),
+          posexplode(cellScores(col(vecCol))))
+        .toDF("query_id", "qz", "pos", "__cs")
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nProbe)
+        .select(col("query_id"), col("qz"),
+          element_at(cellIds, (col("pos") + 1).cast("int")).as("cell_id"))
+    }
+    // phase 1: keyed equi join on cell — each corpus row lives in exactly
+    // one cell, so (query, neighbor) pairs are already distinct
+    val approx = queryCells
+      .join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosine(col("qz"), col("cz")))
+    val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
+    // phase 2: exact float re-rank of |queries| * refine*k candidate rows
     val rescored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")

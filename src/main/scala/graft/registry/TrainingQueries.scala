@@ -623,6 +623,66 @@ object TrainingQueries {
           FROM re) t WHERE rn <= 5"""
     })
 
+  /** IVF-probed int8 ANN — the sub-quadratic composition: phase 1 scans
+    * only the 2-of-8 probed cells (and only their int8 vectors), phase 2
+    * float re-ranks. The oracle mirrors EVERY stage: the same seed
+    * centroids (first 8 corpus rows), the same argmax cell assignment
+    * (ties to lowest cell id), the same top-2 probe choice, the same
+    * quantized candidate ranking, the same float re-rank — so the whole
+    * sub-quadratic pipeline is hash-checked at nProbe < nCentroids, where
+    * assignment and probing actually decide the answer (sim_ivf_topk's
+    * all-cells-probed check can't see them).
+    */
+  private val simIvfQuantized = Q(
+    "sim_ivf_quantized",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 5, refine = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some {
+      val ma = "list_reduce(list_prepend(0.0, list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> GREATEST(acc, x))"
+      s"""WITH m AS (SELECT vec_id, embedding, $ma AS ma FROM embeddings),
+        z AS (SELECT vec_id, embedding,
+          CASE WHEN ma > 0
+            THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
+            ELSE list_transform(embedding, x -> CAST(0 AS INT)) END AS qz FROM m),
+        cent AS (SELECT vec_id AS cell_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (SELECT e.vec_id, c.cell_id,
+            ${cosSql("e.embedding", "c.centroid")} AS cs
+          FROM embeddings e CROSS JOIN cent c),
+        ca AS (SELECT vec_id AS neighbor_id, cell_id FROM (
+          SELECT vec_id, cell_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+          FROM sc) t WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cell_id FROM (
+          SELECT vec_id, cell_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+          FROM sc WHERE vec_id < 10) t WHERE rn <= 2),
+        ac AS (SELECT qp.query_id, ca.neighbor_id,
+            ${cosSql("zq.qz", "zc.qz")} AS approx_cos
+          FROM qp JOIN ca ON qp.cell_id = ca.cell_id
+          JOIN z zq ON zq.vec_id = qp.query_id
+          JOIN z zc ON zc.vec_id = ca.neighbor_id
+          WHERE qp.query_id != ca.neighbor_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rn
+          FROM ac) t WHERE rn <= 15),
+        re AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("a.embedding", "b.embedding")} AS cosine
+          FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM re) t WHERE rn <= 5"""
+    },
+    bench = true)
+
   private val simLsh = Q(
     "sim_lsh_topk",
     (s, d) => {
@@ -1131,7 +1191,8 @@ object TrainingQueries {
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
-    dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized, simLsh,
+    dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
+    simIvfQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, mixResample, chunkTokens, tokenPack,

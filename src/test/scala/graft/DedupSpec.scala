@@ -151,6 +151,35 @@ class DedupSpec extends SparkSpec {
     assert(quant == brute)
   }
 
+  test("ivfQuantizedTopK: all cells probed + full refine equals brute force; probing is sub-quadratic-shaped") {
+    val vecs = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(i + 100)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    // nProbe == nCentroids and refine*k >= |corpus|: phase 1 keeps every
+    // candidate, so the float re-rank IS brute force
+    val all = pairs(Similarity.ivfQuantizedTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 6, nProbe = 6, k = 3, refine = 30))
+    assert(all == brute)
+    // real probing: results come from probed cells only and stay a subset
+    // of the full candidate universe
+    val probed = Similarity.ivfQuantizedTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 6, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty && (probed intersect brute.map(t => (t._1, t._2))).nonEmpty)
+    // the plan is keyed end to end: literal-centroid assignment means no
+    // nested-loop join anywhere, unlike ivfTopK's broadcast argmax
+    val plan = Similarity.ivfQuantizedTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 6, nProbe = 2, k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ivfQuantizedTopK must plan keyed joins only:\n$plan")
+  }
+
   test("kmeans-refined IVF: single-probe search is exact on well-separated clusters") {
     // 4 tight clusters along orthogonal axes of an 8-dim space: after Lloyd
     // refinement each cluster owns one centroid, so probing ONE cell per

@@ -29,9 +29,13 @@ class PlanSpec extends SparkSpec {
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition (and the quantized two-phase variant scans the
-    * same product, just 4x narrower int8 rows); IVF's coarse-quantization
-    * joins every vector against the (driver-small, broadcast) centroid
-    * set — an intentional map-side expansion, not a planning accident.
+    * same product, just 4x narrower int8 rows — both are correctness
+    * baselines); IVF's coarse-quantization joins every vector against the
+    * (driver-small, broadcast) centroid set — an intentional map-side
+    * expansion, not a planning accident. The production ANN scale path,
+    * `sim_ivf_quantized`, is NOT here: its literal-centroid assignment +
+    * cell-keyed probe plans keyed joins only, so it runs through the
+    * cartesian check below like any other query.
     */
   private val intentionallyUnkeyed =
     Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_ivf_topk")
