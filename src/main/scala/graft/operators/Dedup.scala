@@ -234,14 +234,23 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       shingleHash: ShingleHash = XxShingleHash,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = minhashBuckets(docs, idCol, textCol, n, k, bands, shingleHash, maxBucket)
-    val candidates = banded
+      maxBucket: Int = Int.MaxValue,
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    // the bucket index and the candidate set each feed MULTIPLE consumers
+    // (x/y sides of the self-join; the verify semi-join + the final pair
+    // join). Without a boundary Spark re-derives them per consumer — the
+    // signature projection appeared 100+ times in the executed plan and the
+    // corpus was re-scanned 40x. The boundary sketches the corpus ONCE;
+    // production pipelines persist this same index at rest anyway
+    // (see [[minhashLshIncremental]]).
+    val banded = boundary(
+      minhashBuckets(docs, idCol, textCol, n, k, bands, shingleHash, maxBucket))
+    val candidates = boundary(banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
-      .distinct()
+      .distinct())
     // verify only docs that actually appear in a candidate pair: a
     // semi-join restriction before shingling, so the exact-Jaccard stage
     // re-tokenizes O(|candidates|) docs, not the whole corpus twice —
@@ -249,11 +258,12 @@ object Dedup {
     val candIds = candidates.select(col("doc_id_1").as("doc_id"))
       .union(candidates.select(col("doc_id_2").as("doc_id")))
       .distinct()
-    val shingled = docs
+    // boundary again: the shingled candidate frame joins in twice (s1, s2)
+    val shingled = boundary(docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Text.words(col("__t")).as("__w"))
-      .select(col("doc_id"), Text.shinglesFromWords(col("__w"), n).as("s"))
+      .select(col("doc_id"), Text.shinglesFromWords(col("__w"), n).as("s")))
     candidates
       .join(shingled.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("s", "s1"), "doc_id_1")
       .join(shingled.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("s", "s2"), "doc_id_2")
@@ -287,13 +297,16 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       shingleHash: ShingleHash = XxShingleHash,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      boundary: Boundary = Boundary.Local): DataFrame = {
     val newBuckets =
       minhashBuckets(newDocs, idCol, textCol, n, k, bands, shingleHash, maxBucket)
-    val candidates = newBuckets.as("x")
+    // candidates feed three consumers (two semi-join restrictions + the
+    // final pair join): materialize once — see [[minhashLsh]]
+    val candidates = boundary(newBuckets.as("x")
       .join(corpusBuckets.select("doc_id", "band", "bucket").as("y"), Seq("band", "bucket"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
-      .distinct()
+      .distinct())
     def shingled(docs: DataFrame, idAs: String, sAs: String) = docs
       .select(col(idCol).as(idAs), col(textCol).as("__t"))
       .join(candidates.select(idAs).distinct(), Seq(idAs), "left_semi")

@@ -446,43 +446,17 @@ object TrainingQueries {
         WHERE bench_frac >= 0.6"""
     })
 
-  /** The composed corpus-cleaning pipeline — the operators chained the way
-    * a production training-data build runs them: quality-gate on the RAW
-    * text (filter first — never pay the redaction regexes for docs that
-    * get dropped) -> whitespace-normalize + PII-redact the survivors ->
-    * exact dedup (min doc_id per cleaned text) -> simhash near-dup pairs ->
-    * connected-components cluster resolution -> keep canonical docs.
-    * Every stage is DuckDB-recomputed in one oracle query, so the CHAIN is
-    * hash-checked end to end, not just each operator in isolation.
+  /** The composed corpus-cleaning pipeline
+    * ([[graft.quality.CorpusClean.pipeline]]) run at its Local boundary;
+    * every stage is DuckDB-recomputed in one oracle query, so the CHAIN is
+    * hash-checked end to end, not just each operator in isolation (and
+    * CorpusCleanSpec asserts the storage-boundary variant hashes
+    * identically).
     */
   private val pipelineCorpusClean = Q(
     "pipeline_corpus_clean",
-    (s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val gated0 = docs.filter(Text.qualityScore(col("text")) >= 0.6)
-      val gated = gated0.select(col("doc_id"),
-        Text.redactPii(Text.normalizeWhitespace(col("text"))).as("clean"))
-      // exact dedup in ONE digest-keyed shuffle: group on the 16-byte md5
-      // (map-side partials collapse local copies) with a min_by carrying
-      // the canonical row — no second pass over the corpus, no re-join.
-      // localCheckpoint then materializes the cleaned canonical corpus
-      // ONCE: the regex-redaction chain above feeds four downstream
-      // consumers (pair sketching, the cluster join, token counting) and
-      // would otherwise re-run per consumer — at 100 TB this boundary is
-      // where a pipeline would persist its cleaned corpus to storage
-      // anyway.
-      val exact = gated.groupBy(md5(col("clean")).as("__d"))
-        .agg(min_by(struct(col("doc_id"), col("clean")), col("doc_id")).as("__r"))
-        .select(col("__r.doc_id").as("doc_id"), col("__r.clean").as("clean"))
-        .localCheckpoint()
-      val pairs = Dedup.simhashPairs(exact, "doc_id", "clean",
-        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
-      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
-        .withColumnRenamed("node", "doc_id")
-      exact.join(cc, Seq("doc_id"), "left")
-        .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
-        .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
-    },
+    (s, d) => graft.quality.CorpusClean.pipeline(
+      Tables.documents(s, d).select("doc_id", "text")),
     Some(s"""WITH RECURSIVE
         gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),
         e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
