@@ -64,40 +64,60 @@ case class MinHashWordsSig(
   private val aArr = as.toArray
   private val bArr = bs.toArray
 
-  private def hashShingle(s: UTF8String): Long =
+  // MessageDigest is stateful and not thread-safe; a ThreadLocal survives
+  // any sharing of this expression instance across tasks. @transient: the
+  // expression ships to executors, the digest must not.
+  @transient private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Hash of the shingle bytes in `buf[0, len)` — the expression's whole
+    * point is the hot path, so no per-shingle allocations: the xx path
+    * wraps the buffer region as a UTF8String view (no copy), the md5 path
+    * reuses the thread's digest and parses the 60-bit prefix
+    * (`conv(substr(md5(s),1,15),16,10)` = the first 15 nibbles big-endian)
+    * straight from the digest bytes, no hex string.
+    */
+  private def hashShingle(buf: Array[Byte], len: Int): Long =
     if (!md5) {
-      Math.floorMod(XxHash64Function.hash(s, StringType, 42L), p)
+      Math.floorMod(
+        XxHash64Function.hash(UTF8String.fromBytes(buf, 0, len), StringType, 42L), p)
     } else {
-      // conv(substring(md5(s), 1, 15), 16, 10) cast long — 60-bit prefix
-      val digest = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
-      val hex = new StringBuilder(15)
+      val d = md5Local.get()
+      d.update(buf, 0, len)
+      val digest = d.digest() // resets the digest for the next shingle
+      var acc = 0L
       var i = 0
-      while (hex.length < 15) {
-        val b = digest(i) & 0xff
-        hex.append(Character.forDigit(b >> 4, 16))
-        if (hex.length < 15) hex.append(Character.forDigit(b & 0xf, 16))
-        i += 1
-      }
-      Math.floorMod(java.lang.Long.parseLong(hex.toString, 16), p)
+      while (i < 7) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+      acc = (acc << 4) | ((digest(7) & 0xffL) >> 4)
+      Math.floorMod(acc, p)
     }
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
-    val m = words.numElements() - (n - 1)
+    val total = words.numElements()
+    val m = total - (n - 1)
     if (m <= 0) return null
     var i = 0
-    while (i < words.numElements()) { if (words.isNullAt(i)) return null; i += 1 }
+    while (i < total) { if (words.isNullAt(i)) return null; i += 1 }
     val sig = Array.fill(k)(Long.MaxValue)
+    // one shingle byte buffer reused across the whole row, grown on demand
+    var buf = new Array[Byte](128)
     var g = 0
     while (g < m) {
-      val sb = new java.lang.StringBuilder
+      var len = 0
       var w = 0
       while (w < n) {
-        if (w > 0) sb.append(' ')
-        sb.append(words.getUTF8String(g + w).toString)
+        val ws = words.getUTF8String(g + w)
+        val nb = ws.numBytes()
+        val need = len + nb + (if (w > 0) 1 else 0)
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, need))
+        if (w > 0) { buf(len) = ' '; len += 1 }
+        ws.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
         w += 1
       }
-      val hv = hashShingle(UTF8String.fromString(sb.toString))
+      val hv = hashShingle(buf, len)
       var kk = 0
       while (kk < k) {
         val v = Math.floorMod(hv * aArr(kk) + bArr(kk), p)

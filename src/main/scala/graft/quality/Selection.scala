@@ -68,6 +68,11 @@ object Selection {
     * Rank ties (two ids hashing to doubles that compare equal) break to the
     * lower id — same rule as an `ORDER BY rank, id` row_number, so external
     * oracles reproduce the exact kept set.
+    *
+    * `idCol` must be long-castable (a non-castable id nulls out and never
+    * wins a heap slot); it need NOT be globally unique — the winners come
+    * back keyed by (strata, id), so an id reused across strata keeps rows
+    * only in the strata where it was actually picked.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -83,9 +88,15 @@ object Selection {
       .groupBy(strataCols.map(col): _*)
       .agg(org.apache.spark.sql.graftnative.NativeColumns
         .topKByScore(col("__score"), col("__id"), k).as("__tk"))
-      .select(explode(col("__tk")).as("__e"))
-      .select(col("__e.id").as("__picked_id"))
-    df.join(broadcast(picked), col(idCol).cast("long") === col("__picked_id"), "left_semi")
+      .select(strataCols.map(c => col(c).as(s"__s_$c")) :+
+        explode(col("__tk")).as("__e"): _*)
+      .select(strataCols.map(c => col(s"__s_$c")) :+
+        col("__e.id").as("__picked_id"): _*)
+    // semi-join on (strata, id) — null-safe on strata, since groupBy keeps
+    // a null stratum as its own group
+    val cond = strataCols.map(c => df(c) <=> picked(s"__s_$c"))
+      .foldLeft(df(idCol).cast("long") === picked("__picked_id"))(_ && _)
+    df.join(broadcast(picked), cond, "left_semi")
   }
 
   /** Sequence packing: assign documents to fixed-token-budget packs — the

@@ -75,12 +75,20 @@ object Streams {
     * table readable mid-commit.
     *
     * HIGHEST VERSION WINS — globally, not latest-batch-wins: the batch is
-    * unioned with the existing table before the per-key argmax, so the
-    * final table is independent of micro-batch ORDER (file listings carry
-    * no time order), of replays (at-least-once delivery re-merges
-    * idempotently), and of late data (a stale row can never clobber a
-    * newer one already served). Ties on the version break through the full
-    * row ordering — deterministic even for same-version duplicates.
+    * unioned with the existing rows OF ITS OWN KEYS before the per-key
+    * argmax, so the final table is independent of micro-batch ORDER (file
+    * listings carry no time order), of replays (at-least-once delivery
+    * re-merges idempotently), and of late data (a stale row can never
+    * clobber a newer one already served). Ties on the version break
+    * through the full row ordering — deterministic even for same-version
+    * duplicates.
+    *
+    * The pre-merge is semi-join restricted to the batch's keys (broadcast —
+    * a micro-batch is small by construction): keys the batch doesn't touch
+    * already survive unchanged through [[graft.operators.Incremental
+    * .upsertByKey]]'s full-outer merge, so argmaxing them again would be a
+    * redundant O(table) shuffle per micro-batch on top of the inherent
+    * table rewrite.
     */
   def upsertAvailableNow(
       stream: DataFrame,
@@ -99,7 +107,9 @@ object Streams {
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val all =
           if (!fs.exists(dst)) batch
-          else batch.unionByName(spark.read.parquet(outPath).select(cols.map(col): _*))
+          else batch.unionByName(
+            spark.read.parquet(outPath).select(cols.map(col): _*)
+              .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi"))
         val row = struct(cols.map(col): _*)
         val one = all.groupBy(col(key))
           .agg(max_by(row, struct(col(versionCol), row)).as("__r"))

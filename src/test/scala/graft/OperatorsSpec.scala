@@ -414,6 +414,17 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1) // different salt draws a different subset
   }
 
+  test("stratifiedSample: an id shared across strata is kept only where it was picked") {
+    // id 1..20 exist in BOTH strata; k=1 picks exactly one id per stratum.
+    // A semi-join keyed on id alone would keep the winner of stratum a in
+    // stratum b too (and vice versa) -> 2 rows per stratum.
+    val df = (1L to 20L).flatMap(i => Seq((i, "a"), (i, "b"))).toDF("id", "g")
+    val s = graft.quality.Selection.stratifiedSample(df, Seq("g"), "id", k = 1)
+      .select("id", "g").as[(Long, String)].collect().toSet
+    assert(s.count(_._2 == "a") == 1, s"stratum a must keep exactly its own pick: $s")
+    assert(s.count(_._2 == "b") == 1, s"stratum b must keep exactly its own pick: $s")
+  }
+
   test("packByTokenBudget: packs fill in id order per shard, no pack skips the budget") {
     val docs = Seq(
       (1L, "a", 1000L), (2L, "a", 900L), (3L, "a", 300L), (4L, "a", 5000L), (5L, "a", 10L),
