@@ -37,6 +37,31 @@ object Layout {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Re-attach bucketed FILES to a (possibly fresh) catalog: the restart
+    * story. Bucket metadata lives in the catalog, and with the in-memory
+    * catalog a JVM restart forgets it while the bucket-suffixed files
+    * survive; a restarted app re-issues this DDL and every join/agg on the
+    * key is shuffle-free again (LayoutSpec proves it drop/re-attach).
+    * With a persistent metastore this is only needed at first registration.
+    *
+    * `schemaDdl` is the column list (e.g. `"k BIGINT, v DOUBLE"`) — DDL
+    * needs it explicitly since bucketed datasource tables don't infer.
+    */
+  def attachBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      schemaDdl: String,
+      nBuckets: Int,
+      key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")})" else ""
+    spark.sql(s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
+      CLUSTERED BY ($key) $sorted INTO $nBuckets BUCKETS
+      LOCATION '$path'""")
+  }
+
   /** Write `df` RANGE-CLUSTERED on `rangeCol`: `repartitionByRange` gives
     * each output file a disjoint slice of the key space and the
     * within-partition sort orders rows inside it, so every parquet

@@ -56,6 +56,73 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() == 5000)
   }
 
+  test("range-clustered read: a range predicate touches only the overlapping slice") {
+    // 50k rows in 8 disjoint range files (~6250 rows each, one row group
+    // apiece): a predicate over the top 10% must let footer stats skip ~7
+    // of 8 row groups. The scan's numOutputRows metric counts rows the
+    // reader actually materialized (post row-group skip), so it IS the
+    // files-touched observable.
+    val clustered = "target/tmp/layout_prune_clustered"
+    val scattered = "target/tmp/layout_prune_scattered"
+    for (b <- Seq(clustered, scattered)) {
+      val p = new org.apache.hadoop.fs.Path(b)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val df = (1 to 50000).map(i => (i.toLong, i * 0.5)).toDF("k", "v")
+    Layout.writeRangeClustered(df, clustered, 8, "k")
+    // counter-layout: same rows hash-scattered, so every file spans the
+    // whole key range and nothing can be skipped
+    df.repartition(8, hash(col("k"))).write.parquet(scattered)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("k") >= 45001L)
+      // collect() executes THIS queryExecution (count() would build its
+      // own, leaving these metrics at 0)
+      assert(q.collect().length == 5000)
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).max
+    }
+    val rowsClustered = scanRows(clustered)
+    val rowsScattered = scanRows(scattered)
+    assert(rowsClustered <= 13000,
+      s"clustered layout must skip non-overlapping row groups, read $rowsClustered")
+    assert(rowsScattered >= 45000,
+      s"scattered counter-layout should read ~everything, read $rowsScattered")
+  }
+
+  test("bucketed join stays Exchange-free after catalog loss + DDL re-attach (restart story)") {
+    // external bucketed tables at explicit paths: DROP forgets the catalog
+    // entry (files survive) == what a JVM restart does to the in-memory
+    // catalog; attachBucketed re-issues the DDL over the surviving files
+    // absolute: a relative option("path") resolves against the WAREHOUSE
+    // dir, landing the files somewhere the cleanup below wouldn't see
+    val base = new java.io.File("target/tmp/layout_reattach").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val stale = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "target/tmp/layout_reattach")
+    stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    val a = (1L to 400L).map(i => (i, i * 2.0)).toDF("k", "va")
+    val b = (1L to 400L).map(i => (i, s"s$i")).toDF("k", "vb")
+    for (t <- Seq("graft_ratt_a", "graft_ratt_b")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    a.write.bucketBy(4, "k").sortBy("k").option("path", s"$base/a")
+      .format("parquet").saveAsTable("graft_ratt_a")
+    b.write.bucketBy(4, "k").sortBy("k").option("path", s"$base/b")
+      .format("parquet").saveAsTable("graft_ratt_b")
+    spark.sql("DROP TABLE graft_ratt_a") // external: files remain
+    spark.sql("DROP TABLE graft_ratt_b")
+    Layout.attachBucketed(spark, "graft_ratt_a", s"$base/a", "k BIGINT, va DOUBLE", 4, "k", Seq("k"))
+    Layout.attachBucketed(spark, "graft_ratt_b", s"$base/b", "k BIGINT, vb STRING", 4, "k", Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_ratt_a").join(spark.table("graft_ratt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-attached bucketed join must stay shuffle-free:\n$plan")
+      assert(joined.count() == 400)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedInnerJoin is row-identical to the plain join under heavy skew") {
     // 90% of left rows share one hot key
     val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
