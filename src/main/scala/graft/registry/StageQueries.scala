@@ -74,7 +74,12 @@ object StageQueries {
         proto.as("protocol"),
         col("day").as("block_number"),
         timestamp_seconds(col("epoch")).as("timestamp"))
-      Stage.stageMarketData(raw).drop("block_timestamp")
+      // compare the timestamp as integer epoch: the stage DISTINCT ran over
+      // block_timestamp, so the compared relation must carry it too (two raw
+      // rows differing only in timestamp are distinct — bit at sf0.1)
+      Stage.stageMarketData(raw)
+        .withColumn("block_epoch", unix_timestamp(col("block_timestamp")))
+        .drop("block_timestamp")
     },
     Some(s"""WITH $EV
       SELECT DISTINCT CAST(value AS DOUBLE) AS liquidation_threshold,
@@ -84,7 +89,8 @@ object StageQueries {
         CAST(user_id % 18 + 1 AS INT) AS decimals,
         $protoSql AS protocol, day AS block_number,
         CAST(year(epoch_ms(epoch * 1000)) AS VARCHAR) AS year,
-        CAST(month(epoch_ms(epoch * 1000)) AS VARCHAR) AS month
+        CAST(month(epoch_ms(epoch * 1000)) AS VARCHAR) AS month,
+        epoch AS block_epoch
       FROM ev WHERE event_type = 'view'"""))
 
   /** Raw positions shape with `market{name,id}` / `account{id}` structs. */
@@ -105,7 +111,11 @@ object StageQueries {
         col("day").as("block_number"),
         proto.as("protocol"),
         timestamp_seconds(col("epoch")).as("timestamp"))
-      Stage.stagePositions(raw).drop("block_timestamp")
+      // same epoch-carry as proj_stage_market_data: the DISTINCT includes the
+      // timestamp, so the compared relation must too
+      Stage.stagePositions(raw)
+        .withColumn("block_epoch", unix_timestamp(col("block_timestamp")))
+        .drop("block_timestamp")
     },
     Some(s"""WITH $EV
       SELECT DISTINCT CAST(value AS DOUBLE) AS balance,
@@ -117,7 +127,8 @@ object StageQueries {
         lower('0xACC' || CAST(user_id AS VARCHAR)) AS account,
         day AS block_number, $protoSql AS protocol,
         CAST(year(epoch_ms(epoch * 1000)) AS VARCHAR) AS year,
-        CAST(month(epoch_ms(epoch * 1000)) AS VARCHAR) AS month
+        CAST(month(epoch_ms(epoch * 1000)) AS VARCHAR) AS month,
+        epoch AS block_epoch
       FROM ev WHERE event_type = 'click'"""))
 
   /** Partitioned append sink round trip: write partitionBy(event_type),
@@ -174,9 +185,11 @@ object StageQueries {
 
   /** Session windows (Structured Streaming's sessionization operator, run
     * in batch mode for a deterministic oracle): 4-hour inactivity gap per
-    * user. Oracle reproduces Spark's end-exclusive merge rule (an event
-    * exactly `gap` after the previous one starts a NEW session) via
-    * lag/cumsum island detection.
+    * user. Oracle reproduces Spark's END-INCLUSIVE merge rule via lag/cumsum
+    * island detection: an event exactly `gap` after the previous one
+    * CONTINUES the session (windows [s, e) and [e, e+gap) merge on touching
+    * ends — empirically pinned at sf0.1, user 1419, and by the exact-gap
+    * case in StreamsSpec).
     */
   private val sessionWindows = Q(
     "streaming_session_window",
@@ -191,7 +204,7 @@ object StageQueries {
           col("n_events")),
     Some(s"""WITH $EV,
       o AS (SELECT user_id, epoch, event_id,
-        CASE WHEN LAG(epoch) OVER w IS NULL OR epoch - LAG(epoch) OVER w >= 14400 THEN 1 ELSE 0 END AS brk
+        CASE WHEN LAG(epoch) OVER w IS NULL OR epoch - LAG(epoch) OVER w > 14400 THEN 1 ELSE 0 END AS brk
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)),
       sess AS (SELECT user_id, epoch,
         SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch, event_id ROWS UNBOUNDED PRECEDING) AS sid

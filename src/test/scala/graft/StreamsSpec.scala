@@ -99,4 +99,20 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L).n == 1 && last(2L).total == 7.0 && last(2L).maxEpoch == 50L)
     q.stop()
   }
+
+  test("session_window: an event exactly `gap` after the previous CONTINUES the session") {
+    // Pins the merge rule the streaming_session_window oracle mirrors:
+    // windows [s, s+gap) and [s+gap, s+2*gap) touch at the boundary and
+    // Spark MERGES them (end-inclusive merge; observed live at sf0.1,
+    // user 1419). One second beyond the boundary splits.
+    val df = Seq((1L, 0L), (1L, 14400L), (2L, 0L), (2L, 14401L))
+      .toDF("user_id", "epoch")
+      .select(col("user_id"), timestamp_seconds(col("epoch")).as("ts_sec"))
+      .groupBy(session_window(col("ts_sec"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val byUser = df.select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byUser(1L) == Seq(2L), "exact-gap events must merge into one session")
+    assert(byUser(2L) == Seq(1L, 1L), "gap+1s must split into two sessions")
+  }
 }
