@@ -30,6 +30,51 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Ingest-time exact dedup of a (small) new `batch` against a (huge)
+    * `corpus`, bloom-prefiltered: returns the batch's within-batch
+    * canonical rows whose text does NOT already exist in the corpus —
+    * the rows an append-only ingest would actually write.
+    *
+    * The result is EXACT (identical to a plain anti-join): the bloom only
+    * routes. Bloom-negative digests are definite non-members and skip the
+    * corpus probe entirely; bloom-positive candidates (true dups + the fpp
+    * tail) are confirmed by a real semi-join before the final anti-join.
+    *
+    * Scale shape — the corpus is never shuffled: one map-side tree-reduced
+    * pass builds the bloom (Spark's own runtime-filter aggregate,
+    * [[org.apache.spark.sql.graftnative.NativeColumns.bloomFilterAgg]]),
+    * and the confirm pass streams the corpus against a BROADCAST of the
+    * tiny candidate set. The batch shuffles once, as 16-byte digests.
+    * The collected filter rides the plan as a literal — the same way
+    * Spark's injected runtime bloom joins carry theirs (a subquery result
+    * materialized driver-side); size `numBits` for the corpus cardinality
+    * (~9.6 bits/key for 1% fpp, so 1B keys ≈ 1.2 GB — at that extreme,
+    * shard the ingest by digest prefix and build per-shard filters).
+    */
+  def exactIngestBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long,
+      numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns
+    val corpusDigests = corpus.select(md5(col(textCol)).as("text_md5"))
+    val bloom = corpusDigests
+      .agg(NativeColumns.bloomFilterAgg(xxhash64(col("text_md5")), expectedItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    val batchCanon = batch
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+    if (bloom == null) return batchCanon // empty corpus: everything is new
+    val candidates = batchCanon
+      .filter(NativeColumns.mightContain(lit(bloom), xxhash64(col("text_md5"))))
+    val confirmed = corpusDigests
+      .join(broadcast(candidates.select("text_md5")), Seq("text_md5"), "left_semi")
+      .distinct()
+    batchCanon.join(broadcast(confirmed), Seq("text_md5"), "left_anti")
+  }
+
   /** Near-dedup via canonical fingerprint (sorted distinct word set):
     * catches reorderings/duplicated words at exact-dedup cost.
     */

@@ -86,4 +86,38 @@ object Scoring {
           .as("surprisal"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** TF-IDF top-`k` terms per document — keyword extraction / topic
+    * signature for corpus curation. Output: (doc_id, w, tf, df, score,
+    * rank), rank 1..k by descending score, ties to the
+    * lexicographically-first word.
+    *
+    * Determinism: the score is fully INTEGER —
+    * `tf * floor(log2(N / df) * 1e6)` — so the only transcendental term is
+    * quantized away ([[unigramSurprisal]]'s idiom, here with zero residual
+    * float arithmetic: the ranking compares exact longs on every engine).
+    *
+    * Shape at scale: one (doc, word) aggregation (narrow rows, map-side
+    * combined), one word-keyed df aggregation whose result — vocabulary-
+    * sized, orders of magnitude smaller than the corpus — broadcasts back
+    * (beyond broadcastable vocabulary, swap for a shuffle join on `w`),
+    * N as a two-phase scalar literal, and the per-doc top-k as a window
+    * over doc-sized groups — no global sort anywhere.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select("doc_id").distinct().count()
+    val qidf = floor(log2(lit(nDocs.toDouble) / col("df").cast("double")) * 1e6).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+    tf.join(broadcast(dfreq), "w")
+      .withColumn("score", col("tf") * qidf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "w", "tf", "df", "score", "rank")
+  }
 }

@@ -99,6 +99,51 @@ object Selection {
     df.join(broadcast(picked), cond, "left_semi")
   }
 
+  /** WEIGHTED sample without replacement: exactly `min(k, n)` rows, where a
+    * row's inclusion odds scale with `weightCol` (Efraimidis–Spirakis
+    * exponential-sort: draw u ~ U(0,1] per row, keep the k largest
+    * u^(1/w) — equivalently the k largest log2(u)/w). The
+    * token-count-weighted draw of an LLM data mix ("sample documents
+    * proportional to tokens").
+    *
+    * Deterministic and cross-engine-reproducible like [[hashSample]]:
+    * u = (md5hash64(id||salt) mod 2^20 + 1) / 2^20 — a DYADIC rational, so
+    * the division is exact — and the rank key is
+    * `floor(log2(u) * 1e6) / w`, quantizing the one transcendental term to
+    * an integer (the [[Scoring.unigramSurprisal]] idiom) so the remaining
+    * division has exactly-representable operands and is correctly rounded
+    * to the same bits on every engine. Ties (same quantized key) break to
+    * the lower id.
+    *
+    * Scale shape = [[stratifiedSample]]'s: a map-side-bounded k-heap
+    * aggregate over narrow (id, key) rows, winners back as a broadcast
+    * semi-join — no global sort, the corpus never shuffles.
+    *
+    * Rows with null or non-positive weight are excluded (a zero weight
+    * cannot win a draw; a negative one is a caller bug).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val M = 1048576L // 2^20
+    val h = pmod(Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val qlog = floor(log2((h + 1).cast("double") / lit(M.toDouble)) * 1e6).cast("long")
+    val key = qlog.cast("double") / col(weightCol).cast("double")
+    val picked = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("__id"), key.as("__key"))
+      .groupBy()
+      .agg(org.apache.spark.sql.graftnative.NativeColumns
+        .topKByScore(col("__key"), col("__id"), k).as("__tk"))
+      .select(explode(col("__tk")).as("__e"))
+      .select(col("__e.id").as("__picked_id"))
+    df.join(broadcast(picked), col(idCol).cast("long") === col("__picked_id"), "left_semi")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
     * standard pre-training batching step (concatenate ~`budget` tokens per
     * training sequence). Deterministic streaming assignment: docs are

@@ -183,6 +183,34 @@ object StageQueries {
         MIN(epoch) AS min_epoch, MAX(epoch) AS max_epoch
       FROM ev WHERE epoch >= (SELECT MIN(epoch) + 864000 FROM ev)"""))
 
+  /** Z-ordered layout roundtrip: events land Morton-interleaved on
+    * (user_id, day) ([[graft.sources.Layout.writeZOrdered]]), then a
+    * RECTANGLE predicate (both dimensions) reads back and aggregates; the
+    * oracle applies the same predicate to the original table, proving the
+    * z-ordered copy is content-equivalent. The file-pruning claim itself
+    * is measured in LayoutSpec.
+    */
+  private val zOrderedSink = Q(
+    "layout_zorder",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val path = "/root/repo/target/tmp/zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Layout.writeZOrdered(
+        e.select("event_id", "user_id", "value", "day"), path, 8, "user_id", "day")
+      // two-phase range literal on the day axis, fixed cut on the user axis
+      val lo = e.agg(min(col("day"))).head().getLong(0) + 10L
+      s.read.parquet(path)
+        .filter(col("user_id") < 400 && col("day") >= lo)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("user_id")).as("min_user"), max(col("day")).as("max_day"))
+    },
+    Some(s"""WITH $EV
+      SELECT COUNT(*) AS n, ${DS("value")} AS sum_value,
+        MIN(user_id) AS min_user, MAX(day) AS max_day
+      FROM ev WHERE user_id < 400 AND day >= (SELECT MIN(day) + 10 FROM ev)"""))
+
   /** Session windows (Structured Streaming's sessionization operator, run
     * in batch mode for a deterministic oracle): 4-hour inactivity gap per
     * user. Oracle reproduces Spark's END-INCLUSIVE merge rule via lag/cumsum
@@ -271,5 +299,5 @@ object StageQueries {
 
   val all: Seq[Q] = Seq(
     stageEvents, stageMarketData, stagePositions, partitionedSink, rangeClusteredSink,
-    sessionWindows, simIvf, bucketedJoin, saltedJoin)
+    zOrderedSink, sessionWindows, simIvf, bucketedJoin, saltedJoin)
 }

@@ -113,6 +113,35 @@ object TrainingQueries {
       FROM documents GROUP BY text"""),
     bench = true)
 
+  /** Bloom-prefiltered ingest dedup: a 50-row batch (25 exact copies of
+    * corpus docs + 25 genuinely-new variants) against the full corpus. The
+    * oracle is the PLAIN anti-join — the bloom is routing only, so the
+    * result must hash-match it exactly (false positives re-checked, false
+    * negatives impossible).
+    */
+  private val dedupExactBloom = Q(
+    "dedup_exact_bloom_ingest",
+    (s, d) => {
+      val corpus = Tables.documents(s, d).select("doc_id", "text")
+      val head = corpus.filter(col("doc_id") < 25)
+      val batch = head
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionAll(head.select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text")))
+      Dedup.exactIngestBloom(corpus, batch, "doc_id", "text",
+        expectedItems = 100000L, numBits = 1000000L)
+    },
+    Some("""WITH batch AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text || ' zq' FROM documents WHERE doc_id < 25),
+      b AS (SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id,
+          COUNT(*) AS n_copies
+        FROM batch GROUP BY text)
+      SELECT text_md5, canonical_id, n_copies FROM b
+      WHERE text_md5 NOT IN (SELECT md5(text) FROM documents)"""))
+
   private val dedupFingerprint = Q(
     "dedup_fingerprint",
     (s, d) => Dedup.fingerprint(Tables.documents(s, d), "doc_id", "text"),
@@ -751,6 +780,26 @@ object TrainingQueries {
         COUNT(*) AS n_tokens
       FROM sc GROUP BY doc_id"""))
 
+  /** TF-IDF top-5 terms per doc: DuckDB rebuilds tf, df, N and the fully
+    * integer score `tf * floor(log2(N/df) * 1e6)` from scratch — the
+    * ranking compares exact longs, so the kept terms and ranks must match
+    * bit-for-bit. `rank` cast long to match row_number dtypes.
+    */
+  private val tfidfTopTermsQ = Q(
+    "text_tfidf_topterms",
+    (s, d) => graft.quality.Scoring
+      .tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .withColumn("rank", col("rank").cast("long")),
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+      sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+          tf.tf * CAST(FLOOR(log2(nd / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score
+        FROM tf JOIN dfq USING (w) CROSS JOIN n),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank FROM sc)
+      SELECT doc_id, w, tf, df, score, rank FROM rn WHERE rank <= 5"""))
+
   private val textRepetition = Q(
     "text_repetition",
     (s, d) => Tables.documents(s, d)
@@ -959,6 +1008,23 @@ object TrainingQueries {
     Some("""SELECT doc_id, lang FROM documents
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 15))::BIGINT % 10000 < 2500"""))
 
+  /** Token-weighted sample of exactly 200 docs (weight = n_chars): DuckDB
+    * recomputes every Efraimidis–Spirakis key from scratch — the dyadic
+    * uniform, the 1e6-quantized log2, the exact-operand division — and
+    * takes the same top-200 with the same (key DESC, id) tie rule.
+    */
+  private val weightedSampleQ = Q(
+    "sel_weighted_sample",
+    (s, d) => graft.quality.Selection.weightedSample(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", k = 200, salt = "w5"),
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+        CAST(FLOOR(log2(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w5'), 1, 15))::BIGINT % 1048576 + 1 AS DOUBLE) / 1048576.0) * 1000000.0) AS BIGINT) AS ql
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT doc_id, lang, n_chars FROM r
+      ORDER BY CAST(ql AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id
+      LIMIT 200"""))
+
   /** Per-language stratified sample of exactly 20 docs: the kept set is the
     * 20 hash-smallest doc_ids of each lang, which DuckDB reproduces with a
     * row_number over the SAME double-cast rank (the cast is mirrored so any
@@ -1160,7 +1226,7 @@ object TrainingQueries {
         AND v.epoch <= p.epoch AND v.epoch >= p.epoch - 3600"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
+    dedupExact, dedupExactBloom, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
@@ -1168,8 +1234,9 @@ object TrainingQueries {
     dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
+    tfidfTopTermsQ,
     approxDistinct, redactPii, domainStats, langId,
-    hashSample, stratSample, mixResample, chunkTokens, tokenPack,
+    hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert)
 }

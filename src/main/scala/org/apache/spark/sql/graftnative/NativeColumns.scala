@@ -2,6 +2,8 @@ package org.apache.spark.sql.graftnative
 
 import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
 
 /** Column-API bridge for graft's native Catalyst expressions.
@@ -66,4 +68,26 @@ object NativeColumns {
     Column(ExpressionColumnNode(
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
         .toAggregateExpression()))
+
+  /** Spark's own runtime-filter bloom aggregate (the engine behind
+    * `spark.sql.optimizer.runtime.bloomFilter.*`), exposed as a Column:
+    * builds a serialized bloom filter (binary) over `hash` (pass
+    * `xxhash64(key)` — the same keying the runtime filter uses). Partial
+    * filters OR-merge map-side, so the build is one tree-reduced pass.
+    */
+  def bloomFilterAgg(hash: Column, expectedItems: Long, numBits: Long): Column =
+    Column(ExpressionColumnNode(
+      new BloomFilterAggregate(
+        ExpressionUtils.expression(hash),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
+
+  /** Membership probe against a [[bloomFilterAgg]] result. `bloom` must be
+    * constant-foldable (a literal or scalar-subquery result — exactly how
+    * Spark's injected runtime filters carry it). False positives possible,
+    * false negatives never.
+    */
+  def mightContain(bloom: Column, hash: Column): Column =
+    Column(ExpressionColumnNode(
+      BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash))))
 }

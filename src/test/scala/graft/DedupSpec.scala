@@ -74,6 +74,30 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("exactIngestBloom: equals the plain anti-join; bloom routes, never decides") {
+    val corpus = (1L to 500L).map(i => (i, s"corpus doc $i text")).toDF("doc_id", "text")
+    // 10 exact copies of corpus docs, 10 fresh, one within-batch duplicate
+    val batch = ((1L to 10L).map(i => (1000L + i, s"corpus doc $i text")) ++
+      (1L to 10L).map(i => (2000L + i, s"fresh doc $i")) ++
+      Seq((3001L, "fresh doc 1"))).toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("text_md5", "canonical_id", "n_copies")
+        .as[(String, Long, Long)].collect().toSet
+    val got = asSet(Dedup.exactIngestBloom(corpus, batch, "doc_id", "text", 1000L, 10000L))
+    val plain = asSet(Dedup.exact(batch, "doc_id", "text")
+      .join(corpus.select(md5($"text").as("text_md5")), Seq("text_md5"), "left_anti"))
+    assert(got == plain)
+    assert(got.size == 10 && got.forall(_._2 >= 2001L), s"only fresh texts survive: $got")
+    assert(got.exists(r => r._2 == 2001L && r._3 == 2L), "within-batch dup collapses to min id")
+    // a pathologically tiny filter (fpp ~ 1: every digest is a candidate)
+    // changes routing only — the result is still exact
+    assert(asSet(Dedup.exactIngestBloom(corpus, batch, "doc_id", "text", 1000L, 64L)) == plain)
+    // empty corpus: everything in the batch is new
+    val none = Dedup.exactIngestBloom(
+      corpus.filter(lit(false)), batch, "doc_id", "text", 1000L, 10000L)
+    assert(none.count() == 20)
+  }
+
   test("fingerprint: word order and duplication insensitive") {
     val docs = Seq((1L, "a b c"), (2L, "c b a a"), (3L, "a b d")).toDF("doc_id", "text")
     val r = Dedup.fingerprint(docs, "doc_id", "text").collect()

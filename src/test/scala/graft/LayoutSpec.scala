@@ -89,6 +89,38 @@ class LayoutSpec extends SparkSpec {
       s"scattered counter-layout should read ~everything, read $rowsScattered")
   }
 
+  test("z-ordered layout: rectangle predicate touches ~one tile; prunes on EITHER axis") {
+    // 256x256 grid in 64 z-ordered files: each file is ~a 32x32 tile, so a
+    // 32x32 rectangle predicate lands in ~1 file. The 1-D counter-layout
+    // (range-clustered on `a` alone) must read the whole a-slice for the
+    // same rectangle, and the whole table for a b-only predicate.
+    val zpath = "target/tmp/layout_zorder_z"
+    val rpath = "target/tmp/layout_zorder_r"
+    for (p <- Seq(zpath, rpath)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val df = (for { a <- 0 until 256; b <- 0 until 256 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    Layout.writeZOrdered(df, zpath, 64, "a", "b", bits = 8)
+    Layout.writeRangeClustered(df, rpath, 64, "a")
+    def scanRows(path: String, pred: org.apache.spark.sql.Column, expect: Long): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      assert(q.collect().length == expect)
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).max
+    }
+    val rect = col("a") < 32 && col("b") < 32
+    // z: ~1 tile (1024 rows) + range-boundary sampling slack
+    assert(scanRows(zpath, rect, 1024) <= 4096, "z-layout must prune both axes")
+    // 1-D: footer stats prune only on a — the full a<32 slice (~8 files) reads
+    assert(scanRows(rpath, rect, 1024) >= 7000, "1-D layout reads the whole a-slice")
+    val bOnly = col("b") < 16
+    // z still prunes on b alone (~8 bottom-row tiles); 1-D reads everything
+    assert(scanRows(zpath, bOnly, 4096) <= 20000, "z-layout must prune on b alone")
+    assert(scanRows(rpath, bOnly, 4096) >= 60000, "1-D layout cannot prune on b")
+  }
+
   test("bucketed join stays Exchange-free after catalog loss + DDL re-attach (restart story)") {
     // external bucketed tables at explicit paths: DROP forgets the catalog
     // entry (files survive) == what a JVM restart does to the in-memory

@@ -414,6 +414,26 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1) // different salt draws a different subset
   }
 
+  test("weightedSample: exactly k, deterministic, weight-biased, non-positive excluded") {
+    val df = ((1L to 1000L).map(i => (i, 1L)) ++ (1001L to 2000L).map(i => (i, 100L)) ++
+      Seq((3000L, 0L), (3001L, -5L))).toDF("id", "w")
+    val s1 = graft.quality.Selection.weightedSample(df, "id", "w", k = 200)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 200)
+    assert(!s1.contains(3000L) && !s1.contains(3001L), "weight <= 0 can never win a draw")
+    // u^(1/100) concentrates near 1, u^(1/1) is uniform: the 100x-weighted
+    // half must dominate the draw overwhelmingly
+    assert(s1.count(_ > 1000L) >= 180, s"heavy rows drawn: ${s1.count(_ > 1000L)}")
+    val s2 = graft.quality.Selection.weightedSample(df.repartition(7), "id", "w", k = 200)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "pure function of (id, salt): partitioning-independent")
+    assert(graft.quality.Selection.weightedSample(df, "id", "w", k = 5000)
+      .count() == 2000, "k > n keeps every positive-weight row")
+    val salted = graft.quality.Selection.weightedSample(df, "id", "w", k = 200, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(salted != s1)
+  }
+
   test("stratifiedSample: an id shared across strata is kept only where it was picked") {
     // id 1..20 exist in BOTH strata; k=1 picks exactly one id per stratum.
     // A semi-join keyed on id alone would keep the winner of stratum a in
