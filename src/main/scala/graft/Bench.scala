@@ -43,6 +43,16 @@ object Bench {
         if (i == 1) cold = dt
         System.err.println(f"[bench] $name run$i $dt%.2f s")
       }
+      // per-query isolation (TPC-style): drop this query's cached relations,
+      // persisted RDDs, and (via GC -> ContextCleaner) localCheckpoint blocks
+      // before the next query starts. Without this, 16 queries' blocks pile
+      // up in one block manager and late heavy queries measure EVICTION
+      // CHURN, not their plan (feature_assembly swung 3.8s -> 37s run to
+      // run). Cleanup sits OUTSIDE the timed region; run2 still reuses
+      // run1's warm state for its own query.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       (name, cold, dt) // run1 (cold) + last (warmest) run
     }
     // "queries" stays the steady-state number (the long-lived-cluster view);
