@@ -35,6 +35,26 @@ object Selection {
     else df.filter(col(scoreCol) >= row.getDouble(0))
   }
 
+  /** Approximate counterpart of [[filterByScoreQuantile]] for the extreme
+    * where even the exact percentile's per-partition value buffers are too
+    * heavy: `approx_percentile` keeps a bounded-memory sketch per
+    * partition, merged once — O(accuracy) state regardless of row count.
+    * The threshold (and so the kept set's boundary) is sketch-dependent,
+    * hence no cross-engine oracle; SelectionSpec bounds the kept fraction
+    * against the target. Same two-phase literal shape: the filter itself
+    * is pushdown-friendly.
+    */
+  def filterByScoreQuantileApprox(
+      df: DataFrame,
+      scoreCol: String,
+      quantile: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(quantile >= 0.0 && quantile <= 1.0, "quantile must be in [0, 1]")
+    val row = df.agg(expr(s"approx_percentile($scoreCol, $quantile, $accuracy)")).head()
+    if (row.isNullAt(0)) df.limit(0)
+    else df.filter(col(scoreCol) >= lit(row.get(0)))
+  }
+
   /** Deterministic hash sample: keeps a row iff
     * `md5hash64(key || salt) mod 10000 < rate * 10000`. Unlike
     * `df.sample()` (seeded RNG over partition iteration order — different

@@ -5,6 +5,7 @@ import graft.operators.{AsOfJoin, Incremental, Relational}
 import graft.quality.Constraints
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Order-independent exact aggregates shared by all registry queries:
@@ -796,6 +797,96 @@ object ParityQueries {
         UNION ALL SELECT o_custkey FROM orders)"""),
     bench = true)
 
+  /** groupBy().pivot() with an EXPLICIT value list (no discovery pass — at
+    * 100 TB the distinct-scan to infer pivot values is a full extra job;
+    * a declared domain keeps it one shuffle). Empty cells coalesce to 0 on
+    * both sides so the pivot null convention can't leak into the compare.
+    */
+  private val pivotEvents = Q(
+    "agg_pivot_events",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      evDf(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), dsum(abs(col("value"))).as("v"))
+        .select(col("user_id") +: types.flatMap(t => Seq(
+          coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+          coalesce(col(s"${t}_v"), lit(0.0)).as(s"${t}_v"))): _*)
+    },
+    Some(s"""WITH $EV
+      SELECT user_id,
+        ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n, " +
+          s"COALESCE(${DS(s"CASE WHEN event_type = '$t' THEN ABS(value) END")}, 0.0) AS ${t}_v")
+          .mkString(",\n        ")}
+      FROM ev GROUP BY 1"""))
+
+  /** ROLLUP over (protocol, week): subtotal + grand-total rows with the
+    * standard NULL markers, matching DuckDB's GROUP BY ROLLUP exactly.
+    */
+  private val rollupWeekly = Q(
+    "agg_rollup_weekly",
+    (s, d) =>
+      evDf(s, d)
+        .withColumn("proto",
+          when(pmod(col("user_id"), lit(2)) === 0, "aave").otherwise("compound"))
+        .withColumn("wk", expr("day div 7"))
+        .rollup("proto", "wk")
+        .agg(count(lit(1)).as("n"), dsum(abs(col("value"))).as("v")),
+    Some(s"""WITH $EV
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'aave' ELSE 'compound' END AS proto,
+        day // 7 AS wk, COUNT(*) AS n, ${DS("ABS(value)")} AS v
+      FROM ev GROUP BY ROLLUP(proto, wk)"""))
+
+  /** Trailing 7-day moving sum per user as a RANGE window over integer
+    * days (pre-aggregated to one row per (user, day) first, so the window
+    * input is deterministic and the frame is value-based, not row-based).
+    * The windowed sum accumulates in decimal — order-independent — and the
+    * day-over-day delta subtracts identical doubles (exact both engines).
+    */
+  private val movingSum = Q(
+    "window_moving_sum_7d",
+    (s, d) => {
+      val daily = evDf(s, d).groupBy("user_id", "day")
+        .agg(dsum(abs(col("value"))).as("dval"))
+      val w7 = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      val w1 = Window.partitionBy("user_id").orderBy("day")
+      daily
+        .withColumn("mov7",
+          sum(col("dval").cast("decimal(38,6)")).over(w7).cast("double"))
+        .withColumn("delta", col("dval") - lag(col("dval"), 1, 0.0).over(w1))
+    },
+    Some(s"""WITH $EV,
+      daily AS (SELECT user_id, day, ${DS("ABS(value)")} AS dval FROM ev GROUP BY 1, 2)
+      SELECT user_id, day, dval,
+        CAST(SUM(CAST(dval AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY day
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7,
+        dval - COALESCE(LAG(dval) OVER (PARTITION BY user_id ORDER BY day), 0.0) AS delta
+      FROM daily"""))
+
+  /** Per-user DISCRETE median (lower of the two middles at even n): pure
+    * integer rank logic over a deterministic (value, event_id) order — the
+    * selected value is an existing row's double, so no interpolation
+    * arithmetic can diverge across engines.
+    */
+  private val medianDisc = Q(
+    "agg_median_disc",
+    (s, d) => {
+      val wr = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      evDf(s, d)
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("user_id"), col("value").as("median_disc"), col("cnt").as("n"))
+    },
+    Some(s"""WITH $EV,
+      r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM ev)
+      SELECT user_id, value AS median_disc, cnt AS n
+      FROM r WHERE rn = (cnt + 1) // 2"""))
+
   private val sortPagination = Q(
     "sort_pagination",
     (s, d) =>
@@ -909,5 +1000,6 @@ object ParityQueries {
     equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
+    pivotEvents, rollupWeekly, movingSum, medianDisc,
     sortPagination, upsertKeyed, upsertVersioned, ctasFullRefresh, upsertServe)
 }

@@ -414,6 +414,17 @@ class SelectionSpec extends SparkSpec {
     assert(salted != s1) // different salt draws a different subset
   }
 
+  test("filterByScoreQuantileApprox: kept fraction within sketch tolerance of target") {
+    val df = (1 to 100000).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = graft.quality.Selection
+      .filterByScoreQuantileApprox(df, "score", 0.9).count()
+    // target 10% of 100k; approx_percentile at default accuracy is well
+    // inside +-1% on uniform data
+    assert(kept >= 9000 && kept <= 11000, s"kept $kept of 100000")
+    assert(graft.quality.Selection
+      .filterByScoreQuantileApprox(df.limit(0), "score", 0.9).count() == 0)
+  }
+
   test("weightedSample: exactly k, deterministic, weight-biased, non-positive excluded") {
     val df = ((1L to 1000L).map(i => (i, 1L)) ++ (1001L to 2000L).map(i => (i, 100L)) ++
       Seq((3000L, 0L), (3001L, -5L))).toDF("id", "w")
