@@ -57,15 +57,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       expectedItems: Long,
-      numBits: Long): DataFrame = {
+      numBits: Long,
+      boundary: Boundary = Boundary.Local): DataFrame = {
     import org.apache.spark.sql.graftnative.NativeColumns
     val corpusDigests = corpus.select(md5(col(textCol)).as("text_md5"))
     val bloom = corpusDigests
       .agg(NativeColumns.bloomFilterAgg(xxhash64(col("text_md5")), expectedItems, numBits))
       .head().getAs[Array[Byte]](0)
-    val batchCanon = batch
+    // two consumers (candidate filter + final anti-join): materialize once
+    val batchCanon = boundary(batch
       .groupBy(md5(col(textCol)).as("text_md5"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies")))
     if (bloom == null) return batchCanon // empty corpus: everything is new
     val candidates = batchCanon
       .filter(NativeColumns.mightContain(lit(bloom), xxhash64(col("text_md5"))))

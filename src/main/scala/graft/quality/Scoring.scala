@@ -104,11 +104,22 @@ object Scoring {
     * N as a two-phase scalar literal, and the per-doc top-k as a window
     * over doc-sized groups — no global sort anywhere.
     */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      boundary: graft.operators.Boundary = graft.operators.Boundary.Local): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val tf = docs
+    // tf feeds THREE consumers (df aggregation, N scalar, the scoring join)
+    // — materialize it once; and hash-partition the token stream by doc_id
+    // ALONE so the (doc_id, w) aggregation and the final per-doc window
+    // both run on that single exchange (a doc's tokens are colocated ⇒ so
+    // are its (doc_id, w) groups ⇒ so is its window partition)
+    val tf = boundary(docs
       .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = tf.select("doc_id").distinct().count()
     val qidf = floor(log2(lit(nDocs.toDouble) / col("df").cast("double")) * 1e6).cast("long")

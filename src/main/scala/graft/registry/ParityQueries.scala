@@ -848,7 +848,11 @@ object ParityQueries {
   private val movingSum = Q(
     "window_moving_sum_7d",
     (s, d) => {
-      val daily = evDf(s, d).groupBy("user_id", "day")
+      // ONE shuffle, not two: hash-partitioning by user_id alone satisfies
+      // the (user_id, day) aggregation's clustered distribution AND the
+      // user_id window's — the daily rollup and both windows run without a
+      // second exchange (PlanSpec asserts exchanges == 1)
+      val daily = evDf(s, d).repartition(col("user_id")).groupBy("user_id", "day")
         .agg(dsum(abs(col("value"))).as("dval"))
       val w7 = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
       val w1 = Window.partitionBy("user_id").orderBy("day")

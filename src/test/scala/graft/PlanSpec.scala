@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic joins found:\n${offenders.mkString("\n")}")
   }
 
+  test("moving-sum window reuses the aggregation's exchange — one shuffle total") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("window_moving_sum_7d").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1,
+      s"daily agg + both windows must share the user_id exchange, found $n:\n$plan")
+  }
+
   test("minhash signature plans as a pure projection — zero shuffles") {
     graft.sources.Tables.configure(spark)
     val plan = Registry.byName("dedup_minhash_signature").run(spark, sf)
