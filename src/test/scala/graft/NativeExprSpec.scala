@@ -14,16 +14,59 @@ class NativeExprSpec extends SparkSpec {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Run `f` with [[graft.plans.RewriteDeclarativeDot]] excluded, so the
+    * HOF fold actually executes interpreted (the differential tests would
+    * otherwise compare the native expression against itself).
+    */
+  private def withRewriteExcluded[T](f: => T): T = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.RewriteDeclarativeDot")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case scala.None => spark.conf.unset(key)
+    }
+  }
+
   test("native dot == HOF fold bit-for-bit on random float vectors") {
-    val vecs = (0 until 200).map { i =>
-      val rnd = new scala.util.Random(i)
-      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
-    }.toDF("a", "b")
-    val diffs = vecs.select(
-      NativeColumns.dot(col("a"), col("b")).as("nat"),
-      hofDot(col("a"), col("b")).as("hof"))
-      .filter(col("nat") =!= col("hof"))
-    assert(diffs.count() == 0)
+    withRewriteExcluded {
+      val vecs = (0 until 200).map { i =>
+        val rnd = new scala.util.Random(i)
+        (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+      }.toDF("a", "b")
+      val diffs = vecs.select(
+        NativeColumns.dot(col("a"), col("b")).as("nat"),
+        hofDot(col("a"), col("b")).as("hof"))
+        .filter(col("nat") =!= col("hof"))
+      assert(diffs.count() == 0)
+    }
+  }
+
+  test("optimizer rewrites the declarative HOF dot fold to the native expression") {
+    // a parquet source, not a LocalRelation — ConvertToLocalRelation would
+    // otherwise eagerly evaluate the projection and hide the rewrite
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val hof = vecs.select(hofDot(col("a"), col("b")).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "the canonical fold must rewrite to DotProduct")
+    // a fold that ISN'T a dot product (zero = 1.0) must not be touched
+    val notDot = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "a non-zero seed changes semantics — no rewrite")
+    // and the rewrite is value-preserving vs the interpreted fold
+    val rewritten = hof.as[Double].collect()
+    val interpreted = withRewriteExcluded {
+      val h = vecs.select(hofDot(col("a"), col("b")).as("d"))
+      assert(!h.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      h.as[Double].collect()
+    }
+    assert(rewritten.sameElements(interpreted))
   }
 
   test("native dot: length mismatch and null elements yield NULL (zip_with parity)") {
