@@ -470,6 +470,61 @@ object Dedup {
       .select("train_id", "bench_id", "common", "bench_frac")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * drop documents whose EMBEDDINGS are near-identical, using k-means
+    * cells as the blocking structure — cosine pairs are computed only
+    * WITHIN a cell (that intra-cluster restriction is the paper's
+    * approximation and what makes the op sub-quadratic: Σ|cell|² instead
+    * of n²). Pairs ≥ `tau` resolve through [[connectedComponents]]; each
+    * component keeps its minimum id. Output: (vec_id, component, keep) for
+    * EVERY input row — singletons keep themselves.
+    *
+    * Scale shape: centroids are driver-small and broadcast (the
+    * [[Similarity.kmeansCentroids]] assignment — map-side argmax, only N
+    * rows shuffle); the assigned frame is materialized once behind
+    * `boundary` and feeds both sides of the intra-cell pair join (an equi
+    * join on cell, never a cross product). Degenerate giant cells (a
+    * duplicate flood collapsing into one cell) should be capped upstream
+    * the way [[minhashLsh]] caps buckets; embedding near-dup with
+    * hyperplane banding ([[embeddingNearDup]]) is the alternative blocking
+    * when cells skew.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      tau: Double,
+      kmeansIters: Int = 2,
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    require(nClusters >= 1 && tau >= -1.0 && tau <= 1.0)
+    val centroids =
+      if (kmeansIters > 0)
+        Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters)
+      else emb.orderBy(col(idCol)).limit(nClusters)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    val assigned = boundary(emb
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .join(broadcast(centroids))
+      .withColumn("__cs", Vectors.cosine(col("v"), col("centroid")))
+      .groupBy("vid")
+      .agg(
+        max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell"),
+        first(col("v")).as("v")))
+    val pairs = assigned.select(col("cell"), col("vid").as("id1"), col("v").as("v1"))
+      .join(assigned.select(col("cell"), col("vid").as("id2"), col("v").as("v2")),
+        Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(Vectors.cosine(col("v1"), col("v2")) >= tau)
+      .select("id1", "id2")
+    val comp = connectedComponents(pairs, "id1", "id2")
+    emb.select(col(idCol).cast("long").as("vec_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("component"),
+        (coalesce(col("cluster"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
   /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus
     * versions as added / removed / changed / unchanged — the versioning
     * primitive behind incremental reprocessing (only `added`+`changed`

@@ -86,6 +86,49 @@ object Layout {
       .sortWithinPartitions(rangeCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Compact a parquet directory's accumulation of small files into
+    * `nFiles` larger ones — the standing maintenance op for streaming /
+    * incremental-append sinks, where per-micro-batch writes degrade scans
+    * to per-file open cost. `sortCol = Some(c)` re-establishes the
+    * [[writeRangeClustered]] layout while compacting (footer-stat pruning
+    * comes back for free); `None` coalesces WITHOUT a shuffle — each
+    * output file is a concatenation of input partitions, so a 100 TB
+    * compaction moves no rows between executors.
+    *
+    * Commit is the same two-rename swap as
+    * [[graft.operators.Incremental.upsertByKey]] (staging + `__old`
+    * backup): a crash leaves the old directory or a recoverable backup,
+    * never a half-compacted table. Content is row-identical by
+    * construction — layout only.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      nFiles: Int,
+      sortCol: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val df = spark.read.parquet(path)
+    val compacted = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => df.coalesce(nFiles)
+    }
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"compact: failed to commit $tmp -> $dst")
+    }
+    fs.delete(old, true)
+  }
+
   /** 2-D Morton (Z-order) value: interleave the low `bits` bits of two
     * NON-NEGATIVE integer columns (`a` takes the odd bit positions). A pure
     * chain of shift/and/or column ops — whole-stage codegen'd, no UDF.

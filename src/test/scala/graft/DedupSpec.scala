@@ -74,6 +74,30 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("semanticDedup: near-identical embeddings collapse to min id; distinct ones survive") {
+    // three well-separated directions; seeds (first 3 ids) land one per
+    // group so 3-cell kmeans separates them
+    val rows = Seq(
+      (1L, Array(1f, 0.010f, 0f)), // group A dup
+      (2L, Array(0f, 1f, 0.010f)), // group B dup
+      (3L, Array(0.01f, 0f, 1f)), // group C singleton
+      (4L, Array(1f, 0.011f, 0f)), // group A dup
+      (5L, Array(0f, 1f, 0.012f)), // group B dup
+      (7L, Array(1f, 0.009f, 0f)), // group A dup
+      (10L, Array(1f, 0.8f, 0f))) // group A cell, but NOT a near-dup
+      .toDF("vec_id", "embedding")
+    def result(nClusters: Int) = Dedup
+      .semanticDedup(rows, "vec_id", "embedding", nClusters, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val r3 = result(3)
+    assert(r3.filter(_._2._2).keySet == Set(1L, 2L, 3L, 10L), s"survivors: $r3")
+    assert(r3(4L) == (1L, false) && r3(7L) == (1L, false), "A dups collapse to 1")
+    assert(r3(5L) == (2L, false), "B dups collapse to 2")
+    // one cluster == unblocked all-pairs; groups are separated, so the
+    // result is identical — the blocking only removed never-passing pairs
+    assert(result(1) == r3)
+  }
+
   test("exactIngestBloom: equals the plain anti-join; bloom routes, never decides") {
     val corpus = (1L to 500L).map(i => (i, s"corpus doc $i text")).toDF("doc_id", "text")
     // 10 exact copies of corpus docs, 10 fresh, one within-batch duplicate

@@ -89,6 +89,31 @@ class LayoutSpec extends SparkSpec {
       s"scattered counter-layout should read ~everything, read $rowsScattered")
   }
 
+  test("compact: small files merge to nFiles, content identical, sort restores pruning") {
+    val base = "target/tmp/layout_compact"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // 32 tiny files, key-scattered
+    val df = (1 to 20000).map(i => (i.toLong, i * 0.25)).toDF("k", "v")
+    df.repartition(32).write.parquet(base)
+    def dataFiles() = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles() == 32)
+    Layout.compact(spark, base, 4, sortCol = Some("k"))
+    assert(dataFiles() <= 4, s"expected <= 4 data files, got ${dataFiles()}")
+    val back = spark.read.parquet(base)
+    assert(back.count() == 20000 && back.except(df).isEmpty && df.except(back).isEmpty)
+    // range layout restored: top-10% range predicate skips most row groups
+    val q = back.filter(col("k") > 18000L)
+    assert(q.collect().length == 2000)
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).max
+    assert(scanned <= 6000, s"compacted+sorted layout should prune, read $scanned")
+    // shuffle-free variant: plain coalesce also compacts
+    Layout.compact(spark, base, 2, sortCol = None)
+    assert(dataFiles() <= 2 && spark.read.parquet(base).count() == 20000)
+  }
+
   test("z-ordered layout: rectangle predicate touches ~one tile; prunes on EITHER axis") {
     // 256x256 grid in 64 z-ordered files: each file is ~a 32x32 tile, so a
     // 32x32 rectangle predicate lands in ~1 file. The 1-D counter-layout
