@@ -91,6 +91,30 @@ class NativeExprSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("the whole native family is SQL-callable via GraftExtensions") {
+    val n = spark.sql("SELECT graft_normalize(array(3.0D, 4.0D)) AS v")
+      .as[Seq[Double]].head()
+    assert(n == Seq(0.6, 0.8))
+    val q = spark.sql("SELECT graft_quantize_int8(array(0.5D, -1.0D)) AS v").head().getSeq[Byte](0)
+    assert(q == Seq(64.toByte, (-127).toByte))
+    // simhash: equals the Column-API form, both hash variants
+    val viaSql = spark.sql("SELECT graft_simhash(array('a','b','c')) AS h, " +
+      "graft_simhash(array('a','b','c'), true) AS hm").head()
+    val viaCol = Seq(Tuple1(Seq("a", "b", "c"))).toDF("w").select(
+      NativeColumns.simhashWords(col("w"), md5 = false),
+      NativeColumns.simhashWords(col("w"), md5 = true)).head()
+    assert(viaSql.getLong(0) == viaCol.getLong(0) && viaSql.getLong(1) == viaCol.getLong(1))
+    val b = spark.sql("SELECT graft_hyperplane_buckets(array(0.1D, -0.2D, 0.7D), 2, 4) AS b")
+      .head().getSeq[Int](0)
+    val bCol = Seq(Tuple1(Seq(0.1, -0.2, 0.7))).toDF("v")
+      .select(NativeColumns.hyperplaneBuckets(col("v"), 2, 4)).head().getSeq[Int](0)
+    assert(b == bCol && b.length == 2)
+    // non-literal SQL parameter is an analysis-time error, not a crash
+    intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_buckets(array(1.0D), CAST(rand()*2 AS INT), 4)").collect()
+    }
+  }
+
   test("native hyperplane buckets == declarative per-plane folds on random vectors") {
     val vecs = (0 until 200).map { i =>
       val rnd = new scala.util.Random(i)
