@@ -497,6 +497,37 @@ object TrainingQueries {
         WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""),
     bench = true)
 
+  /** SemDeDup with deterministic SEED centroids (kmeansIters = 0: the
+    * first 8 embeddings by id ARE the cells), so DuckDB recomputes the
+    * ENTIRE pipeline from scratch: the argmax cell assignment (same
+    * (cosine DESC, cell_id ASC) tie rule as the engine's max_by), the
+    * intra-cell cosine pairs, the recursive-CTE closure, and the
+    * component minima. Lloyd-refined centroids (kmeansIters > 0) change
+    * only cell QUALITY, which DedupSpec covers.
+    */
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      nClusters = 8, tau = 0.45, kmeansIters = 0),
+    Some(s"""WITH RECURSIVE
+      c AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+      sc AS (SELECT e.vec_id, e.embedding AS v, c.cell_id, ${cosSql("e.embedding", "c.cv")} AS cs
+        FROM embeddings e CROSS JOIN c),
+      asg AS (SELECT vec_id, v, cell_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+          FROM sc) t
+        WHERE rn = 1),
+      pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb
+        FROM asg x JOIN asg y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        WHERE ${cosSql("x.v", "y.v")} >= 0.45),
+      edges AS (SELECT pa AS eu, pb AS ev FROM pairs UNION SELECT pb, pa FROM pairs),
+      reach AS (SELECT eu AS node, ev AS r FROM edges
+        UNION SELECT rc.node, e.ev FROM reach rc JOIN edges e ON e.eu = rc.r),
+      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+      SELECT e.vec_id, COALESCE(cl.cluster, e.vec_id) AS component,
+        COALESCE(cl.cluster, e.vec_id) = e.vec_id AS keep
+      FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id"""))
+
   private val dedupEmbedding = Q(
     "dedup_embedding_neardup",
     (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1231,7 +1262,7 @@ object TrainingQueries {
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
-    dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
+    dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
     tfidfTopTermsQ,
