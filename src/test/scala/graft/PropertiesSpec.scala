@@ -159,4 +159,23 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("zOrderValue: injective on the 16-bit grid and equals reference bit interleave") {
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    forSamples(Gen.listOfN(200, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))), n = 5) {
+      pairs: List[(Long, Long)] =>
+        val rows = pairs.toDF("a", "b")
+          .select(col("a"), col("b"),
+            graft.sources.Layout.zOrderValue(col("a"), col("b")).as("z"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        rows.foreach { case ((a, b), z) =>
+          assert(z == morton(a, b), s"z($a, $b) = $z, expected ${morton(a, b)}")
+          assert(z >= 0 && z < (1L << 32))
+        }
+        // injectivity: distinct pairs get distinct z values
+        assert(rows.toMap.size == rows.map(_._1).distinct.length)
+    }
+  }
 }
