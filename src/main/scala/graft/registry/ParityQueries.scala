@@ -891,6 +891,28 @@ object ParityQueries {
       SELECT user_id, value AS median_disc, cnt AS n
       FROM r WHERE rn = (cnt + 1) // 2"""))
 
+  /** Top-3 events by value per user through the native map-side-bounded
+    * [[graft.functions.expressions.TopKByScore]] aggregate — the shuffle
+    * carries at most k rows per user per partition instead of the whole
+    * fact table (the window form sorts every row). The oracle IS the
+    * window form: same (value DESC, event_id ASC) order, so the heap's
+    * tie rule is hash-checked against row_number.
+    */
+  private val topkPerGroup = Q(
+    "agg_topk_per_group",
+    (s, d) =>
+      evDf(s, d).groupBy("user_id")
+        .agg(org.apache.spark.sql.graftnative.NativeColumns
+          .topKByScore(col("value"), col("event_id"), 3).as("tk"))
+        .select(col("user_id"), posexplode(col("tk")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("value"), col("col.id").as("event_id")),
+    Some(s"""WITH $EV,
+      r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        FROM ev)
+      SELECT user_id, rank, value, event_id FROM r WHERE rank <= 3"""))
+
   private val sortPagination = Q(
     "sort_pagination",
     (s, d) =>
@@ -1004,6 +1026,6 @@ object ParityQueries {
     equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
-    pivotEvents, rollupWeekly, movingSum, medianDisc,
+    pivotEvents, rollupWeekly, movingSum, medianDisc, topkPerGroup,
     sortPagination, upsertKeyed, upsertVersioned, ctasFullRefresh, upsertServe)
 }
