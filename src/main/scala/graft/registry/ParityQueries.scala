@@ -891,6 +891,43 @@ object ParityQueries {
       SELECT user_id, value AS median_disc, cnt AS n
       FROM r WHERE rn = (cnt + 1) // 2"""))
 
+  /** Per-user MAD (median absolute deviation around the discrete median):
+    * the robust spread statistic, as two stacked discrete-median passes —
+    * both pure integer rank logic over deterministic orders, and the
+    * deviation `|value - med|` subtracts identical doubles (exact on every
+    * engine). No interpolation arithmetic anywhere.
+    */
+  private val madDisc = Q(
+    "agg_mad",
+    (s, d) => {
+      val wr = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      val wc = Window.partitionBy("user_id")
+      val med = evDf(s, d)
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("user_id"), col("value").as("med"))
+      val wd = Window.partitionBy("user_id").orderBy(col("dev"), col("event_id"))
+      evDf(s, d)
+        .join(med, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+        .withColumn("rn", row_number().over(wd))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("user_id"), col("med"), col("dev").as("mad"), col("cnt").as("n"))
+    },
+    Some(s"""WITH $EV,
+      r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM ev),
+      med AS (SELECT user_id, value AS med FROM r WHERE rn = (cnt + 1) // 2),
+      dv AS (SELECT e.user_id, ABS(e.value - m.med) AS dev, e.event_id, m.med
+        FROM ev e JOIN med m ON e.user_id = m.user_id),
+      r2 AS (SELECT user_id, med, dev, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM dv)
+      SELECT user_id, med, dev AS mad, cnt AS n FROM r2 WHERE rn = (cnt + 1) // 2"""))
+
   /** Top-3 events by value per user through the native map-side-bounded
     * [[graft.functions.expressions.TopKByScore]] aggregate — the shuffle
     * carries at most k rows per user per partition instead of the whole
@@ -1026,6 +1063,6 @@ object ParityQueries {
     equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
-    pivotEvents, rollupWeekly, movingSum, medianDisc, topkPerGroup,
+    pivotEvents, rollupWeekly, movingSum, medianDisc, madDisc, topkPerGroup,
     sortPagination, upsertKeyed, upsertVersioned, ctasFullRefresh, upsertServe)
 }
