@@ -24,13 +24,16 @@ object Bench {
     val qs = SparkEntry.queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
-    // default 2 runs per query: run1 absorbs JVM/codegen warmup, run2 (the
-    // recorded one) measures the steady-state plan — the number a long-lived
-    // cluster actually sees
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+    // default 4 runs per query: run1 absorbs JVM/codegen warmup (recorded as
+    // "cold"); runs 2..4 measure the steady-state plan and the MEDIAN of them
+    // is recorded. A single warm run is a coin flip on this VM (observed
+    // ±20% swing, and one r5 run where warm > cold — impossible for the plan,
+    // so it was measuring block-manager/GC state); the median of 3 pins the
+    // number to the plan.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "4").toInt
     val results = names.map { name =>
       var cold = 0.0
-      var dt = 0.0
+      val warm = scala.collection.mutable.ArrayBuffer.empty[Double]
       for (i <- 1 to repeat) {
         val t0 = System.nanoTime()
         // a crashing query must not read as a fast success: negate the
@@ -38,11 +41,17 @@ object Bench {
         val ok =
           try { qs(name)(spark, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
-        dt = (System.nanoTime() - t0) / 1e9
+        var dt = (System.nanoTime() - t0) / 1e9
         if (!ok) dt = -dt
-        if (i == 1) cold = dt
+        if (i == 1) cold = dt else warm += dt
         System.err.println(f"[bench] $name run$i $dt%.2f s")
       }
+      // median of the warm runs; any failed run (negative) dominates so a
+      // crash can never hide behind two healthy runs
+      val dt =
+        if (warm.isEmpty) cold
+        else if (warm.exists(_ < 0)) warm.min
+        else { val s = warm.sorted; s(s.size / 2) }
       // per-query isolation (TPC-style): drop this query's cached relations,
       // persisted RDDs, and (via GC -> ContextCleaner) localCheckpoint blocks
       // before the next query starts. Without this, 16 queries' blocks pile
@@ -53,7 +62,7 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      (name, cold, dt) // run1 (cold) + last (warmest) run
+      (name, cold, dt) // run1 (cold) + median of warm runs
     }
     // "queries" stays the steady-state number (the long-lived-cluster view);
     // "queries_cold" makes first-run regressions visible alongside it

@@ -479,9 +479,9 @@ object Dedup {
     * component keeps its minimum id. Output: (vec_id, component, keep) for
     * EVERY input row — singletons keep themselves.
     *
-    * Scale shape: centroids are driver-small and broadcast (the
-    * [[Similarity.kmeansCentroids]] assignment — map-side argmax, only N
-    * rows shuffle); the assigned frame is materialized once behind
+    * Scale shape: centroids are driver-small by construction and inlined
+    * as [[Similarity.CentroidLits]] literals (assignment = zero-shuffle
+    * projection); the assigned frame is materialized once behind
     * `boundary` and feeds both sides of the intra-cell pair join (an equi
     * join on cell, never a cross product). Degenerate giant cells (a
     * duplicate flood collapsing into one cell) should be capped upstream
@@ -497,32 +497,44 @@ object Dedup {
       tau: Double,
       kmeansIters: Int = 2,
       boundary: Boundary = Boundary.Local): DataFrame = {
-    require(nClusters >= 1 && tau >= -1.0 && tau <= 1.0)
-    val centroids =
-      if (kmeansIters > 0)
-        Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters)
-      else emb.orderBy(col(idCol)).limit(nClusters)
-        .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    val assigned = boundary(emb
-      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
-      .join(broadcast(centroids))
-      .withColumn("__cs", Vectors.cosine(col("v"), col("centroid")))
-      .groupBy("vid")
-      .agg(
-        max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell"),
-        first(col("v")).as("v")))
-    val pairs = assigned.select(col("cell"), col("vid").as("id1"), col("v").as("v1"))
-      .join(assigned.select(col("cell"), col("vid").as("id2"), col("v").as("v2")),
-        Seq("cell"))
-      .filter(col("id1") < col("id2"))
-      .filter(Vectors.cosine(col("v1"), col("v2")) >= tau)
-      .select("id1", "id2")
+    val pairs = semanticPairs(emb, idCol, vecCol, nClusters, tau, kmeansIters, boundary)
     val comp = connectedComponents(pairs, "id1", "id2")
     emb.select(col(idCol).cast("long").as("vec_id"))
       .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster"), col("vec_id")).as("component"),
         (coalesce(col("cluster"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
+  /** The assignment + intra-cell-pair stage of [[semanticDedup]], exposed
+    * separately so plan hygiene can inspect it: the connected-components
+    * rounds downstream checkpoint eagerly, which truncates lineage and
+    * would hide this plan from any sweep over the final frame.
+    */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      tau: Double,
+      kmeansIters: Int = 2,
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    require(nClusters >= 1 && tau >= -1.0 && tau <= 1.0)
+    // centroids inlined as literals (Similarity.CentroidLits): assignment
+    // is a pure projection — no BroadcastNestedLoopJoin, no argmax groupBy
+    // shuffle; tie rule (cosine DESC, cell_id ASC) identical to the oracle
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(emb, idCol, vecCol, nClusters, kmeansIters))
+    val assigned = boundary(emb.select(
+      col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"),
+      cents.assign(col(vecCol)).as("cell")))
+    assigned.select(col("cell"), col("vid").as("id1"), col("v").as("v1"))
+      .join(assigned.select(col("cell"), col("vid").as("id2"), col("v").as("v2")),
+        Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(Vectors.cosine(col("v1"), col("v2")) >= tau)
+      .select("id1", "id2")
   }
 
   /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus

@@ -20,6 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Driver-collected centroid LITERALS: a (cell_id, centroid) frame —
+    * driver-small by construction everywhere it appears; it is exactly what
+    * a broadcast would ship — collected, sorted by cell_id, and inlined as
+    * plan literals. Cell scoring, argmax assignment, and probing all become
+    * pure PROJECTIONS over the scan; the broadcast-join alternative
+    * (`join(broadcast(centroids))` with no key) is a real
+    * BroadcastNestedLoopJoin that needs a PlanSpec sanction, and its argmax
+    * needs a groupBy — an extra N-row shuffle the projection form never pays.
+    *
+    * float -> double element cast is exact, so literal-double centroids
+    * score bit-identically to the raw float rows (and to the SQL oracle's
+    * per-element CAST(x AS DOUBLE)).
+    */
+  private[graft] final case class CentroidLits(cells: Array[(Long, Seq[Double])]) {
+    /** Cell ids as an array literal, ascending. */
+    val cellIds: Column = typedLit(cells.map(_._1).toSeq)
+
+    /** Array of cosine(vec, centroid_i) in cell_id order. */
+    def scores(vec: Column): Column =
+      array(cells.map { case (_, cv) => Vectors.cosine(vec, typedLit(cv)) }: _*)
+
+    /** Argmax cell id; ties go to the LOWEST cell_id (first array position
+      * of the max over the id-sorted score array) — the same determinism
+      * rule as `max_by(cell_id, struct(cos, -cell_id))` and the oracles'
+      * `ORDER BY cos DESC, cell_id`.
+      */
+    def assign(vec: Column): Column =
+      element_at(cellIds,
+        array_position(scores(vec), array_max(scores(vec))).cast("int"))
+  }
+
+  private[graft] def collectCentroids(centroids: DataFrame): CentroidLits =
+    CentroidLits(centroids
+      .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1))
+
   /** Final top-k ranking of a (query_id, neighbor_id, cosine) candidate
     * frame — as a map-side-combined bounded-heap AGGREGATE
     * ([[graft.functions.expressions.TopKByScore]]), not a rank window: the
@@ -114,14 +152,12 @@ object Similarity {
     * re-ranks the tiny surviving candidate set with the exact float cosine,
     * exactly as in [[quantizedTopK]].
     *
-    * Centroids are the deterministic first-`nCentroids` corpus rows by id,
-    * COLLECTED and inlined as literal columns: the centroid set is
-    * driver-small by construction (it is what [[ivfTopK]] broadcasts), and
-    * as literals both cell assignments become pure projections over the
-    * scan — the plan has NO BroadcastNestedLoopJoin at all, where ivfTopK's
-    * broadcast-join assignment needs a PlanSpec sanction. Assignment argmax
-    * = first index of the array max (ties to the lowest cell id, matching
-    * `ORDER BY cosine DESC, cell_id` determinism).
+    * Centroids are the deterministic first-`nCentroids` corpus rows by id
+    * (Lloyd-refined by [[kmeansCentroids]] when `kmeansIters > 0`),
+    * COLLECTED and inlined as [[CentroidLits]] literal columns, so both
+    * cell assignments are pure projections over the scan — the plan has NO
+    * BroadcastNestedLoopJoin at all. Assignment argmax ties to the lowest
+    * cell id, matching `ORDER BY cosine DESC, cell_id` determinism.
     */
   def ivfQuantizedTopK(
       queries: DataFrame,
@@ -131,31 +167,20 @@ object Similarity {
       nCentroids: Int,
       nProbe: Int,
       k: Int,
-      refine: Int = 3): DataFrame = {
+      refine: Int = 3,
+      kmeansIters: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     require(refine >= 1, "refine must be >= 1")
     import org.apache.spark.sql.graftnative.NativeColumns
-    // float -> double element cast is exact, so literal-double centroids
-    // score bit-identically to the raw float rows (and to the SQL oracle's
-    // per-element CAST(x AS DOUBLE))
-    val cents: Array[(Long, Seq[Double])] = corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val cellIds = typedLit(cents.map(_._1).toSeq)
-    def cellScores(vec: Column): Column =
-      array(cents.map { case (_, cv) => Vectors.cosine(vec, typedLit(cv)) }: _*)
+    val cents = collectCentroids(
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
 
     // corpus side: ONE pass over the scan emits (id, int8 vector, cell) —
     // this narrow frame is the only thing phase 1 ever reads
     val corpusCells = corpus.select(
       col(idCol).as("neighbor_id"),
       NativeColumns.quantizeInt8(col(vecCol)).as("cz"),
-      element_at(
-        cellIds,
-        array_position(cellScores(col(vecCol)), array_max(cellScores(col(vecCol))))
-          .cast("int")).as("cell_id"))
+      cents.assign(col(vecCol)).as("cell_id"))
     // query side: top-nProbe cells per probe (probes are few; the window is
     // tiny). pos is the centroid index == rank of cell_id, so ordering by
     // pos IS ordering by cell_id.
@@ -165,12 +190,12 @@ object Similarity {
         .select(
           col(idCol).as("query_id"),
           NativeColumns.quantizeInt8(col(vecCol)).as("qz"),
-          posexplode(cellScores(col(vecCol))))
+          posexplode(cents.scores(col(vecCol))))
         .toDF("query_id", "qz", "pos", "__cs")
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= nProbe)
         .select(col("query_id"), col("qz"),
-          element_at(cellIds, (col("pos") + 1).cast("int")).as("cell_id"))
+          element_at(cents.cellIds, (col("pos") + 1).cast("int")).as("cell_id"))
     }
     // phase 1: keyed equi join on cell — each corpus row lives in exactly
     // one cell, so (query, neighbor) pairs are already distinct
@@ -189,12 +214,12 @@ object Similarity {
 
   /** Lloyd-refined IVF centroids as a short sequence of DataFrame jobs:
     * seed = first `k` corpus rows by id (deterministic), then `iters`
-    * rounds of (assign every vector to its best centroid via broadcast
-    * argmax) -> (new centroid = per-dimension mean, computed by
-    * posexplode + groupBy(cell, dim) + re-assembly). Each round is two
-    * shuffles whose size is independent of dimensionality tricks — no
-    * driver-side vectors beyond the k-row centroid frame itself. Cells
-    * that lose all members drop out (standard Lloyd behavior).
+    * rounds of (assign every vector to its best centroid — a pure
+    * PROJECTION via [[CentroidLits]] argmax, zero shuffle) -> (new
+    * centroid = per-dimension mean, posexplode + groupBy(cell, dim) +
+    * re-assembly: ONE shuffle per round). No driver-side state beyond the
+    * k-row centroid literals themselves. Cells that lose all members drop
+    * out (standard Lloyd behavior).
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -205,15 +230,12 @@ object Similarity {
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
-      // per-vector argmax via map-side-combined max_by: only N rows shuffle,
-      // not the N * k broadcast-join blowup (see ivfTopK's corpus assignment)
-      val best = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-        .join(broadcast(centroids))
-        .withColumn("__cs", Vectors.cosine(col("v"), col("centroid")))
-        .groupBy("vid")
-        .agg(max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell_id"),
-          first(col("v")).as("v"))
-        .select(col("cell_id"), col("v"))
+      // per-vector argmax as a literal-centroid projection: no join, no
+      // groupBy — the N x k scoring happens map-side inside the scan and
+      // only the (cell, v) rows the mean below needs ever exist
+      val cents = collectCentroids(centroids)
+      val best = corpus.select(
+        cents.assign(col(vecCol)).as("cell_id"), col(vecCol).as("v"))
       // decimal-exact mean (order-independent accumulation): plain avg()
       // over doubles is partition-order-dependent, so refined centroids —
       // and therefore IVF assignments at nProbe < nCentroids — would differ
@@ -235,9 +257,9 @@ object Similarity {
     *  1. Coarse quantize: every corpus vector is assigned to its
     *     nearest-centroid cell (centroids = the deterministic first
     *     `nCentroids` corpus rows by id, optionally Lloyd-refined with
-    *     [[kmeansCentroids]] when `kmeansIters > 0`; broadcast join +
-    *     map-side-combined `max_by` argmax — O(N * C) map-side work, but
-    *     only N rows ever shuffle).
+    *     [[kmeansCentroids]] when `kmeansIters > 0`; inlined as
+    *     [[CentroidLits]] literals so the argmax is a pure projection —
+    *     O(N * C) map-side work, ZERO shuffle, no join in the plan).
     *  2. Probe: each query searches only the `nProbe` cells whose centroids
     *     score highest for it — an equi join on cell id, so the candidate
     *     set is ~N * nProbe / nCentroids per query instead of N.
@@ -245,9 +267,9 @@ object Similarity {
     * With nProbe == nCentroids every cell is probed and the result equals
     * [[bruteForceTopK]] exactly (the scalatest recall check) — regardless
     * of centroid quality, which only affects recall at nProbe < nCentroids.
-    * At 100 TB the centroid set stays driver-small (broadcast), assignments
-    * are computed once and can be persisted as a bucketed table keyed by
-    * cell.
+    * At 100 TB the centroid set stays driver-small by construction,
+    * assignments are computed once and can be persisted as a bucketed
+    * table keyed by cell.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -259,35 +281,24 @@ object Similarity {
       k: Int,
       kmeansIters: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
-    val centroids = broadcast(
+    val cents = collectCentroids(
       kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
-
-    def cellScored(df: DataFrame, id: String, out: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(out))
-        .join(centroids)
-        .withColumn("__cs", Vectors.cosine(col(out), col("centroid")))
-
-    // Corpus assignment (keep=1) is an ARGMAX, not a ranking: max_by gets
-    // map-side partial aggregation, so the broadcast-join blowup (N * C
-    // scored rows) collapses back to N rows BEFORE the shuffle. The window
-    // alternative ships and sorts all N * C rows — a C-times-larger
-    // shuffle for the same answer. Ties break to the lowest cell_id
-    // (negated id in the ordering struct), matching the window's
-    // (desc cosine, asc cell_id) determinism.
-    val corpusCells = cellScored(corpus, "neighbor_id", "cv")
-      .groupBy("neighbor_id")
-      .agg(
-        max_by(col("cell_id"), struct(col("__cs"), -col("cell_id"))).as("cell_id"),
-        first(col("cv")).as("cv"))
-      .select(col("neighbor_id"), col("cv"), col("cell_id"))
-    // Query probing keeps nProbe cells per (few) probes — the window stays,
-    // partitioned by query id over a small frame.
+    val corpusCells = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cents.assign(col(vecCol)).as("cell_id"))
+    // Query probing keeps nProbe cells per (few) probes — a tiny window;
+    // pos is the centroid index == rank of cell_id, so ordering by pos IS
+    // the (desc cosine, asc cell_id) determinism rule.
     val queryCells = {
-      val w = Window.partitionBy("query_id").orderBy(col("__cs").desc, col("cell_id"))
-      cellScored(queries, "query_id", "qv")
+      val w = Window.partitionBy("query_id").orderBy(col("__cs").desc, col("pos"))
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          posexplode(cents.scores(col(vecCol))))
+        .toDF("query_id", "qv", "pos", "__cs")
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= nProbe)
-        .select(col("query_id"), col("qv"), col("cell_id"))
+        .select(col("query_id"), col("qv"),
+          element_at(cents.cellIds, (col("pos") + 1).cast("int")).as("cell_id"))
     }
     val scored = queryCells
       .join(corpusCells, Seq("cell_id"))

@@ -266,26 +266,35 @@ object FeaturePipeline {
 
   // --------------------------------------------------------------- queries
 
-  def assembly(s: SparkSession, d: String): DataFrame = {
+  def assembly(s: SparkSession, d: String,
+      boundary: graft.operators.Boundary = graft.operators.Boundary.Local): DataFrame = {
+    import graft.operators.Boundary
     import org.apache.spark.storage.StorageLevel
-    // stand-in for the materialized stage layer (medallion): every event
-    // frame below derives from this one scan
-    val e = evDf(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    // the borrow events, the wallet spine and the account-health-factor
-    // CTE each feed 4-8 consumers in the assembly tree; without explicit
+    // the events scan (stand-in for the materialized stage layer), the
+    // borrow events, the wallet spine and the account-health-factor CTE
+    // each feed 4-8 consumers in the assembly tree; without explicit
     // materialization Catalyst re-derives them per consumer (measured: 107
     // source scans, zero reused exchanges) — persist once, like the
-    // reference's result-cache reuse of the shared hf CTE (SURVEY.md §4)
-    val borrow = eventsShaped(e, "purchase").persist(StorageLevel.MEMORY_AND_DISK)
+    // reference's result-cache reuse of the shared hf CTE (SURVEY.md §4).
+    // The persists are SCOPED: the final result is materialized through
+    // `boundary` and every intermediate is unpersisted (blocking) before
+    // returning, so the query leaves no block-manager footprint behind —
+    // a lingering footprint is GC-timing noise in any benchmark that runs
+    // queries back to back. Boundary.None skips both persist and
+    // materialization: the fully lazy plan, for plan inspection (Q.planView).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame =
+      if (boundary == Boundary.None) df
+      else { persisted += df; df.persist(StorageLevel.MEMORY_AND_DISK) }
+    val e = mat(evDf(s, d))
+    val borrow = mat(eventsShaped(e, "purchase"))
     val repay = eventsShaped(e, "error")
     val deposit = eventsShaped(e, "click")
     val withdraw = eventsShaped(e, "view")
     val liq = eventsShaped(e, "signup")
-    val spine = Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ahf = Views.accountHealthFactor(mergedPositionsShaped(e))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    Assembly.featureAssembly(
+    val spine = mat(Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay)))
+    val ahf = mat(Views.accountHealthFactor(mergedPositionsShaped(e)))
+    val out = boundary(Assembly.featureAssembly(
       spine, borrow,
       Views.repayFeatures(repay),
       Views.borrowFeatures(borrow),
@@ -295,7 +304,9 @@ object FeaturePipeline {
       Views.historicalHealthAndRiskFactor(borrow, ahf),
       Views.historicalCountAboveThreshold(borrow, ahf),
       Views.liquidationFeatures(liq, AsOfEpoch),
-      Views.currentHealthFactorFeatures(stageMdShaped(e), currentPositionsShaped(e)))
+      Views.currentHealthFactorFeatures(stageMdShaped(e), currentPositionsShaped(e))))
+    persisted.reverseIterator.foreach(_.unpersist(blocking = true))
+    out
   }
 
   private val eventCtes = Seq(
@@ -440,7 +451,8 @@ object FeaturePipeline {
     "feature_assembly",
     (s, d) => assembly(s, d),
     Some(assemblyOracle),
-    bench = true)
+    bench = true,
+    planView = Some((s, d) => assembly(s, d, graft.operators.Boundary.None)))
 
   private val histViewQ = Q(
     "view_historical_health_risk",

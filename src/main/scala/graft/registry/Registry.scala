@@ -14,12 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - per-row doubles mirror the oracle's expression tree exactly (same
   *    IEEE-754 ops in the same association order -> bit-identical results);
   *  - min/max/count/count-distinct are order-independent already.
+  *
+  * `planView`: for queries whose `run` crosses a materialization boundary
+  * (persist / localCheckpoint / write+read), the SAME program built with
+  * [[graft.operators.Boundary.None]] — a fully lazy plan. Plan-hygiene
+  * tests sweep this view, so a boundary can never hide a quadratic join
+  * from PlanSpec (the values are identical by Boundary's contract).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    planView: Option[(SparkSession, String) => DataFrame] = None)
 
 object Registry {
   lazy val all: Seq[Q] =

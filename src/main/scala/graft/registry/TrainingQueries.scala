@@ -3,7 +3,7 @@ package graft.registry
 import graft.functions.Text
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -119,19 +119,22 @@ object TrainingQueries {
     * result must hash-match it exactly (false positives re-checked, false
     * negatives impossible).
     */
+  private def bloomIngest(s: SparkSession, d: String,
+      boundary: graft.operators.Boundary): DataFrame = {
+    val corpus = Tables.documents(s, d).select("doc_id", "text")
+    val head = corpus.filter(col("doc_id") < 25)
+    val batch = head
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionAll(head.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text")))
+    Dedup.exactIngestBloom(corpus, batch, "doc_id", "text",
+      expectedItems = 100000L, numBits = 1000000L, boundary = boundary)
+  }
+
   private val dedupExactBloom = Q(
     "dedup_exact_bloom_ingest",
-    (s, d) => {
-      val corpus = Tables.documents(s, d).select("doc_id", "text")
-      val head = corpus.filter(col("doc_id") < 25)
-      val batch = head
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        .unionAll(head.select(
-          (col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" zq")).as("text")))
-      Dedup.exactIngestBloom(corpus, batch, "doc_id", "text",
-        expectedItems = 100000L, numBits = 1000000L)
-    },
+    (s, d) => bloomIngest(s, d, graft.operators.Boundary.Local),
     Some("""WITH batch AS (
         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
         UNION ALL
@@ -140,7 +143,8 @@ object TrainingQueries {
           COUNT(*) AS n_copies
         FROM batch GROUP BY text)
       SELECT text_md5, canonical_id, n_copies FROM b
-      WHERE text_md5 NOT IN (SELECT md5(text) FROM documents)"""))
+      WHERE text_md5 NOT IN (SELECT md5(text) FROM documents)"""),
+    planView = Some((s, d) => bloomIngest(s, d, graft.operators.Boundary.None)))
 
   private val dedupFingerprint = Q(
     "dedup_fingerprint",
@@ -217,7 +221,10 @@ object TrainingQueries {
     (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
       n = 3, k = 64, bands = 16, threshold = 0.5),
     None, // no xxhash64 in DuckDB; exact semantics oracle-checked by the md5 variant below
-    bench = true)
+    bench = true,
+    planView = Some((s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)),
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5,
+      boundary = graft.operators.Boundary.None)))
 
   /** The FULL MinHash+LSH pipeline (signature -> 16 bands -> candidate join
     * -> Jaccard verify) under the md5 shingle hash, so DuckDB recomputes
@@ -270,30 +277,38 @@ object TrainingQueries {
     Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
         cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
           FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
+        ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""),
+    planView = Some((s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)),
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5,
+      shingleHash = Dedup.Md5ShingleHash, boundary = graft.operators.Boundary.None)))
 
   /** Incremental LSH: the 25-doc mutated batch dedups against the corpus
     * through its (doc_id, band, bucket) index — only new-x-corpus pairs,
     * never corpus-x-corpus. The oracle recomputes both sides' signatures
     * and restricts the band join the same way.
     */
+  private def minhashIncremental(s: SparkSession, d: String,
+      boundary: graft.operators.Boundary): DataFrame = {
+    val corpus = Tables.documents(s, d).select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" xq")).as("text"))
+    val index = Dedup.minhashBuckets(corpus, "doc_id", "text",
+      n = 3, k = 64, bands = 16, shingleHash = Dedup.Md5ShingleHash)
+    Dedup.minhashLshIncremental(batch, index, corpus, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5,
+      shingleHash = Dedup.Md5ShingleHash, boundary = boundary)
+  }
+
   private val dedupMinhashIncremental = Q(
     "dedup_minhash_incremental",
-    (s, d) => {
-      val corpus = Tables.documents(s, d).select("doc_id", "text")
-      val batch = corpus.filter(col("doc_id") < 25).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" xq")).as("text"))
-      val index = Dedup.minhashBuckets(corpus, "doc_id", "text",
-        n = 3, k = 64, bands = 16, shingleHash = Dedup.Md5ShingleHash)
-      Dedup.minhashLshIncremental(batch, index, corpus, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.5, shingleHash = Dedup.Md5ShingleHash)
-    },
+    (s, d) => minhashIncremental(s, d, graft.operators.Boundary.Local),
     Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
         cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
           FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
             AND x.doc_id >= 100000 AND y.doc_id < 100000),
-        ${lshVerifySql("cand", "new_id", "corpus_id", 0.5)}"""))
+        ${lshVerifySql("cand", "new_id", "corpus_id", 0.5)}"""),
+    planView = Some((s, d) => minhashIncremental(s, d, graft.operators.Boundary.None)))
 
   /** SimHash with the md5-derived token hash ([[Text.md5Hash64]]) so the
     * whole sketch is reproducible in DuckDB: the oracle recomputes every
@@ -495,7 +510,13 @@ object TrainingQueries {
         SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
         FROM e LEFT JOIN cl ON cl.node = e.doc_id
         WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""),
-    bench = true)
+    bench = true,
+    // pre-boundary plan: the exact-dedup + canonical-join stages fully lazy
+    // (the CC rounds inside still checkpoint — their per-round plans are
+    // plain keyed joins, covered by the cluster-assign oracle family)
+    planView = Some((s, d) => graft.quality.CorpusClean.pipeline(
+      Tables.documents(s, d).select("doc_id", "text"),
+      boundary = graft.operators.Boundary.None)))
 
   /** SemDeDup with deterministic SEED centroids (kmeansIters = 0: the
     * first 8 embeddings by id ARE the cells), so DuckDB recomputes the
@@ -509,7 +530,10 @@ object TrainingQueries {
     "dedup_semantic",
     (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
       nClusters = 8, tau = 0.45, kmeansIters = 0),
-    Some(s"""WITH RECURSIVE
+    planView = Some((s, d) => Dedup.semanticPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", nClusters = 8, tau = 0.45, kmeansIters = 0,
+      boundary = graft.operators.Boundary.None)),
+    oracle = Some(s"""WITH RECURSIVE
       c AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
       sc AS (SELECT e.vec_id, e.embedding AS v, c.cell_id, ${cosSql("e.embedding", "c.cv")} AS cs
         FROM embeddings e CROSS JOIN c),
@@ -829,7 +853,11 @@ object TrainingQueries {
           tf.tf * CAST(FLOOR(log2(nd / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT) AS score
         FROM tf JOIN dfq USING (w) CROSS JOIN n),
       rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank FROM sc)
-      SELECT doc_id, w, tf, df, score, rank FROM rn WHERE rank <= 5"""))
+      SELECT doc_id, w, tf, df, score, rank FROM rn WHERE rank <= 5"""),
+    planView = Some((s, d) => graft.quality.Scoring
+      .tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5,
+        boundary = graft.operators.Boundary.None)
+      .withColumn("rank", col("rank").cast("long"))))
 
   private val textRepetition = Q(
     "text_repetition",

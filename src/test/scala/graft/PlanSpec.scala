@@ -28,24 +28,25 @@ class PlanSpec extends SparkSpec {
     "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
-    * product by definition (and the quantized two-phase variant scans the
+    * product by definition, and the quantized two-phase variant scans the
     * same product, just 4x narrower int8 rows — both are correctness
-    * baselines); IVF's coarse-quantization joins every vector against the
-    * (driver-small, broadcast) centroid set — an intentional map-side
-    * expansion, not a planning accident. The production ANN scale path,
-    * `sim_ivf_quantized`, is NOT here: its literal-centroid assignment +
-    * cell-keyed probe plans keyed joins only, so it runs through the
-    * cartesian check below like any other query.
+    * baselines. Every IVF/kmeans path now inlines centroids as literals
+    * (Similarity.CentroidLits), so `sim_ivf_topk` plans keyed joins only
+    * and left this set in round 6.
     */
   private val intentionallyUnkeyed =
-    Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_ivf_topk")
+    Set("sim_bruteforce_topk", "sim_quantized_topk")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)
     val offenders = Registry.all
       .filterNot(q => effectful(q.name) || intentionallyUnkeyed(q.name))
       .flatMap { q =>
-        val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+        // queries whose run() crosses a materialization boundary expose the
+        // SAME program fully lazy via planView — a localCheckpoint/persist
+        // must never hide a quadratic join from this sweep
+        val plan = q.planView.getOrElse(q.run)(spark, sf)
+          .queryExecution.executedPlan.toString
         val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
         if (bad.nonEmpty) Some(s"${q.name}: ${bad.mkString(", ")}") else None
       }
