@@ -881,16 +881,27 @@ object TrainingQueries {
 
   /** Sketch-based distinct for 100 TB cardinalities (SURVEY §2.8 notes
     * exact count-distinct suffices for parity; this is the documented
-    * at-scale alternative). HLL implementations differ across engines, so
-    * the check is a scalatest error bound vs the exact count, not an
-    * oracle hash.
+    * at-scale alternative). HLL sketches differ across engines, so the raw
+    * approx value can never hash-match DuckDB — instead the query emits
+    * the sketch's accuracy GUARANTEE as a boolean (|approx - exact| within
+    * 3x the configured rsd of exact; P(violation) ~ 1e-3 per group for a
+    * Gaussian error model, and HLL++ bias correction keeps small
+    * cardinalities exact) and the oracle asserts it TRUE with the exact
+    * count recomputed from scratch — a sketch regression flips the bool
+    * and reds the hash row.
     */
   private val approxDistinct = Q(
     "agg_approx_distinct",
     (s, d) => ParityQueries.evDf(s, d).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users")),
-    None)
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("__approx"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx") - col("exact_users")).cast("double")
+          <= lit(3 * 0.05) * col("exact_users").cast("double")).as("within_3x_rsd")),
+    Some(s"""WITH $EV
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        TRUE AS within_3x_rsd
+      FROM ev GROUP BY 1"""))
 
   /** PII scrub over documents salted with deterministic synthetic PII
     * (emails, URLs, phone-ish runs, long numbers derived from doc_id — the
