@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,6 +78,57 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("frame_no"),
         col("payload").substr((col("frame_no") * frameBytes + 1).cast("int"), lit(frameBytes))
           .as("frame"))
+  }
+
+  /** Deterministic synthetic PNG/JPEG payloads from an id column — real
+    * byte-level files-in-miniature (signatures, chunk/segment structure,
+    * big-endian dimension fields), so
+    * [[org.apache.spark.sql.graftnative.NativeColumns.imageDims]] exercises
+    * its actual parse path against bytes it did not produce:
+    *
+    *  - even ids: a PNG signature + IHDR chunk (width/height big-endian at
+    *    the spec offsets);
+    *  - odd ids: a JPEG whose start-of-frame OFFSET VARIES per id — an
+    *    APP0/JFIF segment plus 0-2 COM segments of id-dependent length
+    *    before SOF0 — so any fixed-offset shortcut parses garbage;
+    *  - ids % 17 == 0: non-image bytes (the corrupt-row case a corpus
+    *    ingest must tolerate).
+    *
+    * Built entirely from codegen'd Column expressions (hex/lpad/unhex
+    * big-endian encoding, binary concat) — no UDF, and the id -> dims map
+    * is plain arithmetic, so an external SQL engine can state the expected
+    * parse result without a byte-level re-implementation.
+    */
+  def syntheticImages(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    def be32(x: Column): Column = unhex(lpad(hex(x), 8, "0"))
+    def be16(x: Column): Column = unhex(lpad(hex(x), 4, "0"))
+    val empty = lit(Array.emptyByteArray)
+    val w = pmod(id, lit(640)) + 1
+    val h = pmod(id, lit(480)) + 1
+    val png = concat(
+      bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      bytes(0, 0, 0, 13), encode(lit("IHDR"), "UTF-8"), be32(w), be32(h),
+      bytes(8, 2, 0, 0, 0))
+    def comSeg(padLen: Column): Column = concat(
+      bytes(0xff, 0xfe), be16(padLen + 2),
+      encode(repeat(lit("x"), padLen.cast("int")), "UTF-8"))
+    val nCom = pmod(id, lit(3))
+    val jpeg = concat(
+      bytes(0xff, 0xd8),
+      bytes(0xff, 0xe0, 0x00, 0x10), encode(lit("JFIF"), "UTF-8"),
+      bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0),
+      when(nCom >= 1, comSeg(pmod(id, lit(5)) + 3)).otherwise(empty),
+      when(nCom >= 2, comSeg(pmod(id, lit(7)) + 2)).otherwise(empty),
+      bytes(0xff, 0xc0, 0x00, 0x11, 0x08), be16(h), be16(w),
+      bytes(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val garbage = concat(encode(lit("GARBAGE"), "UTF-8"), be32(id))
+    docs.select(
+      id.as("media_id"),
+      when(pmod(id, lit(17)) === 0, garbage)
+        .when(pmod(id, lit(2)) === 0, png)
+        .otherwise(jpeg).as("payload"))
   }
 
   /** Decoded-feature schema produced by [[decodeStub]]. */

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, NormalizeVec, QuantizeInt8, SimHashWords}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, ImageDims, NormalizeVec, QuantizeInt8, SimHashWords}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_simhash: md5 must be a boolean literal")
       }.getOrElse(false)
       SimHashWords(args.head, md5)
+    })
+    register(ext, "graft_image_dims", { args =>
+      require(args.length == 1, "graft_image_dims(payload) takes one binary argument")
+      ImageDims(args.head)
     })
     register(ext, "graft_hyperplane_buckets", { args =>
       require(args.length == 3,

@@ -1044,6 +1044,33 @@ object TrainingQueries {
         FROM b"""
     })
 
+  /** REAL header decode over synthetic-but-structurally-real PNG/JPEG
+    * payloads ([[Multimodal.syntheticImages]]): the native [[ImageDims]]
+    * expression reads the PNG IHDR / walks the JPEG segments to the SOF
+    * marker — offsets vary per row, so only a correct parser reproduces
+    * the id -> dims arithmetic the oracle states independently. Corrupt
+    * rows (ids % 17 == 0, non-image bytes) must come back 'unknown'/-1,
+    * not crash. Width/height cast long (Spark parses int32; DuckDB
+    * arithmetic is int64).
+    */
+  private val multimodalImageDims = Q(
+    "multimodal_image_dims",
+    (s, d) => {
+      val hdr = org.apache.spark.sql.graftnative.NativeColumns.imageDims(col("payload"))
+      Multimodal.syntheticImages(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), hdr.as("__h"))
+        .select(col("media_id"),
+          coalesce(col("__h.format"), lit("unknown")).as("format"),
+          coalesce(col("__h.width").cast("long"), lit(-1L)).as("width"),
+          coalesce(col("__h.height").cast("long"), lit(-1L)).as("height"))
+    },
+    Some("""SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+             WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        CAST(CASE WHEN doc_id % 17 = 0 THEN -1 ELSE doc_id % 640 + 1 END AS BIGINT) AS width,
+        CAST(CASE WHEN doc_id % 17 = 0 THEN -1 ELSE doc_id % 480 + 1 END AS BIGINT) AS height
+      FROM documents"""))
+
   private val multimodalFrameSample = Q(
     "multimodal_framesample",
     (s, d) => {
@@ -1307,6 +1334,6 @@ object TrainingQueries {
     tfidfTopTermsQ,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
-    jsonlRoundtrip, multimodalDecode, multimodalFrameSample,
+    jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert)
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -68,6 +68,13 @@ object NativeColumns {
     Column(ExpressionColumnNode(
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
         .toAggregateExpression()))
+
+  /** PNG/JPEG header sniff over a binary payload column:
+    * `struct<format, width, height>`, NULL for unparseable bytes (see
+    * [[ImageDims]] — a real IHDR read and JPEG segment walk, codegen'd).
+    */
+  def imageDims(payload: Column): Column =
+    Column(ExpressionColumnNode(ImageDims(ExpressionUtils.expression(payload))))
 
   /** Spark's own runtime-filter bloom aggregate (the engine behind
     * `spark.sql.optimizer.runtime.bloomFilter.*`), exposed as a Column:

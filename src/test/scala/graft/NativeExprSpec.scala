@@ -276,4 +276,72 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_hyperplane_buckets"))
   }
+
+  test("imageDims parses hand-crafted PNG/JPEG headers and tolerates corruption") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(x: Int) = b(x >>> 24, (x >>> 16) & 0xff, (x >>> 8) & 0xff, x & 0xff)
+    def be16(x: Int) = b((x >>> 8) & 0xff, x & 0xff)
+    val pngSig = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def png(w: Int, h: Int) =
+      pngSig ++ be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ b(8, 6, 0, 0, 0)
+    // JPEG with an EXIF APP1 segment (the phone-camera shape), a COM, a
+    // stray RST marker, then a PROGRESSIVE SOF2 frame header
+    def jpegExif(w: Int, h: Int) = {
+      val exif = "Exif".getBytes ++ b(0) ++ Array.fill(9)(0x41.toByte)
+      b(0xff, 0xd8) ++
+        b(0xff, 0xe1) ++ be16(exif.length + 2) ++ exif ++
+        b(0xff, 0xfe) ++ be16(5) ++ "abc".getBytes ++
+        b(0xff, 0xd3) ++ // RST3: zero-payload marker, must step over
+        b(0xff, 0xc2) ++ be16(17) ++ b(8) ++ be16(h) ++ be16(w) ++
+        b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    }
+    val rows = Seq(
+      (1L, png(800, 600)),
+      (2L, jpegExif(4032, 3024)),
+      (3L, png(1, 1)),
+      (4L, "not an image at all".getBytes),
+      (5L, png(800, 600).take(20)),           // truncated PNG
+      (6L, jpegExif(100, 100).take(9)),       // truncated mid-segment
+      (7L, b(0xff, 0xd8, 0xff, 0xd9)),        // SOI then EOI: no frame
+      (8L, Array.emptyByteArray))
+    val got = rows.toDF("id", "payload")
+      .select(col("id"), NativeColumns.imageDims(col("payload")).as("h"))
+      .select(col("id"), col("h.format"), col("h.width"), col("h.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ("png", 800, 600))
+    assert(got(2L) == ("jpeg", 4032, 3024))
+    assert(got(3L) == ("png", 1, 1))
+    assert(got(4L) == null)
+    assert(got(5L) == null)
+    assert(got(6L) == null)
+    assert(got(7L) == null)
+    assert(got(8L) == null)
+    // null payload -> null result (nullSafeEval path)
+    val nul = Seq(Tuple1(null: Array[Byte])).toDF("payload")
+      .select(NativeColumns.imageDims(col("payload"))).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
+  test("syntheticImages payloads roundtrip through the real parser") {
+    // the generator's Column-built bytes must be what the parser expects —
+    // this is the byte-level handshake the registry oracle (arithmetic
+    // only) does not itself re-check
+    val docs = (0L until 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val parsed = graft.operators.Multimodal.syntheticImages(docs, "doc_id")
+      .select(col("media_id"),
+        NativeColumns.imageDims(col("payload")).as("h"))
+      .select(col("media_id"), col("h.format"), col("h.width"), col("h.height"))
+      .collect()
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 17 == 0) assert(r.isNullAt(1), s"id $id should be unparseable")
+      else {
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        assert(r.getString(1) == fmt, s"id $id format")
+        assert(r.getInt(2) == (id % 640 + 1).toInt, s"id $id width")
+        assert(r.getInt(3) == (id % 480 + 1).toInt, s"id $id height")
+      }
+    }
+  }
 }
