@@ -135,6 +135,83 @@ object Incremental {
     if (hadPrev) fs.delete(old, true)
   }
 
+  /** BUCKET-PRUNED keyed upsert — the 100 TB form of [[upsertByKey]]: the
+    * table lives as `nBuckets` hash-bucket subdirectories (`path/b=K`,
+    * `K = pmod(xxhash64(key), nBuckets)`) and an upsert merges and
+    * REWRITES ONLY the buckets that contain batch keys. [[upsertByKey]]'s
+    * parquet swap inherently rewrites the whole table per run; here a
+    * daily serve batch touching a few buckets rewrites a few buckets'
+    * bytes — the reference's daily Mongo upsert
+    * (save_defi_features_features_db.py:28-34) at datalake scale. The
+    * bucket id is a pure function of the key, so a merged row always lands
+    * back in the bucket it came from, and the untouched buckets are not
+    * even READ: one merge job over the touched subdirectories only.
+    *
+    * Commit: ONE staging write (partitioned by bucket), then the same
+    * two-rename swap as [[upsertByKey]] applied per touched bucket. A
+    * crash mid-sequence leaves every untouched bucket live and at most one
+    * bucket in the recoverable `__old` state (same manual recovery note as
+    * upsertByKey, scoped to that bucket). Same single-writer /
+    * rename-capable-FS contract as the rest of this family; object-store
+    * targets should use [[upsertByKeyVersioned]] semantics per bucket.
+    *
+    * Read the logical table back with [[readBucketed]].
+    */
+  def upsertByKeyBucketed(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // touched buckets: driver-small by construction (<= nBuckets ints)
+    val touched = updates.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = touched.filter(k => fs.exists(new Path(s"$path/b=$k")))
+    // one merge job: read ONLY the touched buckets' current rows
+    val merged =
+      if (existing.isEmpty) updates
+      else mergeByKey(
+        spark.read.parquet(existing.map(k => s"$path/b=$k").toIndexedSeq: _*),
+        updates, key)
+    val staging = new Path(path + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.withColumn("b", bucketOf)
+      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    touched.foreach { k =>
+      val dst = new Path(s"$path/b=$k")
+      val tmp = new Path(staging, s"b=$k")
+      val old = new Path(s"$path/b=${k}__old")
+      if (!fs.exists(tmp)) // an update key deduped away entirely: nothing new
+        ()
+      else {
+        if (fs.exists(old)) fs.delete(old, true)
+        fs.mkdirs(root)
+        val hadPrev = fs.exists(dst)
+        if (hadPrev && !fs.rename(dst, old))
+          throw new java.io.IOException(s"upsertByKeyBucketed: failed to move $dst aside")
+        if (!fs.rename(tmp, dst)) {
+          if (hadPrev) fs.rename(old, dst) // roll back this bucket
+          throw new java.io.IOException(s"upsertByKeyBucketed: failed to commit $tmp -> $dst")
+        }
+        if (hadPrev) fs.delete(old, true)
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** The logical view of an [[upsertByKeyBucketed]] table: all buckets,
+    * bucket column dropped. The physical `b=K` partitioning stays available
+    * to readers that filter on a key's bucket (partition pruning turns a
+    * point lookup into a one-bucket scan).
+    */
+  def readBucketed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("b")
+
   /** Object-store-safe keyed upsert: versioned snapshot directories plus an
     * atomically-committed pointer file. This is the production path for
     * targets where directory rename is a non-atomic O(data) copy (S3A, GCS):

@@ -981,6 +981,35 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** The bucket-pruned twin of `snk_upsert_keyed`: same two upserts through
+    * [[Incremental.upsertByKeyBucketed]] (16 hash buckets, only touched
+    * buckets rewritten — LayoutSpec counts the untouched ones surviving
+    * byte-identical), same oracle — the layout must be invisible to the
+    * logical result.
+    */
+  private val upsertBucketed = Q(
+    "snk_upsert_bucketed",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/upsertb_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      Incremental.upsertByKeyBucketed(s, base, path, "user_id", nBuckets = 16)
+      Incremental.upsertByKeyBucketed(s, upd, path, "user_id", nBuckets = 16)
+      Incremental.readBucketed(s, path)
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -1064,5 +1093,5 @@ object ParityQueries {
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     pivotEvents, rollupWeekly, movingSum, medianDisc, madDisc, topkPerGroup,
-    sortPagination, upsertKeyed, upsertVersioned, ctasFullRefresh, upsertServe)
+    sortPagination, upsertKeyed, upsertBucketed, upsertVersioned, ctasFullRefresh, upsertServe)
 }

@@ -31,6 +31,39 @@ class LayoutSpec extends SparkSpec {
     assert(agg.count() == 500)
   }
 
+  test("upsertByKeyBucketed: a small batch rewrites only its buckets; untouched buckets survive byte-identical") {
+    import graft.operators.Incremental
+    val base = "target/tmp/layout_bucket_upsert"
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val nBuckets = 16
+    // base load: 2000 keys cover all 16 buckets
+    val all = (1L to 2000L).map(i => (i, i * 1.0)).toDF("k", "v")
+    Incremental.upsertByKeyBucketed(spark, all, base, "k", nBuckets)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+      }.toMap
+    val before = snapshot()
+    assert(before.size == nBuckets, s"base load should populate all buckets, got ${before.size}")
+    // tiny batch: 3 keys -> at most 3 touched buckets
+    val batch = Seq((5L, 500.0), (6L, 600.0), (2001L, 1.5)).toDF("k", "v")
+    Incremental.upsertByKeyBucketed(spark, batch, base, "k", nBuckets)
+    val after = snapshot()
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size <= 3 && changed.nonEmpty,
+      s"a 3-key batch must rewrite <= 3 of $nBuckets buckets, rewrote: $changed")
+    assert((before.keySet -- changed).forall(b => before(b) == after(b)),
+      "untouched buckets must keep identical files (names, sizes, mtimes)")
+    // logical content: last-writer-wins merge
+    val got = Incremental.readBucketed(spark, base).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 2001)
+    assert(got(5L) == 500.0 && got(6L) == 600.0 && got(2001L) == 1.5 && got(7L) == 7.0)
+  }
+
   test("writeRangeClustered: per-file key ranges are pairwise disjoint") {
     val base = "target/tmp/layout_range_spec"
     val p = new org.apache.hadoop.fs.Path(base)
