@@ -31,6 +31,48 @@ class LayoutSpec extends SparkSpec {
     assert(agg.count() == 500)
   }
 
+  test("AQE splits the deliberately skewed sf0.1 join (skew handling without manual salting)") {
+    // SURVEY §4 flags hot tokens as the real skew risk on the as-of join;
+    // Skew.saltedInnerJoin is the manual fix. This is the evidence for the
+    // ENGINE's own fix: funnel a third of sf0.1 events onto one hot key,
+    // force a sort-merge join, and require AQE's skew-join rule to split
+    // the oversized partition (thresholds scaled to testdata size — on the
+    // 100 TB cluster the defaults, 256 MB / factor 5, play the same role).
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      graft.sources.Tables.configure(spark)
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(when(col("user_id") < 1400, 0L).otherwise(col("user_id")).as("k"),
+          col("value"))
+      val dim = (0L to 1500L).map(k => (k, s"dim$k")).toDF("k", "attr")
+      // AQE splits a skewed reduce partition at MAP-OUTPUT granularity: a
+      // single-mapper shuffle (this one small parquet file scans as one
+      // task) is unsplittable no matter how skewed. The repartition gives
+      // the join's exchange 24 mappers — on a real cluster the thousands
+      // of scan tasks provide this for free.
+      val joined = ev.repartition(24).join(dim, "k")
+      // execute THIS frame's plan (a .count() builds its own query
+      // execution, and AQE only finalizes the plan it actually ran)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE skew-join split did not engage on the hot key:\n$plan")
+      assert(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+        s"expected a skewed AQEShuffleRead:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, scala.None) => spark.conf.unset(k)
+    }
+  }
+
   test("upsertByKeyBucketed: a small batch rewrites only its buckets; untouched buckets survive byte-identical") {
     import graft.operators.Incremental
     val base = "target/tmp/layout_bucket_upsert"
