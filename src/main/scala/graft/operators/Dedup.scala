@@ -45,11 +45,15 @@ object Dedup {
     * [[org.apache.spark.sql.graftnative.NativeColumns.bloomFilterAgg]]),
     * and the confirm pass streams the corpus against a BROADCAST of the
     * tiny candidate set. The batch shuffles once, as 16-byte digests.
-    * The collected filter rides the plan as a literal — the same way
-    * Spark's injected runtime bloom joins carry theirs (a subquery result
-    * materialized driver-side); size `numBits` for the corpus cardinality
-    * (~9.6 bits/key for 1% fpp, so 1B keys ≈ 1.2 GB — at that extreme,
-    * shard the ingest by digest prefix and build per-shard filters).
+    * The collected filter rides as a BROADCAST VARIABLE
+    * ([[org.apache.spark.sql.graftnative.NativeColumns.mightContainBroadcast]]):
+    * bytes move once per executor over the torrent protocol and
+    * deserialize once — NOT as a plan literal, which would serialize the
+    * whole filter into every task closure and fall over orders of
+    * magnitude before the filter itself is too big. Size `numBits` for the
+    * corpus cardinality (~9.6 bits/key for 1% fpp); the practical ceiling
+    * is executor/driver memory for one filter copy (a few GB) — beyond
+    * that, shard the ingest by digest prefix and build per-shard filters.
     */
   def exactIngestBloom(
       corpus: DataFrame,
@@ -69,8 +73,9 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies")))
     if (bloom == null) return batchCanon // empty corpus: everything is new
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val candidates = batchCanon
-      .filter(NativeColumns.mightContain(lit(bloom), xxhash64(col("text_md5"))))
+      .filter(NativeColumns.mightContainBroadcast(bloomBc, xxhash64(col("text_md5"))))
     val confirmed = corpusDigests
       .join(broadcast(candidates.select("text_md5")), Seq("text_md5"), "left_semi")
       .distinct()

@@ -97,6 +97,20 @@ object Scoring {
     * quantized away ([[unigramSurprisal]]'s idiom, here with zero residual
     * float arithmetic: the ranking compares exact longs on every engine).
     *
+    * RESIDUAL ASSUMPTION (shared by every `floor(log2(x) * 1e6)` site,
+    * including [[graft.quality.Selection.weightedSample]]): quantization
+    * removes cross-engine risk only while both engines' log2 land in the
+    * same 1e-6 cell. log2 is not IEEE-correctly-rounded, so two libms may
+    * differ by ~1 ulp; a value sitting within a ulp of an exact multiple
+    * of 1e-6 could floor differently. The inputs here are ratios of small
+    * integers (N/df; the dyadic (h+1)/2^20 in weightedSample), whose log2
+    * is irrational except at exact powers of two — where log2 IS exact in
+    * every conforming libm — so a boundary landing requires an
+    * astronomically unlucky irrational within ~1e-16 of a 1e-6 multiple.
+    * Empirically zero hits across both SF sweeps every round; if an input
+    * family with adversarial values appears, switch the idf to a provably
+    * exact integer form (e.g. bit-length floor(log2) on integers).
+    *
     * Shape at scale: one (doc, word) aggregation (narrow rows, map-side
     * combined), one word-keyed df aggregation whose result — vocabulary-
     * sized, orders of magnitude smaller than the corpus — broadcasts back

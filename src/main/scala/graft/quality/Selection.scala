@@ -89,10 +89,10 @@ object Selection {
     * lower id — same rule as an `ORDER BY rank, id` row_number, so external
     * oracles reproduce the exact kept set.
     *
-    * `idCol` must be long-castable (a non-castable id nulls out and never
-    * wins a heap slot); it need NOT be globally unique — the winners come
-    * back keyed by (strata, id), so an id reused across strata keeps rows
-    * only in the strata where it was actually picked.
+    * `idCol` must be an INTEGRAL column — validated up front (see
+    * [[requireIntegralId]]); it need NOT be globally unique — the winners
+    * come back keyed by (strata, id), so an id reused across strata keeps
+    * rows only in the strata where it was actually picked.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -101,6 +101,7 @@ object Selection {
       k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    requireIntegralId(df, idCol, "stratifiedSample")
     val rank = Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt)))
     val picked = df
       .select(strataCols.map(col) :+ col(idCol).cast("long").as("__id") :+
@@ -149,6 +150,7 @@ object Selection {
       k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    requireIntegralId(df, idCol, "weightedSample")
     val M = 1048576L // 2^20
     val h = pmod(Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt))), lit(M))
     val qlog = floor(log2((h + 1).cast("double") / lit(M.toDouble)) * 1e6).cast("long")
@@ -189,5 +191,25 @@ object Selection {
       .withColumn("__cum_before", sum(col(tokenCol)).over(w) - col(tokenCol))
       .withColumn("pack_id", expr(s"__cum_before div $budget"))
       .drop("__cum_before")
+  }
+
+  /** The heap samplers carry ids through
+    * [[graft.functions.expressions.TopKByScore]] as longs. An id of any
+    * non-integral type would cast to null (the row silently never wins a
+    * heap slot) or — worse — two distinct ids could collide after the
+    * cast and BOTH survive the pick-up semi-join. Requiring an integral
+    * column makes the long cast total and injective, so neither failure
+    * is expressible. Non-integral ids should be mapped through a
+    * dictionary (or xxhash64 with collision monitoring) by the caller,
+    * explicitly.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$op requires an integral id column ('$idCol' is ${dt.catalogString}): " +
+          "the k-heap carries ids as longs, and a lossy cast would silently drop or conflate rows")
+    }
   }
 }

@@ -97,9 +97,19 @@ object Layout {
     *
     * Commit is the same two-rename swap as
     * [[graft.operators.Incremental.upsertByKey]] (staging + `__old`
-    * backup): a crash leaves the old directory or a recoverable backup,
-    * never a half-compacted table. Content is row-identical by
-    * construction — layout only.
+    * backup), and inherits its CONTRACT: single writer, rename-capable
+    * filesystem, and NO concurrent readers across the swap — between the
+    * two renames the table path briefly does not exist, so a reader that
+    * lists it in that window fails (and should retry). A crash between the
+    * renames leaves the table absent until recovery, which is manual but
+    * mechanical: whichever of `path__staging` (the fully written
+    * compaction) or `path__old` (the pre-compaction table) exists, rename
+    * it back to `path` — both are complete, content-identical copies.
+    * Deployments needing reader-transparent maintenance should compact
+    * into a versioned-pointer layout
+    * ([[graft.operators.Incremental.upsertByKeyVersioned]]'s shape), where
+    * the pointer flip is atomic and readers never see a missing table.
+    * Content is row-identical by construction — layout only.
     */
   def compact(
       spark: SparkSession,

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
+import graft.functions.expressions.{BloomProbe, BroadcastBloom, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -91,10 +92,21 @@ object NativeColumns {
   /** Membership probe against a [[bloomFilterAgg]] result. `bloom` must be
     * constant-foldable (a literal or scalar-subquery result — exactly how
     * Spark's injected runtime filters carry it). False positives possible,
-    * false negatives never.
+    * false negatives never. NOTE: the literal serializes into every task
+    * closure — use [[mightContainBroadcast]] for filters beyond a few MB.
     */
   def mightContain(bloom: Column, hash: Column): Column =
     Column(ExpressionColumnNode(
       BloomFilterMightContain(
         ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash))))
+
+  /** [[mightContain]] with the filter carried as a BROADCAST VARIABLE:
+    * bytes ship once per executor (torrent), deserialize once, and the
+    * plan/task closures carry only the handle — the scale form for the
+    * multi-hundred-MB filters a corpus-ingest dedup builds
+    * (see [[BloomProbe]]).
+    */
+  def mightContainBroadcast(bloom: Broadcast[Array[Byte]], hash: Column): Column =
+    Column(ExpressionColumnNode(
+      BloomProbe(new BroadcastBloom(bloom), ExpressionUtils.expression(hash))))
 }
