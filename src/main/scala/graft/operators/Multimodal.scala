@@ -131,6 +131,47 @@ object Multimodal {
         .otherwise(jpeg).as("payload"))
   }
 
+  /** Deterministic synthetic RIFF/WAVE headers from an id column — the
+    * audio counterpart of [[syntheticImages]], exercising
+    * [[org.apache.spark.sql.graftnative.NativeColumns.wavMeta]]'s real
+    * chunk walk: a LIST chunk of id-dependent (even) length precedes the
+    * `fmt ` chunk for 2 of 3 ids, so fmt/data sit at VARIABLE offsets; the
+    * `data` chunk is header-only (length field without payload — the
+    * header-sniff contract never needs the bytes). All size/rate fields
+    * are little-endian per the spec — the opposite byte order of the
+    * PNG/JPEG generator, so an endianness slip in either parser cannot
+    * pass both. ids % 13 == 0 are non-RIFF garbage.
+    */
+  def syntheticWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    def byteOf(x: Column, i: Int): Column =
+      unhex(lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    def le16(x: Column): Column = concat(byteOf(x, 0), byteOf(x, 1))
+    def le32(x: Column): Column = concat(byteOf(x, 0), byteOf(x, 1), byteOf(x, 2), byteOf(x, 3))
+    val rate = (pmod(id, lit(5)) + 1) * 8000L
+    val channels = pmod(id, lit(2)) + 1
+    val bits = pmod(id, lit(3)) * 8 + 8
+    val blockAlign = channels * bits / lit(8)
+    val byteRate = rate * blockAlign
+    val dataLen = (pmod(id, lit(1000)) + 1) * blockAlign
+    val padLen = (pmod(id, lit(5)) + 2) * 2
+    val listChunk = concat(encode(lit("LIST"), "UTF-8"), le32(padLen),
+      encode(repeat(lit("x"), padLen.cast("int")), "UTF-8"))
+    val fmtChunk = concat(encode(lit("fmt "), "UTF-8"), le32(lit(16L)),
+      le16(lit(1L)), le16(channels), le32(rate), le32(byteRate),
+      le16(blockAlign), le16(bits))
+    val wav = concat(
+      encode(lit("RIFF"), "UTF-8"), le32(dataLen + 36), encode(lit("WAVE"), "UTF-8"),
+      when(pmod(id, lit(3)) =!= 0, listChunk).otherwise(lit(Array.emptyByteArray)),
+      fmtChunk,
+      encode(lit("data"), "UTF-8"), le32(dataLen))
+    val garbage = concat(encode(lit("NOTWAV"), "UTF-8"), le32(id))
+    docs.select(
+      id.as("media_id"),
+      when(pmod(id, lit(13)) === 0, garbage).otherwise(wav).as("payload"))
+  }
+
   /** Decoded-feature schema produced by [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

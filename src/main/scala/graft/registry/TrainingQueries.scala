@@ -1121,6 +1121,43 @@ object TrainingQueries {
         CAST(CASE WHEN doc_id % 17 = 0 THEN -1 ELSE doc_id % 480 + 1 END AS BIGINT) AS height
       FROM documents"""))
 
+  /** WAV header decode over synthetic-but-structurally-real RIFF/WAVE
+    * payloads ([[Multimodal.syntheticWavs]]): the native [[WavMeta]]
+    * expression walks little-endian chunks past a variable-length LIST to
+    * fmt/data; the oracle states the id -> header arithmetic
+    * independently, including the truncating integer duration division
+    * (`data_len * 1000 // byte_rate` — both engines truncate non-negative
+    * division identically).
+    */
+  private val multimodalAudioMeta = Q(
+    "multimodal_audio_meta",
+    (s, d) => {
+      val hdr = org.apache.spark.sql.graftnative.NativeColumns.wavMeta(col("payload"))
+      Multimodal.syntheticWavs(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), hdr.as("__h"))
+        .select(col("media_id"),
+          coalesce(col("__h.sample_rate").cast("long"), lit(-1L)).as("sample_rate"),
+          coalesce(col("__h.channels").cast("long"), lit(-1L)).as("channels"),
+          coalesce(col("__h.bits").cast("long"), lit(-1L)).as("bits"),
+          coalesce(col("__h.duration_ms"), lit(-1L)).as("duration_ms"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          (doc_id % 5 + 1) * 8000 AS rate,
+          doc_id % 2 + 1 AS channels,
+          doc_id % 3 * 8 + 8 AS bits
+        FROM documents),
+      q AS (SELECT doc_id, rate, channels, bits,
+          channels * bits // 8 AS block_align FROM p),
+      r AS (SELECT doc_id, rate, channels, bits,
+          rate * block_align AS byte_rate,
+          (doc_id % 1000 + 1) * block_align AS data_len FROM q)
+      SELECT doc_id AS media_id,
+        CAST(CASE WHEN doc_id % 13 = 0 THEN -1 ELSE rate END AS BIGINT) AS sample_rate,
+        CAST(CASE WHEN doc_id % 13 = 0 THEN -1 ELSE channels END AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 13 = 0 THEN -1 ELSE bits END AS BIGINT) AS bits,
+        CAST(CASE WHEN doc_id % 13 = 0 THEN -1 ELSE data_len * 1000 // byte_rate END AS BIGINT) AS duration_ms
+      FROM r"""))
+
   private val multimodalFrameSample = Q(
     "multimodal_framesample",
     (s, d) => {
@@ -1385,5 +1422,6 @@ object TrainingQueries {
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
+    multimodalAudioMeta,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert)
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{BloomProbe, BroadcastBloom, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore}
+import graft.functions.expressions.{BloomProbe, BroadcastBloom, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -76,6 +76,14 @@ object NativeColumns {
     */
   def imageDims(payload: Column): Column =
     Column(ExpressionColumnNode(ImageDims(ExpressionUtils.expression(payload))))
+
+  /** RIFF/WAVE header sniff over a binary payload column:
+    * `struct<sample_rate, channels, bits, duration_ms>`, NULL for
+    * unparseable bytes (see [[WavMeta]] — a real little-endian chunk walk,
+    * codegen'd).
+    */
+  def wavMeta(payload: Column): Column =
+    Column(ExpressionColumnNode(WavMeta(ExpressionUtils.expression(payload))))
 
   /** Spark's own runtime-filter bloom aggregate (the engine behind
     * `spark.sql.optimizer.runtime.bloomFilter.*`), exposed as a Column:

@@ -323,6 +323,66 @@ class NativeExprSpec extends SparkSpec {
     assert(nul(0).isNullAt(0))
   }
 
+  test("wavMeta parses hand-crafted RIFF chunk layouts and tolerates corruption") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le16(x: Int) = b(x & 0xff, (x >>> 8) & 0xff)
+    def le32(x: Int) = b(x & 0xff, (x >>> 8) & 0xff, (x >>> 16) & 0xff, (x >>> 24) & 0xff)
+    def fmt(ch: Int, rate: Int, bits: Int) = {
+      val ba = ch * bits / 8
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ba) ++ le16(ba) ++ le16(bits)
+    }
+    def riff(inner: Array[Byte]) = "RIFF".getBytes ++ le32(inner.length + 4) ++ "WAVE".getBytes ++ inner
+    // odd-sized LIST chunk: the walker must honor the RIFF even-padding rule
+    val oddList = "LIST".getBytes ++ le32(5) ++ "INFOx".getBytes ++ b(0)
+    val rows = Seq(
+      (1L, riff(fmt(2, 44100, 16) ++ "data".getBytes ++ le32(44100 * 4))), // 1000 ms stereo CD
+      (2L, riff(oddList ++ fmt(1, 8000, 8) ++ "data".getBytes ++ le32(4000))), // padded LIST, then 500 ms
+      (3L, riff("data".getBytes ++ le32(100) ++ b(1, 2) ++ fmt(1, 16000, 16))), // truncated data payload hides the fmt behind it
+      (4L, "RIFFxxxxAVI ".getBytes),               // RIFF but not WAVE
+      (5L, riff(fmt(1, 8000, 8))),                 // fmt but no data chunk
+      (6L, "not audio".getBytes),
+      (7L, Array.emptyByteArray))
+    val got = rows.toDF("id", "payload")
+      .select(col("id"), NativeColumns.wavMeta(col("payload")).as("h"))
+      .select(col("id"), col("h.sample_rate"), col("h.channels"), col("h.bits"), col("h.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got(1L) == (44100, 2, 16, 1000L))
+    assert(got(2L) == (8000, 1, 8, 500L))
+    // the walker honors the DECLARED data size, so a fmt chunk "hidden"
+    // inside a truncated data payload is (correctly) never reached
+    assert(got(3L) == null)
+    assert(got(4L) == null)
+    assert(got(5L) == null)
+    assert(got(6L) == null)
+    assert(got(7L) == null)
+  }
+
+  test("syntheticWavs payloads roundtrip through the real parser") {
+    val docs = (0L until 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val parsed = graft.operators.Multimodal.syntheticWavs(docs, "doc_id")
+      .select(col("media_id"), NativeColumns.wavMeta(col("payload")).as("h"))
+      .select(col("media_id"), col("h.sample_rate"), col("h.channels"),
+        col("h.bits"), col("h.duration_ms"))
+      .collect()
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 13 == 0) assert(r.isNullAt(1), s"id $id should be unparseable")
+      else {
+        val rate = ((id % 5) + 1) * 8000
+        val ch = (id % 2) + 1
+        val bits = (id % 3) * 8 + 8
+        val ba = ch * bits / 8
+        val dataLen = ((id % 1000) + 1) * ba
+        assert(r.getInt(1) == rate.toInt, s"id $id rate")
+        assert(r.getInt(2) == ch.toInt, s"id $id channels")
+        assert(r.getInt(3) == bits.toInt, s"id $id bits")
+        assert(r.getLong(4) == dataLen * 1000 / (rate * ba), s"id $id duration")
+      }
+    }
+  }
+
   test("syntheticImages payloads roundtrip through the real parser") {
     // the generator's Column-built bytes must be what the parser expects —
     // this is the byte-level handshake the registry oracle (arithmetic
