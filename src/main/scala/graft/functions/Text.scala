@@ -118,6 +118,18 @@ object Text {
     */
   def wordShingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
+  /** ALL word n-gram windows in order, WITH multiplicity — one element per
+    * window position (vs [[shinglesFromWords]]'s distinct SET). The span
+    * form: window i duplicates window j iff their strings are equal, and a
+    * phrase repeated five times contributes five windows.
+    */
+  def allShinglesFromWords(ws: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
   /** 60-bit token hash derived from the md5 hex prefix — slower than
     * xxhash64 but computable identically in external SQL engines
     * (`('0x' || substr(md5(x),1,15))::BIGINT`), which makes sketches built

@@ -542,6 +542,51 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** SPAN-LEVEL duplicate statistics — the sub-document counterpart of the
+    * whole-doc dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499: repeated SPANS, not
+    * just repeated documents, degrade models; boilerplate headers, license
+    * blocks and templated text duplicate across otherwise-distinct docs).
+    * For each doc: the number of `k`-token windows (with multiplicity —
+    * a phrase repeated five times is five windows), how many of those
+    * windows also occur in AT LEAST ONE other doc, and the duplicated
+    * fraction — the per-doc signal a curation pass thresholds on.
+    *
+    * Shape at scale (the exact-substring analog of the posting-list
+    * Jaccard): one narrow (doc, gram, multiplicity) aggregation, one
+    * gram-keyed document-frequency aggregation, one gram-keyed join back —
+    * the corpus text crosses the wire once as n-gram postings, there is no
+    * pairwise anything, and the final per-doc rollup is map-side
+    * combinable. Zipf-head grams make the join key skewed; AQE's skew
+    * split (LayoutSpec evidence) or a `maxDf` head-drop upstream handle
+    * it — and at k >= 3 the head is already orders of magnitude flatter
+    * than unigram df.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+    val dg = w
+      .select(col("doc_id"), explode(Text.allShinglesFromWords(col("__w"), k)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("m"))
+    val dfq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
+    val nDup = dg.join(dfq, "gram")
+      .groupBy("doc_id")
+      .agg(sum(when(col("df") >= 2, col("m")).otherwise(0L)).as("n_dup_windows"))
+    w.select(col("doc_id"),
+        greatest(size(col("__w")) - (k - 1), lit(0)).cast("long").as("n_windows"))
+      .join(nDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          coalesce(col("n_dup_windows"), lit(0L)).cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus
     * versions as added / removed / changed / unchanged — the versioning
     * primitive behind incremental reprocessing (only `added`+`changed`

@@ -146,6 +146,33 @@ object TrainingQueries {
       WHERE text_md5 NOT IN (SELECT md5(text) FROM documents)"""),
     planView = Some((s, d) => bloomIngest(s, d, graft.operators.Boundary.None)))
 
+  /** Span-level duplicate fractions (arXiv:2107.06499): every stage —
+    * positional trigram windows with multiplicity, gram document
+    * frequency, the df>=2 rollup, the exact double fraction — is
+    * recomputed from scratch in DuckDB. The division is one IEEE op on
+    * integer-exact operands, so the doubles hash-match bit-for-bit.
+    */
+  private val dedupSpans = Q(
+    "dedup_duplicate_spans",
+    (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 3),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+          THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+          ELSE [] END AS grams FROM w),
+      e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      dg AS (SELECT doc_id, gram, COUNT(*) AS m FROM e GROUP BY 1, 2),
+      dfq AS (SELECT gram, COUNT(*) AS df FROM dg GROUP BY 1),
+      nd AS (SELECT dg.doc_id,
+          CAST(SUM(CASE WHEN dfq.df >= 2 THEN dg.m ELSE 0 END) AS BIGINT) AS n_dup
+        FROM dg JOIN dfq USING (gram) GROUP BY 1)
+      SELECT w.doc_id,
+        CAST(GREATEST(len(w.ws) - 2, 0) AS BIGINT) AS n_windows,
+        COALESCE(nd.n_dup, 0) AS n_dup_windows,
+        CASE WHEN GREATEST(len(w.ws) - 2, 0) > 0
+             THEN CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / CAST(GREATEST(len(w.ws) - 2, 0) AS DOUBLE)
+             ELSE 0.0 END AS dup_fraction
+      FROM w LEFT JOIN nd ON nd.doc_id = w.doc_id"""))
+
   private val dedupFingerprint = Q(
     "dedup_fingerprint",
     (s, d) => Dedup.fingerprint(Tables.documents(s, d), "doc_id", "text"),
@@ -1410,7 +1437,7 @@ object TrainingQueries {
         AND v.epoch <= p.epoch AND v.epoch >= p.epoch - 3600"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupExactBloom, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
+    dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,

@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)
   }
 
+  test("duplicateSpans: cross-doc windows count, within-doc repeats and short docs don't") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // windows: abc bcd cde — shares abc with doc 2
+      (2L, "x a b c y"),   // windows: xab abc bcy
+      (3L, "z z z z"),     // windows: zzz zzz — repeated WITHIN one doc only
+      (4L, "q")            // too short: zero windows
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(r(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(r(3L) == ((2L, 0L, 0.0))) // df counts DOCS: self-repeats aren't cross-doc dups
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("exact: duplicate text collapses to min id with copy count") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exact(docs, "doc_id", "text")
