@@ -106,6 +106,23 @@ class AssemblySpec extends SparkSpec {
     assert(w2("time_since_last_liquidated") == 999999999L)
   }
 
+  test("assembly: Local and AtPath boundaries row-identical; AtPath leaves no persisted blocks") {
+    import graft.operators.Boundary
+    val sf = "/root/testdata/sf0.001"
+    graft.sources.Tables.configure(spark)
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val local = key(graft.registry.FeaturePipeline.assembly(spark, sf, Boundary.Local))
+    spark.catalog.clearCache() // scope Local's persists like the harness does
+    val stored = key(graft.registry.FeaturePipeline.assembly(spark, sf,
+      Boundary.AtPath("target/tmp/assembly_boundary")))
+    assert(local == stored, "storage boundary must not change the assembly result")
+    assert(local.nonEmpty)
+    // the AtPath path unpersisted its intermediates: no cached plans remain
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "AtPath assembly must leave no block-manager footprint")
+  }
+
   test("assembly passes the reference's data-quality constraint gate") {
     import org.apache.spark.sql.functions.col
     val spine = Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay))
