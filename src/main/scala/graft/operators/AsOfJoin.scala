@@ -72,6 +72,58 @@ object AsOfJoin {
           rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
   }
 
+  /** FORWARD as-of join — the LABELING primitive a supervised-training
+    * pipeline needs next to the backward [[asOf]]: match each left row to
+    * the EARLIEST right row with the same keys in
+    * `(leftTs, leftTs + horizon]` — strictly AFTER the observation instant
+    * (a label that could equal the feature row's own timestamp leaks the
+    * present into the target), inclusive at the horizon. Features look
+    * back, labels look forward; composing the two around one observation
+    * time yields a point-in-time-correct training matrix (see
+    * Q:`pipeline_labeled_features`).
+    *
+    * Same structure and scale shape as [[asOf]] mirrored in time: argmin
+    * of right ts over the DISTINCT (keys, leftTs) pairs, equi re-join at
+    * the argmin; ties on the argmin ts produce one row per tied right row.
+    * The equi keys keep the plan a shuffled hash/sort-merge join (never a
+    * nested loop), and the hot-key/binned considerations of [[asOfBinned]]
+    * apply identically with the bin arithmetic reflected.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      horizon: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "label_"): DataFrame = {
+    require(horizon > 0)
+    val rp = "__r_"
+    val rightCols = (keyCols ++ (rightTs +: rightValueCols)).distinct
+    val r0 = right.select(rightCols.map(c => col(c).as(rp + c)): _*)
+
+    val lk = left.select((keyCols :+ leftTs).map(col): _*).distinct()
+    val rangeCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col(rp + rightTs) > col(leftTs) &&
+        col(rp + rightTs) <= col(leftTs) + horizon
+    val minTs = lk
+      .join(r0, rangeCond, "inner")
+      .groupBy((keyCols :+ leftTs).map(col): _*)
+      .agg(min(col(rp + rightTs)).as("__min_right_ts"))
+
+    val withMin = left.join(minTs, keyCols :+ leftTs, "left")
+    val backCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col("__min_right_ts") === col(rp + rightTs)
+    withMin
+      .join(r0, backCond, "left")
+      .select(
+        left.columns.map(col) ++
+          rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
+
   /** Time-binned as-of join — the 100 TB path (SURVEY.md §4 option b).
     *
     * [[asOf]]'s range stage joins every left key row against the key's

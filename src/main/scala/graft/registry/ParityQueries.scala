@@ -552,6 +552,76 @@ object ParityQueries {
     },
     asOfOracle)
 
+  /** Forward as-of: each trade's label is the FIRST price strictly after it
+    * within 7 days — the target-generation mirror of the trailing lookup,
+    * oracle'd with the reflected argmin/re-join CTEs (open at the
+    * observation instant, closed at the horizon).
+    */
+  private val asOfForwardQ = Q(
+    "join_asof_forward",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfForward(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        horizon = 604800L, rightValueCols = Seq("price"), rightPrefix = "label_")
+    },
+    Some(s"""WITH $EV,
+      trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
+      prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
+      lk AS (SELECT DISTINCT user_id, epoch FROM trades),
+      mn AS (SELECT l.user_id, l.epoch, MIN(p.price_epoch) AS min_ts
+        FROM lk l JOIN prices p ON p.user_id = l.user_id
+          AND p.price_epoch > l.epoch AND p.price_epoch <= l.epoch + 604800
+        GROUP BY 1, 2)
+      SELECT t.event_id, t.user_id, t.epoch, t.value, p.price AS label_price
+      FROM trades t
+      LEFT JOIN mn ON mn.user_id = t.user_id AND mn.epoch = t.epoch
+      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mn.min_ts"""))
+
+  /** Point-in-time-correct TRAINING MATRIX: per-user features aggregated
+    * strictly BEFORE the observation epoch (no future leakage) joined to a
+    * forward label — the user's first purchase value in the 30 days after
+    * it ([[AsOfJoin.asOfForward]]), plus the has_label flag a trainer
+    * filters or weights on. The end-to-end shape a user of this engine
+    * runs to produce supervised training data; every stage (the backward
+    * feature window, the forward argmin label, the flag) is recomputed by
+    * the oracle.
+    */
+  private val labeledFeaturesQ = Q(
+    "pipeline_labeled_features",
+    (s, d) => {
+      val e = evDf(s, d)
+      val obs = MidEpoch
+      val feats = e.filter(col("epoch") < obs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          max(col("epoch")).as("last_seen"))
+        .withColumn("obs_epoch", lit(obs))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("epoch").as("p_epoch"), col("value").as("p_value"))
+      AsOfJoin.asOfForward(feats, purchases, Seq("user_id"), "obs_epoch", "p_epoch",
+        horizon = 2592000L, rightValueCols = Seq("p_value"), rightPrefix = "label_")
+        .select(col("user_id"), col("n_events"), col("total_value"), col("last_seen"),
+          col("label_p_value").isNotNull.as("has_label"),
+          coalesce(col("label_p_value"), lit(0.0)).as("label_value"))
+    },
+    Some(s"""WITH $EV,
+      feats AS (SELECT user_id, COUNT(*) AS n_events, ${DS("value")} AS total_value,
+          MAX(epoch) AS last_seen
+        FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      purchases AS (SELECT user_id, epoch AS p_epoch, value AS p_value FROM ev
+        WHERE event_type = 'purchase'),
+      mn AS (SELECT f.user_id, MIN(p.p_epoch) AS min_ts
+        FROM feats f JOIN purchases p ON p.user_id = f.user_id
+          AND p.p_epoch > $MidEpoch AND p.p_epoch <= $MidEpoch + 2592000
+        GROUP BY 1)
+      SELECT f.user_id, f.n_events, f.total_value, f.last_seen,
+        p.p_value IS NOT NULL AS has_label,
+        COALESCE(p.p_value, 0.0) AS label_value
+      FROM feats f
+      LEFT JOIN mn ON mn.user_id = f.user_id
+      LEFT JOIN purchases p ON p.user_id = f.user_id AND p.p_epoch = mn.min_ts"""))
+
   private val antiBlocklist = Q(
     "join_left_null_reject",
     (s, d) => {
@@ -1089,7 +1159,8 @@ object ParityQueries {
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
-    equi2Key, asOfPrice, asOfBinned, antiBlocklist, innerMetadata, fullOuterMerge,
+    equi2Key, asOfPrice, asOfBinned, asOfForwardQ, labeledFeaturesQ,
+    antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     pivotEvents, rollupWeekly, movingSum, medianDisc, madDisc, topkPerGroup,

@@ -91,6 +91,25 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfForward picks the EARLIEST future row; open at now, closed at horizon") {
+    def fwd(h: Long) =
+      AsOfJoin.asOfForward(trades, prices, Seq("key"), "ts", "pts", h, Seq("price"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+        .toMap
+    val m = fwd(600L)
+    assert(m(1L).contains(15.0)) // earliest AFTER 1000 is 1500 (not 990: past; not 2100: later)
+    assert(m(2L).contains(21.0)) // 2100 within (2000, 2600]
+    assert(m(3L).isEmpty) // no rows for key x
+    // horizon boundary: exactly ts + h is INCLUDED; exactly ts is NOT
+    assert(fwd(500L)(1L).contains(15.0)) // 1500 == 1000 + 500: closed at horizon
+    assert(fwd(100L)(2L).contains(21.0)) // 2100 == 2000 + 100: still included
+    assert(fwd(99L)(2L).isEmpty) // 2100 > 2000 + 99: just past the horizon
+    val selfTs = Seq(("k", 1000L, 99.0)).toDF("key", "pts", "price")
+    assert(AsOfJoin.asOfForward(trades.filter($"id" === 1), selfTs,
+      Seq("key"), "ts", "pts", 600L, Seq("price"))
+      .collect().forall(_.isNullAt(3))) // a row AT the observation instant never labels it
+  }
+
   test("asOf ties at the argmax timestamp keep one row per tied price row") {
     val dupPrices = prices.union(Seq(("k", 990L, 9.9)).toDF("key", "pts", "price"))
     val rows = AsOfJoin.asOf(trades.filter($"id" === 1), dupPrices, Seq("key"), "ts", "pts",
