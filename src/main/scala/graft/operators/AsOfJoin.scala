@@ -1,7 +1,11 @@
 package graft.operators
 
+import graft.plans.AsOfMergeJoinNode
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** As-of join: match each left row to the latest right row whose ordering
   * key falls in `[leftTs - tolerance, leftTs]`.
@@ -122,6 +126,93 @@ object AsOfJoin {
       .select(
         left.columns.map(col) ++
           rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
+
+  /** The NATIVE whole-operator form of [[asOf]]: plans a
+    * [[graft.plans.AsOfMergeJoinNode]], which
+    * [[graft.plans.AsOfMergeJoinStrategy]] (injected by GraftExtensions)
+    * executes as a single sort-merge pass — one exchange per side instead
+    * of [[asOf]]'s four-shuffle argmax + re-join composition, no candidate
+    * set at all, O(1) merge state per partition. Same backward-inclusive
+    * window `[leftTs - tolerance, leftTs]`; null keys/timestamps never
+    * match; requires (keys, rightTs) UNIQUE on the right (the versioned-
+    * value-table contract — [[asOf]] instead fans out argmax ties, so the
+    * two agree exactly on tie-free inputs; AsOfMergeSpec differential-tests
+    * that and the registry hash-checks both against one oracle).
+    *
+    * Requires the session built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  def asOfMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "asof_"): DataFrame =
+    buildMerge(left, right, keyCols, leftTs, rightTs, tolerance,
+      rightValueCols, rightPrefix, forward = false)
+
+  /** [[asOfMerge]] mirrored in time — the native whole-operator form of
+    * [[asOfForward]]: each left row matches the EARLIEST right row in
+    * `(leftTs, leftTs + horizon]` (open at the observation instant so a
+    * label can never leak the present, closed at the horizon). Same
+    * one-exchange-per-side plan; the merge PEEKS the first future row
+    * instead of consuming it (one future label row can serve many earlier
+    * fact rows), so per-partition state is zero.
+    */
+  def asOfMergeForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      horizon: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "label_"): DataFrame = {
+    require(horizon > 0)
+    buildMerge(left, right, keyCols, leftTs, rightTs, horizon,
+      rightValueCols, rightPrefix, forward = true)
+  }
+
+  private def buildMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String,
+      forward: Boolean): DataFrame = {
+    // prune + re-alias the right side up front: Catalyst cannot push column
+    // pruning through a foreign logical node, and the aliases mint fresh
+    // exprIds so self-joins (left and right views of one table) stay
+    // unambiguous inside the node
+    val rCols = (keyCols ++ (rightTs +: rightValueCols)).distinct
+    val r = right.select(rCols.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, side: String)(n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asOfMerge: $side side has no column '$n'"))
+    def asLong(a: Attribute): Expression =
+      if (a.dataType == LongType) a else Cast(a, LongType)
+    val la = attr(lPlan, "left") _
+    val ra = attr(rPlan, "right") _
+    keyCols.foreach { k =>
+      require(la(k).dataType == ra(k).dataType,
+        s"asOfMerge: key '$k' differs in type across sides")
+    }
+    val vals = rightValueCols.map(ra)
+    val outVals = vals.map(a =>
+      AttributeReference(rightPrefix + a.name, a.dataType, nullable = true)())
+    val node = AsOfMergeJoinNode(lPlan, rPlan,
+      keyCols.map(la), keyCols.map(ra),
+      asLong(la(leftTs)), asLong(ra(rightTs)), tolerance, vals, outVals, forward)
+    org.apache.spark.sql.graftnative.NativeColumns.ofRows(left, node)
   }
 
   /** Time-binned as-of join — the 100 TB path (SURVEY.md §4 option b).

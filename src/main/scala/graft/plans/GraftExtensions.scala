@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // plain-Spark HOF dot folds rewrite to the codegen'd native loop
     ext.injectOptimizerRule(_ => RewriteDeclarativeDot)
+    // whole-operator as-of join: AsOfMergeJoinNode -> AsOfMergeJoinExec
+    ext.injectPlannerStrategy(_ => AsOfMergeJoinStrategy)
     register(ext, "graft_dot", { args =>
       require(args.length == 2, "graft_dot(a, b) takes exactly two array arguments")
       DotProduct(args.head, args(1))

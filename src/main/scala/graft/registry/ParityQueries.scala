@@ -540,6 +540,21 @@ object ParityQueries {
     asOfOracle,
     bench = true)
 
+  /** The NATIVE whole-operator path (custom LogicalPlan -> Strategy ->
+    * sort-merge SparkPlan, one exchange per side) must also hash-match the
+    * same oracle — prices are (user_id, price_epoch)-unique in this data,
+    * so single-match merge semantics coincide with the argmax re-join.
+    */
+  private val asOfMergeQ = Q(
+    "join_asof_merge",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfMerge(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"), rightPrefix = "asof_")
+    },
+    asOfOracle,
+    bench = true)
+
   /** The binned scale path must be row-identical to [[AsOfJoin.asOf]] —
     * it shares the same oracle.
     */
@@ -557,14 +572,7 @@ object ParityQueries {
     * oracle'd with the reflected argmin/re-join CTEs (open at the
     * observation instant, closed at the horizon).
     */
-  private val asOfForwardQ = Q(
-    "join_asof_forward",
-    (s, d) => {
-      val (trades, prices) = asOfInputs(s, d)
-      AsOfJoin.asOfForward(trades, prices, Seq("user_id"), "epoch", "price_epoch",
-        horizon = 604800L, rightValueCols = Seq("price"), rightPrefix = "label_")
-    },
-    Some(s"""WITH $EV,
+  private val asOfForwardOracle = Some(s"""WITH $EV,
       trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
       prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
       lk AS (SELECT DISTINCT user_id, epoch FROM trades),
@@ -575,7 +583,28 @@ object ParityQueries {
       SELECT t.event_id, t.user_id, t.epoch, t.value, p.price AS label_price
       FROM trades t
       LEFT JOIN mn ON mn.user_id = t.user_id AND mn.epoch = t.epoch
-      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mn.min_ts"""))
+      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = mn.min_ts""")
+
+  private val asOfForwardQ = Q(
+    "join_asof_forward",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfForward(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        horizon = 604800L, rightValueCols = Seq("price"), rightPrefix = "label_")
+    },
+    asOfForwardOracle)
+
+  /** The native merge exec's forward direction must hash-match the same
+    * reflected argmin oracle as the composed [[AsOfJoin.asOfForward]].
+    */
+  private val asOfMergeForwardQ = Q(
+    "join_asof_merge_forward",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfMergeForward(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        horizon = 604800L, rightValueCols = Seq("price"), rightPrefix = "label_")
+    },
+    asOfForwardOracle)
 
   /** Point-in-time-correct TRAINING MATRIX: per-user features aggregated
     * strictly BEFORE the observation epoch (no future leakage) joined to a
@@ -1159,7 +1188,8 @@ object ParityQueries {
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
-    equi2Key, asOfPrice, asOfBinned, asOfForwardQ, labeledFeaturesQ,
+    equi2Key, asOfPrice, asOfMergeQ, asOfBinned, asOfForwardQ, asOfMergeForwardQ,
+    labeledFeaturesQ,
     antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,

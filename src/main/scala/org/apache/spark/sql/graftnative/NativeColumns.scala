@@ -108,6 +108,17 @@ object NativeColumns {
       BloomFilterMightContain(
         ExpressionUtils.expression(bloom), ExpressionUtils.expression(hash))))
 
+  /** Wrap a (resolved) custom LogicalPlan as a DataFrame on `df`'s
+    * session — `Dataset.ofRows` is `private[sql]`, the same escape hatch
+    * as the Column bridge above. Used by whole-operator plans
+    * (e.g. [[graft.plans.AsOfMergeJoinNode]]).
+    */
+  def ofRows(
+      df: org.apache.spark.sql.DataFrame,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** [[mightContain]] with the filter carried as a BROADCAST VARIABLE:
     * bytes ship once per executor (torrent), deserialize once, and the
     * plan/task closures carry only the handle — the scale form for the

@@ -152,10 +152,17 @@ class PropertiesSpec extends SparkSpec {
         // union-find roots are not necessarily component minima; normalize
         val byRoot = nodes.groupBy(find)
         val expect = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
-        val got = graft.operators.Dedup
-          .connectedComponents(edges.toDF("a", "b"), "a", "b")
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expect)
+        // all three execution paths must agree with the reference:
+        // default (pure driver solve), localSolveEdges = 0 (pure
+        // distributed fixpoint), and a 4-edge threshold (distributed
+        // rounds + coarsest-level driver finish).
+        for (threshold <- Seq(1L << 20, 0L, 4L)) {
+          val got = graft.operators.Dedup
+            .connectedComponents(edges.toDF("a", "b"), "a", "b",
+              localSolveEdges = threshold)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expect, s"localSolveEdges=$threshold")
+        }
       }
     }
   }
