@@ -110,6 +110,21 @@ class AsOfMergeSpec extends SparkSpec {
       !s.contains("HashAggregate"), s)
   }
 
+  test("asOfMerge over same-bucketed tables plans ZERO exchanges — the 100 TB layout") {
+    val l = (1 to 400).map(i => (i.toLong, s"k${i % 7}", (i * 13 % 1000).toLong))
+      .toDF("id", "key", "ts")
+    val r = (0 until 7).flatMap(k => (0 until 50).map(j =>
+      (s"k$k", (j * 20).toLong, k + j / 100.0))).toDF("key", "pts", "price")
+    graft.sources.Layout.writeBucketed(l, "graft_asof_merge_l", 4, "key", Seq("key", "ts"))
+    graft.sources.Layout.writeBucketed(r, "graft_asof_merge_r", 4, "key", Seq("key", "pts"))
+    val df = AsOfJoin.asOfMerge(spark.table("graft_asof_merge_l"),
+      spark.table("graft_asof_merge_r"), Seq("key"), "ts", "pts", 100L, Seq("price"))
+    val s = planString(df)
+    assert(!s.contains("Exchange"), s"bucketed as-of merge should not shuffle at all:\n$s")
+    assert(sortedRows(df) ==
+      sortedRows(AsOfJoin.asOf(l, r, Seq("key"), "ts", "pts", 100L, Seq("price"))))
+  }
+
   test("asOfMerge reuses existing co-partitioning — no extra exchange beyond the repartitions") {
     val lp = trades.repartition(4, col("key"))
     val rp = prices.repartition(4, col("key"))
