@@ -647,6 +647,7 @@ object Dedup {
       maxIters: Int = 25,
       localSolveEdges: Long = 1L << 20): DataFrame = {
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
     var edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("cluster")).localCheckpoint()
@@ -686,9 +687,14 @@ object Dedup {
         .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
         .collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // iterative find + full path compression: adversarially-ordered
+      // chains can reach the edge bound in length, far past any stack
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       remaining.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

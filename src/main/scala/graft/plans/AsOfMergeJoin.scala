@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeSet, BindReferences, Expression,
   GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
   UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -67,6 +67,14 @@ case class AsOfMergeJoinNode(
 
   override def output: Seq[Attribute] = left.output ++ outValues
   override def producedAttributes: AttributeSet = AttributeSet(outValues)
+
+  /** Exactly one output row per left row, so size ≈ left + carried right
+    * columns. Without this the generic binary-node visitor estimates
+    * |left| × |right|, which would poison every downstream broadcast /
+    * AQE decision made above an as-of join.
+    */
+  override def stats: Statistics =
+    Statistics(sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfMergeJoinNode =

@@ -508,7 +508,7 @@ object ParityQueries {
       JOIN ethp2 e ON p.block_number = e.block_number AND p.protocol = e.protocol"""),
     bench = true)
 
-  private def asOfInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[registry] def asOfInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = evDf(s, d)
     val trades = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "epoch", "value")
@@ -517,7 +517,7 @@ object ParityQueries {
     (trades, prices)
   }
 
-  private val asOfOracle = Some(s"""WITH $EV,
+  private[registry] val asOfOracle = Some(s"""WITH $EV,
       trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
       prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
       lk AS (SELECT DISTINCT user_id, epoch FROM trades),
@@ -938,6 +938,78 @@ object ParityQueries {
         day // 7 AS wk, COUNT(*) AS n, ${DS("ABS(value)")} AS v
       FROM ev GROUP BY ROLLUP(proto, wk)"""))
 
+  /** CUBE over (protocol, week): all four grouping combinations in ONE
+    * pass (Spark expands the grouping sets before the single hash
+    * aggregate — no union of re-scans), with `grouping_id()` carried so
+    * consumers can tell subtotal rows apart. Spark and DuckDB share the
+    * bit convention (first grouping column = most significant bit).
+    */
+  private val cubeWeekly = Q(
+    "agg_cube_weekly",
+    (s, d) =>
+      evDf(s, d)
+        .withColumn("proto",
+          when(pmod(col("user_id"), lit(2)) === 0, "aave").otherwise("compound"))
+        .withColumn("wk", expr("day div 7"))
+        .cube("proto", "wk")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(abs(col("value"))).as("v")),
+    Some(s"""WITH $EV
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'aave' ELSE 'compound' END AS proto,
+        day // 7 AS wk, GROUPING(proto, wk) AS gid, COUNT(*) AS n, ${DS("ABS(value)")} AS v
+      FROM ev GROUP BY CUBE(proto, wk)"""))
+
+  /** Explicit GROUPING SETS — the general form pivot/rollup/cube compile
+    * to: per-protocol totals, per-week totals, and the grand total, but NOT
+    * the (proto, wk) cross — exactly the subtotal set a reporting layer
+    * asks for, in one aggregate pass instead of three scans + union.
+    * SQL-surface form (GROUPING SETS has no DataFrame method), run through
+    * the session the registry query receives.
+    */
+  private val groupingSetsQ = Q(
+    "agg_grouping_sets",
+    (s, d) => {
+      evDf(s, d)
+        .withColumn("proto",
+          when(pmod(col("user_id"), lit(2)) === 0, "aave").otherwise("compound"))
+        .withColumn("wk", expr("day div 7"))
+        .createOrReplaceTempView("graft_gs_ev")
+      s.sql("""SELECT proto, wk, grouping_id() AS gid, COUNT(1) AS n,
+          CAST(SUM(CAST(ABS(value) AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM graft_gs_ev GROUP BY GROUPING SETS ((proto), (wk), ())""")
+    },
+    Some(s"""WITH $EV
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'aave' ELSE 'compound' END AS proto,
+        day // 7 AS wk, GROUPING(proto, wk) AS gid, COUNT(*) AS n, ${DS("ABS(value)")} AS v
+      FROM ev GROUP BY GROUPING SETS ((proto), (wk), ())"""))
+
+  /** Approximate median under the same bound-assertion discipline as
+    * `agg_approx_distinct`: sketches differ across engines, their
+    * GUARANTEES don't. `percentile_approx(value, 0.5, acc)` promises the
+    * returned value's exact rank is within n/acc of the target rank; the
+    * engine recomputes that rank exactly (one broadcast-joined second
+    * pass over the deterministic per-(type, value) pre-aggregate) and
+    * emits the bound check as a boolean the oracle asserts TRUE with
+    * independently-computed group sizes — a sketch regression flips the
+    * bool and reds the hash row.
+    */
+  private val approxQuantileBound = Q(
+    "agg_approx_quantile_bound",
+    (s, d) => {
+      val base = evDf(s, d).select(col("event_type"), abs(col("value")).as("av"))
+      val approx = base.groupBy("event_type")
+        .agg(percentile_approx(col("av"), lit(0.5), lit(1000)).as("__ap"),
+          count(lit(1)).as("n"))
+      base.join(broadcast(approx), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(col("av") <= col("__ap"), 1L).otherwise(0L)).as("__rank"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__rank").cast("double") - lit(0.5) * col("n").cast("double"))
+            <= col("n").cast("double") / lit(1000.0) + lit(1.0)).as("within_rank_bound"))
+    },
+    Some(s"""WITH $EV
+      SELECT event_type, COUNT(*) AS n, TRUE AS within_rank_bound
+      FROM ev GROUP BY 1"""))
+
   /** Trailing 7-day moving sum per user as a RANGE window over integer
     * days (pre-aggregated to one row per (user, day) first, so the window
     * input is deterministic and the frame is value-based, not row-based).
@@ -1193,6 +1265,7 @@ object ParityQueries {
     antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
-    pivotEvents, rollupWeekly, movingSum, medianDisc, madDisc, topkPerGroup,
+    pivotEvents, rollupWeekly, cubeWeekly, groupingSetsQ, approxQuantileBound,
+    movingSum, medianDisc, madDisc, topkPerGroup,
     sortPagination, upsertKeyed, upsertBucketed, upsertVersioned, ctasFullRefresh, upsertServe)
 }

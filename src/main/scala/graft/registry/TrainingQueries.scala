@@ -1436,6 +1436,36 @@ object TrainingQueries {
         AND v.user_id = p.user_id
         AND v.epoch <= p.epoch AND v.epoch >= p.epoch - 3600"""))
 
+  /** Streaming AS-OF enrichment drained end to end: the fact stream is
+    * enriched per micro-batch against the static price side through the
+    * NATIVE as-of merge exec and appended to parquet; the drained sink is
+    * hash-checked against the same batch oracle as `join_asof_price_7d` —
+    * the streaming and batch paths provably compute the same thing
+    * (ties-free right side, so single-match merge == argmax re-join).
+    */
+  private val streamingAsOfEnrich = Q(
+    "streaming_asof_enrich",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_asof_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("epoch", expr("ts div 1000000000"))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "epoch", "value")
+      val (_, prices) = ParityQueries.asOfInputs(s, d)
+      graft.streaming.Streams.asOfEnrichAvailableNow(
+        stream, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"),
+        outPath = s"$base/out", checkpoint = s"$base/ckpt")
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    ParityQueries.asOfOracle)
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
@@ -1450,5 +1480,6 @@ object TrainingQueries {
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
-    streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert)
+    streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
+    streamingAsOfEnrich)
 }

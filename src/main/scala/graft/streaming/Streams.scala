@@ -90,6 +90,43 @@ object Streams {
     * redundant O(table) shuffle per micro-batch on top of the inherent
     * table rewrite.
     */
+  /** Streaming AS-OF ENRICHMENT: each micro-batch of facts is enriched
+    * against the STATIC versioned-value table with the NATIVE as-of merge
+    * ([[graft.operators.AsOfJoin.asOfMerge]] — the custom sort-merge
+    * exec) and appended to the parquet sink: the always-on form of the
+    * batch price enrichment, with `foreachBatch` supplying exactly the
+    * batch-DataFrame seam the native operator already serves. Because the
+    * right side is static and each fact's match depends on its OWN row
+    * only, the result set is independent of how the input is micro-batched
+    * — a drain equals the batch recompute row-for-row (StreamsSpec proves
+    * it across a forced multi-batch split; the registry hash-checks the
+    * single-drain form against the batch oracle). At scale the static side
+    * re-shuffles per batch on the equi keys while each fact batch is
+    * small — callers with a large price table pre-bucket it on the key
+    * ([[graft.sources.Layout.writeBucketed]]) so the merge plans with NO
+    * exchange on the static side (AsOfMergeSpec's bucketed-layout test).
+    */
+  def asOfEnrichAvailableNow(
+      facts: DataFrame,
+      prices: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      outPath: String,
+      checkpoint: String): StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.AsOfJoin.asOfMerge(
+          batch, prices, keyCols, leftTs, rightTs, tolerance, rightValueCols)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   def upsertAvailableNow(
       stream: DataFrame,
       outPath: String,

@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
     */
   private val effectful = Set(
     "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
-    "streaming_interval_join", "streaming_upsert_serve", "snk_parquet_partitioned", "snk_range_clustered",
+    "streaming_interval_join", "streaming_upsert_serve", "streaming_asof_enrich",
+    "snk_parquet_partitioned", "snk_range_clustered",
     "src_jsonl_roundtrip",
     "snk_upsert_keyed", "snk_upsert_bucketed", "snk_upsert_versioned", "snk_upsert_serve",
     "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder")

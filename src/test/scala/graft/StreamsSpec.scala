@@ -60,6 +60,32 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 7L, 11.0), (2L, 9L, 21.0), (3L, 9L, 30.0)))
   }
 
+  test("asOfEnrichAvailableNow: multi-batch drain == batch asOfMerge, row for row") {
+    val base = "target/tmp/streams_asof_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val facts = (1 to 200).map(i => (i.toLong, s"k${i % 5}", (i * 37 % 500).toLong, i * 1.5))
+      .toDF("id", "key", "ts", "qty")
+    val prices = (0 until 5).flatMap(k => (0 until 40).map(j =>
+      (s"k$k", (j * 12).toLong, k * 100 + j * 0.25))).toDF("key", "pts", "price")
+    // two input files -> maxFilesPerTrigger=1 forces a genuine 2-batch drain
+    facts.filter($"id" <= 100).write.parquet(s"$base/in")
+    facts.filter($"id" > 100).write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream.schema(facts.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    Streams.asOfEnrichAvailableNow(stream, prices, Seq("key"), "ts", "pts",
+      tolerance = 50L, rightValueCols = Seq("price"),
+      outPath = s"$base/out", checkpoint = s"$base/ckpt")
+      .awaitTermination()
+    val drained = spark.read.parquet(s"$base/out")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val batch = graft.operators.AsOfJoin.asOfMerge(facts, prices, Seq("key"), "ts", "pts",
+      50L, Seq("price")).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(drained == batch)
+    assert(drained.nonEmpty)
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
