@@ -106,4 +106,53 @@ object Relational {
     }
     if (dedup) projected.distinct() else projected
   }
+
+  /** Point-in-interval RANGE JOIN with equi keys, bin-replicated: emit
+    * every (left, right) pair sharing `keyCols` where
+    * `left.pointCol BETWEEN right.loCol AND right.hiCol` (inclusive both
+    * ends) — campaign/config-window attribution, block-range versioned
+    * lookups, session assignment.
+    *
+    * Scale shape: Spark plans a naive keyed BETWEEN join as an equi join
+    * with a residual filter, so every left row meets the key's ENTIRE
+    * interval history before the residual prunes — quadratic per hot key.
+    * Here each right interval is replicated into every `binWidth`-wide
+    * time bin it overlaps (`sequence(lo div w, hi div w)` — bounded by
+    * `span/binWidth + 1` copies) and each left point lands in exactly ONE
+    * bin, so the join is a pure (keys, bin) equi join whose candidates per
+    * left row are just the intervals overlapping its bin. Because the
+    * point belongs to a single bin, each qualifying pair is emitted
+    * exactly once — no post-dedup. Choose `binWidth` near the typical
+    * interval span: replication stays ~2x while candidate lists stay
+    * local. Inner join only (unmatched left rows are a left-anti away).
+    *
+    * Output: all `left` columns + `rightPrefix`-prefixed lo/hi/value
+    * columns.
+    */
+  def rangeJoinBinned(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val rp = "__r_"
+    val rCols = (keyCols ++ Seq(loCol, hiCol) ++ rightValueCols).distinct
+    val r = right.select(rCols.map(c => col(c).as(rp + c)): _*)
+      .filter(col(rp + loCol) <= col(rp + hiCol))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$rp$loCol div $binWidth"), expr(s"$rp$hiCol div $binWidth"))))
+    val l = left.withColumn("__bin", expr(s"$pointCol div $binWidth"))
+    val cond = keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+      col("__bin") === col(s"${rp}__bin_probe") &&
+      col(pointCol).between(col(rp + loCol), col(rp + hiCol))
+    l.join(r.withColumnRenamed("__bin", s"${rp}__bin_probe"), cond, "inner")
+      .select(left.columns.map(col) ++
+        (Seq(loCol, hiCol) ++ rightValueCols).distinct
+          .map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
 }

@@ -100,6 +100,15 @@ object AsOfMergeJoinStrategy extends SparkStrategy {
   * (keys, ts); emits exactly one output row per left row in left order, so
   * downstream operators keyed on the same columns reuse both the
   * partitioning and the ordering.
+  *
+  * Skew note: AQE's skew-join splitting only rewrites its known join
+  * execs, so a pathologically hot key concentrates both sides' history in
+  * one task here (the merge itself stays O(n+m) for that key — linear,
+  * never the quadratic candidate blowup the composed range join risks).
+  * For skew past what linear single-task processing absorbs, use
+  * [[graft.operators.AsOfJoin.asOfBinned]] (bin-replicated composition,
+  * AQE-splittable) or salt the key; for everything else this exec's
+  * two-exchange plan wins.
   */
 case class AsOfMergeJoinExec(
     left: SparkPlan,

@@ -540,6 +540,34 @@ object ParityQueries {
     asOfOracle,
     bench = true)
 
+  /** Generic point-in-interval range join, bin-replicated
+    * ([[Relational.rangeJoinBinned]]): every purchase matched to every
+    * 2-hour view-anchored window covering it. The oracle is the naive
+    * BETWEEN join — the binning must be invisible in the result (each
+    * qualifying pair exactly once: the point owns exactly one bin).
+    */
+  private val rangeJoinQ = Q(
+    "join_range_binned",
+    (s, d) => {
+      val e = evDf(s, d)
+      val pts = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "epoch", "value")
+      val wins = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("epoch").as("win_lo"),
+          (col("epoch") + 7200L).as("win_hi"), col("value").as("rate"))
+      Relational.rangeJoinBinned(pts, wins, Seq("user_id"), "epoch",
+        "win_lo", "win_hi", binWidth = 7200L, rightValueCols = Seq("rate"),
+        rightPrefix = "w_")
+    },
+    Some(s"""WITH $EV,
+      pts AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
+      wins AS (SELECT user_id, epoch AS win_lo, epoch + 7200 AS win_hi, value AS rate
+        FROM ev WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, p.epoch, p.value,
+        w.win_lo AS w_win_lo, w.win_hi AS w_win_hi, w.rate AS w_rate
+      FROM pts p JOIN wins w ON w.user_id = p.user_id
+        AND p.epoch BETWEEN w.win_lo AND w.win_hi"""))
+
   /** The NATIVE whole-operator path (custom LogicalPlan -> Strategy ->
     * sort-merge SparkPlan, one exchange per side) must also hash-match the
     * same oracle — prices are (user_id, price_epoch)-unique in this data,
@@ -1261,7 +1289,7 @@ object ParityQueries {
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
     equi2Key, asOfPrice, asOfMergeQ, asOfBinned, asOfForwardQ, asOfMergeForwardQ,
-    labeledFeaturesQ,
+    rangeJoinQ, labeledFeaturesQ,
     antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,

@@ -121,6 +121,28 @@ class AsOfJoinSpec extends SparkSpec {
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rangeJoinBinned == naive BETWEEN join, every pair exactly once, at every binWidth") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(4), rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "p")
+    val ivs = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4), lo, lo + rnd.nextInt(90).toLong, i.toDouble)
+    }.toDF("k", "lo", "hi", "v")
+    val naive = pts.join(ivs.select(col("k").as("rk"), col("lo").as("r_lo"),
+        col("hi").as("r_hi"), col("v").as("r_v")),
+      pts("k") === col("rk") && pts("p").between(col("r_lo"), col("r_hi")), "inner")
+    val expect = naive.select("id", "r_lo", "r_hi", "r_v")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    for (w <- Seq(1L, 17L, 90L, 128L, 5000L)) {
+      val got = graft.operators.Relational
+        .rangeJoinBinned(pts, ivs, Seq("k"), "p", "lo", "hi", w, Seq("v"))
+        .select("id", "r_lo", "r_hi", "r_v")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == expect, s"binWidth $w")
+    }
+  }
+
   test("latestPerGroupGeq keeps ALL rows tied at the max order key") {
     val df = Seq(("a", 1, "x"), ("a", 5, "y"), ("a", 5, "z"), ("b", 2, "w"))
       .toDF("g", "o", "v")
