@@ -1462,7 +1462,7 @@ object TrainingQueries {
         tolerance = 604800L, rightValueCols = Seq("price"),
         outPath = s"$base/out", checkpoint = s"$base/ckpt")
         .awaitTermination()
-      s.read.parquet(s"$base/out")
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
     },
     ParityQueries.asOfOracle)
 

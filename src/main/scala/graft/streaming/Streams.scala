@@ -100,9 +100,13 @@ object Streams {
     * only, the result set is independent of how the input is micro-batched
     * — a drain equals the batch recompute row-for-row (StreamsSpec proves
     * it across a forced multi-batch split; the registry hash-checks the
-    * single-drain form against the batch oracle). At scale the static side
-    * re-shuffles per batch on the equi keys while each fact batch is
-    * small — callers with a large price table pre-bucket it on the key
+    * single-drain form against the batch oracle). `foreachBatch` is
+    * at-least-once on failure, so each batch OVERWRITES its own
+    * deterministic subdirectory (`b<batchId>`) — a replayed batch rewrites
+    * identical content instead of appending duplicates; read the sink with
+    * `recursiveFileLookup`. At scale the static side re-shuffles per batch
+    * on the equi keys while each fact batch is small — callers with a
+    * large price table pre-bucket it on the key
     * ([[graft.sources.Layout.writeBucketed]]) so the merge plans with NO
     * exchange on the static side (AsOfMergeSpec's bucketed-layout test).
     */
@@ -120,10 +124,10 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AsOfJoin.asOfMerge(
           batch, prices, keyCols, leftTs, rightTs, tolerance, rightValueCols)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/b$batchId")
       }
       .start()
 

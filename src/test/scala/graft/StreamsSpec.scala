@@ -78,7 +78,12 @@ class StreamsSpec extends SparkSpec {
       tolerance = 50L, rightValueCols = Seq("price"),
       outPath = s"$base/out", checkpoint = s"$base/ckpt")
       .awaitTermination()
-    val drained = spark.read.parquet(s"$base/out")
+    // multiple batch subdirectories must exist: the drain was genuinely
+    // multi-batch (maxFilesPerTrigger=1 and each write laid several files)
+    val outDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    assert(outDirs.length >= 2, outDirs.mkString(", "))
+    val drained = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val batch = graft.operators.AsOfJoin.asOfMerge(facts, prices, Seq("key"), "ts", "pts",
       50L, Seq("price")).collect().map(_.toSeq).toSeq.sortBy(_.toString)
