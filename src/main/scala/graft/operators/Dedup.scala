@@ -408,7 +408,14 @@ object Dedup {
     // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    // persist the signature table: both sides of the candidate self-join
+    // derive from it, and when the join broadcasts (small/AQE) there is no
+    // shuffle exchange to reuse — without this the FULL TEXT is scanned
+    // and signature-hashed twice. The persisted frame is id + 8 bytes per
+    // doc (~1.5 GB per billion docs), negligible next to the corpus it
+    // replaces; lineage is preserved, so plan sweeps still see through it.
     val sh = simhash(docs, idCol, textCol, tokenHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until nChunks).map { c =>
       val width = bounds(c + 1) - bounds(c)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
