@@ -99,6 +99,10 @@ object ImageDims {
       var pos = 2
       while (pos + 3 < b.length) {
         if ((b(pos) & 0xff) != 0xff) return null
+        // the spec permits runs of 0xFF fill bytes between segments; the
+        // marker code is the first non-FF byte after the run
+        while (pos + 2 < b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+        if (pos + 3 >= b.length || (b(pos + 1) & 0xff) == 0xff) return null
         val marker = b(pos + 1) & 0xff
         marker match {
           // SOF0-3/5-7/9-11/13-15: [len][precision][height:2][width:2]...

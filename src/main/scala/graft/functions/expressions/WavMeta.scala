@@ -75,30 +75,36 @@ object WavMeta {
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var pos = 12
+    // pos is Long: a declared chunk size near Int.MaxValue must advance the
+    // cursor past the buffer (terminating the walk), not wrap negative and
+    // index out of bounds — corrupt payloads return NULL, never throw
+    var pos = 12L
     var rate = -1L
     var channels = -1
     var bits = -1
     var byteRate = -1L
     var dataLen = -1L
     while (pos + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val size = le32(b, pos + 4)
-      if (size < 0 || size > Int.MaxValue) return null
-      if (tag(b, pos, "fmt ")) {
+      val p = pos.toInt
+      val size = le32(b, p + 4)
+      if (tag(b, p, "fmt ")) {
         if (pos + 8 + 16 > b.length) return null
-        channels = le16(b, pos + 10)
-        rate = le32(b, pos + 12)
-        byteRate = le32(b, pos + 16)
-        bits = le16(b, pos + 22)
-      } else if (tag(b, pos, "data")) {
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        byteRate = le32(b, p + 16)
+        bits = le16(b, p + 22)
+      } else if (tag(b, p, "data")) {
         dataLen = size
       }
       // chunks are even-padded per the RIFF spec; the data chunk's payload
       // need not be present (header-only corpus rows) — stepping past the
       // end just terminates the walk
-      pos += 8 + size.toInt + (size.toInt & 1)
+      pos += 8L + size + (size & 1L)
     }
-    if (rate <= 0 || channels <= 0 || bits <= 0 || byteRate <= 0 || dataLen < 0) return null
+    // a garbage fmt chunk can declare rate/byteRate up to 2^32-1; reject
+    // anything that will not fit the int result instead of emitting negatives
+    if (rate <= 0 || rate > Int.MaxValue || channels <= 0 || bits <= 0 ||
+        byteRate <= 0 || dataLen < 0) return null
     val durationMs = dataLen * 1000L / byteRate
     new GenericInternalRow(Array[Any](rate.toInt, channels, bits, durationMs))
   }
