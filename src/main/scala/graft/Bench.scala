@@ -24,13 +24,17 @@ object Bench {
     val qs = SparkEntry.queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
-    // default 4 runs per query: run1 absorbs JVM/codegen warmup (recorded as
-    // "cold"); runs 2..4 measure the steady-state plan and the MEDIAN of them
-    // is recorded. A single warm run is a coin flip on this VM (observed
-    // ±20% swing, and one r5 run where warm > cold — impossible for the plan,
-    // so it was measuring block-manager/GC state); the median of 3 pins the
-    // number to the plan.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "4").toInt
+    // default 8 runs per query: run1 absorbs JVM/codegen warmup (recorded as
+    // "cold"); the MEDIAN of runs 2..8 is recorded. A single warm run is a
+    // coin flip on this VM (observed ±20% swing, and one r5 run where warm >
+    // cold — impossible for the plan, so it was measuring block-manager/GC
+    // state). The median needs ≥7 warm samples because the JIT warmup TAIL
+    // is 2-3 runs deep for the large-DAG queries — a measured 10-run
+    // dedup_minhash_lsh series went 20.4, 6.1, 2.3, 1.7, then plateaued at
+    // 1.34-1.50 s: with only 3 warm runs the median lands ON the tail
+    // (that was the whole r6 "+34% minhash regression"); with 7 it sits on
+    // the plateau and the tail falls in the discarded upper half.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "8").toInt
     val results = names.map { name =>
       var cold = 0.0
       val warm = scala.collection.mutable.ArrayBuffer.empty[Double]

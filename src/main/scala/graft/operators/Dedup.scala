@@ -403,19 +403,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      tokenHash: ShingleHash = XxShingleHash): DataFrame = {
+      tokenHash: ShingleHash = XxShingleHash,
+      boundary: Boundary = Boundary.Local): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    // persist the signature table: both sides of the candidate self-join
-    // derive from it, and when the join broadcasts (small/AQE) there is no
-    // shuffle exchange to reuse — without this the FULL TEXT is scanned
-    // and signature-hashed twice. The persisted frame is id + 8 bytes per
-    // doc (~1.5 GB per billion docs), negligible next to the corpus it
-    // replaces; lineage is preserved, so plan sweeps still see through it.
-    val sh = simhash(docs, idCol, textCol, tokenHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the signature table ONCE via the boundary: both sides of
+    // the candidate self-join derive from it, and when the join broadcasts
+    // (small/AQE) there is no shuffle exchange to reuse — without this the
+    // FULL TEXT is scanned and signature-hashed twice. The frame is id +
+    // 8 bytes per doc (~1.5 GB per billion docs), negligible next to the
+    // corpus it replaces. The boundary (vs a bare persist) keeps cleanup
+    // with the session's ContextCleaner — no block-manager storage pinned
+    // for the session lifetime, the same ownership contract as
+    // [[minhashLsh]]; registry planViews expose the fully lazy twin.
+    val sh = boundary(simhash(docs, idCol, textCol, tokenHash))
     val chunkCols = (0 until nChunks).map { c =>
       val width = bounds(c + 1) - bounds(c)
       val mask = if (width >= 64) -1L else (1L << width) - 1L

@@ -181,6 +181,28 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("feature", ArrayType(DoubleType), nullable = false)))
 
+  /** Catalyst-native decode: the same deterministic byte math as
+    * [[decodeStub]] (checksum = unsigned byte sum, frame count from length,
+    * 8-dim evenly-sampled feature) as ONE codegen'd expression
+    * ([[graft.functions.expressions.DecodeStats]]) — so the decode step
+    * stays inside WholeStageCodegen and upstream column pruning survives
+    * (the RDD stub severs Catalyst: no pruning above it, no codegen through
+    * it). This is the path the registry query runs; [[decodeStub]] remains
+    * the documented seam for a REAL codec, which genuinely needs the
+    * per-partition batch shape a JNI/FFI library wants. Null payloads
+    * decode as empty (byte_len 0, zero feature), matching the stub.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val stats = org.apache.spark.sql.graftnative.NativeColumns
+      .decodeStats(coalesce(col("payload"), lit(Array.emptyByteArray)))
+    media.select(col("media_id"), col("modality"), stats.as("__s"))
+      .select(col("media_id"), col("modality"),
+        col("__s.byte_len").as("byte_len"),
+        col("__s.checksum").as("checksum"),
+        col("__s.n_frames").as("n_frames"),
+        col("__s.feature").as("feature"))
+  }
+
   /** STUB decoder — the seam where a real codec goes. Runs per partition
     * over an iterator of rows (the batch shape a real vectorized decoder
     * wants). Deterministic fake: checksum = sum of bytes, frame count from

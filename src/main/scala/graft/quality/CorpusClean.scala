@@ -41,7 +41,7 @@ object CorpusClean {
       .agg(min_by(struct(col("doc_id"), col("clean")), col("doc_id")).as("__r"))
       .select(col("__r.doc_id").as("doc_id"), col("__r.clean").as("clean")))
     val pairs = Dedup.simhashPairs(exact, "doc_id", "clean",
-      maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      maxHamming = 3, tokenHash = Dedup.Md5ShingleHash, boundary = boundary)
     val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
       .withColumnRenamed("node", "doc_id")
     exact.join(cc, Seq("doc_id"), "left")

@@ -369,7 +369,11 @@ object TrainingQueries {
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+    planView = Some((s, d) => Dedup.simhashPairs(augmentedDocs(Tables.documents(s, d)),
+      "doc_id", "text", maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
 
   /** Pairs -> clusters -> a deduplicated corpus: [[Dedup.connectedComponents]]
     * resolves the simhash near-dup pair graph to per-doc canonical ids (min
@@ -393,7 +397,20 @@ object TrainingQueries {
     Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
         FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""),
-    bench = true)
+    bench = true,
+    // pre-boundary plan: the pair-sketch stage fully lazy (the CC rounds
+    // inside still checkpoint — see pipeline_corpus_clean's planView note)
+    planView = Some((s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
+        boundary = graft.operators.Boundary.None)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    }))
 
   /** Cluster canonicalization by QUALITY instead of min-id: per near-dup
     * cluster, keep the highest-quality-score doc (ties to the lower id via
@@ -426,7 +443,22 @@ object TrainingQueries {
             COUNT(*) OVER (PARTITION BY cluster) AS n_docs
           FROM qs)
         SELECT cluster, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
-        FROM r WHERE rn = 1"""))
+        FROM r WHERE rn = 1"""),
+    planView = Some((s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
+        boundary = graft.operators.Boundary.None)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          Text.qualityScore(col("text")).as("score"))
+        .groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
+          count(lit(1)).as("n_docs"))
+    }))
 
   /** Snapshot diff fixture: v2 = documents minus every 20th doc (removed),
     * plus 10 mutated (changed), plus 10 fresh ids (added); everything else
@@ -481,7 +513,20 @@ object TrainingQueries {
         SELECT doc_id, cluster,
           CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'sp4'), 1, 15))::BIGINT
             % 10000 < 1000 THEN 'val' ELSE 'train' END AS split
-        FROM asg"""))
+        FROM asg"""),
+    planView = Some((s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
+        boundary = graft.operators.Boundary.None)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(pmod(Text.md5Hash64(concat(col("cluster").cast("string"), lit("sp4"))),
+            lit(10000)) < 1000, lit("val")).otherwise(lit("train")))
+    }))
 
   /** Decontamination fixture: benchmark = every 10th doc; train = the rest
     * PLUS "leaked" copies of each benchmark doc (one appended token, shifted
@@ -1090,7 +1135,7 @@ object TrainingQueries {
       // flatten the 8-dim feature array to scalar columns: the driver's
       // rows-only check still sorts the frame, and array cells are
       // unsortable in pandas (r02: "unhashable type: numpy.ndarray")
-      val decoded = Multimodal.decodeStub(
+      val decoded = Multimodal.decode(
         Multimodal.fromText(Tables.documents(s, d), "doc_id", "text"))
       val fCols = (0 until 8).map(i =>
         element_at(col("feature"), i + 1).as(s"f$i"))
@@ -1098,7 +1143,7 @@ object TrainingQueries {
         Seq(col("media_id"), col("modality"), col("byte_len"),
           col("checksum"), col("n_frames").cast("long").as("n_frames")) ++ fCols: _*)
     },
-    // the decode stub's byte math IS expressible in DuckDB: a byte of the
+    // the decode byte math IS expressible in DuckDB: a byte of the
     // UTF-8 payload is a 2-char slice of hex(encode(text)), so checksum =
     // sum over hex pairs and feature f_i = evenly-sampled byte / 255.0 —
     // the same byte-equivalence trick the framesample oracle uses
@@ -1333,9 +1378,9 @@ object TrainingQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema)
+      val stream = Tables.tsToNanos(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1").parquet(d)
+        .option("maxFilesPerTrigger", "1").parquet(d))
         .select(col("user_id"), expr("ts div 1000000000").as("epoch"),
           col("event_id"), col("value"))
       graft.streaming.Streams.upsertAvailableNow(
@@ -1356,8 +1401,8 @@ object TrainingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "graft_stream_daily"
       try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.tsToNanos(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val q = graft.streaming.Streams.dailyRollup(
         stream.withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000"))),
         "ts_sec", Seq("event_type"), "value", lateness = "1 day")
@@ -1382,8 +1427,8 @@ object TrainingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "graft_stream_dedup"
       try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.tsToNanos(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
         .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))
         .withColumn("day", expr("ts div 86400000000000"))
       val q = graft.streaming.Streams
@@ -1411,8 +1456,8 @@ object TrainingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "graft_stream_ijoin"
       try s.catalog.dropTempView(qn) catch { case _: Throwable => () }
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.tsToNanos(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
         .withColumn("epoch", expr("ts div 1000000000"))
         .withColumn("ts_sec", timestamp_seconds(col("epoch")))
       val purchases = stream.filter(col("event_type") === "purchase")
@@ -1451,8 +1496,8 @@ object TrainingQueries {
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = Tables.tsToNanos(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
         .withColumn("epoch", expr("ts div 1000000000"))
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "epoch", "value")

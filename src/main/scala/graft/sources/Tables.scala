@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the engine.
   *
@@ -23,9 +25,11 @@ object Tables {
 
   /** Session conf the engine standardizes on (all runtime-settable, so this
     * also works inside a caller-provided SparkSession):
-    *  - `nanosAsLong`: the testdata `events.ts` is parquet TIMESTAMP(NANOS),
-    *    which Spark's reader rejects as a timestamp; reading it as a nanos
-    *    LONG keeps epoch math exact (no ns->us truncation).
+    *  - `nanosAsLong`: a parquet TIMESTAMP(NANOS) `events.ts` (one of the
+    *    physical layouts the generator has shipped) is rejected by Spark's
+    *    reader as a timestamp; reading it as a nanos LONG keeps epoch math
+    *    exact (no ns->us truncation). See [[tsToNanos]] for the
+    *    physical-type normalization.
     *  - UTC session TZ: reference pins all date semantics to UTC.
     *  - ANSI off: Trino-style null-on-bad-arithmetic semantics; all division
     *    in the engine is explicitly zero-guarded anyway (SURVEY.md §7.4.6).
@@ -41,7 +45,32 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** Normalize an `events`-shaped frame so `ts` is ALWAYS an epoch-nanos
+    * LONG, whatever the parquet physically stores. The generator has
+    * shipped both TIMESTAMP(NANOS) (read as a long via `nanosAsLong`) and
+    * timestamp[us] (read as TIMESTAMP_NTZ); the whole engine's epoch math
+    * (`ts div 1e9` etc.) is integer-exact on the nanos-long form, so the
+    * conversion happens ONCE here rather than per consumer. An NTZ
+    * wall-clock cast to TIMESTAMP under the pinned-UTC session resolves to
+    * the same instant DuckDB's `epoch_ns(ts)` computes — the shared `ev`
+    * oracle CTE (Registry.EV) is physical-type-agnostic the same way.
+    * Works on batch and streaming frames alike (pure projection).
+    */
+  def tsToNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampNTZType | TimestampType =>
+      df.withColumn("ts", nanosCol(col("ts")))
+    case dt => throw new IllegalArgumentException(
+      s"events.ts must be a long or timestamp, got ${dt.catalogString}")
+  }
+
+  /** The column form of [[tsToNanos]]'s conversion: timestamp -> epoch
+    * nanos. us->ns is a lossless widening (the us payload times 1000).
+    */
+  def nanosCol(ts: Column): Column = unix_micros(ts.cast(TimestampType)) * 1000L
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    tsToNanos(load(spark, dir, "events"))
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -66,30 +66,6 @@ object Streams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
-  /** Streaming SERVE-SINK upsert: each micro-batch is key-merged into the
-    * KV table via [[graft.operators.Incremental.upsertByKey]] — the
-    * always-on form of the reference's daily features->serving load
-    * (save_defi_features_features_db.py: overwrite per key), with
-    * `foreachBatch` supplying exactly the batch-DataFrame seam the batch
-    * sink already implements. The upsert's two-phase swap keeps the serve
-    * table readable mid-commit.
-    *
-    * HIGHEST VERSION WINS — globally, not latest-batch-wins: the batch is
-    * unioned with the existing rows OF ITS OWN KEYS before the per-key
-    * argmax, so the final table is independent of micro-batch ORDER (file
-    * listings carry no time order), of replays (at-least-once delivery
-    * re-merges idempotently), and of late data (a stale row can never
-    * clobber a newer one already served). Ties on the version break
-    * through the full row ordering — deterministic even for same-version
-    * duplicates.
-    *
-    * The pre-merge is semi-join restricted to the batch's keys (broadcast —
-    * a micro-batch is small by construction): keys the batch doesn't touch
-    * already survive unchanged through [[graft.operators.Incremental
-    * .upsertByKey]]'s full-outer merge, so argmaxing them again would be a
-    * redundant O(table) shuffle per micro-batch on top of the inherent
-    * table rewrite.
-    */
   /** Streaming AS-OF ENRICHMENT: each micro-batch of facts is enriched
     * against the STATIC versioned-value table with the NATIVE as-of merge
     * ([[graft.operators.AsOfJoin.asOfMerge]] — the custom sort-merge
@@ -131,6 +107,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming SERVE-SINK upsert: each micro-batch is key-merged into the
+    * KV table via [[graft.operators.Incremental.upsertByKey]] — the
+    * always-on form of the reference's daily features->serving load
+    * (save_defi_features_features_db.py: overwrite per key), with
+    * `foreachBatch` supplying exactly the batch-DataFrame seam the batch
+    * sink already implements. The upsert's two-phase swap keeps the serve
+    * table readable mid-commit.
+    *
+    * HIGHEST VERSION WINS — globally, not latest-batch-wins: the batch is
+    * unioned with the existing rows OF ITS OWN KEYS before the per-key
+    * argmax, so the final table is independent of micro-batch ORDER (file
+    * listings carry no time order), of replays (at-least-once delivery
+    * re-merges idempotently), and of late data (a stale row can never
+    * clobber a newer one already served). Ties on the version break
+    * through the full row ordering — deterministic even for same-version
+    * duplicates.
+    *
+    * The pre-merge is semi-join restricted to the batch's keys (broadcast —
+    * a micro-batch is small by construction): keys the batch doesn't touch
+    * already survive unchanged through [[graft.operators.Incremental
+    * .upsertByKey]]'s full-outer merge, so argmaxing them again would be a
+    * redundant O(table) shuffle per micro-batch on top of the inherent
+    * table rewrite.
+    */
   def upsertAvailableNow(
       stream: DataFrame,
       outPath: String,

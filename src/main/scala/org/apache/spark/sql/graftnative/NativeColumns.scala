@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{BloomProbe, BroadcastBloom, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
+import graft.functions.expressions.{BloomProbe, BroadcastBloom, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -76,6 +76,14 @@ object NativeColumns {
     */
   def imageDims(payload: Column): Column =
     Column(ExpressionColumnNode(ImageDims(ExpressionUtils.expression(payload))))
+
+  /** Deterministic byte-level decode stats over a binary payload column:
+    * `struct<byte_len, checksum, n_frames, feature>` in one codegen'd pass
+    * (see [[DecodeStats]] — the registry-path replacement for the RDD
+    * decode stub's fake metadata).
+    */
+  def decodeStats(payload: Column): Column =
+    Column(ExpressionColumnNode(DecodeStats(ExpressionUtils.expression(payload))))
 
   /** RIFF/WAVE header sniff over a binary payload column:
     * `struct<sample_rate, channels, bits, duration_ms>`, NULL for

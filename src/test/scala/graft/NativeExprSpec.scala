@@ -404,4 +404,37 @@ class NativeExprSpec extends SparkSpec {
       }
     }
   }
+
+  test("decodeStats: known byte math, empty payload, null payload, SQL-callable") {
+    // "abcd": checksum = 97+98+99+100, 1 frame, feature_i = byte(i*4/8)/255
+    val payload = "abcd".getBytes("UTF-8")
+    val got = Seq(Tuple1(payload)).toDF("payload")
+      .select(NativeColumns.decodeStats(col("payload")).as("s"))
+      .select(col("s.byte_len"), col("s.checksum"), col("s.n_frames"), col("s.feature"))
+      .head()
+    assert(got.getLong(0) == 4L)
+    assert(got.getLong(1) == ('a' + 'b' + 'c' + 'd').toLong)
+    assert(got.getInt(2) == 1)
+    val feat = got.getSeq[Double](3)
+    assert(feat.length == 8)
+    (0 until 8).foreach { i =>
+      val expected = (payload(math.min(i * 4 / 8, 3)) & 0xff) / 255.0
+      assert(feat(i) == expected, s"feature($i)")
+    }
+    // empty payload: zero checksum, 1 frame (1 + 0/64), all-zero feature
+    val empty = Seq(Tuple1(Array.emptyByteArray)).toDF("payload")
+      .select(NativeColumns.decodeStats(col("payload")).as("s"))
+      .select(col("s.byte_len"), col("s.checksum"), col("s.n_frames"), col("s.feature"))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L && empty.getInt(2) == 1)
+    assert(empty.getSeq[Double](3) == Seq.fill(8)(0.0))
+    // null payload -> NULL struct (nullSafeEval path)
+    val nul = Seq(Tuple1(null: Array[Byte])).toDF("payload")
+      .select(NativeColumns.decodeStats(col("payload"))).head()
+    assert(nul.isNullAt(0))
+    // SQL registration parity with the Column form
+    val viaSql = spark.sql("SELECT graft_decode_stats(CAST('abcd' AS BINARY)) AS s")
+      .select(col("s.checksum")).head().getLong(0)
+    assert(viaSql == got.getLong(1))
+  }
 }

@@ -528,6 +528,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.length == 8 && feat.head == 'a'.toInt / 255.0)
   }
 
+  test("decode (native) == decodeStub row-for-row, incl. null and empty payloads") {
+    // the Catalyst-native path must reproduce the stub's math exactly —
+    // that equivalence is what licensed swapping the registry query off
+    // the RDD barrier without touching its oracle
+    val media = Seq(
+      (1L, "text", "abcd".getBytes("UTF-8")),
+      (2L, "text", ("x" * 200).getBytes("UTF-8")), // multi-frame (200/64 -> 4)
+      (3L, "image", Array.emptyByteArray),
+      (4L, "audio", null: Array[Byte]))
+      .toDF("media_id", "modality", "payload")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getSeq[Double](5))).toSeq
+    assert(dump(Multimodal.decode(media)) == dump(Multimodal.decodeStub(media)))
+  }
+
   test("frameSample: stride-sampled fixed-size slices, short tail, empty payload") {
     // 10-byte payload, 4-byte frames -> frames 0..2; stride 2 keeps 0 and 2
     val docs = Seq((0L, "abcdefghij"), (3L, "")).toDF("doc_id", "text")

@@ -102,6 +102,22 @@ class PlanSpec extends SparkSpec {
       s"aggregation fell out of codegen:\n$plan")
   }
 
+  test("multimodal_decode plans through Catalyst: no RDD barrier, codegen'd, pruned scan") {
+    graft.sources.Tables.configure(spark)
+    val df = Registry.byName("multimodal_decode").run(spark, sf)
+    df.collect() // AQE materializes codegen stages in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the r6 form routed decodeStub's rdd.mapPartitions + createDataFrame,
+    // which planned as a Scan ExistingRDD barrier: no pruning above it, no
+    // codegen through the decode. The native-expression form must not.
+    assert(!plan.contains("ExistingRDD"), s"RDD barrier is back:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_decode_stats")),
+      s"decode expression fell out of codegen:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty && !readSchemas.exists(_.contains("props")),
+      s"decode should prune documents to id+text:\n${readSchemas.mkString("\n")}")
+  }
+
   test("the enrich pipeline's metadata and blocklist joins broadcast") {
     graft.sources.Tables.configure(spark)
     val plan = Registry.byName("analytics_enrich_events").run(spark, sf)

@@ -61,11 +61,14 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("planView is present exactly where run() crosses a boundary (spot contract)") {
-    // the six boundary-crossing queries of round 6 — keep in sync when a
-    // new operator takes a Boundary parameter with a Local default
+    // the boundary-crossing queries — keep in sync when a new operator
+    // takes a Boundary parameter with a Local default (r7 added the four
+    // simhashPairs-derived programs when its persist became a boundary)
     val expected = Set("feature_assembly", "dedup_semantic", "pipeline_corpus_clean",
       "dedup_exact_bloom_ingest", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
-      "dedup_minhash_incremental", "text_tfidf_topterms")
+      "dedup_minhash_incremental", "text_tfidf_topterms",
+      "dedup_simhash_pairs", "dedup_cluster_assign", "dedup_cluster_keep_best",
+      "dedup_cluster_split")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
