@@ -295,9 +295,18 @@ class NativeExprSpec extends SparkSpec {
         b(0xff, 0xc2) ++ be16(17) ++ b(8) ++ be16(h) ++ be16(w) ++
         b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
     }
+    // JPEG with runs of 0xFF FILL BYTES between segments (spec-permitted
+    // marker padding real encoders emit): the walker must skip the run and
+    // read the marker code from the first non-FF byte
+    def jpegPadded(w: Int, h: Int) =
+      b(0xff, 0xd8) ++
+        b(0xff, 0xff, 0xff, 0xe0) ++ be16(4) ++ b(0x4a, 0x46) ++ // APP0 behind 2 fill bytes
+        b(0xff, 0xff, 0xc0) ++ be16(11) ++ b(8) ++ be16(h) ++ be16(w) ++
+        b(1, 1, 0x11, 0)
     val rows = Seq(
       (1L, png(800, 600)),
       (2L, jpegExif(4032, 3024)),
+      (9L, jpegPadded(640, 480)),
       (3L, png(1, 1)),
       (4L, "not an image at all".getBytes),
       (5L, png(800, 600).take(20)),           // truncated PNG
@@ -311,6 +320,7 @@ class NativeExprSpec extends SparkSpec {
         (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
     assert(got(1L) == ("png", 800, 600))
     assert(got(2L) == ("jpeg", 4032, 3024))
+    assert(got(9L) == ("jpeg", 640, 480))
     assert(got(3L) == ("png", 1, 1))
     assert(got(4L) == null)
     assert(got(5L) == null)
@@ -342,7 +352,15 @@ class NativeExprSpec extends SparkSpec {
       (4L, "RIFFxxxxAVI ".getBytes),               // RIFF but not WAVE
       (5L, riff(fmt(1, 8000, 8))),                 // fmt but no data chunk
       (6L, "not audio".getBytes),
-      (7L, Array.emptyByteArray))
+      (7L, Array.emptyByteArray),
+      // adversarial: a chunk declaring size Int.MaxValue must terminate the
+      // walk (Long cursor), not wrap negative and index out of bounds
+      (8L, riff("JUNK".getBytes ++ le32(Int.MaxValue) ++ fmt(1, 8000, 8))),
+      // adversarial: garbage fmt declaring rate 2^32-1 (> Int.MaxValue as
+      // unsigned LE) must reject, not emit a negative sample_rate
+      (9L, riff(("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(0xffffffff) ++ le32(8000) ++ le16(1) ++ le16(8)) ++
+        "data".getBytes ++ le32(4000))))
     val got = rows.toDF("id", "payload")
       .select(col("id"), NativeColumns.wavMeta(col("payload")).as("h"))
       .select(col("id"), col("h.sample_rate"), col("h.channels"), col("h.bits"), col("h.duration_ms"))
@@ -357,6 +375,8 @@ class NativeExprSpec extends SparkSpec {
     assert(got(5L) == null)
     assert(got(6L) == null)
     assert(got(7L) == null)
+    assert(got(8L) == null)
+    assert(got(9L) == null)
   }
 
   test("syntheticWavs payloads roundtrip through the real parser") {
