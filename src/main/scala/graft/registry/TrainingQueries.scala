@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.Trigger
   * products / hyperplane projections are unrolled into the same
   * left-associated IEEE-754 expression chains Spark's `aggregate` fold
   * produces, so doubles compare bit-identical without any rounding.
-  * MinHash/SimHash have no DuckDB equivalent (no xxhash64) — those are
-  * rows-only here and get exact-recall scalatest coverage instead.
+  * MinHash under xxhash64 has no DuckDB equivalent — that query emits a
+  * planted-pair BOUND table (recall + verify-consistency booleans the
+  * oracle asserts TRUE) instead of the raw pair set; the md5-hash twin
+  * hash-checks the identical pipeline end to end.
   */
 object TrainingQueries {
   import Agg._
@@ -243,15 +245,63 @@ object TrainingQueries {
         SELECT * FROM v"""
     })
 
+  /** The xxhash64 LSH pipeline under a BOUND ORACLE. xxhash64 has no DuckDB
+    * equivalent, so the raw pair set can't be hash-compared — instead the
+    * query runs the full banded pipeline (signature -> 16 bands -> candidate
+    * self-join -> exact-Jaccard verify, identical cost to the raw form) and
+    * emits one row per PLANTED near-dup pair ([[augmentedDocs]]: doc_id < 25
+    * cloned to +100000 with one appended token) carrying the independently
+    * recomputed exact Jaccard plus two guarantees the oracle asserts TRUE:
+    *  - `detected_ok`: every high-similarity planted pair (true jaccard
+    *    >= 0.9) MUST surface from the banded join — detection probability is
+    *    1-(1-s^4)^16 > 1 - 4e-8 at s = 0.9 under a random hash, and xxhash64
+    *    is deterministic, so on fixed testdata this is a fixed outcome
+    *    (verified at every shipped SF). Mid-band pairs (0.5..0.9) may
+    *    legitimately slip the bands; sub-threshold pairs are verify-excluded.
+    *  - `jaccard_consistent`: when a planted pair IS found, the verify
+    *    stage's jaccard equals the independent recomputation bit-for-bit.
+    * A banding or verify regression flips a boolean and reds the hash row;
+    * the md5 twin below keeps the full pair-set hash check for the
+    * engine-side semantics.
+    */
+  private def minhashLshBound(s: SparkSession, d: String,
+      boundary: graft.operators.Boundary): DataFrame = {
+    val docs = augmentedDocs(Tables.documents(s, d))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5, boundary = boundary)
+    // ground truth for the 25 planted pairs only — shingling 50 docs, not
+    // the corpus; the bound table costs nothing next to the pipeline
+    val sh = docs.filter(col("doc_id") < 25 || col("doc_id") >= 100000)
+      .select(col("doc_id"), Text.words(col("text")).as("__w"))
+      .select(col("doc_id"), Text.shinglesFromWords(col("__w"), 3).as("s"))
+    val planted = sh.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("doc_id_1"), col("s").as("s1"))
+      .join(sh.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id_1"),
+          col("doc_id").as("doc_id_2"), col("s").as("s2")), "doc_id_1")
+      .withColumn("true_jaccard", Text.jaccard(col("s1"), col("s2")))
+    planted
+      .join(pairs.withColumnRenamed("jaccard", "__fj"),
+        Seq("doc_id_1", "doc_id_2"), "left")
+      .select(col("doc_id_1"), col("doc_id_2"), col("true_jaccard"),
+        (col("__fj").isNotNull || col("true_jaccard") < 0.9).as("detected_ok"),
+        coalesce(col("__fj") === col("true_jaccard"), lit(true)).as("jaccard_consistent"))
+  }
+
   private val dedupMinhashLsh = Q(
     "dedup_minhash_lsh",
-    (s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)), "doc_id", "text",
-      n = 3, k = 64, bands = 16, threshold = 0.5),
-    None, // no xxhash64 in DuckDB; exact semantics oracle-checked by the md5 variant below
+    (s, d) => minhashLshBound(s, d, graft.operators.Boundary.Local),
+    Some(s"""WITH $augCte,
+        w AS (SELECT doc_id, $WS AS ws FROM aug WHERE doc_id < 25 OR doc_id >= 100000),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS grams FROM w)
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE) AS true_jaccard,
+        TRUE AS detected_ok, TRUE AS jaccard_consistent
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000"""),
     bench = true,
-    planView = Some((s, d) => Dedup.minhashLsh(augmentedDocs(Tables.documents(s, d)),
-      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5,
-      boundary = graft.operators.Boundary.None)))
+    planView = Some((s, d) => minhashLshBound(s, d, graft.operators.Boundary.None)))
 
   /** The FULL MinHash+LSH pipeline (signature -> 16 bands -> candidate join
     * -> Jaccard verify) under the md5 shingle hash, so DuckDB recomputes

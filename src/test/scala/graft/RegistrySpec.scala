@@ -15,10 +15,10 @@ class RegistrySpec extends AnyFunSuite {
     * the rows-only check is the best available — additions here need the
     * same scrutiny the originals got.
     */
-  private val sanctionedRowsOnly: Map[String, String] = Map(
-    "dedup_minhash_lsh" ->
-      ("xxhash64 has no DuckDB equivalent; the identical pipeline under " +
-        "md5 (dedup_minhash_lsh_md5) is fully hash-checked"))
+  private val sanctionedRowsOnly: Map[String, String] = Map.empty
+  // (round 7: the last entry, dedup_minhash_lsh, got a planted-pair BOUND
+  // oracle — recall + verify-consistency booleans DuckDB asserts TRUE —
+  // so every registry row is now oracle-or-bound checked)
 
   test("query names are unique") {
     val dups = Registry.all.groupBy(_.name).filter(_._2.size > 1).keys
