@@ -26,6 +26,26 @@ object Analytics {
   val LiquidationSpec: EventSpec =
     EventSpec("liquidated_token_address", "quantity_liquidated", "account_address")
 
+  /** Which as-of engine backs the price lookup (step 3).
+    *
+    *  - [[AsOfPath.Binned]] (default): composed range+argmax join, time-
+    *    binned so a hot token's full history never cross-products against
+    *    its events. KEEPS ties — multiple price rows at the argmax epoch
+    *    each emit a row, mirroring the reference SQL's re-join exactly.
+    *  - [[AsOfPath.Merge]]: the native [[AsOfJoin.asOfMerge]] exec — one
+    *    exchange per side, per-partition streaming merge, no candidate
+    *    blow-up at ANY skew. Single-match semantics: callers must
+    *    canonicalize the price side to one row per (token, timestamp)
+    *    first (the at-scale shape anyway); on a tie-free right side it is
+    *    row-identical to Binned. Requires the session built with
+    *    `spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  sealed trait AsOfPath
+  object AsOfPath {
+    case object Binned extends AsOfPath
+    case object Merge extends AsOfPath
+  }
+
   /** transformations.sql re-expressed:
     *  1. inner join tokens metadata (decimals > 0) — broadcastable dim
     *  2. anti-join the tokens-to-drop blocklist (LEFT JOIN ... IS NULL)
@@ -42,7 +62,8 @@ object Analytics {
       tokensMetadata: DataFrame, // contract_address, decimals
       tokensToDrop: DataFrame, // contract_address
       dailyPrices: DataFrame, // address, timestamp (epoch), price
-      spec: EventSpec = GeneralSpec): DataFrame = {
+      spec: EventSpec = GeneralSpec,
+      asOfPath: AsOfPath = AsOfPath.Binned): DataFrame = {
 
     val withMeta = events
       .join(
@@ -65,15 +86,26 @@ object Analytics {
     // binned variant: row-identical to asOf, but the range stage equi-joins
     // on (token, 7-day bin) instead of token alone, so a hot token's years
     // of price history never cross-product against its events
-    val withPrice = AsOfJoin.asOfBinned(
-      withoutBlocked,
-      prices,
-      keyCols = Seq(spec.tokenCol),
-      leftTs = "epoch_timestamp",
-      rightTs = "price_epoch",
-      tolerance = 86400L * 7,
-      rightValueCols = Seq("price"),
-      rightPrefix = "")
+    val withPrice = asOfPath match {
+      case AsOfPath.Binned => AsOfJoin.asOfBinned(
+        withoutBlocked,
+        prices,
+        keyCols = Seq(spec.tokenCol),
+        leftTs = "epoch_timestamp",
+        rightTs = "price_epoch",
+        tolerance = 86400L * 7,
+        rightValueCols = Seq("price"),
+        rightPrefix = "")
+      case AsOfPath.Merge => AsOfJoin.asOfMerge(
+        withoutBlocked,
+        prices,
+        keyCols = Seq(spec.tokenCol),
+        leftTs = "epoch_timestamp",
+        rightTs = "price_epoch",
+        tolerance = 86400L * 7,
+        rightValueCols = Seq("price"),
+        rightPrefix = "")
+    }
 
     withPrice
       .withColumn(

@@ -498,30 +498,39 @@ object FeaturePipeline {
     */
   private val ZeroAddr = graft.functions.Scalars.ZeroAddress
 
+  /** Shared inputs for the enrich pipeline variants: (events, metadata,
+    * blocklist, prices) derived from the events table.
+    */
+  private def enrichInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = evDf(s, d)
+    val tokenCol = when(pmod(col("user_id"), lit(8)) === 0, ZeroAddr)
+      .otherwise(concat(lit("0xtok"), pmod(col("user_id"), lit(8)).cast("string")))
+    val events = e.filter(col("event_type") === "purchase").select(
+      col("event_id"),
+      tokenCol.as("token_address"),
+      col("value").as("quantity"),
+      col("epoch").as("epoch_timestamp"),
+      concat(lit("0xw"), col("user_id").cast("string")).as("sender_address"))
+    val metadata = e.filter(col("event_type") === "purchase").select(
+      tokenCol.as("contract_address"),
+      (pmod(pmod(col("user_id"), lit(8)), lit(3)) + 1).cast("int").as("decimals"))
+      .distinct()
+    // blocklist derived from data (drop set is exactly {'0xtok7'}): a
+    // literal 1-row frame would constant-fold, turning the left_anti's
+    // equi condition into a filter-only predicate that plans as a
+    // BroadcastNestedLoopJoin — a real blocklist is a table, so model one
+    val toDrop = e.filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(8)) === 7)
+      .select(tokenCol.as("contract_address")).distinct()
+    val prices = e.filter(col("event_type") === "view").select(
+      tokenCol.as("address"), col("epoch").as("timestamp"), col("value").as("price"))
+    (events, metadata, toDrop, prices)
+  }
+
   private val enrichQ = Q(
     "analytics_enrich_events",
     (s, d) => {
-      val e = evDf(s, d)
-      val tokenCol = when(pmod(col("user_id"), lit(8)) === 0, ZeroAddr)
-        .otherwise(concat(lit("0xtok"), pmod(col("user_id"), lit(8)).cast("string")))
-      val events = e.filter(col("event_type") === "purchase").select(
-        col("event_id"),
-        tokenCol.as("token_address"),
-        col("value").as("quantity"),
-        col("epoch").as("epoch_timestamp"),
-        concat(lit("0xw"), col("user_id").cast("string")).as("sender_address"))
-      val metadata = e.filter(col("event_type") === "purchase").select(
-        tokenCol.as("contract_address"),
-        (pmod(pmod(col("user_id"), lit(8)), lit(3)) + 1).cast("int").as("decimals"))
-        .distinct()
-      // blocklist derived from data (drop set is exactly {'0xtok7'}): a
-      // literal 1-row frame would constant-fold, turning the left_anti's
-      // equi condition into a filter-only predicate that plans as a
-      // BroadcastNestedLoopJoin — a real blocklist is a table, so model one
-      val toDrop = e.filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(8)) === 7)
-        .select(tokenCol.as("contract_address")).distinct()
-      val prices = e.filter(col("event_type") === "view").select(
-        tokenCol.as("address"), col("epoch").as("timestamp"), col("value").as("price"))
+      val (events, metadata, toDrop, prices) = enrichInputs(s, d)
       graft.features.Analytics.enrichEventsWithEth(events, metadata, toDrop, prices)
         .select("event_id", "token_address", "quantity_in_eth", "index_address",
           "address_partition")
@@ -561,5 +570,59 @@ object FeaturePipeline {
     },
     bench = true)
 
-  val all: Seq[Q] = Seq(featureAssemblyQ, histViewQ, currentViewQ, enrichQ)
+  /** The SAME enrich pipeline through the native [[graft.plans.AsOfMergeJoinExec]]
+    * backbone instead of the composed binned join — benched side by side so
+    * the bench series answers "which as-of backs the enrich path at scale"
+    * with a measurement (round-7 verdict directive #4). Single-match merge
+    * semantics need a tie-free right side, so the price table is
+    * canonicalized to one row per (token, second) — MAX(price) — which is
+    * the at-scale price-feed shape anyway; the oracle dedups identically.
+    */
+  private val enrichMergeQ = Q(
+    "analytics_enrich_events_merge",
+    (s, d) => {
+      val (events, metadata, toDrop, prices) = enrichInputs(s, d)
+      val canonical = prices.groupBy("address", "timestamp")
+        .agg(max("price").as("price"))
+      graft.features.Analytics.enrichEventsWithEth(events, metadata, toDrop, canonical,
+        asOfPath = graft.features.Analytics.AsOfPath.Merge)
+        .select("event_id", "token_address", "quantity_in_eth", "index_address",
+          "address_partition")
+    },
+    Some {
+      val tok = s"CASE WHEN user_id % 8 = 0 THEN '$ZeroAddr' ELSE '0xtok' || CAST(user_id % 8 AS VARCHAR) END"
+      s"""WITH $EV,
+        evts AS (SELECT event_id, $tok AS token_address, value AS quantity,
+          epoch AS epoch_timestamp, '0xw' || CAST(user_id AS VARCHAR) AS sender_address
+          FROM ev WHERE event_type = 'purchase'),
+        meta AS (SELECT DISTINCT $tok AS contract_address,
+          CAST((user_id % 8) % 3 + 1 AS INT) AS decimals
+          FROM ev WHERE event_type = 'purchase'),
+        dr AS (SELECT DISTINCT $tok AS contract_address
+          FROM ev WHERE event_type = 'purchase' AND user_id % 8 = 7),
+        filtered AS (SELECT e.*, m.decimals AS token_decimal
+          FROM evts e
+          JOIN meta m ON e.token_address = m.contract_address AND m.decimals > 0
+          LEFT JOIN dr ON e.token_address = dr.contract_address
+          WHERE dr.contract_address IS NULL),
+        prices AS (SELECT $tok AS token_address, epoch AS price_epoch, MAX(value) AS price
+          FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        lk AS (SELECT DISTINCT token_address, epoch_timestamp FROM filtered),
+        mx AS (SELECT l.token_address, l.epoch_timestamp, MAX(p.price_epoch) AS max_ts
+          FROM lk l JOIN prices p ON p.token_address = l.token_address
+            AND p.price_epoch BETWEEN l.epoch_timestamp - 604800 AND l.epoch_timestamp
+          GROUP BY 1, 2)
+        SELECT f.event_id, f.token_address,
+          CASE WHEN f.token_address = '$ZeroAddr'
+               THEN f.quantity / POWER(10.0, f.token_decimal)
+               ELSE f.quantity / POWER(10.0, f.token_decimal) * p.price END AS quantity_in_eth,
+          f.sender_address AS index_address,
+          substr(f.sender_address, 3, 2) AS address_partition
+        FROM filtered f
+        LEFT JOIN mx ON mx.token_address = f.token_address AND mx.epoch_timestamp = f.epoch_timestamp
+        LEFT JOIN prices p ON p.token_address = f.token_address AND p.price_epoch = mx.max_ts"""
+    },
+    bench = true)
+
+  val all: Seq[Q] = Seq(featureAssemblyQ, histViewQ, currentViewQ, enrichQ, enrichMergeQ)
 }
