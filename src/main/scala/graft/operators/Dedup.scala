@@ -627,14 +627,18 @@ object Dedup {
     * every node that appears in a pair; singletons (docs in no pair) are
     * absent — callers left-join and coalesce to themselves.
     *
-    * Algorithm: MULTILEVEL iterated MIN-CONTRACTION. Each distributed round
-    * computes `m(u) = min(u, min neighbor)` on the current (contracted)
-    * graph — one map-side-combinable groupBy — then rewrites every edge to
-    * `(m(u), m(v))`, dropping self-loops. A component's global minimum is
-    * a fixpoint of `m`; chains of local minima connect directly after one
-    * contraction, so the graph collapses in O(log n) rounds (vs O(diameter)
-    * for plain label propagation), with each round's input STRICTLY smaller
-    * than the last. Rounds run only while the edge set exceeds
+    * Algorithm: MULTILEVEL iterated MIN-CONTRACTION with a pointer chase.
+    * Each distributed round computes `m(u) = min(u, min neighbor)` on the
+    * current (contracted) graph — one map-side-combinable groupBy — then
+    * POINTER-DOUBLES m to its fixpoint m* (every node chased to its local
+    * minimum; O(log chain) self-joins on the n-row pointer table) and
+    * rewrites every edge to `(m*(u), m*(v))`, dropping self-loops. The
+    * surviving nodes are exactly the local minima of the round's graph,
+    * and no two local minima are adjacent, so every path shrinks by at
+    * least half per round — O(log n) rounds even on the adversarial
+    * monotone chain that defeats one-hop contraction (where m(i) = i-1
+    * removes a single node per round), with each round's input STRICTLY
+    * smaller than the last. Rounds run only while the edge set exceeds
     * `localSolveEdges`; the contracted remainder — provably at most that
     * many rows — is then solved EXACTLY on the driver with union-find
     * (O(E α(E)), ~16 bytes/edge collected) and the component-minimum map
@@ -664,9 +668,34 @@ object Dedup {
     var nEdges = edges.count()
     var iter = 0
     while (nEdges > localSolveEdges && iter < maxIters) {
-      val m = edges.groupBy("u").agg(min("v").as("mv"))
+      val m1 = edges.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
         .localCheckpoint()
+      // POINTER-DOUBLE m to its fixpoint: chase every node to its LOCAL
+      // MINIMUM (m*(u) = m applied until m(x) = x) before contracting.
+      // One-hop contraction alone is O(n) rounds on an adversarial
+      // monotone chain (0-1-2-...-n: m(i) = i-1, so each round removes
+      // exactly ONE node — round 7 found a 61-node chain that could not
+      // finish 25 rounds). Chasing to the local minimum first makes the
+      // contracted node set the LOCAL MINIMA of the current graph, and no
+      // two local minima are adjacent, so every chain shrinks by at least
+      // half per round — O(log n) outer rounds on paths by construction.
+      // Each doubling step squares the pointer (p <- p(p)), so the chase
+      // itself is O(log chain) small self-joins on the n-row pointer
+      // table, never on edges.
+      var m = m1
+      var hops = 0
+      var changed = 1L
+      while (changed > 0 && hops < 40) {
+        val j = m.as("a").join(m.as("b"), col("a.m") === col("b.u"))
+          .select(col("a.u").as("u"), (col("a.m") =!= col("b.m")).as("ch"),
+            col("b.m").as("m"))
+          .localCheckpoint()
+        changed = j.filter(col("ch")).count()
+        m = j.select("u", "m")
+        hops += 1
+      }
+      require(changed == 0, s"pointer chase did not fix in $hops doublings")
       val contracted = edges.join(m, "u")
         .select(col("m").as("cu"), col("v"))
         .join(m.select(col("u").as("v"), col("m").as("cv")), "v")
@@ -675,13 +704,14 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // compose: a label not in m belongs to a component that already
-      // fully contracted (no edges left) — it is final, keep it. No
-      // checkpoint here: labels is a LINEAR join chain over the (already
-      // materialized) per-round m tables, evaluated once by the caller —
-      // unlike edges, nothing re-derives from it each round, so there is
-      // no recompute amplification to cut, just one saved job per round.
+      // fully contracted (no edges left) — it is final, keep it. The
+      // chain is LINEAR over the (already materialized) per-round m
+      // tables and bounded by maxIters joins; checkpoint every 8 rounds
+      // so adversarial-depth runs keep a flat analyzed plan while typical
+      // 1-3 round runs never pay the extra job.
       labels = labels.join(m.select(col("u").as("cluster"), col("m")), Seq("cluster"), "left")
         .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
+      if ((iter + 1) % 8 == 0) labels = labels.localCheckpoint()
       edges = contracted
       nEdges = edges.count()
       iter += 1

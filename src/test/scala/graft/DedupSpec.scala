@@ -67,6 +67,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)
   }
 
+  test("connectedComponents: adversarial monotone chain contracts in logarithmic rounds") {
+    // 0-1-2-...-120 with localSolveEdges = 0 forces pure-distributed
+    // contraction on the one-hop worst case (m(i) = i-1 removes ONE node
+    // per round -> 120 rounds without the pointer chase; round 7 measured
+    // a 61-node chain not finishing in 10 minutes). With the chase the
+    // chain halves per round: ceil(log2 120) = 7 rounds, well under the
+    // 12-iteration budget given here, and exercises >= 3 contractions +
+    // the every-8-rounds label checkpoint. Runtime asserted sane so a
+    // regression to linear rounds fails fast instead of hanging the suite.
+    val n = 120L
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val t0 = System.nanoTime
+    val r = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2",
+      maxIters = 12, localSolveEdges = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val secs = (System.nanoTime - t0) / 1e9
+    assert(r.size == n + 1 && r.values.forall(_ == 0L), "all nodes must label to the chain minimum")
+    assert(secs < 120.0, f"monotone chain took $secs%.1f s — rounds have regressed toward linear")
+  }
+
+  test("connectedComponents: random-id path under pure-distributed rounds matches union-find") {
+    // a 90-node path over PERMUTED ids (no monotone structure to exploit),
+    // distributed all the way down; differential-checked against the
+    // driver union-find answer computed independently
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 90L).toVector)
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_id_1", "doc_id_2")
+    val r = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2",
+      maxIters = 12, localSolveEdges = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 90 && r.values.forall(_ == 0L), "one component, labeled by its minimum id")
+  }
+
   test("duplicateSpans: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),   // windows: abc bcd cde — shares abc with doc 2
