@@ -659,7 +659,9 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIters: Int = 25,
-      localSolveEdges: Long = 1L << 20): DataFrame = {
+      localSolveEdges: Long = 1L << 20,
+      labelCheckpointEvery: Int = 8): DataFrame = {
+    require(labelCheckpointEvery > 0)
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
     var edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
@@ -706,12 +708,13 @@ object Dedup {
       // compose: a label not in m belongs to a component that already
       // fully contracted (no edges left) — it is final, keep it. The
       // chain is LINEAR over the (already materialized) per-round m
-      // tables and bounded by maxIters joins; checkpoint every 8 rounds
-      // so adversarial-depth runs keep a flat analyzed plan while typical
-      // 1-3 round runs never pay the extra job.
+      // tables and bounded by maxIters joins; checkpoint every
+      // `labelCheckpointEvery` rounds so adversarial-depth runs keep a
+      // flat analyzed plan while typical 1-3 round runs never pay the
+      // extra job.
       labels = labels.join(m.select(col("u").as("cluster"), col("m")), Seq("cluster"), "left")
         .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
-      if ((iter + 1) % 8 == 0) labels = labels.localCheckpoint()
+      if ((iter + 1) % labelCheckpointEvery == 0) labels = labels.localCheckpoint()
       edges = contracted
       nEdges = edges.count()
       iter += 1

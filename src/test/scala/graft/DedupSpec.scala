@@ -67,14 +67,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)
   }
 
-  test("connectedComponents: adversarial monotone chain contracts in logarithmic rounds") {
+  test("connectedComponents: adversarial monotone chain contracts in one chased round") {
     // 0-1-2-...-120 with localSolveEdges = 0 forces pure-distributed
-    // contraction on the one-hop worst case (m(i) = i-1 removes ONE node
-    // per round -> 120 rounds without the pointer chase; round 7 measured
-    // a 61-node chain not finishing in 10 minutes). With the chase the
-    // chain halves per round: ceil(log2 120) = 7 rounds, well under the
-    // 12-iteration budget given here, and exercises >= 3 contractions +
-    // the every-8-rounds label checkpoint. Runtime asserted sane so a
+    // contraction on the one-hop worst case: m(i) = i-1 removes ONE node
+    // per round without the pointer chase -> 120 rounds (round 7 measured
+    // a 61-node chain not finishing in 10 minutes). The chase drives the
+    // whole chain to its single local minimum in ceil(log2 120) = 7
+    // pointer doublings, so contraction finishes in ONE outer round —
+    // this case exercises the DEEP-CHASE path. Runtime asserted sane so a
     // regression to linear rounds fails fast instead of hanging the suite.
     val n = 120L
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
@@ -87,17 +87,53 @@ class DedupSpec extends SparkSpec {
     assert(secs < 120.0, f"monotone chain took $secs%.1f s — rounds have regressed toward linear")
   }
 
-  test("connectedComponents: random-id path under pure-distributed rounds matches union-find") {
-    // a 90-node path over PERMUTED ids (no monotone structure to exploit),
-    // distributed all the way down; differential-checked against the
-    // driver union-find answer computed independently
+  test("connectedComponents: random-id path exercises multiple rounds + label checkpoint") {
+    // a 90-node path over PERMUTED ids: ~n/3 local minima per round, so
+    // contraction runs ~log3(90) ≈ 4 outer rounds — the MULTI-ROUND path,
+    // with labelCheckpointEvery = 2 so the label-chain checkpoint fires
+    // at least once; distributed all the way down (localSolveEdges = 0)
     val rnd = new scala.util.Random(7)
     val ids = rnd.shuffle((0L until 90L).toVector)
     val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_id_1", "doc_id_2")
     val r = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2",
-      maxIters = 12, localSolveEdges = 0L)
+      maxIters = 12, localSolveEdges = 0L, labelCheckpointEvery = 2)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.size == 90 && r.values.forall(_ == 0L), "one component, labeled by its minimum id")
+  }
+
+  test("connectedComponents: randomized graphs match driver union-find, rounds distributed") {
+    // differential property test over random topologies (mixed sparse
+    // components, self-contained stars, chains, cross links) — the
+    // distributed pointer-chase contraction must agree with an
+    // independent union-find on every graph
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 40
+      val edges = (0 until 50).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      // independent union-find ground truth
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n2 => n2 -> {
+          var r = n2.toInt; while (parent(r) != r) r = parent(r)
+          // normalize to component minimum over nodes IN pairs
+          r.toLong
+        }).toMap
+      // union-find roots are already minima under min-merge, but a root
+      // might not appear in any pair — components here are built only
+      // from pair nodes, so roots are pair nodes by construction
+      val got = Dedup.connectedComponents(
+        edges.toDF("doc_id_1", "doc_id_2"), "doc_id_1", "doc_id_2",
+        maxIters = 15, localSolveEdges = 0L, labelCheckpointEvery = 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: distributed CC != union-find")
+    }
   }
 
   test("duplicateSpans: cross-doc windows count, within-doc repeats and short docs don't") {
