@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-EXPONENT probe: measures how the riskiest operators actually
+  * scale with corpus size, instead of arguing it from the plan shape.
+  *
+  * No scale factor above sf0.1 ships in the testdata, so k× corpora are
+  * DERIVED from the driver's own documents/embeddings tables (never
+  * synthesized from scratch): k id-shifted copies, each copy's text
+  * salted on alternating words with a copy-unique suffix. Every word
+  * trigram contains at least one salted word, so copies share no
+  * shingles — near-dup structure does NOT grow quadratically with k by
+  * construction. Each copy then gets the standard 25 planted " xq"
+  * mutations so the verify stages do real, linearly-growing work.
+  * Embedding copies perturb each float by a copy-scaled epsilon; the ANN
+  * query set stays FIXED (copy-0 ids) because the honest ANN cost model
+  * is queries × corpus — scaling both sides measures k², not the
+  * operator.
+  *
+  * For each op and each k the op runs `runs` times end to end (scan
+  * included — no caching, the scan is part of the cost); the median is
+  * recorded and the scaling exponent alpha fits
+  * `t(k_max)/t(k_min) = (k_max/k_min)^alpha`. Linear ops show alpha ≈ 1
+  * (plus sub-linear fixed overhead pulling it DOWN at these sizes);
+  * a quadratic candidate blow-up would show alpha → 2 between the top
+  * two points. One JSON line on stdout, same contract as [[Bench]].
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SCALE_KS (default "1,4,16"), SPARK_GRAFT_SCALE_RUNS
+  * (default 3).
+  */
+object ScaleBench {
+
+  /** Id stride between copies — far above any testdata doc_id. */
+  private val Stride = 1000000L
+
+  /** Planted-clone id offset — above every shifted copy. */
+  private val CloneOff = 100000000L
+
+  /** Copy j of the corpus: ids shifted by j*Stride; for j > 0 every
+    * alternating word gets a copy-unique suffix (kills every shared
+    * trigram across copies while keeping realistic word statistics).
+    */
+  private def docCopy(docs: DataFrame, j: Int): DataFrame = {
+    val shifted = docs.select((col("doc_id") + lit(j * Stride)).as("doc_id"), col("text"))
+    if (j == 0) shifted
+    else shifted.select(
+      col("doc_id"),
+      concat_ws(" ", transform(Text.words(col("text")),
+        (w, i) => when(pmod(i, lit(2)) === 0, concat(w, lit("_c" + j))).otherwise(w)))
+        .as("text"))
+  }
+
+  /** k-times corpus with 25 planted near-dups per copy. */
+  private def corpusAt(docs: DataFrame, k: Int): DataFrame = {
+    val copies = (0 until k).map(docCopy(docs, _)).reduce(_ unionByName _)
+    val planted = copies.filter(pmod(col("doc_id"), lit(Stride)) < 25)
+      .select((col("doc_id") + lit(CloneOff)).as("doc_id"),
+        concat(col("text"), lit(" xq")).as("text"))
+    copies.unionByName(planted)
+  }
+
+  /** k-times embeddings: ids shifted, each component nudged by a
+    * copy-scaled epsilon (distinct vectors, same geometry).
+    */
+  private def embAt(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { j =>
+      val shifted = emb.select((col("vec_id") + lit(j * Stride)).as("vec_id"),
+        col("embedding"), col("label"))
+      if (j == 0) shifted
+      else shifted.select(col("vec_id"),
+        transform(col("embedding"), x => (x + lit(j * 1e-3)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "target/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb0 = Tables.embeddings(spark, sfDir)
+
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "dedup_minhash_lsh" -> { k: Int =>
+        Dedup.minhashLsh(corpusAt(docs0, k), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.5).count()
+      },
+      "simhash_cluster_cc" -> { k: Int =>
+        val pairs = Dedup.simhashPairs(corpusAt(docs0, k), "doc_id", "text", maxHamming = 3)
+        Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count()
+      },
+      "sim_ivf_quantized" -> { k: Int =>
+        val emb = embAt(emb0, k)
+        Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 5, refine = 3).count()
+      })
+
+    // one throwaway pass at the smallest k absorbs JVM/codegen warmup
+    ops.foreach { case (_, f) => f(ks.head) }
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val results = ops.map { case (name, f) =>
+      val perK = ks.map { k =>
+        val times = (0 until runs).map { _ =>
+          val t0 = System.nanoTime
+          val n = f(k)
+          val secs = (System.nanoTime - t0) / 1e9
+          System.err.println(f"[scale] $name k=$k rows=$n $secs%.2f s")
+          spark.sharedState.cacheManager.clearCache()
+          secs
+        }
+        k -> median(times)
+      }
+      // exponent between the top two points — fixed overheads matter least
+      // there; alpha over the full span is also reported
+      val (kLo, tLo) = perK.head
+      val (k1, t1) = perK(perK.size - 2)
+      val (k2, t2) = perK.last
+      val alphaTop = math.log(t2 / t1) / math.log(k2.toDouble / k1)
+      val alphaFull = math.log(t2 / tLo) / math.log(k2.toDouble / kLo)
+      (name, perK, alphaTop, alphaFull)
+    }
+
+    val json = results.map { case (name, perK, aTop, aFull) =>
+      val times = perK.map { case (k, t) => s""""$k":${f"$t%.3f"}""" }.mkString(",")
+      s""""$name":{$times,"alpha_top":${f"$aTop%.2f"},"alpha_full":${f"$aFull%.2f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_probe","sf":"$sfDir","ks":[${ks.mkString(",")}],"runs":$runs,"ops":{$json}}""")
+    spark.stop()
+  }
+}
