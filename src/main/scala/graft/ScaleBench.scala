@@ -82,7 +82,8 @@ object ScaleBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,4,16")
-      .split(",").map(_.trim.toInt).toSeq.sorted
+      .split(",").map(_.trim.toInt).toSeq.distinct.sorted
+    require(ks.size >= 2, s"SPARK_GRAFT_SCALE_KS needs >= 2 distinct points to fit an exponent, got $ks")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,8 +115,21 @@ object ScaleBench {
           "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 5, refine = 3).count()
       })
 
+    // Same per-run isolation as [[Bench]]: the benched ops localCheckpoint
+    // heavily (Boundary.Local in minhashLsh/simhashPairs, CC's round state),
+    // and those persisted RDD blocks would otherwise pile up across
+    // 3 ops x 3 ks x runs in one block manager — late runs then measure
+    // EVICTION CHURN, not the operator (the documented 3.8s -> 37s Bench
+    // swing; the r7 k=16 probe's 6.0/11.9/7.7 s spread was this artifact).
+    // Cleanup sits OUTSIDE the timed region.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     // one throwaway pass at the smallest k absorbs JVM/codegen warmup
-    ops.foreach { case (_, f) => f(ks.head) }
+    ops.foreach { case (_, f) => f(ks.head); isolate() }
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -126,7 +140,7 @@ object ScaleBench {
           val n = f(k)
           val secs = (System.nanoTime - t0) / 1e9
           System.err.println(f"[scale] $name k=$k rows=$n $secs%.2f s")
-          spark.sharedState.cacheManager.clearCache()
+          isolate()
           secs
         }
         k -> median(times)
@@ -141,11 +155,29 @@ object ScaleBench {
       (name, perK, alphaTop, alphaFull)
     }
 
+    // Locale.ROOT: the f interpolator is default-locale-dependent and would
+    // emit comma decimals (invalid JSON) under e.g. a de_DE JVM default
+    def num(x: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
     val json = results.map { case (name, perK, aTop, aFull) =>
-      val times = perK.map { case (k, t) => s""""$k":${f"$t%.3f"}""" }.mkString(",")
-      s""""$name":{$times,"alpha_top":${f"$aTop%.2f"},"alpha_full":${f"$aFull%.2f"}}"""
+      val times = perK.map { case (k, t) => s""""$k":${num(t, 3)}""" }.mkString(",")
+      s""""$name":{$times,"alpha_top":${num(aTop, 2)},"alpha_full":${num(aFull, 2)}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_probe","sf":"$sfDir","ks":[${ks.mkString(",")}],"runs":$runs,"ops":{$json}}""")
     spark.stop()
+
+    // GATE (round-8 verdict task 3): the alpha fits are an asserted contract,
+    // not just a log line. A linear op measures alpha ≈ 1 (sub-linear fixed
+    // overhead pulls it down); 1.3 leaves room for VM noise while still
+    // failing long before a quadratic regression (alpha → 2). Exceeding the
+    // threshold exits nonzero so tools/scale_gate.sh can fail the build.
+    val maxAlpha = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ALPHA", "1.3").toDouble
+    val offenders = results.collect { case (name, _, aTop, _) if aTop > maxAlpha => (name, aTop) }
+    if (offenders.nonEmpty) {
+      offenders.foreach { case (n, a) =>
+        System.err.println(f"[scale] GATE FAIL: $n alpha_top $a%.2f > $maxAlpha%.2f")
+      }
+      sys.exit(1)
+    }
   }
 }

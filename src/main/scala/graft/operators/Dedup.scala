@@ -627,32 +627,45 @@ object Dedup {
     * every node that appears in a pair; singletons (docs in no pair) are
     * absent — callers left-join and coalesce to themselves.
     *
-    * Algorithm: MULTILEVEL iterated MIN-CONTRACTION with a pointer chase.
-    * Each distributed round computes `m(u) = min(u, min neighbor)` on the
-    * current (contracted) graph — one map-side-combinable groupBy — then
-    * POINTER-DOUBLES m to its fixpoint m* (every node chased to its local
-    * minimum; O(log chain) self-joins on the n-row pointer table) and
-    * rewrites every edge to `(m*(u), m*(v))`, dropping self-loops. The
-    * surviving nodes are exactly the local minima of the round's graph,
+    * Algorithm: MULTILEVEL iterated MIN-CONTRACTION with an ADAPTIVE
+    * pointer chase. Each distributed round computes `m(u) = min(u, min
+    * neighbor)` on the current (contracted) graph — one map-side-
+    * combinable groupBy — then rewrites every edge to `(m(u), m(v))`,
+    * dropping self-loops. On typical LSH pair graphs (small stars and
+    * near-cliques) that ONE-HOP contraction collapses components in 1-2
+    * rounds and costs exactly one aggregation + one edge rewrite per
+    * round. The adversarial case is a monotone chain (0-1-2-...-n:
+    * m(i) = i-1 removes a single node per round — O(n) rounds). The
+    * guard is adaptive: whenever a round's edge-shrink ratio STALLS
+    * (< 2×), every later round first POINTER-DOUBLES m to its fixpoint
+    * m* (each node chased to its local minimum; O(log chain) self-joins
+    * on the n-row pointer table, never on edges) before contracting.
+    * Chased rounds contract to the LOCAL MINIMA of the round's graph,
     * and no two local minima are adjacent, so every path shrinks by at
-    * least half per round — O(log n) rounds even on the adversarial
-    * monotone chain that defeats one-hop contraction (where m(i) = i-1
-    * removes a single node per round), with each round's input STRICTLY
-    * smaller than the last. Rounds run only while the edge set exceeds
-    * `localSolveEdges`; the contracted remainder — provably at most that
-    * many rows — is then solved EXACTLY on the driver with union-find
-    * (O(E α(E)), ~16 bytes/edge collected) and the component-minimum map
-    * joins back as a broadcast. That final step is the standard coarsest-
-    * level solve of multilevel graph algorithms: at 100 TB, LSH-sparse pair
-    * graphs contract below a million edges in a couple of shuffles, and
-    * every further round a pure-distributed fixpoint would run (each a
-    * full shuffle + materialization over a now-tiny frame) is replaced by
-    * one collect. `localSolveEdges = 0` forces the pure-distributed
+    * least half per chased round — O(log n) rounds worst-case, while
+    * the typical case never pays a single chase job (round-8 change; the
+    * always-chase form cost ~30% on sf0.1 cluster assignment). Rounds
+    * run only while the edge set exceeds `localSolveEdges`; the
+    * contracted remainder — provably at most that many rows — is then
+    * solved EXACTLY on the driver with union-find (O(E α(E)), ~16
+    * bytes/edge collected) and the component-minimum map joins back as a
+    * broadcast. That final step is the standard coarsest-level solve of
+    * multilevel graph algorithms: at 100 TB, LSH-sparse pair graphs
+    * contract below a million edges in a couple of shuffles, and every
+    * further round a pure-distributed fixpoint would run (each a full
+    * shuffle + materialization over a now-tiny frame) is replaced by one
+    * collect. `localSolveEdges = 0` forces the pure-distributed
     * fixpoint. `localCheckpoint` truncates the per-round lineage (a
     * cluster deployment with flaky executors would set a checkpoint dir
     * and use `checkpoint` instead). All reductions are `min` and union-find
     * representatives are normalized to component minima — fully
     * deterministic, any partitioning.
+    *
+    * A FAST PATH short-circuits the whole machinery when the input edge
+    * list itself already fits the `localSolveEdges` budget (one
+    * limit-guarded collect, then the same driver union-find) — the common
+    * case for LSH pair graphs, whose edge count is orders of magnitude
+    * below their corpus row count.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -660,44 +673,88 @@ object Dedup {
       bCol: String,
       maxIters: Int = 25,
       localSolveEdges: Long = 1L << 20,
-      labelCheckpointEvery: Int = 8): DataFrame = {
+      labelCheckpointEvery: Int = 8): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIters, localSolveEdges,
+      labelCheckpointEvery).labels
+
+  /** Round-count telemetry from a [[connectedComponents]] run — lets tests
+    * assert the STRUCTURAL O(log n) bound (rounds, not wall-clock, which
+    * flakes on loaded machines) and callers log contraction behavior.
+    */
+  final case class CcStats(labels: DataFrame, rounds: Int, chasedRounds: Int)
+
+  /** [[connectedComponents]] plus telemetry; see that method for the
+    * algorithm. Kept package-visible — the stable public surface is the
+    * labels frame.
+    */
+  private[graft] def connectedComponentsStats(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 25,
+      localSolveEdges: Long = 1L << 20,
+      labelCheckpointEvery: Int = 8): CcStats = {
     require(labelCheckpointEvery > 0)
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+    // FAST PATH (round 8): LSH pair graphs are tiny relative to the corpora
+    // they come from — at sf0.1 a 5k-doc corpus yields ~500 pairs, and even
+    // at 100 TB a well-tuned banding emits edges in the millions, under the
+    // default bound. Probe with ONE limit-guarded job: if the whole
+    // undirected edge list fits in `localSolveEdges` rows it is ALREADY the
+    // coarsest level — union-find it on the driver directly and skip the
+    // doubled-edge checkpoint, the node-set distinct, and the edge count
+    // (three jobs the distributed path pays before round 1). The collect is
+    // bounded by localSolveEdges + 1 rows of two longs, the same budget the
+    // coarsest-level solve always had. `localSolveEdges = 0` still forces
+    // the pure-distributed fixpoint whenever any edge exists.
+    if (localSolveEdges < Int.MaxValue - 1) {
+      val probe = half.limit(localSolveEdges.toInt + 1)
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .collect()
+      if (probe.length <= localSolveEdges) {
+        val all = unionFindComponentMin(probe).toSeq
+        val spark = pairs.sparkSession
+        val df =
+          if (all.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType))))
+          else spark.createDataFrame(all).toDF("node", "cluster")
+        return CcStats(df, 0, 0)
+      }
+    }
     var edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("cluster")).localCheckpoint()
     var nEdges = edges.count()
     var iter = 0
+    var chase = false // sticky: flips on at the first stalled round
+    var chasedRounds = 0
     while (nEdges > localSolveEdges && iter < maxIters) {
       val m1 = edges.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
         .localCheckpoint()
-      // POINTER-DOUBLE m to its fixpoint: chase every node to its LOCAL
-      // MINIMUM (m*(u) = m applied until m(x) = x) before contracting.
-      // One-hop contraction alone is O(n) rounds on an adversarial
-      // monotone chain (0-1-2-...-n: m(i) = i-1, so each round removes
-      // exactly ONE node — round 7 found a 61-node chain that could not
-      // finish 25 rounds). Chasing to the local minimum first makes the
-      // contracted node set the LOCAL MINIMA of the current graph, and no
-      // two local minima are adjacent, so every chain shrinks by at least
-      // half per round — O(log n) outer rounds on paths by construction.
-      // Each doubling step squares the pointer (p <- p(p)), so the chase
-      // itself is O(log chain) small self-joins on the n-row pointer
-      // table, never on edges.
+      // Chase only once shrink has stalled (see Scaladoc): pointer-double
+      // m to its fixpoint — each doubling step squares the pointer
+      // (p <- p(p)) on the n-row pointer table, never on edges.
       var m = m1
-      var hops = 0
-      var changed = 1L
-      while (changed > 0 && hops < 40) {
-        val j = m.as("a").join(m.as("b"), col("a.m") === col("b.u"))
-          .select(col("a.u").as("u"), (col("a.m") =!= col("b.m")).as("ch"),
-            col("b.m").as("m"))
-          .localCheckpoint()
-        changed = j.filter(col("ch")).count()
-        m = j.select("u", "m")
-        hops += 1
+      if (chase) {
+        chasedRounds += 1
+        var hops = 0
+        var changed = 1L
+        while (changed > 0 && hops < 40) {
+          val j = m.as("a").join(m.as("b"), col("a.m") === col("b.u"))
+            .select(col("a.u").as("u"), (col("a.m") =!= col("b.m")).as("ch"),
+              col("b.m").as("m"))
+            .localCheckpoint()
+          changed = j.filter(col("ch")).count()
+          m = j.select("u", "m")
+          hops += 1
+        }
+        require(changed == 0, s"pointer chase did not fix in $hops doublings")
       }
-      require(changed == 0, s"pointer chase did not fix in $hops doublings")
       val contracted = edges.join(m, "u")
         .select(col("m").as("cu"), col("v"))
         .join(m.select(col("u").as("v"), col("m").as("cv")), "v")
@@ -716,7 +773,13 @@ object Dedup {
         .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
       if ((iter + 1) % labelCheckpointEvery == 0) labels = labels.localCheckpoint()
       edges = contracted
+      val prevEdges = nEdges
       nEdges = edges.count()
+      // Stall detection: a healthy contraction at least halves the edge
+      // set. Anything less means chain-like structure the one-hop form
+      // would grind through linearly — switch the chase on for all
+      // remaining rounds (2 * nEdges > prevEdges <=> shrink ratio < 2).
+      if (!chase && nEdges > localSolveEdges && 2 * nEdges > prevEdges) chase = true
       iter += 1
     }
     require(nEdges <= localSolveEdges,
@@ -729,29 +792,39 @@ object Dedup {
       val remaining = edges.select(col("u"), col("v"))
         .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
         .collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      // iterative find + full path compression: adversarially-ordered
-      // chains can reach the edge bound in length, far past any stack
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
-        var c = x
-        while (c != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      remaining.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val compMin = parent.keys.toSeq.groupBy(find)
-        .flatMap { case (_, ns) => val mn = ns.min; ns.map(_ -> mn) }
-      val mapping = compMin.toSeq.filter { case (n, mn) => n != mn }
+      val mapping = unionFindComponentMin(remaining)
+        .toSeq.filter { case (n, mn) => n != mn }
       val spark = pairs.sparkSession
       val mapDf = spark.createDataFrame(mapping).toDF("cluster", "m")
       labels = labels.join(broadcast(mapDf), Seq("cluster"), "left")
         .select(col("node"), coalesce(col("m"), col("cluster")).as("cluster"))
     }
-    labels
+    CcStats(labels, iter, chasedRounds)
+  }
+
+  /** Driver-side union-find over an edge array: every node that appears in
+    * an edge maps to its component MINIMUM (identity entries included).
+    * Iterative find + full path compression — adversarially-ordered chains
+    * can reach the edge bound in length, far past any stack. Deterministic
+    * for any edge order. Shared by the [[connectedComponentsStats]] fast
+    * path and its coarsest-level solve.
+    */
+  private def unionFindComponentMin(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.groupBy(find)
+      .flatMap { case (_, ns) => val mn = ns.min; ns.map(_ -> mn) }
+      .toMap
   }
 
   /** Keep only (band, bucket) groups of at most `cap` members — one

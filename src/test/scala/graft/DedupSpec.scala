@@ -67,24 +67,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count() == 0)
   }
 
-  test("connectedComponents: adversarial monotone chain contracts in one chased round") {
+  test("connectedComponents: adversarial monotone chain triggers the chase, bounded rounds") {
     // 0-1-2-...-120 with localSolveEdges = 0 forces pure-distributed
     // contraction on the one-hop worst case: m(i) = i-1 removes ONE node
-    // per round without the pointer chase -> 120 rounds (round 7 measured
-    // a 61-node chain not finishing in 10 minutes). The chase drives the
-    // whole chain to its single local minimum in ceil(log2 120) = 7
-    // pointer doublings, so contraction finishes in ONE outer round —
-    // this case exercises the DEEP-CHASE path. Runtime asserted sane so a
-    // regression to linear rounds fails fast instead of hanging the suite.
+    // per round, so pure one-hop would need 120 rounds (round 7 measured
+    // a 61-node chain not finishing in 10 minutes). The ADAPTIVE guard
+    // must detect the stalled first round (shrink ratio ~1 < 2) and flip
+    // the chase on; the chased round then drives the whole chain to its
+    // single local minimum in ceil(log2 120) = 7 pointer doublings and
+    // contracts everything. STRUCTURAL assertion on the round counts —
+    // not wall-clock, which flakes both ways (a loaded CI machine fails
+    // a correct run; fast hardware hides a partial regression).
     val n = 120L
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
-    val t0 = System.nanoTime
-    val r = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2",
+    val stats = Dedup.connectedComponentsStats(pairs, "doc_id_1", "doc_id_2",
       maxIters = 12, localSolveEdges = 0L)
-      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
-    val secs = (System.nanoTime - t0) / 1e9
+    val r = stats.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.size == n + 1 && r.values.forall(_ == 0L), "all nodes must label to the chain minimum")
-    assert(secs < 120.0, f"monotone chain took $secs%.1f s — rounds have regressed toward linear")
+    assert(stats.chasedRounds >= 1, "stalled shrink must have switched the pointer chase on")
+    assert(stats.rounds <= 3,
+      s"${stats.rounds} outer rounds on a monotone chain — chase has regressed toward linear")
   }
 
   test("connectedComponents: random-id path exercises multiple rounds + label checkpoint") {
