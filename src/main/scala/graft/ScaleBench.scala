@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SCALE_KS (default "1,4,16"), SPARK_GRAFT_SCALE_RUNS
-  * (default 3).
+  * (default 3), SPARK_GRAFT_SCALE_OPS (comma list; default all — lets a
+  * single-op investigation run 5+ runs without paying for the others).
   */
 object ScaleBench {
 
@@ -100,20 +101,49 @@ object ScaleBench {
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
     val emb0 = Tables.embeddings(spark, sfDir)
 
-    val ops: Seq[(String, Int => Long)] = Seq(
+    // Materialize each derived corpus to parquet ONCE (outside every timed
+    // region) and time the ops over the parquet read. The k-way unionByName
+    // plan is a measurement artifact at larger k: every task binary carries
+    // the whole k-branch plan (observed 1.3-2 MiB task broadcasts at k=16)
+    // and per-branch scan stages multiply scheduler overhead — the r8 solo
+    // probe measured sim_ivf_quantized alpha_top 1.14 THROUGH the union
+    // plan vs ~1.0 over parquet. A real 100 TB corpus is a parquet scan,
+    // not a 16-branch union, so the parquet form is the honest probe.
+    val scaleDir = "target/scale_bench"
+    val written = scala.collection.mutable.Set.empty[String]
+    def matRead(df: => DataFrame, path: String): DataFrame = {
+      // written on first use (the warmup pass), cached on disk for the runs
+      if (written.add(path)) df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def docsAt(k: Int): DataFrame = matRead(corpusAt(docs0, k), s"$scaleDir/docs_k$k")
+    def embsAt(k: Int): DataFrame = matRead(embAt(emb0, k), s"$scaleDir/emb_k$k")
+
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
+    val allOps: Seq[(String, Int => Long)] = Seq(
       "dedup_minhash_lsh" -> { k: Int =>
-        Dedup.minhashLsh(corpusAt(docs0, k), "doc_id", "text",
+        Dedup.minhashLsh(docsAt(k), "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.5).count()
       },
       "simhash_cluster_cc" -> { k: Int =>
-        val pairs = Dedup.simhashPairs(corpusAt(docs0, k), "doc_id", "text", maxHamming = 3)
+        val pairs = Dedup.simhashPairs(docsAt(k), "doc_id", "text", maxHamming = 3)
         Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2").count()
       },
       "sim_ivf_quantized" -> { k: Int =>
-        val emb = embAt(emb0, k)
+        val emb = embsAt(k)
         Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 5, refine = 3).count()
       })
+    val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
+    require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
+
+    // pre-write every corpus the selected ops will read, so no timed run
+    // (nor the warmup pass) ever pays the one-off materialization
+    val opNames = ops.map(_._1).toSet
+    ks.foreach { k =>
+      if (opNames.exists(Set("dedup_minhash_lsh", "simhash_cluster_cc"))) docsAt(k)
+      if (opNames("sim_ivf_quantized")) embsAt(k)
+    }
 
     // Same per-run isolation as [[Bench]]: the benched ops localCheckpoint
     // heavily (Boundary.Local in minhashLsh/simhashPairs, CC's round state),

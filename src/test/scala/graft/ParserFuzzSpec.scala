@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.expressions.{DecodeStats, ImageDims, WavMeta}
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized never-throws fuzz over the binary header parsers.
+  *
+  * The r7 adversarial cases (Int.MaxValue RIFF chunk sizes,
+  * unsigned-overflow rates, JPEG fill bytes) were input-specific
+  * regression tests; this locks the general contract permanently:
+  * for ANY byte payload — well-formed, truncated, bit-flipped, spliced,
+  * or pure noise — `ImageDims.parse` / `WavMeta.parse` return a
+  * well-shaped row or null and NEVER throw, and `DecodeStats.stats`
+  * always returns a full row (corrupt rows are data, not errors, in a
+  * corpus-scale ingest — one poison payload must not kill a 100 TB job).
+  *
+  * Pure companion-object calls — the exact code the codegen'd and
+  * interpreted expression paths both delegate to (ImageDims.doGenCode
+  * calls `parse` via an addReferenceObj handle) — so thousands of cases
+  * run in milliseconds with no Spark jobs.
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  // -- plain-Scala twins of Multimodal.syntheticImages/syntheticWavs ------
+  // (independent byte builders, so a generator bug can't mask a parser bug)
+
+  private def be32(x: Long): Array[Byte] =
+    Array(((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+  private def be16(x: Long): Array[Byte] =
+    Array(((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+  private def le32(x: Long): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+  private def le16(x: Long): Array[Byte] =
+    Array((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def pngOf(w: Long, h: Long): Array[Byte] =
+    bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ascii("IHDR") ++ be32(w) ++ be32(h) ++ bytes(8, 2, 0, 0, 0)
+
+  private def jpegOf(w: Long, h: Long, comLens: Seq[Int]): Array[Byte] = {
+    val app0 = bytes(0xff, 0xe0, 0x00, 0x10) ++ ascii("JFIF") ++
+      bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val coms = comLens.flatMap(n =>
+      bytes(0xff, 0xfe) ++ be16(n + 2) ++ Array.fill(n)('x'.toByte)).toArray
+    val sof = bytes(0xff, 0xc0, 0x00, 0x11, 0x08) ++ be16(h) ++ be16(w) ++
+      bytes(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    bytes(0xff, 0xd8) ++ app0 ++ coms ++ sof
+  }
+
+  private def wavOf(rate: Long, channels: Long, bits: Long, dataLen: Long,
+      listPad: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val byteRate = rate * math.max(blockAlign, 1)
+    val list =
+      if (listPad <= 0) Array.emptyByteArray
+      else ascii("LIST") ++ le32(listPad.toLong) ++ Array.fill(listPad)('x'.toByte)
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bits)
+    ascii("RIFF") ++ le32(dataLen + 36) ++ ascii("WAVE") ++ list ++ fmt ++
+      ascii("data") ++ le32(dataLen)
+  }
+
+  // -- generators ---------------------------------------------------------
+
+  private val genBase: Gen[Array[Byte]] = Gen.oneOf(
+    for { w <- Gen.chooseNum(0L, 0xffffffffL); h <- Gen.chooseNum(0L, 0xffffffffL) }
+      yield pngOf(w, h),
+    for {
+      w <- Gen.chooseNum(0L, 0xffffL); h <- Gen.chooseNum(0L, 0xffffL)
+      coms <- Gen.listOf(Gen.chooseNum(0, 40))
+    } yield jpegOf(w, h, coms.take(4)),
+    for {
+      rate <- Gen.chooseNum(0L, 0xffffffffL); ch <- Gen.chooseNum(0L, 0xffffL)
+      bits <- Gen.chooseNum(0L, 0xffffL); dl <- Gen.chooseNum(0L, 0xffffffffL)
+      pad <- Gen.chooseNum(0, 64)
+    } yield wavOf(rate, ch, bits, dl, pad),
+    Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))
+      .map(_.map(_.toByte).toArray)),
+    Gen.const(Array.emptyByteArray))
+
+  /** One random corruption: truncate, bit-flip a byte, overwrite a 4-byte
+    * window (hits length/size fields), splice two payloads, or append noise.
+    */
+  private def mutate(b: Array[Byte], other: Array[Byte], op: Int, at: Int,
+      v: Byte): Array[Byte] = {
+    val n = b.length
+    op % 5 match {
+      case 0 => b.take(if (n == 0) 0 else at % (n + 1))
+      case 1 => if (n == 0) b else { val c = b.clone(); c(at % n) = v; c }
+      case 2 => if (n == 0) b else {
+        val c = b.clone()
+        var i = 0
+        while (i < 4 && (at % n) + i < n) { c((at % n) + i) = (v + i).toByte; i += 1 }
+        c
+      }
+      case 3 => b.take(if (n == 0) 0 else at % (n + 1)) ++ other
+      case _ => b ++ Array.fill(at % 16)(v)
+    }
+  }
+
+  private val genCase: Gen[Array[Byte]] = for {
+    base <- genBase
+    other <- genBase
+    nOps <- Gen.chooseNum(0, 3)
+    ops <- Gen.listOfN(nOps, Gen.zip(Gen.chooseNum(0, 4),
+      Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127).map(_.toByte)))
+  } yield ops.foldLeft(base) { case (acc, (op, at, v)) => mutate(acc, other, op, at, v) }
+
+  test("parsers never throw on 3000 random corrupted payloads (null or well-shaped only)") {
+    val seed = org.scalacheck.rng.Seed(20260814L)
+    var s = seed
+    var i = 0
+    while (i < 3000) {
+      val p = org.scalacheck.Gen.Parameters.default
+      val payload = genCase.pureApply(p, s)
+      s = s.next
+      val img = ImageDims.parse(payload)
+      if (img != null) {
+        assert(img.numFields == 3, "image row shape")
+        val fmt = img.getUTF8String(0).toString
+        assert(fmt == "png" || fmt == "jpeg", s"format '$fmt'")
+      }
+      val wav = WavMeta.parse(payload)
+      if (wav != null) {
+        assert(wav.numFields == 4, "wav row shape")
+        assert(wav.getInt(0) > 0 && wav.getInt(1) > 0 && wav.getInt(2) > 0,
+          "accepted wav rows carry positive rate/channels/bits")
+        assert(wav.getLong(3) >= 0L, "duration is non-negative")
+      }
+      val dec = DecodeStats.stats(payload)
+      assert(dec != null && dec.numFields == 4, "decodeStats always returns a row")
+      assert(dec.getLong(0) == payload.length.toLong, "byte_len")
+      assert(dec.getLong(1) >= 0L, "checksum is an unsigned sum")
+      i += 1
+    }
+  }
+
+  test("well-formed payloads still parse after the fuzz generators are composed (sanity)") {
+    // guards against the fuzz harness accidentally only ever producing
+    // garbage — the acceptance paths must be reachable from the builders
+    val img = ImageDims.parse(pngOf(640, 480))
+    assert(img != null && img.getInt(1) == 640 && img.getInt(2) == 480)
+    val jp = ImageDims.parse(jpegOf(123, 45, Seq(7, 3)))
+    assert(jp != null && jp.getInt(1) == 123 && jp.getInt(2) == 45)
+    val wv = WavMeta.parse(wavOf(16000, 2, 16, 32000, 10))
+    assert(wv != null && wv.getInt(0) == 16000 && wv.getInt(1) == 2 &&
+      wv.getInt(2) == 16 && wv.getLong(3) == 32000L * 1000 / (16000L * 4))
+  }
+}
