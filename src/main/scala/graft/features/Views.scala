@@ -167,61 +167,69 @@ object Views {
     val bPairs = borrowEvents.select("sender_address", "account_address").distinct()
     val bSenders = borrowEvents.select("sender_address").distinct()
 
-    def perProtocol(p: String): DataFrame = {
-      // LEFT JOIN ... WHERE hf.protocol = p collapses to an inner join
-      // against the protocol slice (non-matches have NULL protocol)
-      val hfp = accountHf.filter(col("protocol") === p)
-        .select(col("account").as("hf_account"), col("block_number").as("block_number_hf"),
-          col("health_factor"), col("weighted_risk_factor"),
-          col("misc_available_borrows_eth"), col("misc_total_collateral_eth"))
-      val outCols = Seq(col("sender_address"), col("block_number_hf"), col("health_factor"),
-        col("weighted_risk_factor"), col("misc_available_borrows_eth"),
-        col("misc_total_collateral_eth"))
-      val viaAccount = bPairs.join(hfp, bPairs("account_address") === hfp("hf_account"), "inner")
-        .select(outCols: _*)
-      val viaSender = bSenders.join(hfp, bSenders("sender_address") === hfp("hf_account"), "inner")
-        .select(outCols: _*)
-      viaAccount.union(viaSender).distinct() // reference UNION = dedup; weights matter
-        .groupBy("sender_address")
-        .agg(
-          // davgQ (explicit microunit floor): the decimal cast's
-          // half-unit tie bit these very columns at sf0.1 (Scalars.davgQ)
-          when(count(lit(1)) === 1, davgQ(col("health_factor")))
-            .otherwise(davgQ(when(col("health_factor") =!= 1000000.0, col("health_factor"))))
-            .as("avg_health_factor"),
-          davgQ(lit(1.0) / col("health_factor")).as("historical_average_risk_factor"),
-          davgQ(col("weighted_risk_factor")).as("historical_weighted_avg_risk_factor"),
-          min(col("health_factor")).as("historical_min_health_factor"),
-          (lit(1.0) / min(col("health_factor"))).as("historical_max_risk_factor"),
-          davgQ(col("misc_available_borrows_eth")).as("misc_avg_available_borrows_eth"),
-          davgQ(col("misc_total_collateral_eth")).as("misc_avg_total_collateral_eth"))
-    }
+    // r8 single-pass restructure (join distributes over union): the
+    // account-keyed and sender-keyed probes union BEFORE one join against
+    // the two-protocol hf slice — the result multiset is identical to the
+    // reference's 4 separate joins (2 probes × 2 protocols), but the plan
+    // evaluates accountHf once instead of 4× and runs one aggregation pass
+    // instead of two groupBys + a full-outer merge. The per-protocol
+    // UNION-dedup is preserved exactly: `protocol` rides the distinct key.
+    val probes = bPairs.select(col("sender_address"), col("account_address").as("__mk"))
+      .unionByName(bSenders.select(col("sender_address"), col("sender_address").as("__mk")))
+    val hfBoth = accountHf
+      .filter(col("protocol").isin(aaveProtocol, compoundProtocol))
+      .select(col("account").as("hf_account"), col("protocol"),
+        col("block_number").as("block_number_hf"),
+        col("health_factor"), col("weighted_risk_factor"),
+        col("misc_available_borrows_eth"), col("misc_total_collateral_eth"))
+    val deduped = probes.join(hfBoth, col("__mk") === col("hf_account"), "inner")
+      .select(col("sender_address"), col("protocol"), col("block_number_hf"),
+        col("health_factor"), col("weighted_risk_factor"),
+        col("misc_available_borrows_eth"), col("misc_total_collateral_eth"))
+      .distinct() // reference UNION = dedup; weights matter
 
-    // reference merge is COALESCE(compound, aave): compound is the LEFT
-    // side of the full outer join (l_ = compound, r_ = aave — matching the
-    // reference's c/a aliases), so an asymmetric merge column added later
-    // lands on the right protocol
-    val merged = Relational.fullOuterCoalesceKey(
-      perProtocol(compoundProtocol), perProtocol(aaveProtocol),
-      "sender_address", "sender_address")
-    def c(side: String, name: String) = coalesce(col(s"${side}_$name"), lit(0.0))
+    // per-protocol aggregates as conditional masks over ONE groupBy pass:
+    // avg/min ignore NULLs, so davgQ(when(proto=p, x)) over the mixed
+    // group is bit-identical to davgQ(x) over the protocol slice
+    def isP(p: String) = col("protocol") === p
+    def m(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = when(cond, v)
+    def protoAggs(tag: String, p: String) = Seq(
+      count(m(isP(p), lit(1))).as(s"${tag}_n"),
+      // davgQ (explicit microunit floor): the decimal cast's half-unit
+      // tie bit these very columns at sf0.1 (Scalars.davgQ)
+      davgQ(m(isP(p), lit(1.0) / col("health_factor"))).as(s"${tag}_arf"),
+      davgQ(m(isP(p), col("weighted_risk_factor"))).as(s"${tag}_wrf"),
+      (lit(1.0) / min(m(isP(p), col("health_factor")))).as(s"${tag}_mrf"),
+      davgQ(m(isP(p), col("misc_available_borrows_eth"))).as(s"${tag}_mabe"),
+      davgQ(m(isP(p), col("misc_total_collateral_eth"))).as(s"${tag}_mtce"))
+    val aggs = protoAggs("l", compoundProtocol) ++ protoAggs("r", aaveProtocol)
+    val perSender = deduped.groupBy("sender_address").agg(aggs.head, aggs.tail: _*)
+
+    // the reference's full-outer COALESCE(compound, aave) merge, expressed
+    // over the masked columns: a side is "absent" exactly when its row
+    // count is 0 (its masked aggregates are then NULL, as the outer join's
+    // unmatched side would be). l_ = compound, r_ = aave, matching the
+    // reference's c/a aliases.
+    def c(side: String, name: String) = coalesce(
+      m(col(s"${side}_n") > 0, col(s"${side}_$name")), lit(0.0))
     def avgOfTwo(a: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
       when(a === 0.0 && cc =!= 0.0, cc)
         .when(cc === 0.0 && a =!= 0.0, a)
         .otherwise((cc + a) / 2)
-    merged.select(
+    // no trailing distinct: one row per sender by construction (the
+    // reference's DISTINCT guards an Athena CTE it cannot prove unique)
+    perSender.select(
       col("sender_address"),
-      coalesce(greatest(c("l", "historical_max_risk_factor"), c("r", "historical_max_risk_factor")), lit(0.0))
+      coalesce(greatest(c("l", "mrf"), c("r", "mrf")), lit(0.0))
         .as("historical_max_risk_factor"),
-      coalesce(c("l", "misc_avg_total_collateral_eth") + c("r", "misc_avg_total_collateral_eth"), lit(0.0))
+      coalesce(c("l", "mtce") + c("r", "mtce"), lit(0.0))
         .as("misc_avg_total_collateral_eth"),
-      coalesce(c("l", "misc_avg_available_borrows_eth") + c("r", "misc_avg_available_borrows_eth"), lit(0.0))
+      coalesce(c("l", "mabe") + c("r", "mabe"), lit(0.0))
         .as("misc_avg_available_borrows_eth"),
-      avgOfTwo(c("r", "historical_weighted_avg_risk_factor"), c("l", "historical_weighted_avg_risk_factor"))
+      avgOfTwo(c("r", "wrf"), c("l", "wrf"))
         .as("historical_weighted_avg_risk_factor"),
-      avgOfTwo(c("r", "historical_average_risk_factor"), c("l", "historical_average_risk_factor"))
+      avgOfTwo(c("r", "arf"), c("l", "arf"))
         .as("historical_average_risk_factor"))
-      .distinct()
   }
 
   /** view_defi_historical_count_above_threshold.sql:61-97 — per-protocol
@@ -244,29 +252,30 @@ object Views {
     val bPairs = borrowEvents.select("sender_address", "account_address").distinct()
     val bSenders = borrowEvents.select("sender_address").distinct()
 
-    def perProtocol(p: String): DataFrame = {
-      val hfp = accountHf.filter(col("protocol") === p && col("health_factor") < 1.2)
-        .select(col("account").as("hf_account"), col("block_number").as("hf_block"))
-      val m1 = bPairs.join(hfp, bPairs("account_address") === hfp("hf_account"), "inner")
-        .select(col("sender_address"), col("hf_block"))
-      val m2 = bSenders.join(hfp, bSenders("sender_address") === hfp("hf_account"), "inner")
-        .select(col("sender_address"), col("hf_block"))
-      m1.union(m2)
-        .groupBy("sender_address")
-        .agg(coalesce(countDistinct(col("hf_block")), lit(0L)).as("historical_count_above_threshold"))
-    }
-
-    // compound on the left, matching the reference's COALESCE(c, a) merge
-    val merged = Relational.fullOuterCoalesceKey(
-      perProtocol(compoundProtocol), perProtocol(aaveProtocol),
-      "sender_address", "sender_address")
-    merged.select(
-      col("sender_address"),
-      coalesce(
-        coalesce(col("l_historical_count_above_threshold"), lit(0L)) +
-          coalesce(col("r_historical_count_above_threshold"), lit(0L)),
-        lit(0L)).as("historical_count_above_threshold"))
-      .distinct()
+    // r8 single-pass restructure, same shape as
+    // [[historicalHealthAndRiskFactor]]: union the two probe sets before
+    // ONE join against the two-protocol below-threshold slice (join
+    // distributes over union — identical multiset to the reference's 4
+    // joins), then per-protocol COUNT(DISTINCT block) as conditional
+    // masks in one aggregation pass. countDistinct ignores NULLs, so the
+    // masked count equals the per-protocol count, and an absent protocol
+    // counts 0 — exactly what the full-outer merge's COALESCE(x, 0)
+    // produced. The per-protocol counts stay SEPARATE before summing (a
+    // block shared by both protocols must count twice, as the reference's
+    // c + a sum does). No trailing distinct: unique per sender by
+    // construction.
+    val probes = bPairs.select(col("sender_address"), col("account_address").as("__mk"))
+      .unionByName(bSenders.select(col("sender_address"), col("sender_address").as("__mk")))
+    val hfBoth = accountHf
+      .filter(col("protocol").isin(aaveProtocol, compoundProtocol) &&
+        col("health_factor") < 1.2)
+      .select(col("account").as("hf_account"), col("protocol"),
+        col("block_number").as("hf_block"))
+    probes.join(hfBoth, col("__mk") === col("hf_account"), "inner")
+      .groupBy("sender_address")
+      .agg((countDistinct(when(col("protocol") === compoundProtocol, col("hf_block"))) +
+        countDistinct(when(col("protocol") === aaveProtocol, col("hf_block"))))
+        .as("historical_count_above_threshold"))
   }
 
   /** view_defi_current_health_factor_features.sql — latest-market (`>=`
@@ -281,7 +290,15 @@ object Views {
       aaveProtocol: String = "aave-v2-eth",
       compoundProtocol: String = "compound-v2-eth",
       ethMarketNames: Seq[String] = Seq("Aave interest bearing WETH", "Compound Ether")): DataFrame = {
-    val latest = Relational.latestPerGroupGeq(stageMarketData, "name", "block_number")
+    // ONE window pass over the derived market-data plan (not the agg+join
+    // argmax, which evaluates its input twice — see
+    // Relational.latestPerGroupWindow's pick rule): before the r8
+    // restructure this view's plan evaluated the market-data pipeline ~8×
+    // and the positions join ~4× (52 scans / 77 exchanges / 122 aggregates
+    // for 150 output rows — the whole stage table re-scanned per reference
+    // at 100 TB). The per-protocol borrow/lend split below is now ONE
+    // conditional aggregation pass instead of 4 filtered groupBys.
+    val latest = Relational.latestPerGroupWindow(stageMarketData, "name", "block_number")
     val currentMd = latest.select(
       col("id").as("md_id"), col("input_token_price_usd"),
       col("decimals"), (col("liquidation_threshold") * 0.01).as("liquidation_threshold"))
@@ -295,57 +312,56 @@ object Views {
         (col("balance") * col("input_token_price_usd")) / pow(lit(10.0), col("decimals")))
       .withColumn("balance_in_eth", (lit(1.0) / col("proto_price")) * col("balance_in_usd"))
 
-    def protoHf(p: String): DataFrame = {
-      val borrowT = cmdp.filter(col("protocol") === p && col("side") === "BORROWER")
-        .groupBy("account").agg(
-          dsum(col("balance_in_usd")).as("total_borrow_balance"),
-          dsum(col("balance_in_eth")).as("total_borrow_balance_eth"))
-        .select(col("account").as("b_account"), col("total_borrow_balance"),
-          col("total_borrow_balance_eth"))
-      val lendT = cmdp.filter(col("protocol") === p && col("side") === "LENDER" &&
-          col("is_collateral") === true)
-        .groupBy("account").agg(
-          dsum(col("balance_in_usd") * col("liquidation_threshold")).as("health_factor_numerator"),
-          dsum(col("balance_in_eth") * col("liquidation_threshold")).as("misc_available_borrows_eth_collateral"),
-          dsum(col("balance_in_eth")).as("misc_total_collateral_eth"))
-      lendT.join(borrowT, col("b_account") === lendT("account"), "left")
-        .withColumn("health_factor",
-          healthFactor(col("health_factor_numerator"), col("total_borrow_balance")))
-        .withColumn("misc_available_borrows_eth",
-          when(col("total_borrow_balance_eth").isNull, col("misc_available_borrows_eth_collateral"))
-            .otherwise(col("misc_available_borrows_eth_collateral") - col("total_borrow_balance_eth")))
-        .withColumn("weighted_risk_factor",
-          when(col("total_borrow_balance_eth").isNull, lit(0.0))
-            .otherwise(col("total_borrow_balance_eth") * (lit(1.0) / col("health_factor"))))
-        .select("account", "health_factor", "weighted_risk_factor",
-          "misc_total_collateral_eth", "misc_available_borrows_eth", "total_borrow_balance_eth")
-    }
+    // Single-pass per-account pivot of the reference's 4 filtered CTEs
+    // (aave/compound × borrow/lend): each branch's dsum runs over the
+    // when()-masked rows, so branch sums are bit-identical to the
+    // filtered-groupBy form (dsum is order-independent decimal
+    // accumulation). Lend EXISTENCE is a row count, not a sum-null test —
+    // protoHf's left join kept an account iff the lend CTE had ≥1 row,
+    // even if every masked value were NULL.
+    def lendCond(p: String) = col("protocol") === p &&
+      col("side") === "LENDER" && col("is_collateral") === true
+    def borCond(p: String) = col("protocol") === p && col("side") === "BORROWER"
+    def m(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = when(cond, v)
+    def protoAggs(tag: String, p: String) = Seq(
+      count(m(lendCond(p), lit(1))).as(s"${tag}_nlend"),
+      dsum(m(lendCond(p), col("balance_in_usd") * col("liquidation_threshold"))).as(s"${tag}_num"),
+      dsum(m(lendCond(p), col("balance_in_eth") * col("liquidation_threshold"))).as(s"${tag}_mabe_coll"),
+      dsum(m(lendCond(p), col("balance_in_eth"))).as(s"${tag}_mtce"),
+      dsum(m(borCond(p), col("balance_in_usd"))).as(s"${tag}_tbb"),
+      dsum(m(borCond(p), col("balance_in_eth"))).as(s"${tag}_tbbe"))
+    val aggs = protoAggs("a", aaveProtocol) ++ protoAggs("c", compoundProtocol)
+    val perAccount = cmdp.groupBy("account").agg(aggs.head, aggs.tail: _*)
 
-    val a = protoHf(aaveProtocol).select(
-      col("account").as("a_account"), col("health_factor").as("a_hf"),
-      col("weighted_risk_factor").as("a_wrf"),
-      col("misc_total_collateral_eth").as("a_mtce"),
-      col("misc_available_borrows_eth").as("a_mabe"),
-      col("total_borrow_balance_eth").as("a_tbbe"))
-    val cmp = protoHf(compoundProtocol).select(
-      col("account").as("c_account"), col("health_factor").as("c_hf"),
-      col("weighted_risk_factor").as("c_wrf"),
-      col("misc_total_collateral_eth").as("c_mtce"),
-      col("misc_available_borrows_eth").as("c_mabe"),
-      col("total_borrow_balance_eth").as("c_tbbe"))
-    val both = cmp.join(a, col("a_account") === col("c_account"), "full_outer")
+    // per-protocol derived columns, NULL-masked to lend existence exactly
+    // as the left-join-of-CTEs produced them
+    def protoCols(tag: String) = {
+      val ex = col(s"${tag}_nlend") > 0
+      val hf = healthFactor(col(s"${tag}_num"), col(s"${tag}_tbb"))
+      val mabe = when(col(s"${tag}_tbbe").isNull, col(s"${tag}_mabe_coll"))
+        .otherwise(col(s"${tag}_mabe_coll") - col(s"${tag}_tbbe"))
+      val wrf = when(col(s"${tag}_tbbe").isNull, lit(0.0))
+        .otherwise(col(s"${tag}_tbbe") * (lit(1.0) / hf))
+      (ex, m(ex, hf), m(ex, wrf), m(ex, col(s"${tag}_mtce")), m(ex, mabe), m(ex, col(s"${tag}_tbbe")))
+    }
+    val (exA, aHf, aWrf, aMtce, aMabe, aTbbe) = protoCols("a")
+    val (exC, cHf, cWrf, cMtce, cMabe, cTbbe) = protoCols("c")
+    // the full-outer merge of the two per-protocol CTEs: an account exists
+    // iff either protocol's lend CTE carried it
+    val both = perAccount
+      .filter(exA || exC)
       .select(
-        coalesce(col("c_account"), col("a_account")).as("account"),
-        coalesce(col("a_hf"), lit(1000000.0)).as("health_factor_aave"),
-        col("a_wrf").as("weighted_risk_factor_aave"), // reference: no coalesce
-        coalesce(col("c_hf"), lit(1000000.0)).as("health_factor_compound"),
-        coalesce(col("c_wrf"), lit(0.0)).as("weighted_risk_factor_compound"),
-        coalesce(col("a_mtce"), lit(0.0)).as("misc_total_collateral_eth_aave"),
-        coalesce(col("c_mtce"), lit(0.0)).as("misc_total_collateral_eth_compound"),
-        coalesce(col("a_mabe"), lit(0.0)).as("misc_available_borrows_eth_aave"),
-        coalesce(col("c_mabe"), lit(0.0)).as("misc_available_borrows_eth_compound"),
-        coalesce(col("a_tbbe"), lit(0.0)).as("total_borrow_balance_eth_aave"),
-        coalesce(col("c_tbbe"), lit(0.0)).as("total_borrow_balance_eth_compound"))
+        col("account"),
+        coalesce(aHf, lit(1000000.0)).as("health_factor_aave"),
+        aWrf.as("weighted_risk_factor_aave"), // reference: no coalesce
+        coalesce(cHf, lit(1000000.0)).as("health_factor_compound"),
+        coalesce(cWrf, lit(0.0)).as("weighted_risk_factor_compound"),
+        coalesce(aMtce, lit(0.0)).as("misc_total_collateral_eth_aave"),
+        coalesce(cMtce, lit(0.0)).as("misc_total_collateral_eth_compound"),
+        coalesce(aMabe, lit(0.0)).as("misc_available_borrows_eth_aave"),
+        coalesce(cMabe, lit(0.0)).as("misc_available_borrows_eth_compound"),
+        coalesce(aTbbe, lit(0.0)).as("total_borrow_balance_eth_aave"),
+        coalesce(cTbbe, lit(0.0)).as("total_borrow_balance_eth_compound"))
 
     val leastHf = least(col("health_factor_compound"), col("health_factor_aave"))
     val cappedHf = when(leastHf > 1000000.0, lit(1000000.0)).otherwise(leastHf)

@@ -215,7 +215,7 @@ object AsOfJoin {
     org.apache.spark.sql.graftnative.NativeColumns.ofRows(left, node)
   }
 
-  /** Time-binned as-of join — the 100 TB path (SURVEY.md §4 option b).
+  /** Time-binned as-of join (SURVEY.md §4 option b).
     *
     * [[asOf]]'s range stage joins every left key row against the key's
     * ENTIRE right-side history and filters the BETWEEN residual afterwards;
@@ -225,6 +225,21 @@ object AsOfJoin {
     * into exactly the 2 bins whose left rows could see it, so the
     * candidate set per left row is bounded by two bins of history
     * regardless of how long the key's timeline is.
+    *
+    * PICK RULE (measured, r8 — tools/AsOfSkewBench over 8× sf0.1 derived
+    * trades/prices, tools/logs/asof_skew_r8.log): [[asOfMerge]] beats this
+    * form in EVERY regime — 0.33-0.40 s vs 1.0-2.1 s on uniform keys, and
+    * 0.39 s vs 107 s when one key holds 90% of both sides at 8× window
+    * density (25 s when the hot history is stretched over 8× more bins).
+    * "Bounded by two bins" is bounded by DENSITY, not count: a (key, bin)
+    * cell pairs all its left rows with all its right rows before the
+    * BETWEEN residual prunes, so a skew-hot key with dense history is
+    * quadratic per cell no matter how many bins AQE spreads. The merge
+    * exec's skew cost is linear in the hot key's rows instead. Use this
+    * form only for the tied-right-rows semantics (one output row per tied
+    * price — [[asOfMerge]] emits exactly one row per left row) or where
+    * SparkSessionExtensions can't be installed — and never on a skewed
+    * key with dense per-window history.
     *
     * Result is row-identical to [[asOf]] (the bin pre-filter is implied by
     * the BETWEEN residual; the argmax and re-join stages are unchanged).

@@ -80,6 +80,24 @@ object Relational {
       .drop("__max_order")
   }
 
+  /** [[latestPerGroupGeq]] as a single window pass — row-identical (rank()
+    * keeps ties at the max, exactly the `>=` semantics). PICK RULE: the
+    * agg+join form evaluates `df` TWICE (once for the max, once for the
+    * re-join) but only shuffles the tiny per-group max table — right when
+    * `df` is a cheap re-scannable source (a parquet scan with pushdown).
+    * This window form evaluates `df` ONCE but shuffles ALL of it — right
+    * when `df` is a DERIVED plan (an aggregate, a join tree) whose
+    * re-evaluation costs more than its shuffle; inside a fanned-out view
+    * the agg+join form multiplies the whole upstream plan per reference
+    * (the r8 currentHfF profile: 52 scans / 122 aggs for 150 rows).
+    */
+  def latestPerGroupWindow(df: DataFrame, groupCol: String, orderCol: String): DataFrame =
+    df.withColumn("__rk", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCol).orderBy(col(orderCol).desc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
   /** Left-join a feature frame onto a spine and COALESCE its value columns
     * to a default — one link of the reference's 9-join feature chain
     * (defi_features_calculation.sql:1-138). `distinct` mirrors the

@@ -101,14 +101,20 @@ object AsOfMergeJoinStrategy extends SparkStrategy {
   * downstream operators keyed on the same columns reuse both the
   * partitioning and the ordering.
   *
-  * Skew note: AQE's skew-join splitting only rewrites its known join
-  * execs, so a pathologically hot key concentrates both sides' history in
-  * one task here (the merge itself stays O(n+m) for that key — linear,
-  * never the quadratic candidate blowup the composed range join risks).
-  * For skew past what linear single-task processing absorbs, use
-  * [[graft.operators.AsOfJoin.asOfBinned]] (bin-replicated composition,
-  * AQE-splittable) or salt the key; for everything else this exec's
-  * two-exchange plan wins.
+  * Skew note (r8: MEASURED, and the r7 escape-hatch advice is refuted):
+  * AQE's skew-join splitting only rewrites its known join execs, so a
+  * pathologically hot key concentrates both sides' history in one task
+  * here — but the merge stays O(n+m) for that key, and measurement shows
+  * that linear single task beats the "splittable" alternative by orders
+  * of magnitude: tools/AsOfSkewBench (8× sf0.1, one key holding 90% of
+  * 160k×160k rows) times this exec at 0.39-1.48 s FLAT across every skew
+  * regime while [[graft.operators.AsOfJoin.asOfBinned]] degrades to
+  * 25-107 s, because a hot (key, bin) cell pairs its rows quadratically
+  * before the range residual prunes (tools/logs/asof_skew_r8.log). This
+  * exec is the default at every skew; only a single key whose SORTED
+  * history exceeds one task's practical ceiling (order 10⁸ rows) warrants
+  * intervention, and the intervention is salting the key (left side
+  * salted, right side replicated per salt), not the binned composition.
   *
   * Codegen note (round-7 measurement): the exec is iterator-based — no
   * `CodegenSupport` — and that is a measured non-issue, not an open

@@ -326,6 +326,38 @@ object FeaturePipeline {
     }
   }
 
+  /** Per-stage breakdown of [[assembly]] for bench attribution
+    * (tools/ProfileScratch): the same persisted intermediates, each view
+    * output returned separately plus the final assembly, so a plateaued
+    * total can be charged to the stage that owns it. Not a registry query.
+    */
+  private[graft] def assemblyStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    import org.apache.spark.storage.StorageLevel
+    def mat(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = mat(evDf(s, d))
+    val borrow = mat(eventsShaped(e, "purchase"))
+    val repay = eventsShaped(e, "error")
+    val deposit = eventsShaped(e, "click")
+    val withdraw = eventsShaped(e, "view")
+    val liq = eventsShaped(e, "signup")
+    val spine = mat(Views.distinctAddresses(Seq(borrow, deposit, withdraw, liq, repay)))
+    val ahf = mat(Views.accountHealthFactor(mergedPositionsShaped(e)))
+    Seq(
+      "inputs_persist" -> e,
+      "spine" -> spine,
+      "ahf" -> ahf,
+      "repayF" -> Views.repayFeatures(repay),
+      "borrowF" -> Views.borrowFeatures(borrow),
+      "creditMixF" -> Views.creditMixFeatures(spine, borrow, deposit, withdraw, repay),
+      "redeemsF" -> Views.lendingSumRedeemsFeatures(withdraw),
+      "lendingF" -> Views.lendingTimeAndCountFeatures(deposit, AsOfEpoch),
+      "historicalF" -> Views.historicalHealthAndRiskFactor(borrow, ahf),
+      "countAboveF" -> Views.historicalCountAboveThreshold(borrow, ahf),
+      "liquidationF" -> Views.liquidationFeatures(liq, AsOfEpoch),
+      "currentHfF" -> Views.currentHealthFactorFeatures(stageMdShaped(e), currentPositionsShaped(e)),
+      "assembly_full" -> assembly(s, d))
+  }
+
   private val eventCtes = Seq(
     evtCte("borrow", "purchase"), evtCte("repay", "error"), evtCte("deposit", "click"),
     evtCte("withdraw", "view"), evtCte("liq", "signup")).mkString(",\n")
@@ -577,6 +609,15 @@ object FeaturePipeline {
     * semantics need a tie-free right side, so the price table is
     * canonicalized to one row per (token, second) — MAX(price) — which is
     * the at-scale price-feed shape anyway; the oracle dedups identically.
+    *
+    * DECISION (r8, verdict task 5): this merge variant IS the
+    * bench-of-record for the enrich path — isolated sf0.1 local[32]
+    * 8-run medians: merge 0.48 s vs composed 1.82 s (3.8×). The composed
+    * `analytics_enrich_events` stays benched deliberately: its isolated
+    * median is back at r6's 1.77-1.82 s band (the r7 driver's 1.85-2.05 s
+    * was the documented ±20% VM swing, not drift), and keeping it pinned
+    * makes any FUTURE composed-path regression visible instead of
+    * silently absorbed into a retired row.
     */
   private val enrichMergeQ = Q(
     "analytics_enrich_events_merge",

@@ -6,28 +6,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical demonstration of the as-of skew pick rule
-  * (plans/AsOfMergeJoin.scala "Skew note"): [[AsOfJoin.asOfMerge]]
-  * concentrates a pathologically hot key's BOTH sides in one task (AQE's
-  * skew splitter only rewrites join execs it knows), while
-  * [[AsOfJoin.asOfBinned]] keys its candidate join on (key, time-bin) so a
-  * hot key's history splits across bins and tasks.
+  * (plans/AsOfMergeJoin.scala "Skew note"): when does
+  * [[AsOfJoin.asOfBinned]] (bin-replicated composition, splittable across
+  * (key, bin) cells) actually beat [[AsOfJoin.asOfMerge]] (one linear
+  * merge task per key-partition, which AQE's skew splitter cannot touch)?
   *
-  * The probe derives trades/prices from sf0.1 `events` (the same shape as
-  * Q:`join_asof_price_7d`) and REMAPS the key so a controlled fraction of
-  * rows on both sides lands on one hot key (`hotPct` ∈ {0, 50, 90, 99});
-  * the remainder spreads over 1000 keys. Both variants run on identical
-  * inputs with identical tolerance; row counts are cross-checked once per
-  * skew level so a variant can never win by computing a different join.
+  * The two failure modes are NOT symmetric:
+  *  - merge's skew cost is LINEAR: a hot key's whole history sorts and
+  *    merges in one task — bad only once one key's rows exceed what a
+  *    single task absorbs.
+  *  - binned's skew cost is QUADRATIC in window density: inside a hot
+  *    (key, bin) cell the candidate join pairs every left row with every
+  *    right row of that cell before the BETWEEN residual prunes, so a hot
+  *    key whose history is DENSE per tolerance-window blows up as
+  *    density², regardless of how many bins AQE spreads.
   *
-  * Output: one JSON line per skew level with both medians — the committed
-  * numbers behind the README pick rule (reference semantics:
+  * So the probe measures both regimes on an m-times derived corpus from
+  * sf0.1 `events` (materialized to parquet, ScaleBench-style, so the
+  * harness plan doesn't grow with m):
+  *  - `dense`: copies keep the ORIGINAL time span — a hot key's
+  *    per-window density grows with m (binned's worst case);
+  *  - `spread`: copy j shifts epochs by j*span — the hot key's history
+  *    stretches over m× more bins at constant density (merge's worst
+  *    case shape: one task walks m× more rows while binned fans out).
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SKEW_M
+  * (default 8), SPARK_GRAFT_BENCH_REPEAT (default 3). Output: one JSON
+  * line; per-level medians for both variants (reference semantics:
   * /root/reference/src/pipelines/analytics/transformations/transformations.sql:2-13).
   */
 object AsOfSkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "4").toInt
+    val m = sys.env.getOrElse("SPARK_GRAFT_SKEW_M", "8").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,70 +52,101 @@ object AsOfSkewBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // same epoch-seconds shaping as the registry's evDf
+    // epoch-seconds shaping as in the registry's evDf
     val ev = Tables.events(spark, sfDir).select(
       col("event_id"), expr("ts div 1000000000").as("epoch"),
       col("user_id"), col("event_type"), col("value"))
 
-    /** Remap to a hot-or-spread key: `hotPct`% of rows (by a row-level
-      * hash, key-independent so the hot set samples all histories) collapse
-      * onto key 0; the rest spread over 1000 keys.
+    val mmRow = ev.agg(min("epoch"), max("epoch")).head()
+    val span = mmRow.getLong(1) - mmRow.getLong(0) + 1
+
+    /** m-times copy; `spreadTime` shifts copy j by j*span (constant
+      * per-window density, m× more bins), otherwise by j SECONDS — copies
+      * overlay the same span at m× the density, with epochs kept distinct
+      * so the (key, ts) price dedupe below cannot collapse the copies and
+      * quietly thin the dense case.
       */
-    def skewKey(hotPct: Int, idCols: Seq[String]): org.apache.spark.sql.Column =
-      when(pmod(abs(xxhash64(idCols.map(col): _*)), lit(100)) < hotPct, lit(0L))
+    def copies(df: DataFrame, spreadTime: Boolean): DataFrame =
+      (0 until m).map { j =>
+        df.select(
+          (col("event_id") + lit(j * 100000000L)).as("event_id"),
+          (col("epoch") + lit(if (spreadTime) j * span else j.toLong)).as("epoch"),
+          col("user_id"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+
+    /** `hotPct`% of rows (row-level hash, key-independent) collapse onto
+      * key 0; the rest spread over 1000 keys.
+      */
+    def skewKey(hotPct: Int): org.apache.spark.sql.Column =
+      when(pmod(abs(xxhash64(col("event_id"))), lit(100)) < hotPct, lit(0L))
         .otherwise(pmod(col("user_id"), lit(1000L)) + 1L)
 
-    def inputs(hotPct: Int): (DataFrame, DataFrame) = {
-      val trades = ev.filter(col("event_type") === "purchase")
-        .select(skewKey(hotPct, Seq("event_id")).as("k"),
-          col("event_id"), col("epoch"), col("value"))
-      val prices = ev.filter(col("event_type") === "view")
-        .select(skewKey(hotPct, Seq("event_id")).as("k"),
+    def writeInputs(regime: String, spreadTime: Boolean, hotPct: Int): (String, String) = {
+      val base = copies(ev, spreadTime)
+      val trades = base.filter(col("event_type") === "purchase")
+        .select(skewKey(hotPct).as("k"), col("event_id"), col("epoch"), col("value"))
+      // one price per (key, ts) — the reference's price-table contract;
+      // remap collisions would otherwise create tied argmax timestamps
+      // where the variants legitimately differ (merge: one row per left
+      // row; composed: one per tied right row)
+      val prices = base.filter(col("event_type") === "view")
+        .select(skewKey(hotPct).as("k"),
           col("epoch").as("price_epoch"), col("value").as("price"))
-      (trades, prices)
+        .groupBy("k", "price_epoch").agg(max("price").as("price"))
+      val tp = s"target/asof_skew/${regime}_h${hotPct}_trades"
+      val pp = s"target/asof_skew/${regime}_h${hotPct}_prices"
+      trades.write.mode("overwrite").parquet(tp)
+      prices.write.mode("overwrite").parquet(pp)
+      (tp, pp)
     }
 
-    def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
     def isolate(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def timeRuns(name: String, f: () => Long): Double = {
+      val ts = (0 until runs).map { i =>
+        val t0 = System.nanoTime()
+        val n = f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        isolate()
+        System.err.println(f"[skew] $name run$i rows=$n $dt%.2f s")
+        dt
+      }
+      median(ts)
+    }
 
     val tol = 604800L
-    val results = Seq(0, 50, 90, 99).map { hotPct =>
-      val (trades, prices) = inputs(hotPct)
+    val cases = for {
+      (regime, spreadTime) <- Seq("dense" -> false, "spread" -> true)
+      hotPct <- Seq(0, 90)
+    } yield (regime, spreadTime, hotPct)
+
+    val results = cases.map { case (regime, spreadTime, hotPct) =>
+      val (tp, pp) = writeInputs(regime, spreadTime, hotPct)
+      val trades = spark.read.parquet(tp)
+      val prices = spark.read.parquet(pp)
       def merge() = AsOfJoin.asOfMerge(trades, prices, Seq("k"), "epoch",
         "price_epoch", tol, Seq("price")).count()
       def binned() = AsOfJoin.asOfBinned(trades, prices, Seq("k"), "epoch",
         "price_epoch", tol, Seq("price")).count()
       // warmup + sanity: identical row counts on identical inputs
       val (nM, nB) = (merge(), binned())
-      require(nM == nB, s"variant mismatch at hot=$hotPct: merge=$nM binned=$nB")
+      require(nM == nB, s"variant mismatch at $regime hot=$hotPct: merge=$nM binned=$nB")
       isolate()
-      val mTimes = (0 until runs).map { i =>
-        val (t, _) = timed(merge()); isolate()
-        System.err.println(f"[skew] hot=$hotPct%d merge run$i $t%.2f s"); t
-      }
-      val bTimes = (0 until runs).map { i =>
-        val (t, _) = timed(binned()); isolate()
-        System.err.println(f"[skew] hot=$hotPct%d binned run$i $t%.2f s"); t
-      }
-      (hotPct, nM, median(mTimes), median(bTimes))
+      val mMed = timeRuns(s"$regime hot=$hotPct merge", merge _)
+      val bMed = timeRuns(s"$regime hot=$hotPct binned", binned _)
+      (regime, hotPct, nM, mMed, bMed)
     }
 
     def num(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val json = results.map { case (h, n, m, b) =>
-      s"""{"hot_pct":$h,"rows":$n,"asof_merge_sec":${num(m)},"asof_binned_sec":${num(b)}}"""
+    val json = results.map { case (r, h, n, mm, bm) =>
+      s"""{"regime":"$r","hot_pct":$h,"rows":$n,"asof_merge_sec":${num(mm)},"asof_binned_sec":${num(bm)}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"asof_skew","sf":"$sfDir","runs":$runs,"tolerance":$tol,"levels":$json}""")
+    println(s"""{"metric":"asof_skew","sf":"$sfDir","m":$m,"runs":$runs,"tolerance":$tol,"levels":$json}""")
     spark.stop()
   }
 }

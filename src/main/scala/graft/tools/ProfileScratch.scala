@@ -1,14 +1,17 @@
 package graft.tools
 
-import graft.operators.Dedup
-import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage-level profiler for bench investigations (not part of the
   * library surface): times named sub-stages of a query in isolation so a
   * regression can be attributed to the stage that actually moved. Kept in
   * the repo because every perf round needs one; edit the stages freely.
+  *
+  * Current stages: the feature_assembly breakdown
+  * ([[graft.registry.FeaturePipeline.assemblyStages]]) — the r7 verdict
+  * flagged the 2.7-3.0 s plateau as the top remaining bench line; this
+  * attributes it across the 10 views, the shared persisted inputs, and
+  * the final join chain.
   */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
@@ -26,46 +29,23 @@ object ProfileScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeIt(name: String, warm: Int = 6)(f: => Long): Unit = {
+    // steady-state attribution: inputs persist ONCE (like the assembly's
+    // Boundary.Local steady state the bench measures), then each stage is
+    // forced `warm` times from the shared cache — no per-stage isolation,
+    // because the question is where time goes INSIDE one warm execution
+    val stages = graft.registry.FeaturePipeline.assemblyStages(spark, sfDir)
+    def timeIt(name: String, warm: Int = 4)(f: => Long): Unit = {
       val ts = (0 until warm).map { i =>
         val t0 = System.nanoTime
         val n = f
         val dt = (System.nanoTime - t0) / 1e9
         System.err.println(f"[prof] $name run$i rows=$n $dt%.2f s")
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
         dt
       }
       val med = ts.drop(1).sorted.apply((warm - 1) / 2)
       System.err.println(f"[prof] $name MEDIAN(warm) $med%.2f s")
     }
-
-    // same shape as TrainingQueries.augmentedDocs (private there)
-    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val docs = base.unionByName(
-      base.filter(col("doc_id") < 25).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" xq")).as("text")))
-
-    timeIt("scan_text_only") {
-      docs.select(length(col("text"))).agg(sum("length(text)")).count()
-    }
-    timeIt("simhash_sig_md5") {
-      Dedup.simhash(docs, "doc_id", "text", Dedup.Md5ShingleHash).count()
-    }
-    timeIt("simhash_sig_xx") {
-      Dedup.simhash(docs, "doc_id", "text", Dedup.XxShingleHash).count()
-    }
-    timeIt("simhash_pairs_md5") {
-      Dedup.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash).count()
-    }
-    timeIt("simhash_pairs_md5_lazy") {
-      Dedup.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
-        boundary = graft.operators.Boundary.None).count()
-    }
+    stages.foreach { case (name, df) => timeIt(name)(df.count()) }
     spark.stop()
   }
 }
