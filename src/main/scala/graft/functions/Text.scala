@@ -43,11 +43,15 @@ object Text {
   }
 
   /** Mean word length (chars, whitespace excluded). */
-  def avgWordLen(text: Column): Column = {
-    val ws = words(text)
+  def avgWordLen(text: Column): Column = avgWordLenFromWords(words(text))
+
+  /** [[avgWordLen]] over a pre-split words array: exact long char-sum over
+    * word count, ONE double division — engine-identical (no intermediate
+    * float accumulation to diverge).
+    */
+  def avgWordLenFromWords(ws: Column): Column =
     aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
       greatest(size(ws), lit(1)).cast("double")
-  }
 
   /** Composite quality score in [0,1]: rewards mid-length documents and
     * normal word shape, penalizes punctuation soup and stopword-free strings

@@ -155,6 +155,44 @@ object AsOfJoin {
     buildMerge(left, right, keyCols, leftTs, rightTs, tolerance,
       rightValueCols, rightPrefix, forward = false)
 
+  /** SALTED [[asOfMerge]] — the intervention for the one skew case the
+    * plain merge exec cannot absorb: a single key whose sorted history
+    * exceeds one task's practical ceiling (AQE's skew splitter does not
+    * know the custom exec, and the r8 measurement shows [[asOfBinned]] is
+    * never the answer — its hot-cell pairing is quadratic in window
+    * density, 25-107 s where the merge runs 0.4 s; tools/AsOfSkewBench).
+    *
+    * The left side takes a deterministic salt in [0, nSalts) from
+    * `saltFrom` (any roughly-unique LEFT column — row identity, not the
+    * join key); the right side is replicated once per salt. Each
+    * (key, salt) partition then holds a SLICE of the left rows but the
+    * key's FULL right history, so every left row still sees exactly the
+    * argmax row it would have seen unsalted: result is row-identical to
+    * [[asOfMerge]], with the hot key's left side fanned across nSalts
+    * tasks. Cost: right shuffle volume × nSalts — size nSalts to the hot
+    * key's left-row count, not to taste (same trade as
+    * [[Skew.saltedInnerJoin]]).
+    */
+  def asOfMergeSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      nSalts: Int,
+      saltFrom: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    require(nSalts >= 1)
+    val salt = "__asof_salt"
+    val ls = left.withColumn(salt, pmod(xxhash64(col(saltFrom)), lit(nSalts.toLong)))
+    val rs = right.withColumn(salt, explode(sequence(lit(0L), lit(nSalts - 1L))))
+    buildMerge(ls, rs, keyCols :+ salt, leftTs, rightTs, tolerance,
+      rightValueCols, rightPrefix, forward = false)
+      .drop(salt)
+  }
+
   /** [[asOfMerge]] mirrored in time — the native whole-operator form of
     * [[asOfForward]]: each left row matches the EARLIEST right row in
     * `(leftTs, leftTs + horizon]` (open at the observation instant so a

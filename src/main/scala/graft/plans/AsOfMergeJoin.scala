@@ -113,8 +113,11 @@ object AsOfMergeJoinStrategy extends SparkStrategy {
   * before the range residual prunes (tools/logs/asof_skew_r8.log). This
   * exec is the default at every skew; only a single key whose SORTED
   * history exceeds one task's practical ceiling (order 10⁸ rows) warrants
-  * intervention, and the intervention is salting the key (left side
-  * salted, right side replicated per salt), not the binned composition.
+  * intervention, and the intervention is
+  * [[graft.operators.AsOfJoin.asOfMergeSalted]] (left side salted from a
+  * row-identity column, right history replicated per salt — measured at a
+  * flat ~1.9× of the plain merge in every regime, the price of the
+  * replication, vs binned's 5-240×), never the binned composition.
   *
   * Codegen note (round-7 measurement): the exec is iterator-based — no
   * `CodegenSupport` — and that is a measured non-issue, not an open

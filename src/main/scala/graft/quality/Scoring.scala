@@ -145,4 +145,62 @@ object Scoring {
       .filter(col("rank") <= k)
       .select("doc_id", "w", "tf", "df", "score", "rank")
   }
+
+  /** Gopher-style repetition gate (Rae et al. 2021 §A1.1 "repetitious
+    * text"): per-doc mass fractions of the single most frequent unigram
+    * and 2-gram — the signal that catches "the the the" boilerplate and
+    * templated spam that whole-doc dedup and the per-row
+    * [[graft.functions.Text.repetitionRatio]] (distinct/total) both
+    * under-report (a doc repeating ONE gram thousands of times has high
+    * top-gram mass but also high distinct-ratio denominator). Combined
+    * with word-count and mean-word-length bounds into a boolean `keep`.
+    *
+    * Shape at scale: two narrow posting-list aggregations — explode to
+    * (doc, gram), hash-partition by doc_id ONCE so the (doc, gram) count
+    * and the per-doc max/sum roll-up reuse the same exchange; text never
+    * crosses the wire twice, nothing is pairwise. The fractions are exact
+    * long-ratio doubles (single division, both engines IEEE-identical).
+    *
+    * Docs below `n` words have no 2-grams: their top2gram_frac is defined
+    * 0.0 (nothing repeated), keeping the keep-rule total.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 10,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopUnigramFrac: Double = 0.10,
+      maxTop2gramFrac: Double = 0.05): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      Text.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        size(col("__ws")).cast("long").as("word_count"),
+        Text.avgWordLenFromWords(col("__ws")).as("mean_word_len"))
+
+    def topFrac(gramCol: DataFrame => org.apache.spark.sql.Column, name: String) = {
+      val posted = base
+        .select(col("doc_id"), explode(gramCol(base)).as("g"))
+        .repartition(col("doc_id"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      posted.groupBy("doc_id").agg(
+        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as(name))
+    }
+    val uni = topFrac(_("__ws"), "top_unigram_frac")
+    val bi = topFrac(b => Text.ngramsFromWords(b("__ws"), 2), "top_2gram_frac")
+
+    base.join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("word_count"), col("mean_word_len"),
+        coalesce(col("top_unigram_frac"), lit(0.0)).as("top_unigram_frac"),
+        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"))
+      .withColumn("keep",
+        col("word_count").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("top_unigram_frac") <= maxTopUnigramFrac &&
+          col("top_2gram_frac") <= maxTop2gramFrac)
+  }
 }

@@ -583,6 +583,21 @@ object ParityQueries {
     asOfOracle,
     bench = true)
 
+  /** Salting must be INVISIBLE in the result — the salted merge (left
+    * fanned across 8 salts, right history replicated per salt, the
+    * hot-key intervention the r8 skew bench picked over the binned form)
+    * hash-checks against the identical oracle as every other as-of.
+    */
+  private val asOfMergeSaltedQ = Q(
+    "join_asof_merge_salted",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfMergeSalted(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 604800L, rightValueCols = Seq("price"),
+        nSalts = 8, saltFrom = "event_id", rightPrefix = "asof_")
+    },
+    asOfOracle)
+
   /** The binned scale path must be row-identical to [[AsOfJoin.asOf]] —
     * it shares the same oracle.
     */
@@ -1288,7 +1303,7 @@ object ParityQueries {
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
     dateParts, epochExtract, substrBucket, ethConversion, clampDiff,
     sentinelReplace, greatestLeast, coalesceNullif, healthFactorCase,
-    equi2Key, asOfPrice, asOfMergeQ, asOfBinned, asOfForwardQ, asOfMergeForwardQ,
+    equi2Key, asOfPrice, asOfMergeQ, asOfMergeSaltedQ, asOfBinned, asOfForwardQ, asOfMergeForwardQ,
     rangeJoinQ, labeledFeaturesQ,
     antiBlocklist, innerMetadata, fullOuterMerge,
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,

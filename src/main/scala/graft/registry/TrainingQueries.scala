@@ -1051,6 +1051,41 @@ object TrainingQueries {
           CAST(GREATEST(len(ws), 1) AS DOUBLE) AS symbol_word_ratio
       FROM g"""))
 
+  /** Gopher-style repetition gate ([[graft.quality.Scoring.gopherRules]]):
+    * top-unigram / top-2-gram mass fractions + word-count and
+    * mean-word-length bounds -> boolean keep. Thresholds sit inside the
+    * testdata's measured distributions (unigram frac median 0.093, 2-gram
+    * 0.033) so both keep branches are exercised. All fractions are exact
+    * long ratios through one double division — engine-identical.
+    */
+  private val gopherRulesQ = Q(
+    "text_gopher_rules",
+    (s, d) => graft.quality.Scoring.gopherRules(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS word_count,
+        CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) /
+          CAST(GREATEST(len(ws), 1) AS DOUBLE) AS mean_word_len FROM w),
+      tk AS (SELECT doc_id, unnest(ws) AS g FROM w),
+      uc AS (SELECT doc_id, g, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      uf AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        AS top_unigram_frac FROM uc GROUP BY 1),
+      g2 AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+          ELSE [] END) AS g FROM w),
+      bc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      bf AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        AS top_2gram_frac FROM bc GROUP BY 1)
+      SELECT b.doc_id, b.word_count, b.mean_word_len,
+        COALESCE(uf.top_unigram_frac, 0.0) AS top_unigram_frac,
+        COALESCE(bf.top_2gram_frac, 0.0) AS top_2gram_frac,
+        (b.word_count BETWEEN 10 AND 100000
+          AND b.mean_word_len BETWEEN 2.0 AND 10.0
+          AND COALESCE(uf.top_unigram_frac, 0.0) <= 0.10
+          AND COALESCE(bf.top_2gram_frac, 0.0) <= 0.05) AS keep
+      FROM base b
+      LEFT JOIN uf ON b.doc_id = uf.doc_id
+      LEFT JOIN bf ON b.doc_id = bf.doc_id"""))
+
   /** Sketch-based distinct for 100 TB cardinalities (SURVEY §2.8 notes
     * exact count-distinct suffices for parity; this is the documented
     * at-scale alternative). HLL sketches differ across engines, so the raw
@@ -1569,7 +1604,7 @@ object TrainingQueries {
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simIvfKmeans, simLsh,
-    tokenCount, qualityScore, qualityFilter, textRepetition, textSurprisal,
+    tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,

@@ -130,21 +130,25 @@ object AsOfSkewBench {
       val prices = spark.read.parquet(pp)
       def merge() = AsOfJoin.asOfMerge(trades, prices, Seq("k"), "epoch",
         "price_epoch", tol, Seq("price")).count()
+      def salted() = AsOfJoin.asOfMergeSalted(trades, prices, Seq("k"), "epoch",
+        "price_epoch", tol, Seq("price"), nSalts = 8, saltFrom = "event_id").count()
       def binned() = AsOfJoin.asOfBinned(trades, prices, Seq("k"), "epoch",
         "price_epoch", tol, Seq("price")).count()
       // warmup + sanity: identical row counts on identical inputs
-      val (nM, nB) = (merge(), binned())
-      require(nM == nB, s"variant mismatch at $regime hot=$hotPct: merge=$nM binned=$nB")
+      val (nM, nS, nB) = (merge(), salted(), binned())
+      require(nM == nB && nM == nS,
+        s"variant mismatch at $regime hot=$hotPct: merge=$nM salted=$nS binned=$nB")
       isolate()
       val mMed = timeRuns(s"$regime hot=$hotPct merge", merge _)
+      val sMed = timeRuns(s"$regime hot=$hotPct salted", salted _)
       val bMed = timeRuns(s"$regime hot=$hotPct binned", binned _)
-      (regime, hotPct, nM, mMed, bMed)
+      (regime, hotPct, nM, mMed, sMed, bMed)
     }
 
     def num(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val json = results.map { case (r, h, n, mm, bm) =>
-      s"""{"regime":"$r","hot_pct":$h,"rows":$n,"asof_merge_sec":${num(mm)},"asof_binned_sec":${num(bm)}}"""
+    val json = results.map { case (r, h, n, mm, sm, bm) =>
+      s"""{"regime":"$r","hot_pct":$h,"rows":$n,"asof_merge_sec":${num(mm)},"asof_merge_salted_sec":${num(sm)},"asof_binned_sec":${num(bm)}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"asof_skew","sf":"$sfDir","m":$m,"runs":$runs,"tolerance":$tol,"levels":$json}""")
     spark.stop()

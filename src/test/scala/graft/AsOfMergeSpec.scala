@@ -52,6 +52,21 @@ class AsOfMergeSpec extends SparkSpec {
     }
   }
 
+  test("asOfMergeSalted == asOfMerge for every salt count (salting is invisible)") {
+    val rnd = new Random(7)
+    val l = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(4), rnd.nextInt(1000).toLong)).toDF("id", "k1", "ts")
+    val r = rnd.shuffle((0 until 4).flatMap(k1 =>
+      rnd.shuffle((0 until 1000).toList).take(150).map(ts => (k1, ts.toLong, rnd.nextDouble()))))
+      .toDF("k1", "pts", "price")
+    for (tol <- Seq(0L, 50L, 2000L); nSalts <- Seq(1, 3, 8)) {
+      val plain = sortedRows(AsOfJoin.asOfMerge(l, r, Seq("k1"), "ts", "pts", tol, Seq("price")))
+      val salted = sortedRows(AsOfJoin.asOfMergeSalted(l, r, Seq("k1"), "ts", "pts", tol,
+        Seq("price"), nSalts = nSalts, saltFrom = "id"))
+      assert(salted == plain, s"tolerance $tol nSalts $nSalts")
+    }
+  }
+
   test("asOfMergeForward == asOfForward on the fixture; open at now, closed at horizon") {
     for (h <- Seq(99L, 100L, 500L, 600L, 10000L)) {
       val plain = sortedRows(AsOfJoin.asOfForward(trades, prices, Seq("key"), "ts", "pts", h, Seq("price")))

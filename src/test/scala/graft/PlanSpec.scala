@@ -149,4 +149,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"picked-id set must broadcast semi-join:\n$plan")
   }
+
+  test("health-factor views stay sub-plan-deduplicated (scan-count ceilings)") {
+    // r8 regression gate: transcribing the reference's per-protocol CTE
+    // structure literally multiplied whole sub-plans —
+    // view_current_health_factor planned 52 FileScans / 122 aggregates for
+    // 150 rows before the single-pass restructure (now 7/16). Ceilings are
+    // ~2x the measured post-fix counts so planner drift doesn't flake, but
+    // a reintroduced CTE multiplication (tens of scans) fails loudly.
+    graft.sources.Tables.configure(spark)
+    val ceilings = Seq(
+      "view_current_health_factor" -> 14,
+      "view_historical_health_risk" -> 8,
+      "agg_count_distinct_blocks_below_threshold" -> 8,
+      "feature_assembly" -> 60) // lazy planView; executed form persists 4 stages
+    val bad = ceilings.flatMap { case (name, cap) =>
+      val q = Registry.byName(name)
+      val plan = q.planView.getOrElse(q.run)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val scans = "FileScan".r.findAllIn(plan).length
+      if (scans > cap) Some(s"$name: $scans scans > cap $cap") else None
+    }
+    assert(bad.isEmpty, s"sub-plan multiplication regressed:\n${bad.mkString("\n")}")
+  }
 }
