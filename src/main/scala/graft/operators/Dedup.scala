@@ -597,6 +597,58 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** SPAN COVERAGE — the position-level companion of [[duplicateSpans]]:
+    * the fraction of a doc's WORD POSITIONS lying inside at least one
+    * `k`-token window that also occurs in >= `minDf` docs (the
+    * "fraction of characters inside duplicated n-grams" gate of
+    * Gopher/RefinedWeb-class cleaning, at word granularity).
+    * [[duplicateSpans]] counts duplicated WINDOWS — five overlapping
+    * copies of one boilerplate sentence count five times there but cover
+    * the same stretch of text once here, so coverage is the honest
+    * "how much of this doc is boilerplate" number a strip-or-drop
+    * decision wants. Output: (doc_id, word_count, covered_words,
+    * coverage_frac, keep = coverage_frac <= maxFrac). Cross-document
+    * duplication only (a gram must appear in `minDf` DISTINCT docs);
+    * within-doc repetition is [[graft.quality.Scoring.gopherRules]]'
+    * signal.
+    *
+    * Shape at scale: the same posting-list plan as [[duplicateSpans]] —
+    * (doc, pos, gram) postings, a gram-keyed distinct-doc df aggregation,
+    * one gram-keyed join back (Zipf-head skew: AQE skew split handles it,
+    * same note as there) — plus a bounded position expansion (x k) and a
+    * per-doc distinct that shuffles (doc, pos) longs only. Text crosses
+    * the wire once, nothing is pairwise.
+    */
+  def spanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Int = 2,
+      maxFrac: Double = 0.3): DataFrame = {
+    require(k >= 1 && minDf >= 2, "need k >= 1 and minDf >= 2")
+    val w = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+    val pg = w.select(col("doc_id"),
+      posexplode(Text.allShinglesFromWords(col("__w"), k)).as(Seq("pos", "gram")))
+    val dup = pg.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = pg.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_words"))
+    w.select(col("doc_id"), size(col("__w")).cast("long").as("word_count"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("word_count"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        when(col("word_count") > 0,
+          coalesce(col("covered_words"), lit(0L)).cast("double") /
+            col("word_count").cast("double"))
+          .otherwise(lit(0.0)).as("coverage_frac"))
+      .withColumn("keep", col("coverage_frac") <= maxFrac)
+  }
+
   /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus
     * versions as added / removed / changed / unchanged — the versioning
     * primitive behind incremental reprocessing (only `added`+`changed`

@@ -146,6 +146,183 @@ object Scoring {
       .select("doc_id", "w", "tf", "df", "score", "rank")
   }
 
+  /** Bigram-LM surprisal with unigram interpolation — the CCNet-style
+    * perplexity quality signal one model order up from
+    * [[unigramSurprisal]] (Wenzek et al. 2020 score with a 5-gram KenLM;
+    * a bigram captures the same head/tail separation on whitespace
+    * tokens while staying exactly recomputable by an external oracle).
+    * Per consecutive word pair (w1, w2) the interpolated probability is
+    * `p = lambda * c(w1 w2)/c(w1) + (1-lambda) * c(w2)/T` (corpus MLE
+    * bigram backed off to the corpus unigram; the unigram floor keeps
+    * p > 0, so -log2 is total), and the doc score is the mean of
+    * `-log2 p` over its pairs. Output: (doc_id, surprisal, n_bigrams);
+    * docs with fewer than 2 words have no pairs and are absent, like
+    * [[unigramSurprisal]]'s empty docs.
+    *
+    * Shape at scale: two narrow count aggregations build the model (the
+    * unigram vocab and the bigram table); both — orders of magnitude
+    * smaller than the corpus — broadcast into the scoring join, so the
+    * pair stream is never shuffled (beyond broadcastable bigram
+    * vocabulary, swap the bigram join to a shuffle join on (w1, w2) —
+    * the unigram side always broadcasts); T comes back as a two-phase
+    * scalar literal; the per-doc mean is one map-side-combinable
+    * aggregation.
+    *
+    * Determinism: the -log2 terms quantize to decimal(38,3) before the
+    * order-independent sum ([[unigramSurprisal]]'s idiom); the
+    * interpolation arithmetic is the same IEEE-754 expression tree on
+    * both engines (lambda and 1-lambda interpolate into the oracle SQL
+    * as exact Scala Double literals).
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
+    val toks = ws.select(col("doc_id"), explode(col("__ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu")).head().getLong(0)
+    val pairs = ws.select(col("doc_id"), explode(
+      when(size(col("__ws")) >= 2, transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val p =
+      lit(lambda) * (col("cb").cast("double") / col("cu1").cast("double")) +
+        lit(1 - lambda) * (col("cu2").cast("double") / lit(total).cast("double"))
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+      .withColumn("t", -log2(p))
+      .groupBy("doc_id")
+      .agg(
+        (sum(col("t").cast("decimal(38,3)")).cast("double") / count(lit(1)))
+          .as("surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Hashed-feature linear quality classifier — fastText-shaped inference
+    * (Joulin et al. 2017: bag of words + word-bigram features, hashing
+    * trick into `dim` buckets, linear scoring) as one codegen'd per-row
+    * projection: score a 100 TB corpus with a scan and zero shuffles.
+    * In production the per-bucket weight vector is learned offline and
+    * broadcast; here weights derive deterministically from (`seed`,
+    * bucket) through the oracle-computable md5 hash — same bucketing,
+    * same arithmetic, and bucket collisions sharing a weight is the
+    * hashing trick behaving normally, not an artifact.
+    *
+    * Scoring is EXACT-INTEGER: weight(g) = md5hash64("w" + seed +
+    * bucket(g)) mod 2001 - 1000 (a long in [-1000, 1000], bucket(g) =
+    * md5hash64(g) mod dim), `score_int` the plain long sum over unigram +
+    * bigram features (order-independent), and `score = score_int /
+    * (1000.0 * n_features)` in [-1, 1] — one division of exact operands,
+    * bit-identical on every IEEE engine. `keep` thresholds the raw score;
+    * the sigmoid a trained classifier would apply is monotone, so
+    * thresholding the linear score is the same decision rule without the
+    * cross-engine `exp` hazard. Docs with no features score 0 and drop.
+    */
+  def hashedClassifierScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 256,
+      seed: String = "s0",
+      threshold: Double = 0.0): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    def weight(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(Text.md5Hash64(concat(lit("w"), lit(seed),
+        pmod(Text.md5Hash64(g), lit(dim)).cast("string"))), lit(2001)) - 1000
+    val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
+    val feats = concat(col("__ws"), Text.ngramsFromWords(col("__ws"), 2))
+    ws
+      .withColumn("n_features", size(feats).cast("long"))
+      .withColumn("score_int",
+        aggregate(transform(feats, weight(_)), lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        when(col("n_features") > 0,
+          col("score_int").cast("double") / (lit(1000.0) * col("n_features").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("n_features") > 0 && col("score") >= threshold)
+      .select("doc_id", "n_features", "score_int", "score", "keep")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * docs by LM surprisal, split into head / middle / tail thirds, then
+    * keep each bucket at its own rate (head kept whole, tail mostly
+    * dropped is the classic mix) via the deterministic key-hash rule of
+    * [[Selection.hashSample]]. Output: (doc_id, surprisal, bucket, keep).
+    *
+    * Bucket boundaries come from an EXACT global rank (row_number ordered
+    * by (surprisal, doc_id)) so the assignment is reproducible
+    * row-for-row by an external oracle. That global sort runs over the
+    * per-doc SCORE table — one narrow row per doc, orders of magnitude
+    * smaller than the corpus — not the corpus itself; at the scale where
+    * even that sort hurts, production derives cutoffs once (on a
+    * [[Selection.hashSample]] of scores, as CCNet computes its
+    * percentiles on a sample) and applies them as literals through
+    * [[perplexityBucketsByCutoffs]], which is a pure scan-shaped filter.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rates: Map[String, Double] = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+      salt: String = ""): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol)
+    val n = scored.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("surprisal"), col("doc_id"))
+    val ranked = scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("bucket",
+        when(col("__rn") * 3 <= n, "head")
+          .when(col("__rn") * 3 <= 2 * n, "middle")
+          .otherwise("tail"))
+    bucketKeep(ranked, rates, salt)
+      .select("doc_id", "surprisal", "bucket", "keep")
+  }
+
+  /** The production form of [[perplexityBuckets]]: cutoffs as literals
+    * (head < `c1` <= middle < `c2` <= tail), no rank, no sort — the
+    * bucket rule and keep filter both collapse into the scan.
+    */
+  def perplexityBucketsByCutoffs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      c1: Double,
+      c2: Double,
+      rates: Map[String, Double] = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+      salt: String = ""): DataFrame = {
+    require(c1 <= c2, "cutoffs must be ordered")
+    val scored = unigramSurprisal(docs, idCol, textCol)
+      .withColumn("bucket",
+        when(col("surprisal") < c1, "head")
+          .when(col("surprisal") < c2, "middle")
+          .otherwise("tail"))
+    bucketKeep(scored, rates, salt)
+      .select("doc_id", "surprisal", "bucket", "keep")
+  }
+
+  /** Shared keep rule: per-bucket rate through the [[Selection.hashSample]]
+    * key-hash (buckets absent from `rates` keep nothing).
+    */
+  private def bucketKeep(scored: DataFrame, rates: Map[String, Double], salt: String): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (b, r)) =>
+      when(col("bucket") === b, lit(r)).otherwise(acc)
+    }
+    scored.withColumn("keep",
+      pmod(Text.md5Hash64(concat(col("doc_id").cast("string"), lit(salt))), lit(10000)) <
+        floor(rate * 10000.0 + 0.5))
+  }
+
   /** Gopher-style repetition gate (Rae et al. 2021 §A1.1 "repetitious
     * text"): per-doc mass fractions of the single most frequent unigram
     * and 2-gram — the signal that catches "the the the" boilerplate and

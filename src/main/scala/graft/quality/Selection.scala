@@ -166,6 +166,47 @@ object Selection {
     df.join(broadcast(picked), col(idCol).cast("long") === col("__picked_id"), "left_semi")
   }
 
+  /** Per-stratum cap: keep the `k` BEST rows of each stratum by
+    * `scoreCol` (ties to the lower id) — the per-domain document cap of a
+    * web-corpus pipeline (bound any one domain's share of the corpus,
+    * keeping its highest-quality pages), and the generic "top-k per
+    * group" curation primitive. Equivalent to
+    * `row_number() OVER (PARTITION BY strata ORDER BY score DESC, id) <= k`
+    * but WITHOUT the per-stratum sort window: same map-side-bounded
+    * k-heap aggregate + broadcast semi-join shape as
+    * [[stratifiedSample]] — the exchange carries O(k) rows per stratum
+    * per partition and the full-width corpus never shuffles. (Beyond
+    * broadcastable |strata| x k winners, swap the pick-up join to a
+    * shuffle semi-join; the heap side is unchanged.)
+    *
+    * `scoreCol` must be numeric and deterministic; null scores are
+    * excluded (a null can't rank). `idCol` integral, as for the other
+    * heap samplers (see [[requireIntegralId]]).
+    */
+  def capPerStratum(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    requireIntegralId(df, idCol, "capPerStratum")
+    val picked = df
+      .filter(col(scoreCol).isNotNull)
+      .select(strataCols.map(col) :+ col(idCol).cast("long").as("__id") :+
+        col(scoreCol).cast("double").as("__score"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(org.apache.spark.sql.graftnative.NativeColumns
+        .topKByScore(col("__score"), col("__id"), k).as("__tk"))
+      .select(strataCols.map(c => col(c).as(s"__s_$c")) :+
+        explode(col("__tk")).as("__e"): _*)
+      .select(strataCols.map(c => col(s"__s_$c")) :+
+        col("__e.id").as("__picked_id"): _*)
+    val cond = strataCols.map(c => df(c) <=> picked(s"__s_$c"))
+      .foldLeft(df(idCol).cast("long") === picked("__picked_id"))(_ && _)
+    df.join(broadcast(picked), cond, "left_semi")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
     * standard pre-training batching step (concatenate ~`budget` tokens per
     * training sequence). Deterministic streaming assignment: docs are

@@ -1086,6 +1086,142 @@ object TrainingQueries {
       LEFT JOIN uf ON b.doc_id = uf.doc_id
       LEFT JOIN bf ON b.doc_id = bf.doc_id"""))
 
+  /** Interpolated bigram-LM surprisal (lambda = 0.7): DuckDB rebuilds the
+    * unigram + bigram tables and the exact interpolation arithmetic —
+    * `1 - 0.7` interpolates as the exact Scala double 0.30000000000000004
+    * so both expression trees are bit-identical (the decimal(38,3) log2
+    * quantization absorbs any last-ulp libm divergence, as in
+    * [[textSurprisal]]).
+    */
+  private val bigramSurprisalQ = Q(
+    "text_bigram_surprisal",
+    (s, d) => graft.quality.Scoring.bigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      tk AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      uni AS (SELECT w, COUNT(*) AS cu FROM tk GROUP BY w),
+      tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+      px AS (SELECT doc_id, ws,
+          unnest(CASE WHEN len(ws) >= 2 THEN range(1, len(ws)) ELSE [] END) AS i FROM w),
+      pr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM px),
+      bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY 1, 2),
+      sc AS (SELECT doc_id,
+          -log2(0.7 * (CAST(cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)) +
+            ${1 - 0.7} * (CAST(u2.cu AS DOUBLE) / CAST(total AS DOUBLE))) AS t
+        FROM pr JOIN bi USING (w1, w2)
+        JOIN uni u1 ON pr.w1 = u1.w
+        JOIN uni u2 ON pr.w2 = u2.w
+        CROSS JOIN tot)
+      SELECT doc_id,
+        CAST(SUM(CAST(t AS DECIMAL(38,3))) AS DOUBLE) / COUNT(*) AS surprisal,
+        COUNT(*) AS n_bigrams
+      FROM sc GROUP BY doc_id"""))
+
+  /** fastText-shaped hashed linear classifier: DuckDB recomputes the
+    * two-level md5 bucket/weight derivation and the exact-integer score
+    * sum — every weight is a long, so score_int must match bit-for-bit
+    * and the single final division is IEEE-identical.
+    */
+  private val classifierScoreQ = Q(
+    "quality_classifier_score",
+    (s, d) => graft.quality.Scoring.hashedClassifierScore(
+      Tables.documents(s, d), "doc_id", "text", dim = 256, seed = "s0"),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      f AS (SELECT doc_id, list_concat(ws, CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+          ELSE [] END) AS feats FROM w),
+      sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+          CAST(COALESCE(list_sum(list_transform(feats, g ->
+            ('0x' || substr(md5('w' || 's0' ||
+              CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS VARCHAR)), 1, 15))::BIGINT
+              % 2001 - 1000)), 0) AS BIGINT) AS score_int
+        FROM f)
+      SELECT doc_id, n_features, score_int,
+        CASE WHEN n_features > 0
+          THEN CAST(score_int AS DOUBLE) / (1000.0 * CAST(n_features AS DOUBLE))
+          ELSE 0.0 END AS score,
+        (n_features > 0 AND CASE WHEN n_features > 0
+          THEN CAST(score_int AS DOUBLE) / (1000.0 * CAST(n_features AS DOUBLE))
+          ELSE 0.0 END >= 0.0) AS keep
+      FROM sc"""))
+
+  /** CCNet head/middle/tail perplexity bucketing: the bucket assignment is
+    * an exact row_number rank (ties to doc_id) and the keep rule is the
+    * md5 hash-sample — both engines reproduce the kept set row-for-row.
+    */
+  private val perplexityBucketsQ = Q(
+    "sel_perplexity_buckets",
+    (s, d) => graft.quality.Scoring.perplexityBuckets(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+      v AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+      sc0 AS (SELECT doc_id, -log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS t
+        FROM tk JOIN v USING (w) CROSS JOIN tot),
+      sc AS (SELECT doc_id,
+          CAST(SUM(CAST(t AS DECIMAL(38,3))) AS DOUBLE) / COUNT(*) AS surprisal
+        FROM sc0 GROUP BY doc_id),
+      n AS (SELECT COUNT(*) AS n FROM sc),
+      rk AS (SELECT doc_id, surprisal,
+          row_number() OVER (ORDER BY surprisal, doc_id) AS rn FROM sc),
+      bk AS (SELECT doc_id, surprisal,
+          CASE WHEN rn * 3 <= n THEN 'head'
+               WHEN rn * 3 <= 2 * n THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM rk CROSS JOIN n)
+      SELECT doc_id, surprisal, bucket,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 15))::BIGINT % 10000 <
+          CAST(FLOOR(CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+            ELSE 0.1 END * 10000.0 + 0.5) AS BIGINT) AS keep
+      FROM bk"""))
+
+  /** Per-domain top-10 cap by quality score — heap + broadcast semi-join
+    * on the engine side, a PARTITION BY window in DuckDB; the kept sets
+    * must agree row-for-row (ties to the lower doc_id on both).
+    */
+  private val domainCapQ = Q(
+    "sel_domain_cap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("q", Text.qualityScore(col("text")))
+      graft.quality.Selection
+        .capPerStratum(docs, Seq("source"), "doc_id", "q", k = 10)
+        .select("doc_id", "source", "q")
+    },
+    Some(s"""WITH q AS (SELECT doc_id, source, ${QSql.score} AS q FROM documents),
+      rk AS (SELECT doc_id, source, q,
+          row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM q)
+      SELECT doc_id, source, q FROM rk WHERE rn <= 10"""))
+
+  /** Span coverage (k = 3, cross-doc df >= 2): DuckDB rebuilds the
+    * position-annotated posting lists and the covered-position distinct;
+    * counts and the single coverage division must match exactly.
+    */
+  private val spanCoverageQ = Q(
+    "dedup_span_coverage",
+    (s, d) => Dedup.spanCoverage(Tables.documents(s, d), "doc_id", "text", k = 3),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      px AS (SELECT doc_id, ws,
+          unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i FROM w),
+      pg AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(list_slice(ws, i, i + 2), ' ') AS gram FROM px),
+      dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY gram),
+      dup AS (SELECT gram FROM dfq WHERE df >= 2),
+      cov0 AS (SELECT doc_id, unnest(range(pos, pos + 3)) AS p
+        FROM pg JOIN dup USING (gram)),
+      cc AS (SELECT doc_id, COUNT(*) AS covered_words
+        FROM (SELECT DISTINCT doc_id, p FROM cov0) GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS word_count FROM w)
+      SELECT b.doc_id, b.word_count,
+        CAST(COALESCE(cc.covered_words, 0) AS BIGINT) AS covered_words,
+        CASE WHEN b.word_count > 0
+          THEN CAST(COALESCE(cc.covered_words, 0) AS DOUBLE) / CAST(b.word_count AS DOUBLE)
+          ELSE 0.0 END AS coverage_frac,
+        (CASE WHEN b.word_count > 0
+          THEN CAST(COALESCE(cc.covered_words, 0) AS DOUBLE) / CAST(b.word_count AS DOUBLE)
+          ELSE 0.0 END) <= 0.3 AS keep
+      FROM base b LEFT JOIN cc ON b.doc_id = cc.doc_id"""))
+
   /** Sketch-based distinct for 100 TB cardinalities (SURVEY §2.8 notes
     * exact count-distinct suffices for parity; this is the documented
     * at-scale alternative). HLL sketches differ across engines, so the raw
@@ -1605,7 +1741,8 @@ object TrainingQueries {
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simIvfKmeans, simLsh,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
-    tfidfTopTermsQ,
+    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
+    spanCoverageQ,
     approxDistinct, redactPii, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,

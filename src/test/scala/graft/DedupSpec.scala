@@ -153,6 +153,25 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("spanCoverage: overlapping duplicated windows cover positions once") {
+    val docs = Seq(
+      (1L, "m n o n o"), // windows: "m n o"(0) "n o n"(1) "o n o"(2) — all cross-doc dup
+      (2L, "m n o"),     // "m n o"(0) shared with doc 1
+      (3L, "n o n o x"), // "n o n"(0) "o n o"(1) dup; "n o x"(2) unique
+      (4L, "q r")        // too short for k=3: zero windows
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanCoverage(docs, "doc_id", "text", k = 3, maxFrac = 0.9)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))))
+      .toMap
+    // doc 1: three overlapping dup windows cover positions 0..4 ONCE -> 5 of 5
+    assert(r(1L) == ((5L, 5L, 1.0, false)))
+    assert(r(2L) == ((3L, 3L, 1.0, false)))
+    // doc 3: windows at 0 and 1 cover positions 0..3 -> 4 of 5
+    assert(r(3L) == ((5L, 4L, 0.8, true)))
+    assert(r(4L) == ((2L, 0L, 0.0, true)))
+  }
+
   test("exact: duplicate text collapses to min id with copy count") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exact(docs, "doc_id", "text")

@@ -441,6 +441,91 @@ class SelectionSpec extends SparkSpec {
     assert(!r.contains(3L)) // no tokens -> no row
   }
 
+  test("bigramSurprisal: hand-computed corpus, sub-2-word docs absent") {
+    // tokens: a:3 b:2 c:1, T=6; pairs: doc1 (a,a),(a,b); doc2 (a,b); doc3 none
+    // bigram counts: (a,a):1, (a,b):2
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val lam = 0.7
+    def q3(t: Double): Double =
+      BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tAA = q3(-math.log(lam * (1.0 / 3.0) + (1 - lam) * (3.0 / 6.0)) / math.log(2))
+    val tAB = q3(-math.log(lam * (2.0 / 3.0) + (1 - lam) * (2.0 / 6.0)) / math.log(2))
+    val r = graft.quality.Scoring.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id", "surprisal", "n_bigrams").as[(Long, Double, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(math.abs(r(1L)._1 - (tAA + tAB) / 2) < 1e-9 && r(1L)._2 == 2)
+    assert(math.abs(r(2L)._1 - tAB) < 1e-9 && r(2L)._2 == 1)
+    assert(!r.contains(3L), "single-word doc has no bigrams")
+  }
+
+  test("hashedClassifierScore: bounds, empty doc, determinism, keep rule") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "zeta eta theta"),
+      (4L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val r = graft.quality.Scoring.hashedClassifierScore(docs, "doc_id", "text")
+      .select("doc_id", "n_features", "score", "keep").as[(Long, Long, Double, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    r.values.foreach { case (_, _, s, _) => assert(s >= -1.0 && s <= 1.0) }
+    assert(r(2L)._2 == 0 && r(2L)._3 == 0.0 && !r(2L)._4, "no features: score 0, dropped")
+    r.filter(_._2._2 > 0).values.foreach { case (_, _, s, k) =>
+      assert(k == (s >= 0.0), "keep thresholds the linear score")
+    }
+    // pure function of (text, dim, seed): partitioning-invariant, and a
+    // different seed draws a different implicit weight vector
+    val again = graft.quality.Scoring
+      .hashedClassifierScore(docs.repartition(3), "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(r.keys.forall(id => again(id) == r(id)._3))
+    val reseeded = graft.quality.Scoring
+      .hashedClassifierScore(docs, "doc_id", "text", seed = "s1")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(r.filter(_._2._2 > 0).keys.exists(id => reseeded(id) != r(id)._3))
+  }
+
+  test("perplexityBuckets: tertile sizes, head kept whole, cutoff form agrees") {
+    // 9 docs with strictly increasing surprisal: doc i repeats a unique
+    // word, plus common filler — strictly different vocab rarity per doc
+    val docs = (1 to 9).map { i =>
+      (i.toLong, (Seq.fill(10 - i)("common") ++ Seq(s"rare$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = graft.quality.Scoring.perplexityBuckets(docs, "doc_id", "text")
+    val byBucket = r.select("bucket").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    assert(r.filter(col("bucket") === "head" && !col("keep")).count() == 0,
+      "head rate 1.0 keeps everything")
+    // cutoffs chosen between the tertile boundary scores reproduce the
+    // rank-based assignment exactly (scores are strictly distinct here)
+    val scores = r.orderBy("surprisal").select("surprisal").as[Double].collect()
+    val c1 = (scores(2) + scores(3)) / 2
+    val c2 = (scores(5) + scores(6)) / 2
+    val byCut = graft.quality.Scoring
+      .perplexityBucketsByCutoffs(docs, "doc_id", "text", c1, c2)
+      .select("doc_id", "bucket", "keep").as[(Long, String, Boolean)].collect().toSet
+    val byRank = r.select("doc_id", "bucket", "keep").as[(Long, String, Boolean)]
+      .collect().toSet
+    assert(byCut == byRank)
+  }
+
+  test("capPerStratum: differential vs row_number window, nulls excluded, k >= group keeps all") {
+    // deliberate score ties inside strata: the heap's tie rule must match
+    // ORDER BY score DESC, id
+    val df = (1L to 200L).map(i => (i, s"g${i % 5}", (i % 7).toDouble))
+      .toDF("id", "g", "score")
+      .unionByName(Seq((900L, "g0", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "g", "score"))
+    val capped = graft.quality.Selection.capPerStratum(df, Seq("g"), "id", "score", k = 6)
+      .select("id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val expected = df.filter(col("score").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 6)
+      .select("id").as[Long].collect().toSet
+    assert(capped == expected)
+    assert(!capped.contains(900L), "null score cannot rank")
+    assert(graft.quality.Selection.capPerStratum(df, Seq("g"), "id", "score", k = 1000)
+      .count() == 200, "k beyond group size keeps every scored row")
+  }
+
   test("stratifiedSample: exactly min(k, n) per stratum, partitioning-independent") {
     // stratum a: 100 rows, stratum b: 3 rows (fewer than k)
     val df = ((1L to 100L).map(i => (i, "a")) ++ Seq((201L, "b"), (202L, "b"), (203L, "b")))
