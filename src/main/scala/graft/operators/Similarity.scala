@@ -49,6 +49,19 @@ object Similarity {
     def assign(vec: Column): Column =
       element_at(cellIds,
         array_position(scores(vec), array_max(scores(vec))).cast("int"))
+
+    /** Argmax as the 1-based POSITION in cell_id order (the PQ code form:
+      * a centroid's index, not its id) — same tie rule as [[assign]]
+      * (first position of the max == lowest cell_id).
+      */
+    def assignPos(vec: Column): Column =
+      array_position(scores(vec), array_max(scores(vec))).cast("int")
+
+    /** Array of dot(vec, centroid_i) in cell_id order — the per-query ADC
+      * lookup table of [[graft.operators.Similarity.pqTopK]].
+      */
+    def dots(vec: Column): Column =
+      array(cells.map { case (_, cv) => Vectors.dot(vec, typedLit(cv)) }: _*)
   }
 
   private[graft] def collectCentroids(centroids: DataFrame): CentroidLits =
@@ -343,5 +356,113 @@ object Similarity {
       .join(c, "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
+  }
+
+  /** Per-subspace PQ codebooks: split the `dim`-dimensional space into `m`
+    * contiguous `dim/m`-wide subspaces and train `ksub` codewords in each
+    * with the SAME deterministic [[kmeansCentroids]] recipe (seed = first
+    * `ksub` corpus rows' subvectors, optional Lloyd refinement) — spherical
+    * quantization per subspace, matching the cosine/dot metric of the rest
+    * of the ANN family. Returned in subspace order; each codebook is
+    * driver-small ([[CentroidLits]]) by construction.
+    */
+  private[graft] def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      kmeansIters: Int): IndexedSeq[CentroidLits] = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim ($dim % $m != 0)")
+    require(ksub >= 1, "ksub must be >= 1")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as(vecCol))
+      collectCentroids(kmeansCentroids(sub, idCol, vecCol, ksub, kmeansIters))
+    }
+  }
+
+  /** PRODUCT-QUANTIZATION encoding (Jégou et al. 2011): each vector
+    * compresses to `m` small integers — the 1-based index of its nearest
+    * codeword per subspace (nearest by subspace cosine, argmax ties to the
+    * lowest codeword index). Output: (id, codes array<int>).
+    *
+    * THIS is the ANN memory story at 100 TB: a 64-dim float32 embedding is
+    * 256 bytes; its m=4 x ksub<=256 PQ code is 4 BYTES — the whole corpus
+    * index fits where 1/64th of the raw vectors would, and candidate
+    * scoring ([[pqTopK]]'s ADC) reads only codes. The encode itself is a
+    * pure literal-codebook PROJECTION over the scan (the [[CentroidLits]]
+    * shape: no join, no shuffle), one pass, written once as the
+    * index-at-rest.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      kmeansIters: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, kmeansIters)
+    val subDim = dim / m
+    corpus.select(col(idCol).as("vec_id"),
+      array((0 until m).map { j =>
+        books(j).assignPos(slice(col(vecCol), j * subDim + 1, subDim))
+      }: _*).as("codes"))
+  }
+
+  /** PQ top-k with ASYMMETRIC DISTANCE COMPUTATION: corpus vectors are
+    * scored against a query through their PQ codes only — approx
+    * dot(q, x) = sum_j dot(q_j, codeword_j(x)) — then the top
+    * `refine * k` candidates re-rank by exact float cosine (the
+    * [[quantizedTopK]] two-phase shape; the refine margin absorbs both
+    * quantization error and the dot-vs-cosine metric gap, which vanishes
+    * on normalized embeddings).
+    *
+    * Per query the `m` codeword dot-product tables (m x ksub doubles)
+    * are computed ONCE as literal-codebook projections; candidate scoring
+    * is then `m` array lookups + a fixed left-associated sum per pair —
+    * no float vector is touched until the re-rank. Phase 1 reads
+    * (id, codes): ~dim/m x 4-byte-int compression of the scan relative
+    * to [[quantizedTopK]]'s int8 pass, with the same quadratic pairing —
+    * this form is the correctness baseline; at scale the identical ADC
+    * scoring runs inside IVF's probed cells (compose as
+    * [[ivfQuantizedTopK]] does with int8).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      refine: Int = 3,
+      kmeansIters: Int = 0): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, kmeansIters)
+    val subDim = dim / m
+    val enc = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map { j =>
+        books(j).assignPos(slice(col(vecCol), j * subDim + 1, subDim)).as(s"__c$j")
+      }: _*)
+    val luts = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map { j =>
+        books(j).dots(slice(col(vecCol), j * subDim + 1, subDim)).as(s"__l$j")
+      }: _*)
+    val approx = luts
+      .crossJoin(enc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        (0 until m).map(j => element_at(col(s"__l$j"), col(s"__c$j"))).reduce(_ + _))
+    val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
+    val rescored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    rankTopK(rescored, k)
   }
 }

@@ -65,6 +65,39 @@ object TrainingQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Subspace-range dot/cosine mirroring the PQ slices: elements
+    * [off+1, off+n] of both FULL arrays — the Spark side slices the
+    * subvector out first, but the element sequence and left association
+    * are identical, so the doubles match bit-for-bit.
+    */
+  private def dotSqlRange(a: String, b: String, off: Int, n: Int): String =
+    (1 to n).foldLeft("0.0")((acc, t) =>
+      s"($acc + (CAST($a[${off + t}] AS DOUBLE) * CAST($b[${off + t}] AS DOUBLE)))")
+
+  private def cosSqlRange(a: String, b: String, off: Int, n: Int): String =
+    s"(${dotSqlRange(a, b, off, n)} / (sqrt(${dotSqlRange(a, a, off, n)}) * sqrt(${dotSqlRange(b, b, off, n)})))"
+
+  /** Shared PQ CTEs (m = 4 subspaces x 16 dims, ksub = 4, kmeansIters = 0):
+    * the codebook is the first 4 corpus rows in vec_id order (cpos = the
+    * 1-based codeword index, the PQ code value), and enc{j} assigns every
+    * vector's subspace-j slice to its nearest codeword by subspace cosine,
+    * argmax ties to the lowest cpos — exactly
+    * [[graft.operators.Similarity.CentroidLits.assignPos]].
+    */
+  private val pqM = 4
+  private val pqSub = Dim / pqM
+  private def pqCtes: String = {
+    val encs = (0 until pqM).map { j =>
+      s"""enc$j AS (SELECT vec_id, cpos AS code FROM (
+          SELECT e.vec_id, c.cpos, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSqlRange("e.embedding", "c.cw", j * pqSub, pqSub)} DESC, c.cpos ASC) AS rn
+          FROM embeddings e CROSS JOIN cb c) t WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""cb AS (SELECT embedding AS cw, row_number() OVER (ORDER BY vec_id) AS cpos
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) s),
+      $encs"""
+  }
+
   /** Hyperplane-LSH band bucket mirroring
     * [[graft.functions.Vectors.hyperplaneBucketAt]]: plane weights are the
     * same deterministic grid over GLOBAL plane ids (offset + p), projections
@@ -913,6 +946,67 @@ object TrainingQueries {
           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         FROM cand) t WHERE rn <= 5"""))
 
+  /** PQ encode: the 4-byte-per-vector compressed index-at-rest. The codes
+    * are scalar columns (not an array) so the dtype-strict hash compare
+    * sees plain BIGINTs on both engines.
+    */
+  private val simPqEncode = Q(
+    "sim_pq_encode",
+    (s, d) => Similarity
+      .pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = Dim, m = pqM, ksub = 4)
+      .select(col("vec_id") +:
+        (0 until pqM).map(j => element_at(col("codes"), j + 1).cast("long").as(s"code$j")): _*),
+    Some(s"""WITH $pqCtes
+      SELECT e0.vec_id, e0.code AS code0, e1.code AS code1, e2.code AS code2, e3.code AS code3
+      FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+      JOIN enc3 e3 USING (vec_id)"""))
+
+  /** PQ-ADC top-k: DuckDB recomputes the codebooks, the per-vector codes,
+    * the per-query codeword dot tables, the 4-term left-associated ADC sum,
+    * and both rankings (approx desc + neighbor_id, then exact cosine) —
+    * the kept neighbor sets and exact cosines must match row-for-row.
+    */
+  private val simPqTopK = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        dim = Dim, m = pqM, ksub = 4, k = 5, refine = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some {
+      val luts = (0 until pqM).map(j =>
+        s"${dotSqlRange("q.embedding", "c.cw", j * pqSub, pqSub)} AS d$j").mkString(", ")
+      val adc = "(((l0.d0 + l1.d1) + l2.d2) + l3.d3)"
+      s"""WITH $pqCtes,
+        e4 AS (SELECT e0.vec_id, e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
+          FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+          JOIN enc3 e3 USING (vec_id)),
+        l AS (SELECT q.vec_id AS query_id, c.cpos, $luts
+          FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 10),
+        ax AS (SELECT l0.query_id, e4.vec_id AS neighbor_id, $adc AS ascore
+          FROM e4
+          JOIN l l0 ON l0.cpos = e4.c0
+          JOIN l l1 ON l1.cpos = e4.c1 AND l1.query_id = l0.query_id
+          JOIN l l2 ON l2.cpos = e4.c2 AND l2.query_id = l0.query_id
+          JOIN l l3 ON l3.cpos = e4.c3 AND l3.query_id = l0.query_id
+          WHERE l0.query_id <> e4.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS rn
+            FROM ax) t WHERE rn <= 15),
+        resc AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("q.embedding", "c.embedding")} AS cosine
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.query_id
+          JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM resc) t WHERE rn <= 5"""
+    })
+
   private val simLsh = Q(
     "sim_lsh_topk",
     (s, d) => {
@@ -1739,7 +1833,7 @@ object TrainingQueries {
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
-    simIvfQuantized, simIvfKmeans, simLsh,
+    simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,

@@ -304,6 +304,49 @@ class DedupSpec extends SparkSpec {
     assert(quant == brute)
   }
 
+  test("pqEncode/pqTopK: codes bounded, deterministic; degenerate PQ is exact; real PQ has recall") {
+    // NORMALIZED vectors: dot == cosine, so ADC ranking error comes from
+    // quantization alone
+    val vecs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i + 300)
+      val raw = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+
+    // codes are 1..ksub, one per subspace, invariant under repartitioning
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", dim = 16, m = 4, ksub = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(enc.size == 60 && enc.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 1 && c <= 4)))
+    val enc2 = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(enc2 == enc, "codes are a pure function of (vector, codebook)")
+
+    // DEGENERATE exactness: m=1, ksub=|corpus|, iters=0 makes every vector
+    // its own codeword — ADC approx dot IS the exact dot, and on normalized
+    // vectors dot ranking == cosine ranking, so PQ == brute force exactly
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val degenerate = pairs(Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      dim = 16, m = 1, ksub = 60, k = 3, refine = 1))
+    assert(degenerate == brute)
+
+    // real compression (4x4 codebooks): generous refine recovers most of
+    // the true top-3; Lloyd refinement must not error or collapse recall
+    def recall(r: Set[(Long, Long, Int)]): Double =
+      (r.map(t => (t._1, t._2)) intersect brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    val pq = pairs(Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, k = 3, refine = 8))
+    assert(recall(pq) >= 0.5, s"PQ recall collapsed: ${recall(pq)} of $brute vs $pq")
+    val pqLloyd = pairs(Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, k = 3, refine = 8, kmeansIters = 1))
+    assert(recall(pqLloyd) >= 0.5)
+  }
+
   test("ivfQuantizedTopK: all cells probed + full refine equals brute force; probing is sub-quadratic-shaped") {
     val vecs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i + 100)

@@ -31,12 +31,14 @@ class PlanSpec extends SparkSpec {
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition, and the quantized two-phase variant scans the
     * same product, just 4x narrower int8 rows — both are correctness
-    * baselines. Every IVF/kmeans path now inlines centroids as literals
-    * (Similarity.CentroidLits), so `sim_ivf_topk` plans keyed joins only
-    * and left this set in round 6.
+    * baselines, as is the standalone PQ-ADC pass (same pairing over
+    * (id, codes) rows; its scale form runs the identical ADC scoring
+    * inside IVF cells). Every IVF/kmeans path now inlines centroids as
+    * literals (Similarity.CentroidLits), so `sim_ivf_topk` plans keyed
+    * joins only and left this set in round 6.
     */
   private val intentionallyUnkeyed =
-    Set("sim_bruteforce_topk", "sim_quantized_topk")
+    Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_pq_topk")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)
