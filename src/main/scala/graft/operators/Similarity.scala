@@ -465,4 +465,71 @@ object Similarity {
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)
   }
+
+  /** IVF + PQ: the production ANN composition at 100 TB (the FAISS
+    * IVFPQ shape) — coarse quantization bounds WHICH rows a query
+    * scores ([[ivfTopK]]'s probed cells, an equi join), product
+    * quantization bounds WHAT phase 1 reads per row (the m-int code,
+    * not the vector). The index-at-rest is (id, cell_id, codes):
+    * ~8 bytes a row where the raw float row is 256 — small enough to
+    * stay resident at corpus scales where even the int8 form
+    * ([[ivfQuantizedTopK]], 64 B) has to spill to scan. Phase 1 scores
+    * candidates by ADC exactly as [[pqTopK]] (per-query literal LUTs
+    * computed ONCE before the probe explode, then m array lookups per
+    * pair); phase 2 re-ranks the surviving `refine * k` rows by exact
+    * float cosine. All joins keyed — no nested loop anywhere
+    * (scalatest-asserted like [[ivfQuantizedTopK]]).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int,
+      refine: Int = 3,
+      kmeansIters: Int = 0,
+      pqIters: Int = 0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    require(refine >= 1, "refine must be >= 1")
+    val cents = collectCentroids(
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    val subDim = dim / m
+    // index-at-rest: one pass over the scan emits (id, cell, m codes)
+    val corpusCells = corpus.select(
+      col(idCol).as("neighbor_id") +: cents.assign(col(vecCol)).as("cell_id") +:
+        (0 until m).map { j =>
+          books(j).assignPos(slice(col(vecCol), j * subDim + 1, subDim)).as(s"__c$j")
+        }: _*)
+    // query side: LUTs projected BEFORE the probe explode (computed once
+    // per query, carried into each of the nProbe probe rows)
+    val queryCells = {
+      val w = Window.partitionBy("query_id").orderBy(col("__cs").desc, col("pos"))
+      queries
+        .select(col(idCol).as("query_id") +:
+          (0 until m).map { j =>
+            books(j).dots(slice(col(vecCol), j * subDim + 1, subDim)).as(s"__l$j")
+          } :+ posexplode(cents.scores(col(vecCol))).as(Seq("pos", "__cs")): _*)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nProbe)
+        .select(col("query_id") +: (0 until m).map(j => col(s"__l$j")) :+
+          element_at(cents.cellIds, (col("pos") + 1).cast("int")).as("cell_id"): _*)
+    }
+    val approx = queryCells
+      .join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        (0 until m).map(j => element_at(col(s"__l$j"), col(s"__c$j"))).reduce(_ + _))
+    val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
+    val rescored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    rankTopK(rescored, k)
+  }
 }

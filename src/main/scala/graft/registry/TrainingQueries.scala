@@ -1007,6 +1007,64 @@ object TrainingQueries {
           FROM resc) t WHERE rn <= 5"""
     })
 
+  /** IVF + PQ (the FAISS-IVFPQ shape): coarse cells bound the pairing,
+    * PQ codes bound the read — DuckDB recomputes both quantizers, the
+    * probe choice, the ADC sum and both rankings. Keyed joins only on
+    * the engine side (scalatest-asserted).
+    */
+  private val simIvfPq = Q(
+    "sim_ivf_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        dim = Dim, m = pqM, ksub = 4, nCentroids = 8, nProbe = 2, k = 5, refine = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some {
+      val luts = (0 until pqM).map(j =>
+        s"${dotSqlRange("q.embedding", "c.cw", j * pqSub, pqSub)} AS d$j").mkString(", ")
+      val adc = "(((l0.d0 + l1.d1) + l2.d2) + l3.d3)"
+      s"""WITH $pqCtes,
+        c0 AS (SELECT vec_id AS ccell, embedding AS ccw
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) s),
+        sc0 AS (SELECT e.vec_id, c.ccell, ${cosSql("e.embedding", "c.ccw")} AS cs
+          FROM embeddings e CROSS JOIN c0 c),
+        corp AS (SELECT vec_id, ccell FROM (
+            SELECT vec_id, ccell, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cs DESC, ccell ASC) AS rn FROM sc0) t WHERE rn = 1),
+        qc AS (SELECT vec_id AS query_id, ccell FROM (
+            SELECT vec_id, ccell, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cs DESC, ccell ASC) AS rn FROM sc0 WHERE vec_id < 10) t
+          WHERE rn <= 2),
+        e4 AS (SELECT e0.vec_id, e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
+          FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+          JOIN enc3 e3 USING (vec_id)),
+        l AS (SELECT q.vec_id AS query_id, c.cpos, $luts
+          FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 10),
+        ax AS (SELECT qc.query_id, corp.vec_id AS neighbor_id, $adc AS ascore
+          FROM qc
+          JOIN corp ON corp.ccell = qc.ccell
+          JOIN e4 ON e4.vec_id = corp.vec_id
+          JOIN l l0 ON l0.query_id = qc.query_id AND l0.cpos = e4.c0
+          JOIN l l1 ON l1.query_id = qc.query_id AND l1.cpos = e4.c1
+          JOIN l l2 ON l2.query_id = qc.query_id AND l2.cpos = e4.c2
+          JOIN l l3 ON l3.query_id = qc.query_id AND l3.cpos = e4.c3
+          WHERE qc.query_id <> corp.vec_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS rn
+            FROM ax) t WHERE rn <= 15),
+        resc AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("q.embedding", "c.embedding")} AS cosine
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.query_id
+          JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM resc) t WHERE rn <= 5"""
+    })
+
   private val simLsh = Q(
     "sim_lsh_topk",
     (s, d) => {
@@ -1833,7 +1891,7 @@ object TrainingQueries {
     dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
-    simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK,
+    simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,

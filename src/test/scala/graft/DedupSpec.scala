@@ -347,6 +347,34 @@ class DedupSpec extends SparkSpec {
     assert(recall(pqLloyd) >= 0.5)
   }
 
+  test("ivfPqTopK: degenerate PQ + all cells probed equals brute force; keyed joins only") {
+    val vecs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i + 300)
+      val raw = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    // every cell probed + every-vector-its-own-codeword PQ: phase 1 scores
+    // the exact dot for every candidate, so the composition IS brute force
+    // (normalized vectors make dot ranking == cosine ranking)
+    val exact = pairs(Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      dim = 16, m = 1, ksub = 60, nCentroids = 6, nProbe = 6, k = 3, refine = 1))
+    assert(exact == brute)
+    // real compression + real probing stays keyed end to end and keeps recall
+    val probed = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, nCentroids = 6, nProbe = 3, k = 3, refine = 8)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ivfPqTopK must plan keyed joins only:\n$plan")
+    val got = pairs(probed).map(t => (t._1, t._2))
+    assert(got.nonEmpty && (got intersect brute.map(t => (t._1, t._2))).nonEmpty)
+  }
+
   test("ivfQuantizedTopK: all cells probed + full refine equals brute force; probing is sub-quadratic-shaped") {
     val vecs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i + 100)
