@@ -1884,6 +1884,50 @@ object TrainingQueries {
     },
     ParityQueries.asOfOracle)
 
+  /** Streaming LSH ingest over the standard 25-doc mutated batch, split
+    * into two micro-batches (maxFilesPerTrigger = 1): pairs are emitted
+    * exactly once — when the LATER doc arrives — so after the drain the
+    * normalized pair set equals the batch md5-LSH pair set restricted to
+    * pairs touching a new doc, which is what DuckDB recomputes. The
+    * output normalizes orientation (least/greatest) to stay independent
+    * of micro-batch file ordering.
+    */
+  private val streamingLshDedup = Q(
+    "streaming_lsh_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_lsh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Tables.documents(s, d).select("doc_id", "text")
+      val ingest = corpus.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xq")).as("text"))
+      Dedup.minhashBuckets(corpus, "doc_id", "text",
+        n = 3, k = 64, bands = 16, shingleHash = Dedup.Md5ShingleHash)
+        .write.parquet(s"$base/state/buckets")
+      corpus.write.parquet(s"$base/state/docs")
+      ingest.filter(col("doc_id") < 100013).coalesce(1).write.parquet(s"$base/in")
+      ingest.filter(col("doc_id") >= 100013).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.lshDedupAvailableNow(stream,
+        s"$base/state", s"$base/out", s"$base/ckpt", "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5,
+        shingleHash = Dedup.Md5ShingleHash)
+        .awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(least(col("new_id"), col("corpus_id")).as("doc_id_1"),
+          greatest(col("new_id"), col("corpus_id")).as("doc_id_2"),
+          col("jaccard"))
+    },
+    Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
+        cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+          FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id AND y.doc_id >= 100000),
+        ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
@@ -1900,5 +1944,5 @@ object TrainingQueries {
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingAsOfEnrich)
+    streamingAsOfEnrich, streamingLshDedup)
 }

@@ -159,6 +159,67 @@ object Streams {
       }
       .start()
 
+  /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
+    * LSH-checked against the persisted bucket index
+    * ([[graft.operators.Dedup.minhashBuckets]] at rest under
+    * `statePath/buckets`, document text under `statePath/docs` — the
+    * caller seeds both from the existing corpus), then APPENDS its own
+    * buckets and docs so later batches dedup against it too — the
+    * always-on form of the daily [[graft.operators.Dedup
+    * .minhashLshIncremental]] ingest. Each batch also near-dup-checks
+    * WITHIN itself (lower id plays the corpus role), so after the drain
+    * the emitted pair set is exactly "every new doc x every EARLIER doc
+    * (seed corpus, earlier batch, or same batch with lower id)" —
+    * independent of how the ingest was split into batches when batches
+    * arrive in id order (StreamsSpec proves multi-batch == one-batch).
+    *
+    * Scale contract inherited from the incremental form: only the BATCH
+    * is ever sketched; the corpus contributes its (doc_id, band, bucket)
+    * index rows and is re-read only for docs landing in a shared bucket
+    * — a day's ingest dedups against a 100 TB history without
+    * re-sketching it, and the index grows by exactly the batch's rows.
+    * Pairs land under `outPath/b<batchId>` (append-only, replay-safe:
+    * a replayed batch overwrites its own directory idempotently).
+    */
+  def lshDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.XxShingleHash)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        import graft.operators.Dedup
+        // the batch feeds four consumers (vs-index check, within-batch
+        // check, bucket append, doc append): pin it once
+        val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
+        val index = spark.read.parquet(s"$statePath/buckets")
+        val docs = spark.read.parquet(s"$statePath/docs")
+        val vsCorpus = Dedup.minhashLshIncremental(batch, index, docs,
+          idCol, textCol, n, k, bands, threshold, shingleHash)
+        val within = Dedup.minhashLsh(batch, idCol, textCol,
+          n, k, bands, threshold, shingleHash)
+          .select(col("doc_id_2").as("new_id"), col("doc_id_1").as("corpus_id"),
+            col("jaccard"))
+        vsCorpus.unionByName(within)
+          .write.mode("overwrite").parquet(s"$outPath/b$batchId")
+        Dedup.minhashBuckets(batch, idCol, textCol, n, k, bands, shingleHash)
+          .write.mode("append").parquet(s"$statePath/buckets")
+        batch.write.mode("append").parquet(s"$statePath/docs")
+      }
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: one state entry per key,
     * evicted once the event-time watermark passes `lateness` behind it —
     * the streaming form of [[graft.operators.Dedup.exact]] for an

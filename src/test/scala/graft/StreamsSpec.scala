@@ -91,6 +91,49 @@ class StreamsSpec extends SparkSpec {
     assert(drained.nonEmpty)
   }
 
+  test("lshDedupAvailableNow: multi-batch drain finds exactly the batch LSH pair set; index grows") {
+    val base = "target/tmp/streams_lsh_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    import graft.operators.Dedup
+    // corpus of distinct docs; ingest = near-dup mutations of docs 0..5
+    // (ids 100..105, one appended token) arriving as TWO micro-batches
+    val texts = (0 until 12).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+    val corpus = texts.toDF("doc_id", "text")
+    val ingest = texts.take(6).map { case (i, t) => (i + 100, t + " xq") }
+      .toDF("doc_id", "text")
+    Dedup.minhashBuckets(corpus, "doc_id", "text", n = 3, k = 64, bands = 16)
+      .write.parquet(s"$base/state/buckets")
+    corpus.write.parquet(s"$base/state/docs")
+    val seedBuckets = spark.read.parquet(s"$base/state/buckets").count()
+    ingest.filter($"doc_id" < 103).coalesce(1).write.parquet(s"$base/in")
+    ingest.filter($"doc_id" >= 103).coalesce(1).write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream.schema(ingest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    Streams.lshDedupAvailableNow(stream, s"$base/state", s"$base/out", s"$base/ckpt",
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
+      .awaitTermination()
+    val outDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+    assert(outDirs.length >= 2, s"drain must be genuinely multi-batch: ${outDirs.toSeq}")
+    val drained = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+      .select(least($"new_id", $"corpus_id"), greatest($"new_id", $"corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    // ground truth: the BATCH pair set over corpus + ingest, restricted to
+    // pairs that touch a new doc (ids >= 100 sort above the corpus ids)
+    val batchPairs = Dedup.minhashLsh(corpus.unionByName(ingest), "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .filter($"doc_id_2" >= 100)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(drained == batchPairs, s"streamed $drained vs batch $batchPairs")
+    assert(drained.size >= 6, "every planted mutation must match its source")
+    // the index at rest grew by exactly the ingest's bucket rows
+    val grown = spark.read.parquet(s"$base/state/buckets").count()
+    assert(grown == seedBuckets + 6 * 16, s"seed $seedBuckets -> $grown")
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
