@@ -205,6 +205,45 @@ object Text {
   def urlDomains(text: Column): Column =
     regexp_extract_all(text, lit("https?://([^/ ]+)"), lit(1))
 
+  /** URL canonicalization — the key-normalization step of per-URL corpus
+    * dedup and domain statistics (two crawls of one page must collapse to
+    * one key): drop the #fragment, drop tracking query params
+    * (utm_*, fbclid, gclid, ref) wherever they sit in the query string,
+    * clean the dangling ?/& that removal leaves, lowercase the
+    * scheme+host ONLY (paths are case-significant), strip a leading
+    * `www.`, and strip one trailing slash. A chain of codegen'd
+    * `regexp_replace`s over a URL column — one projection, no shuffle.
+    *
+    * Patterns are RE2-compatible AND avoid group references in
+    * replacements (Spark writes `$1`, RE2 engines write `\1` — the one
+    * syntax that does NOT port), so the identical chain runs in external
+    * SQL engines: host lowering is extract + lower + concat instead of a
+    * backreference.
+    */
+  /** The tracking query params [[canonicalizeUrl]] strips. */
+  private val TrackParams = "(utm_[a-z]+|fbclid|gclid|ref)"
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#[^ ]*", "")
+    // three anchored passes so `href=x` (no [?&] boundary) is never
+    // touched and a removed FIRST param hands its `?` to the next one:
+    //  1. &-prefixed tracking params drop with their `&`;
+    //  2. a ?-prefixed tracking param followed by another param drops,
+    //     the fixed `?` replacement re-anchoring the query string;
+    //  3. a ?-prefixed tracking param at the end drops outright.
+    val noAmp = regexp_replace(noFrag, s"&$TrackParams=[^&# ]*", "")
+    val noFirst = regexp_replace(noAmp, s"\\?$TrackParams=[^&# ]*&", "?")
+    val noLone = regexp_replace(noFirst, s"\\?$TrackParams=[^&# ]*$$", "")
+    val noDangle = regexp_replace(noLone, "[?&]+$", "")
+    val schemeHost = lower(regexp_extract(noDangle, "(?i)^(https?://[^/?#]*)", 1))
+    val rest = regexp_replace(noDangle, "(?i)^https?://[^/?#]*", "")
+    val lowered = concat(schemeHost, rest)
+    val noWww = regexp_replace(
+      regexp_replace(lowered, "^https://www\\.", "https://"),
+      "^http://www\\.", "http://")
+    regexp_replace(noWww, "/$", "")
+  }
+
   /** Sliding-window chunks over a words array: chunk `i` is words
     * `[i*stride, i*stride + size)` joined by single spaces, strides
     * `size - overlap`, and chunks start while any word remains — so the

@@ -1433,6 +1433,47 @@ object TrainingQueries {
     }
   }
 
+  /** Per-URL dedup through canonicalization: the fixture URLs vary case,
+    * www, tracking params and fragments per doc_id but collapse to a
+    * canonical key on (doc_id % 5, % 20, % 10) — 25-copy groups whose
+    * min-id representative and copy count DuckDB recomputes through the
+    * IDENTICAL regex chain (RE2 patterns, no replacement backreferences,
+    * 'g'-flagged to match Spark's replace-all).
+    */
+  private val urlCanonical = Q(
+    "dedup_url_canonical",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(5)),
+        lit(".Example/P"), pmod(col("doc_id"), lit(20)),
+        lit("/?utm_source=x"), col("doc_id"),
+        lit("&id="), pmod(col("doc_id"), lit(10)),
+        lit("#frag"), col("doc_id")).as("url"))
+      .select(col("doc_id"), Text.canonicalizeUrl(col("url")).as("curl"))
+      .groupBy("curl")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
+    Some("""WITH u AS (SELECT doc_id,
+        'HTTPS://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example/P' ||
+        CAST(doc_id % 20 AS VARCHAR) || '/?utm_source=x' || CAST(doc_id AS VARCHAR) ||
+        '&id=' || CAST(doc_id % 10 AS VARCHAR) || '#frag' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      c1 AS (SELECT doc_id, regexp_replace(url, '#[^ ]*', '', 'g') AS u FROM u),
+      c2a AS (SELECT doc_id,
+        regexp_replace(u, '&(utm_[a-z]+|fbclid|gclid|ref)=[^&# ]*', '', 'g') AS u FROM c1),
+      c2b AS (SELECT doc_id,
+        regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&# ]*&', '?', 'g') AS u FROM c2a),
+      c2 AS (SELECT doc_id,
+        regexp_replace(u, '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&# ]*$', '', 'g') AS u FROM c2b),
+      c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM c2),
+      c4 AS (SELECT doc_id,
+        lower(regexp_extract(u, '(?i)^(https?://[^/?#]*)', 1)) ||
+        regexp_replace(u, '(?i)^https?://[^/?#]*', '', 'g') AS u FROM c3),
+      c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        '^https://www\.', 'https://', 'g'), '^http://www\.', 'http://', 'g') AS u FROM c4),
+      c6 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c5)
+      SELECT u AS curl, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM c6 GROUP BY 1"""))
+
   /** Per-domain corpus stats over documents salted with deterministic URLs
     * (two per doc: 5 primary + 3 ref domains) — extraction and the
     * distinct-doc/url counts recomputed identically in DuckDB.
@@ -1939,7 +1980,7 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
-    approxDistinct, redactPii, domainStats, langId,
+    approxDistinct, redactPii, urlCanonical, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,

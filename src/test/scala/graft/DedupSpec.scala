@@ -172,6 +172,27 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 0.0, true)))
   }
 
+  test("spanCoverage agrees with duplicateSpans on WHETHER a doc has cross-doc spans") {
+    // random-ish docs with planted shared phrases: coverage > 0 exactly when
+    // duplicateSpans counts a duplicated window (same df definition), and
+    // coverage is bounded by the window fraction's span (overlap collapses)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 40).map { i =>
+      val base = Seq.fill(10)(s"t${rnd.nextInt(30)}")
+      val planted = if (i % 3 == 0) Seq("shared", "phrase", "here") else Nil
+      (i.toLong, (base ++ planted).mkString(" "))
+    }.toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dup = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov.keySet == dup.keySet)
+    cov.keySet.foreach { id =>
+      assert((cov(id) > 0) == (dup(id) > 0),
+        s"doc $id: covered=${cov(id)} but dup_windows=${dup(id)}")
+    }
+  }
+
   test("exact: duplicate text collapses to min id with copy count") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.exact(docs, "doc_id", "text")
@@ -545,6 +566,33 @@ class TextSpec extends SparkSpec {
     val tail = Seq(Tuple1("a b c d")).toDF("t")
       .select(Text.chunkWords(Text.words(col("t")), 3, 1)).as[Seq[String]].head()
     assert(tail == Seq("a b c", "c d"))
+  }
+
+  test("canonicalizeUrl: case, www, tracking params, fragments and trailing slash collapse; paths survive") {
+    val cases = Seq(
+      // tracking param mid-query, fragment, host case, www
+      "HTTPS://WWW.Site.Example/Path/?utm_source=a&id=7#frag" ->
+        "https://site.example/Path/?id=7",
+      // tracking param LAST: dangling ? cleaned, then trailing slash
+      "http://site.example/a/?utm_campaign=x" -> "http://site.example/a",
+      // only tracking params: whole query collapses
+      "https://Site.example?fbclid=abc&gclid=def" -> "https://site.example",
+      // path case preserved, non-tracking params survive in order
+      "https://a.example/CaseSensitive?a=1&ref=spam&b=2" ->
+        "https://a.example/CaseSensitive?a=1&b=2",
+      // tracking FIRST with a real param after: the ? re-anchors
+      "https://b.example/x?utm_medium=m&keep=1" -> "https://b.example/x?keep=1",
+      // `href=` has no [?&] boundary — must pass through untouched
+      "https://c.example/p?href=ok&utm_a=1" -> "https://c.example/p?href=ok",
+      // already canonical: fixed point
+      "https://site.example/p?id=3" -> "https://site.example/p?id=3")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.Text.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // idempotence: canonicalizing a canonical URL changes nothing
+    val twice = cases.map(_._2).toDF("u")
+      .select(graft.functions.Text.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(twice == cases.map(_._2))
   }
 
   test("normalizeWhitespace collapses runs and trims") {
