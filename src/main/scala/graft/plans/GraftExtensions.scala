@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, NormalizeVec, QuantizeInt8, SimHashWords, WavMeta}
+import graft.functions.expressions.{DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, WavMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_quantize_int8", { args =>
       require(args.length == 1, "graft_quantize_int8(vec) takes one array argument")
       QuantizeInt8(args.head)
+    })
+    register(ext, "graft_nfc", { args =>
+      require(args.length == 1, "graft_nfc(s) takes one string argument")
+      NfcNormalize(args.head)
     })
     register(ext, "graft_simhash", { args =>
       // graft_simhash(words) = xxhash64 token hash; graft_simhash(words, true) = md5

@@ -1496,6 +1496,29 @@ object TrainingQueries {
       SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
       FROM u GROUP BY domain"""))
 
+  /** Unicode NFC canonicalization over docs salted with DECOMPOSED
+    * sequences (e + combining acute, A + combining ring, o + combining
+    * diaeresis, plus an astral-plane char NFC must pass through): the
+    * native [[graft.functions.expressions.NfcNormalize]] vs DuckDB's
+    * utf8proc `nfc_normalize` — byte-identical output required, and the
+    * `changed` flag proves the op actually recomposed something on every
+    * row.
+    */
+  private val nfcNormalizeQ = Q(
+    "text_nfc_normalize",
+    (s, d) => {
+      val suffix = " café Ångström 𝄞"
+      val salted = concat(col("text"), lit(suffix))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        org.apache.spark.sql.graftnative.NativeColumns.nfcNormalize(salted).as("norm"),
+        (org.apache.spark.sql.graftnative.NativeColumns.nfcNormalize(salted) =!= salted)
+          .as("changed"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id,
+        text || ' café Ångström 𝄞' AS t FROM documents)
+      SELECT doc_id, nfc_normalize(t) AS norm, nfc_normalize(t) != t AS changed FROM s"""))
+
   private val langId = Q(
     "text_langid",
     (s, d) => Tables.documents(s, d).select(
@@ -1980,7 +2003,7 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
-    approxDistinct, redactPii, urlCanonical, domainStats, langId,
+    approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,

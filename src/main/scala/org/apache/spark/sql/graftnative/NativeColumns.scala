@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{BloomProbe, BroadcastBloom, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
+import graft.functions.expressions.{BloomProbe, BroadcastBloom, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -55,6 +55,14 @@ object NativeColumns {
     */
   def l2Normalize(vec: Column): Column =
     Column(ExpressionColumnNode(NormalizeVec(ExpressionUtils.expression(vec))))
+
+  /** Unicode NFC normalization of a string column — combining sequences
+    * compose to their canonical form so byte-level hashing/dedup sees
+    * canonically-equal text as equal; all-ASCII rows take a scan-only
+    * fast path (see [[NfcNormalize]]).
+    */
+  def nfcNormalize(s: Column): Column =
+    Column(ExpressionColumnNode(NfcNormalize(ExpressionUtils.expression(s))))
 
   /** Per-vector symmetric int8 quantization (max-abs scaling, round half
     * toward +inf) as one codegen'd two-pass loop (see [[QuantizeInt8]]).

@@ -457,4 +457,32 @@ class NativeExprSpec extends SparkSpec {
       .select(col("s.checksum")).head().getLong(0)
     assert(viaSql == got.getLong(1))
   }
+
+  test("nfcNormalize: recomposition, identity fast path, idempotence, null, SQL-callable") {
+    // decomposed (base + combining mark) -> precomposed under NFC; the
+    // expected strings are built from codepoints so no editor or tool in
+    // the chain can silently recompose either side
+    val eAcuteD = "café"; val eAcuteC = "café"
+    val aRingD = "Ångström"; val aRingC = "Ångström"
+    val astral = new String(Character.toChars(0x1D11E)) // NFC-inert
+    val rows = Seq(
+      eAcuteD -> eAcuteC,
+      aRingD -> aRingC,
+      (eAcuteD + " " + astral) -> (eAcuteC + " " + astral),
+      "plain ascii stays" -> "plain ascii stays",
+      eAcuteC -> eAcuteC) // already composed: fixed point
+    val got = rows.map(_._1).toDF("t")
+      .select(NativeColumns.nfcNormalize(col("t"))).as[String].collect().toSeq
+    assert(got == rows.map(_._2), s"got ${got.map(_.codePoints().toArray.toSeq)}")
+    // idempotence over the normalized output
+    val twice = got.toDF("t")
+      .select(NativeColumns.nfcNormalize(col("t"))).as[String].collect().toSeq
+    assert(twice == got)
+    // null in -> null out
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(NativeColumns.nfcNormalize(col("t"))).head().isNullAt(0))
+    // SQL registration parity
+    val viaNfcSql = spark.sql(s"SELECT graft_nfc('$eAcuteD')").as[String].head()
+    assert(viaNfcSql == eAcuteC)
+  }
 }
