@@ -133,6 +133,13 @@ object ScaleBench {
         val emb = embsAt(k)
         Similarity.ivfQuantizedTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", nCentroids = 8, nProbe = 2, k = 5, refine = 3).count()
+      },
+      // posting-list + bounded position expansion: the quadratic risk is
+      // a Zipf-head gram's df^2 blow-up in the gram join — the salted
+      // copies keep cross-copy grams disjoint, so a linear fit here means
+      // the per-copy head, not the corpus multiple, is what the join pays
+      "dedup_span_coverage" -> { k: Int =>
+        Dedup.spanCoverage(docsAt(k), "doc_id", "text", k = 3).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
@@ -141,7 +148,8 @@ object ScaleBench {
     // (nor the warmup pass) ever pays the one-off materialization
     val opNames = ops.map(_._1).toSet
     ks.foreach { k =>
-      if (opNames.exists(Set("dedup_minhash_lsh", "simhash_cluster_cc"))) docsAt(k)
+      if (opNames.exists(Set("dedup_minhash_lsh", "simhash_cluster_cc",
+        "dedup_span_coverage"))) docsAt(k)
       if (opNames("sim_ivf_quantized")) embsAt(k)
     }
 
