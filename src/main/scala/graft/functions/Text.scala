@@ -238,10 +238,16 @@ object Text {
     val schemeHost = lower(regexp_extract(noDangle, "(?i)^(https?://[^/?#]*)", 1))
     val rest = regexp_replace(noDangle, "(?i)^https?://[^/?#]*", "")
     val lowered = concat(schemeHost, rest)
+    // (www\.)+ collapses stacked www prefixes in ONE pass — stripping one
+    // layer per call would break idempotence on `www.www.host`
     val noWww = regexp_replace(
-      regexp_replace(lowered, "^https://www\\.", "https://"),
-      "^http://www\\.", "http://")
-    regexp_replace(noWww, "/$", "")
+      regexp_replace(lowered, "^https://(www\\.)+", "https://"),
+      "^http://(www\\.)+", "http://")
+    // strip a trailing slash only when a path character precedes it: a
+    // bare `scheme://` (empty host) must keep its slashes or a second
+    // pass would eat into the scheme — idempotence, property-tested
+    when(noWww.rlike("[^/]/$"), noWww.substr(lit(1), length(noWww) - 1))
+      .otherwise(noWww)
   }
 
   /** Sliding-window chunks over a words array: chunk `i` is words

@@ -1469,8 +1469,9 @@ object TrainingQueries {
         lower(regexp_extract(u, '(?i)^(https?://[^/?#]*)', 1)) ||
         regexp_replace(u, '(?i)^https?://[^/?#]*', '', 'g') AS u FROM c3),
       c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        '^https://www\.', 'https://', 'g'), '^http://www\.', 'http://', 'g') AS u FROM c4),
-      c6 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c5)
+        '^https://(www\.)+', 'https://', 'g'), '^http://(www\.)+', 'http://', 'g') AS u FROM c4),
+      c6 AS (SELECT doc_id, CASE WHEN regexp_matches(u, '[^/]/$')
+        THEN substr(u, 1, length(u) - 1) ELSE u END AS u FROM c5)
       SELECT u AS curl, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       FROM c6 GROUP BY 1"""))
 

@@ -185,4 +185,34 @@ class PropertiesSpec extends SparkSpec {
         assert(rows.toMap.size == rows.map(_._1).distinct.length)
     }
   }
+
+  test("canonicalizeUrl is idempotent and total on adversarial URL-ish strings") {
+    // a canonicalizer that isn't a fixed point on its own output corrupts
+    // dedup keys on re-processing — the core contract, checked on randomly
+    // assembled schemes/hosts/paths/params including the tracking family,
+    // bare ?/&/# punctuation, and non-URL junk (must pass through, never
+    // throw)
+    val scheme = Gen.oneOf("http://", "https://", "HTTPS://", "HtTp://", "")
+    val host = Gen.oneOf("www.Site.Example", "a.example", "WWW.X.Y", "site", "")
+    val seg = Gen.oneOf("/Path", "/p/Q", "", "/", "/CaseS")
+    val param = Gen.oneOf("utm_source=1", "utm_a=", "fbclid=zz", "ref=r", "gclid=",
+      "id=7", "a=1", "href=ok", "xref=2", "", "&", "?")
+    val frag = Gen.oneOf("", "#f", "#", "#x y")
+    val urlGen = for {
+      s <- scheme; h <- host; p <- seg
+      ps <- Gen.listOf(param).map(_.take(4))
+      f <- frag
+    } yield s + h + p + (if (ps.nonEmpty) "?" + ps.mkString("&") else "") + f
+    forSamples(Gen.listOfN(60, urlGen), n = 5) { urls: List[String] =>
+      if (urls.nonEmpty) {
+        val once = urls.toDF("u")
+          .select(Text.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+        val twice = once.toDF("u")
+          .select(Text.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+        once.zip(twice).zip(urls).foreach { case ((o, t), raw) =>
+          assert(o == t, s"not idempotent on '$raw': '$o' -> '$t'")
+        }
+      }
+    }
+  }
 }
