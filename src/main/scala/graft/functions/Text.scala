@@ -220,6 +220,20 @@ object Text {
     * SQL engines: host lowering is extract + lower + concat instead of a
     * backreference.
     */
+  /** Sentence segmentation: maximal runs of non-terminal characters plus
+    * an optional closing [.!?], trimmed, empties dropped — the unit of
+    * C4-class sentence rules (Raffel et al. 2020 §2.2 keeps pages with
+    * >= 3 sentences and drops lines without terminal punctuation).
+    * Extraction-based (`regexp_extract_all`), NOT lookbehind-split, so
+    * the identical pattern runs on RE2 engines. A trailing fragment
+    * without terminal punctuation is still a sentence (callers test
+    * `[.!?]$` for the terminal rule). Pure per-row projection.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]?"), lit(0)), s => trim(s)),
+      s => length(s) > 0)
+
   /** The tracking query params [[canonicalizeUrl]] strips. */
   private val TrackParams = "(utm_[a-z]+|fbclid|gclid|ref)"
 

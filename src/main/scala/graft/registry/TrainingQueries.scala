@@ -1520,6 +1520,61 @@ object TrainingQueries {
         text || ' café Ångström 𝄞' AS t FROM documents)
       SELECT doc_id, nfc_normalize(t) AS norm, nfc_normalize(t) != t AS changed FROM s"""))
 
+  /** C4-style sentence rules over a deterministically punctuated fixture
+    * (every standalone "the" gains a period, so sentence counts vary per
+    * doc and trailing fragments stay unterminated): sentence counts,
+    * terminal-punctuation fraction, and the keep rule — DuckDB rebuilds
+    * the identical extraction (RE2-safe pattern, no lookbehind split).
+    */
+  private val sentenceStats = Q(
+    "text_sentence_stats",
+    (s, d) => {
+      val t = regexp_replace(col("text"), "\\bthe\\b", "the.")
+      val sents = Text.sentences(t)
+      val nSent = size(sents).cast("long")
+      val nTerm = size(filter(sents, x => x.rlike("[.!?]$"))).cast("long")
+      val frac = nTerm.cast("double") / greatest(nSent, lit(1L)).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nSent.as("n_sentences"),
+        nTerm.as("n_terminal"),
+        frac.as("terminal_frac"),
+        (nSent >= 3 && frac >= 0.9).as("keep"))
+    },
+    Some(s"""WITH p AS (SELECT doc_id,
+        regexp_replace(text, '\\bthe\\b', 'the.', 'g') AS t FROM documents),
+      x AS (SELECT doc_id, list_filter(list_transform(
+          regexp_extract_all(t, '[^.!?]+[.!?]?', 0), v -> trim(v)),
+          v -> length(v) > 0) AS sents FROM p),
+      m AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+          CAST(len(list_filter(sents, v -> regexp_matches(v, '[.!?]$$'))) AS BIGINT)
+            AS n_terminal
+        FROM x)
+      SELECT doc_id, n_sentences, n_terminal,
+        CAST(n_terminal AS DOUBLE) / CAST(GREATEST(n_sentences, 1) AS DOUBLE)
+          AS terminal_frac,
+        (n_sentences >= 3 AND
+          CAST(n_terminal AS DOUBLE) / CAST(GREATEST(n_sentences, 1) AS DOUBLE) >= 0.9)
+          AS keep
+      FROM m"""))
+
+  /** Corpus token-length histogram — the dataset-statistics rollup every
+    * curation report starts with: docs bucketed by token count (50-token
+    * bins, top bucket open), per-bucket doc and token totals. Pure
+    * integer arithmetic on both engines.
+    */
+  private val tokenHistogram = Q(
+    "agg_token_histogram",
+    (s, d) => Tables.documents(s, d)
+      .select(Text.tokenCount(col("text")).cast("long").as("n"))
+      .select(least(floor(col("n") / 50L), lit(10L)).cast("long").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens")),
+    Some(s"""WITH n AS (SELECT CAST(len($WS) AS BIGINT) AS n FROM documents)
+      SELECT LEAST(n // 50, 10) AS bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS total_tokens
+      FROM n GROUP BY 1"""))
+
   private val langId = Q(
     "text_langid",
     (s, d) => Tables.documents(s, d).select(
@@ -2004,7 +2059,8 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
-    approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, domainStats, langId,
+    approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, sentenceStats, tokenHistogram,
+    domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,

@@ -595,6 +595,14 @@ class TextSpec extends SparkSpec {
     assert(twice == cases.map(_._2))
   }
 
+  test("sentences: terminal runs split, trailing fragment kept, empties dropped") {
+    val got = Seq("One here. Two there! Three? tail fragment", "", "...", "no punct at all")
+      .toDF("t").select(graft.functions.Text.sentences(col("t"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("One here.", "Two there!", "Three?", "tail fragment"))
+    assert(got(1) == Seq() && got(2) == Seq(), "empty / punctuation-only: no sentences")
+    assert(got(3) == Seq("no punct at all"))
+  }
+
   test("normalizeWhitespace collapses runs and trims") {
     val r = Seq(Tuple1("  a \t b\n\nc  ")).toDF("t")
       .select(Text.normalizeWhitespace(col("t"))).as[String].head()
