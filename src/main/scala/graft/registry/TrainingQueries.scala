@@ -1558,6 +1558,84 @@ object TrainingQueries {
           AS keep
       FROM m"""))
 
+  /** Vocabulary building: the top-100 corpus words by frequency (ties to
+    * the lexicographically-first word) — the vocab-table step before
+    * tokenizer training. `orderBy().limit()` plans as
+    * TakeOrderedAndProject: each partition keeps its own top-100 and the
+    * driver merges — no global sort of the vocabulary ever happens; the
+    * rank window then runs over exactly 100 rows.
+    */
+  private val vocabTopK = Q(
+    "agg_vocab_topk",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(100)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w").asc)
+      counts.withColumn("rank", row_number().over(win).cast("long"))
+    },
+    Some(s"""WITH tk AS (SELECT unnest($WS) AS w FROM documents),
+      v AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w),
+      r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank FROM v)
+      SELECT w, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 100"""))
+
+  /** Collocation extraction: top-50 word bigrams by pointwise mutual
+    * information among pairs seen >= 5 times — the phrase-mining pass of
+    * corpus analysis (Church & Hanks 1990). The PMI score is fully
+    * INTEGER — `floor(log2(cb * T / (cu1 * cu2)) * 1e6)` — the
+    * [[tfidfTopTermsQ]] idiom, so the ranking compares exact longs on
+    * both engines; ties break on (w1, w2).
+    */
+  private val collocations = Q(
+    "text_collocations_pmi",
+    (s, d) => {
+      val ws = Tables.documents(s, d)
+        .select(Text.words(col("text")).as("__ws"))
+      val pairs = ws.select(explode(
+        when(size(col("__ws")) >= 2, transform(
+          sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val toks = ws.select(explode(col("__ws")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum("cu")).head().getLong(0)
+      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val pmi = floor(log2(
+        col("cb").cast("double") * lit(total).cast("double") /
+          (col("cu1").cast("double") * col("cu2").cast("double"))) * 1e6).cast("long")
+      val scored = bi
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+        .withColumn("pmi_q", pmi)
+        .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
+      scored.select("w1", "w2", "cb", "pmi_q")
+        .withColumn("rank", row_number().over(win).cast("long"))
+    },
+    Some(s"""WITH w AS (SELECT $WS AS ws FROM documents),
+      tk AS (SELECT unnest(ws) AS w FROM w),
+      uni AS (SELECT w, COUNT(*) AS cu FROM tk GROUP BY w),
+      tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+      px AS (SELECT ws, unnest(CASE WHEN len(ws) >= 2
+          THEN range(1, len(ws)) ELSE [] END) AS i FROM w),
+      pr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM px),
+      bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      sc AS (SELECT w1, w2, cb, CAST(FLOOR(log2(
+            CAST(cb AS DOUBLE) * CAST(total AS DOUBLE) /
+            (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_q
+        FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w CROSS JOIN tot),
+      r AS (SELECT w1, w2, cb, pmi_q,
+          row_number() OVER (ORDER BY pmi_q DESC, w1 ASC, w2 ASC) AS rank FROM sc)
+      SELECT w1, w2, cb, pmi_q, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 50"""))
+
   /** Corpus token-length histogram — the dataset-statistics rollup every
     * curation report starts with: docs bucketed by token count (50-token
     * bins, top bucket open), per-bucket doc and token totals. Pure
@@ -2060,7 +2138,7 @@ object TrainingQueries {
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
     approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, sentenceStats, tokenHistogram,
-    domainStats, langId,
+    vocabTopK, collocations, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
