@@ -186,6 +186,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("scoring invariants on random corpora: surprisal >= 0, classifier bounded, buckets partition") {
+    val word = Gen.oneOf((1 to 25).map(i => s"v$i"))
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    forSamples(Gen.listOfN(40, doc), n = 3) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val wc = texts.map(_.split(" +").count(_.nonEmpty))
+      // bigram surprisal: non-negative (interpolated p <= 1), one pair per
+      // adjacent word, rows exactly for docs with >= 2 words
+      val bs = graft.quality.Scoring.bigramSurprisal(docs, "doc_id", "text")
+        .select("doc_id", "surprisal", "n_bigrams").as[(Long, Double, Long)]
+        .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(bs.keySet == wc.indices.filter(wc(_) >= 2).map(_.toLong).toSet)
+      bs.foreach { case (id, (s, nb)) =>
+        assert(s >= 0.0, s"doc $id surprisal $s < 0")
+        assert(nb == wc(id.toInt) - 1, s"doc $id pairs $nb != ${wc(id.toInt) - 1}")
+      }
+      // classifier: score bounded, keep consistent with the threshold
+      val cs = graft.quality.Scoring.hashedClassifierScore(docs, "doc_id", "text")
+        .select("n_features", "score", "keep").as[(Long, Double, Boolean)].collect()
+      cs.foreach { case (nf, s, k) =>
+        assert(s >= -1.0 && s <= 1.0)
+        assert(k == (nf > 0 && s >= 0.0))
+      }
+      // perplexity buckets partition the scored docs and sizes track n/3
+      if (wc.exists(_ > 0)) {
+        val pb = graft.quality.Scoring.perplexityBuckets(docs, "doc_id", "text")
+          .select("doc_id", "bucket").as[(Long, String)].collect()
+        val scoredDocs = wc.indices.filter(wc(_) >= 1).map(_.toLong).toSet
+        assert(pb.map(_._1).toSet == scoredDocs, "every tokenized doc lands in one bucket")
+        val n = scoredDocs.size
+        val sizes = pb.groupBy(_._2).view.mapValues(_.length).toMap
+        assert(sizes.getOrElse("head", 0) == n / 3)
+        assert(sizes.getOrElse("middle", 0) == 2 * n / 3 - n / 3)
+        assert(sizes.getOrElse("tail", 0) == n - 2 * n / 3)
+      }
+    }
+  }
+
   test("canonicalizeUrl is idempotent and total on adversarial URL-ish strings") {
     // a canonicalizer that isn't a fixed point on its own output corrupts
     // dedup keys on re-processing — the core contract, checked on randomly
