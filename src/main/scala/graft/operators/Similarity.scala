@@ -37,9 +37,14 @@ object Similarity {
     /** Cell ids as an array literal, ascending. */
     val cellIds: Column = typedLit(cells.map(_._1).toSeq)
 
-    /** Array of cosine(vec, centroid_i) in cell_id order. */
+    /** Array of cosine(vec, centroid_i) in cell_id order. Zero centroids
+      * (an empty corpus seeding Lloyd) must stay TYPED — a bare `array()`
+      * is NullType and fails analysis inside array_position/array_max, so
+      * empty-input totality (EmptyInputSpec) depends on the cast.
+      */
     def scores(vec: Column): Column =
-      array(cells.map { case (_, cv) => Vectors.cosine(vec, typedLit(cv)) }: _*)
+      if (cells.isEmpty) array().cast("array<double>")
+      else array(cells.map { case (_, cv) => Vectors.cosine(vec, typedLit(cv)) }: _*)
 
     /** Argmax cell id; ties go to the LOWEST cell_id (first array position
       * of the max over the id-sorted score array) — the same determinism
@@ -58,10 +63,12 @@ object Similarity {
       array_position(scores(vec), array_max(scores(vec))).cast("int")
 
     /** Array of dot(vec, centroid_i) in cell_id order — the per-query ADC
-      * lookup table of [[graft.operators.Similarity.pqTopK]].
+      * lookup table of [[graft.operators.Similarity.pqTopK]]. Typed when
+      * empty, as [[scores]].
       */
     def dots(vec: Column): Column =
-      array(cells.map { case (_, cv) => Vectors.dot(vec, typedLit(cv)) }: _*)
+      if (cells.isEmpty) array().cast("array<double>")
+      else array(cells.map { case (_, cv) => Vectors.dot(vec, typedLit(cv)) }: _*)
   }
 
   private[graft] def collectCentroids(centroids: DataFrame): CentroidLits =

@@ -60,8 +60,12 @@ object Scoring {
     val weights = targetWeights.toSeq.sortBy(_._1).toDF(strataCol, "__wt")
     val totals = docs.groupBy(strataCol).agg(sum(col(tokenCol)).as("__T"))
       .join(broadcast(weights), strataCol) // strata without a weight drop out
-    val b = totals
-      .agg(min(col("__T").cast("double") / col("__wt"))).head().getDouble(0)
+    val bRow = totals
+      .agg(min(col("__T").cast("double") / col("__wt"))).head()
+    // empty corpus (or no stratum carrying a weight): the achievable
+    // budget is zero — keep nothing, same schema
+    if (bRow.isNullAt(0)) return docs.limit(0)
+    val b = bRow.getDouble(0)
     val rates = totals.select(col(strataCol),
       (col("__wt") * lit(b) / col("__T").cast("double")).as("__rate"))
     docs
@@ -76,7 +80,10 @@ object Scoring {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Text.words(col(textCol))).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum("cnt")).head().getLong(0)
+    // empty corpus: SUM is null — the scoring join below is empty anyway,
+    // the 0 literal just keeps the two-phase read total (no NPE)
+    val totalRow = vocab.agg(sum("cnt")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     toks
       .join(broadcast(vocab), "w")
       .withColumn("t", -log2(col("cnt").cast("double") / lit(total).cast("double")))
@@ -183,7 +190,9 @@ object Scoring {
     val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
     val toks = ws.select(col("doc_id"), explode(col("__ws")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-    val total = uni.agg(sum("cu")).head().getLong(0)
+    // empty-corpus guard, as in [[unigramSurprisal]]
+    val totalRow = uni.agg(sum("cu")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val pairs = ws.select(col("doc_id"), explode(
       when(size(col("__ws")) >= 2, transform(
         sequence(lit(1), size(col("__ws")) - 1),

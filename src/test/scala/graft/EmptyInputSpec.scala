@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EMPTY-INPUT TOTALITY: a production pipeline hits empty inputs on its
+  * first run and on empty-partition days — every operator must return an
+  * empty (correctly-shaped) result, never throw. The two-phase
+  * scalar-literal reads (`agg(...).head()`) are the risk sites: an
+  * aggregate over zero rows yields NULL and an unguarded getLong/getDouble
+  * NPEs before any plan runs.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs0: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emb0: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family is total on an empty corpus") {
+    assert(Dedup.exact(docs0, "doc_id", "text").count() == 0)
+    assert(Dedup.fingerprint(docs0, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLsh(docs0, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5).count() == 0)
+    assert(Dedup.minhashBuckets(docs0, "doc_id", "text", n = 3, k = 64, bands = 16)
+      .count() == 0)
+    assert(Dedup.simhashPairs(docs0, "doc_id", "text", maxHamming = 3).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+    assert(Dedup.duplicateSpans(docs0, "doc_id", "text", k = 3).count() == 0)
+    assert(Dedup.spanCoverage(docs0, "doc_id", "text", k = 3).count() == 0)
+    assert(Dedup.corpusDiff(docs0, docs0, "doc_id", "text").count() == 0)
+    // empty corpus + empty batch through the bloom path (null filter branch)
+    assert(Dedup.exactIngestBloom(docs0, docs0, "doc_id", "text",
+      expectedItems = 100L, numBits = 1024L).count() == 0)
+  }
+
+  test("scoring family is total on an empty corpus (two-phase scalars guarded)") {
+    assert(graft.quality.Scoring.unigramSurprisal(docs0, "doc_id", "text").count() == 0)
+    assert(graft.quality.Scoring.bigramSurprisal(docs0, "doc_id", "text").count() == 0)
+    assert(graft.quality.Scoring.tfidfTopTerms(docs0, "doc_id", "text", k = 5).count() == 0)
+    assert(graft.quality.Scoring.gopherRules(docs0, "doc_id", "text").count() == 0)
+    assert(graft.quality.Scoring.hashedClassifierScore(docs0, "doc_id", "text").count() == 0)
+    assert(graft.quality.Scoring.perplexityBuckets(docs0, "doc_id", "text").count() == 0)
+    val tok = docs0.withColumn("n", lit(1L)).withColumn("lang", lit("en"))
+    assert(graft.quality.Scoring.mixtureResample(tok, "lang", "doc_id", "n",
+      Map("en" -> 1.0)).count() == 0)
+  }
+
+  test("selection family is total on an empty input") {
+    val scored = Seq.empty[(Long, Double, String)].toDF("id", "score", "g")
+    assert(graft.quality.Selection.filterByScoreQuantile(scored, "score", 0.5).count() == 0)
+    assert(graft.quality.Selection.filterByScoreQuantileApprox(scored, "score", 0.5).count() == 0)
+    assert(graft.quality.Selection.hashSample(scored, "id", 0.5).count() == 0)
+    assert(graft.quality.Selection.stratifiedSample(scored, Seq("g"), "id", k = 3).count() == 0)
+    assert(graft.quality.Selection.weightedSample(scored, "id", "score", k = 3).count() == 0)
+    assert(graft.quality.Selection.capPerStratum(scored, Seq("g"), "id", "score", k = 3)
+      .count() == 0)
+    assert(graft.quality.Selection.packByTokenBudget(
+      Seq.empty[(Long, Long, String)].toDF("id", "n", "shard"), "id", "n",
+      budget = 100L, shardCol = "shard").count() == 0)
+  }
+
+  test("similarity family is total on an empty corpus") {
+    assert(Similarity.bruteForceTopK(emb0, emb0, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Similarity.quantizedTopK(emb0, emb0, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Similarity.lshTopK(emb0, emb0, "vec_id", "embedding",
+      bands = 2, planesPerBand = 2, k = 3).count() == 0)
+    assert(Similarity.kmeansCentroids(emb0, "vec_id", "embedding", k = 4, iters = 1)
+      .count() == 0)
+    assert(Similarity.ivfTopK(emb0, emb0, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 2, k = 3, kmeansIters = 1).count() == 0)
+    assert(Similarity.ivfQuantizedTopK(emb0, emb0, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 2, k = 3).count() == 0)
+    assert(Similarity.pqEncode(emb0, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4).count() == 0)
+    assert(Similarity.pqTopK(emb0, emb0, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, k = 3).count() == 0)
+    assert(Similarity.ivfPqTopK(emb0, emb0, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 4, nCentroids = 4, nProbe = 2, k = 3).count() == 0)
+  }
+}
