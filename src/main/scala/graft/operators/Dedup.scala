@@ -729,6 +729,44 @@ object Dedup {
     connectedComponentsStats(pairs, aCol, bCol, maxIters, localSolveEdges,
       labelCheckpointEvery).labels
 
+  /** INCREMENTAL cluster resolution: extend an existing `(node, cluster)`
+    * assignment with a batch of NEW pairs — the daily companion of
+    * [[minhashLshIncremental]] / [[graft.streaming.Streams
+    * .lshDedupAvailableNow]]: yesterday's assignment is the at-rest
+    * state, today's pair batch is small, and recomputing CC over the full
+    * historical edge set would rescan a corpus-sized graph for nothing.
+    *
+    * The assignment itself IS a star graph (every member points at its
+    * min-id label), and a star preserves its component's connectivity
+    * exactly — so CC over (star edges ∪ new pairs) equals the full
+    * recompute over (all historical edges ∪ new pairs), with the same
+    * min-id labels: new pairs can only MERGE components, and the merged
+    * minimum is the minimum over the united member sets either way.
+    * Differentially property-tested against the from-scratch run
+    * (DedupSpec). The CC input is |assigned nodes| + |new pairs| rows,
+    * independent of how many historical edges produced the assignment.
+    *
+    * Output: fresh `(node, cluster)` for every node in either input.
+    * Like [[connectedComponents]], nodes appearing in NO edge (singleton
+    * docs never paired) are absent — callers coalesce to the id.
+    */
+  def connectedComponentsIncremental(
+      assignment: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 25,
+      localSolveEdges: Long = 1L << 20,
+      labelCheckpointEvery: Int = 8): DataFrame = {
+    val star = assignment
+      .select(col("node").cast("long").as("a"), col("cluster").cast("long").as("b"))
+      .filter(col("a") =!= col("b")) // the label's own row adds nothing
+    val edges = star.unionByName(newPairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    connectedComponents(edges, "a", "b", maxIters, localSolveEdges,
+      labelCheckpointEvery)
+  }
+
   /** Round-count telemetry from a [[connectedComponents]] run — lets tests
     * assert the STRUCTURAL O(log n) bound (rounds, not wall-clock, which
     * flakes on loaded machines) and callers log contraction behavior.

@@ -465,6 +465,35 @@ object TrainingQueries {
     * CTE — so the engine's O(log n) min-contraction is checked against an
     * independent fixpoint construction, not a reimplementation of itself.
     */
+  /** Incremental cluster resolution: the simhash pair set splits into two
+    * "days" (doc_id_1 parity), day one resolves from scratch, day two
+    * extends that assignment through
+    * [[graft.operators.Dedup.connectedComponentsIncremental]] — and the
+    * result must equal the FULL from-scratch closure over all pairs,
+    * which is exactly what the recursive-CTE oracle computes. The CC
+    * input for day two is |assigned nodes| + |day-two pairs|, not the
+    * historical edge set.
+    */
+  private val dedupClusterIncremental = Q(
+    "dedup_cluster_incremental",
+    (s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash)
+      val day1 = pairs.filter(pmod(col("doc_id_1"), lit(2)) === 0)
+      val day2 = pairs.filter(pmod(col("doc_id_1"), lit(2)) === 1)
+      val assignment = Dedup.connectedComponents(day1, "doc_id_1", "doc_id_2")
+      val cc = Dedup
+        .connectedComponentsIncremental(assignment, day2, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes
+        SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
+        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
+
   private val dedupClusterAssign = Q(
     "dedup_cluster_assign",
     (s, d) => {
@@ -2130,7 +2159,8 @@ object TrainingQueries {
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
-    dedupClusterAssign, dedupClusterKeepBest, dedupClusterSplit, corpusDiffQ,
+    dedupClusterAssign, dedupClusterIncremental, dedupClusterKeepBest, dedupClusterSplit,
+    corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,

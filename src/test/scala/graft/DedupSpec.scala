@@ -172,6 +172,26 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 0.0, true)))
   }
 
+  test("connectedComponentsIncremental == full recompute on random split graphs") {
+    // random edge sets split arbitrarily into "yesterday" and "today":
+    // CC(yesterday) extended with today's edges must equal CC(all edges),
+    // including merges ACROSS yesterday's components
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 977)
+      val n = 60
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (day1, day2) = edges.partition(_ => rnd.nextBoolean())
+      val full = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val assignment = Dedup.connectedComponents(day1.toDF("a", "b"), "a", "b")
+      val incr = Dedup.connectedComponentsIncremental(
+        assignment, day2.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(incr == full, s"seed $seed: incremental != full recompute")
+    }
+  }
+
   test("spanCoverage agrees with duplicateSpans on WHETHER a doc has cross-doc spans") {
     // random-ish docs with planted shared phrases: coverage > 0 exactly when
     // duplicateSpans counts a duplicated window (same df definition), and
