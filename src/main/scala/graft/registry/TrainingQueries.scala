@@ -1587,6 +1587,37 @@ object TrainingQueries {
           AS keep
       FROM m"""))
 
+  /** The one-row corpus curation report every dataset card starts from:
+    * doc/token totals, decimal-exact means, language/source cardinality,
+    * and the exact-duplicate rate — a single map-side-combined
+    * aggregation over one scan, no matter the corpus size.
+    */
+  private val corpusSummary = Q(
+    "report_corpus_summary",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n"),
+        md5(col("text")).as("dg"),
+        Text.qualityScore(col("text")).as("q"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        davg(col("n")).as("mean_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (lit(1.0) - countDistinct(col("dg")).cast("double") /
+          count(lit(1)).cast("double")).as("exact_dup_rate"),
+        davg(col("q")).as("mean_quality")),
+    Some(s"""WITH b AS (SELECT lang, source, CAST(len($WS) AS BIGINT) AS n,
+        md5(text) AS dg, ${QSql.score} AS q FROM documents)
+      SELECT COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+        ${Registry.Ora.DA("n")} AS mean_tokens,
+        COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+        1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS exact_dup_rate,
+        ${Registry.Ora.DA("q")} AS mean_quality
+      FROM b"""))
+
   /** Vocabulary building: the top-100 corpus words by frequency (ties to
     * the lexicographically-first word) — the vocab-table step before
     * tokenizer training. `orderBy().limit()` plans as
@@ -2168,7 +2199,7 @@ object TrainingQueries {
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
     approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, sentenceStats, tokenHistogram,
-    vocabTopK, collocations, domainStats, langId,
+    vocabTopK, collocations, corpusSummary, domainStats, langId,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
