@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** NULL-INPUT TOTALITY — the row-level companion of EmptyInputSpec: real
+  * corpora carry null text (failed extraction) and the occasional null id
+  * (upstream join miss). No operator may throw; a null-text doc either
+  * drops from token-derived outputs (it has no tokens) or carries null
+  * metrics, and null ids never crash a hash/cast.
+  */
+class NullInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "normal text here more words to work with"),
+    (2L, null.asInstanceOf[String]),
+    (3L, ""),
+    (4L, "normal text here more words to work with")
+  ).toDF("doc_id", "text")
+
+  test("dedup family tolerates null text") {
+    // null text: md5(null) = null -> its own "digest" group; no throw
+    assert(Dedup.exact(docs, "doc_id", "text").count() >= 2)
+    assert(Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5).count() == 1) // 1 & 4 pair up
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .filter(col("doc_id_1") === 1 && col("doc_id_2") === 4).count() == 1)
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 3).count() == 4)
+    assert(Dedup.spanCoverage(docs, "doc_id", "text", k = 3).count() == 4)
+  }
+
+  test("scoring family tolerates null text") {
+    // token-derived scores: null-text docs have no tokens -> absent, like
+    // empty-text docs
+    val us = graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(us == Set(1L, 4L))
+    val bs = graft.quality.Scoring.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bs == Set(1L, 4L))
+    // per-row gates: null text rows survive with null/zero-feature metrics
+    assert(graft.quality.Scoring.gopherRules(docs, "doc_id", "text").count() == 4)
+    val cs = graft.quality.Scoring.hashedClassifierScore(docs, "doc_id", "text")
+    assert(cs.count() == 4)
+    assert(cs.filter(col("doc_id") === 3 && !col("keep")).count() == 1,
+      "empty text: zero features, dropped by the keep rule")
+    assert(graft.quality.Scoring.perplexityBuckets(docs, "doc_id", "text")
+      .count() == 2)
+  }
+
+  test("connectedComponents drops null-id pairs instead of crashing") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L), "only the complete pair contributes")
+  }
+}
