@@ -2163,8 +2163,8 @@ object TrainingQueries {
         concat(col("text"), lit(" xq")).as("text"))
       Dedup.minhashBuckets(corpus, "doc_id", "text",
         n = 3, k = 64, bands = 16, shingleHash = Dedup.Md5ShingleHash)
-        .write.parquet(s"$base/state/buckets")
-      corpus.write.parquet(s"$base/state/docs")
+        .write.parquet(s"$base/state/buckets/seed")
+      corpus.write.parquet(s"$base/state/docs/seed")
       ingest.filter(col("doc_id") < 100013).coalesce(1).write.parquet(s"$base/in")
       ingest.filter(col("doc_id") >= 100013).coalesce(1)
         .write.mode("append").parquet(s"$base/in")

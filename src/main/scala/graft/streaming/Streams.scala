@@ -178,8 +178,17 @@ object Streams {
     * index rows and is re-read only for docs landing in a shared bucket
     * — a day's ingest dedups against a 100 TB history without
     * re-sketching it, and the index grows by exactly the batch's rows.
-    * Pairs land under `outPath/b<batchId>` (append-only, replay-safe:
-    * a replayed batch overwrites its own directory idempotently).
+    *
+    * REPLAY SAFETY (at-least-once delivery): every write is an OVERWRITE
+    * of a batch-id-keyed subdirectory — pairs under `outPath/b<id>`, and
+    * the state appends under `statePath/buckets/b<id>` /
+    * `statePath/docs/b<id>` (the caller seeds `statePath/buckets/seed` +
+    * `statePath/docs/seed` from the existing corpus). A plain
+    * mode-append state write would double the batch's index rows on
+    * replay, and duplicated doc rows would then duplicate the verify
+    * join's output pairs; idempotent per-batch directories make a replay
+    * byte-equivalent to the first run (StreamsSpec re-drains from a
+    * wiped checkpoint and asserts state and pairs are unchanged).
     */
   def lshDedupAvailableNow(
       stream: DataFrame,
@@ -204,8 +213,18 @@ object Streams {
         // the batch feeds four consumers (vs-index check, within-batch
         // check, bucket append, doc append): pin it once
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
-        val index = spark.read.parquet(s"$statePath/buckets")
-        val docs = spark.read.parquet(s"$statePath/docs")
+        // a replayed batch's own b<id> subdirs already exist — drop them
+        // BEFORE reading state, so the batch never checks against its own
+        // prior write (which would self-pair every doc) and the rerun is
+        // byte-equivalent to the first run
+        def state(sub: String): DataFrame = {
+          val own = new org.apache.hadoop.fs.Path(s"$statePath/$sub/b$batchId")
+          own.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(own, true)
+          spark.read.option("recursiveFileLookup", "true").parquet(s"$statePath/$sub")
+        }
+        val index = state("buckets")
+        val docs = state("docs")
         val vsCorpus = Dedup.minhashLshIncremental(batch, index, docs,
           idCol, textCol, n, k, bands, threshold, shingleHash)
         val within = Dedup.minhashLsh(batch, idCol, textCol,
@@ -215,8 +234,8 @@ object Streams {
         vsCorpus.unionByName(within)
           .write.mode("overwrite").parquet(s"$outPath/b$batchId")
         Dedup.minhashBuckets(batch, idCol, textCol, n, k, bands, shingleHash)
-          .write.mode("append").parquet(s"$statePath/buckets")
-        batch.write.mode("append").parquet(s"$statePath/docs")
+          .write.mode("overwrite").parquet(s"$statePath/buckets/b$batchId")
+        batch.write.mode("overwrite").parquet(s"$statePath/docs/b$batchId")
       }
       .start()
 

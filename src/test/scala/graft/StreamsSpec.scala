@@ -105,9 +105,11 @@ class StreamsSpec extends SparkSpec {
     val ingest = texts.take(6).map { case (i, t) => (i + 100, t + " xq") }
       .toDF("doc_id", "text")
     Dedup.minhashBuckets(corpus, "doc_id", "text", n = 3, k = 64, bands = 16)
-      .write.parquet(s"$base/state/buckets")
-    corpus.write.parquet(s"$base/state/docs")
-    val seedBuckets = spark.read.parquet(s"$base/state/buckets").count()
+      .write.parquet(s"$base/state/buckets/seed")
+    corpus.write.parquet(s"$base/state/docs/seed")
+    def bucketRows(): Long = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$base/state/buckets").count()
+    val seedBuckets = bucketRows()
     ingest.filter($"doc_id" < 103).coalesce(1).write.parquet(s"$base/in")
     ingest.filter($"doc_id" >= 103).coalesce(1).write.mode("append").parquet(s"$base/in")
     val stream = spark.readStream.schema(ingest.schema)
@@ -130,8 +132,23 @@ class StreamsSpec extends SparkSpec {
     assert(drained == batchPairs, s"streamed $drained vs batch $batchPairs")
     assert(drained.size >= 6, "every planted mutation must match its source")
     // the index at rest grew by exactly the ingest's bucket rows
-    val grown = spark.read.parquet(s"$base/state/buckets").count()
+    val grown = bucketRows()
     assert(grown == seedBuckets + 6 * 16, s"seed $seedBuckets -> $grown")
+    // REPLAY: wipe the checkpoint and re-drain the identical input — the
+    // per-batch overwrite state writes must leave state AND pairs
+    // byte-equivalent (a mode-append state would double the index here)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    Streams.lshDedupAvailableNow(
+      spark.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/state", s"$base/out", s"$base/ckpt",
+      "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
+      .awaitTermination()
+    assert(bucketRows() == grown, "replay must not grow the index")
+    val replayed = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+      .select(least($"new_id", $"corpus_id"), greatest($"new_id", $"corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == batchPairs, "replayed pair set identical")
   }
 
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
