@@ -1733,6 +1733,52 @@ object TrainingQueries {
         FROM h"""
     })
 
+  /** Language-ID with CONFIDENCE — the router for low-confidence docs
+    * (send to a heavier classifier, or drop): best and second-best
+    * marker-hit counts via a descending sort of the per-language hit
+    * vector (ties collapse the margin to 0 naturally — no argmax
+    * identity needed), margin = (h1-h2)/max(h1+h2, 1), `confident` when
+    * a language actually hit and the margin clears 0.2. Pure per-row
+    * projection; exact integer/ratio arithmetic on both engines.
+    */
+  private val langIdConfidence = Q(
+    "text_langid_confidence",
+    (s, d) => {
+      val hits = Text.LangMarkers.map { case (lang, ms) =>
+        lang -> Text.langMarkerHits(col("text"), ms).cast("long")
+      }
+      val sorted = sort_array(array(hits.map(_._2): _*), asc = false)
+      val h1 = element_at(sorted, 1)
+      val h2 = element_at(sorted, 2)
+      val margin = (h1 - h2).cast("double") / greatest(h1 + h2, lit(1L)).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.langId(col("text")).as("lang_pred"),
+        h1.as("h1"), h2.as("h2"),
+        margin.as("margin"),
+        (h1 > 0 && margin >= 0.2).as("confident"))
+    },
+    Some {
+      val hitCols = Text.LangMarkers.map { case (lang, ms) =>
+        s"CAST(len(list_filter(ws, x -> list_contains(${sqlList(ms)}, x))) AS BIGINT) AS h_$lang"
+      }.mkString(", ")
+      val langs = Text.LangMarkers.map(_._1)
+      val best = s"GREATEST(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      val arr = s"list_sort([${langs.map("h_" + _).mkString(", ")}], 'DESC')"
+      s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+        h AS (SELECT doc_id, $hitCols FROM w),
+        t AS (SELECT doc_id,
+            CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred,
+            $arr[1] AS h1, $arr[2] AS h2
+          FROM h)
+        SELECT doc_id, lang_pred, h1, h2,
+          CAST(h1 - h2 AS DOUBLE) / CAST(GREATEST(h1 + h2, 1) AS DOUBLE) AS margin,
+          (h1 > 0 AND CAST(h1 - h2 AS DOUBLE) / CAST(GREATEST(h1 + h2, 1) AS DOUBLE) >= 0.2)
+            AS confident
+        FROM t"""
+    })
+
   /** JSONL roundtrip: documents written as .jsonl, read back with the
     * EXPLICIT schema (inference is banned at corpus scale — see
     * [[graft.sources.Formats.readJsonl]]), then aggregated; the oracle
@@ -2199,7 +2245,7 @@ object TrainingQueries {
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
     approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, sentenceStats, tokenHistogram,
-    vocabTopK, collocations, corpusSummary, domainStats, langId,
+    vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
