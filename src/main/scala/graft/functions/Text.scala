@@ -197,6 +197,62 @@ object Text {
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
 
+  /** The HTML-stripping regex chain [[extractHtmlText]] folds, in
+    * application order — (pattern, replacement) pairs, every pattern
+    * RE2-compatible (inline `(?is)` flags, non-greedy `.*?`, NO
+    * backreferences — RE2 lacks them, which is why each non-content
+    * element gets its own pass instead of one `</\1>` alternation) and
+    * every replacement free of `$`/`\` (the replacement-syntax corner
+    * that does NOT port between Java regex and RE2 engines), so the
+    * identical fold runs as a DuckDB `regexp_replace(..., 'g')` chain.
+    *
+    * Order matters: (1) script/style/noscript/template BLOCKS go first —
+    * their content is code, and the fake tags/comments inside them must
+    * never reach later passes; a second pass per tag drops an UNCLOSED
+    * block to end-of-document (truncated crawls); (2) the head block
+    * (title/meta boilerplate); (3) comments; (4) every remaining tag
+    * becomes a space (word boundary, so `a</p><p>b` never fuses);
+    * (5) the five standard named entities + `&nbsp;` decode, `&amp;`
+    * strictly LAST (decoding it earlier would turn `&amp;lt;` into a
+    * second-round `&lt;` — the classic double-decode bug). Numeric
+    * character references (`&#x41;`) are left as-is: decoding them needs
+    * a codepoint conversion no regex replacement can express, and C4's
+    * regex-class extraction accepts the same limitation.
+    */
+  val HtmlPatterns: Seq[(String, String)] =
+    Seq("script", "style", "noscript", "template").flatMap(t => Seq(
+      s"(?is)<$t\\b[^>]*>.*?</$t\\s*>" -> " ",
+      s"(?is)<$t\\b[^>]*>.*" -> " ")) ++ Seq(
+      "(?is)<head\\b[^>]*>.*?</head\\s*>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]*>" -> " ",
+      "&nbsp;" -> " ",
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&apos;" -> "'",
+      "&amp;" -> "&")
+
+  /** HTML -> text extraction (C4/trafilatura-class boilerplate strip):
+    * drop non-content elements, comments and tags, decode the common
+    * entities, collapse whitespace — the first stage of ingesting a web
+    * crawl, as a chain of codegen'd `regexp_replace`s ([[redactPii]]'s
+    * discipline): one projection over the 100 TB scan, no shuffle, no
+    * UDF, and the identical chain runs in external SQL engines.
+    *
+    * NOT idempotent on adversarial input by design: entity decoding can
+    * surface literal text that LOOKS like markup (`&lt;b&gt;` correctly
+    * becomes the text `<b>`), which a second pass would strip — the same
+    * asymmetry every HTML-entity decoder has. Idempotence DOES hold on
+    * entity-free input (property-tested), and the chain never throws on
+    * arbitrary bytes (fuzz-tested, [[canonicalizeUrl]]'s discipline).
+    */
+  def extractHtmlText(html: Column): Column =
+    normalizeWhitespace(HtmlPatterns.foldLeft(html) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    })
+
   /** All URL host names in the text (capture group of the same RE2-safe
     * URL pattern [[PiiPatterns]] redacts) — the unit of domain-level
     * corpus statistics (per-domain doc counts feed source weighting and

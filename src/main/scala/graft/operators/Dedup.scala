@@ -638,7 +638,12 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("covered_words"))
-    w.select(col("doc_id"), size(col("__w")).cast("long").as("word_count"))
+    // null-text docs: words(null) is null so size() is null — coalesce to
+    // 0 so they report word_count 0 like empty-text docs (covered_words
+    // and coverage_frac are already 0-coalesced; a null count with
+    // non-null metrics would be an inconsistent shape downstream)
+    w.select(col("doc_id"),
+        coalesce(size(col("__w")), lit(0)).cast("long").as("word_count"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("word_count"),
         coalesce(col("covered_words"), lit(0L)).as("covered_words"),

@@ -48,4 +48,16 @@ object CorpusClean {
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
       .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
   }
+
+  /** [[pipeline]] over a WEB CRAWL: `docs(doc_id, html)` goes through
+    * [[graft.functions.Text.extractHtmlText]] first (boilerplate strip +
+    * entity decode), then the identical gate -> redact -> dedup -> cluster
+    * chain. The extraction is one more codegen'd projection fused into the
+    * same scan as the quality gate — ingesting raw HTML costs no extra
+    * pass or shuffle over ingesting clean text.
+    */
+  def pipelineHtml(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame =
+    pipeline(
+      docs.select(col("doc_id"), Text.extractHtmlText(col("html")).as("text")),
+      boundary)
 }

@@ -63,7 +63,8 @@ object Scoring {
     val bRow = totals
       .agg(min(col("__T").cast("double") / col("__wt"))).head()
     // empty corpus (or no stratum carrying a weight): the achievable
-    // budget is zero — keep nothing, same schema
+    // budget is zero — keep nothing, same schema AND column order as the
+    // non-empty path (which re-selects docs' own order below)
     if (bRow.isNullAt(0)) return docs.limit(0)
     val b = bRow.getDouble(0)
     val rates = totals.select(col(strataCol),
@@ -73,7 +74,9 @@ object Scoring {
       .filter(
         pmod(Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt))), lit(10000)) <
           floor(col("__rate") * 10000.0 + 0.5))
-      .drop("__rate")
+      // the USING join moved strataCol first — restore docs' column order
+      // so both return paths (and any positional caller) agree
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -170,8 +173,9 @@ object Scoring {
     * unigram vocab and the bigram table); both — orders of magnitude
     * smaller than the corpus — broadcast into the scoring join, so the
     * pair stream is never shuffled (beyond broadcastable bigram
-    * vocabulary, swap the bigram join to a shuffle join on (w1, w2) —
-    * the unigram side always broadcasts); T comes back as a two-phase
+    * vocabulary, pass `broadcastBigrams = false` to run the (w1, w2)
+    * join as a shuffle join — the unigram side always broadcasts); T
+    * comes back as a two-phase
     * scalar literal; the per-doc mean is one map-side-combinable
     * aggregation.
     *
@@ -185,7 +189,8 @@ object Scoring {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7,
+      broadcastBigrams: Boolean = true): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
     val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
     val toks = ws.select(col("doc_id"), explode(col("__ws")).as("w"))
@@ -204,8 +209,12 @@ object Scoring {
     val p =
       lit(lambda) * (col("cb").cast("double") / col("cu1").cast("double")) +
         lit(1 - lambda) * (col("cu2").cast("double") / lit(total).cast("double"))
+    // the bigram table grows toward vocab^2 on large corpora: past the
+    // broadcast budget, callers pass broadcastBigrams = false and the
+    // (w1, w2) join shuffles instead — the unigram sides always broadcast
+    val biSide = if (broadcastBigrams) broadcast(bi) else bi
     pairs
-      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(biSide, Seq("w1", "w2"))
       .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
       .withColumn("t", -log2(p))

@@ -1392,7 +1392,7 @@ object TrainingQueries {
         FROM pg JOIN dup USING (gram)),
       cc AS (SELECT doc_id, COUNT(*) AS covered_words
         FROM (SELECT DISTINCT doc_id, p FROM cov0) GROUP BY doc_id),
-      base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS word_count FROM w)
+      base AS (SELECT doc_id, CAST(COALESCE(len(ws), 0) AS BIGINT) AS word_count FROM w)
       SELECT b.doc_id, b.word_count,
         CAST(COALESCE(cc.covered_words, 0) AS BIGINT) AS covered_words,
         CASE WHEN b.word_count > 0
@@ -1461,6 +1461,79 @@ object TrainingQueries {
       s"regexp_replace($acc, '$pat', '$tok', 'g')"
     }
   }
+
+  /** SQL mirror of [[Text.extractHtmlText]]: the identical
+    * [[Text.HtmlPatterns]] fold ('g'-flagged — DuckDB replaces first-only
+    * by default), then the same whitespace collapse. The `'` -> `''`
+    * escape covers the apostrophe entity replacements; the patterns
+    * themselves are quote-free by construction.
+    */
+  private def htmlChainSql(inner: String): String = {
+    val stripped = Text.HtmlPatterns.foldLeft(inner) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '${rep.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($stripped, '\\s+', ' ', 'g'))"
+  }
+
+  /** HTML-salted view of `documents`: each doc's text wrapped in a full
+    * page — doctype, head with title/style/script (the script even
+    * contains a fake `<div>` string literal and the style a `{}` block,
+    * so block passes must run before the generic tag strip), a comment,
+    * headings, and an entity-bearing trailer. Spark and SQL build the
+    * byte-identical page, so the extraction chain is differentially
+    * tested end to end on every doc.
+    */
+  private def htmlSalted(docs: org.apache.spark.sql.DataFrame) = docs.select(
+    col("doc_id"), concat(
+      lit("<!DOCTYPE html><html><head><title>T"), col("doc_id"),
+      lit("</title><style>.x{color:red}</style><script>var a=\"<div>\";</script></head><body><!-- c"),
+      col("doc_id"),
+      lit(" --><h1>Doc "), col("doc_id"), lit("</h1>\n<p>"), col("text"),
+      lit("</p>  <div>tail &amp; more &lt;b&gt;&nbsp;end</div></body></html>"))
+      .as("html"))
+
+  private val htmlSaltSql: String =
+    """'<!DOCTYPE html><html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+      '</title><style>.x{color:red}</style><script>var a="<div>";</script></head><body><!-- c' ||
+      CAST(doc_id AS VARCHAR) ||
+      ' --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text ||
+      '</p>  <div>tail &amp; more &lt;b&gt;&nbsp;end</div></body></html>'"""
+
+  /** HTML -> text extraction over the salted crawl fixture: title/style/
+    * script/comment boilerplate must vanish, the body text and decoded
+    * entities must survive — DuckDB recomputes the identical
+    * [[Text.HtmlPatterns]] chain on the identical page.
+    */
+  private val htmlExtract = Q(
+    "text_html_extract",
+    (s, d) => htmlSalted(Tables.documents(s, d).select("doc_id", "text"))
+      .select(col("doc_id"), Text.extractHtmlText(col("html")).as("clean")),
+    Some(s"""WITH h AS (SELECT doc_id, $htmlSaltSql AS html FROM documents)
+      SELECT doc_id, ${htmlChainSql("html")} AS clean FROM h"""))
+
+  /** The full cleaning pipeline ingesting the HTML-salted crawl
+    * ([[graft.quality.CorpusClean.pipelineHtml]]): extraction feeds the
+    * SAME gate -> redact -> exact-dedup -> simhash -> CC chain as
+    * `pipeline_corpus_clean`, and DuckDB recomputes every stage from the
+    * raw page — the end-to-end "web crawl in, canonical corpus out" proof.
+    */
+  private val pipelineCorpusCleanHtml = Q(
+    "pipeline_corpus_clean_html",
+    (s, d) => graft.quality.CorpusClean.pipelineHtml(
+      htmlSalted(Tables.documents(s, d).select("doc_id", "text"))),
+    Some(s"""WITH RECURSIVE
+        hx0 AS (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
+        gq AS (SELECT doc_id, text FROM hx0 WHERE ${QSql.score} >= 0.6),
+        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+          SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
+        ${simhashCtes("e")},
+        $ccCloseCtes
+        SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
+        FROM e LEFT JOIN cl ON cl.node = e.doc_id
+        WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""),
+    planView = Some((s, d) => graft.quality.CorpusClean.pipelineHtml(
+      htmlSalted(Tables.documents(s, d).select("doc_id", "text")),
+      boundary = graft.operators.Boundary.None)))
 
   /** Per-URL dedup through canonicalization: the fixture URLs vary case,
     * www, tracking params and fragments per doc_id but collapse to a
@@ -1663,7 +1736,10 @@ object TrainingQueries {
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val toks = ws.select(explode(col("__ws")).as("w"))
       val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-      val total = uni.agg(sum("cu")).head().getLong(0)
+      // token-less corpus: SUM is null — 0 keeps the two-phase read total
+      // (same guard as Scoring's unigram/bigramSurprisal scalar reads)
+      val totalRow = uni.agg(sum("cu")).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 5)
       val pmi = floor(log2(
@@ -2244,7 +2320,8 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ,
-    approxDistinct, redactPii, urlCanonical, nfcNormalizeQ, sentenceStats, tokenHistogram,
+    approxDistinct, redactPii, urlCanonical, htmlExtract, pipelineCorpusCleanHtml,
+    nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,

@@ -189,6 +189,14 @@ object Streams {
     * join's output pairs; idempotent per-batch directories make a replay
     * byte-equivalent to the first run (StreamsSpec re-drains from a
     * wiped checkpoint and asserts state and pairs are unchanged).
+    *
+    * The state read for batch N sees ONLY `seed` and `b<j>` with j < N:
+    * on a full re-drain (wiped checkpoint, retained state/out dirs) the
+    * later batches' subdirs are still on disk, and reading them would
+    * make the replayed batch N check against its own future — emitting
+    * each cross-batch pair twice, once per orientation. Filtering by
+    * batch id (rather than deleting, which would destroy retained state
+    * the re-drain is about to need) keeps every replay byte-equivalent.
     */
   def lshDedupAvailableNow(
       stream: DataFrame,
@@ -213,15 +221,21 @@ object Streams {
         // the batch feeds four consumers (vs-index check, within-batch
         // check, bucket append, doc append): pin it once
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
-        // a replayed batch's own b<id> subdirs already exist — drop them
-        // BEFORE reading state, so the batch never checks against its own
-        // prior write (which would self-pair every doc) and the rerun is
-        // byte-equivalent to the first run
+        // a replayed run leaves b<id> subdirs for THIS and LATER batches
+        // on disk — read only seed + strictly-earlier batches, so the
+        // batch never checks against its own prior write (self-pairing
+        // every doc) or against its future (double-emitting cross-batch
+        // pairs on a full re-drain)
         def state(sub: String): DataFrame = {
-          val own = new org.apache.hadoop.fs.Path(s"$statePath/$sub/b$batchId")
-          own.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(own, true)
-          spark.read.option("recursiveFileLookup", "true").parquet(s"$statePath/$sub")
+          val base = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val past = fs.listStatus(base).toSeq.map(_.getPath).filter { p =>
+            val nm = p.getName
+            !(nm.length > 1 && nm.head == 'b' && nm.tail.forall(_.isDigit) &&
+              nm.tail.toLong >= batchId)
+          }
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(past.map(_.toString): _*)
         }
         val index = state("buckets")
         val docs = state("docs")

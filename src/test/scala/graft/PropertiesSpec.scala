@@ -253,4 +253,47 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("extractHtmlText: exact on a known page; total + idempotent on adversarial markup") {
+    // the known-page case pins the chain's semantics (block elements
+    // swallowed whole, comments gone, entities decoded once, whitespace
+    // collapsed); the generated cases then stress the order-sensitivity
+    // corners — unclosed tags, bare </</> punctuation, stray entities,
+    // nested fake tags inside script strings
+    val page = """<!DOCTYPE html><html><head><title>T</title><style>.x{c:red}</style>
+      <script>var a="<div>fake</div>";</script></head><body><!-- note -->
+      <h1>Head</h1><p>alpha &amp; beta</p><div>x &lt;b&gt;&nbsp;y</div></body></html>"""
+    val got = Seq(page).toDF("h")
+      .select(Text.extractHtmlText(col("h"))).as[String].head()
+    assert(got == "Head alpha & beta x <b> y", s"got '$got'")
+    val tag = Gen.oneOf("<div>", "</div>", "<p class=\"x\">", "<script>", "</script>",
+      "<style>", "<!--", "-->", "<br/>", "<SPAN>", "<", ">", "<<>>", "<a href='x?y=1'>",
+      "<script type=js>", "</style >", "<head>", "</head>")
+    val word = Gen.oneOf("alpha", "beta gamma", "1 2", "", "  ", "\n")
+    val ent = Gen.oneOf("&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+      "&bogus;", "&#x41;", "&amp;lt;")
+    val docGen = Gen.listOf(Gen.oneOf(tag, word, ent)).map(_.take(12).mkString(""))
+    forSamples(Gen.listOfN(40, docGen), n = 5) { docs: List[String] =>
+      if (docs.nonEmpty) {
+        // total: the chain never throws and never nulls a non-null input
+        val once = docs.toDF("h")
+          .select(Text.extractHtmlText(col("h"))).as[String].collect().toSeq
+        assert(once.forall(_ != null))
+        // idempotent on ENTITY-FREE INPUT (entity decoding is the one
+        // documented asymmetry: `&lt;b&gt;` correctly surfaces literal
+        // markup-looking text a second pass would strip — so the filter
+        // must be on the input, not on the `&`-freeness of the output)
+        val entityFree = docs.filter(!_.contains("&"))
+        if (entityFree.nonEmpty) {
+          val one = entityFree.toDF("h")
+            .select(Text.extractHtmlText(col("h"))).as[String].collect().toSeq
+          val two = one.toDF("h")
+            .select(Text.extractHtmlText(col("h"))).as[String].collect().toSeq
+          one.zip(two).zip(entityFree).foreach { case ((o, t), raw) =>
+            assert(o == t, s"not idempotent on '$raw': '$o' -> '$t'")
+          }
+        }
+      }
+    }
+  }
 }

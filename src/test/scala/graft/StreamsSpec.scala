@@ -98,11 +98,16 @@ class StreamsSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     import graft.operators.Dedup
     // corpus of distinct docs; ingest = near-dup mutations of docs 0..5
-    // (ids 100..105, one appended token) arriving as TWO micro-batches
+    // (ids 100..105, one appended token) arriving as TWO micro-batches,
+    // PLUS id 106 in the second batch near-dupping id 100 from the FIRST
+    // batch — a cross-batch pair, so the replay assertions below actually
+    // exercise the batch-id state filter (a fixture with no cross-batch
+    // pairs cannot catch a replayed batch reading its own future)
     val texts = (0 until 12).map(i =>
       (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
     val corpus = texts.toDF("doc_id", "text")
-    val ingest = texts.take(6).map { case (i, t) => (i + 100, t + " xq") }
+    val ingest = (texts.take(6).map { case (i, t) => (i + 100, t + " xq") } :+
+      ((106L, texts.head._2 + " xr")))
       .toDF("doc_id", "text")
     Dedup.minhashBuckets(corpus, "doc_id", "text", n = 3, k = 64, bands = 16)
       .write.parquet(s"$base/state/buckets/seed")
@@ -130,10 +135,11 @@ class StreamsSpec extends SparkSpec {
       .filter($"doc_id_2" >= 100)
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
     assert(drained == batchPairs, s"streamed $drained vs batch $batchPairs")
-    assert(drained.size >= 6, "every planted mutation must match its source")
+    assert(drained.size >= 8,
+      "every planted mutation must match its source, 106 its two sources")
     // the index at rest grew by exactly the ingest's bucket rows
     val grown = bucketRows()
-    assert(grown == seedBuckets + 6 * 16, s"seed $seedBuckets -> $grown")
+    assert(grown == seedBuckets + 7 * 16, s"seed $seedBuckets -> $grown")
     // REPLAY: wipe the checkpoint and re-drain the identical input — the
     // per-batch overwrite state writes must leave state AND pairs
     // byte-equivalent (a mode-append state would double the index here)
@@ -145,10 +151,16 @@ class StreamsSpec extends SparkSpec {
       "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
       .awaitTermination()
     assert(bucketRows() == grown, "replay must not grow the index")
-    val replayed = spark.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+    // compare as a LIST, not a set: a replayed batch reading its own
+    // future emits each cross-batch pair twice (once per orientation, in
+    // two output dirs) — set equality would mask exactly that bug
+    val replayedRows = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$base/out")
       .select(least($"new_id", $"corpus_id"), greatest($"new_id", $"corpus_id"))
-      .as[(Long, Long)].collect().toSet
-    assert(replayed == batchPairs, "replayed pair set identical")
+      .as[(Long, Long)].collect().toSeq
+    assert(replayedRows.length == replayedRows.toSet.size,
+      "each pair emitted exactly once on replay")
+    assert(replayedRows.toSet == batchPairs, "replayed pair set identical")
   }
 
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
