@@ -1535,6 +1535,155 @@ object TrainingQueries {
       htmlSalted(Tables.documents(s, d).select("doc_id", "text")),
       boundary = graft.operators.Boundary.None)))
 
+  // ---- BPE tokenizer apply (fixture-trained vocab, greedy longest-match) ----
+
+  /** BPE fixture: documents text salted with two doc_id-derived synthetic
+    * words (`zq<id%97>v<id%13>`) — the raw corpus has only 31 distinct
+    * words, so the salt widens the vocabulary enough that the top-1000
+    * merge selection has real competition (ties at the cutoff resolved by
+    * the (count DESC, token ASC) total order on both engines).
+    */
+  private def bpeSalted(docs: org.apache.spark.sql.DataFrame) = docs.select(
+    col("doc_id"), col("lang"),
+    concat(col("text"), lit(" zq"), pmod(col("doc_id"), lit(97)),
+      lit("v"), pmod(col("doc_id"), lit(13))).as("text"))
+
+  private val bpeSaltSql: String =
+    "text || ' zq' || CAST(doc_id % 97 AS VARCHAR) || 'v' || CAST(doc_id % 13 AS VARCHAR)"
+
+  /** The DuckDB mirror of [[graft.functions.Bpe.trainVocab]] (singles +
+    * top-`merges` substrings of length 2..`maxLen`) and of the greedy
+    * longest-match apply ([[graft.functions.expressions.BpeTokenize]]) as
+    * a recursive CTE over the DISTINCT words: at each position the
+    * longest vocab hit wins (the per-length LEFT JOINs + COALESCE
+    * priority), pos advances by the match length, emitted ids accumulate
+    * per word, and per-word stats re-weight by occurrence counts. Emits
+    * CTEs: `wcnt` (distinct word + count), `voc` (token, id), `wtok`
+    * (word, tid per emitted token), `wstat` (word, n_tok, id_sum),
+    * `docw` (doc_id, w), `dstat` (doc_id, n_tokens, id_checksum).
+    * Callers must open with WITH RECURSIVE.
+    */
+  private def bpeCtes(maxLen: Int = 4, merges: Int = 1000): String = {
+    val subCtes = (2 to maxLen).map { l =>
+      s"""sub$l AS (SELECT wc, substr(w, i, $l) AS tok FROM
+         (SELECT w, wc, unnest(range(1, length(w) - ${l - 2})) AS i FROM wcnt))"""
+    }.mkString(",\n      ")
+    val subUnion = (2 to maxLen).map(l => s"SELECT * FROM sub$l").mkString(" UNION ALL ")
+    val vjoins = (maxLen to 1 by -1).map { l =>
+      s"LEFT JOIN voc v$l ON length(v$l.tok) = $l AND v$l.tok = substr(s.w, s.pos, $l)"
+    }.mkString("\n          ")
+    val advance = (maxLen to 2 by -1)
+      .map(l => s"WHEN i$l IS NOT NULL THEN $l").mkString(" ")
+    val idPick = (maxLen to 1 by -1).map(l => s"i$l").mkString(", ")
+    val vsel = (maxLen to 1 by -1).map(l => s"v$l.id AS i$l").mkString(", ")
+    s"""bdoc AS (SELECT doc_id, lang, $bpeSaltSql AS text FROM documents),
+      wocc AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM bdoc)),
+      wcnt AS (SELECT w, COUNT(*) AS wc FROM wocc GROUP BY w),
+      sing AS (SELECT DISTINCT substr(w, i, 1) AS tok FROM
+        (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wcnt)),
+      svoc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INTEGER) AS id FROM sing),
+      $subCtes,
+      msub AS (SELECT tok, CAST(SUM(wc) AS BIGINT) AS cnt FROM ($subUnion) GROUP BY tok),
+      mtop AS (SELECT tok, cnt FROM msub ORDER BY cnt DESC, tok ASC LIMIT $merges),
+      mvoc AS (SELECT tok, CAST((SELECT COUNT(*) FROM svoc) +
+          row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM mtop),
+      voc AS (SELECT tok, id FROM svoc UNION ALL SELECT tok, id FROM mvoc),
+      tk AS (
+        SELECT w, CAST(1 AS BIGINT) AS pos, CAST(NULL AS INTEGER) AS tid FROM wcnt
+        UNION ALL
+        SELECT w, pos + CASE $advance ELSE 1 END, COALESCE($idPick, -1)
+        FROM (
+          SELECT s.w, s.pos, $vsel
+          FROM tk s
+          $vjoins
+          WHERE s.pos <= length(s.w)) t),
+      wtok AS (SELECT w, tid FROM tk WHERE tid IS NOT NULL),
+      wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(tid) AS BIGINT) AS id_sum FROM wtok GROUP BY w),
+      docw AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM bdoc)),
+      dstat AS (SELECT doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(s.id_sum) AS BIGINT) AS id_checksum
+        FROM docw JOIN wstat s USING (w) GROUP BY doc_id)"""
+  }
+
+  /** Per-doc REAL tokenizer counts: train the vocab on the salted corpus
+    * (two tiny aggregations + a <= 1.1k-row collect — the model), then one
+    * shuffle-free projection tokenizes every doc; DuckDB re-trains and
+    * re-tokenizes from scratch (recursive-CTE greedy match) and must land
+    * on identical counts AND an identical id checksum — the checksum
+    * pins the exact token id sequence, not just how many.
+    */
+  private val bpeTokenizeQ = Q(
+    "text_bpe_tokenize",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val vocab = graft.functions.Bpe.trainVocab(docs, "text")
+      docs
+        .withColumn("__st", graft.functions.Bpe.tokenize(col("text"), vocab))
+        .select(col("doc_id"),
+          coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__st.id_checksum"), lit(0L)).as("id_checksum"))
+    },
+    Some(s"""WITH RECURSIVE ${bpeCtes()}
+      SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
+        COALESCE(ds.id_checksum, 0) AS id_checksum
+      FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id"""))
+
+  /** Top-50 token-id histogram under the trained vocab — the "what is the
+    * tokenizer actually emitting" report: explode ids, count, decode the
+    * token string through a broadcast of the tiny vocab table, rank by
+    * (count DESC, id ASC).
+    */
+  private val bpeHistogram = Q(
+    "agg_token_histogram_bpe",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val vocab = graft.functions.Bpe.trainVocab(docs, "text")
+      val idCounts = docs
+        .withColumn("__st", graft.functions.Bpe.tokenize(col("text"), vocab))
+        .select(explode(coalesce(col("__st.ids"),
+          array().cast("array<int>"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("id").asc)
+      idCounts
+        .join(broadcast(graft.functions.Bpe.vocabDF(docs, vocab)), "id")
+        .orderBy(col("n").desc, col("id").asc).limit(50)
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .select("rank", "id", "token", "n")
+    },
+    Some(s"""WITH RECURSIVE ${bpeCtes()},
+      idh AS (SELECT t.tid AS id, CAST(SUM(c.wc) AS BIGINT) AS n
+        FROM wtok t JOIN wcnt c USING (w) GROUP BY t.tid),
+      r AS (SELECT id, n, row_number() OVER (ORDER BY n DESC, id ASC) AS rank FROM idh)
+      SELECT CAST(r.rank AS BIGINT) AS rank, r.id, v.tok AS token, r.n
+      FROM r JOIN voc v ON v.id = r.id WHERE r.rank <= 50"""))
+
+  /** [[tokenPack]] re-based on REAL tokenizer counts: the packing budget
+    * now means "2048 BPE tokens", which is the unit a trainer consumes —
+    * the whole point of directive-grade tokenization (whitespace proxies
+    * mis-size packs by the subword expansion factor).
+    */
+  private val bpeTokenPack = Q(
+    "sel_token_pack_bpe",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val vocab = graft.functions.Bpe.trainVocab(docs, "text")
+      graft.quality.Selection.packByTokenBudget(
+        docs
+          .withColumn("__st", graft.functions.Bpe.tokenize(col("text"), vocab))
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    },
+    Some(s"""WITH RECURSIVE ${bpeCtes()},
+      w AS (SELECT d.doc_id, d.lang, COALESCE(ds.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id),
+      c AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
+      SELECT doc_id, lang, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM c"""))
+
   /** Per-URL dedup through canonicalization: the fixture URLs vary case,
     * www, tracking params and fragments per doc_id but collapse to a
     * canonical key on (doc_id % 5, % 20, % 10) — 25-copy groups whose
@@ -2324,6 +2473,7 @@ object TrainingQueries {
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
+    bpeTokenizeQ, bpeHistogram, bpeTokenPack,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

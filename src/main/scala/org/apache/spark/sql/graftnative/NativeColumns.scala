@@ -64,6 +64,16 @@ object NativeColumns {
   def nfcNormalize(s: Column): Column =
     Column(ExpressionColumnNode(NfcNormalize(ExpressionUtils.expression(s))))
 
+  /** Greedy longest-match subword tokenization of an array<string> words
+    * column against a trained vocab: struct(n_tokens, id_checksum, ids) in
+    * one per-row pass — no shuffle, no join, no HOF (see
+    * [[graft.functions.expressions.BpeTokenize]]).
+    */
+  def bpeTokenize(words: Column, vocab: Seq[(String, Int)], maxLen: Int): Column =
+    Column(ExpressionColumnNode(
+      graft.functions.expressions.BpeTokenize(
+        ExpressionUtils.expression(words), vocab, maxLen)))
+
   /** Per-vector symmetric int8 quantization (max-abs scaling, round half
     * toward +inf) as one codegen'd two-pass loop (see [[QuantizeInt8]]).
     */

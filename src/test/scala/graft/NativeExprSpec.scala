@@ -485,4 +485,65 @@ class NativeExprSpec extends SparkSpec {
     val viaNfcSql = spark.sql(s"SELECT graft_nfc('$eAcuteD')").as[String].head()
     assert(viaNfcSql == eAcuteC)
   }
+
+  test("bpeTokenize: greedy longest-match == reference impl; codepoints; stats; null totality") {
+    // reference greedy matcher in plain Scala — the independent spec the
+    // expression must agree with on randomized vocab/word draws
+    def refTokenize(words: Seq[String], vocab: Map[String, Int], maxLen: Int): Seq[Int] =
+      words.flatMap { w =>
+        val cps = w.codePoints().toArray
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var pos = 0
+        while (pos < cps.length) {
+          val l = (math.min(maxLen, cps.length - pos) to 1 by -1)
+            .find(k => vocab.contains(new String(cps, pos, k)))
+          out += l.map(k => vocab(new String(cps, pos, k))).getOrElse(-1)
+          pos += l.getOrElse(1)
+        }
+        out.toSeq
+      }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    (0 until 20).foreach { trial =>
+      // vocab: all singles + random 2..4-grams over a 4-char alphabet
+      val singles = alphabet.map(_.toString)
+      val multis = (0 until 12).map(_ =>
+        (0 until (2 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(4))).mkString).distinct
+      val vocab = (singles ++ multis).zipWithIndex.map { case (t, i) => (t, i) }
+      val vmap = vocab.toMap
+      val docs = (0 until 30).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(4)))
+          .map(_ => (0 until (1 + rnd.nextInt(9)))
+            .map(_ => alphabet(rnd.nextInt(4))).mkString).mkString(" "))
+      }
+      val got = docs.toDF("id", "text")
+        .select(col("id"),
+          NativeColumns.bpeTokenize(graft.functions.Text.words(col("text")), vocab, 4).as("st"))
+        .select(col("id"), col("st.n_tokens"), col("st.id_checksum"), col("st.ids"))
+        .as[(Long, Long, Long, Seq[Int])].collect().sortBy(_._1)
+      docs.zip(got).foreach { case ((_, text), (_, n, ck, ids)) =>
+        // Text.words semantics in plain Scala: lower/trim/split-on-spaces
+        val ws = text.trim.toLowerCase.split(" +").filter(_.nonEmpty).toSeq
+        val expect = refTokenize(ws, vmap, 4)
+        assert(ids == expect, s"trial $trial text '$text': $ids vs $expect")
+        assert(n == expect.length && ck == expect.map(_.toLong).sum)
+      }
+    }
+    // codepoint semantics: an astral-plane char is ONE position (a
+    // UTF-16-char matcher would split the surrogate pair and emit two)
+    val astral = new String(Character.toChars(0x1D11E))
+    val vz = Seq((astral, 0), ("x", 1), (s"x$astral", 2))
+    val zids = Seq(Tuple1(s"x$astral $astral y")).toDF("text")
+      .select(NativeColumns.bpeTokenize(graft.functions.Text.words(col("text")), vz, 4).as("st"))
+      .select(col("st.ids")).as[Seq[Int]].head()
+    assert(zids == Seq(2, 0, -1), s"got $zids") // greedy 2-gram, single, unknown 'y'
+    // totality: null array -> null struct; empty text -> zero stats
+    val nrow = Seq(Tuple1(null: String)).toDF("text")
+      .select(NativeColumns.bpeTokenize(graft.functions.Text.words(col("text")), vz, 4))
+    assert(nrow.head().isNullAt(0))
+    val erow = Seq(Tuple1("")).toDF("text")
+      .select(NativeColumns.bpeTokenize(graft.functions.Text.words(col("text")), vz, 4).as("st"))
+      .select(col("st.n_tokens"), col("st.id_checksum")).as[(Long, Long)].head()
+    assert(erow == ((0L, 0L)))
+  }
 }
