@@ -168,6 +168,11 @@ object Incremental {
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous run may have died mid-commit: roll its manifest forward
+    // BEFORE reading current bucket state, or the merge below would read
+    // a half-swapped table (worst case: a bucket sitting in `__old` with
+    // no live dir — its unmatched keys would silently vanish)
+    recoverBucketed(fs, path)
     // touched buckets: driver-small by construction (<= nBuckets ints)
     val touched = updates.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -182,26 +187,87 @@ object Incremental {
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.withColumn("b", bucketOf)
       .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
-    touched.foreach { k =>
-      val dst = new Path(s"$path/b=$k")
-      val tmp = new Path(staging, s"b=$k")
-      val old = new Path(s"$path/b=${k}__old")
-      if (!fs.exists(tmp)) // an update key deduped away entirely: nothing new
-        ()
-      else {
-        if (fs.exists(old)) fs.delete(old, true)
-        fs.mkdirs(root)
-        val hadPrev = fs.exists(dst)
-        if (hadPrev && !fs.rename(dst, old))
-          throw new java.io.IOException(s"upsertByKeyBucketed: failed to move $dst aside")
-        if (!fs.rename(tmp, dst)) {
-          if (hadPrev) fs.rename(old, dst) // roll back this bucket
-          throw new java.io.IOException(s"upsertByKeyBucketed: failed to commit $tmp -> $dst")
-        }
-        if (hadPrev) fs.delete(old, true)
-      }
-    }
+    // WRITE-AHEAD MANIFEST: batch intent (the touched bucket list) recorded
+    // AFTER staging is fully written and BEFORE the first rename — so a
+    // crash anywhere in the rename loop leaves both the intent and the
+    // complete merged data on disk, and recovery can always roll FORWARD
+    // to the state this batch was committing (never a partial mix).
+    // Atomic via write-temp-then-rename; cleared only after every bucket
+    // landed and staging is gone.
+    fs.mkdirs(root)
+    val mf = new Path(path, "_MANIFEST")
+    val mtmp = new Path(path, "_MANIFEST.tmp")
+    val out = fs.create(mtmp, true)
+    out.write(touched.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(mtmp, mf))
+      throw new java.io.IOException(s"upsertByKeyBucketed: failed to write manifest $mf")
+    touched.foreach(k => commitBucket(fs, path, staging, k))
     fs.delete(staging, true)
+    fs.delete(mf, false)
+  }
+
+  /** The per-bucket two-rename swap: stage `staging/b=k` into `path/b=k`
+    * with the previous dir held in `b=k__old` until the new one is in
+    * place. No-op if the staging dir for the bucket is absent (all the
+    * bucket's update keys deduped away, or — during recovery — the bucket
+    * already committed).
+    */
+  private def commitBucket(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      staging: org.apache.hadoop.fs.Path,
+      k: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$path/b=$k")
+    val tmp = new Path(staging, s"b=$k")
+    val old = new Path(s"$path/b=${k}__old")
+    if (fs.exists(tmp)) {
+      // a half-swap leaves dst ABSENT with the previous data in __old;
+      // tmp (the merged output) supersedes both, so the stale __old is
+      // safe to drop whether dst exists or not
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadPrev = fs.exists(dst)
+      if (hadPrev && !fs.rename(dst, old))
+        throw new java.io.IOException(s"upsertByKeyBucketed: failed to move $dst aside")
+      if (!fs.rename(tmp, dst)) {
+        if (hadPrev) fs.rename(old, dst) // roll back this bucket
+        throw new java.io.IOException(s"upsertByKeyBucketed: failed to commit $tmp -> $dst")
+      }
+      if (hadPrev) fs.delete(old, true)
+    } else if (fs.exists(old) && !fs.exists(dst)) {
+      // committed-then-crashed window can't produce this (tmp is renamed,
+      // not copied), but a manual intervention might: restore the backup
+      // rather than leave the bucket invisible
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(s"upsertByKeyBucketed: failed to restore $old")
+    } else if (fs.exists(old)) {
+      fs.delete(old, true) // committed, cleanup interrupted: clear the backup
+    }
+  }
+
+  /** Roll forward an interrupted [[upsertByKeyBucketed]] commit: if a
+    * `_MANIFEST` exists, the previous run died between writing its staging
+    * data and clearing the manifest. Every listed bucket is re-driven
+    * through the same idempotent per-bucket swap (already-committed
+    * buckets no-op; half-swapped buckets complete from staging), then
+    * staging and the manifest are cleared — the table converges to the
+    * exact post-batch state the dead run was committing. Runs
+    * automatically at the start of every upsert; callers can also invoke
+    * it directly (e.g. a read path that wants strict freshness).
+    */
+  def recoverBucketed(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mf = new Path(path, "_MANIFEST")
+    if (!fs.exists(mf)) return
+    val staging = new Path(path + "__staging")
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .foreach(k => commitBucket(fs, path, staging, k))
+    fs.delete(staging, true)
+    fs.delete(mf, false)
   }
 
   /** The logical view of an [[upsertByKeyBucketed]] table: all buckets,
