@@ -253,6 +253,78 @@ object Streams {
       }
       .start()
 
+  /** Maintenance companion to [[lshDedupAvailableNow]]: fold the
+    * accumulated per-batch state subdirectories (`b<j>` + `seed`) back
+    * into a single `seed` once their count exceeds `maxSubdirs` — without
+    * compaction an always-on ingest accretes one directory (several small
+    * files) per micro-batch forever, and the recursive state read
+    * degrades into a small-files listing storm long before data volume
+    * matters. Runs BETWEEN drains (same single-writer contract as the
+    * rename-swap sink family), for each of `buckets` and `docs`.
+    *
+    * Correctness under the batch-id read filter: a CONTINUING checkpoint's
+    * next batch N reads `seed` + `b<j>` (j < N); folding every existing
+    * `b<j>` (all j < N — the previous drain finished) into `seed` changes
+    * nothing the filter admits, so post-compaction drains see byte-equal
+    * state (StreamsSpec proves drain-after-compaction emits the identical
+    * pair set). What compaction DOES forfeit is wiped-checkpoint replay
+    * granularity: the folded seed contains batches a restarted-from-zero
+    * drain would re-deliver, so checkpoint and state must be retained or
+    * reset TOGETHER once compaction has run (operationally: a re-drain
+    * from scratch re-seeds from the original corpus).
+    *
+    * Commit discipline: the folded data is fully written to
+    * `<sub>__compact/seed`, then one rename moves the old tree aside and
+    * one brings the new tree live ([[graft.sources.Layout.compact]]'s
+    * two-rename swap); entry rolls an interrupted previous swap forward,
+    * so every crash window leaves a recoverable tree.
+    *
+    * Returns true if compaction ran (count exceeded the bound).
+    */
+  def compactLshState(
+      spark: SparkSession,
+      statePath: String,
+      maxSubdirs: Int = 16,
+      targetFiles: Int = 8): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(maxSubdirs >= 1, "maxSubdirs must be >= 1")
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rollForward(sub: String): Unit = {
+      val live = new Path(s"$statePath/$sub")
+      val compactDir = new Path(s"$statePath/${sub}__compact")
+      val old = new Path(s"$statePath/${sub}__old")
+      if (!fs.exists(live) && fs.exists(compactDir)) {
+        // crashed between the two renames: bring the compacted tree live
+        if (!fs.rename(compactDir, live))
+          throw new java.io.IOException(s"compactLshState: failed to restore $live")
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(compactDir)) fs.delete(compactDir, true)
+    }
+    Seq("buckets", "docs").foreach(rollForward)
+    val nSub = Seq("buckets", "docs").map { sub =>
+      fs.listStatus(new Path(s"$statePath/$sub")).count(_.isDirectory)
+    }.max
+    if (nSub <= maxSubdirs) return false
+    Seq("buckets", "docs").foreach { sub =>
+      val live = new Path(s"$statePath/$sub")
+      val compactDir = new Path(s"$statePath/${sub}__compact")
+      val old = new Path(s"$statePath/${sub}__old")
+      spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
+        .coalesce(targetFiles) // shuffle-free file-count bound; size for the deployment
+        .write.mode("overwrite").parquet(s"$compactDir/seed")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"compactLshState: failed to move $live aside")
+      if (!fs.rename(compactDir, live)) {
+        fs.rename(old, live) // roll back
+        throw new java.io.IOException(s"compactLshState: failed to commit $compactDir")
+      }
+      fs.delete(old, true)
+    }
+    true
+  }
+
   /** Streaming exact dedup with BOUNDED state: one state entry per key,
     * evicted once the event-time watermark passes `lateness` behind it —
     * the streaming form of [[graft.operators.Dedup.exact]] for an

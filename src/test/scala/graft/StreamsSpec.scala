@@ -163,6 +163,69 @@ class StreamsSpec extends SparkSpec {
     assert(replayedRows.toSet == batchPairs, "replayed pair set identical")
   }
 
+  test("compactLshState: post-compaction drains emit the identical pair set; state files shrink") {
+    val base = "target/tmp/streams_lsh_compact"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    import graft.operators.Dedup
+    val texts = (0 until 12).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+    val corpus = texts.toDF("doc_id", "text")
+    val ingestDF = texts.take(8).map { case (i, t) => (i + 100, t + " xq") }
+      .toDF("doc_id", "text")
+    def seed(dir: String): Unit = {
+      Dedup.minhashBuckets(corpus, "doc_id", "text", n = 3, k = 64, bands = 16)
+        .write.parquet(s"$dir/state/buckets/seed")
+      corpus.write.parquet(s"$dir/state/docs/seed")
+    }
+    def writeSlice(dir: String, lo: Int, hi: Int): Unit =
+      ingestDF.filter($"doc_id" >= 100 + lo && $"doc_id" < 100 + hi)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    def drain(dir: String): Unit =
+      Streams.lshDedupAvailableNow(
+        spark.readStream.schema(ingestDF.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        s"$dir/state", s"$dir/out", s"$dir/ckpt", "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5).awaitTermination()
+    // control: the same four micro-batches with NO compaction
+    val ctl = s"$base/ctl"; seed(ctl)
+    Seq((0, 2), (2, 4), (4, 6), (6, 8)).foreach { case (l, h) => writeSlice(ctl, l, h) }
+    drain(ctl)
+    // test path: two batches, compact the accumulated state, two more
+    // batches on the SAME checkpoint
+    val cmp = s"$base/cmp"; seed(cmp)
+    writeSlice(cmp, 0, 2); writeSlice(cmp, 2, 4)
+    drain(cmp)
+    def stateFiles(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$cmp/state"), true)
+      var n = 0
+      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      n
+    }
+    def idxRows(): Long = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$cmp/state/buckets").count()
+    val (filesBefore, rowsBefore) = (stateFiles(), idxRows())
+    // below the bound: a no-op (3 subdirs: seed + b0 + b1)
+    assert(!Streams.compactLshState(spark, s"$cmp/state", maxSubdirs = 8))
+    assert(Streams.compactLshState(spark, s"$cmp/state", maxSubdirs = 1, targetFiles = 1))
+    assert(idxRows() == rowsBefore, "compaction must not add or drop index rows")
+    assert(stateFiles() < filesBefore,
+      s"measured file reduction expected: $filesBefore -> ${stateFiles()}")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$cmp/state/buckets"))
+      .count(_.isDirectory) == 1, "everything folded into one seed")
+    writeSlice(cmp, 4, 6); writeSlice(cmp, 6, 8)
+    drain(cmp)
+    def pairs(dir: String): Seq[(Long, Long)] = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      .select(least($"new_id", $"corpus_id"), greatest($"new_id", $"corpus_id"))
+      .as[(Long, Long)].collect().toSeq
+    val (pc, pm) = (pairs(ctl), pairs(cmp))
+    assert(pm.length == pm.toSet.size, "no pair emitted twice across the compaction")
+    assert(pm.toSet == pc.toSet, "compaction must be invisible to the emitted pairs")
+    assert(pc.toSet.size >= 8, "every planted mutation pairs with its source")
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
