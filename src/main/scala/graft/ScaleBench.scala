@@ -172,7 +172,7 @@ object ScaleBench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     val results = ops.map { case (name, f) =>
-      val perK = ks.map { k =>
+      val perK3 = ks.map { k =>
         val times = (0 until runs).map { _ =>
           val t0 = System.nanoTime
           val n = f(k)
@@ -181,8 +181,12 @@ object ScaleBench {
           isolate()
           secs
         }
-        k -> median(times)
+        // run variance rides along in the JSON: an alpha fit over noisy
+        // medians is worthless, so the log must show the spread backing it
+        val spreadPct = (times.max - times.min) / median(times) * 100.0
+        (k, median(times), spreadPct)
       }
+      val perK = perK3.map { case (k, med, _) => k -> med }
       // exponent between the top two points — fixed overheads matter least
       // there; alpha over the full span is also reported
       val (kLo, tLo) = perK.head
@@ -190,16 +194,17 @@ object ScaleBench {
       val (k2, t2) = perK.last
       val alphaTop = math.log(t2 / t1) / math.log(k2.toDouble / k1)
       val alphaFull = math.log(t2 / tLo) / math.log(k2.toDouble / kLo)
-      (name, perK, alphaTop, alphaFull)
+      (name, perK3, alphaTop, alphaFull)
     }
 
     // Locale.ROOT: the f interpolator is default-locale-dependent and would
     // emit comma decimals (invalid JSON) under e.g. a de_DE JVM default
     def num(x: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
-    val json = results.map { case (name, perK, aTop, aFull) =>
-      val times = perK.map { case (k, t) => s""""$k":${num(t, 3)}""" }.mkString(",")
-      s""""$name":{$times,"alpha_top":${num(aTop, 2)},"alpha_full":${num(aFull, 2)}}"""
+    val json = results.map { case (name, perK3, aTop, aFull) =>
+      val times = perK3.map { case (k, t, _) => s""""$k":${num(t, 3)}""" }.mkString(",")
+      val spreads = perK3.map { case (k, _, s) => s""""$k":${num(s, 0)}""" }.mkString(",")
+      s""""$name":{$times,"alpha_top":${num(aTop, 2)},"alpha_full":${num(aFull, 2)},"spread_pct":{$spreads}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_probe","sf":"$sfDir","ks":[${ks.mkString(",")}],"runs":$runs,"ops":{$json}}""")
     spark.stop()

@@ -2166,6 +2166,32 @@ object TrainingQueries {
     Some("""SELECT doc_id, lang FROM documents
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 15))::BIGINT % 10000 < 2500"""))
 
+  /** The [[graft.sources.Layout.writeShuffledShards]] assignment —
+    * shard AND intra-shard position both recomputed from scratch by
+    * DuckDB (two independent md5-60bit keyed hashes + a per-shard
+    * window rank), so the reproducible-global-shuffle contract is
+    * differentially verified; LayoutSpec separately proves the PHYSICAL
+    * writer lays files in exactly this order regardless of input
+    * partitioning.
+    */
+  private val shardShuffle = Q(
+    "snk_shard_shuffle",
+    (s, d) => {
+      val a = graft.sources.Layout.shardShuffleAssignment(
+        Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8, salt = "shuf")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("__ord"), col("doc_id"))
+      a.select(col("doc_id"), col("shard"),
+        row_number().over(win).cast("long").as("pos"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuf'), 1, 15))::BIGINT % 8 AS INTEGER) AS shard,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shufo'), 1, 15))::BIGINT AS ord
+        FROM documents)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+      FROM a"""))
+
   /** Token-weighted sample of exactly 200 docs (weight = n_chars): DuckDB
     * recomputes every Efraimidis–Spirakis key from scratch — the dyadic
     * uniform, the 1e6-quantized log2, the exact-operand division — and
@@ -2473,7 +2499,7 @@ object TrainingQueries {
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
-    bpeTokenizeQ, bpeHistogram, bpeTokenPack,
+    bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

@@ -180,4 +180,75 @@ object Layout {
       .drop("__z") // projection after the sort: per-file order survives
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** The shard + intra-shard order assignment behind
+    * [[writeShuffledShards]], exposed as a plain frame so the registry
+    * can differentially verify it: `shard = md5_60bit(id || salt) mod
+    * nShards`, `__ord = md5_60bit(id || salt || "o")` — two independent
+    * keyed hashes, both recomputable by any engine from the row's id
+    * alone. Determinism is the whole point: a trainer re-run, a rebuilt
+    * cluster, or a different input partitioning produces the SAME global
+    * shuffle, so data order (which affects training dynamics) is
+    * reproducible and resumable.
+    */
+  def shardShuffleAssignment(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards >= 1, "nShards must be >= 1")
+    df.withColumn("shard",
+        pmod(graft.functions.Text.md5Hash64(
+          concat(col(idCol).cast("string"), lit(salt))), lit(nShards.toLong)).cast("int"))
+      .withColumn("__ord", graft.functions.Text.md5Hash64(
+        concat(col(idCol).cast("string"), lit(salt), lit("o"))))
+  }
+
+  /** DETERMINISTIC SHARD-SHUFFLE SINK: the reproducible global shuffle a
+    * trainer reads. Every row goes to `shard = hash(id)` and lands in its
+    * shard's file in `(hash2(id), id)` order — a permutation that is a
+    * pure function of the ids, independent of input partitioning, task
+    * scheduling, or cluster size (LayoutSpec proves two writes from
+    * differently-partitioned inputs produce identical per-shard
+    * sequences). One hash-repartition on the shard id + an in-partition
+    * sort: at 100 TB this is exactly one shuffle of the corpus, the
+    * minimum any global shuffle costs, with no driver-side pass and no
+    * global sort (the order key is per-shard, so no range exchange / skew
+    * risk; shard sizes are balanced by the uniform hash).
+    *
+    * Commit: staging write + the same two-rename swap as [[compact]] — a
+    * crash leaves the previous table (or a recoverable `__old`), never a
+    * half-written shuffle. Same single-writer / rename-capable-FS
+    * contract as the rest of the sink family.
+    */
+  def writeShuffledShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      nShards: Int,
+      salt: String = "shuf"): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    shardShuffleAssignment(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
+      .drop("__ord") // projection after the sort: per-file order survives
+      .write.partitionBy("shard").mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(dst)
+    if (hadPrev && !fs.rename(dst, old))
+      throw new java.io.IOException(s"writeShuffledShards: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      if (hadPrev) fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"writeShuffledShards: failed to commit $tmp -> $dst")
+    }
+    if (hadPrev) fs.delete(old, true)
+  }
 }

@@ -40,22 +40,33 @@ object PlanStats {
       try {
         val df = q.planView.getOrElse(q.run)(spark, sfDir)
         val plan = df.queryExecution.executedPlan.toString
-        Some((q.name, count(plan, "FileScan"), count(plan, "Exchange"),
+        // EXECUTED column: run the real query (not the planView) under the
+        // scan probe — boundary materializations and two-phase scalar
+        // reads fire their own SQL actions, all counted; reused exchanges
+        // and cached relations count zero. This is the number that has to
+        // stay sane at 100 TB; the lazy column is the derivation shape.
+        val (_, acts, rscans) =
+          org.apache.spark.sql.graftnative.PlanProbe.measure(spark) {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+        Some((q.name, count(plan, "FileScan"), rscans, acts, count(plan, "Exchange"),
           count(plan, "HashAggregate"), count(plan, "SortMergeJoin"),
           count(plan, "BroadcastHashJoin"), count(plan, "BroadcastNestedLoopJoin"),
           count(plan, "CartesianProduct")))
       } catch {
         case e: Throwable =>
-          System.err.println(s"[planstats] $q.name SKIP: ${e.getClass.getSimpleName}")
+          System.err.println(s"[planstats] ${q.name} SKIP: ${e.getClass.getSimpleName}")
           None
       }
     }
-    println(f"${"query"}%-45s ${"scans"}%5s ${"exch"}%5s ${"aggs"}%5s ${"smj"}%4s ${"bhj"}%4s ${"bnlj"}%4s ${"cart"}%4s")
-    rows.sortBy(-_._2).foreach { case (n, s, e, a, smj, bhj, bnlj, cart) =>
-      println(f"$n%-45s $s%5d $e%5d $a%5d $smj%4d $bhj%4d $bnlj%4d $cart%4d")
+    println(f"${"query"}%-45s ${"lazy"}%5s ${"exec"}%5s ${"acts"}%5s ${"exch"}%5s ${"aggs"}%5s ${"smj"}%4s ${"bhj"}%4s ${"bnlj"}%4s ${"cart"}%4s")
+    rows.sortBy(-_._3).foreach { case (n, s, rs, ac, e, a, smj, bhj, bnlj, cart) =>
+      println(f"$n%-45s $s%5d $rs%5d $ac%5d $e%5d $a%5d $smj%4d $bhj%4d $bnlj%4d $cart%4d")
     }
-    val worst = rows.sortBy(-_._2).take(5).map(r => s"${r._1}=${r._2}").mkString(", ")
-    System.err.println(s"[planstats] top scan counts: $worst")
+    val worstLazy = rows.sortBy(-_._2).take(5).map(r => s"${r._1}=${r._2}").mkString(", ")
+    val worstExec = rows.sortBy(-_._3).take(5).map(r => s"${r._1}=${r._3}").mkString(", ")
+    System.err.println(s"[planstats] top lazy scan counts: $worstLazy")
+    System.err.println(s"[planstats] top EXECUTED scan counts: $worstExec")
     spark.stop()
   }
 }

@@ -164,6 +164,42 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.listStatus(root).exists(_.getPath.getName.endsWith("__old")))
   }
 
+  test("writeShuffledShards: identical shards and order across input partitionings; read-back matches the declared order") {
+    import graft.sources.Layout
+    val base = "target/tmp/layout_shard_shuffle"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("", "__staging", "__old", "2", "2__staging", "2__old")
+      .foreach(s => fs.delete(new org.apache.hadoop.fs.Path(base + s), true))
+    val rows = (1L to 2000L).map(i => (i, s"payload$i"))
+    val nShards = 8
+    // write 1: one input layout; write 2: different partitioning AND row order
+    Layout.writeShuffledShards(rows.toDF("id", "v").repartition(7), base, "id", nShards)
+    Layout.writeShuffledShards(
+      scala.util.Random.shuffle(rows).toDF("id", "v").repartition(3, col("v")),
+      base + "2", "id", nShards)
+    def shardSeqs(path: String): Map[Int, Seq[Long]] =
+      (0 until nShards).map { s =>
+        // one coalesced read per shard dir keeps file order; shards are
+        // single-file by construction (one task per shard hash)
+        s -> spark.read.parquet(s"$path/shard=$s").select("id").as[Long].collect().toSeq
+      }.toMap
+    val (a, b) = (shardSeqs(base), shardSeqs(base + "2"))
+    assert(a == b, "the shuffle must be a pure function of the ids")
+    assert(a.values.map(_.size).sum == 2000, "no row lost")
+    assert(a.values.forall(_.nonEmpty), "uniform hash fills every shard")
+    // read-back order == the declared (hash2, id) order, per shard
+    val expected = Layout.shardShuffleAssignment(rows.toDF("id", "v"), "id", nShards, "shuf")
+      .select(col("shard"), col("__ord"), col("id")).as[(Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).map(_._3).toSeq).toMap
+    assert(a == expected, "file order must be the declared deterministic order")
+    // overwrite commit: a second write over the first leaves no residue
+    Layout.writeShuffledShards(rows.take(100).toDF("id", "v"), base, "id", nShards)
+    assert(spark.read.parquet(base).count() == 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "__staging")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(base + "__old")))
+  }
+
   test("writeRangeClustered: per-file key ranges are pairwise disjoint") {
     val base = "target/tmp/layout_range_spec"
     val p = new org.apache.hadoop.fs.Path(base)

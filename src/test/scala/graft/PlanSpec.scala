@@ -174,4 +174,26 @@ class PlanSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"sub-plan multiplication regressed:\n${bad.mkString("\n")}")
   }
+
+  test("EXECUTED scan counts of the 44-lazy-scan DAGs stay bounded (boundaries actually deduplicate I/O)") {
+    // the lazy census reads these two programs as 44 FileScans because
+    // every derivation re-states the source scan; Boundary materialization
+    // means execution reads the lake far fewer times. This pins the
+    // EXECUTED number (AQE-final plans of every SQL action, reused
+    // exchanges and cache HITS counted zero, cache BUILDS counted once) so
+    // a dropped boundary can't silently turn 44 lazy scans into 44 real
+    // ones. Caps are ~2x the measured counts (lsh: 8, assembly: 5 at
+    // sf0.001) to absorb planner drift, an order below the lazy number.
+    graft.sources.Tables.configure(spark)
+    import org.apache.spark.sql.graftnative.PlanProbe
+    val caps = Seq("dedup_minhash_lsh" -> 16, "feature_assembly" -> 12)
+    val bad = caps.flatMap { case (name, cap) =>
+      val q = Registry.byName(name)
+      val (_, _, scans) = PlanProbe.measure(spark) {
+        q.run(spark, sf).write.format("noop").mode("overwrite").save()
+      }
+      if (scans > cap) Some(s"$name: $scans executed scans > cap $cap") else None
+    }
+    assert(bad.isEmpty, s"executed-scan regression:\n${bad.mkString("\n")}")
+  }
 }

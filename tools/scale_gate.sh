@@ -10,6 +10,17 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 echo "== graft scale gate ($(date -u +%FT%TZ)) =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
-SPARK_GRAFT_SCALE_KS="${SPARK_GRAFT_SCALE_KS:-1,4,16}" \
+SPARK_GRAFT_SCALE_KS="${SPARK_GRAFT_SCALE_KS:-1,4,16,64}" \
 SPARK_GRAFT_SCALE_RUNS="${SPARK_GRAFT_SCALE_RUNS:-3}" \
   sbt -batch "runMain graft.ScaleBench"
+
+# As-of skew gate (round-8 verdict task 8): the merge exec must stay flat
+# on the dense-hot regime — the one where the binned form degrades to
+# 15-109 s (tools/logs/asof_skew_r8.log). Only merge + salted run here;
+# binned's pathology is the documented counterexample, not a gate subject.
+echo "== as-of skew gate (dense:90, merge+salted <= ${SPARK_GRAFT_ASOF_GATE_SEC:-2.0} s) =="
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+SPARK_GRAFT_SKEW_CASES="dense:90" \
+SPARK_GRAFT_SKEW_VARIANTS="merge,salted" \
+SPARK_GRAFT_ASOF_GATE_SEC="${SPARK_GRAFT_ASOF_GATE_SEC:-2.0}" \
+  sbt -batch "runMain graft.tools.AsOfSkewBench"
