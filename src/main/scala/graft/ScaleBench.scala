@@ -173,6 +173,11 @@ object ScaleBench {
 
     val results = ops.map { case (name, f) =>
       val perK3 = ks.map { k =>
+        // one untimed pass per (op, k): each k reads a DIFFERENT parquet
+        // tree, so the k-level first run otherwise pays page-cache/codegen
+        // warmup for that file set and the range-based spread_pct reports
+        // warmup, not run variance (Bench's cold-run discipline, per k)
+        f(k); isolate()
         val times = (0 until runs).map { _ =>
           val t0 = System.nanoTime
           val n = f(k)

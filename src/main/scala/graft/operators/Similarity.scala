@@ -50,10 +50,21 @@ object Similarity {
       * of the max over the id-sorted score array) — the same determinism
       * rule as `max_by(cell_id, struct(cos, -cell_id))` and the oracles'
       * `ORDER BY cos DESC, cell_id`.
+      *
+      * The `coalesce(-1)` is semantically a no-op (array_max's value is an
+      * element of the array, so array_position is always >= 1 and the
+      * element_at always hits) but makes the column PROVABLY NON-NULL —
+      * without it, non-ANSI sessions treat element_at as nullable and the
+      * join-key null-safety rewrite re-evaluates this ENTIRE literal
+      * centroid tree in an injected isnotnull Filter AND in the pushed
+      * DataFilter at the scan (measured: 8x on the probed-cell join,
+      * interpreted eval with no subexpression sharing in Filters).
       */
     def assign(vec: Column): Column =
-      element_at(cellIds,
-        array_position(scores(vec), array_max(scores(vec))).cast("int"))
+      coalesce(
+        element_at(cellIds,
+          array_position(scores(vec), array_max(scores(vec))).cast("int")),
+        lit(-1L))
 
     /** Argmax as the 1-based POSITION in cell_id order (the PQ code form:
       * a centroid's index, not its id) — same tie rule as [[assign]]
@@ -154,8 +165,15 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qz"), col("cz")))
     val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
-    val rescored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+    // phase-2 build side is ALWAYS the candidates: <= |queries|*refine*k
+    // rows by construction. Left implicit the planner errs in both
+    // directions — a sub-broadcast-threshold corpus becomes the build side
+    // (measured: k<=16 scale probes broadcast the whole corpus and ran 6x
+    // slower than k=64, where the corpus outgrew the threshold), and at
+    // real scale the post-window cand carries no stats, risking a
+    // full-corpus sort-merge shuffle.
+    val rescored = broadcast(cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)
@@ -219,14 +237,23 @@ object Similarity {
     }
     // phase 1: keyed equi join on cell — each corpus row lives in exactly
     // one cell, so (query, neighbor) pairs are already distinct
-    val approx = queryCells
+    // probe side is <= |queries| * nProbe rows — always the build side
+    // (same mis-broadcast hazard as the phase-2 note below)
+    val approx = broadcast(queryCells)
       .join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qz"), col("cz")))
     val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
     // phase 2: exact float re-rank of |queries| * refine*k candidate rows
-    val rescored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+    // phase-2 build side is ALWAYS the candidates: <= |queries|*refine*k
+    // rows by construction. Left implicit the planner errs in both
+    // directions — a sub-broadcast-threshold corpus becomes the build side
+    // (measured: k<=16 scale probes broadcast the whole corpus and ran 6x
+    // slower than k=64, where the corpus outgrew the threshold), and at
+    // real scale the post-window cand carries no stats, risking a
+    // full-corpus sort-merge shuffle.
+    val rescored = broadcast(cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)
@@ -320,7 +347,9 @@ object Similarity {
         .select(col("query_id"), col("qv"),
           element_at(cents.cellIds, (col("pos") + 1).cast("int")).as("cell_id"))
     }
-    val scored = queryCells
+    // probe side is <= |queries| * nProbe rows — always the build side
+    // (same mis-broadcast hazard as the quantized form's phase-2 note)
+    val scored = broadcast(queryCells)
       .join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
@@ -352,14 +381,13 @@ object Similarity {
         .toDF(id, "band", "bucket")
     // cap applies to the CORPUS side only: an over-full corpus bucket is the
     // O(size^2) risk; probes are few and must keep all their bands
-    val candidates = bucketed(q, "query_id", "qv")
+    val candidates = broadcast(bucketed(q, "query_id", "qv"))
       .join(Dedup.capBuckets(bucketed(c, "neighbor_id", "cv"), maxBucket),
         Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val scored = candidates
-      .join(q, "query_id")
+    val scored = broadcast(candidates.join(q, "query_id"))
       .join(c, "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
@@ -466,8 +494,15 @@ object Similarity {
       .withColumn("cosine",
         (0 until m).map(j => element_at(col(s"__l$j"), col(s"__c$j"))).reduce(_ + _))
     val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
-    val rescored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+    // phase-2 build side is ALWAYS the candidates: <= |queries|*refine*k
+    // rows by construction. Left implicit the planner errs in both
+    // directions — a sub-broadcast-threshold corpus becomes the build side
+    // (measured: k<=16 scale probes broadcast the whole corpus and ran 6x
+    // slower than k=64, where the corpus outgrew the threshold), and at
+    // real scale the post-window cand carries no stats, risking a
+    // full-corpus sort-merge shuffle.
+    val rescored = broadcast(cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)
@@ -527,14 +562,23 @@ object Similarity {
         .select(col("query_id") +: (0 until m).map(j => col(s"__l$j")) :+
           element_at(cents.cellIds, (col("pos") + 1).cast("int")).as("cell_id"): _*)
     }
-    val approx = queryCells
+    // probe side is <= |queries| * nProbe rows — always the build side
+    // (same mis-broadcast hazard as the phase-2 note below)
+    val approx = broadcast(queryCells)
       .join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         (0 until m).map(j => element_at(col(s"__l$j"), col(s"__c$j"))).reduce(_ + _))
     val cand = rankTopK(approx, refine * k).select("query_id", "neighbor_id")
-    val rescored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+    // phase-2 build side is ALWAYS the candidates: <= |queries|*refine*k
+    // rows by construction. Left implicit the planner errs in both
+    // directions — a sub-broadcast-threshold corpus becomes the build side
+    // (measured: k<=16 scale probes broadcast the whole corpus and ran 6x
+    // slower than k=64, where the corpus outgrew the threshold), and at
+    // real scale the post-window cand carries no stats, risking a
+    // full-corpus sort-merge shuffle.
+    val rescored = broadcast(cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)

@@ -236,11 +236,16 @@ object Layout {
     val tmp = new Path(path + "__staging")
     val old = new Path(path + "__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    shardShuffleAssignment(df, idCol, nShards, salt)
+    val prepared = shardShuffleAssignment(df, idCol, nShards, salt)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
       .drop("__ord") // projection after the sort: per-file order survives
-      .write.partitionBy("shard").mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // empty input (a pipeline's first run): dynamic partitionBy writes ZERO
+    // files and the table becomes unreadable (schema inference fails) —
+    // write the empty frame unpartitioned instead, so readers see an empty
+    // schema-bearing table; the next non-empty write swaps the whole tree
+    val w = prepared.write.mode(SaveMode.Overwrite)
+    (if (df.take(1).isEmpty) w else w.partitionBy("shard")).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(dst)
     if (hadPrev && !fs.rename(dst, old))

@@ -49,6 +49,24 @@ class EmptyInputSpec extends SparkSpec {
       Map("en" -> 1.0)).count() == 0)
   }
 
+  test("round-9 family is total on an empty corpus: HTML pipeline, BPE training, shard shuffle") {
+    assert(graft.quality.CorpusClean.pipelineHtml(
+      docs0.withColumnRenamed("text", "html")).count() == 0)
+    // empty-corpus vocab is empty; tokenizing against it never throws
+    // (every char is the -1 unknown)
+    val vocab = graft.functions.Bpe.trainVocab(docs0, "text")
+    assert(vocab.isEmpty)
+    val st = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(graft.functions.Bpe.tokenize(col("text"), vocab).as("st"))
+      .select(col("st.n_tokens"), col("st.id_checksum")).as[(Long, Long)].head()
+    assert(st == ((2L, -2L)), "two unknown single chars")
+    assert(graft.sources.Layout.shardShuffleAssignment(docs0, "doc_id", 4, "s")
+      .count() == 0)
+    val base = "target/tmp/empty_shard_shuffle"
+    graft.sources.Layout.writeShuffledShards(docs0, base, "doc_id", 4)
+    assert(spark.read.parquet(base).count() == 0)
+  }
+
   test("selection family is total on an empty input") {
     val scored = Seq.empty[(Long, Double, String)].toDF("id", "score", "g")
     assert(graft.quality.Selection.filterByScoreQuantile(scored, "score", 0.5).count() == 0)

@@ -31,6 +31,29 @@ class NullInputSpec extends SparkSpec {
     assert(Dedup.spanCoverage(docs, "doc_id", "text", k = 3).count() == 4)
   }
 
+  test("round-9 family tolerates null text: HTML extraction, BPE, shard assignment") {
+    // extractHtmlText: null in -> null out; empty -> empty; never throws
+    val ext = docs.select(col("doc_id"),
+      graft.functions.Text.extractHtmlText(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(ext(2L) == null && ext(3L) == "" && ext(1L).nonEmpty)
+    // pipelineHtml over null/empty html rows: gate drops them, no throw
+    val htmlDocs = docs.withColumnRenamed("text", "html")
+    assert(graft.quality.CorpusClean.pipelineHtml(htmlDocs).count() <= 4)
+    // BPE: vocab trains on the non-null rows; null-text docs tokenize to
+    // a null struct (coalesced to zero stats by callers), empty to zero
+    val vocab = graft.functions.Bpe.trainVocab(docs, "text", merges = 50)
+    assert(vocab.nonEmpty)
+    val st = docs.select(col("doc_id"),
+      graft.functions.Bpe.tokenize(col("text"), vocab).as("st"))
+      .select(col("doc_id"), col("st.n_tokens")).as[(Long, java.lang.Long)]
+      .collect().toMap
+    assert(st(1L) > 0 && st(2L) == null && st(3L) == 0L)
+    // shard assignment is a pure id hash — null text irrelevant, total
+    assert(graft.sources.Layout.shardShuffleAssignment(docs, "doc_id", 4, "s")
+      .count() == 4)
+  }
+
   test("scoring family tolerates null text") {
     // token-derived scores: null-text docs have no tokens -> absent, like
     // empty-text docs
