@@ -638,12 +638,15 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("covered_words"))
-    // null-text docs: words(null) is null so size() is null — coalesce to
-    // 0 so they report word_count 0 like empty-text docs (covered_words
-    // and coverage_frac are already 0-coalesced; a null count with
-    // non-null metrics would be an inconsistent shape downstream)
+    // null-text docs: words(null) is null, and size(null) is NULL under
+    // ANSI but -1 under legacy sizeOfNull (the non-ANSI sessions this
+    // engine standardizes on) — an explicit null branch reports 0 either
+    // way, like empty-text docs (covered_words and coverage_frac are
+    // already 0-coalesced; a null/-1 count with non-null metrics would be
+    // an inconsistent shape downstream)
     w.select(col("doc_id"),
-        coalesce(size(col("__w")), lit(0)).cast("long").as("word_count"))
+        when(col("__w").isNull, lit(0)).otherwise(size(col("__w")))
+          .cast("long").as("word_count"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("word_count"),
         coalesce(col("covered_words"), lit(0L)).as("covered_words"),
@@ -652,6 +655,64 @@ object Dedup {
             col("word_count").cast("double"))
           .otherwise(lit(0.0)).as("coverage_frac"))
       .withColumn("keep", col("coverage_frac") <= maxFrac)
+  }
+
+  /** DUPLICATED-SPAN REMOVAL — the EDITING companion of [[spanCoverage]]:
+    * instead of scoring a doc by how much of it sits inside cross-document
+    * duplicated `k`-grams, EXCISE those positions and return the cleaned
+    * text (plus removal accounting). This is the "remove the duplicated
+    * substring, keep the rest of the document" step of suffix-array-style
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"), at word-window granularity: every
+    * word position covered by a window whose gram occurs in >= `minDf`
+    * DISTINCT docs is dropped from EVERY doc — the boilerplate-strip
+    * contract (nav bars, license footers, share buttons vanish
+    * everywhere). Keeping one canonical copy of near-identical whole docs
+    * is the CLUSTER-level job ([[clusterKeepBest]]); this operator edits
+    * within docs that otherwise survive.
+    *
+    * Output: (doc_id, clean_text — remaining words space-joined, null for
+    * null-text docs; word_count; n_removed). Within-doc-only repetition
+    * (df = 1) is untouched — that is [[graft.quality.Scoring.gopherRules]]'
+    * signal.
+    *
+    * Shape at scale: identical posting-list plan to [[spanCoverage]]
+    * (text crosses the wire once as (doc, pos, gram) postings; nothing
+    * pairwise) plus ONE extra join carrying each doc's covered-position
+    * set (bounded by doc length) back onto its words array; the excision
+    * itself is a per-row indexed-filter projection.
+    */
+  def spanRemoval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Int = 2): DataFrame = {
+    require(k >= 1 && minDf >= 2, "need k >= 1 and minDf >= 2")
+    val w = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+    val pg = w.select(col("doc_id"),
+      posexplode(Text.allShinglesFromWords(col("__w"), k)).as(Seq("pos", "gram")))
+    val dup = pg.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = pg.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set("p").as("__cov"))
+    w.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__w"),
+        coalesce(col("__cov"), array().cast("array<int>")).as("__cov"))
+      .select(col("doc_id"),
+        filter(col("__w"), (word, i) =>
+          !array_contains(col("__cov"), i.cast("int"))).as("__kept"),
+        // size(null) is -1 under legacy sizeOfNull: explicit null branch
+        when(col("__w").isNull, lit(0)).otherwise(size(col("__w")))
+          .cast("long").as("word_count"),
+        size(col("__cov")).cast("long").as("n_removed"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        col("word_count"), col("n_removed"))
   }
 
   /** CORPUS SNAPSHOT DIFF: classify every doc id across two corpus

@@ -79,6 +79,45 @@ object Scoring {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** TEMPERATURE-BASED mixture reweighting — the standard multilingual /
+    * multi-source rebalancing rule (the `p^alpha` sampling of
+    * XLM/mT5/LLaMA-class data recipes): target weight of stratum `s` is
+    * `T_s^alpha` for observed token total `T_s`, so `alpha = 1`
+    * reproduces the natural distribution, `alpha = 0` weights every
+    * stratum equally, and intermediate values up-sample the tail without
+    * letting the head drown it. Weights feed [[mixtureResample]]
+    * UN-normalized — its rate formula `rate_s = w_s * B / T_s` with
+    * `B = min(T_s / w_s)` is invariant under scaling every weight by a
+    * constant, and skipping the normalizing sum keeps the whole
+    * computation free of order-dependent float accumulation (the
+    * differential registry row runs `alpha = 0.5`, where `T^alpha` is the
+    * IEEE-correctly-rounded `sqrt` on both engines; other alphas go
+    * through `pow`, which is NOT correctly-rounded everywhere — fine in
+    * production, excluded from the hash-compared oracle).
+    *
+    * Two-phase shape: one tiny per-stratum aggregation collects to the
+    * driver (<= |strata| rows — the model), then [[mixtureResample]]'s
+    * single broadcast-join pass over the corpus.
+    */
+  def mixtureTemperature(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      tokenCol: String,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val totals = docs.groupBy(strataCol).agg(sum(col(tokenCol)).as("T"))
+      .filter(col("T").isNotNull && col("T") > 0)
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    if (totals.isEmpty) return docs.limit(0)
+    val weights = totals.map { case (s, t) =>
+      s -> (if (alpha == 0.5) math.sqrt(t.toDouble) else math.pow(t.toDouble, alpha))
+    }.toMap
+    mixtureResample(docs, strataCol, idCol, tokenCol, weights, salt)
+  }
+
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Text.words(col(textCol))).as("w"))

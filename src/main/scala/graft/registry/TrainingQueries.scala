@@ -2253,6 +2253,63 @@ object TrainingQueries {
         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix4'), 1, 15))::BIGINT % 10000
           < floor(rate * 10000 + 0.5)"""))
 
+  /** Duplicated-span REMOVAL ([[Dedup.spanRemoval]]): DuckDB re-derives
+    * the covered position set from scratch and re-assembles every doc's
+    * cleaned text word by word (ordered string_agg over the anti-joined
+    * positions), so the edit itself — not just the coverage score — is
+    * hash-checked, doc for doc.
+    */
+  private val spanRemovalQ = Q(
+    "dedup_span_removal",
+    (s, d) => Dedup.spanRemoval(Tables.documents(s, d), "doc_id", "text", k = 3),
+    Some(s"""WITH w AS (SELECT doc_id, $WS AS ws FROM documents),
+      px AS (SELECT doc_id, ws,
+          unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i FROM w),
+      pg AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(list_slice(ws, i, i + 2), ' ') AS gram FROM px),
+      dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY gram),
+      dup AS (SELECT gram FROM dfq WHERE df >= 2),
+      cov0 AS (SELECT doc_id, unnest(range(pos, pos + 3)) AS p
+        FROM pg JOIN dup USING (gram)),
+      cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+      covn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id),
+      wi AS (SELECT doc_id, ws[CAST(i AS INT)] AS word, i - 1 AS p0
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+      kept AS (SELECT wi.doc_id, string_agg(wi.word, ' ' ORDER BY wi.p0) AS clean_text
+        FROM wi LEFT JOIN cov ON cov.doc_id = wi.doc_id AND cov.p = wi.p0
+        WHERE cov.p IS NULL GROUP BY wi.doc_id)
+      SELECT w.doc_id,
+        CASE WHEN w.ws IS NULL THEN NULL ELSE COALESCE(k.clean_text, '') END AS clean_text,
+        CAST(COALESCE(len(w.ws), 0) AS BIGINT) AS word_count,
+        CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed
+      FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
+        LEFT JOIN covn c ON c.doc_id = w.doc_id"""))
+
+  /** Temperature mixture at alpha = 0.5 ([[graft.quality.Scoring
+    * .mixtureTemperature]]): weights are sqrt(T_s) — IEEE-correctly-
+    * rounded on both engines, un-normalized (the rate formula is
+    * scale-invariant, so no order-dependent float summation anywhere) —
+    * then the same deterministic hash-keep rule as `sel_mixture_resample`,
+    * all recomputed from scratch by DuckDB.
+    */
+  private val mixTemperature = Q(
+    "sel_mixture_temperature",
+    (s, d) => graft.quality.Scoring.mixtureTemperature(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", "doc_id", "n_tokens", alpha = 0.5, salt = "temp5"),
+    Some(s"""WITH dv AS (SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n_tokens FROM documents),
+        tt AS (SELECT lang, SUM(n_tokens) AS T FROM dv GROUP BY lang),
+        wt AS (SELECT lang, sqrt(CAST(T AS DOUBLE)) AS w FROM tt
+          WHERE T IS NOT NULL AND T > 0),
+        bb AS (SELECT MIN(CAST(T AS DOUBLE) / w) AS b FROM tt JOIN wt USING (lang)),
+        rr AS (SELECT lang, w * (SELECT b FROM bb) / CAST(T AS DOUBLE) AS rate
+          FROM tt JOIN wt USING (lang))
+        SELECT d.doc_id, d.lang, d.n_tokens
+        FROM dv d JOIN rr USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp5'), 1, 15))::BIGINT % 10000
+          < floor(rate * 10000 + 0.5)"""))
+
   /** Context-length chunking: 64-token windows, 8-token overlap, exploded
     * to one row per chunk with its md5 — DuckDB rebuilds every window by
     * list slicing, so boundaries, overlap duplication, and short tails are
@@ -2494,11 +2551,11 @@ object TrainingQueries {
     simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
-    spanCoverageQ,
+    spanCoverageQ, spanRemovalQ,
     approxDistinct, redactPii, urlCanonical, htmlExtract, pipelineCorpusCleanHtml,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
-    hashSample, stratSample, weightedSampleQ, mixResample, chunkTokens, tokenPack,
+    hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
     jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,

@@ -172,6 +172,28 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 0.0, true)))
   }
 
+  test("spanRemoval: excises cross-doc duplicated spans, keeps unique text; within-doc reps untouched") {
+    val docs = Seq(
+      (1L, "a b c x y z"),   // "a b c"(0..2) shared with doc 2; "x y z" unique
+      (2L, "a b c q"),       // "a b c"(0..2) shared -> q survives alone
+      (3L, "u v u v u v"),   // within-doc repetition ONLY (df = 1): untouched
+      (4L, "s t"),           // too short for k=3: untouched
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanRemoval(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((if (x.isNullAt(1)) null else x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == (("x y z", 6L, 3L)))
+    assert(r(2L) == (("q", 4L, 3L)))
+    assert(r(3L) == (("u v u v u v", 6L, 0L)), "df=1 grams are gopher's job, not removal's")
+    assert(r(4L) == (("s t", 2L, 0L)))
+    assert(r(5L) == ((null, 0L, 0L)))
+    assert(r(6L) == (("", 0L, 0L)))
+  }
+
   test("connectedComponentsIncremental == full recompute on random split graphs") {
     // random edge sets split arbitrarily into "yesterday" and "today":
     // CC(yesterday) extended with today's edges must equal CC(all edges),
