@@ -253,6 +253,35 @@ object Text {
       case (c, (pat, rep)) => regexp_replace(c, pat, rep)
     })
 
+  /** Decode HTML NUMERIC character references (`&#8217;` / `&#x2019;`) —
+    * completing [[extractHtmlText]]'s documented limitation (a regex
+    * replacement cannot compute digits -> codepoint). Native
+    * codegen-fallback expression; invalid references pass through
+    * verbatim, reference-free rows return the input buffer untouched.
+    * Composition order matters exactly like the named entities: decode
+    * numeric refs BEFORE the `&amp;` pass (so `&amp;#65;` correctly
+    * surfaces as the literal text `&#65;`, not an `A`) and AFTER the tag
+    * strip (so `&#60;b&#62;` surfaces as literal `<b>` text instead of
+    * becoming a strippable tag) — [[extractHtmlTextWithRefs]] wires it in
+    * at that exact point.
+    */
+  def decodeNumericRefs(text: Column): Column =
+    org.apache.spark.sql.graftnative.NativeColumns.decodeNumericRefs(text)
+
+  /** [[extractHtmlText]] with numeric character references ALSO decoded,
+    * spliced into the chain at the only correct point: after every
+    * strip/named-entity pass except `&amp;`, which still runs last.
+    */
+  def extractHtmlTextWithRefs(html: Column): Column = {
+    val (pre, amp) = HtmlPatterns.splitAt(HtmlPatterns.length - 1)
+    require(amp.head._1 == "&amp;", "the &amp; pass must be last")
+    val stripped = pre.foldLeft(html) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    normalizeWhitespace(
+      regexp_replace(decodeNumericRefs(stripped), amp.head._1, amp.head._2))
+  }
+
   /** All URL host names in the text (capture group of the same RE2-safe
     * URL pattern [[PiiPatterns]] redacts) — the unit of domain-level
     * corpus statistics (per-domain doc counts feed source weighting and

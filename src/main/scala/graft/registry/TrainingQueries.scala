@@ -1535,6 +1535,86 @@ object TrainingQueries {
       htmlSalted(Tables.documents(s, d).select("doc_id", "text")),
       boundary = graft.operators.Boundary.None)))
 
+  /** Numeric character references through the FULL extraction chain
+    * ([[Text.extractHtmlTextWithRefs]]): the fixture plants decimal, CJK
+    * decimal, and hex references (whose decoded characters DuckDB
+    * computes from the doc_id via `chr()` — the oracle derives the
+    * EXPECTED text from first principles rather than re-running a decoder
+    * it does not have) plus an out-of-range reference and a digit-less
+    * one that must pass through verbatim, all inside a real HTML page so
+    * the splice point (after the tag strip and named entities, before
+    * `&amp;`) is what is actually being verified: the page's `&amp;#65;`
+    * must surface as literal `&#65;`, never an `A`.
+    */
+  private val htmlNumericRefs = Q(
+    "text_html_numeric_refs",
+    (s, d) => Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><title>T</title></head><body><p>"), col("text"),
+        lit(" &#"), lit(65) + pmod(col("doc_id"), lit(26)),
+        lit("; &#"), lit(19968) + pmod(col("doc_id"), lit(100)),
+        lit("; &#x41; &#x110000; &#zz; &amp;#65;</p></body></html>")).as("html"))
+      .select(col("doc_id"), Text.extractHtmlTextWithRefs(col("html")).as("clean")),
+    // first-principles oracle premise: the fixture text itself is
+    // markup-free word soup (it is the driver's synthetic documents
+    // table), so the page's only strippable content is what the salt
+    // plants; the whitespace collapse still mirrors the chain's
+    Some(s"""SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          trim(regexp_replace(
+            text || ' ' || chr(65 + CAST(doc_id % 26 AS INT)) ||
+            ' ' || chr(19968 + CAST(doc_id % 100 AS INT)) ||
+            ' A &#x110000; &#zz; &#65;', '\\s+', ' ', 'g')) END AS clean
+      FROM documents"""))
+
+  /** The full TRAINING-DATA BUILD as one hash-verified program: raw HTML
+    * pages -> boilerplate-stripped text -> quality gate -> PII redaction
+    * -> exact dedup -> simhash near-dup clustering -> canonical survivors
+    * -> language-sharded sequence packing. Everything between "a crawl
+    * landed" and "the trainer reads packed sequences", end to end, with
+    * DuckDB recomputing every stage from the raw page — the widest
+    * differential surface in the registry. Each stage also has its own
+    * narrower oracle row; this row pins their COMPOSITION (a stage
+    * contract drift that happens to pass its own row still breaks here).
+    */
+  private val pipelineTrainingBuild = Q(
+    "pipeline_training_build",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val survivors = graft.quality.CorpusClean.pipelineHtml(
+        htmlSalted(docs.select("doc_id", "text")))
+      graft.quality.Selection.packByTokenBudget(
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "n_tokens"),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    },
+    Some(s"""WITH RECURSIVE
+        hx0 AS (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
+        gq AS (SELECT doc_id, text FROM hx0 WHERE ${QSql.score} >= 0.6),
+        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+          SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
+        ${simhashCtes("e")},
+        $ccCloseCtes,
+        surv AS (SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
+          FROM e LEFT JOIN cl ON cl.node = e.doc_id
+          WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id),
+        sj AS (SELECT s.doc_id, d.lang, s.n_tokens
+          FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
+        sc AS (SELECT doc_id, lang, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM sj)
+        SELECT doc_id, lang, n_tokens,
+          CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM sc"""),
+    planView = Some((s, d) => {
+      val docs = Tables.documents(s, d)
+      val survivors = graft.quality.CorpusClean.pipelineHtml(
+        htmlSalted(docs.select("doc_id", "text")),
+        boundary = graft.operators.Boundary.None)
+      graft.quality.Selection.packByTokenBudget(
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "n_tokens"),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    }))
+
   // ---- BPE tokenizer apply (fixture-trained vocab, greedy longest-match) ----
 
   /** BPE fixture: documents text salted with two doc_id-derived synthetic
@@ -2552,7 +2632,7 @@ object TrainingQueries {
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
-    approxDistinct, redactPii, urlCanonical, htmlExtract, pipelineCorpusCleanHtml,
+    approxDistinct, redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,

@@ -64,6 +64,15 @@ object NativeColumns {
   def nfcNormalize(s: Column): Column =
     Column(ExpressionColumnNode(NfcNormalize(ExpressionUtils.expression(s))))
 
+  /** Decode HTML numeric character references (`&#8217;` / `&#x2019;`) —
+    * the entity family a regexp_replace chain cannot express; invalid
+    * references pass through verbatim (see
+    * [[graft.functions.expressions.DecodeNumericRefs]]).
+    */
+  def decodeNumericRefs(s: Column): Column =
+    Column(ExpressionColumnNode(
+      graft.functions.expressions.DecodeNumericRefs(ExpressionUtils.expression(s))))
+
   /** Greedy longest-match subword tokenization of an array<string> words
     * column against a trained vocab: struct(n_tokens, id_checksum, ids) in
     * one per-row pass — no shuffle, no join, no HOF (see

@@ -151,4 +151,82 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(wv != null && wv.getInt(0) == 16000 && wv.getInt(1) == 2 &&
       wv.getInt(2) == 16 && wv.getLong(3) == 32000L * 1000 / (16000L * 4))
   }
+
+  test("DecodeNumericRefs: agrees with an independent regex decoder on 2000 random ref soups; never throws") {
+    import graft.functions.expressions.DecodeNumericRefs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = DecodeNumericRefs(Literal("x"))
+    def decode(s: String): String =
+      expr.nullSafeEval(UTF8String.fromString(s)).asInstanceOf[UTF8String].toString
+    // independent reference: regex-driven appendReplacement with the same
+    // validity rules (a different algorithm shape, so a scanner bug and a
+    // generator bug can't cancel out)
+    val pat = java.util.regex.Pattern
+      .compile("&#([0-9]{1,8});|&#[xX]([0-9a-fA-F]{1,8});")
+    def ref(s: String): String = {
+      val m = pat.matcher(s)
+      val sb = new StringBuffer
+      while (m.find()) {
+        val cp =
+          if (m.group(1) != null) java.lang.Long.parseLong(m.group(1))
+          else java.lang.Long.parseLong(m.group(2), 16)
+        val rep =
+          if (cp >= 1 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+            new String(Character.toChars(cp.toInt))
+          else m.group(0)
+        m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+      }
+      m.appendTail(sb)
+      sb.toString
+    }
+    val piece = Gen.oneOf(
+      Gen.oneOf("&#", ";", "x", "X", "&", "#", "", " ", "abc", "&amp;"),
+      Gen.chooseNum(0, 1200000).map(n => s"&#$n;"),
+      Gen.chooseNum(0, 0x120000).map(n => s"&#x${n.toHexString};"),
+      Gen.chooseNum(0xD800, 0xDFFF).map(n => s"&#$n;"), // surrogate: literal
+      Gen.listOfN(12, Gen.numChar).map(ds => s"&#${ds.mkString};"), // overflow
+      Gen.oneOf("&#65", "&#x", "&#;", "&#zz;", "ὠ0&#38;"))
+    val docGen = Gen.listOf(piece).map(_.take(10).mkString)
+    var checked = 0
+    Iterator.continually(docGen.sample).flatten.take(2000).foreach { s =>
+      assert(decode(s) == ref(s), s"mismatch on '$s'")
+      checked += 1
+    }
+    assert(checked == 2000)
+    // pinned semantics
+    assert(decode("&#65;&#x41; &#8217;") == "AA ’")
+    assert(decode("&#0; &#1114112; &#55296; &#999999999999;") ==
+      "&#0; &#1114112; &#55296; &#999999999999;")
+  }
+
+  test("BpeTokenize: total on random unicode words; every position consumed exactly once") {
+    import graft.functions.expressions.BpeTokenize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("ab" -> 0, "a" -> 1, "b" -> 2, "cd" -> 3, "𝄞a" -> 4)
+    val expr = BpeTokenize(Literal("x"), vocab, 4)
+    def tok(ws: Seq[String]): InternalRow =
+      expr.nullSafeEval(new GenericArrayData(
+        ws.map(w => if (w == null) null else UTF8String.fromString(w)).toArray))
+        .asInstanceOf[InternalRow]
+    val wordGen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", "cd", "", "𝄞", "é", "é", "ß"),
+      Gen.alphaNumStr.map(_.take(6)))).map(_.take(5).mkString)
+    val rowGen = Gen.listOf(Gen.option(wordGen).map(_.orNull)).map(_.take(6))
+    Iterator.continually(rowGen.sample).flatten.take(1000).foreach { ws =>
+      val row = tok(ws)
+      val n = row.getLong(0)
+      val ids = row.getArray(2)
+      assert(ids.numElements() == n, s"ids length vs count on $ws")
+      // greedy always advances: token count never exceeds total codepoints
+      val cps = ws.filter(_ != null).map(_.codePoints().count()).sum
+      assert(n <= cps, s"consumed more tokens than codepoints on $ws")
+      var sum = 0L
+      (0 until ids.numElements()).foreach(i => sum += ids.getInt(i))
+      assert(sum == row.getLong(1), "checksum consistent with ids")
+    }
+  }
 }
