@@ -30,7 +30,16 @@ object CorpusClean {
     * loss and feeding later stages for free). Results are identical under
     * either (CorpusCleanSpec asserts it).
     */
-  def pipeline(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame = {
+  def pipeline(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame =
+    canonicalDocs(docs, boundary)
+      .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
+
+  /** The pipeline's canonical SURVIVORS with their cleaned text —
+    * (doc_id, clean) — for consumers that need the text itself (tokenizer
+    * training, packing on real token counts, export), not just the
+    * whitespace count summary [[pipeline]] reduces it to.
+    */
+  def canonicalDocs(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame = {
     val gated0 = docs.filter(Text.qualityScore(col("text")) >= 0.6)
     val gated = gated0.select(col("doc_id"),
       Text.redactPii(Text.normalizeWhitespace(col("text"))).as("clean"))
@@ -46,7 +55,7 @@ object CorpusClean {
       .withColumnRenamed("node", "doc_id")
     exact.join(cc, Seq("doc_id"), "left")
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
-      .select(col("doc_id"), Text.tokenCount(col("clean")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("clean"))
   }
 
   /** [[pipeline]] over a WEB CRAWL: `docs(doc_id, html)` goes through
@@ -58,6 +67,14 @@ object CorpusClean {
     */
   def pipelineHtml(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame =
     pipeline(
+      docs.select(col("doc_id"), Text.extractHtmlText(col("html")).as("text")),
+      boundary)
+
+  /** [[canonicalDocs]] over a raw crawl — HTML extraction first, then the
+    * identical chain; survivors keep their cleaned text.
+    */
+  def canonicalDocsHtml(docs: DataFrame, boundary: Boundary = Boundary.Local): DataFrame =
+    canonicalDocs(
       docs.select(col("doc_id"), Text.extractHtmlText(col("html")).as("text")),
       boundary)
 }

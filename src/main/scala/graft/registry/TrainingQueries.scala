@@ -687,7 +687,7 @@ object TrainingQueries {
       Tables.documents(s, d).select("doc_id", "text")),
     Some(s"""WITH RECURSIVE
         gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),
-        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+        e AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM (
           SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
         ${simhashCtes("e")},
         $ccCloseCtes
@@ -1522,9 +1522,9 @@ object TrainingQueries {
     (s, d) => graft.quality.CorpusClean.pipelineHtml(
       htmlSalted(Tables.documents(s, d).select("doc_id", "text"))),
     Some(s"""WITH RECURSIVE
-        hx0 AS (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
+        hx0 AS MATERIALIZED (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
         gq AS (SELECT doc_id, text FROM hx0 WHERE ${QSql.score} >= 0.6),
-        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+        e AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM (
           SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
         ${simhashCtes("e")},
         $ccCloseCtes
@@ -1588,9 +1588,9 @@ object TrainingQueries {
         "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
     },
     Some(s"""WITH RECURSIVE
-        hx0 AS (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
+        hx0 AS MATERIALIZED (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
         gq AS (SELECT doc_id, text FROM hx0 WHERE ${QSql.score} >= 0.6),
-        e AS (SELECT MIN(doc_id) AS doc_id, text FROM (
+        e AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM (
           SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
         ${simhashCtes("e")},
         $ccCloseCtes,
@@ -1611,6 +1611,64 @@ object TrainingQueries {
         boundary = graft.operators.Boundary.None)
       graft.quality.Selection.packByTokenBudget(
         survivors.join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "n_tokens"),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    }))
+
+  /** [[pipelineTrainingBuild]] with the packing counted in REAL tokenizer
+    * tokens: the BPE vocab is trained ON THE CLEANED SURVIVORS themselves
+    * (the production order — tokenizers are fitted to the corpus they
+    * will tokenize, after cleaning, never before), then every survivor is
+    * greedy-tokenized and packed by BPE-token budget. DuckDB recomputes
+    * the entire program — extraction, gate, redaction, dedup, clustering,
+    * vocab derivation, the recursive greedy apply, and the window cumsum —
+    * from the raw page in one oracle.
+    */
+  private val pipelineTrainingBuildBpe = Q(
+    "pipeline_training_build_bpe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val surv = graft.quality.CorpusClean.canonicalDocsHtml(
+        htmlSalted(docs.select("doc_id", "text")))
+      val vocab = graft.functions.Bpe.trainVocab(surv, "clean")
+      val withTok = surv
+        .withColumn("__st", graft.functions.Bpe.tokenize(col("clean"), vocab))
+        .select(col("doc_id"), coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens"))
+      graft.quality.Selection.packByTokenBudget(
+        withTok.join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "n_tokens"),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    },
+    Some(s"""WITH RECURSIVE
+        hx0 AS MATERIALIZED (SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS text FROM documents),
+        gq AS (SELECT doc_id, text FROM hx0 WHERE ${QSql.score} >= 0.6),
+        e AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM (
+          SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
+        ${simhashCtes("e")},
+        $ccCloseCtes,
+        ${bpeCtes(bdocSql =
+          """SELECT e.doc_id, e.text FROM e LEFT JOIN cl ON cl.node = e.doc_id
+             WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id""")},
+        sj AS (SELECT b.doc_id, d.lang, COALESCE(ds.n_tokens, 0) AS n_tokens
+          FROM bdoc b JOIN documents d ON d.doc_id = b.doc_id
+          LEFT JOIN dstat ds ON ds.doc_id = b.doc_id),
+        sc AS (SELECT doc_id, lang, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM sj)
+        SELECT doc_id, lang, n_tokens,
+          CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM sc"""),
+    planView = Some((s, d) => {
+      val docs = Tables.documents(s, d)
+      val surv = graft.quality.CorpusClean.canonicalDocsHtml(
+        htmlSalted(docs.select("doc_id", "text")),
+        boundary = graft.operators.Boundary.None)
+      // planView is PLANNED, never run: an empty vocab keeps the shape
+      // (tokenize + pack) without triggering the training jobs
+      val withTok = surv
+        .withColumn("__st", graft.functions.Bpe.tokenize(col("clean"), Seq.empty))
+        .select(col("doc_id"), coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens"))
+      graft.quality.Selection.packByTokenBudget(
+        withTok.join(docs.select("doc_id", "lang"), "doc_id")
           .select("doc_id", "lang", "n_tokens"),
         "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
     }))
@@ -1643,7 +1701,10 @@ object TrainingQueries {
     * `docw` (doc_id, w), `dstat` (doc_id, n_tokens, id_checksum).
     * Callers must open with WITH RECURSIVE.
     */
-  private def bpeCtes(maxLen: Int = 4, merges: Int = 1000): String = {
+  private def bpeCtes(
+      maxLen: Int = 4,
+      merges: Int = 1000,
+      bdocSql: String = s"SELECT doc_id, lang, $bpeSaltSql AS text FROM documents"): String = {
     val subCtes = (2 to maxLen).map { l =>
       s"""sub$l AS (SELECT wc, substr(w, i, $l) AS tok FROM
          (SELECT w, wc, unnest(range(1, length(w) - ${l - 2})) AS i FROM wcnt))"""
@@ -1656,9 +1717,9 @@ object TrainingQueries {
       .map(l => s"WHEN i$l IS NOT NULL THEN $l").mkString(" ")
     val idPick = (maxLen to 1 by -1).map(l => s"i$l").mkString(", ")
     val vsel = (maxLen to 1 by -1).map(l => s"v$l.id AS i$l").mkString(", ")
-    s"""bdoc AS (SELECT doc_id, lang, $bpeSaltSql AS text FROM documents),
+    s"""bdoc AS MATERIALIZED ($bdocSql),
       wocc AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM bdoc)),
-      wcnt AS (SELECT w, COUNT(*) AS wc FROM wocc GROUP BY w),
+      wcnt AS MATERIALIZED (SELECT w, COUNT(*) AS wc FROM wocc GROUP BY w),
       sing AS (SELECT DISTINCT substr(w, i, 1) AS tok FROM
         (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wcnt)),
       svoc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INTEGER) AS id FROM sing),
@@ -1667,7 +1728,7 @@ object TrainingQueries {
       mtop AS (SELECT tok, cnt FROM msub ORDER BY cnt DESC, tok ASC LIMIT $merges),
       mvoc AS (SELECT tok, CAST((SELECT COUNT(*) FROM svoc) +
           row_number() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS INTEGER) AS id FROM mtop),
-      voc AS (SELECT tok, id FROM svoc UNION ALL SELECT tok, id FROM mvoc),
+      voc AS MATERIALIZED (SELECT tok, id FROM svoc UNION ALL SELECT tok, id FROM mvoc),
       tk AS (
         SELECT w, CAST(1 AS BIGINT) AS pos, CAST(NULL AS INTEGER) AS tid FROM wcnt
         UNION ALL
@@ -1678,7 +1739,7 @@ object TrainingQueries {
           $vjoins
           WHERE s.pos <= length(s.w)) t),
       wtok AS (SELECT w, tid FROM tk WHERE tid IS NOT NULL),
-      wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      wstat AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
         CAST(SUM(tid) AS BIGINT) AS id_sum FROM wtok GROUP BY w),
       docw AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM bdoc)),
       dstat AS (SELECT doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
@@ -2633,6 +2694,7 @@ object TrainingQueries {
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
+    pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,

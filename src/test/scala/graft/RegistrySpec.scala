@@ -65,7 +65,7 @@ class RegistrySpec extends AnyFunSuite {
     // takes a Boundary parameter with a Local default (r7 added the four
     // simhashPairs-derived programs when its persist became a boundary)
     val expected = Set("feature_assembly", "dedup_semantic", "pipeline_corpus_clean",
-      "pipeline_corpus_clean_html", "pipeline_training_build",
+      "pipeline_corpus_clean_html", "pipeline_training_build", "pipeline_training_build_bpe",
       "dedup_exact_bloom_ingest", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
       "dedup_minhash_incremental", "text_tfidf_topterms",
       "dedup_simhash_pairs", "dedup_cluster_assign", "dedup_cluster_keep_best",
