@@ -1,0 +1,189 @@
+package graft.registry
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.{Paged, Tables}
+
+/** The reference's four remote-API extractors, run end-to-end through the
+  * [[graft.sources.Paged]] DataSource V2 connector and verified against a
+  * DuckDB oracle that recomputes the same pagination math from the raw
+  * table — if the connector drops, duplicates, or mis-pages a single row,
+  * the hash compare fails.
+  *
+  * Each query (1) materializes the server's pages from the fixture table
+  * (the `serve*Pages` generator is the test double of the remote service),
+  * (2) reads them back through `spark.read.format("graft-pages")`, and
+  * (3) returns the connector's output — page/step/block provenance
+  * included, so the oracle checks the pagination structure itself, not
+  * just the row set.
+  */
+object ConnectorQueries {
+
+  private def root(name: String, d: String): String =
+    "/root/repo/target/tmp/pages_" + name + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val EVENT_DDL =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+  /** Reference page size is 10000 (config/settings.toml
+    * EXTRACTION_PAGINATION_SIZE); the fixture uses 500 so the test SFs
+    * exercise MANY pages — the math is size-independent and the oracle
+    * uses the same constant.
+    */
+  private val PAGE_SIZE = 500
+
+  /** SQL-over-HTTP extraction window + LIMIT/OFFSET pagination
+    * (reference: src/pipelines/raw/defi_events.py:59-92): watermark →
+    * bounded +10-day catch-up window (MAX_TIMEWINDOW_DAYS=10), ORDER BY
+    * timestamp, fixed-size pages. One [[graft.sources.DirPartition]] per
+    * page = the reference's thread pool as planner parallelism. `_page` in
+    * the output makes the oracle verify the page ASSIGNMENT, not just the
+    * window's row set.
+    */
+  private val httpPaginated = Q(
+    "src_sql_http_paginated",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      // watermark = 40% into the observed range — pure integer arithmetic
+      // the oracle mirrors exactly; two-phase scalar read, null-guarded
+      // like Scoring's (empty source -> empty window -> zero pages)
+      val mm = ev.agg(min("ts"), max("ts")).head
+      val (w, hi) =
+        if (mm.isNullAt(0)) (0L, -1L)
+        else {
+          val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 5
+          (lo, lo + 864000000000000L) // + 10 days of nanoseconds
+        }
+      val rt = root("http", d)
+      Paged.serveOffsetPages(
+        ev.filter(col("ts") > w && col("ts") <= hi), Seq("ts", "event_id"), PAGE_SIZE, rt)
+      s.read.format(Paged.FORMAT)
+        .option("path", rt).option("mode", "offset").option("schema", EVENT_DDL)
+        .load()
+    },
+    Some(s"""WITH e AS (SELECT event_id, epoch_ns(ts) AS tns, user_id, event_type, value
+          FROM events),
+        b AS (SELECT MIN(tns) + (MAX(tns) - MIN(tns)) * 2 // 5 AS w FROM e),
+        f AS (SELECT e.* FROM e, b
+          WHERE e.tns > b.w AND e.tns <= b.w + 864000000000000)
+      SELECT event_id, tns AS ts, user_id, event_type, value,
+        (ROW_NUMBER() OVER (ORDER BY tns, event_id) - 1) // $PAGE_SIZE AS _page
+      FROM f"""))
+
+  /** Per-block point-in-time snapshots (reference:
+    * src/pipelines/raw/historical_market_data.py:19-80 + its graphql
+    * query): for each day's first block, the state of every market at that
+    * block. The snapshot itself is computed with the native as-of merge
+    * exec ([[AsOfJoin.asOfMerge]] — `block >= event_id`, latest wins);
+    * blocks are fetched one partition each, exactly the reference's
+    * per-block thread pool. The oracle recomputes the snapshot with
+    * DuckDB's own ASOF JOIN.
+    */
+  private val blockSnapshot = Q(
+    "src_graphql_block_snapshot",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("ts div 86400000000000").as("day"))
+      val blocks = e.groupBy("day").agg(min("event_id").as("block")).select("block")
+      val pairs = blocks.crossJoin(e.select("event_type").distinct())
+      val snap = AsOfJoin.asOfMerge(
+          pairs, e.select("event_type", "event_id", "value"),
+          keyCols = Seq("event_type"), leftTs = "block", rightTs = "event_id",
+          tolerance = Long.MaxValue / 4, rightValueCols = Seq("event_id", "value"))
+        .filter(col("asof_event_id").isNotNull) // a type with no events yet at this block: the server returns nothing
+        .select(col("block"), col("event_type"),
+          col("asof_event_id").as("last_event"), col("asof_value").as("last_value"))
+      val rt = root("snap", d)
+      Paged.serveSnapshotPages(snap, "block", rt)
+      s.read.format(Paged.FORMAT)
+        .option("path", rt).option("mode", "snapshot")
+        .option("schema", "event_type STRING, last_event BIGINT, last_value DOUBLE")
+        .load()
+    },
+    Some("""WITH e AS (SELECT event_id, event_type, value,
+          epoch_ns(ts) // 86400000000000 AS day FROM events),
+        blocks AS (SELECT MIN(event_id) AS block FROM e GROUP BY day),
+        ty AS (SELECT DISTINCT event_type FROM e),
+        pairs AS (SELECT block, event_type FROM blocks CROSS JOIN ty)
+      SELECT p.event_type, e.event_id AS last_event, e.value AS last_value,
+        p.block AS "_block"
+      FROM pairs p ASOF JOIN e
+        ON e.event_type = p.event_type AND e.event_id <= p.block"""))
+
+  /** Keyset (`id_gt`) pagination with aliased skip-batches (reference:
+    * src/pipelines/raw/historical_account_positions.py:54-168): each
+    * request returns `nAliases` sub-pages (skip 0..5k), the next request's
+    * cursor is the response's max id. The chain is walked by ONE
+    * [[graft.sources.KeysetReader]] — sequential by protocol (each cursor
+    * comes from the previous response), with the intra-request parallelism
+    * preserved as `alias_idx`. `_step` is derived by the reader from the
+    * chain walk itself, so the oracle verifies the cursor arithmetic.
+    */
+  private val keysetPaginated = Q(
+    "src_graphql_keyset_paginated",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val rt = root("keyset", d)
+      Paged.serveKeysetPages(ev, "event_id", batchSize = 6000, nAliases = 6, root = rt)
+      s.read.format(Paged.FORMAT)
+        .option("path", rt).option("mode", "keyset").option("cursorField", "event_id")
+        .option("schema",
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, alias_idx BIGINT")
+        .load()
+    },
+    Some("""WITH r AS (SELECT event_id, user_id, event_type, value,
+          ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
+      SELECT event_id, user_id, event_type, value,
+        ((rn - 1) % 6000) // 1000 AS alias_idx,
+        (rn - 1) // 6000 AS "_step"
+      FROM r"""))
+
+  /** Address-list filtered fetch (reference:
+    * src/pipelines/analytics/current_collateral_positions.py:34-136 —
+    * `account_in: $address_list` in chunks of 1000): the server shards
+    * current positions by `user_id % 16`; the query filters with a plain
+    * `.isin(...)`, which reaches the connector as a pushed `In` filter
+    * ([[org.apache.spark.sql.connector.read.SupportsPushDownFilters]]) and
+    * prunes the scan to the buckets covering the requested addresses, ≤1000
+    * addresses per partition. The address list (driver-side by nature — the
+    * reference's API takes it as an explicit parameter) is bounded by the
+    * distinct-user count.
+    */
+  private val addressFiltered = Q(
+    "src_graphql_address_filtered",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      import org.apache.spark.sql.expressions.Window
+      val cur = ev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event"), col("value").as("last_value"))
+      val rt = root("addr", d)
+      Paged.serveBucketedPages(cur, "user_id", nBuckets = 16, root = rt)
+      val addrs = ev.select("user_id").where(pmod(col("user_id"), lit(23L)) === 5L)
+        .distinct().collect().map(_.getLong(0)).sorted // bounded: <= distinct users
+      val df = s.read.format(Paged.FORMAT)
+        .option("path", rt).option("mode", "bucketed").option("cursorField", "user_id")
+        .option("schema",
+          "user_id BIGINT, event_type STRING, last_event BIGINT, last_value DOUBLE")
+        .load()
+      if (addrs.isEmpty) df.where(lit(false))
+      else df.where(col("user_id").isin(addrs.map(Long.box): _*))
+    },
+    Some("""WITH cur AS (SELECT user_id, event_type, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY event_id DESC) AS rk
+        FROM events)
+      SELECT user_id, event_type, event_id AS last_event, value AS last_value
+      FROM cur WHERE rk = 1 AND user_id % 23 = 5"""))
+
+  val all: Seq[Q] = Seq(httpPaginated, blockSnapshot, keysetPaginated, addressFiltered)
+}

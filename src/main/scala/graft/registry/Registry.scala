@@ -30,7 +30,8 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    ParityQueries.all ++ TrainingQueries.all ++ FeaturePipeline.all ++ StageQueries.all
+    ParityQueries.all ++ TrainingQueries.all ++ FeaturePipeline.all ++ StageQueries.all ++
+      ConnectorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -2168,6 +2168,56 @@ object TrainingQueries {
         MAX(doc_id) AS max_id
       FROM documents GROUP BY lang"""))
 
+  /** CSV roundtrip under the one safe free-text dialect (everything
+    * quoted, RFC 4180 doubled quotes, multiLine read —
+    * [[graft.sources.Formats.writeCsv]]): document text with embedded
+    * newlines/commas/quotes must survive byte-exactly for the per-lang
+    * aggregate to hash-match the parquet-based oracle.
+    */
+  private val csvRoundtrip = Q(
+    "src_csv_roundtrip",
+    (s, d) => {
+      val path = "/root/repo/target/tmp/csv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      graft.sources.Formats.writeCsv(docs, path)
+      graft.sources.Formats.readCsv(s, path, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang"""))
+
+  /** Schema drift across parquet snapshots: an "old" drop (even doc_ids,
+    * no `source` column) and a "new" drop (odd doc_ids, full schema) read
+    * together via `mergeSchema` ([[graft.sources.Formats.readEvolved]]);
+    * pre-drift rows surface `source` as null. The oracle recomputes the
+    * same null pattern from the one true table — a wrong merge (dropped
+    * rows, misaligned columns, non-null backfill) breaks the hash.
+    */
+  private val schemaEvolution = Q(
+    "src_schema_evolution",
+    (s, d) => {
+      val base = "/root/repo/target/tmp/evolve_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(base + "/v1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(base + "/v2")
+      graft.sources.Formats.readEvolved(s, Seq(base + "/v1", base + "/v2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("source")).as("n_with_source"),
+          countDistinct(col("source")).as("n_sources"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n,
+        COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+        COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources,
+        MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang"""))
+
   // ----------------------------------------------------------------------
   // multimodal + streaming
   // ----------------------------------------------------------------------
@@ -2681,7 +2731,50 @@ object TrainingQueries {
             AND x.doc_id < y.doc_id AND y.doc_id >= 100000),
         ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
 
+  /** Weighted PageRank (3 iterations, damping 85/100) over the bipartite
+    * user↔event-type interaction graph — the crawl-frontier / page-quality
+    * centrality primitive ([[graft.operators.LinkRank]]). All arithmetic
+    * is integer units of 1e-12 rank mass with floor division, so the
+    * oracle's unrolled iterations match to the unit — an iterated
+    * double-valued rank would be aggregation-order-sensitive and could
+    * never hash-compare. The heavy CTEs are MATERIALIZED: edges/ranks are
+    * each referenced by every unrolled iteration.
+    */
+  private val linkRankQ = Q(
+    "graph_link_rank",
+    (s, d) => graft.operators.LinkRank.pageRank(
+      graft.operators.LinkRank.eventBipartiteEdges(Tables.events(s, d)), iters = 3),
+    Some("""WITH pairs AS MATERIALIZED (
+        SELECT user_id, event_type, COUNT(*) AS w FROM events GROUP BY 1, 2),
+      edges AS MATERIALIZED (
+        SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst, w
+        FROM pairs
+        UNION ALL
+        SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR), w FROM pairs),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w, s.wout
+        FROM edges e JOIN (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1) s USING (src)),
+      r0 AS MATERIALIZED (SELECT node, 1000000000000 // nn.n AS rank_u FROM nodes, nn),
+      c1 AS (SELECT e.dst AS node, CAST(SUM((r.rank_u * e.w) // e.wout) AS BIGINT) AS cin
+        FROM ew e JOIN r0 r ON r.node = e.src GROUP BY 1),
+      r1 AS MATERIALIZED (SELECT no.node,
+          CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
+        FROM nodes no CROSS JOIN nn LEFT JOIN c1 c ON c.node = no.node),
+      c2 AS (SELECT e.dst AS node, CAST(SUM((r.rank_u * e.w) // e.wout) AS BIGINT) AS cin
+        FROM ew e JOIN r1 r ON r.node = e.src GROUP BY 1),
+      r2 AS MATERIALIZED (SELECT no.node,
+          CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
+        FROM nodes no CROSS JOIN nn LEFT JOIN c2 c ON c.node = no.node),
+      c3 AS (SELECT e.dst AS node, CAST(SUM((r.rank_u * e.w) // e.wout) AS BIGINT) AS cin
+        FROM ew e JOIN r2 r ON r.node = e.src GROUP BY 1)
+      SELECT no.node,
+        CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
+      FROM nodes no CROSS JOIN nn LEFT JOIN c3 c ON c.node = no.node"""))
+
   val all: Seq[Q] = Seq(
+    linkRankQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
@@ -2699,7 +2792,8 @@ object TrainingQueries {
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
-    jsonlRoundtrip, multimodalDecode, multimodalFrameSample, multimodalImageDims,
+    jsonlRoundtrip, csvRoundtrip, schemaEvolution,
+    multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingAsOfEnrich, streamingLshDedup)

@@ -24,4 +24,36 @@ object Formats {
   /** Write as JSONL, one object per line per row. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** CSV with the one safe dialect for free-text columns: header on,
+    * EVERYTHING quoted, `"` doubled (RFC 4180), so embedded newlines,
+    * commas and quotes in document text survive. Readers that split on
+    * newlines without a CSV parser will mangle this — that is CSV's
+    * nature, and why [[readCsv]] forces `multiLine` (which also means a
+    * file is one parse unit: at 100 TB keep individual CSV files modest
+    * or land JSONL/parquet instead — multiLine CSV cannot be split at
+    * arbitrary byte offsets the way line-delimited formats can).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(path)
+
+  /** Read [[writeCsv]] output with an EXPLICIT schema (same no-inference
+    * contract as [[readJsonl]]). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(path)
+
+  /** Read parquet snapshots whose schemas DRIFTED (a later drop added
+    * columns): `mergeSchema` unions the field sets; rows from pre-drift
+    * files surface the new columns as null. This is the read posture for
+    * a 100 TB lake where a backfill can't rewrite years of partitions —
+    * pair with [[graft.quality.Constraints]] to gate on the null rate of
+    * late-added columns. Column pruning and filter pushdown still apply
+    * per file (each footer is consulted independently).
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.LinkRank
+import org.apache.spark.sql.functions._
+
+/** Integer-unit PageRank: structural properties a hand-checkable graph
+  * pins down exactly (the registry row `graph_link_rank` hash-verifies the
+  * full unrolled iteration against DuckDB).
+  */
+class LinkRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (String, String, Long)*) = es.toDF("src", "dst", "w")
+
+  test("a symmetric two-node graph splits rank mass equally") {
+    val r = LinkRank.pageRank(edges(("a", "b", 1L), ("b", "a", 1L)), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("a", "b"))
+    assert(r("a") == r("b"))
+    // total mass conserved up to the documented floor leak
+    assert(math.abs(r.values.sum - LinkRank.UNIT) <= 16L * (2 + 2) * 3)
+  }
+
+  test("the hub of a star graph outranks every leaf, leaves tie") {
+    val star = edges(
+      ("hub", "l1", 1L), ("l1", "hub", 1L),
+      ("hub", "l2", 1L), ("l2", "hub", 1L),
+      ("hub", "l3", 1L), ("l3", "hub", 1L))
+    val r = LinkRank.pageRank(star, iters = 3).as[(String, Long)].collect().toMap
+    assert(r("hub") > r("l1"))
+    assert(r("l1") == r("l2") && r("l2") == r("l3"))
+  }
+
+  test("edge weights steer rank: the heavier-cited node wins") {
+    // s cites a with weight 9, b with weight 1; back-edges keep s ranked
+    val g = edges(("s", "a", 9L), ("s", "b", 1L), ("a", "s", 1L), ("b", "s", 1L))
+    val r = LinkRank.pageRank(g, iters = 3).as[(String, Long)].collect().toMap
+    assert(r("a") > r("b"))
+  }
+
+  test("empty edge set yields an empty typed result") {
+    val r = LinkRank.pageRank(edges().where(lit(false)), iters = 3)
+    assert(r.columns.toSeq == Seq("node", "rank_u"))
+    assert(r.count() == 0)
+  }
+
+  test("bipartite event edges are symmetric with conserved weight") {
+    val ev = Seq((1L, 100L, "a"), (2L, 100L, "a"), (3L, 100L, "b"), (4L, 200L, "b"))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("ts") / 100)
+      .select(col("event_id"), col("user_id").cast("long"), col("event_type"))
+    val e = LinkRank.eventBipartiteEdges(ev).as[(String, String, Long)].collect()
+    assert(e.length == 6) // 3 distinct (user, type) pairs, both directions
+    assert(e.map(_._3).sum == 8L) // 4 events counted once per direction
+    val fwd = e.filter(_._1.startsWith("u:")).map(t => (t._1, t._2, t._3)).toSet
+    val rev = e.filter(_._1.startsWith("t:")).map(t => (t._2, t._1, t._3)).toSet
+    assert(fwd == rev)
+  }
+}

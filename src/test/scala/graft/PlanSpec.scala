@@ -24,7 +24,11 @@ class PlanSpec extends SparkSpec {
     "streaming_windowed_agg", "streaming_session_window", "streaming_dedup",
     "streaming_interval_join", "streaming_upsert_serve", "streaming_asof_enrich",
     "snk_parquet_partitioned", "snk_range_clustered",
-    "src_jsonl_roundtrip",
+    "src_jsonl_roundtrip", "src_csv_roundtrip", "src_schema_evolution",
+    // the paged-connector rows materialize their server-side fixture pages
+    // in run(); plan hygiene for the scan side lives in PagedSpec
+    "src_sql_http_paginated", "src_graphql_block_snapshot",
+    "src_graphql_keyset_paginated", "src_graphql_address_filtered",
     "snk_upsert_keyed", "snk_upsert_bucketed", "snk_upsert_versioned", "snk_upsert_serve",
     "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder")
 
