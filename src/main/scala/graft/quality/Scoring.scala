@@ -437,4 +437,69 @@ object Scoring {
           col("top_unigram_frac") <= maxTopUnigramFrac &&
           col("top_2gram_frac") <= maxTop2gramFrac)
   }
+
+  /** TRAIN the hashed-feature linear classifier at corpus scale — the
+    * learning half of [[hashedClassifierScore]] (which scores with a
+    * given weight vector): full-batch averaged-update perceptron
+    * (Rosenblatt 1958; the distributed-trainer shape of fastText-class
+    * document filters) over the same md5 feature hashing.
+    *
+    * ALL arithmetic is integer — counts, ±1 labels, and weight sums —
+    * so the trained vector is bit-reproducible and the DuckDB oracle can
+    * unroll the identical iterations (a float learning rate would make
+    * the update order-sensitive; with lr ≡ 1 the perceptron update is a
+    * pure integer sum, and scale of `w` is irrelevant to the sign
+    * decisions it drives).
+    *
+    * Scale shape: the hashed feature table (doc, y, f, x) is built once,
+    * persisted hash-partitioned by doc (each round's margin aggregation
+    * reuses the partitioning); per round the corpus is touched twice —
+    * margins (join with the ≤`dim`-row broadcast weight vector, group by
+    * doc) and the misclassified-set gradient (group by f). The weight
+    * vector itself lives on the driver between rounds (≤ `dim` rows —
+    * the model IS driver-small, same contract as [[graft.functions.Bpe.trainVocab]]
+    * and the IVF centroids). Rounds are a fixed small count: a handful
+    * of full-batch passes separates the classes a data filter needs;
+    * convergence-chasing buys nothing for selection.
+    */
+  def trainPerceptron(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 256,
+      iters: Int = 3): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    require(iters >= 1 && iters <= 8, s"iters $iters out of [1,8] — fixed small-round contract")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs
+      .select(col(idCol).as("doc"), col(labelCol).cast("long").as("y"),
+        explode(Text.words(col(textCol))).as("wd"))
+      .select(col("doc"), col("y"),
+        pmod(Text.md5Hash64(col("wd")), lit(dim.toLong)).as("f"))
+      .groupBy("doc", "y", "f").agg(count(lit(1)).as("x"))
+      .repartition(col("doc"))
+      .persist()
+    // round 1 from w = 0: every margin is 0 and y*0 <= 0, so ALL docs are
+    // misclassified — the first update needs no join
+    var w: Map[Long, Long] = feats.groupBy("f")
+      .agg(sum(col("y") * col("x")).as("wv"))
+      .as[(Long, Long)].collect().toMap
+    for (_ <- 2 to iters) {
+      val wDF = w.toSeq.toDF("f", "wv")
+      val mis = feats.join(broadcast(wDF), Seq("f"), "left")
+        .groupBy("doc", "y")
+        .agg(sum(col("x") * coalesce(col("wv"), lit(0L))).as("m"))
+        .filter(col("y") * col("m") <= 0)
+        .select("doc")
+      val upd = feats.join(mis, "doc")
+        .groupBy("f").agg(sum(col("y") * col("x")).as("u"))
+        .as[(Long, Long)].collect().toMap
+      w = (w.keySet ++ upd.keySet).iterator
+        .map(f => f -> (w.getOrElse(f, 0L) + upd.getOrElse(f, 0L))).toMap
+    }
+    feats.unpersist()
+    w.toSeq.sortBy(_._1).toDF("f", "wv")
+  }
 }

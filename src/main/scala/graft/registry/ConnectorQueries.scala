@@ -143,6 +143,43 @@ object ConnectorQueries {
         (rn - 1) // 6000 AS "_step"
       FROM r"""))
 
+  /** RESUMED keyset extraction: the reference restarts its `id_gt` loop
+    * from the last PERSISTED id; here the resume point is the chain
+    * cursor at the midpoint batch boundary (the id of ordered row
+    * `k*6000`, exactly what a run killed after k batches would have
+    * persisted), passed as the connector's `startCursor`. `_step`
+    * recounts from 0 within the resumed run; `alias_idx` is page payload
+    * and keeps its original values — the oracle verifies both, plus that
+    * not one pre-cursor row leaks in.
+    */
+  private val keysetResume = Q(
+    "src_graphql_keyset_resume",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val rt = root("keyres", d)
+      val steps = Paged.serveKeysetPages(ev, "event_id", batchSize = 6000, nAliases = 6, root = rt)
+      val k = steps / 2
+      val cursor =
+        if (k == 0) "start"
+        else ev.orderBy("event_id").limit((k * 6000).toInt)
+          .agg(max("event_id")).head.getLong(0).toString
+      s.read.format(Paged.FORMAT)
+        .option("path", rt).option("mode", "keyset").option("cursorField", "event_id")
+        .option("startCursor", cursor)
+        .option("schema",
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, alias_idx BIGINT")
+        .load()
+    },
+    Some("""WITH r AS (SELECT event_id, user_id, event_type, value,
+          ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+          COUNT(*) OVER () AS n FROM events),
+      p AS (SELECT *, (((n + 5999) // 6000) // 2) * 6000 AS skip FROM r)
+      SELECT event_id, user_id, event_type, value,
+        ((rn - 1) % 6000) // 1000 AS alias_idx,
+        (rn - skip - 1) // 6000 AS "_step"
+      FROM p WHERE rn > skip"""))
+
   /** Address-list filtered fetch (reference:
     * src/pipelines/analytics/current_collateral_positions.py:34-136 —
     * `account_in: $address_list` in chunks of 1000): the server shards
@@ -185,5 +222,73 @@ object ConnectorQueries {
       SELECT user_id, event_type, event_id AS last_event, value AS last_value
       FROM cur WHERE rk = 1 AND user_id % 23 = 5"""))
 
-  val all: Seq[Q] = Seq(httpPaginated, blockSnapshot, keysetPaginated, addressFiltered)
+  /** The always-on extraction loop: the offset source as a Structured
+    * Streaming micro-batch stream (page counter = offset). The server
+    * publishes the watermark window in TWO cycles; an AvailableNow drain
+    * runs after each, sharing one checkpoint — the second run must ingest
+    * EXACTLY the pages published in between (exactly-once across restart,
+    * the page-immutability argument in
+    * [[graft.sources.PagedScan.toMicroBatchStream]]'s scaladoc). The
+    * oracle recomputes both cycles' page numbering; a dropped or
+    * re-ingested page breaks the hash.
+    */
+  private val streamingPagedIngest = Q(
+    "streaming_paged_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min("ts"), max("ts")).head
+      val (w, hi) =
+        if (mm.isNullAt(0)) (0L, -1L)
+        else {
+          val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 5
+          (lo, lo + 864000000000000L)
+        }
+      val win = ev.filter(col("ts") > w && col("ts") <= hi)
+      val wm = win.agg(min("ts"), max("ts")).head
+      val mid = if (wm.isNullAt(0)) 0L else (wm.getLong(0) + wm.getLong(1)) / 2
+      val rt = root("stream", d)
+      val base = "/root/repo/target/tmp/stream_ingest_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val (out, cp) = (base + "/out", base + "/cp")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      def drain(): Unit = {
+        val q = s.readStream.format(Paged.FORMAT)
+          .option("path", rt).option("mode", "offset").option("schema", EVENT_DDL)
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Paged.serveOffsetPages(win.filter(col("ts") <= mid), Seq("ts", "event_id"), PAGE_SIZE, rt)
+      drain()
+      Paged.appendOffsetPages(win.filter(col("ts") > mid), Seq("ts", "event_id"), PAGE_SIZE, rt)
+      drain()
+      val outSchema = org.apache.spark.sql.types.StructType.fromDDL(EVENT_DDL + ", _page BIGINT")
+      if (fs.exists(new org.apache.hadoop.fs.Path(out)))
+        s.read.schema(outSchema).parquet(out)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    },
+    Some(s"""WITH e AS (SELECT event_id, epoch_ns(ts) AS tns, user_id, event_type, value
+          FROM events),
+        b AS (SELECT MIN(tns) + (MAX(tns) - MIN(tns)) * 2 // 5 AS w FROM e),
+        f AS (SELECT e.* FROM e, b
+          WHERE e.tns > b.w AND e.tns <= b.w + 864000000000000),
+        m AS (SELECT (MIN(tns) + MAX(tns)) // 2 AS mid FROM f),
+        c1 AS (SELECT f.*, ROW_NUMBER() OVER (ORDER BY tns, event_id) AS rn
+          FROM f, m WHERE f.tns <= m.mid),
+        n1 AS (SELECT (COUNT(*) + $PAGE_SIZE - 1) // $PAGE_SIZE AS p1 FROM c1),
+        c2 AS (SELECT f.*, ROW_NUMBER() OVER (ORDER BY tns, event_id) AS rn
+          FROM f, m WHERE f.tns > m.mid)
+      SELECT event_id, tns AS ts, user_id, event_type, value,
+        (rn - 1) // $PAGE_SIZE AS _page FROM c1
+      UNION ALL
+      SELECT event_id, tns AS ts, user_id, event_type, value,
+        n1.p1 + (rn - 1) // $PAGE_SIZE AS _page FROM c2, n1"""))
+
+  val all: Seq[Q] = Seq(httpPaginated, blockSnapshot, keysetPaginated, keysetResume,
+    addressFiltered, streamingPagedIngest)
 }

@@ -1326,6 +1326,47 @@ object TrainingQueries {
           ELSE 0.0 END >= 0.0) AS keep
       FROM sc"""))
 
+  /** Distributed perceptron TRAINING for the hashed-feature classifier
+    * ([[graft.quality.Scoring.trainPerceptron]]): labels from the lang
+    * column (en vs rest), 3 full-batch integer-update rounds, output =
+    * the trained (f, wv) weight vector. The oracle unrolls the identical
+    * rounds (round 1 from w=0 needs no join — every zero margin is
+    * misclassified); heavy multiply-referenced CTEs are MATERIALIZED.
+    * Weight-vector EQUALITY across engines verifies every margin sign and
+    * every gradient sum of every round.
+    */
+  private val classifierTrainQ = Q(
+    "quality_classifier_train",
+    (s, d) => graft.quality.Scoring.trainPerceptron(
+      Tables.documents(s, d).withColumn("y",
+        when(col("lang") === "en", 1L).otherwise(-1L)),
+      "doc_id", "text", "y", dim = 256, iters = 3),
+    Some(s"""WITH d0 AS MATERIALIZED (SELECT doc_id,
+          CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, $WS AS ws
+        FROM documents),
+      tk AS (SELECT doc_id, y, unnest(ws) AS wd FROM d0),
+      feats AS MATERIALIZED (SELECT doc_id, y,
+          ('0x' || substr(md5(wd), 1, 15))::BIGINT % 256 AS f, COUNT(*) AS x
+        FROM tk GROUP BY 1, 2, 3),
+      w1 AS MATERIALIZED (SELECT f, CAST(SUM(y * x) AS BIGINT) AS wv
+        FROM feats GROUP BY f),
+      m2 AS (SELECT doc_id, y, CAST(SUM(x * COALESCE(wv, 0)) AS BIGINT) AS m
+        FROM feats LEFT JOIN w1 USING (f) GROUP BY 1, 2),
+      mis2 AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+      u2 AS (SELECT f, CAST(SUM(y * x) AS BIGINT) AS u
+        FROM feats JOIN mis2 USING (doc_id) GROUP BY f),
+      w2 AS MATERIALIZED (SELECT COALESCE(w1.f, u2.f) AS f,
+          CAST(COALESCE(w1.wv, 0) + COALESCE(u2.u, 0) AS BIGINT) AS wv
+        FROM w1 FULL JOIN u2 ON w1.f = u2.f),
+      m3 AS (SELECT doc_id, y, CAST(SUM(x * COALESCE(wv, 0)) AS BIGINT) AS m
+        FROM feats LEFT JOIN w2 USING (f) GROUP BY 1, 2),
+      mis3 AS (SELECT doc_id FROM m3 WHERE y * m <= 0),
+      u3 AS (SELECT f, CAST(SUM(y * x) AS BIGINT) AS u
+        FROM feats JOIN mis3 USING (doc_id) GROUP BY f)
+      SELECT COALESCE(w2.f, u3.f) AS f,
+        CAST(COALESCE(w2.wv, 0) + COALESCE(u3.u, 0) AS BIGINT) AS wv
+      FROM w2 FULL JOIN u3 ON w2.f = u3.f"""))
+
   /** CCNet head/middle/tail perplexity bucketing: the bucket assignment is
     * an exact row_number rank (ties to doc_id) and the keep rule is the
     * md5 hash-sample — both engines reproduce the kept set row-for-row.
@@ -2784,7 +2825,8 @@ object TrainingQueries {
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
-    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, perplexityBucketsQ, domainCapQ,
+    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ,
+    perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,

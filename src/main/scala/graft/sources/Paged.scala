@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.JsonLines
@@ -131,6 +132,25 @@ object Paged {
     n
   }
 
+  /** EXTEND an offset-paged dump: the server's next extraction cycle
+    * appends `df` as pages numbered after the existing count, then
+    * republishes the manifest (data first, manifest last — a streaming
+    * reader's `latestOffset` can never name a half-written page).
+    * Returns the new total page count.
+    */
+  def appendOffsetPages(df: DataFrame, orderCols: Seq[String], pageSize: Int, root: String): Long = {
+    require(pageSize > 0)
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val existing = readManifest(root, hconf).get("pages").asLong()
+    val rn = row_number().over(Window.orderBy(orderCols.map(col): _*))
+    val paged = df.withColumn("pg", (lit(existing) + (rn - 1) / pageSize).cast(LongType))
+    paged.write.mode(SaveMode.Append).partitionBy("pg").json(pagesDir(root))
+    val n = paged.agg(coalesce(max("pg") + 1, lit(existing))).head.getLong(0)
+    writeManifest(root, hconf, Map("mode" -> "offset", "pageSize" -> pageSize, "pages" -> n))
+    n
+  }
+
   /** Materialize per-block snapshot pages: `df` must carry `blockCol`; one
     * page directory per distinct block value. Returns the block list.
     */
@@ -234,7 +254,7 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"${Paged.FORMAT}:${options.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(schema, options)
 }
@@ -276,22 +296,40 @@ class PagedScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMa
 
   override def build(): Scan =
     new PagedScan(required, mode, options.get("path"), cursorField,
-      options.getOrDefault("chunkSize", "1000").toInt, addresses)
+      options.getOrDefault("chunkSize", "1000").toInt, addresses,
+      options.getOrDefault("startCursor", "start"))
 }
 
 /** One planned page/block/chain/bucket-chunk fetch. */
 sealed trait PagedPartition extends InputPartition
 final case class DirPartition(dir: String, prov: Option[(String, Long)],
     addrFilter: Option[Set[Long]]) extends PagedPartition
-final case class KeysetPartition(root: String) extends PagedPartition
+final case class KeysetPartition(root: String, startCursor: String) extends PagedPartition
 
 class PagedScan(required: StructType, mode: String, path: String, cursorField: String,
-    chunkSize: Int, addresses: Option[Set[Long]]) extends Scan with Batch {
+    chunkSize: Int, addresses: Option[Set[Long]],
+    startCursor: String = "start") extends Scan with Batch {
   require(path != null, "graft-pages requires a 'path' option")
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"${Paged.FORMAT} mode=$mode path=$path"
+
+  /** Streaming form of the OFFSET source — the reference's always-on
+    * extraction loop (watermark → fetch window → append, repeat) as a
+    * Structured Streaming micro-batch source: the page counter IS the
+    * offset, each trigger drains exactly the pages the server published
+    * since the last checkpointed counter. Pages are immutable once the
+    * manifest names them, so restart/replay is exactly-once by
+    * construction. Keyset/snapshot/bucketed modes are batch-only (their
+    * progress notions — cursor, block list, address set — are query
+    * inputs, not monotone stream offsets).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(mode == "offset",
+      s"graft-pages streaming requires mode=offset (got '$mode')")
+    new PagedMicroBatchStream(path, required)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -309,7 +347,12 @@ class PagedScan(required: StructType, mode: String, path: String, cursorField: S
         blocks.iterator.map(b =>
           DirPartition(s"$pd/blk=$b", Some((Paged.BLOCK_COL, b)), None): InputPartition).toArray
       case "keyset" =>
-        Array(KeysetPartition(path))
+        // startCursor resumes the chain mid-way — the reference restarts
+        // its id_gt loop from the last PERSISTED id; any previously
+        // observed batch boundary is a valid resume point. `_step`
+        // counts from 0 within the resumed run, as a restarted
+        // extraction's page counter would.
+        Array(KeysetPartition(path, startCursor))
       case "bucketed" =>
         val nBuckets = man.get("nBuckets").asInt()
         addresses match {
@@ -338,6 +381,38 @@ class PagedScan(required: StructType, mode: String, path: String, cursorField: S
   }
 }
 
+/** The page counter as a stream offset. */
+final case class PageOffset(pages: Long) extends Offset {
+  override def json(): String = pages.toString
+}
+
+final class PagedMicroBatchStream(path: String, required: StructType) extends MicroBatchStream {
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = PageOffset(0L)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.trim.toLong)
+  // the manifest is rewritten LAST by the generators, so a page count read
+  // here only ever names fully-published pages
+  override def latestOffset(): Offset =
+    PageOffset(Paged.readManifest(path, conf).get("pages").asLong())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[PageOffset].pages
+    val b = end.asInstanceOf[PageOffset].pages
+    (a until b).map(k =>
+      DirPartition(s"${Paged.pagesDir(path)}/pg=$k", Some((Paged.PAGE_COL, k)), None)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+    PagedReaderFactory(required.json, null, tz, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(end: Offset): Unit = () // pages are immutable; the offset is the state
+  override def stop(): Unit = ()
+}
+
 final case class PagedReaderFactory(requiredJson: String, cursorField: String,
     timeZoneId: String, conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -345,8 +420,8 @@ final case class PagedReaderFactory(requiredJson: String, cursorField: String,
     partition match {
       case DirPartition(dir, prov, addrFilter) =>
         new DirPageReader(dir, required, prov, addrFilter, cursorField, timeZoneId, conf.value)
-      case KeysetPartition(root) =>
-        new KeysetReader(root, required, cursorField, timeZoneId, conf.value)
+      case KeysetPartition(root, startCursor) =>
+        new KeysetReader(root, required, cursorField, timeZoneId, conf.value, startCursor)
     }
   }
 }
@@ -428,12 +503,12 @@ final class DirPageReader(dir: String, required: StructType, prov: Option[(Strin
   * the response data itself rather than a precomputed list.
   */
 final class KeysetReader(root: String, required: StructType, cursorField: String,
-    timeZoneId: String, conf: Configuration)
+    timeZoneId: String, conf: Configuration, startCursor: String = "start")
     extends PageReaderBase(required, Set(Paged.STEP_COL), Seq(cursorField), timeZoneId, conf) {
 
   require(cursorField != null, "graft-pages keyset mode requires 'cursorField'")
   private val ki = keyIdx(cursorField)
-  private var cursor = "start"
+  private var cursor = startCursor
   private var step = -1L
   private var batch: Iterator[InternalRow] = Iterator.empty
   private var maxId = Long.MinValue

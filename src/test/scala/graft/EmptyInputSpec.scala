@@ -67,6 +67,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() == 0)
   }
 
+  test("perceptron trainer and link rank are total on an empty input") {
+    val labeled = docs0.withColumn("y", lit(1L))
+    val w = graft.quality.Scoring.trainPerceptron(labeled, "doc_id", "text", "y")
+    assert(w.columns.toSeq == Seq("f", "wv") && w.count() == 0)
+    val e = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(graft.operators.LinkRank.pageRank(e, iters = 3).count() == 0)
+    assert(graft.operators.LinkRank.eventBipartiteEdges(
+      docs0.withColumn("user_id", lit(1L)).withColumn("event_type", lit("a"))
+        .where(lit(false))).count() == 0)
+  }
+
   test("selection family is total on an empty input") {
     val scored = Seq.empty[(Long, Double, String)].toDF("id", "score", "g")
     assert(graft.quality.Selection.filterByScoreQuantile(scored, "score", 0.5).count() == 0)

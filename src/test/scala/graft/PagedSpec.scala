@@ -164,6 +164,53 @@ class PagedSpec extends SparkSpec {
     assert(df.where(col("event_id").isNull).count() == 1)
   }
 
+  test("keyset resume: startCursor skips earlier batches, steps recount from zero") {
+    val root = tmp("keyset") // chain from the earlier test: 250 rows, batches of 60
+    // resume from the cursor a run killed after 2 batches would have
+    // persisted: the 120th ordered id
+    val df = read(root, "keyset", DDL + ", alias_idx BIGINT",
+      Map("cursorField" -> "event_id", "startCursor" -> "120"))
+    val rows = df.collect()
+    assert(rows.length == 130)
+    assert(rows.forall(_.getAs[Long]("event_id") > 120))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("_step") == (r.getAs[Long]("event_id") - 121) / 60)
+    }
+  }
+
+  test("offset mode streams: one checkpoint drains only newly published pages across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp("stream")
+    val base = "target/tmp/pagedspec_stream_io"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def drain(): Unit = {
+      val q = spark.readStream.format(Paged.FORMAT)
+        .option("path", root).option("mode", "offset").option("schema", DDL)
+        .load()
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Paged.serveOffsetPages(events(100).where(col("event_id") <= 60), Seq("event_id"), 20, root)
+    drain()
+    val firstIds = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(DDL + ", _page BIGINT"))
+      .parquet(s"$base/out").select("event_id").as[Long].collect().sorted
+    assert(firstIds.toSeq == (1L to 60L))
+    // the server publishes two more pages; the same checkpoint must drain
+    // exactly those — no re-ingest of pages 0..2, no gaps
+    Paged.appendOffsetPages(events(100).where(col("event_id") > 60), Seq("event_id"), 20, root)
+    drain()
+    val all = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(DDL + ", _page BIGINT"))
+      .parquet(s"$base/out").select("event_id", "_page").as[(Long, Long)].collect()
+    assert(all.map(_._1).sorted.toSeq == (1L to 100L)) // exactly once, no dups/gaps
+    assert(all.forall { case (id, pg) => pg == (id - 1) / 20 })
+  }
+
   test("manifest is the commit marker: reading a root without one fails loudly") {
     val root = tmp("nomanifest")
     Paged.serveOffsetPages(events(10), Seq("event_id"), 5, root)

@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
     // the paged-connector rows materialize their server-side fixture pages
     // in run(); plan hygiene for the scan side lives in PagedSpec
     "src_sql_http_paginated", "src_graphql_block_snapshot",
-    "src_graphql_keyset_paginated", "src_graphql_address_filtered",
+    "src_graphql_keyset_paginated", "src_graphql_keyset_resume",
+    "src_graphql_address_filtered", "streaming_paged_ingest",
     "snk_upsert_keyed", "snk_upsert_bucketed", "snk_upsert_versioned", "snk_upsert_serve",
     "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder")
 
