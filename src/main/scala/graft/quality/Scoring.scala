@@ -473,11 +473,17 @@ object Scoring {
     require(iters >= 1 && iters <= 8, s"iters $iters out of [1,8] — fixed small-round contract")
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = docs
-      .select(col(idCol).as("doc"), col(labelCol).cast("long").as("y"),
-        explode(Text.words(col(textCol))).as("wd"))
+    // SAME feature space as hashedClassifierScore (unigrams + word
+    // bigrams, md5-hashed into dim buckets) — a vector trained here
+    // drives scoreWithWeights/hashedClassifierScore-shaped inference
+    // directly
+    val ws0 = docs.select(col(idCol).as("doc"), col(labelCol).cast("long").as("y"),
+      Text.words(col(textCol)).as("__ws"))
+    val feats = ws0
       .select(col("doc"), col("y"),
-        pmod(Text.md5Hash64(col("wd")), lit(dim.toLong)).as("f"))
+        explode(concat(col("__ws"), Text.ngramsFromWords(col("__ws"), 2))).as("g"))
+      .select(col("doc"), col("y"),
+        pmod(Text.md5Hash64(col("g")), lit(dim.toLong)).as("f"))
       .groupBy("doc", "y", "f").agg(count(lit(1)).as("x"))
       .repartition(col("doc"))
       .persist()
@@ -501,5 +507,37 @@ object Scoring {
     }
     feats.unpersist()
     w.toSeq.sortBy(_._1).toDF("f", "wv")
+  }
+
+  /** Score documents with a TRAINED weight vector ([[trainPerceptron]]'s
+    * output, collected — ≤ `dim` entries, the model is driver-small by
+    * contract): the weights inline as a literal map, so scoring is a
+    * zero-shuffle codegen-friendly projection exactly like
+    * [[hashedClassifierScore]] — the same "broadcast the tiny model into
+    * the expression" shape as the IVF centroid literals. `keep` is the
+    * sign decision (`score_int > 0`): the trained perceptron's class
+    * boundary, no threshold tuning.
+    */
+  def scoreWithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Map[Long, Long],
+      dim: Int = 256): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    val wMap =
+      if (weights.isEmpty) typedLit(Map.empty[Long, Long])
+      else map(weights.toSeq.sortBy(_._1)
+        .flatMap { case (f, v) => Seq(lit(f), lit(v)) }: _*)
+    val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
+    val feats = concat(col("__ws"), Text.ngramsFromWords(col("__ws"), 2))
+    ws
+      .withColumn("n_features", size(feats).cast("long"))
+      .withColumn("score_int",
+        aggregate(transform(feats, g =>
+          coalesce(element_at(wMap, pmod(Text.md5Hash64(g), lit(dim.toLong))), lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("keep", col("n_features") > 0 && col("score_int") > 0)
+      .select("doc_id", "n_features", "score_int", "keep")
   }
 }

@@ -1335,18 +1335,22 @@ object TrainingQueries {
     * Weight-vector EQUALITY across engines verifies every margin sign and
     * every gradient sum of every round.
     */
-  private val classifierTrainQ = Q(
-    "quality_classifier_train",
-    (s, d) => graft.quality.Scoring.trainPerceptron(
-      Tables.documents(s, d).withColumn("y",
-        when(col("lang") === "en", 1L).otherwise(-1L)),
-      "doc_id", "text", "y", dim = 256, iters = 3),
-    Some(s"""WITH d0 AS MATERIALIZED (SELECT doc_id,
-          CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, $WS AS ws
-        FROM documents),
-      tk AS (SELECT doc_id, y, unnest(ws) AS wd FROM d0),
+  /** Shared oracle CTE chain for the 3-round perceptron: feature space =
+    * unigrams + word bigrams md5-hashed into 256 buckets (IDENTICAL to
+    * `quality_classifier_score`'s), then the unrolled rounds ending in the
+    * final weight vector `w3`. Heavy multiply-referenced CTEs are
+    * MATERIALIZED (the memory-bank rule: inlined copies of `feats` would
+    * re-run the tokenization once per round).
+    */
+  private val PERC_CTES: String =
+    s"""d0 AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+          $WS AS ws FROM documents),
+      dg AS (SELECT doc_id, y, list_concat(ws, CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+          ELSE [] END) AS gs FROM d0),
+      tk AS (SELECT doc_id, y, unnest(gs) AS g FROM dg),
       feats AS MATERIALIZED (SELECT doc_id, y,
-          ('0x' || substr(md5(wd), 1, 15))::BIGINT % 256 AS f, COUNT(*) AS x
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS f, COUNT(*) AS x
         FROM tk GROUP BY 1, 2, 3),
       w1 AS MATERIALIZED (SELECT f, CAST(SUM(y * x) AS BIGINT) AS wv
         FROM feats GROUP BY f),
@@ -1362,10 +1366,47 @@ object TrainingQueries {
         FROM feats LEFT JOIN w2 USING (f) GROUP BY 1, 2),
       mis3 AS (SELECT doc_id FROM m3 WHERE y * m <= 0),
       u3 AS (SELECT f, CAST(SUM(y * x) AS BIGINT) AS u
-        FROM feats JOIN mis3 USING (doc_id) GROUP BY f)
-      SELECT COALESCE(w2.f, u3.f) AS f,
-        CAST(COALESCE(w2.wv, 0) + COALESCE(u3.u, 0) AS BIGINT) AS wv
-      FROM w2 FULL JOIN u3 ON w2.f = u3.f"""))
+        FROM feats JOIN mis3 USING (doc_id) GROUP BY f),
+      w3 AS MATERIALIZED (SELECT COALESCE(w2.f, u3.f) AS f,
+          CAST(COALESCE(w2.wv, 0) + COALESCE(u3.u, 0) AS BIGINT) AS wv
+        FROM w2 FULL JOIN u3 ON w2.f = u3.f)"""
+
+  private val classifierTrainQ = Q(
+    "quality_classifier_train",
+    (s, d) => graft.quality.Scoring.trainPerceptron(
+      Tables.documents(s, d).withColumn("y",
+        when(col("lang") === "en", 1L).otherwise(-1L)),
+      "doc_id", "text", "y", dim = 256, iters = 3),
+    Some(s"WITH $PERC_CTES SELECT f, wv FROM w3"))
+
+  /** The full train→apply loop: the vector trained by
+    * [[graft.quality.Scoring.trainPerceptron]] inlines as a literal map
+    * and scores EVERY document as a zero-shuffle projection
+    * ([[graft.quality.Scoring.scoreWithWeights]]). The oracle re-derives
+    * the same weights through the unrolled rounds, then re-scores through
+    * the feats table — margins, feature counts, and the keep decision all
+    * hash-compared.
+    */
+  private val classifierApplyQ = Q(
+    "quality_classifier_apply",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d)
+      val w = graft.quality.Scoring.trainPerceptron(
+        docs.withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L)),
+        "doc_id", "text", "y", dim = 256, iters = 3)
+        .as[(Long, Long)].collect().toMap
+      graft.quality.Scoring.scoreWithWeights(docs, "doc_id", "text", w, dim = 256)
+    },
+    Some(s"""WITH $PERC_CTES,
+      sc AS (SELECT fe.doc_id, CAST(SUM(fe.x) AS BIGINT) AS nf,
+          CAST(SUM(fe.x * COALESCE(w3.wv, 0)) AS BIGINT) AS score_int
+        FROM feats fe LEFT JOIN w3 USING (f) GROUP BY fe.doc_id)
+      SELECT d.doc_id, COALESCE(sc.nf, 0) AS n_features,
+        COALESCE(sc.score_int, 0) AS score_int,
+        (COALESCE(sc.nf, 0) > 0 AND COALESCE(sc.score_int, 0) > 0) AS keep
+      FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
   /** CCNet head/middle/tail perplexity bucketing: the bucket assignment is
     * an exact row_number rank (ties to doc_id) and the keep rule is the
@@ -2825,7 +2866,7 @@ object TrainingQueries {
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
     simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
-    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ,
+    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
