@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over a (user, type, time) event stream —
+  * the funnel / cohort-retention / time-weighted-exposure triad every
+  * event-analytics engine ships, expressed as plain keyed aggregations so
+  * they scale the way a groupBy scales.
+  *
+  * All three cluster by the user key: on a table bucketed or
+  * pre-partitioned by user (`Layout.writeBucketed`) every stage below
+  * runs without a further exchange of the event stream; otherwise the
+  * stream is exchanged once and the per-user intermediate tables (one row
+  * per user — orders of magnitude smaller) carry the rest.
+  */
+object Behavior {
+
+  /** Ordered-funnel completion: for each user, the earliest strictly
+    * increasing chain of timestamps through `steps` (t1 = first step-1
+    * event; t_k = first step-k event AFTER t_{k-1}). Returns one row per
+    * user: the chain timestamps (null once the chain breaks) and
+    * `reached` = number of completed steps.
+    *
+    * Stage k touches only step-k events joined against the one-row-per-
+    * user chain so far — the classic funnel join-chain; nothing pairwise,
+    * nothing ordered globally.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8, "1..8 funnel steps")
+    val ev = events.select(col(userCol).as("user"), col(typeCol).as("tp"), col(tsCol).as("t"))
+    val users = ev.select("user").distinct()
+    var chain = ev.filter(col("tp") === steps.head)
+      .groupBy("user").agg(min(col("t")).as("t1"))
+    // keep each stage's (user, t_k) projection: a user who stalls at step k
+    // must still surface t_1..t_k, not fall out with the full chain
+    val stages = scala.collection.mutable.ArrayBuffer(chain.select("user", "t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      chain = ev.filter(col("tp") === st)
+        .join(chain, "user")
+        .filter(col("t") > col(prev))
+        .groupBy((col("user") +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col("t")).as(cur))
+      stages += chain.select("user", cur)
+    }
+    val tCols = steps.indices.map(i => s"t${i + 1}")
+    val joined = stages.foldLeft(users)((a, s) => a.join(s, Seq("user"), "left"))
+    // ascending fold: each later non-null step OVERRIDES the accumulated
+    // count, so the deepest completed step wins (null-chain is monotone —
+    // t_{k+1} can only exist under t_k)
+    val reached = tCols.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, i)) =>
+      when(col(c).isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined.select(
+      (col("user").as(userCol) +: tCols.map(col)) :+ reached.cast("int").as("reached"): _*)
+  }
+
+  /** Cohort retention matrix: cohort = the user's first active day;
+    * output (cohort_day, offset_days, n_active) — how many of each
+    * cohort's users were active again `offset` days later (offset 0 = the
+    * cohort's size). Exact integer day arithmetic; two aggregations and
+    * one join, all keyed by user/cohort.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val act = events.select(col(userCol).as("user"), col(dayCol).as("day")).distinct()
+    val cohorts = act.groupBy("user").agg(min("day").as("cohort_day"))
+    act.join(cohorts, "user")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count_distinct(col("user")).as("n_active"))
+  }
+
+  /** Time-weighted average of a per-event level (balance/exposure): each
+    * event's value holds until the user's next event; the average weights
+    * each value by its holding duration — the standard TWAB shape of
+    * position analytics, where a plain AVG over events would let burst
+    * activity drown out long-held state.
+    *
+    * One window (user, ordered by time with an id tie-break) + one keyed
+    * aggregation = one exchange. The value is quantized ONCE to integer
+    * micro-units (the [[graft.functions.Scalars]] `davgQ` floor rule —
+    * casting a ~1e17 value×nanos double straight to DECIMAL(38,6) hits
+    * the cross-engine half-unit tie hazard, measured: 29 last-ulp diffs
+    * at sf0.01); micro-units × nanos then accumulates EXACTLY in
+    * decimal(38,0) (int128-class), and only the final division is
+    * floating point — one double cast of an exact integer, bit-identical
+    * everywhere. Users with fewer than 2 events have no held duration
+    * and are excluded.
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__dur", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__dur").isNotNull)
+      .withColumn("__vu", floor(col(valCol) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col(userCol))
+      .agg(
+        sum(col("__vu").cast("decimal(38,0)") * col("__dur")).as("__s"),
+        sum(col("__dur")).as("held_ns"))
+      .select(col(userCol),
+        (col("__s").cast("double") / lit(1000000.0) / col("held_ns").cast("double"))
+          .as("twab"),
+        col("held_ns"))
+  }
+}

@@ -1297,7 +1297,66 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** Ordered funnel view→click→purchase ([[Behavior.funnel]]): the
+    * strictly-increasing min-timestamp chain, one row per user with the
+    * chain prefix that was reached. Every stage is a keyed aggregation /
+    * join on user — the oracle rebuilds the identical chain.
+    */
+  private val funnelQ = Q(
+    "analytics_funnel_steps",
+    (s, d) => graft.operators.Behavior.funnel(
+      Tables.events(s, d), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      u AS (SELECT DISTINCT user_id FROM e),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1, 2),
+      s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1, 2, 3)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+          WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS reached
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)"""))
+
+  /** Cohort retention matrix ([[Behavior.retentionCohorts]]): cohort =
+    * first active day, exact distinct-user counts per (cohort, offset).
+    */
+  private val retentionQ = Q(
+    "analytics_retention_cohorts",
+    (s, d) => graft.operators.Behavior.retentionCohorts(
+      evDf(s, d), "user_id", "day"),
+    Some(s"""WITH $EV,
+      a AS (SELECT DISTINCT user_id, day FROM ev),
+      c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+      SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+        COUNT(DISTINCT a.user_id) AS n_active
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2"""))
+
+  /** Time-weighted average level per user ([[Behavior.timeWeightedAvg]]):
+    * each event's value held until the next event, durations in exact
+    * nanos, products the same IEEE doubles both engines, sum in decimal.
+    */
+  private val twabQ = Q(
+    "analytics_time_weighted_avg",
+    (s, d) => graft.operators.Behavior.timeWeightedAvg(
+      Tables.events(s, d), "user_id", "ts", "event_id", "value"),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, value FROM events),
+      d AS (SELECT user_id, value,
+          LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+        FROM e),
+      f AS (SELECT user_id, dur,
+          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+        FROM d WHERE dur IS NOT NULL)
+      SELECT user_id,
+        CAST(SUM(CAST(vu AS HUGEINT) * CAST(dur AS HUGEINT)) AS DOUBLE)
+          / 1000000.0 / CAST(SUM(dur) AS DOUBLE) AS twab,
+        CAST(SUM(dur) AS BIGINT) AS held_ns
+      FROM f GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(
+    funnelQ, retentionQ, twabQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
