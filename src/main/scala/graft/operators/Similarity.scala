@@ -583,4 +583,50 @@ object Similarity {
       .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
     rankTopK(rescored, k)
   }
+
+  /** Coarse-quantize a corpus against FROZEN centroids: (cell_id, id) —
+    * the IVF index-at-rest rows. A pure literal-centroid projection
+    * (zero shuffle, no join), the same argmax as every IVF path here.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    corpus.select(cents.assign(col(vecCol)).as("cell_id"), col(idCol))
+  }
+
+  /** INCREMENTAL index maintenance: assign a new ingest batch against the
+    * index's FROZEN centroids (re-clustering 100 TB of history for a
+    * day's ingest is the thing this avoids — the standard FAISS
+    * `add`-without-`train` posture) and report the resulting per-cell
+    * occupancy drift. Output: one row per non-empty cell —
+    * (cell_id, n_before, n_added, n_after, rebuild) where `rebuild`
+    * flags the whole index once the fullest cell exceeds
+    * `rebuildFactor`× the mean cell size: frozen-centroid drift shows up
+    * exactly as occupancy skew, and a skewed cell is a recall hole at
+    * fixed nProbe (its centroid no longer summarizes its content) AND a
+    * latency tail (every probe that hits it scans it whole). The batch
+    * assignment is the same zero-shuffle projection as [[ivfAssign]];
+    * the report is two cell-keyed counts and a scalar.
+    */
+  def ivfAppendReport(oldIndex: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, rebuildFactor: Int = 4): DataFrame = {
+    require(rebuildFactor >= 1)
+    val cents = collectCentroids(centroids)
+    val added = batch.select(cents.assign(col(vecCol)).as("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_added"))
+    val before = oldIndex.groupBy("cell_id").agg(count(lit(1)).as("n_before"))
+    val merged = before.join(added, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("n_after", col("n_before") + col("n_added"))
+    val nCells = math.max(cents.cells.length, 1)
+    // two-phase scalar read (the unigramSurprisal pattern), not a
+    // 1-row crossJoin — a broadcast nested-loop join would trip the
+    // repo-wide PlanSpec BNLJ ban for a constant the driver can hold
+    val stats = merged.agg(max("n_after"), sum("n_after")).head
+    val rebuild = !stats.isNullAt(0) &&
+      stats.getLong(0) * nCells > rebuildFactor.toLong * stats.getLong(1)
+    merged.withColumn("rebuild", lit(rebuild))
+  }
 }

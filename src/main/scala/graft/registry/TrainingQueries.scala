@@ -925,6 +925,49 @@ object TrainingQueries {
     },
     bench = true)
 
+  /** Incremental IVF maintenance ([[Similarity.ivfAppendReport]]): a new
+    * ingest batch (vec_id % 10 >= 7) is assigned against the FROZEN
+    * centroids of yesterday's index (first 8 OLD vectors) — no
+    * re-clustering — and the per-cell occupancy drift report decides
+    * when a re-train is due. The oracle recomputes both assignments
+    * (same argmax, same tie rule), both counts, and the rebuild rule.
+    */
+  private val simIvfAppend = Q(
+    "sim_ivf_append",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(pmod(col("vec_id"), lit(10L)) < 7)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10L)) >= 7)
+      val cents = old.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+      val oldIdx = Similarity.ivfAssign(old, "vec_id", "embedding", cents)
+      Similarity.ivfAppendReport(oldIdx, batch, "vec_id", "embedding", cents)
+    },
+    Some(s"""WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 7),
+      nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 7),
+      cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS centroid
+        FROM old ORDER BY vec_id LIMIT 8),
+      sco AS (SELECT e.vec_id, c.cell_id, ${cosSql("e.embedding", "c.centroid")} AS cs
+        FROM old e CROSS JOIN cent c),
+      cao AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+        FROM sco) t WHERE rn = 1),
+      scn AS (SELECT e.vec_id, c.cell_id, ${cosSql("e.embedding", "c.centroid")} AS cs
+        FROM nw e CROSS JOIN cent c),
+      can AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+        FROM scn) t WHERE rn = 1),
+      b AS (SELECT cell_id, COUNT(*) AS n_before FROM cao GROUP BY 1),
+      a AS (SELECT cell_id, COUNT(*) AS n_added FROM can GROUP BY 1),
+      t AS MATERIALIZED (SELECT COALESCE(b.cell_id, a.cell_id) AS cell_id,
+          COALESCE(b.n_before, 0) AS n_before, COALESCE(a.n_added, 0) AS n_added,
+          COALESCE(b.n_before, 0) + COALESCE(a.n_added, 0) AS n_after
+        FROM b FULL JOIN a ON b.cell_id = a.cell_id),
+      g AS (SELECT MAX(n_after) AS mx, SUM(n_after) AS tot FROM t)
+      SELECT t.cell_id, t.n_before, t.n_added, t.n_after,
+        (g.mx * 8 > 4 * g.tot) AS rebuild
+      FROM t CROSS JOIN g"""))
+
   /** LLOYD-REFINED IVF under the FULL hash oracle — the round-5 verdict's
     * directive #4: one k-means round deep, at nProbe < nCentroids where
     * refinement actually changes cell membership and probe choice. DuckDB
@@ -2864,7 +2907,7 @@ object TrainingQueries {
     corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
-    simIvfQuantized, simIvfKmeans, simLsh, simPqEncode, simPqTopK, simIvfPq,
+    simIvfQuantized, simIvfKmeans, simIvfAppend, simLsh, simPqEncode, simPqTopK, simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
     perplexityBucketsQ, domainCapQ,

@@ -352,6 +352,32 @@ class DedupSpec extends SparkSpec {
     assert((ivfProbe intersect bruteIds).nonEmpty)
   }
 
+  test("ivfAppendReport: counts reconcile and the rebuild flag tracks occupancy skew") {
+    // two well-separated axis clusters; centroids = one seed vector in each
+    def axisVec(axis: Int, jitter: Float): Array[Float] = {
+      val a = Array.fill(4)(jitter); a(axis) = 1f; a
+    }
+    val old = (0 until 10).map(i => (i.toLong, axisVec(i % 2, 0.01f * (i + 1))))
+      .toDF("vec_id", "embedding")
+    val cents = old.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val oldIdx = Similarity.ivfAssign(old, "vec_id", "embedding", cents)
+    // balanced batch: one vector per cluster -> no rebuild
+    val balanced = Seq((100L, axisVec(0, 0.02f)), (101L, axisVec(1, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.ivfAppendReport(oldIdx, balanced, "vec_id", "embedding", cents)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(r1.map(_._4).sum == 12 && r1.forall(x => x._2 + x._3 == x._4))
+    assert(r1.forall(!_._5), "balanced cells must not flag a rebuild")
+    // skewed batch: 30 vectors into cell 0 -> fullest cell exceeds 4x mean
+    val skewed = (200 until 230).map(i => (i.toLong, axisVec(0, 0.005f * (i - 199))))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.ivfAppendReport(oldIdx, skewed, "vec_id", "embedding", cents,
+      rebuildFactor = 1)
+    assert(r2.select("rebuild").as[Boolean].collect().forall(identity),
+      "a 35-vs-5 split at factor 1 must flag the rebuild")
+  }
+
   test("quantizedTopK: int8 two-phase recovers the exact brute-force top-k") {
     val vecs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i + 100)
