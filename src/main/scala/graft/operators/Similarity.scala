@@ -594,6 +594,40 @@ object Similarity {
     corpus.select(cents.assign(col(vecCol)).as("cell_id"), col(idCol))
   }
 
+  /** Embedding distribution-drift report between two corpus snapshots —
+    * the monitoring half of frozen-centroid maintenance
+    * ([[ivfAppendReport]] watches the index; this watches the VECTORS):
+    * per-dimension decimal-exact means of both snapshots and their
+    * shift. A drifting embedding distribution silently degrades every
+    * frozen artifact downstream (centroids, PQ codebooks, int8 scale
+    * calibration); per-dimension mean shift is the cheap first-alarm —
+    * one posexplode + one keyed aggregation per snapshot, output `dim`
+    * rows. Components quantize ONCE to integer 1e-15 units with the
+    * `davgQ` floor rule, then accumulate exactly — a direct
+    * double→DECIMAL(38,18) cast measurably tie-rounds differently across
+    * engines at this density (26-30 of 64 dims off by one ulp at
+    * sf0.01), the same hazard [[graft.operators.Behavior.timeWeightedAvg]]
+    * hit; 1e-15 is far below any drift-alarm threshold.
+    */
+  def embeddingDriftReport(before: DataFrame, after: DataFrame, vecCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, meanName: String, nName: String): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>")))
+        .toDF("pos", "x")
+        .withColumn("pos", col("pos").cast("long"))
+        .withColumn("xu", floor(col("x") * lit(1.0e15) + lit(0.5)).cast("long"))
+        .groupBy("pos")
+        .agg((sum(col("xu").cast("decimal(38,0)")).cast("double")
+            / lit(1.0e15) / count(col("xu")).cast("double")).as(meanName),
+          count(col("xu")).as(nName))
+    dimMeans(before, "mean_before", "n_before")
+      .join(dimMeans(after, "mean_after", "n_after"), Seq("pos"), "full_outer")
+      .select(col("pos"),
+        col("mean_before"), col("mean_after"),
+        (col("mean_after") - col("mean_before")).as("shift"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   /** INCREMENTAL index maintenance: assign a new ingest batch against the
     * index's FROZEN centroids (re-clustering 100 TB of history for a
     * day's ingest is the thing this avoids — the standard FAISS

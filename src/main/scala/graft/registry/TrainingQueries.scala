@@ -968,6 +968,38 @@ object TrainingQueries {
         (g.mx * 8 > 4 * g.tot) AS rebuild
       FROM t CROSS JOIN g"""))
 
+  /** Embedding distribution drift between two snapshots
+    * ([[Similarity.embeddingDriftReport]]): per-dimension decimal-exact
+    * means of the old (vec_id%10<7) and new (rest) populations and their
+    * shift — the first-alarm monitor for every frozen artifact
+    * (centroids, PQ codebooks, int8 calibration). Mirrors the
+    * DECIMAL(38,18) mean discipline of the kmeans oracle.
+    */
+  private val simEmbDrift = Q(
+    "sim_embedding_drift",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.embeddingDriftReport(
+        emb.filter(pmod(col("vec_id"), lit(10L)) < 7),
+        emb.filter(pmod(col("vec_id"), lit(10L)) >= 7), "embedding")
+    },
+    Some(s"""WITH b AS (SELECT embedding AS v FROM embeddings WHERE vec_id % 10 < 7),
+      a AS (SELECT embedding AS v FROM embeddings WHERE vec_id % 10 >= 7),
+      bm AS MATERIALIZED (SELECT i - 1 AS pos,
+          CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE)
+            / 1e15 / CAST(COUNT(*) AS DOUBLE) AS mean_before,
+          COUNT(*) AS n_before
+        FROM b, range(1, ${Dim + 1}) r(i) GROUP BY i),
+      am AS MATERIALIZED (SELECT i - 1 AS pos,
+          CAST(SUM(CAST(floor(CAST(v[i] AS DOUBLE) * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE)
+            / 1e15 / CAST(COUNT(*) AS DOUBLE) AS mean_after,
+          COUNT(*) AS n_after
+        FROM a, range(1, ${Dim + 1}) r(i) GROUP BY i)
+      SELECT COALESCE(bm.pos, am.pos) AS pos, bm.mean_before, am.mean_after,
+        am.mean_after - bm.mean_before AS shift,
+        COALESCE(bm.n_before, 0) AS n_before, COALESCE(am.n_after, 0) AS n_after
+      FROM bm FULL JOIN am ON bm.pos = am.pos"""))
+
   /** LLOYD-REFINED IVF under the FULL hash oracle — the round-5 verdict's
     * directive #4: one k-means round deep, at nProbe < nCentroids where
     * refinement actually changes cell membership and probe choice. DuckDB
@@ -2907,7 +2939,8 @@ object TrainingQueries {
     corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
-    simIvfQuantized, simIvfKmeans, simIvfAppend, simLsh, simPqEncode, simPqTopK, simIvfPq,
+    simIvfQuantized, simIvfKmeans, simIvfAppend, simEmbDrift, simLsh, simPqEncode, simPqTopK,
+    simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
     perplexityBucketsQ, domainCapQ,
