@@ -532,11 +532,16 @@ object Scoring {
     val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
     val feats = concat(col("__ws"), Text.ngramsFromWords(col("__ws"), 2))
     ws
-      .withColumn("n_features", size(feats).cast("long"))
+      // null text => null feature array; size(null) is -1 under ANSI-off
+      // (not 0), so guard explicitly — a null-text doc reports 0 features
+      // and score 0 like an empty one (consistent shape, and the apply
+      // oracle's LEFT JOIN + COALESCE computes exactly this)
+      .withColumn("n_features",
+        when(feats.isNull, lit(0L)).otherwise(size(feats).cast("long")))
       .withColumn("score_int",
-        aggregate(transform(feats, g =>
+        coalesce(aggregate(transform(feats, g =>
           coalesce(element_at(wMap, pmod(Text.md5Hash64(g), lit(dim.toLong))), lit(0L))),
-          lit(0L), (acc, x) => acc + x))
+          lit(0L), (acc, x) => acc + x), lit(0L)))
       .withColumn("keep", col("n_features") > 0 && col("score_int") > 0)
       .select("doc_id", "n_features", "score_int", "keep")
   }

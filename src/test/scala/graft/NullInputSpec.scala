@@ -73,6 +73,40 @@ class NullInputSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("perceptron trainer and trained scorer tolerate null text") {
+    val labeled = docs.withColumn("y",
+      when(col("doc_id") % 2 === 0, -1L).otherwise(1L))
+    // null/empty text contributes no features; training never throws and
+    // the trained weights only reflect the two featured (identical) docs
+    val w = graft.quality.Scoring.trainPerceptron(labeled, "doc_id", "text", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(w.nonEmpty)
+    val scored = graft.quality.Scoring.scoreWithWeights(docs, "doc_id", "text", w)
+    assert(scored.count() == 4)
+    assert(scored.filter(col("doc_id").isin(2L, 3L))
+      .filter(col("n_features") =!= 0L || col("keep")).count() == 0,
+      "null/empty text: zero features, never kept")
+  }
+
+  test("behavioral analytics tolerate null timestamps and values") {
+    val ev = Seq(
+      (Some(1L), Some(10L), Some("view"), Some(1.0), Some(100L)),
+      (Some(1L), None, Some("click"), Some(2.0), Some(101L)),
+      (Some(2L), Some(20L), None, None, Some(102L)),
+      (None, Some(30L), Some("purchase"), Some(3.0), Some(103L))
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    // funnel: null ts never satisfies the strict > chain; null types match
+    // no step; null user forms its own (null-keyed) group without a throw
+    val f = graft.operators.Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    assert(f.count() == 3) // users 1, 2, null
+    // twab: null ts/value rows order NULLS consistently and contribute no
+    // exact-duration pairs that would throw
+    graft.operators.Behavior.timeWeightedAvg(ev, "user_id", "ts", "event_id", "value").count()
+    assert(graft.operators.Behavior.retentionCohorts(
+      ev.withColumnRenamed("ts", "day"), "user_id", "day").count() >= 1)
+  }
+
   test("connectedComponents drops null-id pairs instead of crashing") {
     val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
       .toDF("a", "b")
