@@ -73,6 +73,29 @@ object Behavior {
       .agg(count_distinct(col("user")).as("n_active"))
   }
 
+  /** First-order Markov transition matrix of the event stream: for each
+    * observed (current type → next type) transition within a user's
+    * ordered history, its count and conditional probability
+    * P(next | current). The probability is ONE division of two exact
+    * integer counts — bit-identical on every IEEE engine, no
+    * quantization needed. One user-keyed window + one (from, to)
+    * aggregation; the per-from normalizer runs as a window over the
+    * already-aggregated (|types|² ≤ tiny) frame, so the event stream is
+    * exchanged twice total regardless of corpus size.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val wf = Window.partitionBy("from_type")
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+  }
+
   /** Time-weighted average of a per-event level (balance/exposure): each
     * event's value holds until the user's next event; the average weights
     * each value by its holding duration — the standard TWAB shape of

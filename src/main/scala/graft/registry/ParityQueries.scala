@@ -1355,8 +1355,27 @@ object ParityQueries {
         CAST(SUM(dur) AS BIGINT) AS held_ns
       FROM f GROUP BY user_id"""))
 
+  /** Markov transition matrix ([[Behavior.transitionMatrix]]): per-user
+    * next-event transitions, exact counts, probability = one division of
+    * two exact integers.
+    */
+  private val transitionsQ = Q(
+    "analytics_transition_matrix",
+    (s, d) => graft.operators.Behavior.transitionMatrix(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type"),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+          FROM events),
+      s AS (SELECT event_type AS from_type,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+        FROM e),
+      c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      FROM c"""))
+
   val all: Seq[Q] = Seq(
-    funnelQ, retentionQ, twabQ,
+    funnelQ, retentionQ, twabQ, transitionsQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,

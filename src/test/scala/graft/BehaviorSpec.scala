@@ -38,6 +38,18 @@ class BehaviorSpec extends SparkSpec {
     assert(r == Set((100L, 0L, 2L), (100L, 2L, 1L), (101L, 0L, 1L), (101L, 1L, 1L)))
   }
 
+  test("transition matrix: per-user ordered transitions, probabilities normalize per source") {
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"), // A->B, B->A
+      (2L, 4L, 1L, "A"), (2L, 5L, 2L, "B"),                    // A->B
+      (3L, 6L, 1L, "C")                                        // no transition
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = graft.operators.Behavior
+      .transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(r == Set(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
   test("time-weighted average weights values by holding duration, not event count") {
     // value 10 held for 9 units, then a burst of value 0 for 1 unit:
     // plain avg of events = (10+0+0)/3; twab = (10*9 + 0*1) / 10 = 9.0
