@@ -404,31 +404,49 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       tokenHash: ShingleHash = XxShingleHash,
+      boundary: Boundary = Boundary.Local): DataFrame =
+    hammingPairs64(simhash(docs, idCol, textCol, tokenHash), "simhash",
+      maxHamming, boundary)
+
+  /** All (doc_id_1 < doc_id_2, hamming) pairs within `maxHamming` over ANY
+    * 64-bit signature column — the pigeonhole chunk-banding candidate
+    * machinery shared by [[simhashPairs]] (token-vote signatures) and
+    * [[graft.operators.Multimodal.perceptualPairs]] (payload block
+    * hashes): the 64 bits split into `maxHamming + 1` contiguous chunks,
+    * so a qualifying pair MUST share at least one chunk — 100% recall,
+    * exact `bit_count(xor)` verify after the candidate join.
+    *
+    * `sigs` must be `(doc_id, <sigCol>: long)`. The boundary materializes
+    * the signature table ONCE: both sides of the candidate self-join
+    * derive from it, and when the join broadcasts (small/AQE) there is no
+    * shuffle exchange to reuse — without it the signature input is
+    * derived twice. The frame is id + 8 bytes per doc (~1.5 GB per
+    * billion docs), negligible next to the corpus it replaces. The
+    * boundary (vs a bare persist) keeps cleanup with the session's
+    * ContextCleaner — no block-manager storage pinned for the session
+    * lifetime, the same ownership contract as [[minhashLsh]]; registry
+    * planViews expose the fully lazy twin.
+    */
+  def hammingPairs64(
+      sigs: DataFrame,
+      sigCol: String,
+      maxHamming: Int,
       boundary: Boundary = Boundary.Local): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     // pigeonhole banding: nChunks = maxHamming + 1 contiguous bit ranges
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    // materialize the signature table ONCE via the boundary: both sides of
-    // the candidate self-join derive from it, and when the join broadcasts
-    // (small/AQE) there is no shuffle exchange to reuse — without this the
-    // FULL TEXT is scanned and signature-hashed twice. The frame is id +
-    // 8 bytes per doc (~1.5 GB per billion docs), negligible next to the
-    // corpus it replaces. The boundary (vs a bare persist) keeps cleanup
-    // with the session's ContextCleaner — no block-manager storage pinned
-    // for the session lifetime, the same ownership contract as
-    // [[minhashLsh]]; registry planViews expose the fully lazy twin.
-    val sh = boundary(simhash(docs, idCol, textCol, tokenHash))
+    val sh = boundary(sigs.select(col("doc_id"), col(sigCol).as("__sig")))
     val chunkCols = (0 until nChunks).map { c =>
       val width = bounds(c + 1) - bounds(c)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftright(col("simhash"), bounds(c)).bitwiseAND(mask)
+      shiftright(col("__sig"), bounds(c)).bitwiseAND(mask)
     }
     val chunked = sh.select(
       col("doc_id"),
-      col("simhash"),
+      col("__sig"),
       posexplode(array(chunkCols: _*)))
-      .toDF("doc_id", "simhash", "chunk", "chunk_val")
+      .toDF("doc_id", "__sig", "chunk", "chunk_val")
     val candidates = chunked
       .as("x")
       .join(chunked.as("y"), Seq("chunk", "chunk_val"))
@@ -436,8 +454,8 @@ object Dedup {
       .select(
         col("x.doc_id").as("doc_id_1"),
         col("y.doc_id").as("doc_id_2"),
-        col("x.simhash").as("h1"),
-        col("y.simhash").as("h2"))
+        col("x.__sig").as("h1"),
+        col("y.__sig").as("h2"))
       .distinct()
     candidates
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))

@@ -172,6 +172,110 @@ object Multimodal {
       when(pmod(id, lit(13)) === 0, garbage).otherwise(wav).as("payload"))
   }
 
+  /** Deterministic content body for the near-dup fixtures: `segs` md5
+    * digests of `"<id>|m<j>"` concatenated to 16*segs high-entropy bytes —
+    * recomputable by any SQL engine with md5. `mutate` replaces the LAST
+    * segment with md5 of `"<id>|mut"`: a 16-byte content edit, so the twin
+    * payload sits at small perceptual Hamming distance from its base
+    * (measured <= 5 over the testdata id range) while unrelated ids are
+    * independent ~uniform 64-bit hashes (spurious pair probability
+    * ~C(64,<=6)/2^64 per pair — none observed at either SF).
+    */
+  private def contentBody(id: Column, segs: Int, mutate: Boolean): Column = {
+    def seg(tag: String): Column = md5(encode(concat(id.cast("string"), lit(tag)), "UTF-8"))
+    val parts = (0 until segs - 1).map(j => seg(s"|m$j")) :+
+      (if (mutate) seg("|mut") else seg(s"|m${segs - 1}"))
+    unhex(concat(parts: _*))
+  }
+
+  /** [[syntheticImages]] headers + [[contentBody]] payloads + planted
+    * near-dup twins (ids < 25 re-appear as id+100000 with the mutated
+    * body) — the perceptual-dedup fixture: every row is a content-rich
+    * Column-synthesized payload (PNG/JPEG headers stay structurally real;
+    * the %17 garbage rows keep a body too, so unparseable media still
+    * participates in content dedup instead of collapsing into a
+    * header-only clique).
+    */
+  def imageNearDupCorpus(docs: DataFrame, idCol: String): DataFrame =
+    nearDupCorpus(syntheticImages(docs, idCol))
+
+  /** The audio twin of [[imageNearDupCorpus]]: [[syntheticWavs]] headers
+    * (little-endian RIFF walks, %13 garbage) + content bodies + the same
+    * planted twins.
+    */
+  def audioNearDupCorpus(docs: DataFrame, idCol: String): DataFrame =
+    nearDupCorpus(syntheticWavs(docs, idCol))
+
+  private def nearDupCorpus(base: DataFrame): DataFrame = {
+    val withBody = base.select(col("media_id"),
+      concat(col("payload"), contentBody(col("media_id"), 16, mutate = false)).as("payload"))
+    val twins = base.filter(col("media_id") < 25).select(
+      (col("media_id") + 100000L).as("media_id"),
+      concat(col("payload"), contentBody(col("media_id"), 16, mutate = true)).as("payload"))
+    withBody.unionByName(twins)
+  }
+
+  /** Per-media 64-bit perceptual fingerprint over the payload bytes —
+    * `(media_id, phash)` via the codegen'd
+    * [[graft.functions.expressions.BlockHash64]] (block-mean vs
+    * whole-mean bits, exact integer math). Zero-shuffle projection: the
+    * payload never moves, only the 8-byte hash flows downstream. Null
+    * payloads hash as empty (0L), matching the decode-stats convention.
+    *
+    * On real media the input would be the decoded pixel/sample plane from
+    * the [[decodeStub]] seam; the fingerprint math is byte-source-agnostic,
+    * which is exactly what makes it testable here without a codec.
+    */
+  def perceptualHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .blockHash64(coalesce(col(payloadCol), lit(Array.emptyByteArray)))
+        .as("phash"))
+
+  /** Content near-dup pairs over a multimodal corpus: perceptual
+    * fingerprint -> pigeonhole chunk banding -> exact Hamming verify —
+    * the [[Dedup.hammingPairs64]] machinery fed by [[perceptualHash]].
+    * Output `(media_id_1 < media_id_2, hamming)`, hamming <= maxHamming.
+    *
+    * Scale shape: identical to SimHash near-dup — the corpus is reduced to
+    * (id, 8-byte hash) before anything shuffles, candidates come from
+    * equi-joins on chunk values (never a cross product), recall is 100% by
+    * the pigeonhole bound.
+    */
+  def perceptualPairs(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      perceptualHash(media, idCol, payloadCol).withColumnRenamed("media_id", "doc_id"),
+      "phash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** Pairs -> clusters: resolve the perceptual near-dup pair graph through
+    * [[Dedup.connectedComponents]] and emit `(media_id, component, keep)`
+    * for EVERY input row — singletons keep themselves, each component
+    * keeps its minimum id (the same keep rule as [[Dedup.semanticDedup]]).
+    */
+  def perceptualClusters(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = perceptualPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Decoded-feature schema produced by [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

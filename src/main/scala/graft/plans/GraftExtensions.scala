@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, WavMeta}
+import graft.functions.expressions.{BlockHash64, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, WavMeta}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_wav_meta", { args =>
       require(args.length == 1, "graft_wav_meta(payload) takes one binary argument")
       WavMeta(args.head)
+    })
+    register(ext, "graft_blockhash64", { args =>
+      require(args.length == 1, "graft_blockhash64(payload) takes one binary argument")
+      BlockHash64(args.head)
     })
     register(ext, "graft_decode_stats", { args =>
       require(args.length == 1, "graft_decode_stats(payload) takes one binary argument")

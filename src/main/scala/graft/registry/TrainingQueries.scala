@@ -2504,6 +2504,156 @@ object TrainingQueries {
         substring(ph, CAST(frame_no AS INT) * 128 + 1, 128) AS frame_hex
       FROM f"""))
 
+  // ----------------------------------------------------------------------
+  // multimodal perceptual near-dup (blockhash64 -> banded Hamming -> CC)
+  // ----------------------------------------------------------------------
+
+  /** Little-endian hex of the low `n` bytes of a nonneg SQL expression —
+    * mirrors [[Multimodal.syntheticWavs]]'s byte order.
+    */
+  private def leHex(x: String, n: Int): String =
+    (0 until n).map(i => s"lpad(hex((($x) // ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString(" || ")
+
+  /** Hex reconstruction of the [[Multimodal.syntheticImages]] header for a
+    * base-id SQL expression: PNG signature+IHDR / JPEG walk with the
+    * id-dependent COM segments / the %17 GARBAGE rows — byte-for-byte the
+    * Column generator (Multimodal.scala:102).
+    */
+  private def imgHeaderHexSql(id: String): String =
+    s"""CASE WHEN ($id) % 17 = 0 THEN '47415242414745' || lpad(hex($id), 8, '0')
+      WHEN ($id) % 2 = 0 THEN '89504E470D0A1A0A0000000D49484452' ||
+        lpad(hex(($id) % 640 + 1), 8, '0') || lpad(hex(($id) % 480 + 1), 8, '0') || '0802000000'
+      ELSE 'FFD8FFE000104A46494600010100000100010000' ||
+        CASE WHEN ($id) % 3 >= 1 THEN 'FFFE' || lpad(hex(($id) % 5 + 5), 4, '0') || repeat('78', ($id) % 5 + 3) ELSE '' END ||
+        CASE WHEN ($id) % 3 >= 2 THEN 'FFFE' || lpad(hex(($id) % 7 + 4), 4, '0') || repeat('78', ($id) % 7 + 2) ELSE '' END ||
+        'FFC0001108' || lpad(hex(($id) % 480 + 1), 4, '0') || lpad(hex(($id) % 640 + 1), 4, '0') ||
+        '03012200021101031101'
+      END"""
+
+  /** Hex reconstruction of the [[Multimodal.syntheticWavs]] header —
+    * little-endian RIFF/LIST/fmt/data walk (Multimodal.scala:145).
+    */
+  private def wavHeaderHexSql(id: String): String = {
+    val rate = s"(($id) % 5 + 1) * 8000"
+    val ch = s"(($id) % 2 + 1)"
+    val bits = s"(($id) % 3 * 8 + 8)"
+    val ba = s"($ch * $bits // 8)"
+    val br = s"(($rate) * $ba)"
+    val dl = s"((($id) % 1000 + 1) * $ba)"
+    val pl = s"((($id) % 5 + 2) * 2)"
+    s"""CASE WHEN ($id) % 13 = 0 THEN '4E4F54574156' || ${leHex(id, 4)}
+      ELSE '52494646' || ${leHex(s"$dl + 36", 4)} || '57415645' ||
+        CASE WHEN ($id) % 3 <> 0 THEN '4C495354' || ${leHex(pl, 4)} || repeat('78', $pl) ELSE '' END ||
+        '666D7420' || ${leHex("16", 4)} || ${leHex("1", 2)} || ${leHex(ch, 2)} ||
+        ${leHex(rate, 4)} || ${leHex(br, 4)} || ${leHex(ba, 2)} || ${leHex(bits, 2)} ||
+        '64617461' || ${leHex(dl, 4)}
+      END"""
+  }
+
+  /** md5-chain content body hex mirroring `Multimodal.contentBody` (16
+    * segments; the twin's last segment keyed `|mut`).
+    */
+  private def bodyHexSql(id: String): String =
+    (0 until 15).map(j => s"md5(CAST($id AS VARCHAR) || '|m$j')").mkString(" || ") +
+      s" || CASE WHEN mut THEN md5(CAST($id AS VARCHAR) || '|mut') ELSE md5(CAST($id AS VARCHAR) || '|m15') END"
+
+  /** CTE chain `mids` -> `media(media_id, ph)` -> `phq(media_id, phash)`:
+    * the full corpus (base rows + id<25 twins at id+100000) with payload
+    * hex reconstructed from scratch and the 64-bit blockhash recomputed by
+    * exact integer cross-multiplication — every bit of
+    * [[graft.functions.expressions.BlockHash64]] independently re-derived.
+    * MATERIALIZED: `phq` feeds both sides of the pair self-join.
+    */
+  private def phashCtes(headerHex: String => String): String = {
+    val bits = (0 until 64).map { i =>
+      val s = s"($i * blen // 64)"
+      val e = s"((${i + 1}) * blen // 64)"
+      s"""(CASE WHEN $e > $s AND COALESCE(list_sum(bv[$s + 1:$e]), 0) * blen > total * ($e - $s)
+        THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+    s"""mids AS (SELECT doc_id AS media_id, doc_id AS base_id, FALSE AS mut FROM documents
+        UNION ALL SELECT doc_id + 100000, doc_id, TRUE FROM documents WHERE doc_id < 25),
+      media AS (SELECT media_id, ${headerHex("base_id")} || ${bodyHexSql("base_id")} AS ph FROM mids),
+      mbytes AS (SELECT media_id, length(ph) // 2 AS blen,
+        list_transform(range(0, length(ph) // 2), j -> ('0x' || substr(ph, j * 2 + 1, 2))::BIGINT) AS bv
+        FROM media),
+      mtot AS (SELECT media_id, blen, bv, COALESCE(list_sum(bv), 0) AS total FROM mbytes),
+      phq AS MATERIALIZED (SELECT media_id, ($bits) AS phash FROM mtot)"""
+  }
+
+  private def phashPairSql(headerHex: String => String): String =
+    s"""WITH ${phashCtes(headerHex)}
+      SELECT a.media_id AS media_id_1, b.media_id AS media_id_2,
+        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM phq a JOIN phq b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 6"""
+
+  /** The perceptual fingerprint itself, differentially verified bit-for-bit
+    * over the content-rich image corpus (structurally-real headers + md5
+    * bodies + corrupt rows — all Column-synthesized, all re-derived from
+    * raw hex by the oracle).
+    */
+  private val multimodalPhash = Q(
+    "multimodal_phash",
+    (s, d) => Multimodal.perceptualHash(
+      Multimodal.imageNearDupCorpus(Tables.documents(s, d), "doc_id")),
+    Some(s"WITH ${phashCtes(imgHeaderHexSql)} SELECT media_id, phash FROM phq"))
+
+  /** Image content near-dup pairs: blockhash -> pigeonhole chunk banding ->
+    * exact Hamming verify. The corpus plants 25 twins (base id < 25, one
+    * 16-byte body edit) that the oracle's all-pairs recompute must agree on
+    * exactly — measured: the 25 twin pairs and nothing else at both SFs.
+    */
+  private val dedupImageNearDup = Q(
+    "dedup_image_neardup",
+    (s, d) => Multimodal.perceptualPairs(
+      Multimodal.imageNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some(phashPairSql(imgHeaderHexSql)),
+    planView = Some((s, d) => Multimodal.perceptualPairs(
+      Multimodal.imageNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** Audio twin of [[dedupImageNearDup]] — little-endian RIFF headers, the
+    * %13 garbage rows, same planted twins; one fingerprint family serves
+    * every modality because the hash math is byte-source-agnostic.
+    */
+  private val dedupAudioNearDup = Q(
+    "dedup_audio_neardup",
+    (s, d) => Multimodal.perceptualPairs(
+      Multimodal.audioNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some(phashPairSql(wavHeaderHexSql)),
+    planView = Some((s, d) => Multimodal.perceptualPairs(
+      Multimodal.audioNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** Pairs -> clusters -> keep/drop for EVERY media row (the dedup
+    * decision surface): engine CC vs the oracle's recursive-CTE transitive
+    * closure over its own recomputed pair graph.
+    */
+  private val dedupMediaNearDupClusters = Q(
+    "dedup_media_neardup_clusters",
+    (s, d) => Multimodal.perceptualClusters(
+      Multimodal.imageNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6),
+    Some(s"""WITH RECURSIVE ${phashCtes(imgHeaderHexSql)},
+        ppairs AS (SELECT a.media_id AS pa, b.media_id AS pb
+          FROM phq a JOIN phq b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+        pedges AS (SELECT pa AS eu, pb AS ev FROM ppairs UNION SELECT pb, pa FROM ppairs),
+        preach AS (SELECT eu AS node, ev AS r FROM pedges
+          UNION SELECT rc.node, e.ev FROM preach rc JOIN pedges e ON e.eu = rc.r),
+        pcl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM preach GROUP BY node)
+      SELECT m.media_id, COALESCE(c.cluster, m.media_id) AS component,
+        COALESCE(c.cluster, m.media_id) = m.media_id AS keep
+      FROM (SELECT media_id FROM mids) m LEFT JOIN pcl c ON c.node = m.media_id"""),
+    planView = Some((s, d) => Multimodal.perceptualClusters(
+      Multimodal.imageNearDupCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)))
+
   /** Deterministic 25% hash sample — the kept set is a pure function of
     * doc_id + salt, so DuckDB recomputes it exactly (unlike RNG sampling).
     */
@@ -2953,7 +3103,8 @@ object TrainingQueries {
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
-    multimodalAudioMeta,
+    multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
+    dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingAsOfEnrich, streamingLshDedup)
 }

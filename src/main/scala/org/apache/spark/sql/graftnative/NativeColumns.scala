@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import graft.functions.expressions.{BloomProbe, BroadcastBloom, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
+import graft.functions.expressions.{BlockHash64, BloomProbe, BroadcastBloom, DecodeStats, DotProduct, HyperplaneBuckets, ImageDims, MinHashWordsSig, NfcNormalize, NormalizeVec, QuantizeInt8, SimHashWords, TopKByScore, WavMeta}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -111,6 +111,13 @@ object NativeColumns {
     */
   def decodeStats(payload: Column): Column =
     Column(ExpressionColumnNode(DecodeStats(ExpressionUtils.expression(payload))))
+
+  /** 64-bit perceptual block hash over a binary payload column — block-mean
+    * vs whole-payload-mean bits, exact integer math (see [[BlockHash64]]);
+    * the content fingerprint feeding multimodal near-dup.
+    */
+  def blockHash64(payload: Column): Column =
+    Column(ExpressionColumnNode(BlockHash64(ExpressionUtils.expression(payload))))
 
   /** RIFF/WAVE header sniff over a binary payload column:
     * `struct<sample_rate, channels, bits, duration_ms>`, NULL for

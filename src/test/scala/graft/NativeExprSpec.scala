@@ -91,6 +91,28 @@ class NativeExprSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("blockHash64: known payloads, null/empty, Column == SQL == companion") {
+    import graft.functions.expressions.BlockHash64
+    val rnd = new scala.util.Random(11)
+    val payloads: Seq[Array[Byte]] = Seq(
+      null, Array.emptyByteArray, Array[Byte](1), Array.fill(7)(9.toByte),
+      Array.tabulate(256)(i => i.toByte), Array.fill(293)(rnd.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+    val viaCol = df.select(col("id"),
+      NativeColumns.blockHash64(col("payload")).as("h")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      val expected = if (p == null) null else BlockHash64.hash(p)
+      assert(viaCol(i.toLong) == expected, s"payload $i")
+    }
+    df.createOrReplaceTempView("bh_in")
+    val viaSql = spark.sql("SELECT id, graft_blockhash64(payload) AS h FROM bh_in").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(viaSql == viaCol)
+    // non-binary input is an analysis-time type error, not a runtime crash
+    intercept[Exception] { spark.sql("SELECT graft_blockhash64('s')").collect() }
+  }
+
   test("the whole native family is SQL-callable via GraftExtensions") {
     val n = spark.sql("SELECT graft_normalize(array(3.0D, 4.0D)) AS v")
       .as[Seq[Double]].head()

@@ -200,6 +200,54 @@ class ParserFuzzSpec extends AnyFunSuite {
       "&#0; &#1114112; &#55296; &#999999999999;")
   }
 
+  test("BlockHash64: never throws, matches an independent model, twin proximity") {
+    import graft.functions.expressions.BlockHash64
+    // independent model: BigInt rational means per block, different loop
+    // structure — a shared arithmetic slip can't hide in both
+    def model(b: Array[Byte]): Long = {
+      if (b.isEmpty) return 0L
+      val vals = b.map(x => BigInt(x & 0xff))
+      val total = vals.sum
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        val blk = vals.slice(i * b.length / 64, (i + 1) * b.length / 64)
+        // mean(blk) > mean(all) <=> sum(blk)/|blk| > total/len
+        if (blk.nonEmpty && blk.sum * b.length > total * blk.length)
+          acc | (1L << i)
+        else acc
+      }
+    }
+    val payloadGen = Gen.oneOf(
+      Gen.const(Array.emptyByteArray),
+      Gen.choose(1, 63).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127))),
+      Gen.choose(64, 4096).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127))),
+      // constant runs: every block mean equals the total mean -> hash 0
+      Gen.zip(Gen.choose(0, 255), Gen.choose(1, 500)).map { case (v, n) => List.fill(n)(v) })
+      .map {
+        case a: Array[Byte] => a
+        case l: List[_] => l.map(_.asInstanceOf[Int].toByte).toArray
+      }
+    var checked = 0
+    Iterator.continually(payloadGen.sample).flatten.take(3000).foreach { p =>
+      val h = BlockHash64.hash(p) // must not throw
+      assert(h == model(p), s"model mismatch on ${p.take(20).mkString(",")} (len ${p.length})")
+      checked += 1
+    }
+    assert(checked == 3000)
+    assert(BlockHash64.hash(Array.emptyByteArray) == 0L)
+    assert(BlockHash64.hash(Array.fill(777)(42.toByte)) == 0L, "constant payload -> 0")
+    // content edit -> small hamming: the fixture contract the near-dup
+    // registry queries rely on (16-byte edit in a 256-byte body)
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val base = Array.fill(293)(rnd.nextInt(256).toByte)
+      val twin = base.clone()
+      val off = rnd.nextInt(base.length - 16)
+      (off until off + 16).foreach(j => twin(j) = rnd.nextInt(256).toByte)
+      val d = java.lang.Long.bitCount(BlockHash64.hash(base) ^ BlockHash64.hash(twin))
+      assert(d <= 16, s"16-byte edit moved $d bits")
+    }
+  }
+
   test("BpeTokenize: total on random unicode words; every position consumed exactly once") {
     import graft.functions.expressions.BpeTokenize
     import org.apache.spark.sql.catalyst.expressions.Literal
