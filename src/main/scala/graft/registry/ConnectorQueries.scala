@@ -187,9 +187,17 @@ object ConnectorQueries {
     * `.isin(...)`, which reaches the connector as a pushed `In` filter
     * ([[org.apache.spark.sql.connector.read.SupportsPushDownFilters]]) and
     * prunes the scan to the buckets covering the requested addresses, ≤1000
-    * addresses per partition. The address list (driver-side by nature — the
-    * reference's API takes it as an explicit parameter) is bounded by the
-    * distinct-user count.
+    * addresses per partition.
+    *
+    * ADDRESS-LIST CONTRACT: the list is an EXTERNALLY-SUPPLIED SMALL
+    * parameter — the reference's API takes an explicit `address_list`
+    * argument (a watchlist/portfolio, thousands of keys at most) and chunks
+    * it 1000 per request; it is driver-resident by nature, NOT derived from
+    * the corpus. The fixture's collect below stands in for that external
+    * parameter on synthetic data; the connector itself enforces the bound
+    * (`maxAddresses`, [[graft.sources.PagedScanBuilder]]) so a misuse with
+    * a corpus-sized key set fails fast at planning time instead of
+    * collecting it.
     */
   private val addressFiltered = Q(
     "src_graphql_address_filtered",
@@ -206,7 +214,7 @@ object ConnectorQueries {
       val rt = root("addr", d)
       Paged.serveBucketedPages(cur, "user_id", nBuckets = 16, root = rt)
       val addrs = ev.select("user_id").where(pmod(col("user_id"), lit(23L)) === 5L)
-        .distinct().collect().map(_.getLong(0)).sorted // bounded: <= distinct users
+        .distinct().collect().map(_.getLong(0)).sorted // fixture's stand-in for the externally-given list
       val df = s.read.format(Paged.FORMAT)
         .option("path", rt).option("mode", "bucketed").option("cursorField", "user_id")
         .option("schema",
@@ -289,6 +297,67 @@ object ConnectorQueries {
       SELECT event_id, tns AS ts, user_id, event_type, value,
         n1.p1 + (rn - 1) // $PAGE_SIZE AS _page FROM c2, n1"""))
 
+  /** The always-on POSITIONS drain (reference:
+    * src/pipelines/raw/historical_account_positions.py:175-184 — a loop
+    * that persists its last `id_gt` id and resumes from it): the keyset
+    * chain as a Structured Streaming micro-batch source, offset =
+    * (steps, cursor). The server publishes the chain in TWO cycles split
+    * at the median id; an AvailableNow drain runs after each on one
+    * checkpoint — the second must resume MID-CHAIN from the checkpointed
+    * cursor and ingest exactly the appended batches. `_step` numbering is
+    * global across the two drains (`stepBase`), so the oracle's two-cycle
+    * recompute verifies the resume arithmetic, not just the row set.
+    */
+  private val streamingKeysetIngest = Q(
+    "streaming_keyset_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min("event_id"), max("event_id")).head
+      val mid = if (mm.isNullAt(0)) 0L else (mm.getLong(0) + mm.getLong(1)) / 2
+      val rt = root("kstream", d)
+      val base = "/root/repo/target/tmp/keyset_ingest_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val (out, cp) = (base + "/out", base + "/cp")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, alias_idx BIGINT"
+      def drain(): Unit = {
+        val q = s.readStream.format(Paged.FORMAT)
+          .option("path", rt).option("mode", "keyset").option("cursorField", "event_id")
+          .option("schema", ddl)
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Paged.serveKeysetPages(ev.filter(col("event_id") <= mid), "event_id",
+        batchSize = 6000, nAliases = 6, root = rt)
+      drain()
+      Paged.appendKeysetPages(ev.filter(col("event_id") > mid), "event_id",
+        batchSize = 6000, nAliases = 6, root = rt)
+      drain()
+      val outSchema = org.apache.spark.sql.types.StructType.fromDDL(ddl + ", _step BIGINT")
+      if (fs.exists(new org.apache.hadoop.fs.Path(out)))
+        s.read.schema(outSchema).parquet(out)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, value FROM events),
+        m AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS mid FROM e),
+        c1 AS (SELECT e.*, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+          FROM e, m WHERE e.event_id <= m.mid),
+        n1 AS (SELECT (COUNT(*) + 5999) // 6000 AS s1 FROM c1),
+        c2 AS (SELECT e.*, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+          FROM e, m WHERE e.event_id > m.mid)
+      SELECT event_id, user_id, event_type, value,
+        ((rn - 1) % 6000) // 1000 AS alias_idx, (rn - 1) // 6000 AS "_step" FROM c1
+      UNION ALL
+      SELECT event_id, user_id, event_type, value,
+        ((rn - 1) % 6000) // 1000 AS alias_idx, n1.s1 + (rn - 1) // 6000 AS "_step"
+      FROM c2, n1"""))
+
   val all: Seq[Q] = Seq(httpPaginated, blockSnapshot, keysetPaginated, keysetResume,
-    addressFiltered, streamingPagedIngest)
+    addressFiltered, streamingPagedIngest, streamingKeysetIngest)
 }

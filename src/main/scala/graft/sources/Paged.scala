@@ -172,11 +172,36 @@ object Paged {
     * Each batch also carries `alias_idx` = which of the `nAliases` aliased
     * skip-subqueries of the request would have returned the row.
     */
-  def serveKeysetPages(df: DataFrame, idCol: String, batchSize: Int, nAliases: Int, root: String): Long = {
+  def serveKeysetPages(df: DataFrame, idCol: String, batchSize: Int, nAliases: Int, root: String): Long =
+    keysetPages(df, idCol, batchSize, nAliases, root, firstCursor = "start", baseSteps = 0L)
+
+  /** EXTEND a keyset chain: the server's next extraction cycle appends rows
+    * with ids STRICTLY beyond the chain's last cursor (the keyset
+    * protocol's invariant — `id_gt` only ever moves forward), addressed
+    * starting from the manifest's `lastCursor`, then republishes the
+    * manifest (data first, manifest last — a streaming reader's
+    * `latestOffset` can never name a half-written batch). Returns the new
+    * total step count.
+    */
+  def appendKeysetPages(df: DataFrame, idCol: String, batchSize: Int, nAliases: Int, root: String): Long = {
+    val man = readManifest(root, df.sparkSession.sparkContext.hadoopConfiguration)
+    val lastCursor = man.get("lastCursor").asText()
+    if (lastCursor != "start") {
+      val minNew = df.agg(min(col(idCol))).head
+      require(minNew.isNullAt(0) || minNew.getLong(0) > lastCursor.toLong,
+        s"appendKeysetPages: new ids must be > the chain's last cursor $lastCursor " +
+          s"(got min ${minNew.get(0)}) — the id_gt protocol only ever moves forward")
+    }
+    keysetPages(df, idCol, batchSize, nAliases, root,
+      firstCursor = lastCursor, baseSteps = man.get("steps").asLong())
+  }
+
+  private def keysetPages(df: DataFrame, idCol: String, batchSize: Int, nAliases: Int,
+      root: String, firstCursor: String, baseSteps: Long): Long = {
     require(batchSize > 0 && nAliases > 0 && batchSize % nAliases == 0,
       s"batchSize $batchSize must be a positive multiple of nAliases $nAliases")
     val spark = df.sparkSession
-    reset(spark, root)
+    if (baseSteps == 0L && firstCursor == "start") reset(spark, root)
     val aliasSize = batchSize / nAliases
     val rn = row_number().over(Window.orderBy(col(idCol)))
     val stepped = df
@@ -184,18 +209,32 @@ object Paged {
       .withColumn("__step", ((col("__rn") - 1) / batchSize).cast(LongType))
       .withColumn("alias_idx", (((col("__rn") - 1) % batchSize) / aliasSize).cast(LongType))
       .drop("__rn")
-    // cursor label of step s = max(id) of step s-1 ("start" for s=0);
-    // step count is |df|/batchSize — driver-small by construction
+    // cursor label of step s = max(id) of step s-1 (`firstCursor` for the
+    // run's first step); step count is |df|/batchSize — driver-small by
+    // construction
     val cursors = stepped.groupBy("__step").agg(max(col(idCol)).as("__mx"))
       .withColumn("cur",
-        coalesce(lag(col("__mx"), 1).over(Window.orderBy("__step")).cast("string"), lit("start")))
-      .select("__step", "cur")
-    val paged = stepped.join(broadcast(cursors), "__step").drop("__step")
-    paged.write.mode(SaveMode.Overwrite).partitionBy("cur").json(pagesDir(root))
-    val steps = cursors.count()
+        coalesce(lag(col("__mx"), 1).over(Window.orderBy("__step")).cast("string"), lit(firstCursor)))
+      .select("__step", "cur", "__mx")
+    // duplicate idCol values straddling a batch boundary would give two
+    // consecutive steps the SAME cursor label — their partition dirs would
+    // merge and the chain walker would mis-page. Fail loudly instead: the
+    // keyset contract requires distinct cursor ids (the reference's id_gt
+    // key is a unique primary key).
+    val dupCursors = cursors.groupBy("cur").count().filter(col("count") > 1).count()
+    require(dupCursors == 0,
+      s"serveKeysetPages: duplicate '$idCol' values straddle a batch boundary " +
+        "(cursor labels must be strictly increasing; use a unique id column)")
+    val paged = stepped.join(broadcast(cursors.select("__step", "cur")), "__step").drop("__step")
+    paged.write.mode(if (baseSteps == 0L) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy("cur").json(pagesDir(root))
+    val tail = cursors.orderBy(col("__step").desc).limit(1).collect()
+    val newSteps = baseSteps + cursors.count()
+    val lastCursor = if (tail.isEmpty) firstCursor else tail(0).getAs[Any]("__mx").toString
     writeManifest(root, spark.sparkContext.hadoopConfiguration,
-      Map("mode" -> "keyset", "batchSize" -> batchSize, "cursorField" -> idCol, "steps" -> steps))
-    steps
+      Map("mode" -> "keyset", "batchSize" -> batchSize, "cursorField" -> idCol,
+        "steps" -> newSteps, "lastCursor" -> lastCursor))
+    newSteps
   }
 
   /** Materialize server-sharded pages: records land in
@@ -294,17 +333,46 @@ class PagedScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMa
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // the readers fetch the cursor/address key with getLong: a schema DDL
+    // declaring it as anything but BIGINT must fail HERE, at planning time,
+    // with a clear message — not as a ClassCastException on an executor
+    if (cursorField != null) {
+      tableSchema.fields.find(_.name == cursorField).foreach { f =>
+        require(f.dataType == LongType,
+          s"graft-pages: cursorField '$cursorField' must be declared BIGINT in the " +
+            s"schema DDL (got ${f.dataType.catalogString}) — cursor/address keys are read as longs")
+      }
+    }
+    // the address list is an EXTERNALLY-SUPPLIED SMALL parameter by
+    // contract (the reference's API takes an explicit address_list and
+    // chunks it 1000/request) — it lives on the driver and in every task's
+    // partition spec, so an unbounded list must fail fast here, not OOM an
+    // executor later. Raise via option("maxAddresses", n) if a genuinely
+    // larger externally-given list is intended.
+    val maxAddresses = options.getOrDefault("maxAddresses", "100000").toInt
+    addresses.foreach { a =>
+      require(a.size <= maxAddresses,
+        s"graft-pages: address list has ${a.size} keys, above the $maxAddresses cap — " +
+          "the bucketed mode's contract is an externally-supplied SMALL key list " +
+          "(the reference passes an explicit address_list parameter); for a " +
+          "corpus-sized key set use a join against the full scan instead")
+    }
     new PagedScan(required, mode, options.get("path"), cursorField,
       options.getOrDefault("chunkSize", "1000").toInt, addresses,
       options.getOrDefault("startCursor", "start"))
+  }
 }
 
-/** One planned page/block/chain/bucket-chunk fetch. */
+/** One planned page/block/chain/bucket-chunk fetch. `maxSteps` bounds the
+  * chain walk (a streaming micro-batch drains exactly the steps between two
+  * offsets); `stepBase` keeps `_step` numbering global across micro-batches.
+  */
 sealed trait PagedPartition extends InputPartition
 final case class DirPartition(dir: String, prov: Option[(String, Long)],
     addrFilter: Option[Set[Long]]) extends PagedPartition
-final case class KeysetPartition(root: String, startCursor: String) extends PagedPartition
+final case class KeysetPartition(root: String, startCursor: String,
+    maxSteps: Long = Long.MaxValue, stepBase: Long = 0L) extends PagedPartition
 
 class PagedScan(required: StructType, mode: String, path: String, cursorField: String,
     chunkSize: Int, addresses: Option[Set[Long]],
@@ -315,20 +383,35 @@ class PagedScan(required: StructType, mode: String, path: String, cursorField: S
   override def toBatch: Batch = this
   override def description(): String = s"${Paged.FORMAT} mode=$mode path=$path"
 
-  /** Streaming form of the OFFSET source — the reference's always-on
-    * extraction loop (watermark → fetch window → append, repeat) as a
-    * Structured Streaming micro-batch source: the page counter IS the
-    * offset, each trigger drains exactly the pages the server published
-    * since the last checkpointed counter. Pages are immutable once the
-    * manifest names them, so restart/replay is exactly-once by
-    * construction. Keyset/snapshot/bucketed modes are batch-only (their
-    * progress notions — cursor, block list, address set — are query
-    * inputs, not monotone stream offsets).
+  /** Streaming forms — the reference's always-on extraction loops as
+    * Structured Streaming micro-batch sources:
+    *
+    *  - '''offset''': the page counter IS the offset; each trigger drains
+    *    exactly the pages the server published since the last checkpointed
+    *    counter.
+    *  - '''keyset''': the chain cursor IS the offset (the reference's
+    *    positions drain persists its last `id_gt` id and resumes from it —
+    *    raw/historical_account_positions.py:175-184): the offset carries
+    *    (steps, cursor), `latestOffset` reads the manifest's published
+    *    step count, and a micro-batch walks the chain from the start
+    *    offset's cursor for exactly `end.steps - start.steps` batches —
+    *    sequential WITHIN a trigger by protocol, with `_step` numbering
+    *    global across triggers via `stepBase`.
+    *
+    * Pages/batches are immutable once the manifest names them (manifest is
+    * written LAST), so restart/replay is exactly-once by construction in
+    * both modes. Snapshot/bucketed modes are batch-only (their progress
+    * notions — block list, address set — are query inputs, not monotone
+    * stream offsets).
     */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(mode == "offset",
-      s"graft-pages streaming requires mode=offset (got '$mode')")
-    new PagedMicroBatchStream(path, required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = mode match {
+    case "offset" => new PagedMicroBatchStream(path, required)
+    case "keyset" =>
+      require(cursorField != null, "graft-pages keyset streaming requires 'cursorField'")
+      new PagedKeysetMicroBatchStream(path, required, cursorField, startCursor)
+    case other => throw new IllegalArgumentException(
+      s"graft-pages streaming requires mode=offset or mode=keyset (got '$other'): " +
+        "snapshot/bucketed progress notions are query inputs, not stream offsets")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -413,6 +496,52 @@ final class PagedMicroBatchStream(path: String, required: StructType) extends Mi
   override def stop(): Unit = ()
 }
 
+/** The keyset chain position as a stream offset: how many batches have been
+  * consumed and the cursor addressing the NEXT one. `cursor` is derived
+  * from `steps` (it is the max id of batch steps-1), carried alongside so
+  * a restart can resume the walk without replaying the chain.
+  */
+final case class KeysetOffset(steps: Long, cursor: String) extends Offset {
+  override def json(): String =
+    s"""{"steps":$steps,"cursor":"$cursor"}"""
+}
+
+final class PagedKeysetMicroBatchStream(path: String, required: StructType,
+    cursorField: String, startCursor: String) extends MicroBatchStream {
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = KeysetOffset(0L, startCursor)
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    KeysetOffset(node.get("steps").asLong(), node.get("cursor").asText())
+  }
+  // manifest written LAST by the keyset generators: the (steps, lastCursor)
+  // pair read here only ever names fully-published batches
+  override def latestOffset(): Offset = {
+    val man = Paged.readManifest(path, conf)
+    val lc = man.get("lastCursor")
+    require(lc != null,
+      "graft-pages keyset streaming requires a manifest with 'lastCursor' " +
+        "(republish with serveKeysetPages/appendKeysetPages)")
+    KeysetOffset(man.get("steps").asLong(), lc.asText())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[KeysetOffset]
+    val b = end.asInstanceOf[KeysetOffset]
+    if (b.steps <= a.steps) Array.empty
+    else Array(KeysetPartition(path, a.cursor, maxSteps = b.steps - a.steps, stepBase = a.steps))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+    PagedReaderFactory(required.json, cursorField, tz, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(end: Offset): Unit = () // batches are immutable; the offset is the state
+  override def stop(): Unit = ()
+}
+
 final case class PagedReaderFactory(requiredJson: String, cursorField: String,
     timeZoneId: String, conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -420,8 +549,9 @@ final case class PagedReaderFactory(requiredJson: String, cursorField: String,
     partition match {
       case DirPartition(dir, prov, addrFilter) =>
         new DirPageReader(dir, required, prov, addrFilter, cursorField, timeZoneId, conf.value)
-      case KeysetPartition(root, startCursor) =>
-        new KeysetReader(root, required, cursorField, timeZoneId, conf.value, startCursor)
+      case KeysetPartition(root, startCursor, maxSteps, stepBase) =>
+        new KeysetReader(root, required, cursorField, timeZoneId, conf.value, startCursor,
+          maxSteps, stepBase)
     }
   }
 }
@@ -503,7 +633,8 @@ final class DirPageReader(dir: String, required: StructType, prov: Option[(Strin
   * the response data itself rather than a precomputed list.
   */
 final class KeysetReader(root: String, required: StructType, cursorField: String,
-    timeZoneId: String, conf: Configuration, startCursor: String = "start")
+    timeZoneId: String, conf: Configuration, startCursor: String = "start",
+    maxSteps: Long = Long.MaxValue, stepBase: Long = 0L)
     extends PageReaderBase(required, Set(Paged.STEP_COL), Seq(cursorField), timeZoneId, conf) {
 
   require(cursorField != null, "graft-pages keyset mode requires 'cursorField'")
@@ -516,6 +647,9 @@ final class KeysetReader(root: String, required: StructType, cursorField: String
   private var current: InternalRow = _
 
   private def advance(): Unit = {
+    // a streaming micro-batch drains EXACTLY maxSteps batches and stops —
+    // the next trigger's partition resumes from the offset's cursor
+    if (step + 1 >= maxSteps) { done = true; return }
     val rows = parsed(s"${Paged.pagesDir(root)}/cur=$cursor")
     if (rows.isEmpty) { done = true } else { batch = rows; step += 1; maxId = Long.MinValue }
   }
@@ -534,6 +668,6 @@ final class KeysetReader(root: String, required: StructType, cursorField: String
       true
     } else false
   }
-  override def get(): InternalRow = assemble(current, step)
+  override def get(): InternalRow = assemble(current, stepBase + step)
   override def close(): Unit = ()
 }

@@ -211,6 +211,97 @@ class PagedSpec extends SparkSpec {
     assert(all.forall { case (id, pg) => pg == (id - 1) / 20 })
   }
 
+  test("keyset mode streams: one checkpoint resumes MID-CHAIN exactly once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp("kstream")
+    val base = "target/tmp/pagedspec_kstream_io"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ddl = DDL + ", alias_idx BIGINT"
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(ddl + ", _step BIGINT")
+    def drain(): Unit = {
+      val q = spark.readStream.format(Paged.FORMAT)
+        .option("path", root).option("mode", "keyset").option("cursorField", "event_id")
+        .option("schema", ddl)
+        .load()
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // cycle 1: 55 rows in batches of 20 -> 3 steps, the last one partial
+    Paged.serveKeysetPages(events(100).where(col("event_id") <= 55), "event_id", 20, 2, root)
+    drain()
+    val firstRows = spark.read.schema(outSchema).parquet(s"$base/out")
+      .select("event_id", "_step").as[(Long, Long)].collect()
+    assert(firstRows.map(_._1).sorted.toSeq == (1L to 55L))
+    assert(firstRows.map(_._2).max == 2L)
+    // cycle 2: the server appends 45 more rows beyond the last cursor; the
+    // same checkpoint must walk ONLY the appended batches, starting from
+    // the checkpointed (steps=3, cursor=55) — a true mid-chain restart
+    Paged.appendKeysetPages(events(100).where(col("event_id") > 55), "event_id", 20, 2, root)
+    drain()
+    val all = spark.read.schema(outSchema).parquet(s"$base/out")
+      .select("event_id", "_step", "alias_idx").as[(Long, Long, Long)].collect()
+    assert(all.map(_._1).sorted.toSeq == (1L to 100L)) // exactly once, no dups/gaps
+    // global step numbering continues across the restart: cycle-2 rows rank
+    // from the appended run's local batching, offset by cycle 1's 3 steps
+    all.foreach { case (id, step, _) =>
+      val expected = if (id <= 55) (id - 1) / 20 else 3 + (id - 56) / 20
+      assert(step == expected, s"id $id step $step != $expected")
+    }
+    // a third drain with nothing published ingests nothing
+    drain()
+    assert(spark.read.schema(outSchema).parquet(s"$base/out").count() == 100)
+  }
+
+  test("appendKeysetPages rejects ids at or below the chain's last cursor") {
+    val root = tmp("kappendguard")
+    Paged.serveKeysetPages(events(40), "event_id", 10, 2, root)
+    val e = intercept[IllegalArgumentException] {
+      Paged.appendKeysetPages(events(50).where(col("event_id") > 35), "event_id", 10, 2, root)
+    }
+    assert(e.getMessage.contains("last cursor"))
+  }
+
+  test("serveKeysetPages fails loudly on duplicate ids straddling a batch boundary") {
+    // ids 1..9 then twelve 10s: batch 1 ends at 10 and batch 2 is ALL 10s,
+    // so steps 2 and 3 would both be addressed by cursor 10 — the dir
+    // collision the guard must catch
+    val twelveTens = spark.range(12).selectExpr("CAST(10 AS BIGINT) AS event_id",
+      "CAST(1010 AS BIGINT) AS ts", "CAST(3 AS BIGINT) AS user_id",
+      "'t0' AS event_type", "15.0D AS value")
+    val e = intercept[IllegalArgumentException] {
+      Paged.serveKeysetPages(events(9).union(twelveTens), "event_id", 10, 2, tmp("kdup"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // duplicates INSIDE a batch don't collide cursor labels and are allowed
+    Paged.serveKeysetPages(events(40).union(events(40).where(col("event_id") === 9)),
+      "event_id", 10, 2, tmp("kdupok"))
+  }
+
+  test("non-BIGINT cursorField fails at planning time with a clear message") {
+    val root = tmp("ktype")
+    Paged.serveKeysetPages(events(10), "event_id", 5, 1, root)
+    val e = intercept[IllegalArgumentException] {
+      read(root, "keyset",
+        ddl = "event_id INT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        more = Map("cursorField" -> "event_id")).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"))
+  }
+
+  test("bucketed mode caps the address list at maxAddresses, fails at planning time") {
+    val root = tmp("kcap")
+    Paged.serveBucketedPages(events(50), "user_id", 4, root)
+    val e = intercept[IllegalArgumentException] {
+      read(root, "bucketed", more = Map("cursorField" -> "user_id",
+        "addresses" -> (1L to 20L).mkString(","), "maxAddresses" -> "10")).collect()
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("manifest is the commit marker: reading a root without one fails loudly") {
     val root = tmp("nomanifest")
     Paged.serveOffsetPages(events(10), Seq("event_id"), 5, root)
