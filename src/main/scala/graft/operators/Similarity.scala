@@ -663,4 +663,62 @@ object Similarity {
       stats.getLong(0) * nCells > rebuildFactor.toLong * stats.getLong(1)
     merged.withColumn("rebuild", lit(rebuild))
   }
+
+  // ------------------------------------------------------------------
+  // IVF index at rest: build / append / rebuild lifecycle
+  // ------------------------------------------------------------------
+
+  /** Persisted IVF index layout under `root`: `centroids/` (cell_id,
+    * centroid) and `index/` (cell_id, <idCol>) parquet — the at-rest form
+    * [[ivfTopK]]'s scaladoc promises ("assignments computed once and
+    * persisted"). Initial build: cluster, then write both tables.
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String, root: String,
+      nCentroids: Int, kmeansIters: Int): Unit =
+    writeIndexTo(corpus, idCol, vecCol, root, nCentroids, kmeansIters)
+
+  private def writeIndexTo(corpus: DataFrame, idCol: String, vecCol: String,
+      dest: String, nCentroids: Int, kmeansIters: Int): Unit = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dest/centroids")
+    ivfAssign(corpus, idCol, vecCol, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dest/index")
+  }
+
+  /** Daily maintenance step against the index at `root`: assign `batch`
+    * to the FROZEN persisted centroids (zero-shuffle projection), append
+    * the assignments to `index/`, and return the [[ivfAppendReport]]
+    * occupancy-drift report whose constant `rebuild` column says whether
+    * the caller should now execute [[ivfRebuild]]. The report is computed
+    * BEFORE the append lands, on oldIndex + batch — the same counts
+    * either way.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String,
+      root: String, rebuildFactor: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val oldIdx = spark.read.parquet(s"$root/index")
+    val report = ivfAppendReport(oldIdx, batch, idCol, vecCol, cents, rebuildFactor)
+    ivfAssign(batch, idCol, vecCol, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$root/index")
+    report
+  }
+
+  /** EXECUTE the rebuild the drift rule calls for: re-run
+    * [[kmeansCentroids]] over the full merged corpus and atomically swap
+    * the index root (centroids AND assignments together — one two-rename
+    * commit covers both, so readers never see refreshed centroids with
+    * stale assignments or vice versa;
+    * [[graft.sources.Layout.swapInPlace]], the [[graft.sources.Layout
+    * .compact]] discipline). Because [[kmeansCentroids]] is fully
+    * deterministic (seed = first k ids, decimal-exact means),
+    * append…append+rebuild over a corpus equals a fresh [[ivfWriteIndex]]
+    * of the same corpus row-exactly (IvfIndexSpec proves it, and
+    * that a crash between the two renames leaves a complete old copy to
+    * recover).
+    */
+  def ivfRebuild(mergedCorpus: DataFrame, idCol: String, vecCol: String, root: String,
+      nCentroids: Int, kmeansIters: Int): Unit =
+    graft.sources.Layout.swapInPlace(mergedCorpus.sparkSession, root)(staging =>
+      writeIndexTo(mergedCorpus, idCol, vecCol, staging, nCentroids, kmeansIters))
 }

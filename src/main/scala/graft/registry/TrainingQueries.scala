@@ -968,6 +968,66 @@ object TrainingQueries {
         (g.mx * 8 > 4 * g.tot) AS rebuild
       FROM t CROSS JOIN g"""))
 
+  /** The FULL index lifecycle with the rebuild EXECUTED
+    * ([[Similarity.ivfWriteIndex]] -> two [[Similarity.ivfAppend]]s ->
+    * [[Similarity.ivfRebuild]] when the occupancy-drift rule fires): the
+    * base corpus (vec_id%10<6) is built at kmeansIters=0, two ingest
+    * batches append against the frozen centroids, and the second append's
+    * report (rebuildFactor=1) triggers the re-cluster + atomic
+    * index+centroids swap (kmeansIters=1 over the merged corpus). Output
+    * is the PERSISTED index after the lifecycle; the oracle recomputes the
+    * whole decision — frozen assignments, occupancy flag, and the
+    * Lloyd-refined fresh build — and selects whichever side the flag
+    * dictates, so the engine's conditional is verified, not assumed.
+    */
+  private val simIvfRebuild = Q(
+    "sim_ivf_rebuild",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(10L)) < 6)
+      val b1 = emb.filter(pmod(col("vec_id"), lit(10L)).isin(6L, 7L))
+      val b2 = emb.filter(pmod(col("vec_id"), lit(10L)) >= 8)
+      val rt = "/root/repo/target/tmp/ivfidx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(rt)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.ivfWriteIndex(base, "vec_id", "embedding", rt,
+        nCentroids = 8, kmeansIters = 0)
+      Similarity.ivfAppend(s, b1, "vec_id", "embedding", rt, rebuildFactor = 1000000)
+      val r2 = Similarity.ivfAppend(s, b2, "vec_id", "embedding", rt, rebuildFactor = 1)
+      val fired = !r2.isEmpty && r2.select("rebuild").head.getBoolean(0)
+      if (fired)
+        Similarity.ivfRebuild(emb, "vec_id", "embedding", rt, nCentroids = 8, kmeansIters = 1)
+      s.read.parquet(s"$rt/index").select(col("cell_id"), col("vec_id"))
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 6),
+      cent AS MATERIALIZED (SELECT vec_id AS cell_id, embedding AS centroid
+        FROM base ORDER BY vec_id LIMIT 8),
+      fro AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+          SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+      occ AS (SELECT cell_id, COUNT(*) AS n FROM fro GROUP BY 1),
+      g AS MATERIALIZED (SELECT MAX(n) * 8 > SUM(n) AS fire FROM occ),
+      c0 AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+      sc0 AS (SELECT e.vec_id, e.embedding AS v, c.cell_id, ${cosSql("e.embedding", "c.cv")} AS cs
+        FROM embeddings e CROSS JOIN c0 c),
+      asg0 AS (SELECT vec_id, v, cell_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id ASC) AS rn
+          FROM sc0) t WHERE rn = 1),
+      dm AS (SELECT cell_id, i,
+          CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+        FROM asg0, range(1, ${Dim + 1}) r(i) GROUP BY cell_id, i),
+      rc AS (SELECT cell_id, list(m ORDER BY i) AS cv FROM dm GROUP BY cell_id),
+      sc1 AS (SELECT e.vec_id, c.cell_id, ${cosSql("e.embedding", "c.cv")} AS cs
+        FROM embeddings e CROSS JOIN rc c),
+      fresh AS (SELECT vec_id, cell_id FROM (
+          SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cs DESC, cell_id ASC) AS rn
+          FROM sc1) t WHERE rn = 1)
+      SELECT cell_id, vec_id FROM fresh WHERE (SELECT fire FROM g)
+      UNION ALL
+      SELECT cell_id, vec_id FROM fro WHERE NOT (SELECT fire FROM g)"""))
+
   /** Embedding distribution drift between two snapshots
     * ([[Similarity.embeddingDriftReport]]): per-dimension decimal-exact
     * means of the old (vec_id%10<7) and new (rest) populations and their
@@ -3089,7 +3149,8 @@ object TrainingQueries {
     corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
-    simIvfQuantized, simIvfKmeans, simIvfAppend, simEmbDrift, simLsh, simPqEncode, simPqTopK,
+    simIvfQuantized, simIvfKmeans, simIvfAppend, simIvfRebuild, simEmbDrift, simLsh,
+    simPqEncode, simPqTopK,
     simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,

@@ -116,7 +116,6 @@ object Layout {
       path: String,
       nFiles: Int,
       sortCol: Option[String] = None): Unit = {
-    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     require(nFiles >= 1, "nFiles must be >= 1")
     val df = spark.read.parquet(path)
@@ -124,17 +123,35 @@ object Layout {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case None => df.coalesce(nFiles)
     }
+    swapInPlace(spark, path)(staging =>
+      compacted.write.mode(SaveMode.Overwrite).parquet(staging))
+  }
+
+  /** The [[compact]] two-rename commit, factored for ANY staged-write
+    * artifact (e.g. [[graft.operators.Similarity.ivfRebuild]]'s
+    * index+centroids directory): `write` must produce a COMPLETE
+    * replacement of `path` under the staging dir it is given; the swap
+    * then moves `path` aside to `path__old`, commits staging, and drops
+    * the old copy. Same contract as [[compact]]: single writer,
+    * rename-capable filesystem, no concurrent readers across the swap; a
+    * crash between the renames leaves whichever of `path__staging` /
+    * `path__old` survived as a complete copy to rename back (the
+    * IvfIndexSpec crash test exercises exactly that window).
+    */
+  def swapInPlace(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__staging")
     val old = new Path(path + "__old")
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"compact: failed to move $dst aside")
+      throw new java.io.IOException(s"swapInPlace: failed to move $dst aside")
     if (!fs.rename(tmp, dst)) {
       fs.rename(old, dst) // roll back
-      throw new java.io.IOException(s"compact: failed to commit $tmp -> $dst")
+      throw new java.io.IOException(s"swapInPlace: failed to commit $tmp -> $dst")
     }
     fs.delete(old, true)
   }
