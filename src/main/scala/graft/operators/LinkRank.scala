@@ -37,16 +37,54 @@ object LinkRank {
   /** One unit = 1e-12 of total rank mass. */
   val UNIT = 1000000000000L
 
-  /** Iterate weighted PageRank on `edges(src, dst, w)` (long weights > 0).
-    * Damping is the rational `dampNum/dampDen` (default 85/100) so both
-    * engines compute the identical integer expression. Returns
-    * (node, rank_u) — rank in units, summing to ~UNIT (minus documented
-    * floor leak). Nodes = every endpoint observed in `edges`.
+  /** Largest admissible edge weight: a per-edge contribution is
+    * `rank_u * w` before the floor divide, rank_u is bounded by UNIT
+    * (total mass never exceeds it), so `w <= MaxWeight` keeps the product
+    * under 2^62 with a 4x margin — validated up front because a silent
+    * Long wrap under non-ANSI Spark would corrupt ranks, not crash.
+    * Weights are relative; rescale (e.g. cap or log-bucket) upstream.
     */
-  def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+  val MaxWeight = 2000000L
+
+  /** Iterate weighted PageRank on `edges(src, dst, w)` (long weights in
+    * (0, [[MaxWeight]]], validated). Damping is the rational
+    * `dampNum/dampDen` (default 85/100) so both engines compute the
+    * identical integer expression. Returns (node, rank_u, delta_u) —
+    * rank in units plus the node's last-iteration absolute rank change,
+    * so convergence is observable (`sum(delta_u)` is the L1 step norm;
+    * LinkRankSpec tracks it shrinking across iteration counts).
+    *
+    * MASS ACCOUNTING: rank sums to ~UNIT minus the floor-div leak ONLY
+    * when every node has at least one outgoing edge (true for the
+    * bipartite fixture). A DANGLING node (dst-only) re-emits nothing: its
+    * damped mass leaves the system each iteration — the "rank sink drain"
+    * convention, which RELATIVE ranking tolerates (all ranks shrink
+    * together and the teleport floor keeps every node positive).
+    * Mass-conserving dangling redistribution would need a per-iteration
+    * driver scalar (the dangling sum) folded into the teleport literal —
+    * a deliberate non-feature here; at the fixed low iteration counts
+    * this operator targets, drain and redistribution order ranks
+    * near-identically.
+    *
+    * Materialization: the rank frame is localCheckpoint'ed every
+    * `checkpointEvery` iterations AND at the end (the
+    * [[Dedup.resolveClusters]] flat-lineage discipline), so the returned
+    * frame's plan is bounded and `edgesW` can be unpersisted before
+    * returning — no block-manager storage outlives the call.
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of [1,16] — see the deep-iteration note")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = edges.sparkSession
+    val wb = edges.agg(min("w"), max("w")).head
+    if (!wb.isNullAt(0)) {
+      require(wb.getLong(0) > 0, s"edge weights must be positive (got ${wb.getLong(0)})")
+      require(wb.getLong(1) <= MaxWeight,
+        s"edge weight ${wb.getLong(1)} exceeds MaxWeight $MaxWeight — rank_u * w would " +
+          "overflow Long silently under non-ANSI Spark; rescale weights upstream")
+    }
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     // out-weight denominator per source, attached once; the per-iteration
@@ -63,23 +101,33 @@ object LinkRank {
         org.apache.spark.sql.types.StructField("node",
           edges.schema("src").dataType),
         org.apache.spark.sql.types.StructField("rank_u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delta_u",
           org.apache.spark.sql.types.LongType))))
     val teleport = ((dampDen - dampNum) * UNIT) / (dampDen * n)
     var ranks = nodes.withColumn("rank_u", lit(UNIT / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // per-edge contribution floor((r*w)/W), then exact integer sum —
       // every term and the total are order-independent
       // `div` (integral division), NOT `/`: rank_u * w approaches 1e18,
       // far past a double's 2^53 exact-integer ceiling — a float divide
       // here would silently corrupt low-order units
-      val contrib = edgesW.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = edgesW.join(
+          ranks.select(col("node").as("src"), col("rank_u")), "src")
         .select(col("dst").as("node"), expr("(rank_u * w) div wout").as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampNum * coalesce(cin, 0L)) div $dampDen")).as("rank_u"))
+      // the prior rank frame carries the full node universe, so joining
+      // contrib back onto IT (not `nodes`) both updates and diffs in one
+      // pass
+      ranks = ranks.select(col("node"), col("rank_u").as("__prev"))
+        .join(contrib, Seq("node"), "left")
+        .withColumn("rank_u",
+          lit(teleport) + expr(s"($dampNum * coalesce(cin, 0L)) div $dampDen"))
+        .select(col("node"), col("rank_u"),
+          abs(col("rank_u") - col("__prev")).as("delta_u"))
+      if (i % checkpointEvery == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
+    edgesW.unpersist() // final frame is checkpointed — nothing references the cache
     ranks
   }
 

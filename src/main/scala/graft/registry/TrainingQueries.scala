@@ -3105,7 +3105,9 @@ object TrainingQueries {
     * oracle's unrolled iterations match to the unit — an iterated
     * double-valued rank would be aggregation-order-sensitive and could
     * never hash-compare. The heavy CTEs are MATERIALIZED: edges/ranks are
-    * each referenced by every unrolled iteration.
+    * each referenced by every unrolled iteration. `delta_u` (the node's
+    * last-iteration rank change — the convergence observable) is
+    * re-derived as |r3 - r2|.
     */
   private val linkRankQ = Q(
     "graph_link_rank",
@@ -3135,10 +3137,12 @@ object TrainingQueries {
           CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
         FROM nodes no CROSS JOIN nn LEFT JOIN c2 c ON c.node = no.node),
       c3 AS (SELECT e.dst AS node, CAST(SUM((r.rank_u * e.w) // e.wout) AS BIGINT) AS cin
-        FROM ew e JOIN r2 r ON r.node = e.src GROUP BY 1)
-      SELECT no.node,
-        CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
-      FROM nodes no CROSS JOIN nn LEFT JOIN c3 c ON c.node = no.node"""))
+        FROM ew e JOIN r2 r ON r.node = e.src GROUP BY 1),
+      r3 AS (SELECT no.node,
+          CAST((15000000000000 // (100 * nn.n)) + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS rank_u
+        FROM nodes no CROSS JOIN nn LEFT JOIN c3 c ON c.node = no.node)
+      SELECT r3.node, r3.rank_u, CAST(abs(r3.rank_u - r2.rank_u) AS BIGINT) AS delta_u
+      FROM r3 JOIN r2 ON r2.node = r3.node"""))
 
   val all: Seq[Q] = Seq(
     linkRankQ,

@@ -14,7 +14,7 @@ class LinkRankSpec extends SparkSpec {
 
   test("a symmetric two-node graph splits rank mass equally") {
     val r = LinkRank.pageRank(edges(("a", "b", 1L), ("b", "a", 1L)), iters = 3)
-      .as[(String, Long)].collect().toMap
+      .select("node", "rank_u").as[(String, Long)].collect().toMap
     assert(r.keySet == Set("a", "b"))
     assert(r("a") == r("b"))
     // total mass conserved up to the documented floor leak
@@ -26,7 +26,8 @@ class LinkRankSpec extends SparkSpec {
       ("hub", "l1", 1L), ("l1", "hub", 1L),
       ("hub", "l2", 1L), ("l2", "hub", 1L),
       ("hub", "l3", 1L), ("l3", "hub", 1L))
-    val r = LinkRank.pageRank(star, iters = 3).as[(String, Long)].collect().toMap
+    val r = LinkRank.pageRank(star, iters = 3)
+      .select("node", "rank_u").as[(String, Long)].collect().toMap
     assert(r("hub") > r("l1"))
     assert(r("l1") == r("l2") && r("l2") == r("l3"))
   }
@@ -34,14 +35,57 @@ class LinkRankSpec extends SparkSpec {
   test("edge weights steer rank: the heavier-cited node wins") {
     // s cites a with weight 9, b with weight 1; back-edges keep s ranked
     val g = edges(("s", "a", 9L), ("s", "b", 1L), ("a", "s", 1L), ("b", "s", 1L))
-    val r = LinkRank.pageRank(g, iters = 3).as[(String, Long)].collect().toMap
+    val r = LinkRank.pageRank(g, iters = 3)
+      .select("node", "rank_u").as[(String, Long)].collect().toMap
     assert(r("a") > r("b"))
   }
 
   test("empty edge set yields an empty typed result") {
     val r = LinkRank.pageRank(edges().where(lit(false)), iters = 3)
-    assert(r.columns.toSeq == Seq("node", "rank_u"))
+    assert(r.columns.toSeq == Seq("node", "rank_u", "delta_u"))
     assert(r.count() == 0)
+  }
+
+  test("iters=16 (boundary): L1 step norm shrinks as iterations deepen") {
+    // a mildly asymmetric strongly-connected graph: converges geometrically
+    val g = edges(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "b", 1L))
+    def l1(iters: Int): Long = LinkRank.pageRank(g, iters)
+      .agg(sum("delta_u")).head.getLong(0)
+    val (early, mid, late) = (l1(2), l1(8), l1(16))
+    assert(early > mid && mid >= late, s"L1 deltas $early/$mid/$late not shrinking")
+    // at 16 iterations the step norm is tiny relative to total mass
+    assert(late < LinkRank.UNIT / 10000, s"late L1 delta $late too large")
+    // and ranks themselves are stable between 15 and 16 iterations
+    val r15 = LinkRank.pageRank(g, 15).select("node", "rank_u").as[(String, Long)].collect().toMap
+    val r16 = LinkRank.pageRank(g, 16).select("node", "rank_u").as[(String, Long)].collect().toMap
+    assert(r15.keySet == r16.keySet)
+    assert(r15.keys.map(k => math.abs(r15(k) - r16(k))).sum == late)
+  }
+
+  test("weights above MaxWeight or non-positive are rejected up front") {
+    val big = intercept[IllegalArgumentException] {
+      LinkRank.pageRank(edges(("a", "b", LinkRank.MaxWeight + 1), ("b", "a", 1L)), iters = 1)
+    }
+    assert(big.getMessage.contains("MaxWeight"))
+    val neg = intercept[IllegalArgumentException] {
+      LinkRank.pageRank(edges(("a", "b", 0L), ("b", "a", 1L)), iters = 1)
+    }
+    assert(neg.getMessage.contains("positive"))
+    // a weight AT the bound with maximal rank concentration stays exact
+    LinkRank.pageRank(edges(("a", "b", LinkRank.MaxWeight), ("b", "a", 1L)), iters = 2).collect()
+  }
+
+  test("dangling nodes drain damped mass (the documented sink convention)") {
+    // b has no out-edges: its damped mass leaves the system each iteration
+    val g = edges(("a", "b", 1L))
+    val r = LinkRank.pageRank(g, iters = 3).select("node", "rank_u").as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("a", "b"))
+    // mass NOT conserved — strictly below UNIT by more than the floor leak…
+    assert(r.values.sum < LinkRank.UNIT - 1000)
+    // …but the teleport floor keeps every node positive, and the sink
+    // (receiving a's whole contribution) still outranks the source
+    assert(r.values.forall(_ > 0) && r("b") > r("a"))
   }
 
   test("bipartite event edges are symmetric with conserved weight") {
