@@ -209,7 +209,8 @@ object Streams {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.XxShingleHash)
+      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.XxShingleHash,
+      autoCompactMaxSubdirs: Int = 16)
       : StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
@@ -218,6 +219,23 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         import graft.operators.Dedup
+        // a checkpoint replaying INTO the compacted region would read its
+        // own (folded) state back as corpus and double-count — the
+        // forfeited-replay hazard compaction's scaladoc documents. The
+        // manifest makes it fail fast instead of silently wrong.
+        readCompactionManifest(spark, statePath).foreach { through =>
+          if (batchId <= through) throw new IllegalStateException(
+            s"lshDedupAvailableNow: state at $statePath was compacted through batch " +
+              s"$through but this checkpoint is replaying batch $batchId — a wiped or " +
+              "older checkpoint cannot replay into folded state without double-counting; " +
+              "reset checkpoint AND state together (re-seed from the corpus)")
+        }
+        // standing maintenance: fold strictly-earlier batch subdirs into
+        // the seed once they accrete past the bound (upTo = batchId keeps
+        // a mid-drain restart's own leftover b<batchId> dir unfolded, so
+        // the replay filter below still sees it as future state)
+        compactLshState(spark, statePath, maxSubdirs = autoCompactMaxSubdirs,
+          upTo = batchId)
         // the batch feeds four consumers (vs-index check, within-batch
         // check, bucket append, doc append): pin it once
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
@@ -259,8 +277,11 @@ object Streams {
     * compaction an always-on ingest accretes one directory (several small
     * files) per micro-batch forever, and the recursive state read
     * degrades into a small-files listing storm long before data volume
-    * matters. Runs BETWEEN drains (same single-writer contract as the
-    * rename-swap sink family), for each of `buckets` and `docs`.
+    * matters. [[lshDedupAvailableNow]] now invokes this automatically at
+    * each batch start (with `upTo` = the batch id, so a restarted drain's
+    * own in-flight `b<id>` leftover is carried, not folded); it remains
+    * callable standalone between drains under the same single-writer
+    * contract. Applies to each of `buckets` and `docs`.
     *
     * Correctness under the batch-id read filter: a CONTINUING checkpoint's
     * next batch N reads `seed` + `b<j>` (j < N); folding every existing
@@ -271,7 +292,10 @@ object Streams {
     * granularity: the folded seed contains batches a restarted-from-zero
     * drain would re-deliver, so checkpoint and state must be retained or
     * reset TOGETHER once compaction has run (operationally: a re-drain
-    * from scratch re-seeds from the original corpus).
+    * from scratch re-seeds from the original corpus). The
+    * `_compaction.json` manifest records the folded-through batch id, and
+    * [[lshDedupAvailableNow]] refuses a checkpoint replaying at or below
+    * it — the forfeit is now detected loudly, never silently wrong.
     *
     * Commit discipline: the folded data is fully written to
     * `<sub>__compact/seed`, then one rename moves the old tree aside and
@@ -285,11 +309,16 @@ object Streams {
       spark: SparkSession,
       statePath: String,
       maxSubdirs: Int = 16,
-      targetFiles: Int = 8): Boolean = {
+      targetFiles: Int = 8,
+      upTo: Long = Long.MaxValue): Boolean = {
     import org.apache.hadoop.fs.Path
     require(maxSubdirs >= 1, "maxSubdirs must be >= 1")
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchIdOf(name: String): Option[Long] =
+      if (name.length > 1 && name.head == 'b' && name.tail.forall(_.isDigit))
+        Some(name.tail.toLong)
+      else None
     def rollForward(sub: String): Unit = {
       val live = new Path(s"$statePath/$sub")
       val compactDir = new Path(s"$statePath/${sub}__compact")
@@ -298,6 +327,16 @@ object Streams {
         // crashed between the two renames: bring the compacted tree live
         if (!fs.rename(compactDir, live))
           throw new java.io.IOException(s"compactLshState: failed to restore $live")
+      } else if (fs.exists(live) && fs.exists(compactDir)) {
+        // crashed while staging: kept subdirs may already have MOVED into
+        // the staging tree (the only mutation before the swap) — move them
+        // back; the staged `seed` is a fold COPY and can be dropped
+        fs.listStatus(compactDir).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm != "seed" && !fs.exists(new Path(live, nm)))
+            fs.rename(st.getPath, new Path(live, nm))
+        }
+        fs.delete(compactDir, true)
       }
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(compactDir)) fs.delete(compactDir, true)
@@ -307,13 +346,37 @@ object Streams {
       fs.listStatus(new Path(s"$statePath/$sub")).count(_.isDirectory)
     }.max
     if (nSub <= maxSubdirs) return false
+    // manifest FIRST (the conservative crash order: a manifest claiming
+    // more than was folded only produces a spurious fail-fast on replay,
+    // never a silent double-count) — record the highest batch id about to
+    // fold, so a wiped-checkpoint re-drain can detect it is replaying
+    // into folded state
+    val maxFolded = Seq("buckets", "docs").flatMap { sub =>
+      fs.listStatus(new Path(s"$statePath/$sub")).toSeq
+        .flatMap(st => batchIdOf(st.getPath.getName)).filter(_ < upTo)
+    }.maxOption
+    maxFolded.foreach { j =>
+      val prior = readCompactionManifest(spark, statePath).getOrElse(-1L)
+      if (j > prior) writeCompactionManifest(spark, statePath, j)
+    }
     Seq("buckets", "docs").foreach { sub =>
       val live = new Path(s"$statePath/$sub")
       val compactDir = new Path(s"$statePath/${sub}__compact")
       val old = new Path(s"$statePath/${sub}__old")
-      spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
+      val entries = fs.listStatus(live).toSeq
+      // fold the seed + strictly-pre-upTo batches; KEEP later subdirs
+      // (a restarted drain's own in-flight batch) by carrying them into
+      // the staged tree before the swap
+      val (folds, keeps) = entries.partition(st =>
+        batchIdOf(st.getPath.getName).forall(_ < upTo))
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(folds.map(_.getPath.toString): _*)
         .coalesce(targetFiles) // shuffle-free file-count bound; size for the deployment
         .write.mode("overwrite").parquet(s"$compactDir/seed")
+      keeps.foreach { st =>
+        if (!fs.rename(st.getPath, new Path(compactDir, st.getPath.getName)))
+          throw new java.io.IOException(s"compactLshState: failed to stage ${st.getPath}")
+      }
       if (!fs.rename(live, old))
         throw new java.io.IOException(s"compactLshState: failed to move $live aside")
       if (!fs.rename(compactDir, live)) {
@@ -323,6 +386,36 @@ object Streams {
       fs.delete(old, true)
     }
     true
+  }
+
+  /** The compaction manifest (`_compaction.json` beside the state trees):
+    * the highest batch id folded into the seed so far. Read by
+    * [[lshDedupAvailableNow]] to refuse a checkpoint replaying into the
+    * folded region (which would double-count) with a loud error instead.
+    */
+  private[graft] def readCompactionManifest(
+      spark: SparkSession, statePath: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$statePath/_compaction.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in).get("compactedThrough").asLong())
+      finally in.close()
+    }
+  }
+
+  private def writeCompactionManifest(
+      spark: SparkSession, statePath: String, through: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$statePath/_compaction.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"compactedThrough":$through}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Streaming exact dedup with BOUNDED state: one state entry per key,

@@ -226,6 +226,65 @@ class StreamsSpec extends SparkSpec {
     assert(pc.toSet.size >= 8, "every planted mutation pairs with its source")
   }
 
+  test("auto-compaction: long drain folds state mid-run, pairs identical; wiped-checkpoint replay fails fast") {
+    val base = "target/tmp/streams_lsh_autocompact"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    import graft.operators.Dedup
+    val texts = (0 until 12).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+    val corpus = texts.toDF("doc_id", "text")
+    val ingestDF = texts.map { case (i, t) => (i + 100, t + " xq") }.toDF("doc_id", "text")
+    def seed(dir: String): Unit = {
+      Dedup.minhashBuckets(corpus, "doc_id", "text", n = 3, k = 64, bands = 16)
+        .write.parquet(s"$dir/state/buckets/seed")
+      corpus.write.parquet(s"$dir/state/docs/seed")
+    }
+    def writeSlice(dir: String, lo: Int, hi: Int): Unit =
+      ingestDF.filter($"doc_id" >= 100 + lo && $"doc_id" < 100 + hi)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    def drain(dir: String, maxSub: Int): Unit =
+      Streams.lshDedupAvailableNow(
+        spark.readStream.schema(ingestDF.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        s"$dir/state", s"$dir/out", s"$dir/ckpt", "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5,
+        autoCompactMaxSubdirs = maxSub).awaitTermination()
+    def pairs(dir: String): Seq[(Long, Long)] = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      .select(least($"new_id", $"corpus_id"), greatest($"new_id", $"corpus_id"))
+      .as[(Long, Long)].collect().toSeq
+    // control: same six micro-batches, bound never reached
+    val ctl = s"$base/ctl"; seed(ctl)
+    (0 until 6).foreach(i => writeSlice(ctl, 2 * i, 2 * i + 2))
+    drain(ctl, maxSub = 1000)
+    // auto path: bound of 2 subdirs — compaction fires repeatedly MID-DRAIN
+    val auto = s"$base/auto"; seed(auto)
+    (0 until 6).foreach(i => writeSlice(auto, 2 * i, 2 * i + 2))
+    drain(auto, maxSub = 2)
+    val pm = pairs(auto)
+    assert(pm.length == pm.toSet.size, "no pair emitted twice across auto-compactions")
+    assert(pm.toSet == pairs(ctl).toSet, "auto-compaction invisible to the emitted pairs")
+    assert(pm.toSet.size >= 12, "every planted mutation pairs with its source")
+    // state actually folded: fewer subdirs than batches were processed
+    val nSub = fs.listStatus(new org.apache.hadoop.fs.Path(s"$auto/state/buckets"))
+      .count(_.isDirectory)
+    assert(nSub <= 3, s"auto-compaction must bound subdirs, saw $nSub")
+    // the manifest records the folded-through batch id…
+    val through = Streams.readCompactionManifest(spark, s"$auto/state")
+    assert(through.exists(_ >= 1), s"manifest missing or stale: $through")
+    // …and a WIPED-checkpoint re-drain now fails fast with it, instead of
+    // silently double-counting folded state
+    fs.delete(new org.apache.hadoop.fs.Path(s"$auto/ckpt"), true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(auto, maxSub = 2)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains(s"batch ${through.get}"),
+      s"error must name the manifest batch id: $msg")
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
