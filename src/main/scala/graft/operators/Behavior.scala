@@ -59,6 +59,76 @@ object Behavior {
       (col("user").as(userCol) +: tCols.map(col)) :+ reached.cast("int").as("reached"): _*)
   }
 
+  /** MATCH_RECOGNIZE-style event-sequence matcher: the FIRST occurrence of
+    * `pattern` (a sequence of event types) per user in strict time order
+    * (ties broken by `idCol`), one row per user:
+    * `(user, t1..tm, matched)` — the matched events' timestamps (null
+    * past the break point) and whether the full pattern matched.
+    *
+    *  - `contiguous = false` (gapped): the pattern as a SUBSEQUENCE of the
+    *    user's ordered stream with strictly increasing timestamps — the
+    *    [[funnel]] chain semantics (greedy earliest match, which is the
+    *    first match; BehaviorSpec property-tests the equivalence). Runs as
+    *    the real MATCH_RECOGNIZE shape: one keyed collect of the user's
+    *    ordered (t, id, tp) events and a single codegen'd `aggregate` fold
+    *    advancing the pattern state machine — one exchange, no joins. The
+    *    per-user event list must fit an executor row (the same partition
+    *    contract SQL MATCH_RECOGNIZE has); for corpus-scale per-user
+    *    histories prefer the join-chain [[funnel]].
+    *  - `contiguous = true`: the pattern must occupy CONSECUTIVE events of
+    *    the user's ordered stream (no other event between steps) — `m-1`
+    *    window leads mark every start position, the earliest wins. One
+    *    window + one keyed reduction; the stream is exchanged once and
+    *    never collected.
+    *
+    * `tsCol` must be integral (the repo's epoch-nanos convention).
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, pattern: Seq[String], contiguous: Boolean): DataFrame = {
+    require(pattern.nonEmpty && pattern.size <= 8, "1..8 pattern steps")
+    val m = pattern.size
+    val ev = events.select(col(userCol).as("user"), col(typeCol).as("tp"),
+      col(tsCol).as("t"), col(idCol).as("id"))
+    val users = ev.select("user").distinct()
+    val matchedTs: DataFrame =
+      if (contiguous) {
+        val w = Window.partitionBy("user").orderBy(col("t"), col("id"))
+        val leads = (1 until m).map(k =>
+          lead(struct(col("t"), col("tp")), k).over(w).as(s"__e$k"))
+        val starts = ev
+          .select(Seq(col("user"), col("t"), col("id"), col("tp")) ++ leads: _*)
+          .filter(((col("tp") === pattern.head) +:
+            (1 until m).map(k => col(s"__e$k.tp") === pattern(k))).reduce(_ && _))
+        starts
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("user").orderBy(col("t"), col("id"))))
+          .filter(col("__rn") === 1)
+          .select(col("user") +: col("t").as("t1") +:
+            (1 until m).map(k => col(s"__e$k.t").as(s"t${k + 1}")): _*)
+      } else {
+        val patLit = array(pattern.map(lit): _*)
+        val folded = ev
+          .groupBy("user")
+          .agg(array_sort(collect_list(struct(col("t"), col("id"), col("tp")))).as("__es"))
+          .select(col("user"),
+            aggregate(col("__es"), array().cast("array<long>"), (acc, e) =>
+              when(size(acc) < m &&
+                  e.getField("tp") === element_at(patLit, size(acc) + 1) &&
+                  (size(acc) === 0 || e.getField("t") > element_at(acc, size(acc))),
+                concat(acc, array(e.getField("t")))).otherwise(acc)).as("__m"))
+        folded.select(col("user") +:
+          (1 to m).map(k => element_at(col("__m"), k).as(s"t$k")): _*)
+          // a user whose fold matched nothing still emitted a row of nulls;
+          // normalize to the contiguous form (row only when t1 exists) so
+          // the final left join below is the single null-filling path
+          .filter(col("t1").isNotNull)
+      }
+    val tCols = (1 to m).map(k => s"t$k")
+    users.join(matchedTs, Seq("user"), "left")
+      .select((col("user").as(userCol) +: tCols.map(col)) :+
+        col(s"t$m").isNotNull.as("matched"): _*)
+  }
+
   /** Cohort retention matrix: cohort = the user's first active day;
     * output (cohort_day, offset_days, n_active) — how many of each
     * cohort's users were active again `offset` days later (offset 0 = the

@@ -1320,6 +1320,52 @@ object ParityQueries {
       FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)"""))
 
+  /** CONTIGUOUS sequence match ([[Behavior.sequenceMatch]]): the first
+    * view→click→purchase occupying consecutive events of the user's
+    * (t, id)-ordered stream — MATCH_RECOGNIZE's adjacent-rows pattern,
+    * which the gapped funnel cannot express. The oracle rebuilds every
+    * start position with the same window leads and keeps the earliest.
+    */
+  private val sequenceMatchQ = Q(
+    "analytics_sequence_match",
+    (s, d) => graft.operators.Behavior.sequenceMatch(
+      Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+      Seq("view", "click", "purchase"), contiguous = true),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      o AS (SELECT user_id, t, event_id, event_type,
+          LEAD(event_type, 1) OVER w AS p1, LEAD(t, 1) OVER w AS q1,
+          LEAD(event_type, 2) OVER w AS p2, LEAD(t, 2) OVER w AS q2
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      mt AS (SELECT user_id, t AS t1, q1 AS t2, q2 AS t3,
+          row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+        FROM o WHERE event_type = 'view' AND p1 = 'click' AND p2 = 'purchase'),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id, m.t1, m.t2, m.t3, m.t1 IS NOT NULL AS matched
+      FROM u LEFT JOIN (SELECT * FROM mt WHERE rn = 1) m USING (user_id)"""))
+
+  /** GAPPED sequence match ([[Behavior.sequenceMatch]] contiguous=false):
+    * the funnel chain semantics through the state-machine fold
+    * implementation (one keyed collect + one codegen'd aggregate HOF, no
+    * joins) — differentially verified against the oracle's independent
+    * min-chain rebuild, and property-tested equal to [[Behavior.funnel]]
+    * in BehaviorSpec.
+    */
+  private val sequenceGappedQ = Q(
+    "analytics_sequence_gapped",
+    (s, d) => graft.operators.Behavior.sequenceMatch(
+      Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+      Seq("signup", "error", "purchase"), contiguous = false),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      u AS (SELECT DISTINCT user_id FROM e),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'error' AND e.t > s1.t1 GROUP BY 1, 2),
+      s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1, 2, 3)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3, s3.t3 IS NOT NULL AS matched
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)"""))
+
   /** Cohort retention matrix ([[Behavior.retentionCohorts]]): cohort =
     * first active day, exact distinct-user counts per (cohort, offset).
     */
@@ -1375,7 +1421,7 @@ object ParityQueries {
       FROM c"""))
 
   val all: Seq[Q] = Seq(
-    funnelQ, retentionQ, twabQ, transitionsQ,
+    funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,

@@ -30,6 +30,58 @@ class BehaviorSpec extends SparkSpec {
     assert(r(4L) == ((null, null, null, 0)))
   }
 
+  test("sequenceMatch gapped == funnel on chain patterns (property, random streams)") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("A", "B", "C", "D")
+    val ev = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(50).toLong) // coarse ts: plenty of exact-tie collisions
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    Seq(Seq("A", "B"), Seq("A", "B", "C"), Seq("D", "A", "D", "B")).foreach { pat =>
+      val viaFold = Behavior.sequenceMatch(ev, "user_id", "event_type", "ts", "event_id",
+        pat, contiguous = false).collect()
+        .map(r => r.getLong(0) -> (1 to pat.size).map(k => r.getAs[Any](s"t$k")))
+        .toMap
+      val viaFunnel = Behavior.funnel(ev, "user_id", "event_type", "ts", pat).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((1 to pat.size).map(k => r.getAs[Any](s"t$k")), r.getAs[Int]("reached")))
+        .toMap
+      assert(viaFold.keySet == viaFunnel.keySet, s"user sets differ for $pat")
+      viaFold.foreach { case (u, ts) =>
+        assert(ts == viaFunnel(u)._1, s"user $u pattern $pat: fold $ts vs funnel ${viaFunnel(u)._1}")
+      }
+      // matched flag agrees with full reach
+      val matched = Behavior.sequenceMatch(ev, "user_id", "event_type", "ts", "event_id",
+        pat, contiguous = false).collect()
+        .map(r => r.getLong(0) -> r.getAs[Boolean]("matched")).toMap
+      matched.foreach { case (u, f) => assert(f == (viaFunnel(u)._2 == pat.size)) }
+    }
+  }
+
+  test("sequenceMatch contiguous requires adjacency; earliest start wins; id breaks ts ties") {
+    val ev = Seq(
+      // u1: A B C adjacent at the head -> matches (10,20,30)
+      (1L, 1L, "A", 10L), (2L, 1L, "B", 20L), (3L, 1L, "C", 30L), (4L, 1L, "A", 40L),
+      // u2: A x B — gapped would match A..B..C, contiguity must refuse
+      (5L, 2L, "A", 10L), (6L, 2L, "D", 15L), (7L, 2L, "B", 20L), (8L, 2L, "C", 25L),
+      // u3: two starts; the later full match must lose to nothing —
+      // first A B C run is at (50,60,70) after a decoy A at 5
+      (9L, 3L, "A", 5L), (10L, 3L, "D", 6L),
+      (11L, 3L, "A", 50L), (12L, 3L, "B", 60L), (13L, 3L, "C", 70L),
+      // u4: ts tie at 10 — event_id order makes A(id 14) precede B(id 15)
+      (14L, 4L, "A", 10L), (15L, 4L, "B", 10L), (16L, 4L, "C", 11L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Behavior.sequenceMatch(ev, "user_id", "event_type", "ts", "event_id",
+      Seq("A", "B", "C"), contiguous = true).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Any]("t1"), x.getAs[Any]("t2"), x.getAs[Any]("t3"),
+          x.getAs[Boolean]("matched"))).toMap
+    assert(r(1L) == ((10L, 20L, 30L, true)))
+    assert(r(2L) == ((null, null, null, false)), "intervening event must break adjacency")
+    assert(r(3L) == ((50L, 60L, 70L, true)))
+    assert(r(4L) == ((10L, 10L, 11L, true)), "id order resolves the ts tie")
+  }
+
   test("retention cohorts: offsets anchor at each user's first day, offset 0 counts the cohort") {
     val ev = Seq((1L, 100L), (1L, 102L), (2L, 100L), (2L, 100L), (3L, 101L), (3L, 102L))
       .toDF("user_id", "day")
