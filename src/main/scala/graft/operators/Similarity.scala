@@ -146,6 +146,17 @@ object Similarity {
     * correctness/differential baseline; the production scale path is
     * [[ivfQuantizedTopK]], which runs the same int8 phase inside IVF's
     * probed cells only.
+    *
+    * QUERY-SIDE CONTRACT (applies to every `*TopK` here): `queries` is the
+    * PROBE set — a driver-manageable batch (a user request, an eval set),
+    * orders of magnitude smaller than `corpus`. The phase-2 candidate
+    * frame (`|queries| * refine * k` rows, each carrying one float vector)
+    * is broadcast EXPLICITLY on that assumption; a corpus-as-queries call
+    * would force that whole product through a driver broadcast and OOM
+    * rather than degrade. For all-pairs/self-join shapes use the dedup
+    * family ([[graft.operators.Dedup.embeddingNearDup]] /
+    * [[graft.operators.Dedup.semanticDedup]]), whose blocking is built
+    * for corpus x corpus.
     */
   def quantizedTopK(
       queries: DataFrame,
@@ -316,7 +327,10 @@ object Similarity {
     * of centroid quality, which only affects recall at nProbe < nCentroids.
     * At 100 TB the centroid set stays driver-small by construction,
     * assignments are computed once and can be persisted as a bucketed
-    * table keyed by cell.
+    * table keyed by cell ([[ivfWriteIndex]]). The probe frame
+    * (`|queries| * nProbe` rows) is broadcast under [[quantizedTopK]]'s
+    * QUERY-SIDE CONTRACT — queries are a small probe batch, never the
+    * corpus itself.
     */
   def ivfTopK(
       queries: DataFrame,
