@@ -69,7 +69,10 @@ class RegistrySpec extends AnyFunSuite {
       "dedup_exact_bloom_ingest", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
       "dedup_minhash_incremental", "text_tfidf_topterms",
       "dedup_simhash_pairs", "dedup_cluster_assign", "dedup_cluster_keep_best",
-      "dedup_cluster_split")
+      "dedup_cluster_split",
+      // r10: the perceptual near-dup family routes hammingPairs64's
+      // signature boundary
+      "dedup_image_neardup", "dedup_audio_neardup", "dedup_media_neardup_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
