@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply: merge batches of keyed change records
+  * (insert / update / delete, each carrying a per-key monotone sequence
+  * number) into a persisted snapshot table. This is the delete-aware
+  * generalization of [[Incremental.upsertByKey]] — the reference's
+  * pipelines only ever upsert (save_defi_features_features_db.py:28-34),
+  * but a CDC-fed datalake table also has to apply deletes and survive
+  * batches arriving OUT OF ORDER and REPLAYED, which last-writer-wins
+  * merging cannot do (a late-arriving old batch would clobber newer rows,
+  * and a delete would be forgotten the moment a stale update for the same
+  * key showed up).
+  *
+  * Semantics (per key, across every change ever applied): the record with
+  * the greatest `(seq, op-rank)` decides the row — if it is a delete the
+  * key is absent from [[readTable]], otherwise its payload is the row.
+  * Ties on `seq` rank `D > U > I`, so a delete and an update sharing a
+  * sequence number resolve deterministically (and conservatively) to the
+  * delete. Correctness needs only that `seq` totally orders each key's
+  * changes; batch boundaries can slice the stream arbitrarily, because the
+  * winner-of-winners of any partition of a set IS the set's winner.
+  *
+  * Deletes persist as TOMBSTONES (`_deleted = true` rows keeping their
+  * `_seq`): that is what makes out-of-order safe — a stale update arriving
+  * after the delete loses to the tombstone's higher seq. Tombstones are
+  * dropped by [[pruneTombstones]] once the CDC source's low-watermark
+  * guarantees nothing older can still arrive.
+  *
+  * 100 TB shape: the per-batch reduction is a `groupBy(key).agg(max(struct
+  * …)))` — struct field order IS the precedence order — so it partial-
+  * aggregates map-side (one candidate per key per input partition crosses
+  * the shuffle; a window `row_number` form would sort whole partitions).
+  * The merge is one full-outer join per batch on the key, the same shape
+  * as the upsert family; at datalake scale the table should live bucketed
+  * (the [[Incremental.upsertByKeyBucketed]] layout applies verbatim — the
+  * merge rule here is the only difference).
+  */
+object Cdc {
+  /** Persisted per-row metadata: the winning change's sequence number. */
+  val SeqMeta = "_seq"
+
+  /** Persisted per-row metadata: true for tombstones. */
+  val DeletedMeta = "_deleted"
+
+  /** D > U > I on equal seq; any other op code fails the job. */
+  private def opRank(op: Column): Column =
+    when(op === "D", 2L).when(op === "U", 1L).when(op === "I", 0L)
+      .otherwise(raise_error(concat(
+        lit("Cdc.applyChanges: invalid op code '"), op, lit("' (expected I/U/D)"))))
+
+  /** Per-key winner of one change batch as snapshot-schema rows
+    * (key, _seq, _deleted, payload…). Map-side-combining aggregate: the
+    * max is over a struct whose leading fields are (seq, op-rank), so the
+    * precedence order is the struct comparison order and ties beyond it
+    * cannot occur under the seq-totally-orders-each-key contract.
+    */
+  private def reduceBatch(
+      changes: DataFrame, key: String, seqCol: String, opCol: String): DataFrame = {
+    val payload = changes.columns.toSeq.filter(c => c != key && c != seqCol && c != opCol)
+    val fields = Seq(col(seqCol).as("s"), opRank(col(opCol)).as("r")) ++ payload.map(col)
+    changes
+      .groupBy(col(key))
+      .agg(max(struct(fields: _*)).as("w"))
+      .select(Seq(
+        col(key),
+        col("w.s").as(SeqMeta),
+        (col("w.r") === 2L).as(DeletedMeta)) ++ payload.map(c => col(s"w.`$c`").as(c)): _*)
+  }
+
+  /** Seq-aware merge of a reduced batch into the existing snapshot: the
+    * incoming row wins only if its seq is greater (or equal-and-delete —
+    * the same D-beats-U rule as within a batch), so replaying a batch is a
+    * no-op and a late-arriving OLD batch cannot clobber newer state.
+    */
+  private def mergeSnapshots(existing: DataFrame, batch: DataFrame, key: String): DataFrame = {
+    val cols = batch.columns.toSeq
+    val u = batch.select(cols.map(c => col(c).as(s"u_$c")): _*)
+    val incomingWins = col(s"u_$key").isNotNull && (col(key).isNull ||
+      col(s"u_$SeqMeta") > col(SeqMeta) ||
+      (col(s"u_$SeqMeta") === col(SeqMeta) && col(s"u_$DeletedMeta") && !col(DeletedMeta)))
+    existing.join(u, col(key) === col(s"u_$key"), "full_outer")
+      .select(cols.map(c => when(incomingWins, col(s"u_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Apply one change batch to the snapshot table at `path` (created on
+    * first use). `changes` = key + `seqCol` (LONG, totally ordering each
+    * key's changes) + `opCol` ('I'|'U'|'D') + payload columns; the payload
+    * schema must stay stable across batches. Commit is the same two-rename
+    * staging swap as [[Incremental.upsertByKey]] (crash leaves the old
+    * table or a recoverable `__old`, never nothing).
+    */
+  def applyChanges(
+      spark: SparkSession,
+      changes: DataFrame,
+      path: String,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): Unit = {
+    val batch = reduceBatch(changes, key, seqCol, opCol)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(dst)) batch
+      else mergeSnapshots(spark.read.parquet(path), batch, key)
+    Incremental.swapCommit(spark, merged, path)
+  }
+
+  /** The live view: tombstones filtered, metadata dropped. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(!col(DeletedMeta)).drop(SeqMeta, DeletedMeta)
+
+  /** Drop tombstones the CDC source can no longer contradict: once the
+    * source's low-watermark guarantees every in-flight change has
+    * `seq >= lowWatermark`, a tombstone with `_seq < lowWatermark` can
+    * never again out-rank an arriving change, so it is dead weight. Live
+    * rows are never pruned. Same swap commit as the apply path.
+    */
+  def pruneTombstones(spark: SparkSession, path: String, lowWatermark: Long): Unit = {
+    val kept = spark.read.parquet(path)
+      .filter(!col(DeletedMeta) || col(SeqMeta) >= lowWatermark)
+    Incremental.swapCommit(spark, kept, path)
+  }
+}

@@ -117,20 +117,31 @@ object Incremental {
     val merged =
       if (!fs.exists(dst)) updates
       else mergeByKey(spark.read.parquet(path), updates, key)
-    // two-phase commit: the merge reads `path`, so materialize to a staging
-    // dir first (Spark can't overwrite its own input), then swap with a
-    // backup kept until the new data is in place — a crash mid-swap leaves
-    // either the old table or a recoverable `__old` copy, never nothing.
+    swapCommit(spark, merged, path)
+  }
+
+  /** Two-phase rename commit shared by the snapshot-rewriting sinks
+    * ([[upsertByKey]], [[graft.operators.Cdc.applyChanges]]): the merge
+    * reads `path`, so materialize to a staging dir first (Spark can't
+    * overwrite its own input), then swap with a backup kept until the new
+    * data is in place — a crash mid-swap leaves either the old table or a
+    * recoverable `__old` copy, never nothing. Local/HDFS rename contract;
+    * object-store targets use the [[upsertByKeyVersioned]] pointer flip.
+    */
+  private[operators] def swapCommit(spark: SparkSession, merged: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__staging")
     val old = new Path(path + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(dst)
     if (hadPrev && !fs.rename(dst, old))
-      throw new java.io.IOException(s"upsertByKey: failed to move $dst aside")
+      throw new java.io.IOException(s"swapCommit: failed to move $dst aside")
     if (!fs.rename(tmp, dst)) {
       if (hadPrev) fs.rename(old, dst) // roll back
-      throw new java.io.IOException(s"upsertByKey: failed to commit $tmp -> $dst")
+      throw new java.io.IOException(s"swapCommit: failed to commit $tmp -> $dst")
     }
     if (hadPrev) fs.delete(old, true)
   }

@@ -1420,7 +1420,44 @@ object ParityQueries {
         CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
       FROM c"""))
 
+  /** Delete-aware CDC apply ([[graft.operators.Cdc]]): the event stream
+    * recast as keyed change records (op derived `event_id % 7` -> D/I/U,
+    * seq = event_id), applied in TWO batches OUT OF ORDER (odd seqs first,
+    * then even) — so the run only matches the oracle's direct global
+    * argmax if seq-aware merging and delete tombstones actually work; a
+    * last-writer-wins upsert would let the second (even) batch clobber
+    * newer odd-seq rows and would resurrect deleted keys.
+    */
+  private val cdcApply = Q(
+    "snk_cdc_apply",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      val path = "/root/repo/target/tmp/cdc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.Cdc.applyChanges(s, ch.filter(col("seq") % 2 === 1), path, "user_id")
+      graft.operators.Cdc.applyChanges(s, ch.filter(col("seq") % 2 === 0), path, "user_id")
+      graft.operators.Cdc.readTable(s, path)
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type, value FROM ev),
+      w AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch)
+      SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
+      FROM w WHERE rn = 1 AND op <> 'D'"""))
+
   val all: Seq[Q] = Seq(
+    cdcApply,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC apply semantics: out-of-order batches, tombstone stickiness, replay
+  * idempotence, watermarked tombstone pruning.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val path = s"target/tmp/cdcspec_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
+  private def ch(rows: (Long, Long, String, String)*): DataFrame =
+    rows.toDF("k", "seq", "op", "v")
+
+  private def state(path: String): Set[(Long, String)] =
+    Cdc.readTable(spark, path).select("k", "v").as[(Long, String)].collect().toSet
+
+  test("applyChanges: insert, update, delete resolve to the highest-seq record") {
+    val path = fresh("basic")
+    Cdc.applyChanges(spark, ch((1L, 1L, "I", "a"), (2L, 2L, "I", "b"), (1L, 3L, "U", "a2")), path, "k")
+    assert(state(path) == Set((1L, "a2"), (2L, "b")))
+    Cdc.applyChanges(spark, ch((2L, 4L, "D", "x"), (3L, 5L, "I", "c")), path, "k")
+    assert(state(path) == Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("tombstone is sticky: a stale update arriving after the delete stays dead") {
+    val path = fresh("sticky")
+    Cdc.applyChanges(spark, ch((1L, 10L, "D", "x")), path, "k")
+    Cdc.applyChanges(spark, ch((1L, 4L, "U", "stale")), path, "k")
+    assert(state(path) == Set.empty[(Long, String)])
+    // but a genuinely NEWER change resurrects the key
+    Cdc.applyChanges(spark, ch((1L, 11L, "I", "reborn")), path, "k")
+    assert(state(path) == Set((1L, "reborn")))
+  }
+
+  test("equal-seq delete beats update, in both application orders") {
+    val a = fresh("tie_a"); val b = fresh("tie_b")
+    Cdc.applyChanges(spark, ch((1L, 5L, "D", "x")), a, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "U", "u")), a, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "U", "u")), b, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "D", "x")), b, "k")
+    assert(state(a) == Set.empty[(Long, String)])
+    assert(state(b) == Set.empty[(Long, String)])
+  }
+
+  test("any batch slicing and order converges to the same state; replay is a no-op") {
+    val stream = Seq(
+      (1L, 1L, "I", "a"), (1L, 4L, "U", "a4"), (1L, 7L, "D", "x"),
+      (2L, 2L, "I", "b"), (2L, 8L, "U", "b8"),
+      (3L, 3L, "I", "c"), (3L, 6L, "D", "x"), (3L, 9L, "I", "c9"),
+      (4L, 5L, "I", "d"))
+    val expected = Set((2L, "b8"), (3L, "c9"), (4L, "d"))
+    // single batch
+    val one = fresh("conv_one")
+    Cdc.applyChanges(spark, ch(stream: _*), one, "k")
+    assert(state(one) == expected)
+    // three interleaved batches applied newest-first
+    val ooo = fresh("conv_ooo")
+    Seq(2L, 0L, 1L).foreach { r =>
+      Cdc.applyChanges(spark, ch(stream.filter(_._2 % 3 == r): _*), ooo, "k")
+    }
+    assert(state(ooo) == expected)
+    // replaying the middle batch changes nothing
+    Cdc.applyChanges(spark, ch(stream.filter(_._2 % 3 == 1): _*), ooo, "k")
+    assert(state(ooo) == expected)
+  }
+
+  test("pruneTombstones drops only sub-watermark tombstones; live view unchanged") {
+    val path = fresh("prune")
+    Cdc.applyChanges(spark, ch(
+      (1L, 3L, "D", "x"), (2L, 9L, "D", "x"), (3L, 5L, "I", "c")), path, "k")
+    val before = state(path)
+    Cdc.pruneTombstones(spark, path, lowWatermark = 7L)
+    assert(state(path) == before)
+    val raw = spark.read.parquet(path)
+    // the seq-3 tombstone is gone, the seq-9 one (still contradictable) stays
+    assert(raw.filter(col(Cdc.DeletedMeta)).select("k").as[Long].collect().toSet == Set(2L))
+    // a pre-watermark stale update for the pruned key is the caller's
+    // contract violation; a post-watermark insert works normally
+    Cdc.applyChanges(spark, ch((1L, 8L, "I", "back")), path, "k")
+    assert(state(path) == Set((1L, "back"), (3L, "c")))
+  }
+
+  test("invalid op code fails the batch") {
+    val path = fresh("badop")
+    val ex = intercept[Exception] {
+      Cdc.applyChanges(spark, ch((1L, 1L, "Z", "a")), path, "k")
+    }
+    assert(ex.getMessage != null)
+  }
+}
