@@ -183,6 +183,35 @@ object StageQueries {
         MIN(epoch) AS min_epoch, MAX(epoch) AS max_epoch
       FROM ev WHERE epoch >= (SELECT MIN(epoch) + 864000 FROM ev)"""))
 
+  /** Zone-map-manifest pruned scan ([[graft.sources.Layout.writeZoneMapped]]
+    * / `readZonePruned`): events land range-clustered on `epoch` with a
+    * per-file min/max manifest, then a 10-day window is read back through
+    * the DRIVER-SIDE file prune (no parquet footer opens for skipped
+    * files) — the oracle applies the same predicate to the original table,
+    * proving pruning is a pure optimization. The files-actually-skipped
+    * claim is measured in ZoneMapSpec.
+    */
+  private val zoneMapPruned = Q(
+    "scan_zonemap_prune",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val path = "/root/repo/target/tmp/zonemap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Layout.writeZoneMapped(
+        e.select("event_id", "user_id", "value", "epoch"), path, 8, "epoch",
+        statsCols = Seq("user_id"))
+      val lo = e.agg(min(col("epoch"))).head().getLong(0) + 10L * 86400L
+      graft.sources.Layout.readZonePruned(s, path, "epoch", lo, lo + 10L * 86400L)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("epoch")).as("min_epoch"), max(col("epoch")).as("max_epoch"))
+    },
+    Some(s"""WITH $EV,
+      b AS (SELECT MIN(epoch) + 864000 AS lo FROM ev)
+      SELECT COUNT(*) AS n, ${DS("value")} AS sum_value,
+        MIN(epoch) AS min_epoch, MAX(epoch) AS max_epoch
+      FROM ev, b WHERE epoch >= b.lo AND epoch <= b.lo + 864000"""))
+
   /** Z-ordered layout roundtrip: events land Morton-interleaved on
     * (user_id, day) ([[graft.sources.Layout.writeZOrdered]]), then a
     * RECTANGLE predicate (both dimensions) reads back and aggregates; the
@@ -299,5 +328,5 @@ object StageQueries {
 
   val all: Seq[Q] = Seq(
     stageEvents, stageMarketData, stagePositions, partitionedSink, rangeClusteredSink,
-    zOrderedSink, sessionWindows, simIvf, bucketedJoin, saltedJoin)
+    zoneMapPruned, zOrderedSink, sessionWindows, simIvf, bucketedJoin, saltedJoin)
 }

@@ -156,6 +156,115 @@ object Layout {
     fs.delete(old, true)
   }
 
+  /** Zone-map manifest name under a [[writeZoneMapped]] table. */
+  val ZoneMapFile = "_ZONEMAP"
+
+  /** [[writeRangeClustered]] plus a ZONE-MAP MANIFEST: one tiny
+    * `_ZONEMAP` file recording per-FILE min/max of the cluster key (and
+    * any extra integral `statsCols`), so [[readZonePruned]] can drop
+    * non-overlapping files ON THE DRIVER, at planning time, without
+    * opening a single parquet footer. Parquet's own footer stats prune
+    * row-groups too, but only AFTER an open+footer-read per file — at
+    * 100 TB with 10^5-10^6 files that is 10^5-10^6 object-store GETs per
+    * query before any pruning happens; the manifest makes file-level
+    * skipping one small read (this is precisely the role of file stats in
+    * the Delta/Iceberg commit logs). Stats columns must be integral
+    * (LONG-castable) — the manifest is exact text, no float-format
+    * hazards; that covers the monotone scan keys this layout exists for
+    * (block number, epoch, ids).
+    *
+    * The manifest is computed by one column-pruned read-back pass grouped
+    * by `input_file_name()` (driver-small result: one row per file) and
+    * committed LAST via write-temp-then-rename, so a crash mid-build
+    * leaves a table that is merely unpruned, never wrongly pruned.
+    */
+  def writeZoneMapped(
+      df: DataFrame,
+      path: String,
+      nFiles: Int,
+      rangeCol: String,
+      statsCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    writeRangeClustered(df, path, nFiles, rangeCol)
+    val cols = (rangeCol +: statsCols).distinct
+    val stats = spark.read.parquet(path)
+      .select((input_file_name().as("__f")) +: cols.map(c => col(c).cast("long").as(c)): _*)
+      .groupBy("__f")
+      .agg(min(col(cols.head)).as(s"min_${cols.head}"), (
+        Seq(max(col(cols.head)).as(s"max_${cols.head}")) ++
+          cols.tail.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+      .collect() // one row per file — driver-small by construction
+    val lines = stats.map { r =>
+      val name = r.getString(0).split('/').last
+      val vals = cols.flatMap { c =>
+        val mi = r.getAs[Any](s"min_$c"); val ma = r.getAs[Any](s"max_$c")
+        Seq(if (mi == null) "null" else mi.toString, if (ma == null) "null" else ma.toString)
+      }
+      (name +: vals).mkString("\t")
+    }
+    val header = ("file" +: cols.flatMap(c => Seq(s"min_$c", s"max_$c"))).mkString("\t")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, ZoneMapFile + ".tmp")
+    val mf = new Path(root, ZoneMapFile)
+    val out = fs.create(tmp, true)
+    try out.write((header +: lines.toSeq).mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"writeZoneMapped: failed to commit $mf")
+  }
+
+  /** The files of a [[writeZoneMapped]] table whose `[min, max]` zone for
+    * `statsCol` intersects `[lo, hi]` — the driver-side prune decision,
+    * exposed for tests and ops. Files whose zone is all-null are skipped
+    * for a range predicate (NULL never satisfies BETWEEN); a `statsCol`
+    * the manifest doesn't carry is an error (silent no-prune would look
+    * like a perf bug at scale).
+    */
+  def zonePrunedFiles(
+      spark: SparkSession, path: String, statsCol: String, lo: Long, hi: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(root, ZoneMapFile))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val rows = txt.split("\n").toSeq.map(_.split("\t").toSeq)
+    val header = rows.head
+    val (miIdx, maIdx) = (header.indexOf(s"min_$statsCol"), header.indexOf(s"max_$statsCol"))
+    require(miIdx >= 0 && maIdx >= 0,
+      s"zone map at $path has no stats for '$statsCol' (columns: ${header.mkString(",")})")
+    rows.tail.filter { r =>
+      r(miIdx) != "null" && r(maIdx) != "null" &&
+        r(maIdx).toLong >= lo && r(miIdx).toLong <= hi
+    }.map(r => s"$path/${r.head}")
+  }
+
+  /** Manifest-pruned range scan: read ONLY the overlapping files, then
+    * apply the residual `BETWEEN` (zones overlap the range; individual
+    * rows may not). Logically identical to
+    * `spark.read.parquet(path).filter(col between lo and hi)` — the
+    * manifest only removes file opens (ZoneMapSpec proves both).
+    */
+  def readZonePruned(
+      spark: SparkSession, path: String, statsCol: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = zonePrunedFiles(spark, path, statsCol, lo, hi)
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).limit(0) // schema-bearing empty
+      else spark.read.parquet(files: _*)
+    // filter on the raw column when it is already integral, so the residual
+    // predicate stays pushable into the parquet scan (a cast would block
+    // footer/row-group pushdown and re-read every surviving file fully)
+    val c = df.schema(statsCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        col(statsCol)
+      case _ => col(statsCol).cast("long")
+    }
+    df.filter(c.between(lo, hi))
+  }
+
   /** 2-D Morton (Z-order) value: interleave the low `bits` bits of two
     * NON-NEGATIVE integer columns (`a` takes the odd bit positions). A pure
     * chain of shift/and/or column ops — whole-stage codegen'd, no UDF.
