@@ -3172,6 +3172,42 @@ object TrainingQueries {
     * last-iteration rank change — the convergence observable) is
     * re-derived as |r3 - r2|.
     */
+  /** Per-node triangle counts over a deterministic 2048-node interaction
+    * graph synthesized from events (`user_id % 2048 — event_id % 2048`,
+    * canonicalized, the fixture discipline of the perceptual family) via
+    * the degree-oriented join ([[graft.operators.Triangles]]): each
+    * triangle is found exactly once at its (degree, id)-minimal vertex, so
+    * the wedge join is O(m^1.5)-bounded instead of Σ deg². The oracle
+    * mirrors the orientation and both joins literally — a double-counted
+    * or missed triangle anywhere breaks the per-node hash.
+    */
+  private val triangleCountQ = Q(
+    "graph_triangle_count",
+    (s, d) => graft.operators.Triangles.perNodeTriangles(
+      ParityQueries.evDf(s, d).select(
+        pmod(col("user_id"), lit(2048L)).as("u"),
+        pmod(col("event_id"), lit(2048L)).as("v"))),
+    Some(s"""WITH $EV,
+      e0 AS (SELECT DISTINCT LEAST(user_id % 2048, event_id % 2048) AS u,
+          GREATEST(user_id % 2048, event_id % 2048) AS v
+        FROM ev WHERE user_id % 2048 <> event_id % 2048),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+        (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      ork AS (SELECT node, deg * 1048576 + node AS k FROM deg),
+      wk AS (SELECT e0.u, e0.v, ku.k AS ku, kv.k AS kv
+        FROM e0 JOIN ork ku ON ku.node = e0.u JOIN ork kv ON kv.node = e0.v),
+      o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+          CASE WHEN ku < kv THEN v ELSE u END AS t,
+          GREATEST(ku, kv) AS kt FROM wk),
+      tris AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.kt < e2.kt
+        JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+      pern AS (SELECT node, COUNT(*) AS tri FROM
+        (SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+         UNION ALL SELECT c FROM tris) GROUP BY 1)
+      SELECT deg.node, deg.deg, COALESCE(pern.tri, 0) AS tri
+      FROM deg LEFT JOIN pern USING (node)"""))
+
   private val linkRankQ = Q(
     "graph_link_rank",
     (s, d) => graft.operators.LinkRank.pageRank(
@@ -3208,7 +3244,7 @@ object TrainingQueries {
       FROM r3 JOIN r2 ON r2.node = r3.node"""))
 
   val all: Seq[Q] = Seq(
-    linkRankQ,
+    linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
