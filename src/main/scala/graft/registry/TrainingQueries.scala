@@ -1691,12 +1691,14 @@ object TrainingQueries {
       val ev = ParityQueries.evDf(s, d)
       val sk = graft.functions.Sketches.hllSketch(ev, col("event_id"))
       val est = graft.functions.Sketches.hllEstimate(graft.functions.Sketches.hllMerge(sk))
-      val exact = ev.agg(countDistinct(col("event_id")).as("n_exact"))
-      est.withColumn("__j", lit(1))
-        .join(broadcast(exact.withColumn("__j", lit(1))), "__j").drop("__j")
-        .select(col("est"), col("n_low"), col("n_exact"),
-          (col("est") * 100L >= col("n_exact") * 80L &&
-            col("est") * 100L <= col("n_exact") * 120L).as("within_20pct"))
+      // two-phase scalar (the snk_range_clustered literal discipline): the
+      // exact count is ONE row — joining two single-row frames on a
+      // constant key would constant-fold into a nested-loop join and trip
+      // the plan sweep for no benefit
+      val nExact = ev.agg(countDistinct(col("event_id"))).head().getLong(0)
+      est.select(col("est"), col("n_low"), lit(nExact).as("n_exact"),
+        (col("est") * 100L >= lit(nExact) * 80L &&
+          col("est") * 100L <= lit(nExact) * 120L).as("within_20pct"))
     },
     Some(s"""WITH $EV, src AS (SELECT event_id AS k FROM ev), ${hllRegSql("src")},
       agg AS (SELECT CAST(SUM(1::BIGINT << (40 - rmax)) AS BIGINT) AS s_ne, COUNT(*) AS ne FROM reg),
@@ -3000,6 +3002,47 @@ object TrainingQueries {
         FROM ev)
         SELECT user_id, epoch, event_id, value FROM r WHERE rn = 1"""))
 
+  /** Streaming CDC apply end to end: the keyed I/U/D change stream (the
+    * `snk_cdc_apply` derivation) lands as FIVE seq-hash-scattered files —
+    * so every micro-batch interleaves old and new seqs for the same keys —
+    * and drains through [[graft.streaming.Streams.cdcApplyAvailableNow]]
+    * in 1-file batches of unspecified order. The oracle is the direct
+    * global per-key argmax with deletes absent: it only matches if the
+    * seq-aware merge + sticky tombstones make the result independent of
+    * the batch slicing the stream engine happened to pick.
+    */
+  private val streamingCdc = Q(
+    "streaming_cdc_apply",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_cdc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ch = ParityQueries.evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      ch.repartition(5, col("seq")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.cdcApplyAvailableNow(
+        stream, s"$base/out", s"$base/ckpt", "user_id").awaitTermination()
+      graft.operators.Cdc.readTable(s, s"$base/out")
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type, value FROM ev),
+      w AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch)
+      SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
+      FROM w WHERE rn = 1 AND op <> 'D'"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -3270,5 +3313,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingAsOfEnrich, streamingLshDedup)
 }

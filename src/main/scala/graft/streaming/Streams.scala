@@ -159,6 +159,37 @@ object Streams {
       }
       .start()
 
+  /** STREAMING CDC APPLY: each micro-batch of change records goes through
+    * [[graft.operators.Cdc.applyChanges]] — and the merge rule, not the
+    * stream engine, carries the correctness: foreachBatch is only
+    * at-least-once (a crash between the sink commit and the checkpoint
+    * advance replays the batch), and a file source lists new files in no
+    * particular order, but applyChanges is replay-idempotent and
+    * order-independent by its per-key (seq, op-rank) argmax + sticky
+    * tombstones, so the table converges to the same state as one batch
+    * apply of the whole stream regardless of slicing, ordering, or replay
+    * (StreamsSpec proves multi-batch == batch; the registry row drains
+    * hash-scattered files against the direct-argmax oracle). Read the live
+    * view with [[graft.operators.Cdc.readTable]].
+    */
+  def cdcApplyAvailableNow(
+      stream: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Cdc.applyChanges(
+            batch.sparkSession, batch, outPath, key, seqCol, opCol)
+      }
+      .start()
+
   /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
     * LSH-checked against the persisted bucket index
     * ([[graft.operators.Dedup.minhashBuckets]] at rest under

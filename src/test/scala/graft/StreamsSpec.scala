@@ -60,6 +60,39 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 7L, 11.0), (2L, 9L, 21.0), (3L, 9L, 30.0)))
   }
 
+  test("cdcApplyAvailableNow: multi-batch drain == one-batch apply, deletes survive restarts") {
+    val base = "target/tmp/streams_cdc_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+
+    // drain 1: insert three keys, then delete key 2 — all in one backlog,
+    // file-sliced however the source lists it
+    Seq((1L, 1L, "I", "a"), (2L, 2L, "I", "b"), (3L, 3L, "I", "c"), (2L, 4L, "D", "x"))
+      .toDF("k", "seq", "op", "v").repartition(3).write.parquet(in)
+    Streams.cdcApplyAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt, "k").awaitTermination()
+    def live: Set[(Long, String)] =
+      graft.operators.Cdc.readTable(spark, out).select("k", "v").as[(Long, String)]
+        .collect().toSet
+    assert(live == Set((1L, "a"), (3L, "c")))
+
+    // drain 2 (restart from checkpoint): a STALE update for the deleted key
+    // must stay dead; a newer update lands
+    Seq((2L, 3L, "U", "stale"), (1L, 5L, "U", "a5"))
+      .toDF("k", "seq", "op", "v").write.mode("append").parquet(in)
+    Streams.cdcApplyAvailableNow(
+      Streams.incrementalParquet(spark, in, in), out, ckpt, "k").awaitTermination()
+    assert(live == Set((1L, "a5"), (3L, "c")))
+
+    // the whole stream applied as ONE batch lands on the identical state
+    val once = s"$base/once"
+    graft.operators.Cdc.applyChanges(spark, spark.read.parquet(in), once, "k")
+    assert(graft.operators.Cdc.readTable(spark, once).select("k", "v")
+      .as[(Long, String)].collect().toSet == live)
+  }
+
   test("asOfEnrichAvailableNow: multi-batch drain == batch asOfMerge, row for row") {
     val base = "target/tmp/streams_asof_spec"
     val fs = new org.apache.hadoop.fs.Path(base)
