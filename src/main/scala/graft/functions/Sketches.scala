@@ -73,6 +73,82 @@ object Sketches {
   def hllMerge(registers: DataFrame): DataFrame =
     registers.groupBy("ridx").agg(max("rmax").as("rmax"))
 
+  /** LOG-LINEAR HISTOGRAM SKETCH — the quantile companion to the HLL
+    * family, with the same state story: per-partition (e.g. per-day)
+    * bucket-count tables persist as a few hundred integer rows, merge by
+    * plain count addition (associative/commutative — order- and
+    * slicing-proof), and answer any-quantile-any-window questions without
+    * rescanning. Buckets for a non-negative LONG measure `u` (callers
+    * quantize doubles to fixed-point first — micro-units, the [[Scalars]]
+    * discipline):
+    *
+    *   u < 16: identity buckets (id = u, exact);
+    *   else:   8 sub-buckets per octave — id = bitlen(u)*8 + the 3 bits
+    *           after the leading one (ids >= 40, disjoint from identity).
+    *
+    * Every derivation is integer bit arithmetic (`length(bin(u))`, shifts)
+    * expressible identically in DuckDB, so histograms and quantile bounds
+    * hash-compare EXACTLY across engines — unlike t-digest/KLL, whose
+    * float centroids are engine-private. The price of determinism is a
+    * fixed 12.5% relative bucket width (vs KLL's tunable rank error); the
+    * quantile answer is the [lo, hi) range of the bucket CONTAINING the
+    * exact q-th element — guaranteed, not probabilistic.
+    */
+  def logHistogram(df: DataFrame, measure: Column, groupCols: Seq[String] = Nil): DataFrame =
+    df.select(groupCols.map(col) :+ measure.cast("long").as("u"): _*)
+      .withColumn("bucket", expr(
+        """CASE
+             WHEN u < 0 THEN raise_error('Sketches.logHistogram: measure must be non-negative')
+             WHEN u < 16 THEN u
+             ELSE cast(length(bin(u)) as bigint) * 8 +
+                  (shiftright(u, cast(length(bin(u)) as int) - 4) & 7)
+           END"""))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram sketches (stacked bucket rows): counts add. */
+  def histMerge(hists: DataFrame): DataFrame =
+    hists.groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Inclusive lower / exclusive upper value bound of a bucket id. */
+  private def bucketLo(bid: Column): Column =
+    when(bid < 16L, bid).otherwise(
+      expr("shiftleft(1L, cast(bucket div 8 as int) - 1) " +
+        "+ (bucket % 8) * shiftleft(1L, cast(bucket div 8 as int) - 4)"))
+
+  private def bucketHi(bid: Column): Column =
+    when(bid < 16L, bid + 1L).otherwise(
+      expr("shiftleft(1L, cast(bucket div 8 as int) - 1) " +
+        "+ (bucket % 8 + 1) * shiftleft(1L, cast(bucket div 8 as int) - 4)"))
+
+  /** Quantile bounds from one merged histogram: for each `(name, num, den)`
+    * fraction, the `[lo, hi)` of the bucket holding the exact
+    * `ceil(num/den * n)`-th smallest element — one wide row
+    * (`n, <name>_lo, <name>_hi…`). The cumulative pass is a window over
+    * the BUCKET TABLE (at most a few hundred rows by construction — a
+    * single-partition sort of sketch state, never of data), and the total
+    * is a bounded one-row driver read, the two-phase-literal discipline.
+    */
+  def histQuantileBounds(hist: DataFrame, qs: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = hist.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val cum = hist
+      .withColumn("c", sum("cnt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("c"), bucketLo(col("bucket")).as("lo"),
+        bucketHi(col("bucket")).as("hi"))
+    require(qs.nonEmpty, "histQuantileBounds: need at least one quantile")
+    val picks = qs.flatMap { case (name, num, den) =>
+      val pos = if (n == 0L) 0L else (n * num + den - 1L) / den
+      Seq(
+        min(when(col("c") >= pos, col("lo"))).as(s"${name}_lo"),
+        min(when(col("c") >= pos, col("hi"))).as(s"${name}_hi"))
+    }
+    cum.agg(picks.head, picks.tail: _*).withColumn("n", lit(n))
+      .select(col("n") +: qs.flatMap { case (name, _, _) =>
+        Seq(col(s"${name}_lo"), col(s"${name}_hi")) }: _*)
+  }
+
   /** Raw-HLL estimate from one merged register table (`ridx, rmax`),
     * integer-exact: with every term pre-scaled by `2^RankCap` (legal for
     * any scale >= max rank, and RankCap bounds the rank by construction),

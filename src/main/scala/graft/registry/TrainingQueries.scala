@@ -1709,6 +1709,106 @@ object TrainingQueries {
         (e.est * 100 >= x.n_exact * 80 AND e.est * 100 <= x.n_exact * 120) AS within_20pct
       FROM e, x"""))
 
+  /** DuckDB mirror of [[graft.functions.Sketches.logHistogram]]'s bucket id
+    * over `v(u)` (micro-unit longs): identity below 16, else
+    * bitlen*8 + 3-bits-after-the-leading-one.
+    */
+  private val histBucketSql: String =
+    """h AS (SELECT CASE WHEN u < 16 THEN u
+        ELSE length(bin(u)) * 8 + ((u >> (length(bin(u)) - 4)) & 7) END AS bucket,
+        COUNT(*) AS cnt FROM v GROUP BY 1)"""
+
+  /** Mergeable log-linear histogram ([[graft.functions.Sketches
+    * .logHistogram]]), the quantile companion to `agg_hll_mergeable` with
+    * the same proof shape: Spark builds PER-DAY bucket tables (the
+    * persistable state) and merges them by count addition; the oracle
+    * computes the histogram in one direct pass — hash matches only if
+    * merge-of-parts == whole. Values are floor-quantized to micro-units
+    * BEFORE bucketing (the established cross-engine double discipline), so
+    * every bucket id and count is integer-exact.
+    */
+  private val logHistMergeable = Q(
+    "agg_loghist_mergeable",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val daily = graft.functions.Sketches.logHistogram(
+        ev, expr("cast(floor(value * 1000000.0 + 0.5) as bigint)"), groupCols = Seq("day"))
+      graft.functions.Sketches.histMerge(daily.select("bucket", "cnt"))
+    },
+    Some(s"""WITH $EV,
+      v AS (SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u FROM ev),
+      $histBucketSql
+      SELECT bucket, cnt FROM h"""))
+
+  /** Quantile bounds from the merged histogram
+    * ([[graft.functions.Sketches.histQuantileBounds]]): for p50/p90/p99,
+    * the [lo, hi) of the bucket holding the exact q-th smallest element —
+    * a GUARANTEED containment, not a probabilistic estimate, checked here
+    * against exact discrete quantiles recomputed from per-value counts
+    * (micro-unit domain -> the value-count table is small; the oracle
+    * mirrors the same cum-count rank definition). Every column is integer,
+    * so containment booleans are bit-identical across engines.
+    */
+  private val logHistQuantile = Q(
+    "agg_loghist_quantile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = ParityQueries.evDf(s, d)
+      val u = expr("cast(floor(value * 1000000.0 + 0.5) as bigint)")
+      val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      val hist = graft.functions.Sketches.histMerge(
+        graft.functions.Sketches.logHistogram(ev, u).select("bucket", "cnt"))
+      // bounded one-row reads: the wide bounds row and the total
+      val b = graft.functions.Sketches.histQuantileBounds(hist, qs).head()
+      val n = b.getLong(0)
+      val cumv = ev.select(u.as("u")).groupBy("u").agg(count(lit(1)).as("vc"))
+        .withColumn("cv", sum("vc").over(Window.orderBy("u")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val exacts = qs.zipWithIndex.map { case ((name, num, den), _) =>
+        val pos = if (n == 0L) 0L else (n * num + den - 1L) / den
+        min(when(col("cv") >= pos, col("u"))).as(s"${name}_x")
+      }
+      val withBounds = cumv.agg(exacts.head, exacts.tail: _*)
+        .withColumn("n", lit(n))
+      val cols = col("n") +: qs.zipWithIndex.flatMap { case ((name, _, _), i) =>
+        val (lo, hi) = (b.getLong(1 + 2 * i), b.getLong(2 + 2 * i))
+        Seq(lit(lo).as(s"${name}_lo"), lit(hi).as(s"${name}_hi"), col(s"${name}_x"),
+          (col(s"${name}_x") >= lo && col(s"${name}_x") < hi).as(s"${name}_contained"))
+      }
+      withBounds.select(cols: _*)
+    },
+    Some(s"""WITH $EV,
+      v AS MATERIALIZED (SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u FROM ev),
+      $histBucketSql,
+      tot AS (SELECT COUNT(*) AS n FROM v),
+      cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS c FROM h),
+      lb AS (SELECT bucket, c,
+        CASE WHEN bucket < 16 THEN bucket
+          ELSE (1::BIGINT << (CAST(bucket // 8 AS INT) - 1))
+             + (bucket % 8) * (1::BIGINT << (CAST(bucket // 8 AS INT) - 4)) END AS lo,
+        CASE WHEN bucket < 16 THEN bucket + 1
+          ELSE (1::BIGINT << (CAST(bucket // 8 AS INT) - 1))
+             + (bucket % 8 + 1) * (1::BIGINT << (CAST(bucket // 8 AS INT) - 4)) END AS hi
+        FROM cum),
+      cv AS (SELECT u, SUM(COUNT(*)) OVER (ORDER BY u) AS cv FROM v GROUP BY u),
+      pk AS (SELECT
+          (SELECT MIN(lo) FROM lb, tot WHERE c >= (n + 1) // 2) AS p50_lo,
+          (SELECT MIN(hi) FROM lb, tot WHERE c >= (n + 1) // 2) AS p50_hi,
+          (SELECT MIN(u) FROM cv, tot WHERE cv >= (n + 1) // 2) AS p50_x,
+          (SELECT MIN(lo) FROM lb, tot WHERE c >= (n * 9 + 9) // 10) AS p90_lo,
+          (SELECT MIN(hi) FROM lb, tot WHERE c >= (n * 9 + 9) // 10) AS p90_hi,
+          (SELECT MIN(u) FROM cv, tot WHERE cv >= (n * 9 + 9) // 10) AS p90_x,
+          (SELECT MIN(lo) FROM lb, tot WHERE c >= (n * 99 + 99) // 100) AS p99_lo,
+          (SELECT MIN(hi) FROM lb, tot WHERE c >= (n * 99 + 99) // 100) AS p99_hi,
+          (SELECT MIN(u) FROM cv, tot WHERE cv >= (n * 99 + 99) // 100) AS p99_x)
+      SELECT tot.n, pk.p50_lo, pk.p50_hi, pk.p50_x,
+        (pk.p50_x >= pk.p50_lo AND pk.p50_x < pk.p50_hi) AS p50_contained,
+        pk.p90_lo, pk.p90_hi, pk.p90_x,
+        (pk.p90_x >= pk.p90_lo AND pk.p90_x < pk.p90_hi) AS p90_contained,
+        pk.p99_lo, pk.p99_hi, pk.p99_x,
+        (pk.p99_x >= pk.p99_lo AND pk.p99_x < pk.p99_hi) AS p99_contained
+      FROM tot, pk"""))
+
   /** PII scrub over documents salted with deterministic synthetic PII
     * (emails, URLs, phone-ish runs, long numbers derived from doc_id — the
     * corpus itself is random words), then whitespace-normalized. The
@@ -3302,7 +3402,8 @@ object TrainingQueries {
     tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
-    approxDistinct, hllMergeable, hllEstimateQ, redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
+    approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
+    redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,

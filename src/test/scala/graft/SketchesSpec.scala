@@ -54,6 +54,52 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram: merge of slices == whole; counts conserved") {
+    val whole = (1L to 9999L).toDF("k")
+    val direct = Sketches.logHistogram(whole, col("k"))
+      .as[(Long, Long)].collect().toMap
+    val parts = (0 until 4).map(r =>
+      Sketches.logHistogram(whole.filter(col("k") % 4 === r), col("k")))
+    val merged = Sketches.histMerge(parts.reduce(_ unionAll _))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct)
+    assert(direct.values.sum == 9999L)
+  }
+
+  test("histogram quantile bounds contain the exact quantile, width <= 12.5%") {
+    // skewed deterministic data: k^2 over 1..2000
+    val df = (1L to 2000L).map(i => i * i).toDF("k")
+    val hist = Sketches.histMerge(Sketches.logHistogram(df, col("k")))
+    val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val b = Sketches.histQuantileBounds(hist, qs).head()
+    assert(b.getLong(0) == 2000L)
+    val sorted = (1L to 2000L).map(i => i * i).sorted
+    qs.zipWithIndex.foreach { case ((name, num, den), i) =>
+      val pos = (2000L * num + den - 1L) / den
+      val exact = sorted((pos - 1L).toInt)
+      val (lo, hi) = (b.getLong(1 + 2 * i), b.getLong(2 + 2 * i))
+      assert(exact >= lo && exact < hi, s"$name: exact $exact outside [$lo, $hi)")
+      assert(lo < 16L || (hi - lo) * 8L <= lo, s"$name bucket [$lo, $hi) wider than 12.5%")
+    }
+  }
+
+  test("histogram identity region is exact below 16") {
+    val df = Seq(0L, 1L, 3L, 3L, 15L).toDF("k")
+    val hist = Sketches.logHistogram(df, col("k"))
+    assert(hist.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 1L, 1L -> 1L, 3L -> 2L, 15L -> 1L))
+    // 5 values, pos = 3 -> the third smallest (3), identity bucket [3, 4)
+    val b = Sketches.histQuantileBounds(hist, Seq(("p50", 1L, 2L))).head()
+    assert(b.getLong(1) == 3L && b.getLong(2) == 4L)
+  }
+
+  test("negative measures fail the histogram loudly") {
+    val ex = intercept[Exception] {
+      Sketches.logHistogram(Seq(-1L).toDF("k"), col("k")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("ranks never exceed the cap") {
     val sk = Sketches.hllSketch((0L until 100000L).toDF("k"), col("k"))
     val mx = sk.agg(max("rmax")).as[Long].head()
