@@ -149,6 +149,60 @@ object Sketches {
         Seq(col(s"${name}_lo"), col(s"${name}_hi")) }: _*)
   }
 
+  /** COUNT-MIN SKETCH — frequencies, completing the sketch-state trio
+    * (distinct = HLL, quantiles = log-histogram). Unlike Misra–Gries /
+    * SpaceSaving, whose counter sets depend on arrival order, count-min is
+    * a pure SUM over hash cells: order-independent, mergeable by addition,
+    * and — built on [[Text.md5Hash64]] with the row index salted into the
+    * hash input — cross-engine-exact cell for cell. State is
+    * `CmsD * CmsW = 2048` integer cells per sketch (per day, per source…);
+    * a point query reads back `min_i cells[i][h_i(k)]`, which NEVER
+    * undercounts and overcounts by more than `e/CmsW * n` per row with
+    * probability `1 - e^-CmsD` — on any fixed corpus the overcount is a
+    * deterministic, checkable integer (the registry row checks it).
+    */
+  val CmsD = 4
+  val CmsW = 512L
+
+  /** Sketch cells `(groupCols…, r, cell, cnt)` counting occurrences of
+    * `key` (not distinct — frequencies): each input row lands in one cell
+    * per hash row. The d-fold row explosion happens BEFORE the aggregate,
+    * so the shuffle carries at most `d * w` partial cells per input
+    * partition, not d copies of the data.
+    */
+  def cmsSketch(df: DataFrame, key: Column, groupCols: Seq[String] = Nil): DataFrame = {
+    val rows = array((0 until CmsD).map(i => lit(i.toLong)): _*)
+    df.select(groupCols.map(col) :+ key.cast("string").as("__k"): _*)
+      .withColumn("r", explode(rows))
+      .select(groupCols.map(col) :+ col("r") :+
+        pmod(Text.md5Hash64(concat(col("r").cast("string"), lit(":"), col("__k"))),
+          lit(CmsW)).as("cell"): _*)
+      .groupBy((groupCols :+ "r" :+ "cell").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min sketches (stacked cell rows): counts add. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+
+  /** Point-query a merged sketch for every key in `keys(k)`: re-derive the
+    * d cells per key, join them against the sketch (keyed equi-join on the
+    * 2048-row cell table — broadcastable state, never a scan of data), and
+    * take the min: `(k, est)`. Keys absent from the sketched corpus get
+    * est 0 (their cells may also carry other keys' collisions — count-min
+    * still never undercounts).
+    */
+  def cmsPointQuery(sketch: DataFrame, keys: DataFrame): DataFrame = {
+    val rows = array((0 until CmsD).map(i => lit(i.toLong)): _*)
+    val probes = keys.select(col("k"))
+      .withColumn("r", explode(rows))
+      .withColumn("cell",
+        pmod(Text.md5Hash64(concat(col("r").cast("string"), lit(":"), col("k").cast("string"))),
+          lit(CmsW)))
+    probes.join(broadcast(sketch), Seq("r", "cell"), "left_outer")
+      .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Raw-HLL estimate from one merged register table (`ridx, rmax`),
     * integer-exact: with every term pre-scaled by `2^RankCap` (legal for
     * any scale >= max rank, and RankCap bounds the rank by construction),

@@ -1809,6 +1809,67 @@ object TrainingQueries {
         (pk.p99_x >= pk.p99_lo AND pk.p99_x < pk.p99_hi) AS p99_contained
       FROM tot, pk"""))
 
+  /** DuckDB mirror of [[graft.functions.Sketches.cmsSketch]]'s cells over
+    * `ev` keyed on user_id: 4 salted md5 hash rows x 512 columns.
+    */
+  private val cmsCellsSql: String =
+    """cells AS (SELECT r,
+        ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 512 AS cell,
+        COUNT(*) AS cnt
+      FROM ev, (SELECT unnest(range(4)) AS r) GROUP BY 1, 2)"""
+
+  /** Mergeable count-min sketch ([[graft.functions.Sketches.cmsSketch]]) —
+    * frequencies complete the sketch-state trio beside `agg_hll_mergeable`
+    * (distinct) and `agg_loghist_mergeable` (quantiles), with the same
+    * proof shape: per-day cell tables merged by addition vs the oracle's
+    * one direct pass. Count-min is a pure sum over salted hash cells, so
+    * unlike arrival-order-dependent Misra-Gries it is deterministic,
+    * order-independent, and cross-engine-exact cell for cell.
+    */
+  private val cmsMergeable = Q(
+    "agg_cms_mergeable",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val daily = graft.functions.Sketches.cmsSketch(ev, col("user_id"), groupCols = Seq("day"))
+      graft.functions.Sketches.cmsMerge(daily.select("r", "cell", "cnt"))
+    },
+    Some(s"""WITH $EV, $cmsCellsSql
+      SELECT r, cell, cnt FROM cells"""))
+
+  /** Point queries against the merged count-min sketch: the 20 most
+    * frequent users' estimates beside their exact counts. The never-
+    * undercount guarantee is structural (a key's cells contain all its own
+    * increments); the overcount on a fixed corpus is a deterministic
+    * integer both engines derive identically — the probe joins the
+    * 2048-row cell table (broadcast state), never the data.
+    */
+  private val cmsPointQ = Q(
+    "agg_cms_point_query",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val sketch = graft.functions.Sketches.cmsMerge(
+        graft.functions.Sketches.cmsSketch(ev, col("user_id")).select("r", "cell", "cnt"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      val est = graft.functions.Sketches.cmsPointQuery(
+        sketch, top.select(col("user_id").as("k")))
+      top.join(est.withColumnRenamed("k", "user_id"), Seq("user_id"))
+        .select(col("user_id"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("never_under"))
+    },
+    Some(s"""WITH $EV, $cmsCellsSql,
+      x AS (SELECT user_id, COUNT(*) AS exact FROM ev GROUP BY 1
+        ORDER BY exact DESC, user_id LIMIT 20),
+      probes AS (SELECT x.user_id, r,
+        ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(x.user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 512 AS cell
+        FROM x, (SELECT unnest(range(4)) AS r)),
+      e AS (SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell GROUP BY 1)
+      SELECT x.user_id, x.exact, e.est, e.est >= x.exact AS never_under
+      FROM x JOIN e ON e.user_id = x.user_id"""))
+
   /** PII scrub over documents salted with deterministic synthetic PII
     * (emails, URLs, phone-ish runs, long numbers derived from doc_id — the
     * corpus itself is random words), then whitespace-normalized. The
@@ -3403,6 +3464,7 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
+    cmsMergeable, cmsPointQ,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,

@@ -100,6 +100,37 @@ class SketchesSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("count-min: merge of slices == whole; total mass conserved per row") {
+    val whole = (0L until 12000L).map(i => i % 300).toDF("k")
+    val direct = Sketches.cmsSketch(whole, col("k"))
+      .as[(Long, Long, Long)].collect().toSet
+    val parts = (0 until 3).map(r =>
+      Sketches.cmsSketch(whole.filter(col("k") % 3 === r), col("k")))
+    val merged = Sketches.cmsMerge(parts.reduce(_ unionAll _))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == direct)
+    // every hash row holds exactly one increment per input row
+    val perRow = merged.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perRow == (0 until Sketches.CmsD).map(r => r.toLong -> 12000L).toMap)
+  }
+
+  test("count-min point query never undercounts, and is exact when cells are private") {
+    val df = (0L until 12000L).map(i => i % 300).toDF("k") // each key x40
+    val sketch = Sketches.cmsMerge(Sketches.cmsSketch(df, col("k")))
+    val keys = (0L until 300L).toDF("k")
+    val out = Sketches.cmsPointQuery(sketch, keys).as[(Long, Long)].collect().toMap
+    assert(out.size == 300)
+    assert(out.values.forall(_ >= 40L), "count-min must never undercount")
+    // 300 keys in 512 cells collide sometimes, but min-over-4-rows should
+    // leave most keys exact — a regression to one effective row would not
+    val exact = out.values.count(_ == 40L)
+    assert(exact >= 250, s"only $exact/300 keys exact — hash rows not independent?")
+    // a key never sketched: estimate is whatever its cells carry, >= 0
+    val ghost = Sketches.cmsPointQuery(sketch, Seq(99999L).toDF("k"))
+      .as[(Long, Long)].head()
+    assert(ghost._2 >= 0L)
+  }
+
   test("ranks never exceed the cap") {
     val sk = Sketches.hllSketch((0L until 100000L).toDF("k"), col("k"))
     val mx = sk.agg(max("rmax")).as[Long].head()
