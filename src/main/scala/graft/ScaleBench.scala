@@ -119,6 +119,20 @@ object ScaleBench {
     def docsAt(k: Int): DataFrame = matRead(corpusAt(docs0, k), s"$scaleDir/docs_k$k")
     def embsAt(k: Int): DataFrame = matRead(embAt(emb0, k), s"$scaleDir/emb_k$k")
 
+    // k disjoint copies of the 2048-node interaction graph (node ids
+    // shifted by j*4096, max id 64*4096 << the 2^20 packing cap): edges —
+    // the triangle cost axis — grow exactly k x with constant per-copy
+    // density, so a linear fit proves the wedge join does no cross-copy
+    // work (a global sort, an all-nodes broadcast, or a lost orientation
+    // would all show up superlinear)
+    val ev0 = Tables.events(spark, sfDir).select("user_id", "event_id")
+    def edgesAt(k: Int): DataFrame = matRead(
+      (0 until k).map { j =>
+        ev0.select(
+          (pmod(col("user_id"), lit(2048L)) + lit(j * 4096L)).as("u"),
+          (pmod(col("event_id"), lit(2048L)) + lit(j * 4096L)).as("v"))
+      }.reduce(_ unionByName _), s"$scaleDir/edges_k$k")
+
     val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
     val allOps: Seq[(String, Int => Long)] = Seq(
       "dedup_minhash_lsh" -> { k: Int =>
@@ -140,6 +154,9 @@ object ScaleBench {
       // the per-copy head, not the corpus multiple, is what the join pays
       "dedup_span_coverage" -> { k: Int =>
         Dedup.spanCoverage(docsAt(k), "doc_id", "text", k = 3).count()
+      },
+      "graph_triangle_count" -> { k: Int =>
+        graft.operators.Triangles.perNodeTriangles(edgesAt(k)).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
@@ -151,6 +168,7 @@ object ScaleBench {
       if (opNames.exists(Set("dedup_minhash_lsh", "simhash_cluster_cc",
         "dedup_span_coverage"))) docsAt(k)
       if (opNames("sim_ivf_quantized")) embsAt(k)
+      if (opNames("graph_triangle_count")) edgesAt(k)
     }
 
     // Same per-run isolation as [[Bench]]: the benched ops localCheckpoint

@@ -245,14 +245,24 @@ object Layout {
     * apply the residual `BETWEEN` (zones overlap the range; individual
     * rows may not). Logically identical to
     * `spark.read.parquet(path).filter(col between lo and hi)` — the
-    * manifest only removes file opens (ZoneMapSpec proves both).
+    * manifest only removes file opens (ZoneMapSpec proves both). A MISSING
+    * manifest (a [[writeZoneMapped]] crashed before its final rename)
+    * degrades to the unpruned full scan — slower, never wrong; a PRESENT
+    * manifest without the requested column still fails fast (that is a
+    * caller bug, not a crash artifact).
     */
   def readZonePruned(
       spark: SparkSession, path: String, statsCol: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
-    val files = zonePrunedFiles(spark, path, statsCol, lo, hi)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(new Path(root, ZoneMapFile))) null // degrade: unpruned
+      else zonePrunedFiles(spark, path, statsCol, lo, hi)
     val df =
-      if (files.isEmpty) spark.read.parquet(path).limit(0) // schema-bearing empty
+      if (files == null) spark.read.parquet(path)
+      else if (files.isEmpty) spark.read.parquet(path).limit(0) // schema-bearing empty
       else spark.read.parquet(files: _*)
     // filter on the raw column when it is already integral, so the residual
     // predicate stays pushable into the parquet scan (a cast would block

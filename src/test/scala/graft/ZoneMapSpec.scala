@@ -45,6 +45,15 @@ class ZoneMapSpec extends SparkSpec {
     assert(ex.getMessage.contains("no stats"))
   }
 
+  test("a missing manifest degrades to the unpruned scan, never an error") {
+    build()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, Layout.ZoneMapFile), false)
+    val out = Layout.readZonePruned(spark, path, "k", 100L, 200L)
+    assert(out.count() == 101L)
+  }
+
   test("empty intersection returns a schema-bearing empty frame") {
     build()
     val out = Layout.readZonePruned(spark, path, "k", 100000L, 200000L)
