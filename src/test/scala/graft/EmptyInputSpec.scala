@@ -37,6 +37,37 @@ class EmptyInputSpec extends SparkSpec {
       expectedItems = 100L, numBits = 1024L).count() == 0)
   }
 
+  test("round-10 operators are total on empty inputs") {
+    // triangles over an empty edge list
+    assert(graft.operators.Triangles.perNodeTriangles(
+      Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0)
+    // sketches over empty frames (estimate floor covered in SketchesSpec)
+    val e = Seq.empty[Long].toDF("k")
+    assert(graft.functions.Sketches.hllSketch(e, col("k")).count() == 0)
+    assert(graft.functions.Sketches.logHistogram(e, col("k")).count() == 0)
+    assert(graft.functions.Sketches.cmsSketch(e, col("k")).count() == 0)
+    // CDC: an empty FIRST batch bootstraps an empty (schema-bearing) table
+    // that later batches merge into; an empty LATER batch is a no-op
+    val path = "target/tmp/empty_cdc_spec"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val empty = Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v")
+    graft.operators.Cdc.applyChanges(spark, empty, path, "k")
+    assert(graft.operators.Cdc.readTable(spark, path).count() == 0)
+    graft.operators.Cdc.applyChanges(spark,
+      Seq((1L, 1L, "I", "a")).toDF("k", "seq", "op", "v"), path, "k")
+    graft.operators.Cdc.applyChanges(spark, empty, path, "k")
+    assert(graft.operators.Cdc.readTable(spark, path)
+      .select("k", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // zone-mapped table over an empty frame: manifest exists, prune total
+    val zp = "target/tmp/empty_zonemap_spec"
+    val zpp = new org.apache.hadoop.fs.Path(zp)
+    zpp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(zpp, true)
+    graft.sources.Layout.writeZoneMapped(
+      Seq.empty[(Long, String)].toDF("k", "v"), zp, nFiles = 4, rangeCol = "k")
+    assert(graft.sources.Layout.readZonePruned(spark, zp, "k", 0L, 100L).count() == 0)
+  }
+
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {
     assert(graft.quality.Scoring.unigramSurprisal(docs0, "doc_id", "text").count() == 0)
     assert(graft.quality.Scoring.bigramSurprisal(docs0, "doc_id", "text").count() == 0)
