@@ -20,8 +20,10 @@ CPUS="${SPARK_GRAFT_CPUS:-16}"
 WT=target/ab_ref
 echo "== graft bench A/B ($(date -u +%FT%TZ)) HEAD=$(git rev-parse --short HEAD) vs REF=$REF sf=$SF =="
 bench_in() { # $1 = checkout dir, $2 = label; emits "<label> <json line>"
+  # grep -o strips sbt's "[info] " stdout prefix — json.loads below gets
+  # the bare object regardless of sbt's log decoration
   ( cd "$1" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-      sbt -batch "runMain graft.Bench" 2>/dev/null ) | grep '"metric"' | tail -1 \
+      sbt -batch "runMain graft.Bench" 2>/dev/null ) | grep -o '{"metric".*}' | tail -1 \
     | sed "s/^/$2 /"
 }
 git worktree remove --force "$WT" 2>/dev/null || true
