@@ -1809,6 +1809,40 @@ object TrainingQueries {
         (pk.p99_x >= pk.p99_lo AND pk.p99_x < pk.p99_hi) AS p99_contained
       FROM tot, pk"""))
 
+  /** Entity-resolution fuzzy join ([[graft.operators.Fuzzy
+    * .editDistanceJoin]]): wallet-style labels synthesized from events
+    * (`event_type || '-u' || user_id` — numeric neighbors give dense
+    * edit-distance-1 structure), a deterministic md5-picked subset
+    * corrupted by one interior character deletion, then joined back within
+    * distance 1 through the exact prefix-filter blocking (rarest `d*q+1`
+    * grams per string + the short-string length-band sidecar). The oracle
+    * is the BLIND QUADRATIC levenshtein join — it knows nothing of the
+    * blocking, so any false negative the prefix filter or sidecar ever
+    * produced would break the hash.
+    */
+  private val fuzzyJoinQ = Q(
+    "join_fuzzy_editdist",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val v = ev.select(
+        concat(col("event_type"), lit("-u"), col("user_id").cast("string")).as("w")).distinct()
+      val qf = v.select(col("w").as("src"), graft.functions.Text.md5Hash64(col("w")).as("h"))
+        .filter(col("h") % 7L === 0L)
+        .select(col("src"), expr(
+          "substr(src, 1, cast(h % (length(src) - 2) as int) + 1) || " +
+            "substr(src, cast(h % (length(src) - 2) as int) + 3)").as("qs"))
+      graft.operators.Fuzzy.editDistanceJoin(qf, v, "src", "qs", "w", "w", maxDist = 1)
+        .select(col("idl").as("src"), col("idr").as("matched"), col("dist"))
+    },
+    Some(s"""WITH $EV,
+      v AS MATERIALIZED (SELECT DISTINCT event_type || '-u' || CAST(user_id AS VARCHAR) AS w FROM ev),
+      c AS (SELECT w AS src, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM v),
+      q AS (SELECT src, substr(src, 1, CAST(h % (length(src) - 2) AS INT) + 1)
+          || substr(src, CAST(h % (length(src) - 2) AS INT) + 3) AS qs
+        FROM c WHERE h % 7 = 0)
+      SELECT q.src, v.w AS matched, CAST(levenshtein(q.qs, v.w) AS BIGINT) AS dist
+      FROM q, v WHERE levenshtein(q.qs, v.w) <= 1"""))
+
   /** DuckDB mirror of [[graft.functions.Sketches.cmsSketch]]'s cells over
     * `ev` keyed on user_id: 4 salted md5 hash rows x 512 columns.
     */
@@ -3464,7 +3498,7 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ,
+    cmsMergeable, cmsPointQ, fuzzyJoinQ,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
