@@ -203,6 +203,24 @@ object Sketches {
       .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** The GROUPED form of [[hllEstimate]]: one estimate per `groupCols`
+    * cell from a grouped sketch (`groupCols…, ridx, rmax`), in one
+    * map-side-combining aggregate — per-key distinct estimates at 100 TB
+    * without a driver loop or a per-key `countDistinct` shuffle of raw
+    * data. Identical integer math, identical oracle-expressibility.
+    */
+  def hllEstimateGrouped(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "hllEstimateGrouped: use hllEstimate for the global form")
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(expr(s"shiftleft(1L, $RankCap - cast(rmax as int))")), lit(0L)).as("s_ne"),
+        count(lit(1)).as("ne"))
+      .select(groupCols.map(col) :+
+        expr(s"(${AlphaM2}L * shiftleft(1L, $RankCap)) div " +
+          s"(($HllM - ne) * shiftleft(1L, $RankCap) + s_ne)").as("est") :+
+        (col("ne") < HllM).as("n_low"): _*)
+  }
+
   /** Raw-HLL estimate from one merged register table (`ridx, rmax`),
     * integer-exact: with every term pre-scaled by `2^RankCap` (legal for
     * any scale >= max rank, and RankCap bounds the rank by construction),

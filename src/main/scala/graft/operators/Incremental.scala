@@ -128,7 +128,7 @@ object Incremental {
     * recoverable `__old` copy, never nothing. Local/HDFS rename contract;
     * object-store targets use the [[upsertByKeyVersioned]] pointer flip.
     */
-  private[operators] def swapCommit(spark: SparkSession, merged: DataFrame, path: String): Unit = {
+  private[graft] def swapCommit(spark: SparkSession, merged: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)

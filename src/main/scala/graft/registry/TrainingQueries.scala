@@ -1709,6 +1709,42 @@ object TrainingQueries {
         (e.est * 100 >= x.n_exact * 80 AND e.est * 100 <= x.n_exact * 120) AS within_20pct
       FROM e, x"""))
 
+  /** Grouped HLL estimates ([[graft.functions.Sketches
+    * .hllEstimateGrouped]]): per-event-type distinct event_id estimates in
+    * ONE map-side-combining aggregate over grouped sketches — the per-key
+    * form a 100 TB pipeline uses instead of a driver loop or a raw-data
+    * `countDistinct` shuffle per key. Exact counts ride beside, with an
+    * integer 30%-band boolean (measured worst per-type error 20.2% at
+    * sf0.01 — near the raw estimator's small-range bias floor, which
+    * `n_low` would flag at ne < 256; every cell here fills all registers).
+    */
+  private val hllGroupedQ = Q(
+    "agg_hll_grouped",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val sk = graft.functions.Sketches.hllSketch(ev, col("event_id"), groupCols = Seq("event_type"))
+      val est = graft.functions.Sketches.hllEstimateGrouped(sk, Seq("event_type"))
+      val exact = ev.groupBy("event_type").agg(countDistinct(col("event_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("est"), col("n_low"), col("n_exact"),
+          (col("est") * 100L >= col("n_exact") * 70L &&
+            col("est") * 100L <= col("n_exact") * 130L).as("within_30pct"))
+    },
+    Some(s"""WITH $EV,
+      h AS (SELECT event_type,
+        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM ev),
+      reg AS (SELECT event_type, h % 256 AS ridx,
+        MAX(LEAST(CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END, 40)) AS rmax
+        FROM h GROUP BY 1, 2),
+      agg AS (SELECT event_type, CAST(SUM(1::BIGINT << (40 - rmax)) AS BIGINT) AS s_ne,
+        COUNT(*) AS ne FROM reg GROUP BY 1),
+      e AS (SELECT event_type, (47072::BIGINT * (1::BIGINT << 40)) //
+          ((256 - ne) * (1::BIGINT << 40) + s_ne) AS est, ne < 256 AS n_low FROM agg),
+      x AS (SELECT event_type, COUNT(DISTINCT event_id) AS n_exact FROM ev GROUP BY 1)
+      SELECT e.event_type, e.est, e.n_low, x.n_exact,
+        (e.est * 100 >= x.n_exact * 70 AND e.est * 100 <= x.n_exact * 130) AS within_30pct
+      FROM e JOIN x USING (event_type)"""))
+
   /** DuckDB mirror of [[graft.functions.Sketches.logHistogram]]'s bucket id
     * over `v(u)` (micro-unit longs): identity below 16, else
     * bitlen*8 + 3-bits-after-the-leading-one.
@@ -3238,6 +3274,33 @@ object TrainingQueries {
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
       FROM w WHERE rn = 1 AND op <> 'D'"""))
 
+  /** Streaming sketch-state ingest ([[graft.streaming.Streams
+    * .hllIngestAvailableNow]]): the event stream drains in 1-file batches
+    * of unspecified order, each max-merging its HLL registers into the
+    * persisted 256-row state; the oracle computes the registers in one
+    * direct pass over everything — the hash matches only if the
+    * incremental fold is slicing-, order-, and replay-proof (register max
+    * is idempotent, so foreachBatch's at-least-once semantics are
+    * absorbed by the merge itself).
+    */
+  private val streamingHll = Q(
+    "streaming_hll_ingest",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_hll_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = ParityQueries.evDf(s, d).select("event_id")
+      ev.repartition(5, col("event_id")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.hllIngestAvailableNow(
+        stream, "event_id", s"$base/state", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/state")
+    },
+    Some(s"""WITH $EV, src AS (SELECT event_id AS k FROM ev), ${hllRegSql("src")}
+      SELECT ridx, rmax FROM reg"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -3498,7 +3561,7 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ, fuzzyJoinQ,
+    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
@@ -3510,5 +3573,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingAsOfEnrich, streamingLshDedup)
 }

@@ -190,6 +190,43 @@ object Streams {
       }
       .start()
 
+  /** STREAMING SKETCH-STATE INGEST: each micro-batch folds its keys into a
+    * persisted HLL register table (`statePath`, at most 256 rows at rest)
+    * by register-wise max — after any drain the state answers "distinct
+    * keys ever seen" in one 256-row read, no matter how much raw data
+    * flowed through. Exactness story is [[graft.operators.Cdc]]'s again,
+    * one level simpler: register max is associative, commutative AND
+    * idempotent, so foreachBatch's at-least-once replay and arbitrary
+    * batch slicing are absorbed by the merge itself (a replayed batch
+    * max-merges to a no-op). Commit is the [[graft.operators.Incremental
+    * .swapCommit]] two-rename swap; read the state with
+    * `spark.read.parquet` and estimate with
+    * [[graft.functions.Sketches.hllEstimate]].
+    */
+  def hllIngestAvailableNow(
+      stream: DataFrame,
+      keyCol: String,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val sk = graft.functions.Sketches.hllSketch(batch, col(keyCol))
+          val dst = new org.apache.hadoop.fs.Path(statePath)
+          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (!fs.exists(dst)) sk
+            else graft.functions.Sketches.hllMerge(
+              sk.unionByName(spark.read.parquet(statePath)))
+          graft.operators.Incremental.swapCommit(spark, merged, statePath)
+        }
+      }
+      .start()
+
   /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
     * LSH-checked against the persisted bucket index
     * ([[graft.operators.Dedup.minhashBuckets]] at rest under

@@ -52,6 +52,14 @@ class SketchesSpec extends SparkSpec {
         .as[(Long, Boolean)].head()
       assert(math.abs(est - 10000L) <= 2000L, s"group $g est $est off by >20% of 10000")
     }
+    // the one-pass grouped estimator matches the per-cell global estimator
+    val grouped = Sketches.hllEstimateGrouped(sk, Seq("g"))
+      .as[(Long, Long, Boolean)].collect().map { case (g, e, l) => g -> (e, l) }.toMap
+    (0L until 3L).foreach { g =>
+      val single = Sketches.hllEstimate(sk.filter(col("g") === g).select("ridx", "rmax"))
+        .as[(Long, Boolean)].head()
+      assert(grouped(g) == single, s"group $g: grouped ${grouped(g)} != single $single")
+    }
   }
 
   test("histogram: merge of slices == whole; counts conserved") {

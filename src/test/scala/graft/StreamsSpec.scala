@@ -93,6 +93,36 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == live)
   }
 
+  test("hllIngestAvailableNow: incremental fold == direct sketch; resumed drains extend it") {
+    val base = "target/tmp/streams_hll_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (in, state, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    import org.apache.spark.sql.functions.col
+
+    (0L until 5000L).toDF("k").repartition(4).write.parquet(in)
+    Streams.hllIngestAvailableNow(
+      Streams.incrementalParquet(spark, in, in), "k", state, ckpt).awaitTermination()
+    def stateRegs: Map[Long, Long] =
+      spark.read.parquet(state).as[(Long, Long)].collect().toMap
+    val direct1 = graft.functions.Sketches
+      .hllSketch((0L until 5000L).toDF("k"), col("k")).as[(Long, Long)].collect().toMap
+    assert(stateRegs == direct1)
+
+    // resume: new keys append-fold into the same state
+    (5000L until 9000L).toDF("k").write.mode("append").parquet(in)
+    Streams.hllIngestAvailableNow(
+      Streams.incrementalParquet(spark, in, in), "k", state, ckpt).awaitTermination()
+    val direct2 = graft.functions.Sketches
+      .hllSketch((0L until 9000L).toDF("k"), col("k")).as[(Long, Long)].collect().toMap
+    assert(stateRegs == direct2)
+    // and the estimate off the 256-row state is in band
+    val (est, _) = graft.functions.Sketches.hllEstimate(spark.read.parquet(state))
+      .as[(Long, Boolean)].head()
+    assert(math.abs(est - 9000L) <= 1800L, s"state estimate $est off 9000 by >20%")
+  }
+
   test("asOfEnrichAvailableNow: multi-batch drain == batch asOfMerge, row for row") {
     val base = "target/tmp/streams_asof_spec"
     val fs = new org.apache.hadoop.fs.Path(base)
