@@ -149,6 +149,40 @@ object Sketches {
         Seq(col(s"${name}_lo"), col(s"${name}_hi")) }: _*)
   }
 
+  /** The GROUPED form of [[histQuantileBounds]], entirely plan-side (no
+    * driver literal): per-`groupCols` quantile bounds from grouped
+    * histograms. The per-group total rides as a full-range window sum, and
+    * `c >= ceil(tot*num/den)` rewrites to the integer cross-multiplication
+    * `c*den >= tot*num`, so the pick needs no division at all. Windows
+    * partition BY GROUP over bucket rows (hundreds per group at most —
+    * sketch state, never data). Output: one row per group,
+    * `groupCols…, n, <name>_lo, <name>_hi…`.
+    */
+  def histQuantileBoundsGrouped(
+      hist: DataFrame, groupCols: Seq[String], qs: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "histQuantileBoundsGrouped: use histQuantileBounds globally")
+    require(qs.nonEmpty, "histQuantileBoundsGrouped: need at least one quantile")
+    val g = groupCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(g: _*)
+    val cum = hist
+      .withColumn("c", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .select(g :+ col("c") :+ col("tot") :+
+        bucketLo(col("bucket")).as("lo") :+ bucketHi(col("bucket")).as("hi"): _*)
+    val picks = qs.flatMap { case (name, num, den) =>
+      val hit = col("c") * den >= col("tot") * num
+      Seq(min(when(hit, col("lo"))).as(s"${name}_lo"),
+        min(when(hit, col("hi"))).as(s"${name}_hi"))
+    }
+    cum.groupBy(g: _*)
+      .agg(max("tot").as("n"), picks: _*)
+      .select(g ++ (col("n") +: qs.flatMap { case (name, _, _) =>
+        Seq(col(s"${name}_lo"), col(s"${name}_hi")) }): _*)
+  }
+
   /** COUNT-MIN SKETCH — frequencies, completing the sketch-state trio
     * (distinct = HLL, quantiles = log-histogram). Unlike Misra–Gries /
     * SpaceSaving, whose counter sets depend on arrival order, count-min is

@@ -1845,6 +1845,77 @@ object TrainingQueries {
         (pk.p99_x >= pk.p99_lo AND pk.p99_x < pk.p99_hi) AS p99_contained
       FROM tot, pk"""))
 
+  /** Grouped histogram quantiles ([[graft.functions.Sketches
+    * .histQuantileBoundsGrouped]]): per-event-type p50/p90 bounds of the
+    * micro-unit value, ENTIRELY plan-side — the per-group total rides as a
+    * window sum and the ceil-rank pick rewrites to the integer
+    * cross-multiplication `c*den >= tot*num`, so no driver literal and no
+    * division anywhere. Exact per-type discrete quantiles (same rank
+    * definition over per-value counts) ride beside with containment
+    * booleans; every column is integer/boolean, bit-equal across engines.
+    */
+  private val logHistGroupedQ = Q(
+    "agg_loghist_grouped",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = ParityQueries.evDf(s, d)
+      val u = expr("cast(floor(value * 1000000.0 + 0.5) as bigint)")
+      val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L))
+      val hist = graft.functions.Sketches.logHistogram(ev, u, groupCols = Seq("event_type"))
+      val bounds = graft.functions.Sketches.histQuantileBoundsGrouped(hist, Seq("event_type"), qs)
+      val cumv = ev.select(col("event_type"), u.as("u"))
+        .groupBy("event_type", "u").agg(count(lit(1)).as("vc"))
+        .withColumn("cv", sum("vc").over(Window.partitionBy("event_type").orderBy("u")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tv", sum("vc").over(Window.partitionBy("event_type")))
+      val exacts = cumv.groupBy("event_type").agg(
+        min(when(col("cv") * 2L >= col("tv") * 1L, col("u"))).as("p50_x"),
+        min(when(col("cv") * 10L >= col("tv") * 9L, col("u"))).as("p90_x"))
+      bounds.join(exacts, "event_type").select(
+        col("event_type"), col("n"),
+        col("p50_lo"), col("p50_hi"), col("p50_x"),
+        (col("p50_x") >= col("p50_lo") && col("p50_x") < col("p50_hi")).as("p50_contained"),
+        col("p90_lo"), col("p90_hi"), col("p90_x"),
+        (col("p90_x") >= col("p90_lo") && col("p90_x") < col("p90_hi")).as("p90_contained"))
+    },
+    Some(s"""WITH $EV,
+      v AS MATERIALIZED (SELECT event_type,
+        CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u FROM ev),
+      h AS (SELECT event_type, CASE WHEN u < 16 THEN u
+          ELSE length(bin(u)) * 8 + ((u >> (length(bin(u)) - 4)) & 7) END AS bucket,
+          COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+      cum AS (SELECT event_type, bucket,
+          CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS c,
+          CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM h),
+      lb AS (SELECT event_type, c, tot,
+          CASE WHEN bucket < 16 THEN bucket
+            ELSE (1::BIGINT << (CAST(bucket // 8 AS INT) - 1))
+               + (bucket % 8) * (1::BIGINT << (CAST(bucket // 8 AS INT) - 4)) END AS lo,
+          CASE WHEN bucket < 16 THEN bucket + 1
+            ELSE (1::BIGINT << (CAST(bucket // 8 AS INT) - 1))
+               + (bucket % 8 + 1) * (1::BIGINT << (CAST(bucket // 8 AS INT) - 4)) END AS hi
+        FROM cum),
+      pk AS (SELECT event_type, MAX(tot) AS n,
+          MIN(CASE WHEN c * 2 >= tot * 1 THEN lo END) AS p50_lo,
+          MIN(CASE WHEN c * 2 >= tot * 1 THEN hi END) AS p50_hi,
+          MIN(CASE WHEN c * 10 >= tot * 9 THEN lo END) AS p90_lo,
+          MIN(CASE WHEN c * 10 >= tot * 9 THEN hi END) AS p90_hi
+        FROM lb GROUP BY 1),
+      cv AS (SELECT event_type, u,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY u) AS BIGINT) AS cv,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT) AS tv
+        FROM v GROUP BY 1, 2),
+      x AS (SELECT event_type,
+          MIN(CASE WHEN cv * 2 >= tv * 1 THEN u END) AS p50_x,
+          MIN(CASE WHEN cv * 10 >= tv * 9 THEN u END) AS p90_x
+        FROM cv GROUP BY 1)
+      SELECT pk.event_type, pk.n,
+        pk.p50_lo, pk.p50_hi, x.p50_x,
+        (x.p50_x >= pk.p50_lo AND x.p50_x < pk.p50_hi) AS p50_contained,
+        pk.p90_lo, pk.p90_hi, x.p90_x,
+        (x.p90_x >= pk.p90_lo AND x.p90_x < pk.p90_hi) AS p90_contained
+      FROM pk JOIN x USING (event_type)"""))
+
   /** Entity-resolution fuzzy join ([[graft.operators.Fuzzy
     * .editDistanceJoin]]): wallet-style labels synthesized from events
     * (`event_type || '-u' || user_id` — numeric neighbors give dense
@@ -3561,7 +3632,7 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ,
+    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ, logHistGroupedQ,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,

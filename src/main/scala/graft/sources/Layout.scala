@@ -184,11 +184,24 @@ object Layout {
       nFiles: Int,
       rangeCol: String,
       statsCols: Seq[String] = Nil): Unit = {
+    writeRangeClustered(df, path, nFiles, rangeCol)
+    buildZoneMap(df.sparkSession, path, rangeCol +: statsCols)
+  }
+
+  /** Build (or rebuild) the `_ZONEMAP` manifest for an EXISTING parquet
+    * table, whatever produced its layout — range-clustered, z-ordered
+    * ([[writeZOrdered]] + manifests over BOTH dimensions gives
+    * rectangle pruning at the manifest level), [[compact]]ed, or
+    * externally landed. Decoupled from the writer so maintenance jobs can
+    * re-stat after compaction without rewriting data. Same commit-last
+    * temp-then-rename as always: a crash leaves the previous manifest (or
+    * none — an unpruned, never wrongly pruned, table).
+    */
+  def buildZoneMap(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
-    writeRangeClustered(df, path, nFiles, rangeCol)
-    val cols = (rangeCol +: statsCols).distinct
+    require(statsCols.nonEmpty, "buildZoneMap: need at least one stats column")
+    val cols = statsCols.distinct
     val stats = spark.read.parquet(path)
       .select((input_file_name().as("__f")) +: cols.map(c => col(c).cast("long").as(c)): _*)
       .groupBy("__f")
@@ -213,7 +226,7 @@ object Layout {
     try out.write((header +: lines.toSeq).mkString("\n").getBytes("UTF-8")) finally out.close()
     if (fs.exists(mf)) fs.delete(mf, false)
     if (!fs.rename(tmp, mf))
-      throw new java.io.IOException(s"writeZoneMapped: failed to commit $mf")
+      throw new java.io.IOException(s"buildZoneMap: failed to commit $mf")
   }
 
   /** The files of a [[writeZoneMapped]] table whose `[min, max]` zone for

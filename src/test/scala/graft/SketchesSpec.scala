@@ -91,6 +91,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantile bounds == per-group global bounds") {
+    val df = (1L to 6000L).map(i => (i * i % 50021L, i % 4)).toDF("k", "g")
+    val hist = Sketches.logHistogram(df, col("k"), groupCols = Seq("g"))
+    val qs = Seq(("p50", 1L, 2L), ("p99", 99L, 100L))
+    val grouped = Sketches.histQuantileBoundsGrouped(hist, Seq("g"), qs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    (0L until 4L).foreach { g =>
+      val single = Sketches.histQuantileBounds(
+        hist.filter(col("g") === g).select("bucket", "cnt"), qs).head().toSeq
+      assert(grouped(g) == single, s"group $g: ${grouped(g)} != $single")
+    }
+  }
+
   test("histogram identity region is exact below 16") {
     val df = Seq(0L, 1L, 3L, 3L, 15L).toDF("k")
     val hist = Sketches.logHistogram(df, col("k"))

@@ -45,6 +45,28 @@ class ZoneMapSpec extends SparkSpec {
     assert(ex.getMessage.contains("no stats"))
   }
 
+  test("buildZoneMap over a z-ordered table prunes rectangles on both dimensions") {
+    val zp = "target/tmp/zonemap_zorder_spec"
+    val p = new org.apache.hadoop.fs.Path(zp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val df = (0L until 16384L).map(i => (i % 128, i / 128)).toDF("a", "b")
+    Layout.writeZOrdered(df, zp, nFiles = 16, colA = "a", colB = "b", bits = 7)
+    Layout.buildZoneMap(spark, zp, Seq("a", "b"))
+    val all = Layout.zonePrunedFiles(spark, zp, "a", Long.MinValue, Long.MaxValue)
+    val hitA = Layout.zonePrunedFiles(spark, zp, "a", 0L, 15L)
+    val hitB = Layout.zonePrunedFiles(spark, zp, "b", 0L, 15L)
+    assert(all.size == 16)
+    assert(hitA.size < all.size, s"a-range pruned nothing (${hitA.size}/16)")
+    assert(hitB.size < all.size, s"b-range pruned nothing (${hitB.size}/16)")
+    // rectangle = the manifest-level intersection of both pruned sets
+    val rect = hitA.toSet intersect hitB.toSet
+    assert(rect.size <= math.min(hitA.size, hitB.size))
+    val out = spark.read.parquet(rect.toSeq: _*)
+      .filter(col("a").between(0L, 15L) && col("b").between(0L, 15L))
+    assert(out.count() ==
+      df.filter(col("a").between(0L, 15L) && col("b").between(0L, 15L)).count())
+  }
+
   test("a missing manifest degrades to the unpruned scan, never an error") {
     build()
     val fs = new org.apache.hadoop.fs.Path(path)
