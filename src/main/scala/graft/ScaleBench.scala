@@ -125,7 +125,24 @@ object ScaleBench {
     // density, so a linear fit proves the wedge join does no cross-copy
     // work (a global sort, an all-nodes broadcast, or a lost orientation
     // would all show up superlinear)
-    val ev0 = Tables.events(spark, sfDir).select("user_id", "event_id")
+    val ev0 = Tables.events(spark, sfDir).select("user_id", "event_id", "event_type")
+
+    // k x fuzzy-join fixture: label vocab over k id-shifted user copies
+    // (distinct labels per copy), queries = the md5-picked corrupted subset
+    def labelsAt(k: Int): (DataFrame, DataFrame) = {
+      val v = matRead(
+        (0 until k).map { j =>
+          ev0.select(concat(col("event_type"), lit("-u"),
+            (col("user_id") + lit(j * Stride)).cast("string")).as("w"))
+        }.reduce(_ unionByName _).distinct(), s"$scaleDir/labels_k$k")
+      val q = v.select(col("w").as("src"),
+          graft.functions.Text.md5Hash64(col("w")).as("h"))
+        .filter(col("h") % 7L === 0L)
+        .select(col("src"), expr(
+          "substr(src, 1, cast(h % (length(src) - 2) as int) + 1) || " +
+            "substr(src, cast(h % (length(src) - 2) as int) + 3)").as("qs"))
+      (q, v)
+    }
     def edgesAt(k: Int): DataFrame = matRead(
       (0 until k).map { j =>
         ev0.select(
@@ -157,6 +174,18 @@ object ScaleBench {
       },
       "graph_triangle_count" -> { k: Int =>
         graft.operators.Triangles.perNodeTriangles(edgesAt(k)).count()
+      },
+      // candidate generation is the quadratic risk: k-shifted label copies
+      // multiply both vocab and query sides k x over a BOUNDED bigram
+      // universe and a SHARED type prefix — the two failure modes that
+      // sank the classic blockings right here (q-gram prefix filter:
+      // alpha 1.7; PassJoin segments: the slot-0 "click-" posting list
+      // grows with n, alpha 1.35) — linear only because deletion-variant
+      // keys carry the ids' own entropy
+      "fuzzy_editdist" -> { k: Int =>
+        val (q, v) = labelsAt(k)
+        graft.operators.Fuzzy.editDistanceJoin(q, v, "src", "qs", "w", "w", maxDist = 1)
+          .count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
@@ -169,6 +198,7 @@ object ScaleBench {
         "dedup_span_coverage"))) docsAt(k)
       if (opNames("sim_ivf_quantized")) embsAt(k)
       if (opNames("graph_triangle_count")) edgesAt(k)
+      if (opNames("fuzzy_editdist")) labelsAt(k)
     }
 
     // Same per-run isolation as [[Bench]]: the benched ops localCheckpoint

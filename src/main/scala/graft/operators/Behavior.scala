@@ -166,6 +166,36 @@ object Behavior {
         col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
   }
 
+  /** Gap-based sessionization — the batch twin of the engine's streaming
+    * session windows (`streaming_session_window`): within a user's
+    * time-ordered stream (ties broken by `idCol`), an event starts a new
+    * session when it arrives more than `gapNs` after its predecessor.
+    * One row per session: `(user, session_idx, session_start, session_end,
+    * n_events, dur_ns)` with `session_idx` 1-based in time order.
+    *
+    * All integer arithmetic on the epoch-nanos convention — exact on any
+    * engine. One exchange total: the boundary flag and its running sum are
+    * per-user windows, and the per-(user, session) aggregation's grouping
+    * keys are a SUPERSET of the window's partitioning key, so Catalyst
+    * reuses the user hash partitioning instead of exchanging again.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__new",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) <= gapNs, 0L).otherwise(1L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("dur_ns", col("session_end") - col("session_start"))
+  }
+
   /** Time-weighted average of a per-event level (balance/exposure): each
     * event's value holds until the user's next event; the average weights
     * each value by its holding duration — the standard TWAB shape of

@@ -9,36 +9,59 @@ import org.apache.spark.sql.functions._
   * (misspelled names, OCR noise, address variants — short strings where
   * one typo moves Jaccard a lot).
   *
-  * Blocking is the classic PREFIX FILTER over q-grams, which is EXACT (no
-  * false negatives), unlike a df-capped posting join: each edit operation
-  * changes at most `q` distinct q-grams, so `ed(s,t) <= d` implies
-  * `|G(s) ∩ G(t)| >= max(|G|) - d*q`; by the prefix-filter theorem, two
-  * sets intersecting that much must already intersect within their first
-  * `d*q + 1` grams under ANY shared global gram order. We order grams
-  * rarest-first (corpus df ascending, gram ascending as the tiebreak), so
-  * every string posts only its `d*q + 1` RAREST grams — the posting lists
-  * that drive the candidate join are exactly the ones with the smallest
-  * df, which is what bounds Σdf² at 100 TB (a stop-gram like "th" never
-  * joins unless it is one of a string's rarest grams, i.e. essentially
-  * never). Strings too short to own `d*q + 1` grams (`|G| <= d*q`, where
-  * a within-distance pair can share ZERO grams) go through a length-band
-  * sidecar instead: |len(s) - len(t)| <= d is necessary for ed <= d, and
-  * the band join is keyed (2d+1 exploded length keys — an equi join, not
-  * a theta join). Candidates verify with Spark's thresholded
-  * `levenshtein(l, r, d)` (O(d·len) early-exit, not O(len²)).
+  * Blocking is the DELETION NEIGHBORHOOD (the SymSpell scheme): each side
+  * posts every string obtainable by deleting at most `d` characters, and
+  * the candidate join is a pure equi join on the variants. Exact — no
+  * false negatives: take an optimal alignment of a pair within distance
+  * `d`; deleting from `s` the characters an edit consumed on its side and
+  * from `t` those consumed on the other side removes at most `d`
+  * characters from EACH and leaves the matched characters — the same
+  * string — on both. Conversely a shared variant implies distance at most
+  * `2d`, so the candidate set is the local edit neighborhood and the
+  * thresholded verify pass touches nothing global.
   *
-  * Scale shape: one df aggregate over grams, one per-string top-(dq+1)
-  * window (partitioned by string id — tiny partitions), one posting
-  * equi-join, one keyed band join on the short sidecar, one verify
-  * projection. Nothing pairwise outside the posting lists.
+  * Why this scheme and not the classics? Both were measured on the
+  * k-shifted wallet-label probe (ScaleBench `fuzzy_editdist`) and both
+  * are superlinear on bounded-alphabet entity strings:
+  *  - q-gram prefix filter: the bigram universe of id-like labels is a
+  *    few hundred strings, so at corpus size n even a string's RAREST
+  *    grams have df ~ n/|grams| and the posting join does n²/|grams|
+  *    work — measured alpha 1.7 against the 1.3 gate bound;
+  *  - PassJoin pigeonhole segments (`d+1` even segments, position-banded
+  *    probe substrings): labels share their type PREFIX, so every
+  *    length-12 "click-…" label posts the identical slot-0 segment
+  *    "click-" and that posting list alone grows ∝ n — measured
+  *    alpha ~1.35.
+  * A deletion variant instead carries ALL of the string's entropy minus
+  * one character: two strings only share one when they already nearly
+  * agree, so posting lists are bounded by the local neighborhood density
+  * (the alphabet, not the corpus) and the same probe reads alpha ~ 1.
+  *
+  * The price is key fan-out: C(len, d) variants per string — the
+  * short-string regime this operator is FOR (labels, symbols, addresses;
+  * `maxDist <= 3` enforced). Long-text near-dup belongs to
+  * [[Dedup.ngramJaccardBlocked]] / MinHash, not here.
+  *
+  * Scale shape: one variant equi join, one distinct, one verify
+  * projection with Spark's thresholded `levenshtein(l, r, d)`
+  * (O(d·len) early-exit, not O(len²)). Nothing pairwise outside the
+  * variant posting lists; no global aggregate, no window.
   */
 object Fuzzy {
 
-  /** Distinct q-grams of `s` (empty array below length q). */
-  private def grams(s: Column, q: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
-      i => s.substr(i, lit(q))))
+  /** All distinct strings obtainable from `s` by at most `d` single-
+    * character deletions (includes `s` itself). Built by `d` rounds of
+    * one-deletion expansion + dedup — each round is a codegen'd
+    * transform/flatten over the previous round's array.
+    */
+  private def deletionVariants(s: Column, d: Int): Column = {
+    def del1(v: Column): Column =
+      transform(sequence(lit(1), greatest(length(v), lit(1))),
+        i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v))))
+    (1 to d).foldLeft(array(s)) { (acc, _) =>
+      array_distinct(concat(acc, flatten(transform(acc, del1(_)))))
+    }
+  }
 
   /** All pairs `(idl, idr, dist)` with `levenshtein(sl, sr) <= maxDist`.
     * Left/right may be the same table (callers drop the diagonal). Null
@@ -47,46 +70,19 @@ object Fuzzy {
   def editDistanceJoin(
       left: DataFrame, right: DataFrame,
       idL: String, sL: String, idR: String, sR: String,
-      maxDist: Int, q: Int = 2): DataFrame = {
-    require(maxDist >= 0, "maxDist must be >= 0")
-    require(q >= 1, "q must be >= 1")
-    val p = maxDist * q + 1
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist must be in [0,3] — the C(len,d) variant fan-out is the " +
+        "short-string contract; long-text near-dup belongs to the Jaccard/MinHash family")
     val L = left.select(col(idL).as("idl"), col(sL).as("sl")).filter(col("sl").isNotNull)
     val R = right.select(col(idR).as("idr"), col(sR).as("sr")).filter(col("sr").isNotNull)
 
-    val gl = L.select(col("idl"), explode(grams(col("sl"), q)).as("g"))
-    val gr = R.select(col("idr"), explode(grams(col("sr"), q)).as("g"))
-    // corpus-wide gram document frequency -> the shared global gram order
-    val dfc = gl.select("g").unionAll(gr.select("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
+    val lKeys = L.select(col("idl"),
+      explode(deletionVariants(col("sl"), maxDist)).as("v"))
+    val rKeys = R.select(col("idr"),
+      explode(deletionVariants(col("sr"), maxDist)).as("v"))
 
-    import org.apache.spark.sql.expressions.Window
-    def prefix(side: DataFrame, id: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("df"), col("g"))
-      side.join(dfc, "g")
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= p)
-        .select(col(id), col("g"))
-    }
-    val candGrams = prefix(gl, "idl").join(prefix(gr, "idr"), "g")
-      .select("idl", "idr")
-
-    // short-string sidecar: |G| <= d*q can share zero grams within
-    // distance d — block those by the length band instead (keyed join on
-    // 2d+1 exploded length keys; necessary condition |len diff| <= d)
-    val offsets = array((-maxDist to maxDist).map(lit): _*)
-    def bandKeysOf(s: Column): Column = transform(offsets, o => length(s) + o)
-    val shortL = L.filter(size(grams(col("sl"), q)) <= maxDist * q)
-    val shortR = R.filter(size(grams(col("sr"), q)) <= maxDist * q)
-    val candShortL = shortL.select(col("idl"), explode(bandKeysOf(col("sl"))).as("lk"))
-      .join(R.select(col("idr"), length(col("sr")).as("lk")), "lk")
-      .select("idl", "idr")
-    val candShortR = L.select(col("idl"), length(col("sl")).as("lk"))
-      .join(shortR.select(col("idr"), explode(bandKeysOf(col("sr"))).as("lk")), "lk")
-      .select("idl", "idr")
-
-    val cand = candGrams.unionAll(candShortL).unionAll(candShortR).distinct()
-    cand
+    lKeys.join(rKeys, "v").select("idl", "idr").distinct()
       .join(L, "idl").join(R, "idr")
       .withColumn("dist", levenshtein(col("sl"), col("sr"), maxDist).cast("long"))
       .filter(col("dist") =!= -1L)

@@ -1401,6 +1401,29 @@ object ParityQueries {
         CAST(SUM(dur) AS BIGINT) AS held_ns
       FROM f GROUP BY user_id"""))
 
+  /** Gap-based sessionization ([[Behavior.sessionize]]): 6-hour
+    * inactivity gap over the (t, id)-ordered per-user stream (the median
+    * inter-arrival gap in the synthetic stream is ~7.3 h, so the corpus
+    * splits into real multi-event sessions, not one-per-user or
+    * one-per-event). All integer nanos arithmetic — the oracle rebuilds
+    * the identical boundary flags and running session index.
+    */
+  private val sessionizeQ = Q(
+    "analytics_sessionize",
+    (s, d) => graft.operators.Behavior.sessionize(
+      Tables.events(s, d), "user_id", "ts", "event_id", 21600000000000L),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+      b AS (SELECT user_id, event_id, t,
+          CASE WHEN t - LAG(t) OVER w <= 21600000000000 THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      x AS (SELECT user_id, t,
+          CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM b)
+      SELECT user_id, session_idx, MIN(t) AS session_start, MAX(t) AS session_end,
+        COUNT(*) AS n_events, MAX(t) - MIN(t) AS dur_ns
+      FROM x GROUP BY 1, 2"""))
+
   /** Markov transition matrix ([[Behavior.transitionMatrix]]): per-user
     * next-event transitions, exact counts, probability = one division of
     * two exact integers.
@@ -1458,7 +1481,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     cdcApply,
-    funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ,
+    funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,

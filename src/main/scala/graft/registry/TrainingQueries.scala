@@ -1921,11 +1921,11 @@ object TrainingQueries {
     * (`event_type || '-u' || user_id` — numeric neighbors give dense
     * edit-distance-1 structure), a deterministic md5-picked subset
     * corrupted by one interior character deletion, then joined back within
-    * distance 1 through the exact prefix-filter blocking (rarest `d*q+1`
-    * grams per string + the short-string length-band sidecar). The oracle
-    * is the BLIND QUADRATIC levenshtein join — it knows nothing of the
-    * blocking, so any false negative the prefix filter or sidecar ever
-    * produced would break the hash.
+    * distance 1 through the exact deletion-neighborhood blocking (the
+    * SymSpell scheme: equi join on ≤d-deletion variants). The oracle is
+    * the BLIND QUADRATIC levenshtein join — it knows nothing of the
+    * blocking, so any false negative the variant generation ever produced
+    * would break the hash.
     */
   private val fuzzyJoinQ = Q(
     "join_fuzzy_editdist",

@@ -102,6 +102,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r == Set(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
   }
 
+  test("sessionize: gap strictly greater than gapNs starts a new session; ties share") {
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 5L), (1L, 3L, 10L), // gaps 5,5 <= 5: one session
+      (1L, 4L, 16L),                             // gap 6 > 5: new session
+      (2L, 5L, 100L),                            // single event = its own session
+      (2L, 6L, 100L)                             // equal ts: same session, id tie-break
+    ).toDF("user_id", "event_id", "ts")
+    val r = Behavior.sessionize(ev, "user_id", "ts", "event_id", 5L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 1L, 0L, 10L, 3L, 10L),
+      (1L, 2L, 16L, 16L, 1L, 0L),
+      (2L, 1L, 100L, 100L, 2L, 0L)))
+  }
+
   test("time-weighted average weights values by holding duration, not event count") {
     // value 10 held for 9 units, then a burst of value 0 for 1 unit:
     // plain avg of events = (10+0+0)/3; twab = (10*9 + 0*1) / 10 = 9.0

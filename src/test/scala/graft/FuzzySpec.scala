@@ -2,8 +2,8 @@ package graft
 
 import graft.operators.Fuzzy
 
-/** Edit-distance join vs a Scala brute force — completeness of the prefix
-  * filter and the short-string sidecar is the whole game.
+/** Edit-distance join vs a Scala brute force — completeness of the
+  * deletion-neighborhood blocking is the whole game.
   */
 class FuzzySpec extends SparkSpec {
   import spark.implicits._
@@ -39,8 +39,9 @@ class FuzzySpec extends SparkSpec {
   }
 
   test("matches the brute force, short-string sidecar included") {
-    // short strings ("a", "ab") can share ZERO bigrams with their matches —
-    // only the length-band sidecar finds them
+    // short strings ("a", "ab") can share ZERO bigrams or segments with
+    // their matches — deletion variants must still find them (down to the
+    // empty-string variant)
     val pool = Seq("a", "b", "ab", "ba", "abc", "abd", "bbc", "abcd", "abed",
       "hello", "hallo", "hellos", "world", "wordl", "wold", "xyzzy")
     (0 to 2).foreach { d =>
