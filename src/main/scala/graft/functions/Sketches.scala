@@ -255,6 +255,109 @@ object Sketches {
         (col("ne") < HllM).as("n_low"): _*)
   }
 
+  /** KMV (k-minimum-values) DISTINCT SKETCH — the SET-ALGEBRA member of
+    * the sketch-state family. HLL registers merge by max and answer
+    * "how many distinct", but two HLL sketches cannot answer "how many
+    * SHARED distinct" — intersections need the actual sample. A KMV
+    * sketch IS a sample: the `k` smallest distinct [[Text.md5Hash64]]
+    * values of the key set. Union = re-min over stacked sketches
+    * (associative, idempotent, replay-proof — the same winner-of-winners
+    * argument as HLL); intersection = the Jaccard of the merged sample
+    * scaled by the union estimate. Everything is 64-bit integer
+    * arithmetic on a cross-engine-exact hash, so sketches, merges, AND
+    * estimates hash-compare exactly against a SQL oracle.
+    *
+    * Estimator: with `j = |sketch|` values and `hk` the largest kept,
+    * `est = j` exactly when `j < k` (the sketch saw every distinct key),
+    * else `floor((k-1) * 2^60 / hk)` — the classic KMV unbiased form over
+    * the 60-bit hash space, computed in decimal(38,0) (the numerator
+    * 255 * 2^60 overflows a long). Standard error ~ 1/sqrt(k-2) = 6.3%
+    * at k = 256.
+    *
+    * Scale shape: one grouped DISTINCT of hashes (map-side combining),
+    * then the map-side-bounded k-heap aggregate
+    * ([[org.apache.spark.sql.graftnative.NativeColumns.topKByScore]] with
+    * a constant score — ties break to the LOWEST id, so the heap keeps
+    * exactly the k smallest hashes with no float anywhere). The exchange
+    * carries O(k) rows per group per partition; sketch state at rest is
+    * at most k rows per group.
+    */
+  val KmvK = 256
+
+  /** Sketch rows `(groupCols…, h)`: the [[KmvK]] smallest distinct hash
+    * values of `key` per group.
+    */
+  def kmvSketch(df: DataFrame, key: Column, groupCols: Seq[String] = Nil): DataFrame =
+    kmvMin(
+      df.select(groupCols.map(col) :+ Text.md5Hash64(key.cast("string")).as("h"): _*)
+        .distinct(),
+      groupCols)
+
+  /** Merge stacked sketch rows: the k smallest of the union. Idempotent +
+    * associative (a re-min of mins), so batch slicing and replay are
+    * harmless.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    kmvMin(sketches.dropDuplicates(groupCols :+ "h"), groupCols)
+
+  private def kmvMin(hashes: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns
+    val agg = hashes
+      .groupBy(groupCols.map(col): _*)
+      .agg(NativeColumns.topKByScore(lit(0.0), col("h"), KmvK).as("__tk"))
+    agg.select(groupCols.map(col) :+
+      explode(transform(col("__tk"), _.getField("id"))).as("h"): _*)
+  }
+
+  /** Distinct estimate per group from sketch rows: `(groupCols…, est,
+    * exact)` — `exact` is true when the sketch holds the entire key set
+    * (fewer than k values) and `est` is then the exact count.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__j"), max("h").as("__hk"))
+      .select(groupCols.map(col) :+
+        when(col("__j") < KmvK, col("__j")).otherwise(
+          expr(s"(cast(${KmvK - 1} as decimal(38,0)) * 1152921504606846976) div __hk"))
+          .as("est") :+
+        (col("__j") < KmvK).as("exact"): _*)
+
+  /** Set algebra over two single-group sketches `a(h)` and `b(h)`: one row
+    * `(est_a, est_b, est_union, inter_hits, est_intersection)`. The merged
+    * sample K is the k smallest of `a ∪ b`; `inter_hits = |{v ∈ K : v ∈ a
+    * ∧ v ∈ b}|` (two semi joins of sketch state — at most k rows a side);
+    * the intersection estimate is the Jaccard scale-up `inter_hits *
+    * est_union div |K|`, which degrades to the EXACT intersection size
+    * when the union fit in the sketch. Integer end to end.
+    */
+  def kmvIntersect2(a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = kmvMerge(a.select("h").unionAll(b.select("h")))
+    val hits = merged.join(a.select("h"), Seq("h"), "left_semi")
+      .join(b.select("h"), Seq("h"), "left_semi")
+    // five one-row scalar frames folded through a tagged union + one
+    // global aggregate — a crossJoin of scalars would plan a (sanctioned
+    // but pointless) nested-loop join; this shape plans none at all
+    def tag(m: String, f: DataFrame, c: String): DataFrame =
+      f.select(lit(m).as("m"), col(c).cast("long").as("v"))
+    Seq(
+      tag("ea", kmvEstimate(a), "est"),
+      tag("eb", kmvEstimate(b), "est"),
+      tag("eu", kmvEstimate(merged), "est"),
+      tag("ih", hits.agg(count(lit(1)).as("n")), "n"),
+      tag("kc", merged.agg(count(lit(1)).as("n")), "n"))
+      .reduce(_ unionAll _)
+      .agg(
+        max(when(col("m") === "ea", col("v"))).as("est_a"),
+        max(when(col("m") === "eb", col("v"))).as("est_b"),
+        max(when(col("m") === "eu", col("v"))).as("est_union"),
+        max(when(col("m") === "ih", col("v"))).as("inter_hits"),
+        max(when(col("m") === "kc", col("v"))).as("__kc"))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("inter_hits"),
+        when(col("__kc") === 0L, lit(0L))
+          .otherwise(expr("(cast(inter_hits as decimal(38,0)) * est_union) div __kc"))
+          .as("est_intersection"))
+  }
+
   /** Raw-HLL estimate from one merged register table (`ridx, rmax`),
     * integer-exact: with every term pre-scaled by `2^RankCap` (legal for
     * any scale >= max rank, and RankCap bounds the rank by construction),

@@ -2011,6 +2011,68 @@ object TrainingQueries {
       SELECT x.user_id, x.exact, e.est, e.est >= x.exact AS never_under
       FROM x JOIN e ON e.user_id = x.user_id"""))
 
+  /** Mergeable KMV distinct sketch ([[graft.functions.Sketches
+    * .kmvSketch]]) — the SET-ALGEBRA member of the sketch-state family:
+    * per-day k-minimum-hash samples of the event_id set, merged by re-min
+    * into the all-history sketch; the oracle computes the k smallest
+    * distinct hashes in one direct pass, so the hash only matches if
+    * merge-of-parts == whole. Every row is one 60-bit integer.
+    */
+  private val kmvMergeable = Q(
+    "agg_kmv_mergeable",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val daily = graft.functions.Sketches.kmvSketch(ev, col("event_id"), groupCols = Seq("day"))
+      graft.functions.Sketches.kmvMerge(daily.select("h"))
+    },
+    Some(s"""WITH $EV,
+      hs AS (SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev)
+      SELECT h FROM hs ORDER BY h LIMIT 256"""))
+
+  /** KMV set algebra ([[graft.functions.Sketches.kmvIntersect2]]): the
+    * question HLL registers cannot answer — the INTERSECTION of two key
+    * sets from their sketches alone. Two overlapping high-cardinality
+    * event_id sets (rows of users ≢ 0 mod 3; rows of even days — both
+    * thousands of ids, so the `j = k` estimator branch is exercised, not
+    * the exact-small fallback), sketched, merged, Jaccard-scaled. The
+    * oracle re-derives every integer: both sketches, the merged sample,
+    * the hit count, and the floor-div estimates — bit-identical or the
+    * row fails.
+    */
+  private val kmvSetOps = Q(
+    "agg_kmv_setops",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val a = graft.functions.Sketches.kmvSketch(
+        ev.filter(col("user_id") % 3 =!= 0), col("event_id"))
+      val b = graft.functions.Sketches.kmvSketch(
+        ev.filter(col("day") % 2 === 0), col("event_id"))
+      graft.functions.Sketches.kmvIntersect2(a, b)
+    },
+    Some(s"""WITH $EV,
+      ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev WHERE user_id % 3 <> 0),
+      hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev WHERE day % 2 = 0),
+      sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
+      sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 256),
+      mk AS MATERIALIZED (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        ORDER BY h LIMIT 256),
+      est_a AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+          ELSE CAST((255::HUGEINT * (1::HUGEINT << 60)) // MAX(h) AS BIGINT) END AS v FROM sa),
+      est_b AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+          ELSE CAST((255::HUGEINT * (1::HUGEINT << 60)) // MAX(h) AS BIGINT) END AS v FROM sb),
+      est_u AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+          ELSE CAST((255::HUGEINT * (1::HUGEINT << 60)) // MAX(h) AS BIGINT) END AS v FROM mk),
+      ih AS (SELECT COUNT(*) AS n FROM mk
+        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+      kc AS (SELECT COUNT(*) AS n FROM mk)
+      SELECT est_a.v AS est_a, est_b.v AS est_b, est_u.v AS est_union, ih.n AS inter_hits,
+        CASE WHEN kc.n = 0 THEN 0
+          ELSE CAST((ih.n::HUGEINT * est_u.v::HUGEINT) // kc.n AS BIGINT) END AS est_intersection
+      FROM est_a, est_b, est_u, ih, kc"""))
+
   /** PII scrub over documents salted with deterministic synthetic PII
     * (emails, URLs, phone-ish runs, long numbers derived from doc_id — the
     * corpus itself is random words), then whitespace-normalized. The
@@ -3632,7 +3694,7 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ, logHistGroupedQ,
+    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ, logHistGroupedQ, kmvMergeable, kmvSetOps,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,

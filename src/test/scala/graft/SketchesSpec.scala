@@ -157,4 +157,55 @@ class SketchesSpec extends SparkSpec {
     val mx = sk.agg(max("rmax")).as[Long].head()
     assert(mx <= Sketches.RankCap.toLong && mx >= 1L)
   }
+
+  test("kmv: merge of arbitrary slices == sketch of the whole; replay is a no-op") {
+    val df = (0L until 5000L).map(i => (i % 7, i)).toDF("slice", "k")
+    val whole = Sketches.kmvSketch(df, col("k")).as[Long].collect().toSet
+    val slices = Sketches.kmvSketch(df, col("k"), groupCols = Seq("slice"))
+    val merged = Sketches.kmvMerge(slices.select("h")).as[Long].collect().toSet
+    assert(merged == whole && merged.size == Sketches.KmvK)
+    // replaying a slice into the merge changes nothing (re-min of mins)
+    val replay = Sketches.kmvMerge(
+      slices.select("h").unionAll(slices.filter(col("slice") === 3).select("h")))
+      .as[Long].collect().toSet
+    assert(replay == whole)
+  }
+
+  test("kmv estimate: exact below k, within 20% far above k") {
+    val small = Sketches.kmvEstimate(
+      Sketches.kmvSketch((0L until 100L).toDF("k"), col("k")))
+      .as[(Long, Boolean)].head()
+    assert(small == ((100L, true)))
+    val big = Sketches.kmvEstimate(
+      Sketches.kmvSketch((0L until 50000L).toDF("k"), col("k")))
+      .as[(Long, Boolean)].head()
+    assert(!big._2 && big._1 >= 40000L && big._1 <= 60000L,
+      s"est ${big._1} outside the 20% band around 50000")
+  }
+
+  test("kmv intersection: estimator tracks the true overlap; exact when the union fits") {
+    // A = [0, 30000), B = [15000, 45000): |A∩B| = 15000, |A∪B| = 45000
+    val a = Sketches.kmvSketch((0L until 30000L).toDF("k"), col("k"))
+    val b = Sketches.kmvSketch((15000L until 45000L).toDF("k"), col("k"))
+    val r = Sketches.kmvIntersect2(a, b).as[(Long, Long, Long, Long, Long)].head()
+    val (estA, estB, estU, hits, estI) = r
+    assert(estU >= 36000L && estU <= 54000L, s"union est $estU")
+    assert(estI >= 9000L && estI <= 21000L, s"intersection est $estI vs true 15000")
+    assert(hits > 0L && estA > 0L && estB > 0L)
+    // tiny sets: union fits in the sketch -> everything exact
+    val ta = Sketches.kmvSketch((0L until 80L).toDF("k"), col("k"))
+    val tb = Sketches.kmvSketch((50L until 130L).toDF("k"), col("k"))
+    val t = Sketches.kmvIntersect2(ta, tb).as[(Long, Long, Long, Long, Long)].head()
+    assert(t == ((80L, 80L, 130L, 30L, 30L)))
+  }
+
+  test("kmv on empty input: empty sketch, zero estimates") {
+    val empty = Sketches.kmvSketch(Seq.empty[Long].toDF("k"), col("k"))
+    assert(empty.count() == 0)
+    val est = Sketches.kmvEstimate(empty).as[(Long, Boolean)].head()
+    assert(est == ((0L, true)))
+    val both = Sketches.kmvIntersect2(empty, empty)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(both == ((0L, 0L, 0L, 0L, 0L)))
+  }
 }
