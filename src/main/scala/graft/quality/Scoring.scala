@@ -195,6 +195,76 @@ object Scoring {
       .select("doc_id", "w", "tf", "df", "score", "rank")
   }
 
+  /** BM25 RANKED RETRIEVAL — query-driven top-k over the corpus, the
+    * data-curation primitive [[tfidfTopTerms]] (per-doc keywords) does not
+    * cover: "find the documents most relevant to these probe queries"
+    * (contamination sweeps, targeted subset mining, eval-set neighbor
+    * audits). Okapi BM25 with the Lucene idf (always positive) and
+    * k1 = 6/5, b = 3/4 — chosen RATIONAL so the whole score is exact
+    * integer arithmetic:
+    *
+    *   idf_q(t) = floor(log2((2N+2)/(2df+1)) * 1e6)   (the one quantized
+    *              transcendental — [[tfidfTopTerms]]'s residual-assumption
+    *              note applies verbatim)
+    *   contrib  = floor(idf_q * 22*T*tf / (10*T*tf + 3*T + 9*dl*N))
+    *
+    * where the saturation term (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl))
+    * with avgdl = T/N clears denominators by ×10T: 22*T*tf over
+    * 10*T*tf + 3*T + 9*dl*N. Products stay inside a long for
+    * T ≲ 4e14 tokens × tf ≲ 1e3 (the idf product is widened through
+    * decimal(38,0)); the per-term floor makes contributions — and their
+    * exact long sums — bit-identical on every engine.
+    *
+    * Scale shape: the inverted index is the (doc_id, w, tf) aggregation
+    * (doc-partitioned once, shared with dl); df broadcasts as vocabulary
+    * state; the QUERY side broadcasts too — the probe-side-small contract
+    * ([[graft.operators.Similarity]]'s): queries are a curated probe set,
+    * not the corpus — so posting lists are never shuffled, only the
+    * (qid, doc) contributions (bounded by the probes' posting mass).
+    * Per-query ranking is the map-side-bounded k-heap, ties to the lower
+    * doc_id. Queries whose terms all miss the corpus emit no rows.
+    */
+  def bm25Retrieve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      boundary: graft.operators.Boundary = graft.operators.Boundary.Local): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.graftnative.NativeColumns
+    val toks = boundary(docs
+      .select(col(idCol).as("doc_id"), explode(Text.words(col(textCol))).as("w"))
+      .repartition(col("doc_id"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+    val dl = toks.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    // two-phase scalars (the snk_range_clustered literal discipline)
+    val totals = toks.agg(countDistinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+    val nDocs = totals.getLong(0)
+    val totTok = totals.getLong(1)
+    val qidf = floor(log2((lit(2L * nDocs + 2L)).cast("double") /
+      (col("df") * 2L + 1L).cast("double")) * 1e6).cast("long")
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(array_distinct(Text.words(col(qtextCol)))).as("w"))
+    val contrib = toks
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq.withColumn("idf_q", qidf)), "w")
+      .join(broadcast(qterms), "w")
+      .withColumn("c", expr(
+        s"cast(idf_q as decimal(38,0)) * (22 * ${totTok}L * tf) " +
+          s"div (10 * ${totTok}L * tf + 3 * ${totTok}L + 9 * dl * ${nDocs}L)"))
+      .groupBy("qid", "doc_id").agg(sum("c").as("score"))
+    contrib
+      .groupBy("qid")
+      .agg(NativeColumns.topKByScore(col("score").cast("double"), col("doc_id"), k).as("__tk"))
+      .select(col("qid"), posexplode(col("__tk")))
+      .select(col("qid"), col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Bigram-LM surprisal with unigram interpolation — the CCNet-style
     * perplexity quality signal one model order up from
     * [[unigramSurprisal]] (Wenzek et al. 2020 score with a 5-gram KenLM;

@@ -1347,6 +1347,54 @@ object TrainingQueries {
         boundary = graft.operators.Boundary.None)
       .withColumn("rank", col("rank").cast("long"))))
 
+  /** BM25 ranked retrieval ([[graft.quality.Scoring.bm25Retrieve]]):
+    * every 43rd document's first 24 words replayed as a probe query
+    * over the whole corpus — every probe's source document lands in its
+    * own top-10 (rank 1 exactly where the 31-word synthetic vocabulary
+    * leaves a distinctive term profile), and the oracle re-derives the
+    * entire
+    * integer score (quantized Lucene idf, rational-k1/b saturation term
+    * cleared to the 22Ttf / (10Ttf + 3T + 9·dl·N) floor-div) plus the
+    * (score DESC, doc_id) ranking, so retrieval order is hash-checked
+    * end to end.
+    */
+  private val bm25Q = Q(
+    "text_bm25_retrieve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 43 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(Text.words(col("text")), 1, 24)).as("qtext"))
+      graft.quality.Scoring.bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+      toks AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      dfr AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+      tot AS (SELECT COUNT(DISTINCT doc_id) AS n, CAST(SUM(tf) AS BIGINT) AS t FROM toks),
+      qt AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice($WS, 1, 24))) AS w
+        FROM documents WHERE doc_id % 43 = 0),
+      con AS (SELECT qt.qid, toks.doc_id,
+          CAST((CAST(FLOOR(log2((2 * tot.n + 2)::DOUBLE / (2 * dfr.df + 1)::DOUBLE)
+                * 1000000.0) AS HUGEINT) * (22 * tot.t * toks.tf))
+            // (10 * tot.t * toks.tf + 3 * tot.t + 9 * dl.dl * tot.n) AS BIGINT) AS c
+        FROM qt JOIN toks USING (w) JOIN dl ON dl.doc_id = toks.doc_id
+          JOIN dfr ON dfr.w = toks.w CROSS JOIN tot),
+      sc AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score FROM con GROUP BY 1, 2),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT qid, doc_id, score, rank FROM rn WHERE rank <= 10"""),
+    planView = Some((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 43 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(Text.words(col("text")), 1, 24)).as("qtext"))
+      graft.quality.Scoring.bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 10,
+        boundary = graft.operators.Boundary.None)
+        .withColumn("rank", col("rank").cast("long"))
+    }))
+
   private val textRepetition = Q(
     "text_repetition",
     (s, d) => Tables.documents(s, d)
@@ -3690,7 +3738,7 @@ object TrainingQueries {
     simPqEncode, simPqTopK,
     simIvfPq,
     tokenCount, qualityScore, qualityFilter, textRepetition, gopherRulesQ, textSurprisal,
-    tfidfTopTermsQ, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
+    tfidfTopTermsQ, bm25Q, bigramSurprisalQ, classifierScoreQ, classifierTrainQ, classifierApplyQ,
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,

@@ -458,6 +458,37 @@ class SelectionSpec extends SparkSpec {
     assert(!r.contains(3L), "single-word doc has no bigrams")
   }
 
+  test("bm25Retrieve: rare terms outrank common, dl-normalization, missing terms") {
+    val docs = Seq(
+      (1L, "zebra walks home"),          // the only zebra doc
+      (2L, "cat cat cat cat dog home"),  // long, repetitive
+      (3L, "cat dog"),                   // short — dl-normalization favors it
+      (4L, "dog home walks")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra"), (20L, "cat"), (30L, "unicorn")).toDF("qid", "qtext")
+    val r = graft.quality.Scoring
+      .bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toSeq).toMap
+    // the unique-term query hits exactly its doc
+    assert(r(10L).map(_._1) == Seq(1L))
+    assert(r(10L).head._2 > 0L)
+    // 'cat': doc 2 has tf 4 but is long; saturation + dl-normalization must
+    // still rank it over doc 3's single 'cat' (tf dominates at these sizes),
+    // and only docs containing the term appear
+    assert(r(20L).map(_._1).toSet == Set(2L, 3L))
+    assert(r(20L).map(_._1).head == 2L, s"tf-4 doc must lead: ${r(20L)}")
+    // a query of unseen terms emits no rows at all
+    assert(!r.contains(30L))
+    // scores strictly decrease down each ranking (distinct docs here)
+    r.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 >= b._2)
+        case _ =>
+      }
+    }
+  }
+
   test("hashedClassifierScore: bounds, empty doc, determinism, keep rule") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "zeta eta theta"),
       (4L, "alpha alpha alpha")).toDF("doc_id", "text")
