@@ -1998,6 +1998,50 @@ object TrainingQueries {
       SELECT q.src, v.w AS matched, CAST(levenshtein(q.qs, v.w) AS BIGINT) AS dist
       FROM q, v WHERE levenshtein(q.qs, v.w) <= 1"""))
 
+  /** Entity-resolution CLUSTERS: the fuzzy join composed with connected
+    * components — [[graft.operators.Fuzzy.editDistanceJoin]] self-joined
+    * over the wallet-label vocabulary (distance 1, diagonal dropped), ids
+    * via md5, then [[graft.operators.Dedup.connectedComponents]] assigns
+    * every label its component's minimum hash id (singletons keep their
+    * own). This is the canonical record-linkage pipeline: blocking →
+    * pairwise match → transitive closure. Numeric-neighbor labels chain
+    * across substitutions AND deletions ('click-u19' ~ 'click-u1'), so
+    * the closure is genuinely transitive — a pair-set-only check would
+    * not catch a broken contraction. Oracle: blind quadratic levenshtein
+    * pairs (a length-band prefilter only — an exact necessary condition)
+    * + the recursive min-label fixpoint, independent of both the blocking
+    * and the engine's pointer-doubling.
+    */
+  private val fuzzyClustersQ = Q(
+    "er_fuzzy_clusters",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      // users ≡ 0 mod 3: sparse enough that the closure forms ~dozens of
+      // multi-node components (all-users labels chain into one giant
+      // component per type and the oracle's m² reach CTE pays 65 s for it)
+      val ids = ev.filter(col("user_id") % 3 === 0).select(
+        concat(col("event_type"), lit("-u"), col("user_id").cast("string")).as("w")).distinct()
+        .select(col("w"), graft.functions.Text.md5Hash64(col("w")).as("id"))
+      val pairs = graft.operators.Fuzzy.editDistanceJoin(ids, ids, "id", "w", "id", "w", maxDist = 1)
+        .filter(col("idl") < col("idr"))
+      val cc = graft.operators.Dedup.connectedComponents(pairs, "idl", "idr")
+      ids.join(cc, ids("id") === cc("node"), "left")
+        .select(col("w"), coalesce(col("cluster"), col("id")).as("cluster"))
+    },
+    Some(s"""WITH RECURSIVE $EV,
+      v AS MATERIALIZED (SELECT DISTINCT event_type || '-u' || CAST(user_id AS VARCHAR) AS w
+        FROM ev WHERE user_id % 3 = 0),
+      ids AS MATERIALIZED (SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS id FROM v),
+      pr AS MATERIALIZED (SELECT a.id AS pa, b.id AS pb FROM ids a JOIN ids b
+        ON a.id < b.id AND abs(length(a.w) - length(b.w)) <= 1
+        WHERE levenshtein(a.w, b.w) <= 1),
+      edges AS (SELECT pa AS eu, pb AS ew FROM pr UNION SELECT pb, pa FROM pr),
+      reach AS (SELECT eu AS node, ew AS r FROM edges
+        UNION SELECT rc.node, e.ew FROM reach rc JOIN edges e ON e.eu = rc.r),
+      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+      SELECT ids.w, COALESCE(cl.cluster, ids.id) AS cluster
+      FROM ids LEFT JOIN cl ON cl.node = ids.id"""))
+
   /** DuckDB mirror of [[graft.functions.Sketches.cmsSketch]]'s cells over
     * `ev` keyed on user_id: 4 salted md5 hash rows x 512 columns.
     */
@@ -3742,7 +3786,8 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ, fuzzyJoinQ, hllGroupedQ, logHistGroupedQ, kmvMergeable, kmvSetOps,
+    cmsMergeable, cmsPointQ, fuzzyJoinQ, fuzzyClustersQ, hllGroupedQ, logHistGroupedQ,
+    kmvMergeable, kmvSetOps,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
