@@ -2103,6 +2103,46 @@ object TrainingQueries {
       SELECT x.user_id, x.exact, e.est, e.est >= x.exact AS never_under
       FROM x JOIN e ON e.user_id = x.user_id"""))
 
+  /** Count-min HEAVY HITTERS — the guaranteed-superset pattern: probe the
+    * candidate keys against the MERGED per-day sketch state and keep
+    * every key whose estimate clears the threshold. Count-min never
+    * undercounts, so the kept set provably contains every true heavy
+    * hitter (`hh_exact` true ⇒ row present — no false negatives, the
+    * property a sampling approach cannot give); the exact count rides
+    * beside to expose the (deterministic, integer) overcount. At 100 TB
+    * the point is the STATE: today's candidate keys probe an all-history
+    * 2048-cell table instead of re-aggregating the history.
+    */
+  private val cmsHeavyHitters = Q(
+    "agg_cms_heavy_hitters",
+    (s, d) => {
+      val ev = ParityQueries.evDf(s, d)
+      val sketch = graft.functions.Sketches.cmsMerge(
+        graft.functions.Sketches.cmsSketch(ev, col("user_id"), groupCols = Seq("day"))
+          .select("r", "cell", "cnt"))
+      val est = graft.functions.Sketches.cmsPointQuery(
+        sketch, ev.select(col("user_id").as("k")).distinct())
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      est.withColumnRenamed("k", "user_id")
+        .filter(col("est") >= 80L)
+        .join(exact, "user_id")
+        .select(col("user_id"), col("est"), col("exact"),
+          (col("exact") >= 80L).as("hh_exact"),
+          (col("est") >= col("exact")).as("never_under"))
+    },
+    Some(s"""WITH $EV, $cmsCellsSql,
+      ks AS (SELECT DISTINCT user_id FROM ev),
+      probes AS (SELECT ks.user_id, r,
+        ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(ks.user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 512 AS cell
+        FROM ks, (SELECT unnest(range(4)) AS r)),
+      e AS (SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell GROUP BY 1),
+      x AS (SELECT user_id, COUNT(*) AS exact FROM ev GROUP BY 1)
+      SELECT e.user_id, e.est, x.exact, x.exact >= 80 AS hh_exact,
+        e.est >= x.exact AS never_under
+      FROM e JOIN x USING (user_id) WHERE e.est >= 80"""))
+
   /** Mergeable KMV distinct sketch ([[graft.functions.Sketches
     * .kmvSketch]]) — the SET-ALGEBRA member of the sketch-state family:
     * per-day k-minimum-hash samples of the event_id set, merged by re-min
@@ -3526,6 +3566,32 @@ object TrainingQueries {
     Some(s"""WITH $EV, src AS (SELECT event_id AS k FROM ev), ${hllRegSql("src")}
       SELECT ridx, rmax FROM reg"""))
 
+  /** Streaming KMV ingest ([[graft.streaming.Streams
+    * .kmvIngestAvailableNow]]): the same slicing/replay proof as
+    * `streaming_hll_ingest` for the set-algebra sketch — 1-file batches
+    * re-min'd into the persisted k-row sample, oracle = the direct k-min
+    * over everything.
+    */
+  private val streamingKmv = Q(
+    "streaming_kmv_ingest",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_kmv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = ParityQueries.evDf(s, d).select("event_id")
+      ev.repartition(5, col("event_id")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.kmvIngestAvailableNow(
+        stream, "event_id", s"$base/state", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/state")
+    },
+    Some(s"""WITH $EV,
+      hs AS (SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM ev)
+      SELECT h FROM hs ORDER BY h LIMIT 256"""))
+
   private val streamingWindowed = Q(
     "streaming_windowed_agg",
     (s, d) => {
@@ -3786,8 +3852,8 @@ object TrainingQueries {
     perplexityBucketsQ, domainCapQ,
     spanCoverageQ, spanRemovalQ,
     approxDistinct, hllMergeable, hllEstimateQ, logHistMergeable, logHistQuantile,
-    cmsMergeable, cmsPointQ, fuzzyJoinQ, fuzzyClustersQ, hllGroupedQ, logHistGroupedQ,
-    kmvMergeable, kmvSetOps,
+    cmsMergeable, cmsPointQ, cmsHeavyHitters, fuzzyJoinQ, fuzzyClustersQ, hllGroupedQ,
+    logHistGroupedQ, kmvMergeable, kmvSetOps,
     redactPii, urlCanonical, htmlExtract, htmlNumericRefs, pipelineCorpusCleanHtml, pipelineTrainingBuild,
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
@@ -3799,5 +3865,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingHll, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingKmv, streamingAsOfEnrich, streamingLshDedup)
 }

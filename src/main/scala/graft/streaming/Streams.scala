@@ -227,6 +227,39 @@ object Streams {
       }
       .start()
 
+  /** STREAMING KMV INGEST — [[hllIngestAvailableNow]]'s twin for the
+    * set-algebra sketch: each micro-batch folds its keys' k smallest
+    * hashes into the persisted sample ([[graft.functions.Sketches
+    * .kmvMerge]] — a re-min of mins, associative, commutative AND
+    * idempotent, so at-least-once replay and arbitrary slicing are
+    * absorbed by the merge). The at-rest state (≤ k rows) answers
+    * distinct-count AND intersection questions against any other KMV
+    * sketch via [[graft.functions.Sketches.kmvIntersect2]].
+    */
+  def kmvIngestAvailableNow(
+      stream: DataFrame,
+      keyCol: String,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val sk = graft.functions.Sketches.kmvSketch(batch, col(keyCol))
+          val dst = new org.apache.hadoop.fs.Path(statePath)
+          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (!fs.exists(dst)) sk
+            else graft.functions.Sketches.kmvMerge(
+              sk.unionByName(spark.read.parquet(statePath)))
+          graft.operators.Incremental.swapCommit(spark, merged, statePath)
+        }
+      }
+      .start()
+
   /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
     * LSH-checked against the persisted bucket index
     * ([[graft.operators.Dedup.minhashBuckets]] at rest under

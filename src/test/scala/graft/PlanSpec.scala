@@ -149,6 +149,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
   }
 
+  test("bm25 broadcasts vocabulary AND probe queries; posting lists never shuffle-join") {
+    graft.sources.Tables.configure(spark)
+    val plan = Registry.byName("text_bm25_retrieve").planView.get(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df/query sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the inverted index must stream map-side against broadcast state:\n$plan")
+  }
+
   test("stratified sample semi-joins the picked ids as a broadcast, corpus unshuffled") {
     graft.sources.Tables.configure(spark)
     val plan = Registry.byName("sel_stratified_sample").run(spark, sf)

@@ -72,7 +72,9 @@ class RegistrySpec extends AnyFunSuite {
       "dedup_cluster_split",
       // r10: the perceptual near-dup family routes hammingPairs64's
       // signature boundary
-      "dedup_image_neardup", "dedup_audio_neardup", "dedup_media_neardup_clusters")
+      "dedup_image_neardup", "dedup_audio_neardup", "dedup_media_neardup_clusters",
+      // r10: bm25's inverted index is tf-materialized (three consumers)
+      "text_bm25_retrieve")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
