@@ -213,6 +213,53 @@ object Behavior {
     * everywhere. Users with fewer than 2 events have no held duration
     * and are excluded.
     */
+  /** Robust per-key anomaly flags: an event is anomalous when its value
+    * deviates from the key's DISCRETE median by more than
+    * `threshNum/threshDen` MADs — the median/MAD z-score, the standard
+    * robust outlier rule (a mean/stddev z-score is itself dragged by the
+    * outliers it is meant to find). Output: one row per event
+    * `(user, event_id, value, med, mad, dev, is_anomaly)`.
+    *
+    * Exactness: median and MAD are discrete selections (existing doubles,
+    * the `agg_median_disc` rank rule — no interpolation arithmetic), the
+    * deviation subtracts identical doubles, and the threshold compare
+    * cross-multiplies by exactly-representable integer literals
+    * (`dev * den > mad * num` — ONE IEEE product each side, the same
+    * expression tree on every engine, so the compare is bit-identical;
+    * a decimal cast here would re-introduce the half-unit tie hazard).
+    * Keys where mad = 0 (over half the values identical) flag any nonzero
+    * deviation.
+    *
+    * 100 TB shape: two ranked windows + one join, all keyed by the user —
+    * the event stream is hash-exchanged once and reused (the windows and
+    * the stats join share the partitioning); the per-key stats frame is
+    * one row per key. Skewed keys cost a per-key sort (window rank), the
+    * same bound as every ranked statistic.
+    */
+  def robustAnomalies(events: DataFrame, userCol: String, idCol: String,
+      valCol: String, threshNum: Long, threshDen: Long): DataFrame = {
+    require(threshNum > 0 && threshDen > 0, "threshold must be positive")
+    val wr = Window.partitionBy(userCol).orderBy(col(valCol), col(idCol))
+    val wc = Window.partitionBy(userCol)
+    val med = events
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(userCol), col(valCol).as("med"))
+    val wd = Window.partitionBy(userCol).orderBy(col("dev"), col(idCol))
+    val withDev = events.join(med, userCol)
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val mad = withDev
+      .withColumn("__rn", row_number().over(wd))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(userCol), col("dev").as("mad"))
+    withDev.join(mad, userCol)
+      .select(col(userCol), col(idCol), col(valCol), col("med"), col("mad"), col("dev"),
+        (col("dev") * lit(threshDen.toDouble) >
+          col("mad") * lit(threshNum.toDouble)).as("is_anomaly"))
+  }
+
   def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))

@@ -131,6 +131,60 @@ object LinkRank {
     ranks
   }
 
+  /** Synchronous weighted LABEL PROPAGATION (Raghavan et al. 2007) over an
+    * undirected edge list `(u, v, w)` — the community-detection sibling of
+    * [[Dedup.connectedComponents]]: where CC answers "reachable at all",
+    * LPA's neighbor-majority vote splits a connected graph into densely
+    * linked communities, the granularity crawl/dedup curation actually
+    * wants (a CC of the whole web is one component; its communities are
+    * sites/topics).
+    *
+    * Determinism (the classic LPA pitfall — random visit order — removed):
+    * SYNCHRONOUS rounds (every node updates from the previous round's
+    * labels simultaneously), label_0(x) = x, and
+    * `label_r(x) = argmax_L Σ w(x,y)·[label_{r-1}(y) = L]` with ties to
+    * the SMALLEST label. Integer weights, exact integer vote sums, total
+    * tie order ⇒ bit-identical on every engine; the DuckDB oracle unrolls
+    * the same rounds. (Synchronous LPA can two-color-oscillate on
+    * bipartite structures — a fixed small `rounds` is the standard remedy
+    * and the production norm, same as [[pageRank]]'s fixed iteration
+    * count.)
+    *
+    * Scale shape: the symmetrized edge list is built once, persisted
+    * pre-partitioned by the VOTING neighbor (the per-round join key), so
+    * each round is one broadcast-free keyed join + one (node, label) vote
+    * aggregation + one per-node argmax — the argmax is a
+    * `max(struct(votes, -label))` map-side-combining aggregate, never a
+    * sort. Per-round state is one (node, label) row per node. Lineage is
+    * kept flat with the [[pageRank]] localCheckpoint discipline.
+    *
+    * Node ids must be numeric (the `-label` tie trick); labels ARE node
+    * ids throughout, so the output `(node, lbl)` is directly a community
+    * assignment.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds $rounds out of [1,16]")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v")) // v = the voting neighbor = the per-round join key
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node").cast("long"))
+    for (r <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(sum("w").as("__votes"))
+        .groupBy("node")
+        .agg(max(struct(col("__votes"), (-col("lbl")).as("__nl"))).as("__w"))
+        .select(col("node"), (-col("__w.__nl")).as("lbl"))
+      if (r % checkpointEvery == 0 || r == rounds) labels = labels.localCheckpoint()
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** The bipartite interaction graph of the events table: user u touching
     * event type t with multiplicity c contributes edges u→t and t→u of
     * weight c — rank then measures behavioral centrality on both sides

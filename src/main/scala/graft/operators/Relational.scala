@@ -173,4 +173,59 @@ object Relational {
         (Seq(loCol, hiCol) ++ rightValueCols).distinct
           .map(c => col(rp + c).as(rightPrefix + c)): _*)
   }
+
+  /** INTERVAL-overlap join — the interval×interval sibling of
+    * [[rangeJoinBinned]]'s point×interval: emit each (left, right) pair
+    * whose CLOSED intervals intersect
+    * (`l.lo <= r.hi AND r.lo <= l.hi`) — concurrent-session analytics,
+    * conflicting-lease detection, validity-window reconciliation
+    * against an SCD2 table ([[Cdc.scd2Intervals]]).
+    *
+    * Scale shape: Spark plans the naive inequality pair as a nested loop
+    * (quadratic). Here BOTH sides replicate into every `binWidth`-wide
+    * bin their interval touches, candidates meet as a pure bin equi join,
+    * and the classic once-only rule dedups WITHOUT a distinct: a
+    * qualifying pair is kept only in the FIRST bin where both intervals
+    * are present — `max(l.lo, r.lo) div binWidth` — so each pair is
+    * emitted exactly once, no post-shuffle dedup of the replicated
+    * matches. Replication is `span/binWidth + 1` copies per row; choose
+    * `binWidth` near the typical interval span ([[rangeJoinBinned]]'s
+    * guidance verbatim).
+    *
+    * The join is intentionally unkeyed-beyond-the-bin when `keyCols` is
+    * empty (cross-key overlap IS the question, e.g. "which other users'
+    * sessions ran concurrently"); pass keys to scope it. Output: all left
+    * columns + `rightPrefix`-prefixed right lo/hi/value columns.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "r_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val rp = "__r_"
+    val rCols = (keyCols ++ Seq(loCol, hiCol) ++ rightValueCols).distinct
+    val r = right.select(rCols.map(c => col(c).as(rp + c)): _*)
+      .filter(col(rp + loCol) <= col(rp + hiCol))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$rp$loCol div $binWidth"), expr(s"$rp$hiCol div $binWidth"))))
+    val l = left
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$loCol div $binWidth"), expr(s"$hiCol div $binWidth"))))
+    val cond = keyCols.map(k => col(k) === col(rp + k)).foldLeft(
+        col("__bin") === col(s"${rp}__bin"))(_ && _) &&
+      col(loCol) <= col(rp + hiCol) && col(rp + loCol) <= col(hiCol) &&
+      // once-only: keep the pair only in the first shared bin (`div`, not
+      // `/`: an epoch-nanos long exceeds a double mantissa)
+      col("__bin") === expr(s"greatest($loCol, $rp$loCol) div $binWidth")
+    l.join(r.withColumnRenamed("__bin", s"${rp}__bin"), cond, "inner")
+      .select(left.columns.map(col) ++
+        (Seq(loCol, hiCol) ++ rightValueCols).distinct
+          .map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
 }

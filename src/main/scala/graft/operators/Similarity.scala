@@ -735,4 +735,42 @@ object Similarity {
       nCentroids: Int, kmeansIters: Int): Unit =
     graft.sources.Layout.swapInPlace(mergedCorpus.sparkSession, root)(staging =>
       writeIndexTo(mergedCorpus, idCol, vecCol, staging, nCentroids, kmeansIters))
+
+  /** Retrieval-quality report for an approximate index: per-query
+    * recall@k and reciprocal rank of the EXACT top-1 neighbor, given the
+    * exact ([[bruteForceTopK]]) and approximate (any `*TopK` here) result
+    * lists — the eval loop every ANN deployment runs before trading
+    * recall for probe count (the IVF/PQ tuning question: "what did
+    * nProbe=2 actually cost?").
+    *
+    * EXACT arithmetic: hits are set membership (a keyed left join),
+    * `recall = n_hit / n_truth` is one double division of two exact
+    * longs, and the reciprocal rank scores in units of lcm(1..maxRank)
+    * (the [[graft.quality.Scoring.rrfFuse]] discipline) — `rr_units =
+    * LCM / rank-of-exact-top1-in-approx-list`, 0 when the approximate
+    * index missed it entirely. No float reciprocals anywhere.
+    *
+    * Shape: both inputs are per-query top-k lists (tiny); one keyed left
+    * join + one per-query aggregation.
+    *
+    * Inputs need columns `(query_id, neighbor_id, rank)`; approximate
+    * ranks must be ≤ `maxRank`.
+    */
+  def annRecall(truth: DataFrame, approx: DataFrame, maxRank: Int): DataFrame = {
+    require(maxRank >= 1, "maxRank must be >= 1")
+    val lcm = (1 to maxRank).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+    require(lcm <= BigInt(Long.MaxValue) / 4, s"lcm(1..$maxRank) too large for long units")
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__ar"))
+    truth
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("__tr"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("__ar")).as("n_hit"),
+        coalesce(max(when(col("__tr") === 1,
+          coalesce(expr(s"${lcm.toLong}L div __ar"), lit(0L)))), lit(0L)).as("rr_units"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_truth").cast("double"))
+  }
 }

@@ -265,6 +265,61 @@ object Scoring {
         col("col.score").cast("long").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Reciprocal-Rank-Fusion of per-query ranked lists (Cormack, Clarke &
+    * Buettcher 2009) — the standard HYBRID-RETRIEVAL combiner: fuse a
+    * lexical ranking ([[bm25Retrieve]]) with a semantic one
+    * ([[graft.operators.Similarity.bruteForceTopK]] and friends) without
+    * ever comparing their incomparable scores, because RRF consumes only
+    * RANKS: `score(d) = Σ_lists 1/(k0 + rank_list(d))`.
+    *
+    * INTEGER-EXACT: ranks are bounded by `maxRank`, so every reciprocal is
+    * one of the denominators `k0+1 .. k0+maxRank`; scoring in units of
+    * their LCM makes each contribution `LCM/(k0+rank)` an EXACT long and
+    * the fused score an exact integer sum — no float reciprocal ordering
+    * hazard (for the classic k0 = 60, maxRank = 10: LCM ≈ 1.4e14, a
+    * two-list score ≤ 4.7e12 — comfortable longs, validated up front).
+    * Ties break to the lower doc id.
+    *
+    * Scale shape: inputs are already per-query top-k lists — tiny relative
+    * to any corpus (≤ |lists|·maxRank rows per query) — so the fusion is
+    * one union + one (qid, doc) exact sum + one ranked window over that
+    * bounded frame. Nothing here touches corpus data; the expensive
+    * retrieval stages upstream each keep their own scale posture.
+    *
+    * Input frames need columns `(qid, doc_id, rank)`; ranks must be
+    * 1-based and ≤ `maxRank` (validated). Output:
+    * `(qid, doc_id, rrf_units, n_lists, rank)` — `n_lists` = how many
+    * input lists surfaced the doc (the overlap diagnostic hybrid eval
+    * wants), `rank` the fused 1-based order.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Long, maxRank: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k0 >= 0 && maxRank >= 1 && k >= 1, "k0 >= 0, maxRank >= 1, k >= 1")
+    val lcm = (1 to maxRank).map(r => BigInt(k0 + r))
+      .reduce((a, b) => a * b / a.gcd(b))
+    require(lcm * lists.size / (k0 + 1) <= BigInt(Long.MaxValue) / 4,
+      s"rrfFuse: LCM $lcm of denominators ${k0 + 1}..${k0 + maxRank} too large for " +
+        "exact long scoring — lower maxRank or use a smaller k0")
+    val lcmL = lcm.toLong
+    val tagged = lists.map(_.select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("rank", when(col("rank").between(1, maxRank), col("rank"))
+        .otherwise(raise_error(concat(lit(s"rrfFuse: rank out of [1, $maxRank]: "),
+          col("rank").cast("string")))))
+    // the fused frame is ≤ |lists|·maxRank rows per query BY CONSTRUCTION —
+    // a ranked window over it is cheap (unlike over a corpus), and keeps
+    // the n_lists diagnostic column through the cut
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf_units").desc, col("doc_id"))
+    tagged
+      .groupBy("qid", "doc_id")
+      // `div`, not `/`: long `/` is a DOUBLE divide; LCM div (k0+rank) is exact
+      .agg(sum(expr(s"${lcmL}L div (rank + ${k0}L)")).as("rrf_units"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Bigram-LM surprisal with unigram interpolation — the CCNet-style
     * perplexity quality signal one model order up from
     * [[unigramSurprisal]] (Wenzek et al. 2020 score with a 5-gram KenLM;

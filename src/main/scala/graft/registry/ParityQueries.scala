@@ -1479,8 +1479,98 @@ object ParityQueries {
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
       FROM w WHERE rn = 1 AND op <> 'D'"""))
 
+  /** Regular-grid forward-fill resample ([[graft.operators.Timeseries
+    * .resampleFfill]]): the per-user event stream densified onto a 6-hour
+    * grid — grid bounds are exact integer bin arithmetic (an epoch-nanos
+    * long does not fit a double mantissa; the oracle uses the same
+    * `//` ceil/floor divisions), the carried value/timestamp are verbatim
+    * row copies picked by the deterministic (t, obs-before-grid, id)
+    * union-window order, and `age_ns` is one integer subtraction — every
+    * column hash-exact. The oracle rebuilds the grid with
+    * `range()` + the same IGNORE NULLS running window.
+    */
+  private val resampleFfillQ = {
+    val step = 21600000000000L // 6 h in nanos
+    Q(
+      "ts_resample_ffill",
+      (s, d) => graft.operators.Timeseries.resampleFfill(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value", step),
+      Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id, value AS v
+          FROM events),
+        span AS (SELECT user_id, (MIN(t) + ${step - 1}) // $step AS lo,
+            MAX(t) // $step AS hi FROM e GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(lo, hi + 1)) * $step AS t
+          FROM span WHERE lo <= hi),
+        u AS (SELECT user_id, t, id, v, 0 AS g FROM e
+          UNION ALL SELECT user_id, t, NULL, NULL, 1 FROM grid),
+        f AS (SELECT user_id, t, g,
+            last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS)
+              OVER w AS ov,
+            last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS)
+              OVER w AS ot
+          FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, g, id
+            ROWS UNBOUNDED PRECEDING))
+        SELECT user_id, t AS grid_ts, ov AS value, ot AS obs_ts, t - ot AS age_ns
+        FROM f WHERE g = 1"""))
+  }
+
+  /** SCD Type-2 dimension history ([[graft.operators.Cdc.scd2Intervals]]):
+    * each user's event_type stream collapsed into validity intervals —
+    * consecutive identical values extend a version, a change opens one;
+    * `valid_to` = next version's `valid_from` (half-open), null on the
+    * current version. All integer/verbatim arithmetic; the oracle replays
+    * the same run-detection windows.
+    */
+  private val scd2Q = Q(
+    "scd2_build_intervals",
+    (s, d) => graft.operators.Cdc.scd2Intervals(
+      Tables.events(s, d).select("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", Seq("event_type")),
+    Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id, event_type
+        FROM events),
+      b AS (SELECT user_id, t, id, event_type,
+          CASE WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w
+               THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+      r AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM b),
+      v AS (SELECT user_id, run AS version_idx, MIN(event_type) AS event_type,
+          MIN(t) AS valid_from FROM r GROUP BY 1, 2),
+      f AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to FROM v)
+      SELECT user_id, event_type, valid_from, valid_to, version_idx,
+        valid_to IS NULL AS is_current FROM f"""))
+
+  /** Robust anomaly flags ([[graft.operators.Behavior.robustAnomalies]]):
+    * per-user median/MAD outlier rule at 3 MADs — both statistics are the
+    * discrete-selection rank rule (`agg_median_disc`/`agg_mad` stacked),
+    * and the flag compare multiplies each side by an exactly-representable
+    * integer literal (one IEEE product per side, identical trees both
+    * engines), so every flag is hash-exact.
+    */
+  private val anomalyMadQ = Q(
+    "analytics_anomaly_mad",
+    (s, d) => graft.operators.Behavior.robustAnomalies(
+      evDf(s, d).select("user_id", "event_id", "value"),
+      "user_id", "event_id", "value", threshNum = 3L, threshDen = 1L),
+    Some(s"""WITH $EV,
+      r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM ev),
+      med AS (SELECT user_id, value AS med FROM r WHERE rn = (cnt + 1) // 2),
+      dv AS (SELECT e.user_id, e.event_id, e.value, m.med,
+          ABS(e.value - m.med) AS dev
+        FROM ev e JOIN med m USING (user_id)),
+      r2 AS (SELECT user_id, dev, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM dv),
+      mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      SELECT dv.user_id, dv.event_id, dv.value, dv.med, mad.mad, dv.dev,
+        dv.dev * 1.0 > mad.mad * 3.0 AS is_anomaly
+      FROM dv JOIN mad USING (user_id)"""))
+
   val all: Seq[Q] = Seq(
-    cdcApply,
+    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

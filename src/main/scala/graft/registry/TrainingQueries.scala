@@ -3835,7 +3835,112 @@ object TrainingQueries {
       SELECT r3.node, r3.rank_u, CAST(abs(r3.rank_u - r2.rank_u) AS BIGINT) AS delta_u
       FROM r3 JOIN r2 ON r2.node = r3.node"""))
 
+  /** Synchronous weighted label propagation
+    * ([[graft.operators.LinkRank.labelPropagate]]) on the
+    * `graph_triangle_count` interaction graph with edge multiplicity as
+    * the vote weight — 3 unrolled rounds, integer vote sums, ties to the
+    * smallest label; the oracle replays the identical rounds (the
+    * `graph_link_rank` unrolled-iteration discipline), so every node's
+    * community label is hash-checked.
+    */
+  private val labelPropQ = {
+    def lpRound(prev: String, cur: String): String =
+      s"""v$cur AS (SELECT s.u AS node, l.lbl, CAST(SUM(s.w) AS BIGINT) AS ws
+          FROM sym s JOIN l$prev l ON l.node = s.v GROUP BY 1, 2),
+        l$cur AS MATERIALIZED (SELECT node, lbl FROM (SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY ws DESC, lbl) AS rn
+          FROM v$cur) t WHERE rn = 1)"""
+    Q(
+      "graph_label_prop",
+      (s, d) => {
+        val p = ParityQueries.evDf(s, d).select(
+          pmod(col("user_id"), lit(2048L)).as("a"),
+          pmod(col("event_id"), lit(2048L)).as("b"))
+          .filter(col("a") =!= col("b"))
+        val e = p.select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        graft.operators.LinkRank.labelPropagate(e, rounds = 3)
+      },
+      Some(s"""WITH $EV,
+        e0 AS MATERIALIZED (SELECT LEAST(user_id % 2048, event_id % 2048) AS u,
+            GREATEST(user_id % 2048, event_id % 2048) AS v, COUNT(*) AS w
+          FROM ev WHERE user_id % 2048 <> event_id % 2048 GROUP BY 1, 2),
+        sym AS MATERIALIZED (SELECT u, v, w FROM e0
+          UNION ALL SELECT v AS u, u AS v, w FROM e0),
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        ${lpRound("0", "1")},
+        ${lpRound("1", "2")},
+        ${lpRound("2", "3")}
+        SELECT node, lbl FROM l3"""))
+  }
+
+  /** Hybrid retrieval ([[graft.quality.Scoring.rrfFuse]]): the BM25
+    * lexical top-10 and the brute-force cosine top-10 for the SAME probe
+    * ids (doc_id/vec_id are aligned in the testdata) fused by
+    * reciprocal-rank fusion in exact LCM(61..70) units — rank fusion never
+    * touches either retriever's raw scores, so the fused order is pure
+    * integer arithmetic and the oracle re-derives BOTH retrievals (the
+    * full bm25 integer score and the 64-term cosine) plus the fusion from
+    * scratch. The two lists' differing self-handling (BM25 retrieves the
+    * probe's own document at rank 1; knn excludes self-matches) is kept
+    * deliberately — fusing retrievers with different candidate conventions
+    * is exactly RRF's job.
+    */
+  private val hybridRetrieveQ = {
+    def mk(boundary: graft.operators.Boundary) = (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qs = docs.filter(col("doc_id") % 43 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(Text.words(col("text")), 1, 24)).as("qtext"))
+      val lex = graft.quality.Scoring
+        .bm25Retrieve(docs, "doc_id", "text", qs, "qid", "qtext", k = 10, boundary = boundary)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val sem = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") % 43 === 0), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.quality.Scoring.rrfFuse(Seq(lex, sem), k0 = 60L, maxRank = 10, k = 10)
+    }
+    Q(
+      "text_hybrid_retrieve",
+      mk(graft.operators.Boundary.Local),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+        toks AS MATERIALIZED (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        dfr AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(DISTINCT doc_id) AS n, CAST(SUM(tf) AS BIGINT) AS t FROM toks),
+        qt AS (SELECT doc_id AS qid, unnest(list_distinct(list_slice($WS, 1, 24))) AS w
+          FROM documents WHERE doc_id % 43 = 0),
+        con AS (SELECT qt.qid, toks.doc_id,
+            CAST((CAST(FLOOR(log2((2 * tot.n + 2)::DOUBLE / (2 * dfr.df + 1)::DOUBLE)
+                  * 1000000.0) AS HUGEINT) * (22 * tot.t * toks.tf))
+              // (10 * tot.t * toks.tf + 3 * tot.t + 9 * dl.dl * tot.n) AS BIGINT) AS c
+          FROM qt JOIN toks USING (w) JOIN dl ON dl.doc_id = toks.doc_id
+            JOIN dfr ON dfr.w = toks.w CROSS JOIN tot),
+        bsc AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score FROM con GROUP BY 1, 2),
+        lex AS MATERIALIZED (SELECT qid, doc_id, rnk FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+          FROM bsc) t WHERE rnk <= 10),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 43 = 0),
+        c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+        csc AS (SELECT qid, doc_id, ${cosSql("qv", "cv")} AS cosine
+          FROM q CROSS JOIN c WHERE qid <> doc_id),
+        sem AS MATERIALIZED (SELECT qid, doc_id, rnk FROM (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk
+          FROM csc) t WHERE rnk <= 10),
+        u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+        fz AS (SELECT qid, doc_id,
+            CAST(SUM(142813628717760 // (rnk + 60)) AS BIGINT) AS rrf_units,
+            COUNT(*) AS n_lists FROM u GROUP BY 1, 2)
+        SELECT qid, doc_id, rrf_units, n_lists, "rank" FROM (SELECT *,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_units DESC, doc_id)
+            AS BIGINT) AS "rank" FROM fz) t WHERE "rank" <= 10"""),
+      planView = Some(mk(graft.operators.Boundary.None)))
+  }
+
   val all: Seq[Q] = Seq(
+    labelPropQ, hybridRetrieveQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,

@@ -129,4 +129,35 @@ class BehaviorSpec extends SparkSpec {
     val one = Seq((7L, 1L, 0L, 5.0)).toDF("user_id", "event_id", "ts", "value")
     assert(Behavior.timeWeightedAvg(one, "user_id", "ts", "event_id", "value").count() == 0)
   }
+
+  test("robust anomalies: median/MAD flags the outlier a mean-based rule would chase") {
+    // u1: values 10,11,12,13,1000 — med=12, deviations {2,1,0,1,988},
+    // MAD=1 (discrete lower-middle of {0,1,1,2,988}); only 1000 exceeds 3 MADs
+    val ev = Seq((1L, 1L, 10.0), (1L, 2L, 11.0), (1L, 3L, 12.0),
+      (1L, 4L, 13.0), (1L, 5L, 1000.0)).toDF("user_id", "event_id", "value")
+    val r = Behavior.robustAnomalies(ev, "user_id", "event_id", "value", 3L, 1L)
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        (x.getAs[Double]("med"), x.getAs[Double]("mad"), x.getAs[Boolean]("is_anomaly"))).toMap
+    assert(r.size == 5 && r.values.forall(v => v._1 == 12.0 && v._2 == 1.0))
+    assert(r.filter(_._2._3).keySet == Set(5L))
+  }
+
+  test("robust anomalies: mad=0 keys flag ANY nonzero deviation") {
+    // over half the values identical -> MAD collapses to 0
+    val ev = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 5.0), (1L, 4L, 5.1))
+      .toDF("user_id", "event_id", "value")
+    val r = Behavior.robustAnomalies(ev, "user_id", "event_id", "value", 3L, 1L)
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("is_anomaly")).toMap
+    assert(r == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("robust anomalies: threshold is a rational num/den pair") {
+    // u1: values 0,10,21 — med=10, devs {10,0,11}, MAD=10; at 21/20 MADs
+    // (1.05) the dev=11 rows flag, dev=10 does not (11*20 > 10*21, 10*20 < 10*21)
+    val ev = Seq((1L, 1L, 0.0), (1L, 2L, 10.0), (1L, 3L, 21.0))
+      .toDF("user_id", "event_id", "value")
+    val r = Behavior.robustAnomalies(ev, "user_id", "event_id", "value", 21L, 20L)
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("is_anomaly")).toMap
+    assert(r == Map(1L -> false, 2L -> false, 3L -> true))
+  }
 }

@@ -96,4 +96,52 @@ class CdcSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("scd2: consecutive identical values extend a version, changes open one") {
+    val changes = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), // run of a: one version
+      (1L, 30L, 3L, "b"),                      // change -> new version
+      (1L, 40L, 4L, "a"),                      // back to a -> NEW version (not merged)
+      (2L, 15L, 5L, "x"))
+      .toDF("k", "t", "id", "v")
+    val out = Cdc.scd2Intervals(changes, "k", "t", "id", Seq("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("version_idx")) ->
+        (r.getAs[String]("v"), r.getAs[Long]("valid_from"),
+          r.getAs[Any]("valid_to"), r.getAs[Boolean]("is_current")))
+      .toMap
+    assert(out.size == 4)
+    assert(out((1L, 1L)) == (("a", 10L, 30L, false)))
+    assert(out((1L, 2L)) == (("b", 30L, 40L, false)))
+    assert(out((1L, 3L)) == (("a", 40L, null, true)))
+    assert(out((2L, 1L)) == (("x", 15L, null, true)))
+  }
+
+  test("scd2: half-open intervals cover every change instant exactly once") {
+    val changes = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"))
+      .toDF("k", "t", "id", "v")
+    val iv = Cdc.scd2Intervals(changes, "k", "t", "id", Seq("v"))
+    // point-in-time lookups: t=20 matches ONLY version 2 (valid_from
+    // inclusive, valid_to exclusive); t=25 version 2; t=9 nothing
+    def at(t: Long) = iv.filter(
+      col("valid_from") <= t && (col("valid_to").isNull || col("valid_to") > t))
+      .select("v").as[String].collect().toSeq
+    assert(at(20L) == Seq("b"))
+    assert(at(25L) == Seq("b"))
+    assert(at(9L).isEmpty)
+    assert(at(99L) == Seq("c"))
+  }
+
+  test("scd2: null-safe run detection and multi-column tracking") {
+    val changes = Seq(
+      (1L, 10L, 1L, Some("a"), 5L), (1L, 20L, 2L, None, 5L), // a->null: change
+      (1L, 30L, 3L, None, 5L),                               // null run extends
+      (1L, 40L, 4L, None, 6L))                               // second col changes
+      .toDF("k", "t", "id", "v", "w")
+    val out = Cdc.scd2Intervals(changes, "k", "t", "id", Seq("v", "w"))
+      .orderBy("version_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("valid_from")).toSeq == Seq(10L, 20L, 40L))
+  }
 }

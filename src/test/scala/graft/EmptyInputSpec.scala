@@ -66,6 +66,20 @@ class EmptyInputSpec extends SparkSpec {
     graft.sources.Layout.writeZoneMapped(
       Seq.empty[(Long, String)].toDF("k", "v"), zp, nFiles = 4, rangeCol = "k")
     assert(graft.sources.Layout.readZonePruned(spark, zp, "k", 0L, 100L).count() == 0)
+    // grid resample / SCD2 / robust anomalies / label propagation / RRF
+    val ets = Seq.empty[(Long, Long, Long, Double)].toDF("k", "t", "id", "v")
+    assert(graft.operators.Timeseries.resampleFfill(ets, "k", "t", "id", "v",
+      10L).count() == 0)
+    val ech = Seq.empty[(Long, Long, Long, String)].toDF("k", "t", "id", "v")
+    assert(graft.operators.Cdc.scd2Intervals(ech, "k", "t", "id", Seq("v")).count() == 0)
+    val eev = Seq.empty[(Long, Long, Double)].toDF("user_id", "event_id", "value")
+    assert(graft.operators.Behavior.robustAnomalies(
+      eev, "user_id", "event_id", "value", 3L, 1L).count() == 0)
+    val eed = Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    assert(graft.operators.LinkRank.labelPropagate(eed, rounds = 3).count() == 0)
+    val erl = Seq.empty[(Long, Long, Long)].toDF("qid", "doc_id", "rank")
+    assert(graft.quality.Scoring.rrfFuse(Seq(erl), k0 = 60L, maxRank = 10,
+      k = 10).count() == 0)
   }
 
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {

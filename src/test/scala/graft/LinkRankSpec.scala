@@ -100,4 +100,40 @@ class LinkRankSpec extends SparkSpec {
     val rev = e.filter(_._1.startsWith("t:")).map(t => (t._2, t._1, t._3)).toSet
     assert(fwd == rev)
   }
+
+  private def lp(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
+    LinkRank.labelPropagate(edges.toDF("u", "v", "w"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("label propagation separates two cliques joined by a weak bridge") {
+    // clique {1,2,3} and clique {10,11,12} (weight 5 inside), one weight-1
+    // bridge 3-10: after 3 rounds each clique converges to its min label
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b, 5L)
+    val g = lp(clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+ ((3L, 10L, 1L)), 3)
+    assert(Seq(1L, 2L, 3L).map(g).toSet == Set(1L))
+    assert(Seq(10L, 11L, 12L).map(g).toSet == Set(10L))
+  }
+
+  test("label propagation tie votes go to the smallest label") {
+    // node 5 hears equal-weight round-1 votes from 1 and 2 (each still
+    // carrying its own label): smallest label wins
+    val g = lp(Seq((1L, 5L, 3L), (2L, 5L, 3L)), 1)
+    assert(g(5L) == 1L)
+  }
+
+  test("label propagation weighted vote beats count") {
+    // node 9's single weight-10 edge to 7 outvotes two weight-1 edges to
+    // {1, 2} — the weighted majority, not the neighbor count, decides
+    val g = lp(Seq((7L, 9L, 10L), (1L, 9L, 1L), (2L, 9L, 1L)), 1)
+    assert(g(9L) == 7L)
+  }
+
+  test("label propagation is deterministic across runs") {
+    val edges = for (a <- 0L until 20L; b <- a + 1 until 20L if (a + b) % 3 == 0)
+      yield (a, b, (a % 4) + 1)
+    val r1 = lp(edges, 4)
+    val r2 = lp(edges, 4)
+    assert(r1 == r2)
+  }
 }

@@ -43,7 +43,10 @@ class PlanSpec extends SparkSpec {
     * joins only and left this set in round 6.
     */
   private val intentionallyUnkeyed =
-    Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_pq_topk")
+    Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_pq_topk",
+      // hybrid fusion's semantic list IS bruteForceTopK (the correctness
+      // baseline); the production swap-in is any keyed ANN top-k
+      "text_hybrid_retrieve")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)

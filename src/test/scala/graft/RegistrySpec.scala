@@ -74,7 +74,9 @@ class RegistrySpec extends AnyFunSuite {
       // signature boundary
       "dedup_image_neardup", "dedup_audio_neardup", "dedup_media_neardup_clusters",
       // r10: bm25's inverted index is tf-materialized (three consumers)
-      "text_bm25_retrieve")
+      "text_bm25_retrieve",
+      // r10: hybrid fusion routes bm25Retrieve, so it inherits the boundary
+      "text_hybrid_retrieve")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
