@@ -1569,8 +1569,76 @@ object ParityQueries {
         dv.dev * 1.0 > mad.mad * 3.0 AS is_anomaly
       FROM dv JOIN mad USING (user_id)"""))
 
+  /** Integer-exact EWMA + diff/pct-change ([[graft.operators.Timeseries
+    * .ewma]], α = 1/4): the order-dependent recursion runs in micro-units
+    * with an explicit mathematical floor each step, and the oracle replays
+    * it with a RECURSIVE CTE (`//` floors like the engine's pmod-floor),
+    * so every smoothed value is hash-exact; delta / pct_change are
+    * identical per-row IEEE trees (pct null on zero or absent previous).
+    */
+  private val ewmaQ = Q(
+    "ts_ewma",
+    (s, d) => graft.operators.Timeseries.ewma(
+      Tables.events(s, d), "user_id", "ts", "event_id", "value", 1L, 4L),
+    Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+        CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu FROM events),
+      r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts, event_id) AS rn FROM e),
+      ew AS (
+        SELECT user_id, rn, ts, event_id, value, vu AS ewma_u FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn, r.ts, r.event_id, r.value,
+          (1 * r.vu + 3 * ew.ewma_u) // 4 AS ewma_u
+        FROM r JOIN ew ON r.user_id = ew.user_id AND r.rn = ew.rn + 1)
+      SELECT user_id, ts, event_id, value, ewma_u,
+        CAST(ewma_u AS DOUBLE) / 1000000.0 AS ewma,
+        value - LAG(value) OVER w AS delta,
+        CASE WHEN LAG(value) OVER w <> 0.0
+          THEN (value - LAG(value) OVER w) / LAG(value) OVER w END AS pct_change
+      FROM ew WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  /** Interval-overlap join ([[Relational.intervalOverlapJoin]]): which
+    * OTHER users' sessions ran concurrently with the probe users'
+    * ([[graft.operators.Behavior.sessionize]] on both sides, 6 h gap,
+    * 1-day bins) — the binned interval×interval equi join with the
+    * first-shared-bin once-only rule, hash-checked against DuckDB's
+    * direct inequality join (which plans an IEJoin — the single-node
+    * luxury the binned form replaces at scale).
+    */
+  private val intervalOverlapQ = Q(
+    "join_interval_overlap",
+    (s, d) => {
+      val ses = graft.operators.Behavior.sessionize(
+        Tables.events(s, d), "user_id", "ts", "event_id", 21600000000000L)
+        .select(col("user_id"), col("session_idx"),
+          col("session_start"), col("session_end"))
+      val probe = ses.filter(pmod(col("user_id"), lit(97L)) === 0)
+      graft.operators.Relational.intervalOverlapJoin(
+        probe, ses, keyCols = Seq.empty,
+        loCol = "session_start", hiCol = "session_end",
+        binWidth = 86400000000000L,
+        rightValueCols = Seq("user_id", "session_idx"))
+        .filter(col("user_id") =!= col("r_user_id"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+      b AS (SELECT user_id, event_id, t,
+          CASE WHEN t - LAG(t) OVER w <= 21600000000000 THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      x AS (SELECT user_id, t,
+          CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM b),
+      ses AS MATERIALIZED (SELECT user_id, session_idx, MIN(t) AS session_start,
+          MAX(t) AS session_end FROM x GROUP BY 1, 2),
+      p AS (SELECT * FROM ses WHERE user_id % 97 = 0)
+      SELECT p.user_id, p.session_idx, p.session_start, p.session_end,
+        s.session_start AS r_session_start, s.session_end AS r_session_end,
+        s.user_id AS r_user_id, s.session_idx AS r_session_idx
+      FROM p JOIN ses s ON p.session_start <= s.session_end
+        AND s.session_start <= p.session_end AND s.user_id <> p.user_id"""))
+
   val all: Seq[Q] = Seq(
-    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ,
+    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

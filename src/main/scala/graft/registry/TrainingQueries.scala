@@ -3939,8 +3939,82 @@ object TrainingQueries {
       planView = Some(mk(graft.operators.Boundary.None)))
   }
 
+  /** ANN retrieval-quality report ([[Similarity.annRecall]]): the IVF-int8
+    * index ([[Similarity.ivfQuantizedTopK]], nProbe 2 of 8, k=10) graded
+    * against the exact brute-force top-10 — per-query recall@10 and the
+    * reciprocal rank of the exact top-1 in lcm(1..10)=2520 units. The
+    * oracle re-derives BOTH lists (the full two-phase IVF pipeline AND the
+    * exact ranking) and the metrics, so the evaluation itself — the number
+    * that decides an nProbe trade-off — is hash-checked, not just the
+    * lists it grades.
+    */
+  private val annRecallQ = {
+    val ma = "list_reduce(list_prepend(0.0, list_transform(embedding, " +
+      "x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> GREATEST(acc, x))"
+    Q(
+      "eval_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 10)
+        val approx = Similarity.ivfQuantizedTopK(probes, emb, "vec_id", "embedding",
+          nCentroids = 8, nProbe = 2, k = 10, refine = 3)
+        Similarity.annRecall(truth, approx, maxRank = 10)
+      },
+      Some(s"""WITH m AS (SELECT vec_id, embedding, $ma AS ma FROM embeddings),
+        z AS (SELECT vec_id, embedding,
+          CASE WHEN ma > 0
+            THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
+            ELSE list_transform(embedding, x -> CAST(0 AS INT)) END AS qz FROM m),
+        cent AS (SELECT vec_id AS cell_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8),
+        sc AS MATERIALIZED (SELECT e.vec_id, c.cell_id,
+            ${cosSql("e.embedding", "c.centroid")} AS cs
+          FROM embeddings e CROSS JOIN cent c),
+        ca AS (SELECT vec_id AS neighbor_id, cell_id FROM (
+          SELECT vec_id, cell_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+          FROM sc) t WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cell_id FROM (
+          SELECT vec_id, cell_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell_id) AS rn
+          FROM sc WHERE vec_id < 10) t WHERE rn <= 2),
+        ac AS (SELECT qp.query_id, ca.neighbor_id,
+            ${cosSql("zq.qz", "zc.qz")} AS approx_cos
+          FROM qp JOIN ca ON qp.cell_id = ca.cell_id
+          JOIN z zq ON zq.vec_id = qp.query_id
+          JOIN z zc ON zc.vec_id = ca.neighbor_id
+          WHERE qp.query_id != ca.neighbor_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rn
+          FROM ac) t WHERE rn <= 30),
+        re AS (SELECT cand.query_id, cand.neighbor_id,
+            ${cosSql("a.embedding", "b.embedding")} AS cosine
+          FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+        approx AS MATERIALIZED (SELECT query_id, neighbor_id, rn AS ar FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM re) t WHERE rn <= 10),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        bsc AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosSql("qv", "c.embedding")} AS cosine
+          FROM q CROSS JOIN embeddings c WHERE query_id <> c.vec_id),
+        truth AS MATERIALIZED (SELECT query_id, neighbor_id, rn AS tr FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM bsc) t WHERE rn <= 10),
+        j AS (SELECT truth.query_id, truth.tr, approx.ar
+          FROM truth LEFT JOIN approx USING (query_id, neighbor_id))
+        SELECT query_id, COUNT(*) AS n_truth,
+          COUNT(ar) AS n_hit,
+          COALESCE(MAX(CASE WHEN tr = 1 THEN COALESCE(2520 // ar, 0) END), 0) AS rr_units,
+          CAST(COUNT(ar) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM j GROUP BY 1"""))
+  }
+
   val all: Seq[Q] = Seq(
-    labelPropQ, hybridRetrieveQ,
+    labelPropQ, hybridRetrieveQ, annRecallQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,

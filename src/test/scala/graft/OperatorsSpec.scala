@@ -146,6 +146,57 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin == naive inequality join, every pair exactly once, at every binWidth") {
+    val rnd = new scala.util.Random(13)
+    // negative domain: the once-only bin `greatest(l.lo, r.lo) div w` is a
+    // shared POINT of any overlapping pair, so its (truncating) bin is in
+    // both replication sets regardless of sign
+    def ivs(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(1000).toLong - 500L
+      (s"$tag$i", lo, lo + rnd.nextInt(80).toLong)
+    }.toDF("id", "lo", "hi")
+    val l = ivs(80, "L")
+    val r = ivs(150, "R")
+    val naive = l.join(
+      r.select(col("id").as("rid"), col("lo").as("rlo"), col("hi").as("rhi")),
+      col("lo") <= col("rhi") && col("rlo") <= col("hi"), "inner")
+      .select("id", "rid").as[(String, String)].collect().toSeq.sorted
+    assert(naive.distinct == naive) // sanity: ids unique
+    for (w <- Seq(1L, 13L, 80L, 301L, 4000L)) {
+      val got = graft.operators.Relational
+        .intervalOverlapJoin(l, r, Seq.empty, "lo", "hi", w, Seq("id"))
+        .select(col("id"), col("r_id")).as[(String, String)].collect().toSeq.sorted
+      assert(got == naive, s"binWidth $w")
+    }
+  }
+
+  test("intervalOverlapJoin: closed intervals — boundary touch matches, key scoping filters") {
+    val l = Seq((1L, "k1", 0L, 10L)).toDF("id", "k", "lo", "hi")
+    val r = Seq((2L, "k1", 10L, 20L),  // touches at 10 -> match (closed)
+      (3L, "k1", 11L, 20L),            // disjoint
+      (4L, "k2", 0L, 10L))             // overlaps but wrong key
+      .toDF("id", "k", "lo", "hi")
+    val got = graft.operators.Relational
+      .intervalOverlapJoin(l, r, Seq("k"), "lo", "hi", 7L, Seq("id"))
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("annRecall: recall@k and reciprocal rank in exact lcm units") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("query_id", "neighbor_id", "rank")
+    // q1: approx finds 10 (at rank 4!) and 12 — hit 2/3, exact-top1 rr = 2520/4
+    // q2: approx misses 20 entirely — rr 0, hit 1/3
+    val approx = Seq((1L, 99L, 1), (1L, 12L, 2), (1L, 98L, 3), (1L, 10L, 4),
+      (2L, 21L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val r = graft.operators.Similarity.annRecall(truth, approx, maxRank = 10)
+      .collect().map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Long]("n_truth"), x.getAs[Long]("n_hit"),
+          x.getAs[Long]("rr_units"), x.getAs[Double]("recall"))).toMap
+    assert(r(1L) == ((3L, 2L, 2520L / 4, 2.0 / 3.0)))
+    assert(r(2L) == ((3L, 1L, 0L, 1.0 / 3.0)))
+  }
+
   test("latestPerGroupGeq keeps ALL rows tied at the max order key") {
     val df = Seq(("a", 1, "x"), ("a", 5, "y"), ("a", 5, "z"), ("b", 2, "w"))
       .toDF("g", "o", "v")

@@ -46,7 +46,10 @@ class PlanSpec extends SparkSpec {
     Set("sim_bruteforce_topk", "sim_quantized_topk", "sim_pq_topk",
       // hybrid fusion's semantic list IS bruteForceTopK (the correctness
       // baseline); the production swap-in is any keyed ANN top-k
-      "text_hybrid_retrieve")
+      "text_hybrid_retrieve",
+      // recall evaluation NEEDS the exact brute-force ground truth — at
+      // scale it runs over a sampled probe set, still exact per probe
+      "eval_ann_recall")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)

@@ -49,4 +49,38 @@ class TimeseriesSpec extends SparkSpec {
     assert(g.keySet == Set((1L, 10L), (1L, 20L), (2L, 100L)))
     assert(g((2L, 100L)) == ((7.0, 95L, 5L)))
   }
+
+  private def runEwma(rows: Seq[(Long, Long, Long, Double)], num: Long, den: Long) =
+    Timeseries.ewma(rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v", num, den)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("ewma_u"), r.getAs[Double]("ewma"),
+        r.getAs[Any]("delta"), r.getAs[Any]("pct_change")))
+      .toMap
+
+  test("ewma: alpha=1/2 recursion in micro-units, first value seeds") {
+    // values 4, 8, 2: e1=4e6; e2=(8e6+4e6)/2=6e6; e3=(2e6+6e6)/2=4e6
+    val r = runEwma(Seq((1L, 10L, 1L, 4.0), (1L, 20L, 2L, 8.0), (1L, 30L, 3L, 2.0)), 1L, 2L)
+    assert(r(1L)._1 == 4000000L && r(2L)._1 == 6000000L && r(3L)._1 == 4000000L)
+    assert(r(2L)._2 == 6.0)
+  }
+
+  test("ewma: per-step floor, exact micro-unit arithmetic") {
+    // alpha=1/4: values 1, 2 -> e2 = (1*2e6 + 3*1e6) div 4 = 1_250_000
+    // then value 0 -> e3 = (0 + 3*1_250_000) div 4 = 937_500
+    val r = runEwma(Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 0.0)), 1L, 4L)
+    assert(r(2L)._1 == 1250000L && r(3L)._1 == 937500L)
+  }
+
+  test("ewma: delta and pct_change guard zero and absent previous values") {
+    val r = runEwma(Seq((1L, 1L, 1L, 0.0), (1L, 2L, 2L, 5.0), (1L, 3L, 3L, 4.0)), 1L, 2L)
+    assert(r(1L)._3 == null && r(1L)._4 == null)         // no previous
+    assert(r(2L)._3 == 5.0 && r(2L)._4 == null)          // previous is 0 -> pct null
+    assert(r(3L)._3 == -1.0 && r(3L)._4 == -0.2)
+  }
+
+  test("ewma: keys fold independently, time order with id tie-break") {
+    val r = runEwma(Seq((1L, 10L, 2L, 8.0), (1L, 10L, 1L, 4.0), (2L, 5L, 3L, 6.0)), 1L, 2L)
+    // same t: id 1 first (seed 4e6), id 2 second -> 6e6; key 2 seeds alone
+    assert(r(1L)._1 == 4000000L && r(2L)._1 == 6000000L && r(3L)._1 == 6000000L)
+  }
 }
