@@ -150,6 +150,21 @@ object ScaleBench {
           (pmod(col("event_id"), lit(2048L)) + lit(j * 4096L)).as("v"))
       }.reduce(_ unionByName _), s"$scaleDir/edges_k$k")
 
+    // k x sessions fixture for the interval-overlap probe: id-shifted user
+    // copies share the SAME 30-day window, so the right side's per-bin
+    // density grows exactly k x while the probe set (copy-0 users) stays
+    // fixed — per-probe candidates then grow k x, and a linear fit proves
+    // the binned join pays candidates, not pairs (an unkeyed or unbinned
+    // form would meet k x probes x k x sessions and read quadratic)
+    val evT = Tables.events(spark, sfDir).select("user_id", "ts", "event_id")
+    def sessAt(k: Int): DataFrame = matRead(
+      graft.operators.Behavior.sessionize(
+        (0 until k).map(j => evT.select((col("user_id") + lit(j * Stride)).as("user_id"),
+          col("ts"), col("event_id"))).reduce(_ unionByName _),
+        "user_id", "ts", "event_id", 21600000000000L)
+        .select("user_id", "session_idx", "session_start", "session_end"),
+      s"$scaleDir/sess_k$k")
+
     val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
     val allOps: Seq[(String, Int => Long)] = Seq(
       "dedup_minhash_lsh" -> { k: Int =>
@@ -186,6 +201,15 @@ object ScaleBench {
         val (q, v) = labelsAt(k)
         graft.operators.Fuzzy.editDistanceJoin(q, v, "src", "qs", "w", "w", maxDist = 1)
           .count()
+      },
+      "join_interval_overlap" -> { k: Int =>
+        val ses = sessAt(k)
+        val probe = ses.filter(col("user_id") < Stride &&
+          pmod(col("user_id"), lit(97L)) === 0)
+        graft.operators.Relational.intervalOverlapJoin(probe, ses, Seq.empty,
+          "session_start", "session_end", 86400000000000L,
+          Seq("user_id", "session_idx"))
+          .filter(col("user_id") =!= col("r_user_id")).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
@@ -199,6 +223,7 @@ object ScaleBench {
       if (opNames("sim_ivf_quantized")) embsAt(k)
       if (opNames("graph_triangle_count")) edgesAt(k)
       if (opNames("fuzzy_editdist")) labelsAt(k)
+      if (opNames("join_interval_overlap")) sessAt(k)
     }
 
     // Same per-run isolation as [[Bench]]: the benched ops localCheckpoint

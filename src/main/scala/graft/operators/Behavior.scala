@@ -196,6 +196,40 @@ object Behavior {
       .withColumn("dur_ns", col("session_end") - col("session_start"))
   }
 
+  /** Per-key WINSORIZATION at a rational tail fraction `pNum/pDen`: clamp
+    * each value into the key's [p, 1-p] discrete-quantile range — the
+    * outlier-TAMING companion of [[robustAnomalies]]'s outlier-FLAGGING
+    * (feature pipelines winsorize heavy-tailed monetary values before any
+    * mean/stddev statistic is trusted).
+    *
+    * Discrete rank rule (no interpolation arithmetic, the
+    * `agg_median_disc` discipline): `lo` = the value at rank
+    * `max(1, ceil(n·p))` of the key's `(value, id)` order, `hi` = the value
+    * at the mirrored rank `n + 1 - loRank`; the clamp copies existing
+    * doubles verbatim. Keys too small for the tail fraction (n·p < 1)
+    * clamp to [min, max] — a no-op, exactly the right degenerate.
+    *
+    * One exchange: rank window, count window, the conditional-aggregate
+    * bounds extraction, and the bounds join are all keyed by `keyCol`.
+    */
+  def winsorize(events: DataFrame, keyCol: String, idCol: String, valCol: String,
+      pNum: Long, pDen: Long): DataFrame = {
+    require(pNum > 0 && 2 * pNum < pDen, "tail fraction must be in (0, 1/2)")
+    val wr = Window.partitionBy(keyCol).orderBy(col(valCol), col(idCol))
+    val wc = Window.partitionBy(keyCol)
+    val ranked = events
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("__lor", greatest(lit(1L), expr(s"(__n * $pNum + ${pDen - 1}) div $pDen")))
+    val bounds = ranked
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(col("__rn") === col("__lor"), col(valCol))).as("lo"),
+        max(when(col("__rn") === col("__n") + 1L - col("__lor"), col(valCol))).as("hi"))
+    events.join(bounds, keyCol)
+      .withColumn("value_winsorized", least(greatest(col(valCol), col("lo")), col("hi")))
+  }
+
   /** Time-weighted average of a per-event level (balance/exposure): each
     * event's value holds until the user's next event; the average weights
     * each value by its holding duration — the standard TWAB shape of

@@ -1064,4 +1064,32 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("vec_id_1", "vec_id_2", "cosine")
   }
+
+  /** Pair-set quality report: precision/recall of an approximate duplicate
+    * pair set (banded LSH, simhash, embedding buckets …) against an exact
+    * ground truth — the eval loop that decides a banding/threshold
+    * trade-off, as a first-class hash-checked operator (the
+    * [[graft.operators.Similarity.annRecall]] discipline applied to
+    * dedup). Both inputs need `(doc_id_1, doc_id_2)` with the engine's
+    * id_1 < id_2 pair convention.
+    *
+    * One row: `(n_truth, n_approx, n_hit, recall, precision)` — counts are
+    * exact longs from one full-outer join of the two (already tiny
+    * relative to any corpus) pair sets; each ratio is one double division
+    * of exact longs, null when its denominator is zero.
+    */
+  def pairSetReport(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("doc_id_1"), col("doc_id_2")).withColumn("__t", lit(1L))
+    val a = approx.select(col("doc_id_1"), col("doc_id_2")).withColumn("__a", lit(1L))
+    t.join(a, Seq("doc_id_1", "doc_id_2"), "full_outer")
+      .agg(
+        count(col("__t")).as("n_truth"),
+        count(col("__a")).as("n_approx"),
+        count(when(col("__t").isNotNull && col("__a").isNotNull, lit(1))).as("n_hit"))
+      .select(col("n_truth"), col("n_approx"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double")).as("recall"),
+        when(col("n_approx") > 0,
+          col("n_hit").cast("double") / col("n_approx").cast("double")).as("precision"))
+  }
 }

@@ -185,6 +185,46 @@ object LinkRank {
     labels
   }
 
+  /** K-HOP BFS distances from a seed set over an undirected edge list
+    * `(u, v)` — the reachability primitive next to [[labelPropagate]]'s
+    * communities and [[Dedup.connectedComponents]]'s components: "what is
+    * within k hops of these nodes" (contamination neighborhoods around
+    * known-bad hosts, expansion candidates around curated seeds).
+    *
+    * Level-synchronous BFS, `maxHops` rounds: each round expands the
+    * current distance frame across one edge hop and keeps the per-node
+    * MINIMUM distance — pure integer arithmetic with an order-free min,
+    * so results are deterministic and the oracle unrolls the same rounds.
+    * Output `(node, dist)`, reachable nodes only (seeds at 0).
+    *
+    * Scale shape: the symmetrized edge list is persisted pre-partitioned
+    * by the expansion key, each round is one keyed join + one min
+    * aggregation over a frame bounded by the reachable set, and lineage
+    * stays flat under the [[pageRank]] localCheckpoint discipline. For
+    * web-graph diameters the fixed small `maxHops` is the point — k-hop
+    * neighborhoods, not all-pairs shortest paths.
+    */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops $maxHops out of [1,16]")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .persist()
+    var dist = seeds.select(col("node")).distinct().withColumn("dist", lit(0L))
+    for (h <- 1 to maxHops) {
+      val expanded = sym
+        .join(dist.select(col("node").as("u"), col("dist")), "u")
+        .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy("node").agg(min("dist").as("dist"))
+      if (h % checkpointEvery == 0 || h == maxHops) dist = dist.localCheckpoint()
+    }
+    sym.unpersist()
+    dist
+  }
+
   /** The bipartite interaction graph of the events table: user u touching
     * event type t with multiplicity c contributes edges u→t and t→u of
     * weight c — rank then measures behavioral centrality on both sides

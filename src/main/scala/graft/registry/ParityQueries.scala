@@ -1637,8 +1637,31 @@ object ParityQueries {
       FROM p JOIN ses s ON p.session_start <= s.session_end
         AND s.session_start <= p.session_end AND s.user_id <> p.user_id"""))
 
+  /** Per-type winsorization ([[graft.operators.Behavior.winsorize]],
+    * p = 1/20): clamp into the type's discrete [p, 1-p] quantile range —
+    * the rank rule is exact integer arithmetic (ceil via `(n·p + den-1)
+    * div den`), the clamp copies existing doubles verbatim, so every
+    * clamped value is hash-exact.
+    */
+  private val winsorizeQ = Q(
+    "analytics_winsorize",
+    (s, d) => graft.operators.Behavior.winsorize(
+      evDf(s, d).select("event_id", "event_type", "value"),
+      "event_type", "event_id", "value", pNum = 1L, pDen = 20L),
+    Some(s"""WITH $EV,
+      r AS (SELECT event_type, event_id, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n FROM ev),
+      b AS (SELECT event_type,
+          MAX(CASE WHEN rn = GREATEST(1, (n * 1 + 19) // 20) THEN value END) AS lo,
+          MAX(CASE WHEN rn = n + 1 - GREATEST(1, (n * 1 + 19) // 20) THEN value END) AS hi
+        FROM r GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+        LEAST(GREATEST(e.value, b.lo), b.hi) AS value_winsorized
+      FROM ev e JOIN b USING (event_type)"""))
+
   val all: Seq[Q] = Seq(
-    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ,
+    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

@@ -4013,8 +4013,96 @@ object TrainingQueries {
         FROM j GROUP BY 1"""))
   }
 
+  /** K-hop BFS ([[graft.operators.LinkRank.khopDistances]]) from the
+    * `node % 257 = 0` seeds over the interaction graph — 3
+    * level-synchronous rounds, per-node MIN distance (order-free), the
+    * oracle unrolls identical rounds.
+    */
+  private val khopQ = {
+    def hop(prev: String, cur: String): String =
+      s"""x$cur AS (SELECT s.v AS node, d.dist + 1 AS dist
+          FROM sym s JOIN d$prev d ON d.node = s.u),
+        d$cur AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM
+          (SELECT * FROM d$prev UNION ALL SELECT * FROM x$cur) t GROUP BY 1)"""
+    Q(
+      "graph_khop_reach",
+      (s, d) => {
+        val p = ParityQueries.evDf(s, d).select(
+          pmod(col("user_id"), lit(2048L)).as("a"),
+          pmod(col("event_id"), lit(2048L)).as("b"))
+          .filter(col("a") =!= col("b"))
+        val e = p.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        val seeds = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+          .filter(pmod(col("node"), lit(257L)) === 0)
+        graft.operators.LinkRank.khopDistances(e, seeds, maxHops = 3)
+      },
+      Some(s"""WITH $EV,
+        e0 AS MATERIALIZED (SELECT DISTINCT LEAST(user_id % 2048, event_id % 2048) AS u,
+            GREATEST(user_id % 2048, event_id % 2048) AS v
+          FROM ev WHERE user_id % 2048 <> event_id % 2048),
+        sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+          FROM sym WHERE u % 257 = 0),
+        ${hop("0", "1")},
+        ${hop("1", "2")},
+        ${hop("2", "3")}
+        SELECT node, dist FROM d3"""))
+  }
+
+  /** LSH dedup quality ([[Dedup.pairSetReport]]): the banded-LSH verified
+    * pair set graded against the EXACT 3-gram-Jaccard >= 0.5 pair set
+    * (inverted-index form — identical result to all-pairs at posting-list
+    * cost). Because the LSH pipeline verifies candidates with the same
+    * exact Jaccard, precision is 1.0 BY CONSTRUCTION and the recall line
+    * measures exactly what banding loses — the number that tunes
+    * bands x rows; the oracle re-derives both pair sets and the report.
+    */
+  private val evalLshQ = Q(
+    "eval_lsh_dedup",
+    (s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val exact = Dedup.ngramJaccardIndexed(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
+        threshold = 0.5, shingleHash = Dedup.Md5ShingleHash)
+      Dedup.pairSetReport(exact, lsh)
+    },
+    Some(s"""WITH $augCte, ${md5MinhashCtes("aug", 64, 16)},
+      cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+        FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      jv AS (SELECT c.doc_id_1, c.doc_id_2,
+          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE) AS jaccard
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_id_1 JOIN sh b ON b.doc_id = c.doc_id_2),
+      lsh AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM jv WHERE jaccard >= 0.5),
+      pg AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+      exj AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.sz AS sz1, b.sz AS sz2,
+          COUNT(*) AS common
+        FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+      ex AS MATERIALIZED (SELECT doc_id_1, doc_id_2 FROM exj
+        WHERE CAST(common AS DOUBLE) / CAST(sz1 + sz2 - common AS DOUBLE) >= 0.5),
+      hit AS (SELECT * FROM ex JOIN lsh USING (doc_id_1, doc_id_2))
+      SELECT (SELECT COUNT(*) FROM ex) AS n_truth,
+        (SELECT COUNT(*) FROM lsh) AS n_approx,
+        (SELECT COUNT(*) FROM hit) AS n_hit,
+        CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+          THEN CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+            CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) END AS recall,
+        CASE WHEN (SELECT COUNT(*) FROM lsh) > 0
+          THEN CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+            CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE) END AS "precision""""),
+    planView = Some((s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val exact = Dedup.ngramJaccardIndexed(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
+        threshold = 0.5, shingleHash = Dedup.Md5ShingleHash,
+        boundary = graft.operators.Boundary.None)
+      Dedup.pairSetReport(exact, lsh)
+    }))
+
   val all: Seq[Q] = Seq(
-    labelPropQ, hybridRetrieveQ, annRecallQ,
+    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,

@@ -151,6 +151,21 @@ class BehaviorSpec extends SparkSpec {
     assert(r == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("winsorize clamps into the discrete [p, 1-p] range; tiny keys are a no-op") {
+    // key A: values 1..20, p=1/10 -> loRank=2, hiRank=19: clamp to [2, 19]
+    val a = (1 to 20).map(i => (1L, i.toLong, i.toDouble))
+    // key B: 3 values, loRank = max(1, ceil(3/10)) = 1, hiRank = 3 -> [min, max], no-op
+    val b = Seq((2L, 100L, 7.0), (2L, 101L, -4.0), (2L, 102L, 50.0))
+    val r = Behavior.winsorize((a ++ b).toDF("k", "id", "v"), "k", "id", "v", 1L, 10L)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Double]("lo"), x.getAs[Double]("hi"), x.getAs[Double]("value_winsorized")))
+      .toMap
+    assert(r(1L) == ((2.0, 19.0, 2.0)))    // clamped up
+    assert(r(20L) == ((2.0, 19.0, 19.0)))  // clamped down
+    assert(r(10L) == ((2.0, 19.0, 10.0)))  // inside: untouched
+    assert(r(101L) == ((-4.0, 50.0, -4.0)) && r(102L) == ((-4.0, 50.0, 50.0)))
+  }
+
   test("robust anomalies: threshold is a rational num/den pair") {
     // u1: values 0,10,21 — med=10, devs {10,0,11}, MAD=10; at 21/20 MADs
     // (1.05) the dev=11 rows flag, dev=10 does not (11*20 > 10*21, 10*20 < 10*21)

@@ -676,4 +676,19 @@ class TextSpec extends SparkSpec {
       .select(Text.normalizeWhitespace(col("t"))).as[String].head()
     assert(r == "a b c")
   }
+
+  test("pairSetReport: exact counts, null-guarded ratios") {
+    def pairs(ps: (Long, Long)*) = ps.toDF("doc_id_1", "doc_id_2")
+    val truth = pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    val approx = pairs((1L, 2L), (2L, 3L), (6L, 7L))
+    val r = graft.operators.Dedup.pairSetReport(truth, approx).head()
+    assert(r.getAs[Long]("n_truth") == 4L && r.getAs[Long]("n_approx") == 3L &&
+      r.getAs[Long]("n_hit") == 2L)
+    assert(r.getAs[Double]("recall") == 0.5 && r.getAs[Double]("precision") == 2.0 / 3.0)
+    // empty approx: precision null, recall 0; empty truth: recall null
+    val r2 = graft.operators.Dedup.pairSetReport(truth, pairs()).head()
+    assert(r2.getAs[Double]("recall") == 0.0 && r2.isNullAt(r2.fieldIndex("precision")))
+    val r3 = graft.operators.Dedup.pairSetReport(pairs(), approx).head()
+    assert(r3.isNullAt(r3.fieldIndex("recall")) && r3.getAs[Double]("precision") == 0.0)
+  }
 }

@@ -80,6 +80,13 @@ class EmptyInputSpec extends SparkSpec {
     val erl = Seq.empty[(Long, Long, Long)].toDF("qid", "doc_id", "rank")
     assert(graft.quality.Scoring.rrfFuse(Seq(erl), k0 = 60L, maxRank = 10,
       k = 10).count() == 0)
+    assert(graft.operators.LinkRank.khopDistances(
+      eed.select("u", "v"), eed.select(col("u").as("node")), maxHops = 3).count() == 0)
+    assert(graft.operators.Behavior.winsorize(eev, "user_id", "event_id", "value",
+      1L, 20L).count() == 0)
+    val epr = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val rep = graft.operators.Dedup.pairSetReport(epr, epr).head()
+    assert(rep.getAs[Long]("n_truth") == 0L && rep.isNullAt(rep.fieldIndex("recall")))
   }
 
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {

@@ -136,4 +136,25 @@ class LinkRankSpec extends SparkSpec {
     val r2 = lp(edges, 4)
     assert(r1 == r2)
   }
+
+  test("khopDistances: level-synchronous BFS keeps the minimum hop count") {
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop away, not 3;
+    // node 5 is 2; node 9 is disconnected and absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (8L, 9L))
+      .toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val d = LinkRank.khopDistances(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("khopDistances: maxHops bounds the frontier; multiple seeds take the nearer") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val d1 = LinkRank.khopDistances(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4,5,6 beyond 2 hops
+    val d2 = LinkRank.khopDistances(edges, Seq(1L, 6L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2(4L) == 2L && d2(5L) == 1L && d2(6L) == 0L)
+  }
 }

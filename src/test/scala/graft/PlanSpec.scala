@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
       s"daily agg + both windows must share the user_id exchange, found $n:\n$plan")
   }
 
+  test("single-exchange contracts: scd2, ewma, winsorize reuse one key exchange") {
+    graft.sources.Tables.configure(spark)
+    // each groups/windows/joins exclusively on its key, so Catalyst must
+    // satisfy every stage from ONE hash exchange — a second exchange here
+    // is a silent 2x shuffle regression at corpus scale
+    for (name <- Seq("scd2_build_intervals", "ts_ewma", "analytics_winsorize")) {
+      val plan = Registry.byName(name).run(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(n == 1, s"$name: expected 1 exchange, found $n:\n$plan")
+    }
+  }
+
   test("minhash signature plans as a pure projection — zero shuffles") {
     graft.sources.Tables.configure(spark)
     val plan = Registry.byName("dedup_minhash_signature").run(spark, sf)

@@ -76,7 +76,9 @@ class RegistrySpec extends AnyFunSuite {
       // r10: bm25's inverted index is tf-materialized (three consumers)
       "text_bm25_retrieve",
       // r10: hybrid fusion routes bm25Retrieve, so it inherits the boundary
-      "text_hybrid_retrieve")
+      "text_hybrid_retrieve",
+      // r10: the LSH-vs-exact eval routes minhashLsh's signature boundary
+      "eval_lsh_dedup")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
