@@ -287,13 +287,21 @@ object Similarity {
       iters: Int): DataFrame = {
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    // Lloyd's rescans the corpus every iteration — cache the ONE projection
+    // the loop reads (just the vector column) so iters x I/O collapses to a
+    // single scan + cache hits (MEMORY_AND_DISK: a corpus bigger than
+    // executor memory degrades to a local-disk re-read, still never a
+    // second source scan). The per-iteration centroid literals keep the
+    // lineage flat, so the cache is the only thing carrying state.
+    val vecs = corpus.select(col(vecCol).as("__v"))
+    if (iters > 0) vecs.persist()
     for (_ <- 0 until iters) {
       // per-vector argmax as a literal-centroid projection: no join, no
       // groupBy — the N x k scoring happens map-side inside the scan and
       // only the (cell, v) rows the mean below needs ever exist
       val cents = collectCentroids(centroids)
-      val best = corpus.select(
-        cents.assign(col(vecCol)).as("cell_id"), col(vecCol).as("v"))
+      val best = vecs.select(
+        cents.assign(col("__v")).as("cell_id"), col("__v").as("v"))
       // decimal-exact mean (order-independent accumulation): plain avg()
       // over doubles is partition-order-dependent, so refined centroids —
       // and therefore IVF assignments at nProbe < nCentroids — would differ
@@ -306,6 +314,12 @@ object Similarity {
         .groupBy("cell_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"), expr("transform(pm, e -> e.m)").as("centroid"))
+    }
+    if (iters > 0) {
+      // the last iteration's centroids still reference the cache lazily —
+      // materialize them (k rows) before releasing it
+      centroids = centroids.localCheckpoint()
+      vecs.unpersist()
     }
     centroids
   }
