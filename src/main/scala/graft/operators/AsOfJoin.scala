@@ -128,6 +128,62 @@ object AsOfJoin {
           rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
   }
 
+  /** NEAREST-direction as-of join (pandas `merge_asof
+    * direction='nearest'`): match each left row to the right row whose
+    * timestamp is CLOSEST within `± tolerance`, ties between an equally
+    * distant past and future row resolving to the PAST (the leakage-safe
+    * default: at equal distance, prefer information that was already
+    * known). Ties among multiple right rows AT the winning timestamp fan
+    * out one row per tied right row ([[asOf]]'s convention).
+    *
+    * Same two-stage shape as [[asOf]]/[[asOfForward]] merged: one range
+    * join over the DISTINCT (keys, leftTs) pairs picks the winning
+    * `(|dt|, side)` per pair as an order-free `min(struct)` (exact
+    * integer distance; side 0 = past ranks under side 1 = future, which
+    * IS the tie rule), then two equi re-joins attach the winning right
+    * rows. All equi/range-keyed — never a nested loop; the
+    * [[asOfBinned]] hot-key guidance applies with the bin arithmetic
+    * reflected on both sides of the window.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Long,
+      rightValueCols: Seq[String],
+      rightPrefix: String = "near_"): DataFrame = {
+    require(tolerance > 0)
+    val rp = "__r_"
+    val rightCols = (keyCols ++ (rightTs +: rightValueCols)).distinct
+    val r0 = right.select(rightCols.map(c => col(c).as(rp + c)): _*)
+
+    val lk = left.select((keyCols :+ leftTs).map(col): _*).distinct()
+    val rangeCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col(rp + rightTs).between(col(leftTs) - tolerance, col(leftTs) + tolerance)
+    val best = lk
+      .join(r0, rangeCond, "inner")
+      .groupBy((keyCols :+ leftTs).map(col): _*)
+      .agg(min(struct(
+        abs(col(rp + rightTs) - col(leftTs)).as("d"),
+        when(col(rp + rightTs) <= col(leftTs), 0L).otherwise(1L).as("side"))).as("__b"))
+      .select((keyCols :+ leftTs).map(col) :+
+        when(col("__b.side") === 0L, col(leftTs) - col("__b.d"))
+          .otherwise(col(leftTs) + col("__b.d")).as("__best_right_ts"): _*)
+
+    val withBest = left.join(best, keyCols :+ leftTs, "left")
+    val backCond =
+      keyCols.map(k => col(k) === col(rp + k)).reduce(_ && _) &&
+        col("__best_right_ts") === col(rp + rightTs)
+    withBest
+      .join(r0, backCond, "left")
+      .select(
+        left.columns.map(col) ++
+          rightValueCols.map(c => col(rp + c).as(rightPrefix + c)): _*)
+  }
+
   /** The NATIVE whole-operator form of [[asOf]]: plans a
     * [[graft.plans.AsOfMergeJoinNode]], which
     * [[graft.plans.AsOfMergeJoinStrategy]] (injected by GraftExtensions)

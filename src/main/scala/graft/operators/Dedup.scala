@@ -1065,6 +1065,50 @@ object Dedup {
       .select("vec_id_1", "vec_id_2", "cosine")
   }
 
+  /** N-gram CONTAINMENT pairs over the same inverted index as
+    * [[ngramJaccardIndexed]] — the asymmetric near-dup Jaccard cannot see:
+    * a short document quoted inside a long one has tiny Jaccard (the union
+    * is dominated by the long doc) but containment
+    * `|A∩B| / min(|A|,|B|)` ≈ 1 (Broder's containment, the
+    * excerpt/quotation/boilerplate-inclusion detector every crawl dedup
+    * needs beside symmetric near-dup).
+    *
+    * Emits `(doc_id_1 < doc_id_2, common, sz1, sz2, containment)` for
+    * pairs whose max-containment (smaller side contained in the other)
+    * meets `threshold` — one double division of exact longs. Identical
+    * posting-list shape, Σdf² bound, and `maxDf` pruning trade as
+    * [[ngramJaccardIndexed]].
+    */
+  def ngramContainmentIndexed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), Text.shinglesFromWords(col("__w"), n).as("s"))
+      .select(col("doc_id"), size(col("s")).cast("long").as("sz"), explode(col("s")).as("g"))
+    val posts =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val stop = sh.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("g")
+        sh.join(broadcast(stop), Seq("g"), "left_anti")
+      }
+    val a = posts.select(col("g"), col("doc_id").as("doc_id_1"), col("sz").as("sz1"))
+    val b = posts.select(col("g"), col("doc_id").as("doc_id_2"), col("sz").as("sz2"))
+    a.join(b, "g")
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2", "sz1", "sz2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("sz1"), col("sz2")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id_1", "doc_id_2", "common", "sz1", "sz2", "containment")
+  }
+
   /** Pair-set quality report: precision/recall of an approximate duplicate
     * pair set (banded LSH, simhash, embedding buckets …) against an exact
     * ground truth — the eval loop that decides a banding/threshold

@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality gate: boolean constraint checks evaluated as ONE aggregate
@@ -56,5 +57,48 @@ object Constraints {
     if (failed.nonEmpty)
       throw new IllegalStateException(
         s"data-quality constraints failed: ${failed.mkString(", ")}")
+  }
+
+  /** Population Stability Index between two snapshots of a binned
+    * distribution — the train-vs-serving drift monitor every scoring
+    * pipeline runs (PSI > 0.25 is the classic retrain alarm; the
+    * boolean [[Check]]s above catch broken data, PSI catches data that is
+    * valid but no longer looks like what the model saw).
+    *
+    * `PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i)` with Laplace-smoothed
+    * shares `p_i = (n_i + 1) / (N + B)` (B = bins present in either
+    * snapshot) so empty bins contribute finitely — the standard epsilon
+    * made RATIONAL and hence engine-exact. Each bin's term quantizes once
+    * (`floor(term · 1e9)` — ln via log2/log2(e) would double-round, so
+    * the natural log is taken directly; one transcendental per bin, the
+    * tfidf/surprisal residual-assumption note applies) and the total is
+    * an exact integer sum.
+    *
+    * Output: one row per bin `(bin, n_expected, n_actual, p, q, term_u)`
+    * plus the constant `psi` column (Σ term_u / 1e9). Shape: two keyed
+    * count aggregations + one full-outer on the bin id; the totals and
+    * bin count ride WINDOWS over the (tiny) per-bin frame — no driver
+    * scalars, no second pass over either snapshot.
+    */
+  def driftPsi(expected: DataFrame, actual: DataFrame, binCol: String): DataFrame = {
+    val e = expected.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_expected"))
+    val a = actual.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_actual"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = e.join(a, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+      .withColumn("__te", sum(col("n_expected")).over(w))
+      .withColumn("__ta", sum(col("n_actual")).over(w))
+      .withColumn("__b", count(lit(1)).over(w))
+    joined
+      .withColumn("p", (col("n_expected") + 1L).cast("double") /
+        (col("__te") + col("__b")).cast("double"))
+      .withColumn("q", (col("n_actual") + 1L).cast("double") /
+        (col("__ta") + col("__b")).cast("double"))
+      .withColumn("term_u", floor((col("p") - col("q")) * log(col("p") / col("q"))
+        * lit(1e9)).cast("long"))
+      .withColumn("psi", (sum(col("term_u")).over(w)).cast("double") / lit(1e9))
+      .drop("__te", "__ta", "__b")
   }
 }

@@ -540,6 +540,69 @@ object ParityQueries {
     asOfOracle,
     bench = true)
 
+  /** Nearest-direction as-of ([[AsOfJoin.asOfNearest]], ±1 day): closest
+    * price either side, equal distance preferring the PAST. The oracle
+    * encodes the (|dt|, side) winner as `MIN(d*2 + side)` — the same
+    * lexicographic order as the engine's `min(struct(d, side))` — so the
+    * direction choice itself is hash-checked on every row.
+    */
+  private val asOfNearestQ = Q(
+    "join_asof_nearest",
+    (s, d) => {
+      val (trades, prices) = asOfInputs(s, d)
+      AsOfJoin.asOfNearest(trades, prices, Seq("user_id"), "epoch", "price_epoch",
+        tolerance = 86400L, rightValueCols = Seq("price"), rightPrefix = "near_")
+    },
+    Some(s"""WITH $EV,
+      trades AS (SELECT event_id, user_id, epoch, value FROM ev WHERE event_type = 'purchase'),
+      prices AS (SELECT user_id, epoch AS price_epoch, value AS price FROM ev WHERE event_type = 'view'),
+      lk AS (SELECT DISTINCT user_id, epoch FROM trades),
+      cand AS (SELECT l.user_id, l.epoch,
+          ABS(p.price_epoch - l.epoch) AS dd,
+          CASE WHEN p.price_epoch <= l.epoch THEN 0 ELSE 1 END AS side
+        FROM lk l JOIN prices p ON p.user_id = l.user_id
+          AND p.price_epoch BETWEEN l.epoch - 86400 AND l.epoch + 86400),
+      best AS (SELECT user_id, epoch, MIN(dd * 2 + side) AS k FROM cand GROUP BY 1, 2),
+      bt AS (SELECT user_id, epoch,
+          CASE WHEN k % 2 = 0 THEN epoch - k // 2 ELSE epoch + (k - 1) // 2 END AS brt
+        FROM best)
+      SELECT t.event_id, t.user_id, t.epoch, t.value, p.price AS near_price
+      FROM trades t
+      LEFT JOIN bt ON bt.user_id = t.user_id AND bt.epoch = t.epoch
+      LEFT JOIN prices p ON p.user_id = t.user_id AND p.price_epoch = bt.brt"""))
+
+  /** PSI drift monitor ([[graft.quality.Constraints.driftPsi]]): the
+    * value distribution of even days (the "training" snapshot) vs odd
+    * days (the "serving" snapshot), 50-unit bins capped at 11 —
+    * Laplace-smoothed RATIONAL shares, one quantized ln term per bin,
+    * exact integer total; the oracle recomputes bins, smoothing,
+    * quantization and the Σ from scratch.
+    */
+  private val driftPsiQ = Q(
+    "dq_drift_psi",
+    (s, d) => {
+      val e = evDf(s, d).withColumn("bin",
+        least(floor(col("value") / 50.0).cast("long"), lit(11L)))
+      graft.quality.Constraints.driftPsi(
+        e.filter(col("day") % 2 === 0), e.filter(col("day") % 2 === 1), "bin")
+    },
+    Some(s"""WITH $EV,
+      v AS (SELECT day, LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 11) AS bin FROM ev),
+      e AS (SELECT bin, COUNT(*) AS n_expected FROM v WHERE day % 2 = 0 GROUP BY 1),
+      a AS (SELECT bin, COUNT(*) AS n_actual FROM v WHERE day % 2 = 1 GROUP BY 1),
+      j AS (SELECT COALESCE(e.bin, a.bin) AS bin, COALESCE(n_expected, 0) AS n_expected,
+          COALESCE(n_actual, 0) AS n_actual FROM e FULL JOIN a ON e.bin = a.bin),
+      t AS (SELECT *, CAST(SUM(n_expected) OVER () AS BIGINT) AS te,
+          CAST(SUM(n_actual) OVER () AS BIGINT) AS ta, COUNT(*) OVER () AS b FROM j),
+      sh AS (SELECT bin, n_expected, n_actual,
+          CAST(n_expected + 1 AS DOUBLE) / CAST(te + b AS DOUBLE) AS p,
+          CAST(n_actual + 1 AS DOUBLE) / CAST(ta + b AS DOUBLE) AS q FROM t),
+      u AS (SELECT *, CAST(FLOOR((p - q) * ln(p / q) * 1000000000.0) AS BIGINT) AS term_u
+        FROM sh)
+      SELECT bin, n_expected, n_actual, p, q, term_u,
+        CAST(CAST(SUM(term_u) OVER () AS BIGINT) AS DOUBLE) / 1000000000.0 AS psi
+      FROM u"""))
+
   /** Generic point-in-interval range join, bin-replicated
     * ([[Relational.rangeJoinBinned]]): every purchase matched to every
     * 2-hour view-anchored window covering it. The oracle is the naive
@@ -1662,6 +1725,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
+    asOfNearestQ, driftPsiQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

@@ -4101,8 +4101,42 @@ object TrainingQueries {
       Dedup.pairSetReport(exact, lsh)
     }))
 
+  /** Containment near-dup ([[Dedup.ngramContainmentIndexed]]): 12-word
+    * excerpts planted from every 11th document are found INSIDE their
+    * sources at containment >= 0.8 — the asymmetric overlap Jaccard
+    * cannot see (the excerpt/source union dwarfs the intersection). Same
+    * inverted-index shape as the exact-Jaccard row; the oracle rebuilds
+    * excerpts, distinct 2-gram sets, posting join and the min-side
+    * division from scratch.
+    */
+  private val containmentQ = Q(
+    "dedup_containment_indexed",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val withExcerpts = docs.unionByName(
+        docs.filter(col("doc_id") % 11 === 0).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(Text.words(col("text")), 3, 12)).as("text")))
+      Dedup.ngramContainmentIndexed(withExcerpts, "doc_id", "text", n = 2, threshold = 0.8)
+    },
+    Some(s"""WITH aug AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 200000, array_to_string(list_slice($WS, 3, 14), ' ')
+        FROM documents WHERE doc_id % 11 = 0),
+      w AS (SELECT doc_id, $WS AS ws FROM aug),
+      g AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+          THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+          ELSE [] END AS sh FROM w),
+      pg AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS gr FROM g),
+      exj AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.sz AS sz1, b.sz AS sz2,
+          COUNT(*) AS common
+        FROM pg a JOIN pg b ON a.gr = b.gr AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+      SELECT doc_id_1, doc_id_2, common, sz1, sz2,
+        CAST(common AS DOUBLE) / CAST(LEAST(sz1, sz2) AS DOUBLE) AS containment
+      FROM exj
+      WHERE CAST(common AS DOUBLE) / CAST(LEAST(sz1, sz2) AS DOUBLE) >= 0.8"""))
+
   val all: Seq[Q] = Seq(
-    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ,
+    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ, containmentQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,

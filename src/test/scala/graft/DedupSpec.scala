@@ -677,6 +677,24 @@ class TextSpec extends SparkSpec {
     assert(r == "a b c")
   }
 
+  test("containment finds an excerpt its Jaccard cannot see") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, long),
+      (2L, "gamma delta epsilon zeta eta"), // 4 bigrams, all inside doc 1
+      (3L, "unrelated words entirely different")).toDF("doc_id", "text")
+    val cont = graft.operators.Dedup
+      .ngramContainmentIndexed(docs, "doc_id", "text", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont.keySet == Set((1L, 2L)) && cont((1L, 2L)) == 1.0)
+    // the symmetric form rejects the same pair: union is dominated by doc 1
+    val jac = graft.operators.Dedup
+      .ngramJaccardIndexed(docs, "doc_id", "text", n = 2, threshold = 0.8).count()
+    assert(jac == 0)
+  }
+
   test("pairSetReport: exact counts, null-guarded ratios") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_id_1", "doc_id_2")
     val truth = pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))

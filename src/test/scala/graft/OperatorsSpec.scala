@@ -116,6 +116,36 @@ class AsOfJoinSpec extends SparkSpec {
       200L, Seq("price")).collect()
     assert(rows.length == 2) // faithful to the reference's argmax re-join
   }
+
+  private def nearest(tolerance: Long) =
+    AsOfJoin.asOfNearest(trades, prices, Seq("key"), "ts", "pts", tolerance, Seq("price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("asOfNearest picks the closest row either side; no match -> null") {
+    val m = nearest(600L)
+    assert(m(1L).contains(9.9))  // 990 (d=10) beats 1500 (d=500)
+    assert(m(2L).contains(21.0)) // 2100 (d=100) beats 1500 (d=500)
+    assert(m(3L).isEmpty)        // key x has no prices
+  }
+
+  test("asOfNearest: equal distance prefers the PAST") {
+    // trade at 1000; prices at 990 (d=10 past) and 1010 (d=10 future)
+    val p = Seq(("k", 990L, 9.9), ("k", 1010L, 10.1)).toDF("key", "pts", "price")
+    val m = AsOfJoin.asOfNearest(trades.filter($"id" === 1), p, Seq("key"), "ts", "pts",
+      100L, Seq("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) == 9.9)
+  }
+
+  test("asOfNearest: tolerance bounds both directions; ties at the winner fan out") {
+    assert(nearest(9L)(1L).isEmpty) // 990 is 10 away: outside ±9
+    val dup = prices.union(Seq(("k", 990L, 8.8)).toDF("key", "pts", "price"))
+    val rows = AsOfJoin.asOfNearest(trades.filter($"id" === 1), dup, Seq("key"), "ts", "pts",
+      600L, Seq("price")).collect()
+    assert(rows.length == 2 &&
+      rows.map(_.getDouble(3)).toSet == Set(9.9, 8.8)) // both rows at ts=990
+  }
 }
 
 class RelationalSpec extends SparkSpec {
@@ -403,6 +433,24 @@ class ConstraintsSpec extends SparkSpec {
     val e = intercept[IllegalStateException] { Constraints.enforce(df, checks) }
     assert(e.getMessage.contains("all_zero_x") && e.getMessage.contains("neg_n"))
     assert(!e.getMessage.contains("null_x"))
+  }
+
+  test("driftPsi: identical snapshots score ~0; smoothing keeps empty bins finite") {
+    val ex = Seq(1L, 1L, 2L, 2L, 3L).toDF("bin")
+    val same = Constraints.driftPsi(ex, ex, "bin").collect()
+    // p == q on every bin -> every term is ln(1)*0 = 0 exactly (floor(0) = 0)
+    assert(same.forall(_.getAs[Long]("term_u") == 0L))
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    // a bin present only in ACTUAL: smoothing keeps p > 0, term finite
+    val ac = Seq(1L, 1L, 2L, 2L, 9L).toDF("bin")
+    val drift = Constraints.driftPsi(ex, ac, "bin").collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(drift.keySet == Set(1L, 2L, 3L, 9L))
+    assert(drift(9L).getAs[Long]("n_expected") == 0L)
+    val psi = drift(9L).getAs[Double]("psi")
+    assert(psi > 0.0 && psi.isFinite)
+    // the shifted distribution scores strictly above the identical one
+    assert(psi > same.head.getAs[Double]("psi"))
   }
 }
 
