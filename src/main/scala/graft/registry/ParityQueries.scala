@@ -603,6 +603,74 @@ object ParityQueries {
         CAST(CAST(SUM(term_u) OVER () AS BIGINT) AS DOUBLE) / 1000000000.0 AS psi
       FROM u"""))
 
+  /** The time-series flagship composition: raw irregular events → 6-hour
+    * forward-filled grid ([[graft.operators.Timeseries.resampleFfill]]) →
+    * integer-exact EWMA over the grid ([[graft.operators.Timeseries
+    * .ewma]], α=1/4) → residual = value − smoothed → per-user median/MAD
+    * anomaly flags ON THE RESIDUAL ([[graft.operators.Behavior
+    * .robustAnomalies]]) — the classic detrended-outlier detector, every
+    * stage recomputed by DuckDB from the raw events in ONE oracle
+    * program (the `pipeline_training_build` discipline applied to market
+    * data).
+    */
+  private val tsPipelineQ = {
+    val step = 21600000000000L
+    Q(
+      "pipeline_timeseries_features",
+      (s, d) => {
+        val grid = graft.operators.Timeseries.resampleFfill(
+          Tables.events(s, d), "user_id", "ts", "event_id", "value", step)
+          .select(col("user_id"), col("grid_ts"), col("value"))
+          .withColumn("gid", col("grid_ts"))
+        val sm = graft.operators.Timeseries
+          .ewma(grid, "user_id", "grid_ts", "gid", "value", 1L, 4L)
+          .withColumn("resid", col("value") - col("ewma"))
+        val fl = graft.operators.Behavior.robustAnomalies(
+          sm.select("user_id", "gid", "resid"), "user_id", "gid", "resid", 3L, 1L)
+        fl.join(sm.select(col("user_id"), col("gid"), col("grid_ts"),
+            col("value"), col("ewma")), Seq("user_id", "gid"))
+          .select(col("user_id"), col("grid_ts"), col("value"), col("ewma"),
+            col("resid"), col("med"), col("mad"), col("dev"), col("is_anomaly"))
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id,
+          value AS v FROM events),
+        span AS (SELECT user_id, (MIN(t) + ${step - 1}) // $step AS lo,
+            MAX(t) // $step AS hi FROM e GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(lo, hi + 1)) * $step AS t
+          FROM span WHERE lo <= hi),
+        uu AS (SELECT user_id, t, id, v, 0 AS gf FROM e
+          UNION ALL SELECT user_id, t, NULL, NULL, 1 FROM grid),
+        ff AS (SELECT user_id, t, gf,
+            last_value(CASE WHEN gf = 0 THEN v END IGNORE NULLS) OVER w AS ov
+          FROM uu WINDOW w AS (PARTITION BY user_id ORDER BY t, gf, id
+            ROWS UNBOUNDED PRECEDING)),
+        g AS (SELECT user_id, t AS grid_ts, ov AS value FROM ff WHERE gf = 1),
+        r AS MATERIALIZED (SELECT user_id, grid_ts, value,
+            CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu,
+            row_number() OVER (PARTITION BY user_id ORDER BY grid_ts) AS rn FROM g),
+        ew AS (SELECT user_id, rn, grid_ts, value, vu AS eu FROM r WHERE rn = 1
+          UNION ALL SELECT r.user_id, r.rn, r.grid_ts, r.value,
+            (1 * r.vu + 3 * ew.eu) // 4
+          FROM r JOIN ew ON r.user_id = ew.user_id AND r.rn = ew.rn + 1),
+        sm AS MATERIALIZED (SELECT user_id, grid_ts, value,
+            CAST(eu AS DOUBLE) / 1000000.0 AS ewma,
+            value - CAST(eu AS DOUBLE) / 1000000.0 AS resid FROM ew),
+        rr AS (SELECT user_id, resid, grid_ts,
+            row_number() OVER (PARTITION BY user_id ORDER BY resid, grid_ts) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM sm),
+        med AS (SELECT user_id, resid AS med FROM rr WHERE rn = (cnt + 1) // 2),
+        dv AS (SELECT s.user_id, s.grid_ts, s.value, s.ewma, s.resid, m.med,
+            ABS(s.resid - m.med) AS dev
+          FROM sm s JOIN med m USING (user_id)),
+        r2 AS (SELECT user_id, dev, grid_ts,
+            row_number() OVER (PARTITION BY user_id ORDER BY dev, grid_ts) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM dv),
+        mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+        SELECT dv.user_id, dv.grid_ts, dv.value, dv.ewma, dv.resid, dv.med,
+          mad.mad, dv.dev, dv.dev * 1.0 > mad.mad * 3.0 AS is_anomaly
+        FROM dv JOIN mad USING (user_id)"""))
+  }
+
   /** Generic point-in-interval range join, bin-replicated
     * ([[Relational.rangeJoinBinned]]): every purchase matched to every
     * 2-hour view-anchored window covering it. The oracle is the naive
@@ -1725,7 +1793,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
-    asOfNearestQ, driftPsiQ,
+    asOfNearestQ, driftPsiQ, tsPipelineQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
