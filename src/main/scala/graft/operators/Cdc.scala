@@ -154,6 +154,74 @@ object Cdc {
     * shape). Output size is the number of VALUE CHANGES, not events —
     * the whole point of Type-2 storage at scale.
     */
+  /** INCREMENTAL [[scd2Intervals]] maintenance — the production form: a
+    * Type-2 table over years of history must absorb today's changes
+    * without recomputing every key's full change stream (the
+    * [[graft.operators.Dedup]] `dedup_cluster_incremental` discipline
+    * applied to dimension history). Contract: every batch row's
+    * `(tsCol, idCol)` is STRICTLY LATER than everything already applied
+    * for its key (append-only time — the same monotonicity
+    * [[Incremental]]'s watermark reads give for free).
+    *
+    * Semantics = exactly `scd2Intervals(allChangesEverApplied)`:
+    *  - the batch's internal runs collapse first ([[scd2Intervals]] on the
+    *    batch alone);
+    *  - a key's OPEN version either EXTENDS (batch's first run carries the
+    *    same tracked values — no new version, its valid_to is the batch's
+    *    second run boundary) or CLOSES at the batch's first change
+    *    instant;
+    *  - batch runs append with version indices continuing the key's
+    *    count; closed history rows pass through untouched — which is the
+    *    whole point: the table's closed majority is never rewritten.
+    *    Incremental == full recompute is property-tested across random
+    *    split points (CdcSpec) and hash-checked by the registry row
+    *    (`scd2_incremental`: two-batch apply vs the from-scratch oracle).
+    *
+    * Shape: one [[scd2Intervals]] over the (small) batch + one keyed
+    * full-outer of the one-row-per-key OPEN set against the batch's
+    * first-run set — the closed history never shuffles.
+    */
+  def scd2Apply(existing: DataFrame, batch: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, trackedCols: Seq[String]): DataFrame = {
+    val outCols = (keyCol +: trackedCols) ++
+      Seq("valid_from", "valid_to", "version_idx", "is_current")
+    val hist = existing.filter(!col("is_current")).select(outCols.map(col): _*)
+    val cur = existing.filter(col("is_current"))
+      .select((col(keyCol) +: trackedCols.map(c => col(c).as(s"__c_$c"))) ++
+        Seq(col("valid_from").as("__c_from"), col("version_idx").as("__c_ver")): _*)
+    val runs = scd2Intervals(batch, keyCol, tsCol, idCol, trackedCols)
+    val first = runs.filter(col("version_idx") === 1L)
+      .select((col(keyCol) +: trackedCols.map(c => col(c).as(s"__f_$c"))) ++
+        Seq(col("valid_from").as("__f_from"), col("valid_to").as("__f_to")): _*)
+    val j = cur.join(first, Seq(keyCol), "full_outer")
+    val sameTracked = trackedCols
+      .map(c => col(s"__c_$c") <=> col(s"__f_$c")).reduce(_ && _)
+    val touched = col("__f_from").isNotNull
+    // the key's (possibly extended or closed) current version
+    val curOut = j.filter(col("__c_from").isNotNull).select(
+      (col(keyCol) +: trackedCols.map(c => col(s"__c_$c").as(c))) ++ Seq(
+        col("__c_from").as("valid_from"),
+        when(!touched, lit(null).cast("long"))
+          .when(sameTracked, col("__f_to"))
+          .otherwise(col("__f_from")).as("valid_to"),
+        col("__c_ver").as("version_idx")): _*)
+    // batch runs that open NEW versions: all of them for a changed or new
+    // key; runs 2.. when the first run merely extended the open version
+    val verBase = j.select(col(keyCol),
+      coalesce(col("__c_ver"), lit(0L)).as("__base"),
+      (col("__c_from").isNotNull && sameTracked).as("__merged"))
+    val runsOut = runs.join(verBase, keyCol)
+      .filter(!col("__merged") || col("version_idx") > 1L)
+      .select((col(keyCol) +: trackedCols.map(col)) ++ Seq(
+        col("valid_from"), col("valid_to"),
+        (col("version_idx") + col("__base") -
+          when(col("__merged"), 1L).otherwise(0L)).as("version_idx")): _*)
+    hist.unionByName(
+      curOut.unionByName(runsOut)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(outCols.map(col): _*))
+  }
+
   def scd2Intervals(changes: DataFrame, keyCol: String, tsCol: String,
       idCol: String, trackedCols: Seq[String]): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must be non-empty")

@@ -1672,6 +1672,39 @@ object ParityQueries {
       SELECT user_id, event_type, valid_from, valid_to, version_idx,
         valid_to IS NULL AS is_current FROM f"""))
 
+  /** Incremental SCD2 maintenance ([[graft.operators.Cdc.scd2Apply]]):
+    * the change stream split at the watermark midpoint, yesterday's
+    * interval table absorbing today's batch — extends-or-closes the open
+    * versions, appends the batch's runs, never rewrites closed history —
+    * while the ORACLE rebuilds the whole Type-2 table from scratch, so
+    * incremental == full recompute is hash-checked row by row.
+    */
+  private val scd2IncrementalQ = Q(
+    "scd2_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "ts", "event_id", "event_type")
+      val cut = MidEpoch * 1000000000L
+      val b1 = ev.filter(col("ts") < cut)
+      val b2 = ev.filter(col("ts") >= cut)
+      graft.operators.Cdc.scd2Apply(
+        graft.operators.Cdc.scd2Intervals(b1, "user_id", "ts", "event_id", Seq("event_type")),
+        b2, "user_id", "ts", "event_id", Seq("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id, event_type
+        FROM events),
+      b AS (SELECT user_id, t, id, event_type,
+          CASE WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w
+               THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+      r AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM b),
+      v AS (SELECT user_id, run AS version_idx, MIN(event_type) AS event_type,
+          MIN(t) AS valid_from FROM r GROUP BY 1, 2),
+      f AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to FROM v)
+      SELECT user_id, event_type, valid_from, valid_to, version_idx,
+        valid_to IS NULL AS is_current FROM f"""))
+
   /** Robust anomaly flags ([[graft.operators.Behavior.robustAnomalies]]):
     * per-user median/MAD outlier rule at 3 MADs — both statistics are the
     * discrete-selection rank rule (`agg_median_disc`/`agg_mad` stacked),
@@ -1793,7 +1826,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
-    asOfNearestQ, driftPsiQ, tsPipelineQ,
+    asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

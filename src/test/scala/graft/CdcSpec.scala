@@ -133,6 +133,54 @@ class CdcSpec extends SparkSpec {
     assert(at(99L) == Seq("c"))
   }
 
+  test("scd2Apply == full rebuild across random split points (property)") {
+    val rnd = new scala.util.Random(17)
+    val stream = (1 to 240).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong * 10, i.toLong, s"v${rnd.nextInt(3)}")
+    } // ts strictly increasing -> any ts split respects the per-key contract
+    def iv(rows: Seq[(Long, Long, Long, String)]) =
+      Cdc.scd2Intervals(rows.toDF("k", "t", "id", "v"), "k", "t", "id", Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"), r.getAs[Any]("valid_to"),
+        r.getAs[Long]("version_idx"), r.getAs[Boolean]("is_current")))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val full = canon(iv(stream))
+    for (cut <- Seq(1, 60, 120, 239)) {
+      val (b1, b2) = stream.splitAt(cut)
+      val inc = Cdc.scd2Apply(iv(b1), b2.toDF("k", "t", "id", "v"), "k", "t", "id", Seq("v"))
+      assert(canon(inc) == full, s"split at $cut")
+    }
+    // chained three-batch apply
+    val (a, rest) = stream.splitAt(80)
+    val (b, c) = rest.splitAt(80)
+    val chained = Cdc.scd2Apply(
+      Cdc.scd2Apply(iv(a), b.toDF("k", "t", "id", "v"), "k", "t", "id", Seq("v")),
+      c.toDF("k", "t", "id", "v"), "k", "t", "id", Seq("v"))
+    assert(canon(chained) == full)
+  }
+
+  test("scd2Apply: extend, close, new-key and untouched-key cases") {
+    val b1 = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x"), (3L, 10L, 3L, "q"))
+      .toDF("k", "t", "id", "v")
+    // k1: same value (extends), then changes -> close at 40
+    // k2: changes immediately -> close at 30; k3 untouched; k4 new
+    val b2 = Seq((1L, 30L, 4L, "a"), (1L, 40L, 5L, "b"),
+      (2L, 30L, 6L, "y"), (4L, 35L, 7L, "n")).toDF("k", "t", "id", "v")
+    val out = Cdc.scd2Apply(
+      Cdc.scd2Intervals(b1, "k", "t", "id", Seq("v")), b2, "k", "t", "id", Seq("v"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version_idx")) ->
+        (r.getAs[String]("v"), r.getAs[Long]("valid_from"), r.getAs[Any]("valid_to"),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(out((1L, 1L)) == (("a", 10L, 40L, false))) // extended to the b2 change
+    assert(out((1L, 2L)) == (("b", 40L, null, true)))
+    assert(out((2L, 1L)) == (("x", 10L, 30L, false)))
+    assert(out((2L, 2L)) == (("y", 30L, null, true)))
+    assert(out((3L, 1L)) == (("q", 10L, null, true))) // untouched stays open
+    assert(out((4L, 1L)) == (("n", 35L, null, true)))
+    assert(out.size == 6)
+  }
+
   test("scd2: null-safe run detection and multi-column tracking") {
     val changes = Seq(
       (1L, 10L, 1L, Some("a"), 5L), (1L, 20L, 2L, None, 5L), // a->null: change
