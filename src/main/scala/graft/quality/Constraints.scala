@@ -80,9 +80,18 @@ object Constraints {
     * bin count ride WINDOWS over the (tiny) per-bin frame — no driver
     * scalars, no second pass over either snapshot.
     */
-  def driftPsi(expected: DataFrame, actual: DataFrame, binCol: String): DataFrame = {
-    val e = expected.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_expected"))
-    val a = actual.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_actual"))
+  def driftPsi(expected: DataFrame, actual: DataFrame, binCol: String): DataFrame =
+    driftPsiFromCounts(
+      expected.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_expected")),
+      actual.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n_actual")))
+
+  /** [[driftPsi]] over PRE-AGGREGATED `(bin, n_*)` count frames — the form
+    * persisted state feeds (e.g. [[graft.streaming.Streams.driftState]]'s
+    * accumulated serving counts vs a frozen training snapshot).
+    */
+  def driftPsiFromCounts(expectedCounts: DataFrame, actualCounts: DataFrame): DataFrame = {
+    val e = expectedCounts
+    val a = actualCounts
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val joined = e.join(a, Seq("bin"), "full_outer")
       .select(col("bin"),

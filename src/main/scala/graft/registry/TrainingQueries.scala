@@ -3572,6 +3572,52 @@ object TrainingQueries {
     * re-min'd into the persisted k-row sample, oracle = the direct k-min
     * over everything.
     */
+  /** Streaming drift monitor ([[graft.streaming.Streams
+    * .driftIngestAvailableNow]]): the odd-day "serving" stream drains in
+    * 1-file micro-batches into per-batch-id OVERWRITE count state (counts
+    * are not replay-idempotent, the directory key is), then
+    * `driftPsiFromCounts` grades the accumulated state against the frozen
+    * even-day snapshot — and must equal the all-at-once batch PSI, which
+    * is exactly what the `dq_drift_psi` oracle recomputes from scratch.
+    */
+  private val streamingDrift = Q(
+    "streaming_drift_psi",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_psi_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = ParityQueries.evDf(s, d).select(col("day"),
+        least(floor(col("value") / 50.0).cast("long"), lit(11L)).as("bin"))
+      val serving = ev.filter(col("day") % 2 === 1).select("bin")
+      serving.repartition(5, col("bin")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(serving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.driftIngestAvailableNow(
+        stream, "bin", s"$base/state", s"$base/ckpt").awaitTermination()
+      graft.quality.Constraints.driftPsiFromCounts(
+        ev.filter(col("day") % 2 === 0)
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_expected")),
+        graft.streaming.Streams.driftState(s, s"$base/state")
+          .withColumnRenamed("n", "n_actual"))
+    },
+    Some(s"""WITH $EV,
+      v AS (SELECT day, LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 11) AS bin FROM ev),
+      e AS (SELECT bin, COUNT(*) AS n_expected FROM v WHERE day % 2 = 0 GROUP BY 1),
+      a AS (SELECT bin, COUNT(*) AS n_actual FROM v WHERE day % 2 = 1 GROUP BY 1),
+      j AS (SELECT COALESCE(e.bin, a.bin) AS bin, COALESCE(n_expected, 0) AS n_expected,
+          COALESCE(n_actual, 0) AS n_actual FROM e FULL JOIN a ON e.bin = a.bin),
+      t AS (SELECT *, CAST(SUM(n_expected) OVER () AS BIGINT) AS te,
+          CAST(SUM(n_actual) OVER () AS BIGINT) AS ta, COUNT(*) OVER () AS b FROM j),
+      sh AS (SELECT bin, n_expected, n_actual,
+          CAST(n_expected + 1 AS DOUBLE) / CAST(te + b AS DOUBLE) AS p,
+          CAST(n_actual + 1 AS DOUBLE) / CAST(ta + b AS DOUBLE) AS q FROM t),
+      u AS (SELECT *, CAST(FLOOR((p - q) * ln(p / q) * 1000000000.0) AS BIGINT) AS term_u
+        FROM sh)
+      SELECT bin, n_expected, n_actual, p, q, term_u,
+        CAST(CAST(SUM(term_u) OVER () AS BIGINT) AS DOUBLE) / 1000000000.0 AS psi
+      FROM u"""))
+
   private val streamingKmv = Q(
     "streaming_kmv_ingest",
     (s, d) => {
@@ -4166,5 +4212,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingHll, streamingKmv, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingKmv, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
 }

@@ -260,6 +260,40 @@ object Streams {
       }
       .start()
 
+  /** STREAMING DRIFT INGEST — the serving-side half of
+    * [[graft.quality.Constraints.driftPsi]]: each micro-batch's per-bin
+    * counts land as a `batch=<id>` OVERWRITE subdir. Counts are NOT
+    * idempotent under at-least-once replay (unlike the HLL/KMV merges),
+    * so replay safety comes from the DIRECTORY KEY instead: a replayed
+    * batch id overwrites its own counts rather than double-counting —
+    * the streaming-LSH per-batch-id state discipline. [[driftState]]
+    * folds the subdirs into the accumulated actual distribution;
+    * `Constraints.driftPsiFromCounts` against a frozen training snapshot
+    * is then the always-on drift alarm.
+    */
+  def driftIngestAvailableNow(
+      stream: DataFrame,
+      binCol: String,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("n"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+
+  /** Accumulated per-bin counts across every ingested batch (partition
+    * discovery exposes the `batch` dirs; the fold is one tiny keyed sum).
+    */
+  def driftState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).groupBy("bin").agg(sum("n").as("n"))
+
   /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
     * LSH-checked against the persisted bucket index
     * ([[graft.operators.Dedup.minhashBuckets]] at rest under

@@ -369,6 +369,29 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("drift ingest: sliced drain == batch counts; wiped-checkpoint replay cannot double-count") {
+    val base = "target/tmp/drift_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (1 to 200).map(i => Tuple1((i % 7).toLong)).toDF("bin")
+    rows.repartition(4, $"bin").write.parquet(s"$base/in")
+    def drain(ckpt: String): Unit =
+      Streams.driftIngestAvailableNow(
+        spark.readStream.schema(rows.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in"),
+        "bin", s"$base/state", s"$base/$ckpt").awaitTermination()
+    drain("ckpt1")
+    val expect = rows.groupBy("bin").count()
+      .as[(Long, Long)].collect().toMap
+    def state() = Streams.driftState(spark, s"$base/state")
+      .as[(Long, Long)].collect().toMap
+    assert(state() == expect)
+    // wiped checkpoint: every batch replays; per-batch-id OVERWRITE dirs
+    // absorb the replay — counts must NOT double
+    drain("ckpt2")
+    assert(state() == expect, "replayed drain must overwrite, not accumulate")
+  }
+
   test("runningPerKey: state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double, Long)]
