@@ -1109,6 +1109,29 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "common", "sz1", "sz2", "containment")
   }
 
+  /** Split-leakage audit: how many near-duplicate pairs STRADDLE a
+    * train/validation split — the eval-contamination number a
+    * training-data pipeline must drive to zero (a doc-keyed hash split
+    * puts ~2·p·(1-p) of duplicate pairs across the boundary; the
+    * cluster-keyed split [[graft.quality]] uses is leak-free by
+    * construction, and this report PROVES it on the actual data instead
+    * of by argument). One row: `(n_pairs, n_cross, leak_rate)`; inputs
+    * are the duplicate pair set (any `*Pairs` operator here) and a
+    * `(doc_id, split)` assignment. Two keyed joins of the (tiny) pair
+    * set against the assignment + one aggregate.
+    */
+  def splitLeakageReport(pairs: DataFrame, assignment: DataFrame): DataFrame =
+    pairs.select("doc_id_1", "doc_id_2")
+      .join(assignment.select(col("doc_id").as("doc_id_1"), col("split").as("__s1")),
+        "doc_id_1")
+      .join(assignment.select(col("doc_id").as("doc_id_2"), col("split").as("__s2")),
+        "doc_id_2")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__s1") =!= col("__s2"), lit(1))).as("n_cross"))
+      .select(col("n_pairs"), col("n_cross"),
+        when(col("n_pairs") > 0,
+          col("n_cross").cast("double") / col("n_pairs").cast("double")).as("leak_rate"))
+
   /** Pair-set quality report: precision/recall of an approximate duplicate
     * pair set (banded LSH, simhash, embedding buckets …) against an exact
     * ground truth — the eval loop that decides a banding/threshold

@@ -640,6 +640,61 @@ object TrainingQueries {
             lit(10000)) < 1000, lit("val")).otherwise(lit("train")))
     }))
 
+  /** Split-leakage audit ([[Dedup.splitLeakageReport]]): the simhash
+    * near-dup pair set graded against BOTH split rules — the doc-keyed
+    * hash split leaks (each twin pair straddles with prob 2·p·(1−p)),
+    * the cluster-keyed split is leak-free by construction — and the
+    * report proves it ON THE DATA: two rows `(rule, n_pairs, n_cross,
+    * leak_rate)`, the cluster row's n_cross identically 0. The oracle
+    * recomputes the pairs (simhash + pigeonhole), the CC fixpoint, both
+    * split rules and both counts.
+    */
+  private val splitLeakageQ = {
+    def mk(boundary: graft.operators.Boundary) = (s: SparkSession, d: String) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash, boundary = boundary)
+      val cc = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      def splitOf(k: org.apache.spark.sql.Column) =
+        when(pmod(Text.md5Hash64(concat(k.cast("string"), lit("sp4"))),
+          lit(10000)) < 1000, lit("val")).otherwise(lit("train"))
+      val asg = docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val byCluster = asg.select(col("doc_id"), splitOf(col("cluster")).as("split"))
+      val byDoc = asg.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      Dedup.splitLeakageReport(pairs, byCluster).withColumn("rule", lit("cluster"))
+        .unionByName(
+          Dedup.splitLeakageReport(pairs, byDoc).withColumn("rule", lit("doc_hash")))
+    }
+    Q(
+      "eval_split_leakage",
+      mk(graft.operators.Boundary.Local),
+      Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes,
+        asg AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+          FROM aug d LEFT JOIN cl ON cl.node = d.doc_id),
+        spl AS (SELECT doc_id,
+            CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'sp4'), 1, 15))::BIGINT
+              % 10000 < 1000 THEN 'val' ELSE 'train' END AS cs,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sp4'), 1, 15))::BIGINT
+              % 10000 < 1000 THEN 'val' ELSE 'train' END AS ds
+          FROM asg),
+        j AS (SELECT a.cs AS c1, a.ds AS d1, b.cs AS c2, b.ds AS d2
+          FROM pairs p JOIN spl a ON a.doc_id = p.pa JOIN spl b ON b.doc_id = p.pb)
+        SELECT 'cluster' AS rule, COUNT(*) AS n_pairs,
+          COUNT(CASE WHEN c1 <> c2 THEN 1 END) AS n_cross,
+          CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(CASE WHEN c1 <> c2 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) END AS leak_rate
+        FROM j
+        UNION ALL
+        SELECT 'doc_hash', COUNT(*),
+          COUNT(CASE WHEN d1 <> d2 THEN 1 END),
+          CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(CASE WHEN d1 <> d2 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) END
+        FROM j"""),
+      planView = Some(mk(graft.operators.Boundary.None)))
+  }
+
   /** Decontamination fixture: benchmark = every 10th doc; train = the rest
     * PLUS "leaked" copies of each benchmark doc (one appended token, shifted
     * id) — the leak keeps every benchmark bigram, so it must be flagged at
@@ -4182,7 +4237,7 @@ object TrainingQueries {
       WHERE CAST(common AS DOUBLE) / CAST(LEAST(sz1, sz2) AS DOUBLE) >= 0.8"""))
 
   val all: Seq[Q] = Seq(
-    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ, containmentQ,
+    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ, containmentQ, splitLeakageQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,

@@ -695,6 +695,19 @@ class TextSpec extends SparkSpec {
     assert(jac == 0)
   }
 
+  test("splitLeakageReport counts straddling pairs; empty pairs -> null rate") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_id_1", "doc_id_2")
+    val asg = Seq((1L, "train"), (2L, "train"), (3L, "train"), (4L, "val"),
+      (5L, "val"), (6L, "train")).toDF("doc_id", "split")
+    val r = graft.operators.Dedup.splitLeakageReport(pairs, asg).head()
+    assert(r.getAs[Long]("n_pairs") == 3L && r.getAs[Long]("n_cross") == 2L &&
+      r.getAs[Double]("leak_rate") == 2.0 / 3.0)
+    val empty = graft.operators.Dedup.splitLeakageReport(
+      Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2"), asg).head()
+    assert(empty.getAs[Long]("n_pairs") == 0L &&
+      empty.isNullAt(empty.fieldIndex("leak_rate")))
+  }
+
   test("pairSetReport: exact counts, null-guarded ratios") {
     def pairs(ps: (Long, Long)*) = ps.toDF("doc_id_1", "doc_id_2")
     val truth = pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))

@@ -87,6 +87,23 @@ class EmptyInputSpec extends SparkSpec {
     val epr = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
     val rep = graft.operators.Dedup.pairSetReport(epr, epr).head()
     assert(rep.getAs[Long]("n_truth") == 0L && rep.isNullAt(rep.fieldIndex("recall")))
+    // late-r10 additions: ewma fold, scd2 incremental apply, nearest as-of,
+    // containment index, PSI, interval overlap
+    assert(graft.operators.Timeseries.ewma(ets, "k", "t", "id", "v", 1L, 4L).count() == 0)
+    val eiv = graft.operators.Cdc.scd2Intervals(ech, "k", "t", "id", Seq("v"))
+    assert(graft.operators.Cdc.scd2Apply(eiv, ech, "k", "t", "id", Seq("v")).count() == 0)
+    val etr = Seq.empty[(Long, Long, Long)].toDF("id", "k", "ts")
+    val epx = Seq.empty[(Long, Long, Double)].toDF("k", "pts", "price")
+    assert(graft.operators.AsOfJoin.asOfNearest(etr, epx, Seq("k"), "ts", "pts",
+      100L, Seq("price")).count() == 0)
+    val edoc = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.ngramContainmentIndexed(edoc, "doc_id", "text",
+      n = 2, threshold = 0.5).count() == 0)
+    val ebin = Seq.empty[Tuple1[Long]].toDF("bin")
+    assert(graft.quality.Constraints.driftPsi(ebin, ebin, "bin").count() == 0)
+    val eiv2 = Seq.empty[(Long, Long, Long)].toDF("id", "lo", "hi")
+    assert(graft.operators.Relational.intervalOverlapJoin(eiv2, eiv2, Seq.empty,
+      "lo", "hi", 10L, Seq("id")).count() == 0)
   }
 
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {

@@ -77,8 +77,9 @@ class RegistrySpec extends AnyFunSuite {
       "text_bm25_retrieve",
       // r10: hybrid fusion routes bm25Retrieve, so it inherits the boundary
       "text_hybrid_retrieve",
-      // r10: the LSH-vs-exact eval routes minhashLsh's signature boundary
-      "eval_lsh_dedup")
+      // r10: the LSH-vs-exact eval routes minhashLsh's signature boundary,
+      // the leakage audit routes simhashPairs'
+      "eval_lsh_dedup", "eval_split_leakage")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
