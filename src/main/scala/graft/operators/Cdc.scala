@@ -222,6 +222,23 @@ object Cdc {
         .select(outCols.map(col): _*))
   }
 
+  /** The persisted-table lifecycle of [[scd2Apply]] — [[applyChanges]]'s
+    * shape for interval history: bootstrap on first batch
+    * ([[scd2Intervals]] alone), incremental apply afterwards, same
+    * two-rename swap commit (crash leaves the old table or a recoverable
+    * `__old`, never nothing). IncrementalSpec-style lifecycle is covered
+    * in CdcSpec: bootstrap + N applies == one full rebuild.
+    */
+  def scd2ApplyTable(spark: SparkSession, batch: DataFrame, path: String,
+      keyCol: String, tsCol: String, idCol: String, trackedCols: Seq[String]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(dst)) scd2Intervals(batch, keyCol, tsCol, idCol, trackedCols)
+      else scd2Apply(spark.read.parquet(path), batch, keyCol, tsCol, idCol, trackedCols)
+    Incremental.swapCommit(spark, merged, path)
+  }
+
   def scd2Intervals(changes: DataFrame, keyCol: String, tsCol: String,
       idCol: String, trackedCols: Seq[String]): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must be non-empty")

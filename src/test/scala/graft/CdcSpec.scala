@@ -160,6 +160,18 @@ class CdcSpec extends SparkSpec {
     assert(canon(chained) == full)
   }
 
+  test("scd2ApplyTable lifecycle: bootstrap + applies == one full rebuild; swap commit") {
+    val path = fresh("scd2t")
+    val stream = (1 to 90).map(i => ((i % 4).toLong, i.toLong * 10, i.toLong, s"v${i % 3}"))
+    val batches = stream.grouped(30).toSeq
+    batches.foreach { b =>
+      Cdc.scd2ApplyTable(spark, b.toDF("k", "t", "id", "v"), path, "k", "t", "id", Seq("v"))
+    }
+    val full = Cdc.scd2Intervals(stream.toDF("k", "t", "id", "v"), "k", "t", "id", Seq("v"))
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == full)
+  }
+
   test("scd2Apply: extend, close, new-key and untouched-key cases") {
     val b1 = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x"), (3L, 10L, 3L, "q"))
       .toDF("k", "t", "id", "v")
