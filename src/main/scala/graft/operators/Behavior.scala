@@ -230,6 +230,72 @@ object Behavior {
       .withColumn("value_winsorized", least(greatest(col(valCol), col("lo")), col("hi")))
   }
 
+  /** Per-key Shannon entropy of the categorical column — the behavioral
+    * DIVERSITY feature (a user touching one protocol scores 0 bits; a
+    * uniform spread over k types scores log2 k), and the same statistic
+    * data curation uses for label/source balance. Each type's term
+    * `(c/n)·log2(n/c)` is built from exact integer counts with ONE
+    * floor-quantization to nano-units (the tfidf/surprisal discipline —
+    * the transcendental is taken once per term, sums are exact integers).
+    * Output: `(key, n_events, n_types, entropy_u, entropy)`.
+    *
+    * One exchange: the (key, type) count's hash partitioning serves the
+    * per-key total window and the final per-key aggregation.
+    */
+  def typeEntropy(events: DataFrame, keyCol: String, typeCol: String): DataFrame = {
+    val wc = Window.partitionBy(keyCol)
+    events
+      .groupBy(col(keyCol), col(typeCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(wc))
+      .withColumn("__t", floor((col("__c").cast("double") / col("__n").cast("double")) *
+        log2(col("__n").cast("double") / col("__c").cast("double")) * lit(1e9)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("__t")).as("entropy_u"))
+      .withColumn("entropy", col("entropy_u").cast("double") / lit(1e9))
+  }
+
+  /** Per-group GINI COEFFICIENT of a per-key aggregate — the
+    * concentration statistic of position/volume analytics ("how unequal
+    * are the wallets' exposures inside each protocol"): 0 = perfectly
+    * even, →1 = one key holds everything. Computed by the sorted-rank
+    * identity `G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)` on MICRO-UNIT
+    * integer values (the davgQ quantize-once rule; per-key sums
+    * accumulate decimal-exact first), so the numerator and denominator
+    * are exact integers and the only float op is their final division.
+    * Keys with a zero group total emit a null gini. Requires
+    * non-negative values (validated — Gini is undefined over mixed-sign
+    * aggregates). Output: `(group, n_keys, total_u, gini)`.
+    *
+    * Shape: one keyed aggregation + one per-group ranked window over the
+    * one-row-per-key frame + one per-group aggregation.
+    */
+  def giniByGroup(events: DataFrame, groupCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val sums = events
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(graft.functions.Scalars.dsum(col(valCol)).as("__sv"))
+      .withColumn("__vu", floor(col("__sv") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val wr = Window.partitionBy(groupCol).orderBy(col("__vu"), col(keyCol))
+    val wc = Window.partitionBy(groupCol)
+    sums
+      .withColumn("__vu", when(col("__vu") >= 0, col("__vu")).otherwise(raise_error(
+        lit("giniByGroup: negative per-key aggregate — Gini needs non-negative values"))))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_keys"),
+        sum(col("__vu").cast("decimal(38,0)")).cast("long").as("total_u"),
+        sum(((col("__rn") * 2L - col("__n") - 1L) * col("__vu")).cast("decimal(38,0)"))
+          .cast("long").as("__num_u"))
+      .select(col(groupCol), col("n_keys"), col("total_u"),
+        // n·total as a DOUBLE product of two exact ints (same IEEE tree in
+        // the oracle) — the long product could overflow at corpus scale
+        when(col("total_u") > 0,
+          col("__num_u").cast("double") /
+            (col("n_keys").cast("double") * col("total_u").cast("double"))).as("gini"))
+  }
+
   /** Time-weighted average of a per-event level (balance/exposure): each
     * event's value holds until the user's next event; the average weights
     * each value by its holding duration — the standard TWAB shape of

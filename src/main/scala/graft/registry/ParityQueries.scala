@@ -1705,6 +1705,50 @@ object ParityQueries {
       SELECT user_id, event_type, valid_from, valid_to, version_idx,
         valid_to IS NULL AS is_current FROM f"""))
 
+  /** Behavioral diversity ([[graft.operators.Behavior.typeEntropy]]):
+    * per-user Shannon entropy over event types — exact counts, one
+    * quantized log2 term per type, exact integer sums.
+    */
+  private val typeEntropyQ = Q(
+    "analytics_type_entropy",
+    (s, d) => graft.operators.Behavior.typeEntropy(
+      evDf(s, d).select("user_id", "event_type"), "user_id", "event_type"),
+    Some(s"""WITH $EV,
+      c AS (SELECT user_id, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      t AS (SELECT user_id, c, CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM c),
+      q AS (SELECT user_id, n,
+          CAST(FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+            log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000000.0) AS BIGINT) AS tu
+        FROM t)
+      SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types,
+        CAST(SUM(tu) AS BIGINT) AS entropy_u,
+        CAST(CAST(SUM(tu) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy
+      FROM q GROUP BY 1"""))
+
+  /** Concentration ([[graft.operators.Behavior.giniByGroup]]): Gini of
+    * per-user value totals inside each event type — the sorted-rank
+    * identity over micro-unit integers, numerator/denominator exact, one
+    * final double division (of a double product of two exact ints).
+    */
+  private val giniQ = Q(
+    "analytics_gini_concentration",
+    (s, d) => graft.operators.Behavior.giniByGroup(
+      evDf(s, d).select("event_type", "user_id", "value"),
+      "event_type", "user_id", "value"),
+    Some(s"""WITH $EV,
+      x AS (SELECT event_type, user_id, ${DS("value")} AS sv FROM ev GROUP BY 1, 2),
+      q AS (SELECT event_type, user_id,
+          CAST(floor(sv * 1000000.0 + 0.5) AS BIGINT) AS vu FROM x),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vu, user_id) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM q)
+      SELECT event_type, MAX(n) AS n_keys,
+        CAST(SUM(vu) AS BIGINT) AS total_u,
+        CASE WHEN CAST(SUM(vu) AS BIGINT) > 0
+          THEN CAST(CAST(SUM((2 * rn - n - 1) * vu) AS BIGINT) AS DOUBLE) /
+            (CAST(MAX(n) AS DOUBLE) * CAST(CAST(SUM(vu) AS BIGINT) AS DOUBLE)) END AS gini
+      FROM r GROUP BY 1"""))
+
   /** Robust anomaly flags ([[graft.operators.Behavior.robustAnomalies]]):
     * per-user median/MAD outlier rule at 3 MADs — both statistics are the
     * discrete-selection rank rule (`agg_median_disc`/`agg_mad` stacked),
@@ -1826,7 +1870,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
-    asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ,
+    asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,

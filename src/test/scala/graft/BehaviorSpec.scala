@@ -166,6 +166,34 @@ class BehaviorSpec extends SparkSpec {
     assert(r(101L) == ((-4.0, 50.0, -4.0)) && r(102L) == ((-4.0, 50.0, 50.0)))
   }
 
+  test("typeEntropy: 0 bits for one type, log2(k) for a uniform spread") {
+    val ev = (Seq.fill(8)((1L, "a")) ++
+      Seq((2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"))).toDF("user_id", "event_type")
+    val r = Behavior.typeEntropy(ev, "user_id", "event_type")
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("n_types"), x.getAs[Double]("entropy")))
+      .toMap
+    assert(r(1L) == ((8L, 1L, 0.0)))
+    assert(r(2L)._2 == 4L && math.abs(r(2L)._3 - 2.0) < 1e-6) // uniform over 4 = 2 bits
+  }
+
+  test("giniByGroup: 0 when equal, (n-1)/n when one key holds everything") {
+    val ev = (Seq((1L, "g1", 5.0), (2L, "g1", 5.0), (3L, "g1", 5.0), (4L, "g1", 5.0)) ++
+      Seq((1L, "g2", 0.0), (2L, "g2", 0.0), (3L, "g2", 0.0), (4L, "g2", 12.0)) ++
+      Seq((1L, "g3", 0.0), (2L, "g3", 0.0))).map(t => (t._2, t._1, t._3))
+      .toDF("grp", "k", "v")
+    val r = Behavior.giniByGroup(ev, "grp", "k", "v")
+      .collect().map(x => x.getAs[String]("grp") ->
+        (x.getAs[Long]("n_keys"), x.getAs[Any]("gini"))).toMap
+    assert(r("g1") == ((4L, 0.0)))
+    assert(r("g2") == ((4L, 0.75))) // (n-1)/n = 3/4
+    assert(r("g3")._2 == null)      // zero total -> undefined
+    intercept[Exception] {
+      Behavior.giniByGroup(Seq(("g", 1L, -2.0)).toDF("grp", "k", "v"), "grp", "k", "v")
+        .collect()
+    }
+  }
+
   test("robust anomalies: threshold is a rational num/den pair") {
     // u1: values 0,10,21 — med=10, devs {10,0,11}, MAD=10; at 21/20 MADs
     // (1.05) the dev=11 rows flag, dev=10 does not (11*20 > 10*21, 10*20 < 10*21)
