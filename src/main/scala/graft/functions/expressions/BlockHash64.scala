@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * All comparisons are exact integer cross-multiplications
   * (`blockSum * len > total * blockLen`), never floating means, so an
   * external SQL engine reproduces every bit from the payload bytes alone.
-  * No overflow: `blockSum <= 255 * (len/64 + 1)`, so the products stay
-  * below 2^63 for any JVM array (len < 2^31). Empty blocks (len < 64)
-  * and empty payloads contribute 0-bits; never null, never throws.
+  * The products can reach ~4·len² (blockSum ≤ 255·(len/64 + 1)), which
+  * exceeds 2^63 once len passes ~1.5e9 bytes, so the compare runs through
+  * an exact 128-bit cross-multiply (`Math.multiplyHigh` + unsigned-low
+  * tiebreak) — bit-exact for any JVM array (len < 2^31). Empty blocks
+  * (len < 64) and empty payloads contribute 0-bits; never null, never
+  * throws.
   *
   * Near-dup semantics downstream: small content edits perturb a few block
   * means, so twins sit at small Hamming distance; pairs come from the same
@@ -81,9 +84,22 @@ object BlockHash64 {
       var j = start
       while (j < end) { s += (b(j) & 0xff); j += 1 }
       val blockLen = end - start
-      if (blockLen > 0 && s * len > total * blockLen) bits |= (1L << blk)
+      if (blockLen > 0 && cmpProducts(s, len.toLong, total, blockLen.toLong) > 0)
+        bits |= (1L << blk)
       blk += 1
     }
     bits
+  }
+
+  /** Exact sign of `a*b - c*d` for non-negative longs via 128-bit
+    * cross-multiply: the 64-bit products alone overflow for payloads
+    * beyond ~1.5 GB (s·len ≈ 4·len²), so compare (high, low-unsigned)
+    * lexicographically instead.
+    */
+  private[graft] def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 }

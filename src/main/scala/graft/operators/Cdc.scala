@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * Semantics (per key, across every change ever applied): the record with
   * the greatest `(seq, op-rank)` decides the row — if it is a delete the
   * key is absent from [[readTable]], otherwise its payload is the row.
-  * Ties on `seq` rank `D > U > I`, so a delete and an update sharing a
-  * sequence number resolve deterministically (and conservatively) to the
-  * delete. Correctness needs only that `seq` totally orders each key's
-  * changes; batch boundaries can slice the stream arbitrarily, because the
-  * winner-of-winners of any partition of a set IS the set's winner.
+  * Ties on `seq` rank `D > U > I`, so changes sharing a sequence number
+  * resolve deterministically (and, for deletes, conservatively). The
+  * winning rank PERSISTS as `_rank` metadata so the comparison is the
+  * same within a batch and across the merge — batch boundaries can slice
+  * the stream arbitrarily, because the winner-of-winners of any partition
+  * of a set under one total order IS the set's winner. Correctness needs
+  * only that no key ever emits two changes with equal `(seq, op)`.
   *
   * Deletes persist as TOMBSTONES (`_deleted = true` rows keeping their
   * `_seq`): that is what makes out-of-order safe — a stale update arriving
@@ -46,6 +48,13 @@ object Cdc {
   /** Persisted per-row metadata: true for tombstones. */
   val DeletedMeta = "_deleted"
 
+  /** Persisted per-row metadata: the winning change's op rank (D=2, U=1,
+    * I=0) — what makes the equal-seq tie rule identical within a batch and
+    * across the persisted merge (an I/U pair sharing a seq resolves to U
+    * no matter how batches slice the stream).
+    */
+  val RankMeta = "_rank"
+
   /** D > U > I on equal seq; any other op code fails the job. */
   private def opRank(op: Column): Column =
     when(op === "D", 2L).when(op === "U", 1L).when(op === "I", 0L)
@@ -68,20 +77,23 @@ object Cdc {
       .select(Seq(
         col(key),
         col("w.s").as(SeqMeta),
-        (col("w.r") === 2L).as(DeletedMeta)) ++ payload.map(c => col(s"w.`$c`").as(c)): _*)
+        (col("w.r") === 2L).as(DeletedMeta),
+        col("w.r").as(RankMeta)) ++ payload.map(c => col(s"w.`$c`").as(c)): _*)
   }
 
   /** Seq-aware merge of a reduced batch into the existing snapshot: the
-    * incoming row wins only if its seq is greater (or equal-and-delete —
-    * the same D-beats-U rule as within a batch), so replaying a batch is a
-    * no-op and a late-arriving OLD batch cannot clobber newer state.
+    * incoming row wins iff its `(seq, op-rank)` is strictly greater — the
+    * identical total order [[reduceBatch]] maximizes within a batch, so
+    * replaying a batch is a no-op, a late-arriving OLD batch cannot
+    * clobber newer state, and equal-seq ties (D > U > I) resolve the same
+    * way no matter how batches slice the stream.
     */
   private def mergeSnapshots(existing: DataFrame, batch: DataFrame, key: String): DataFrame = {
     val cols = batch.columns.toSeq
     val u = batch.select(cols.map(c => col(c).as(s"u_$c")): _*)
     val incomingWins = col(s"u_$key").isNotNull && (col(key).isNull ||
       col(s"u_$SeqMeta") > col(SeqMeta) ||
-      (col(s"u_$SeqMeta") === col(SeqMeta) && col(s"u_$DeletedMeta") && !col(DeletedMeta)))
+      (col(s"u_$SeqMeta") === col(SeqMeta) && col(s"u_$RankMeta") > col(RankMeta)))
     existing.join(u, col(key) === col(s"u_$key"), "full_outer")
       .select(cols.map(c => when(incomingWins, col(s"u_$c")).otherwise(col(c)).as(c)): _*)
   }
@@ -111,7 +123,8 @@ object Cdc {
 
   /** The live view: tombstones filtered, metadata dropped. */
   def readTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).filter(!col(DeletedMeta)).drop(SeqMeta, DeletedMeta)
+    spark.read.parquet(path).filter(!col(DeletedMeta))
+      .drop(SeqMeta, DeletedMeta, RankMeta)
 
   /** Drop tombstones the CDC source can no longer contradict: once the
     * source's low-watermark guarantees every in-flight change has

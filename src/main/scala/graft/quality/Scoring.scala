@@ -212,8 +212,11 @@ object Scoring {
     * with avgdl = T/N clears denominators by ×10T: 22*T*tf over
     * 10*T*tf + 3*T + 9*dl*N. Products stay inside a long for
     * T ≲ 4e14 tokens × tf ≲ 1e3 (the idf product is widened through
-    * decimal(38,0)); the per-term floor makes contributions — and their
-    * exact long sums — bit-identical on every engine.
+    * decimal(38,0)), and the bound is ENFORCED: the measured
+    * totTok/nDocs/maxTf/maxDl are validated up front so an oversized
+    * corpus fails loudly instead of wrapping under non-ANSI arithmetic.
+    * The per-term floor makes contributions — and their exact long sums —
+    * bit-identical on every engine.
     *
     * Scale shape: the inverted index is the (doc_id, w, tf) aggregation
     * (doc-partitioned once, shared with dl); df broadcasts as vocabulary
@@ -242,9 +245,22 @@ object Scoring {
     val dl = toks.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
     // two-phase scalars (the snk_range_clustered literal discipline)
-    val totals = toks.agg(countDistinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+    val totals = toks.agg(countDistinct(col("doc_id")), coalesce(sum("tf"), lit(0L)),
+      coalesce(max("tf"), lit(0L))).head()
     val nDocs = totals.getLong(0)
     val totTok = totals.getLong(1)
+    val maxTf = totals.getLong(2)
+    val maxDl = dl.agg(coalesce(max("dl"), lit(0L))).head().getLong(0)
+    // validate the documented long bounds UP FRONT (the LinkRank.MaxWeight
+    // discipline): the saturation fraction runs in plain long arithmetic,
+    // and under non-ANSI Spark an overflow would wrap SILENTLY into
+    // corrupt scores instead of failing.
+    require(BigInt(22) * BigInt(totTok) * BigInt(maxTf) <= BigInt(Long.MaxValue) &&
+      BigInt(10) * BigInt(totTok) * BigInt(maxTf) + BigInt(3) * BigInt(totTok) +
+        BigInt(9) * BigInt(maxDl) * BigInt(nDocs) <= BigInt(Long.MaxValue),
+      s"bm25Retrieve: corpus too large for exact long scoring (totTok=$totTok, " +
+        s"nDocs=$nDocs, maxTf=$maxTf, maxDl=$maxDl) — 22*T*tf or 10*T*tf + 3*T + " +
+        "9*dl*N would wrap a long; shard the corpus or widen through decimal(38,0)")
     val qidf = floor(log2((lit(2L * nDocs + 2L)).cast("double") /
       (col("df") * 2L + 1L).cast("double")) * 1e6).cast("long")
     val qterms = queries

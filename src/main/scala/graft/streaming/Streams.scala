@@ -536,21 +536,39 @@ object Streams {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(in).get("compactedThrough").asLong())
-      finally in.close()
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        catch {
+          case e: Exception => throw new java.io.IOException(
+            s"corrupt compaction manifest $p — not valid JSON; restore it from " +
+              "the state tree's highest folded batch id or delete the state and " +
+              s"re-seed (cause: ${e.getMessage})", e)
+        } finally in.close()
+      val field = node.get("compactedThrough")
+      if (field == null || !field.canConvertToLong) throw new java.io.IOException(
+        s"corrupt compaction manifest $p — missing/non-integer 'compactedThrough' " +
+          s"in: ${node.toString.take(200)}")
+      Some(field.asLong())
     }
   }
 
+  /** Temp-then-rename ([[graft.sources.Layout.buildZoneMap]]'s manifest
+    * discipline): a crash mid-write leaves the previous manifest (or
+    * none), never a truncated JSON that would brick every later batch.
+    */
   private def writeCompactionManifest(
       spark: SparkSession, statePath: String, through: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$statePath/_compaction.json")
+    val tmp = new Path(s"$statePath/_compaction.json.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(s"""{"compactedThrough":$through}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(p, false) // rename-over is not portable; single-writer contract
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeCompactionManifest: failed to commit $tmp -> $p")
   }
 
   /** Streaming exact dedup with BOUNDED state: one state entry per key,

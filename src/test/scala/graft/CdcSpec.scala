@@ -51,6 +51,22 @@ class CdcSpec extends SparkSpec {
     assert(state(b) == Set.empty[(Long, String)])
   }
 
+  test("equal-seq update beats insert ACROSS batches, in both application orders") {
+    // the persisted _rank metadata makes the U > I tie slicing-invariant:
+    // before it, whichever op applied first won across a batch boundary
+    val a = fresh("ui_tie_a"); val b = fresh("ui_tie_b")
+    Cdc.applyChanges(spark, ch((1L, 5L, "I", "i")), a, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "U", "u")), a, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "U", "u")), b, "k")
+    Cdc.applyChanges(spark, ch((1L, 5L, "I", "i")), b, "k")
+    assert(state(a) == Set((1L, "u")))
+    assert(state(b) == Set((1L, "u")))
+    // and within one batch (the struct-max path) the rule is identical
+    val c = fresh("ui_tie_c")
+    Cdc.applyChanges(spark, ch((1L, 5L, "I", "i"), (1L, 5L, "U", "u")), c, "k")
+    assert(state(c) == Set((1L, "u")))
+  }
+
   test("any batch slicing and order converges to the same state; replay is a no-op") {
     val stream = Seq(
       (1L, 1L, "I", "a"), (1L, 4L, "U", "a4"), (1L, 7L, "D", "x"),

@@ -248,6 +248,30 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("BlockHash64.cmpProducts: exact beyond the 64-bit product range") {
+    import graft.functions.expressions.BlockHash64.cmpProducts
+    // the giant-payload regime the hash can't allocate in a test: products
+    // near and beyond 2^63, where the old `s * len > total * blockLen`
+    // wrapped. Differential check vs BigInt across adversarial operands.
+    val rnd = new scala.util.Random(11)
+    val interesting = Seq(0L, 1L, Int.MaxValue.toLong, 1L << 31, (1L << 39) - 1,
+      255L * Int.MaxValue, 3037000499L /* ~sqrt(2^63) */, 3037000500L)
+    def gen(): Long = if (rnd.nextBoolean()) interesting(rnd.nextInt(interesting.size))
+      else rnd.nextLong() & ((1L << 40) - 1)
+    (0 until 20000).foreach { _ =>
+      val (a, b, c, d) = (gen(), gen(), gen(), gen())
+      val exact = (BigInt(a) * BigInt(b)).compare(BigInt(c) * BigInt(d))
+      val got = cmpProducts(a, b, c, d)
+      assert(Integer.signum(got) == exact, s"cmpProducts($a,$b,$c,$d)=$got, exact $exact")
+    }
+    // the scaladoc's worst case: blockSum = 255*(len/64+1) at len = 2^31-1
+    val len = Int.MaxValue.toLong
+    val s = 255L * (len / 64 + 1)
+    assert(cmpProducts(s, len, s, len) == 0)
+    assert(cmpProducts(s, len, s - 1, len) > 0)
+    assert(cmpProducts(s - 1, len, s, len) < 0)
+  }
+
   test("BpeTokenize: total on random unicode words; every position consumed exactly once") {
     import graft.functions.expressions.BpeTokenize
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -348,6 +348,31 @@ class StreamsSpec extends SparkSpec {
       s"error must name the manifest batch id: $msg")
   }
 
+  test("compaction manifest: corrupt/truncated JSON fails with a clear error, not an NPE") {
+    val base = "target/tmp/streams_manifest_corrupt"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def write(body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/_compaction.json"), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // truncated mid-write (the crash the temp-then-rename now prevents)
+    write("""{"compactedThr""")
+    val e1 = intercept[java.io.IOException](Streams.readCompactionManifest(spark, base))
+    assert(e1.getMessage.contains("corrupt compaction manifest"), e1.getMessage)
+    // valid JSON, wrong shape
+    write("""{"somethingElse": 3}""")
+    val e2 = intercept[java.io.IOException](Streams.readCompactionManifest(spark, base))
+    assert(e2.getMessage.contains("compactedThrough"), e2.getMessage)
+    // absent -> None; intact -> Some
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_compaction.json"), false)
+    assert(Streams.readCompactionManifest(spark, base).isEmpty)
+    write("""{"compactedThrough": 7}""")
+    assert(Streams.readCompactionManifest(spark, base).contains(7L))
+  }
+
   test("intervalJoin: inclusive [ts - tolerance, ts] window, keyed, across streams") {
     implicit val sqlCtx = spark.sqlContext
     val lm = MemoryStream[(Long, Long)]
