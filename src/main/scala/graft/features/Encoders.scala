@@ -1,0 +1,98 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encoders for model-training tables. The reference
+  * pipeline ships raw and lightly-derived numeric features
+  * (`/root/reference/src/pipelines/features/defi_features.py` shapes); a
+  * training-data engine also has to turn high-cardinality categoricals
+  * into leakage-safe numerics at corpus scale — the classic target
+  * (mean) encoding family, in its leave-one-out form so a row never sees
+  * its own label (the encoding leak that silently inflates offline
+  * metrics).
+  */
+object Encoders {
+
+  /** Leave-one-out target encoding with an m-estimate smoothed variant
+    * (Micci-Barreca 2001): for each row, the mean label of its category
+    * EXCLUDING the row itself —
+    *
+    *   enc_loo    = (sum_cat − y) / (n_cat − 1)            (null if alone)
+    *   enc_smooth = ((sum_cat − y) + m·prior) / (n_cat − 1 + m)
+    *
+    * with `prior` the global label mean; rows with a NULL label take the
+    * plain category mean (they contributed nothing, so there is nothing
+    * to leave out). Smoothing shrinks rare categories toward the prior —
+    * the variance control that makes target encoding usable on
+    * heavy-tailed categorical distributions.
+    *
+    * Determinism: category sums accumulate in decimal(38,6) (exact,
+    * order-independent), the self-label subtracts in decimal, and only
+    * the final quotient runs in doubles with a mirrored expression tree —
+    * so an external engine reproduces every encoded value bit-for-bit.
+    *
+    * Scale shape: one keyed aggregation over the category column (map-
+    * side partial), a ≤|categories|-row broadcast back onto the fact
+    * table, and a 1-row broadcast for the prior — the corpus itself is
+    * never shuffled. Output: all input columns + `n_cat`, `enc_loo`,
+    * `enc_smooth`.
+    */
+  def targetEncodeLoo(
+      df: DataFrame, catCol: String, labelCol: String, m: Long): DataFrame = {
+    require(m >= 0, "smoothing m must be >= 0")
+    val yDec: Column = col(labelCol).cast("decimal(38,6)")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(yDec).as("__sum"), count(col(labelCol)).as("__n"))
+    val prior = df.agg(
+      (sum(yDec).cast("double") / count(col(labelCol))).as("__prior"))
+    val loo = yDec.isNotNull // self leaves the stats only when it entered them
+    val num = when(loo, col("__sum") - yDec).otherwise(col("__sum")).cast("double")
+    val den = when(loo, col("__n") - 1L).otherwise(col("__n"))
+    df.join(broadcast(stats), Seq(catCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("n_cat", coalesce(col("__n"), lit(0L)))
+      .withColumn("enc_loo", when(den > 0L, num / den.cast("double")))
+      .withColumn("enc_smooth",
+        when(den + m > 0L,
+          (num + lit(m.toDouble) * col("__prior")) / (den + m).cast("double")))
+      .drop("__sum", "__n", "__prior")
+  }
+
+  /** Equal-frequency (quantile) binning of an integer-unit measure —
+    * `bin ∈ 1..nBins` with cut point k at the percentile-disc position
+    * `ceil(n·k/nBins)` (the smallest value whose cumulative count reaches
+    * it), assignment `1 + Σ_k [u > cut_k]`. All-integer, so cuts and bin
+    * labels are bit-identical on any engine — callers quantize doubles to
+    * units first (the repo-wide micro-unit discipline).
+    *
+    * Scale shape: the cut derivation runs on the DISTINCT-VALUE count
+    * table, not the rows — one keyed aggregation, then a cumulative
+    * window over that table (unpartitioned, but bounded by the unit
+    * domain's distinct cardinality, the [[graft.functions.Sketches
+    * .logHistogram]] quantile row's posture; for an unbounded domain,
+    * bin on the log-histogram's bucket quantiles instead). Cuts stay
+    * IN-PLAN as a 1-row broadcast; the fact table is never shuffled.
+    * Null measures get a null bin.
+    */
+  def quantileBinEqualFreq(df: DataFrame, unitCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val cum = df.select(col(unitCol).as("__u")).filter(col("__u").isNotNull)
+      .groupBy("__u").agg(count(lit(1)).as("__c"))
+      .withColumn("__cv", sum("__c").over(Window.orderBy("__u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = df.agg(count(col(unitCol)).as("__n"))
+    val cutAggs = (1 until nBins).map { k =>
+      min(when(col("__cv") >= expr(s"(__n * $k + ${nBins - 1}) div $nBins"),
+        col("__u"))).as(s"__cut$k")
+    }
+    val cuts = cum.crossJoin(broadcast(tot)).agg(cutAggs.head, cutAggs.tail: _*)
+    val bin = (1 until nBins).foldLeft(lit(1)) { (acc, k) =>
+      acc + (col(unitCol) > col(s"__cut$k")).cast("int")
+    }
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .drop((1 until nBins).map(k => s"__cut$k"): _*)
+  }
+}

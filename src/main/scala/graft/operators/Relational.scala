@@ -228,4 +228,46 @@ object Relational {
         (Seq(loCol, hiCol) ++ rightValueCols).distinct
           .map(c => col(rp + c).as(rightPrefix + c)): _*)
   }
+
+  /** Bloom-runtime-filtered equi join — the hand-placed form of Spark's
+    * runtime row-group filtering for the case the optimizer can't see: a
+    * BIG probe side shuffle-joining a SELECTIVE-but-not-broadcastable
+    * build side. A Bloom filter over the build side's join keys (built
+    * distributed by the same native aggregate as
+    * [[Dedup.exactIngestBloom]]) is applied to the probe side BEFORE its
+    * shuffle, so rows that cannot match never cross the wire — at 100 TB
+    * the shuffle-write volume drops by the probe side's miss rate, which for a
+    * selective build side is nearly all of it.
+    *
+    * The result is EXACT (identical to the plain inner join): the Bloom
+    * has no false negatives, and false positives are eliminated by the
+    * real join that follows — fpp only costs shuffled bytes, never rows.
+    * Size `numBits` for the build side's distinct-key count (~10 bits/key
+    * ≈ 1% fpp); the filter itself is `numBits/8` bytes broadcast once.
+    *
+    * Build-side contract: selective enough that its key set fits one
+    * Bloom filter (a few GB ceiling — beyond that, shard by key prefix),
+    * but too large / too wide to broadcast-hash-join outright, which is
+    * precisely the regime where Spark would otherwise shuffle both sides
+    * in full. The bloom build is one tiny aggregate action (the
+    * snk_range_clustered two-phase literal discipline).
+    */
+  def bloomFilteredJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long,
+      numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns
+    val joined = big.join(small, big(bigKey) === small(smallKey), "inner")
+    val bloom = small
+      .agg(NativeColumns.bloomFilterAgg(xxhash64(col(smallKey)), expectedItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    if (bloom == null) return joined.limit(0) // empty build side: empty inner join
+    val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
+    big
+      .filter(NativeColumns.mightContainBroadcast(bloomBc, xxhash64(col(bigKey))))
+      .join(small, col(bigKey) === small(smallKey), "inner")
+  }
 }

@@ -110,4 +110,30 @@ object Constraints {
       .withColumn("psi", (sum(col("term_u")).over(w)).cast("double") / lit(1e9))
       .drop("__te", "__ta", "__b")
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate a
+    * training-data release pipeline runs next to [[graft.functions.Text
+    * .redactPii]]: every combination of quasi-identifier values (the
+    * equivalence class) must cover at least `k` distinct subjects, or a
+    * released row in that class re-identifies its subject by linkage
+    * (Sweeney 2002). Output: one row per equivalence class —
+    * `(quasi…, n_subjects, n_rows, violating)` with
+    * `violating = n_subjects < k` — so the caller can gate on
+    * `violating` (fail the release), suppress the violating classes, or
+    * generalize the quasi columns and re-audit.
+    *
+    * Exact by construction (one count-distinct aggregation); scale shape:
+    * a single keyed exchange on the quasi columns; the distinct-subject
+    * count partial-aggregates map-side. Classes, not rows, come back —
+    * the audit output is bounded by the quasi-space cardinality.
+    */
+  def kAnonymityReport(
+      df: DataFrame, quasiCols: Seq[String], subjectCol: String, k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(subjectCol)).as("n_subjects"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("violating", col("n_subjects") < k)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.quality
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,72 @@ object Selection {
       .withColumn("__cum_before", sum(col(tokenCol)).over(w) - col(tokenCol))
       .withColumn("pack_id", expr(s"__cum_before div $budget"))
       .drop("__cum_before")
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick the raw-corpus documents whose hashed-unigram
+    * distribution looks most like a small TARGET corpus, by per-document
+    * importance weight `log p_target(x) − log p_raw(x)` under two
+    * bag-of-hashed-ngrams unigram models. The standard "make 100 TB of
+    * crawl look like Wikipedia" curation step, and the distribution-level
+    * complement of the engine's pointwise quality scorers
+    * ([[graft.quality.Scoring.hashedClassifierScore]] learns labels;
+    * DSIR needs only the target corpus itself).
+    *
+    * Model: token -> bucket `md5hash64(w || salt) mod buckets` (the
+    * [[hashSample]] hash, so any engine recomputes it); each side's
+    * bucket distribution is Laplace-smoothed `(c_b + 1) / (T + B)`.
+    * Per-bucket log-likelihood ratio quantized ONCE in the model table —
+    * `floor(log2 p_t * 1e6) − floor(log2 p_r * 1e6)` (the shared
+    * `floor(log2(x)*1e6)` residual assumption, [[graft.quality.Scoring
+    * .tfidfTopTerms]]) — so a document's weight is an EXACT long sum of
+    * table entries over its token occurrences. Top-`k` by
+    * (weight desc, id), the `TakeOrderedAndProject` shape.
+    *
+    * Scale shape: both count tables aggregate to ≤ `buckets` rows and
+    * broadcast; the raw corpus is tokenized twice (count pass + score
+    * pass — the [[graft.quality.Scoring.perceptronTrain]] corpus-touched-
+    * twice posture) and never shuffled wider than (doc_id, bucket);
+    * ranking is a map-side-bounded ordered take, not a global sort.
+    * Output: (doc_id, carried…, dsir_units, n_tokens), the k winners.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String],
+      buckets: Int,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(buckets > 0 && k > 0, "buckets and k must be positive")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("__id"), explode(Text.words(col(textCol))).as("__w"))
+      .select(col("__id"), pmod(Text.md5Hash64(concat(col("__w"), lit(salt))),
+        lit(buckets.toLong)).as("__b"))
+    val rawToks = bucketed(raw)
+    val cr = rawToks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    // totals stay IN-PLAN as 1-row broadcast frames (fully lazy, so the
+    // planView contract holds with no materialization boundary)
+    val tr = cr.agg(coalesce(sum("__cr"), lit(0L)).as("__tr"))
+    val tt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__tt"))
+    def qlog2(num: Column, den: Column): Column =
+      floor(log2(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    val lr = cr.join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
+      .select(col("__b"),
+        (qlog2(coalesce(col("__ct"), lit(0L)) + 1L, col("__tt") + buckets.toLong) -
+          qlog2(col("__cr") + 1L, col("__tr") + buckets.toLong)).as("__lr"))
+    val scored = rawToks
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum("__lr").as("dsir_units"), count(lit(1)).as("n_tokens"))
+    raw.select(col(idCol) +: carryCols.map(col): _*)
+      .join(scored, col(idCol) === col("__id"))
+      .drop("__id")
+      .orderBy(col("dsir_units").desc, col(idCol))
+      .limit(k)
   }
 
   /** The heap samplers carry ids through

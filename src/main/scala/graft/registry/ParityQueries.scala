@@ -1868,7 +1868,116 @@ object ParityQueries {
         LEAST(GREATEST(e.value, b.lo), b.hi) AS value_winsorized
       FROM ev e JOIN b USING (event_type)"""))
 
+  /** Leave-one-out + m-estimate target encoding ([[graft.features
+    * .Encoders.targetEncodeLoo]]) of order priority against total price:
+    * DuckDB re-derives the decimal category sums, the self-subtraction,
+    * the global prior, and both mirrored double quotients per row —
+    * 15 k rows, every encoded value bit-exact. (Orders carry no null
+    * labels; the null/singleton branches are EncodersSpec territory.)
+    */
+  private val targetEncodeQ = Q(
+    "feature_target_encode_loo",
+    (s, d) => graft.features.Encoders.targetEncodeLoo(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      "o_orderpriority", "o_totalprice", m = 10L),
+    Some("""WITH st AS (SELECT o_orderpriority,
+        SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s, COUNT(o_totalprice) AS n
+        FROM orders GROUP BY 1),
+      pr AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(o_totalprice) AS prior FROM orders)
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, st.n AS n_cat,
+        CAST(st.s - CAST(o.o_totalprice AS DECIMAL(38,6)) AS DOUBLE)
+          / CAST(st.n - 1 AS DOUBLE) AS enc_loo,
+        (CAST(st.s - CAST(o.o_totalprice AS DECIMAL(38,6)) AS DOUBLE)
+          + 10.0 * pr.prior) / CAST(st.n - 1 + 10 AS DOUBLE) AS enc_smooth
+      FROM orders o JOIN st USING (o_orderpriority) CROSS JOIN pr"""))
+
+  /** Equal-frequency quartile binning ([[graft.features.Encoders
+    * .quantileBinEqualFreq]]) of event value micro-units, rolled up per
+    * (event_type, bin): DuckDB re-derives the distinct-unit cumulative
+    * table, all three ceil-position cuts, and every row's bin label —
+    * exact integers end to end.
+    */
+  private val quantileBinQ = Q(
+    "feature_quantile_bin",
+    (s, d) => graft.features.Encoders.quantileBinEqualFreq(
+      evDf(s, d).select(col("event_type"),
+        expr("cast(floor(value * 1000000.0 + 0.5) as bigint)").as("u")),
+      "u", nBins = 4)
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), min("u").as("lo_units"), max("u").as("hi_units")),
+    Some(s"""WITH $EV,
+      v AS MATERIALIZED (SELECT event_type,
+        CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u FROM ev),
+      vc AS (SELECT u, COUNT(*) AS c FROM v GROUP BY u),
+      cum AS (SELECT u, CAST(SUM(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv FROM vc),
+      tot AS (SELECT COUNT(u) AS n FROM v),
+      cuts AS (SELECT
+        MIN(CASE WHEN cv >= (n * 1 + 3) // 4 THEN u END) AS c1,
+        MIN(CASE WHEN cv >= (n * 2 + 3) // 4 THEN u END) AS c2,
+        MIN(CASE WHEN cv >= (n * 3 + 3) // 4 THEN u END) AS c3
+        FROM cum CROSS JOIN tot)
+      SELECT event_type,
+        1 + CAST(u > c1 AS INTEGER) + CAST(u > c2 AS INTEGER) + CAST(u > c3 AS INTEGER) AS bin,
+        COUNT(*) AS n, MIN(u) AS lo_units, MAX(u) AS hi_units
+      FROM v CROSS JOIN cuts GROUP BY 1, 2"""))
+
+  /** k-anonymity audit ([[graft.quality.Constraints.kAnonymityReport]]):
+    * every (event_type, day) equivalence class with its distinct-subject
+    * cover and the k=5 violation flag — exact count-distinct, trivially
+    * re-derived by the oracle.
+    */
+  private val kAnonymityQ = Q(
+    "dq_k_anonymity",
+    (s, d) => Constraints.kAnonymityReport(
+      evDf(s, d), Seq("event_type", "day"), "user_id", k = 5L),
+    Some(s"""WITH $EV
+      SELECT event_type, day, COUNT(DISTINCT user_id) AS n_subjects,
+        COUNT(*) AS n_rows, COUNT(DISTINCT user_id) < 5 AS violating
+      FROM ev GROUP BY 1, 2"""))
+
+  /** Bloom-runtime-filtered equi join ([[graft.operators.Relational
+    * .bloomFilteredJoin]]): lineitem probes a selective orders subset
+    * (urgent + high-value) through a Bloom filter on the join key BEFORE
+    * the join, then the exact join + a rollup. EXACTNESS is the whole
+    * claim — false positives cost only shuffled bytes — so the oracle is
+    * the PLAIN join + rollup with no bloom anywhere; a hash mismatch
+    * would mean the bloom dropped a matching row (a false negative, which
+    * the construction forbids). PlanSpec separately asserts the probe
+    * filter sits scan-adjacent under the join.
+    */
+  private val bloomJoinQ = Q(
+    "join_bloom_filtered",
+    (s, d) => {
+      val small = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.operators.Relational.bloomFilteredJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        small, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Scalars.dsum(col("l_extendedprice")).as("revenue"))
+    },
+    Some(s"""SELECT l_returnflag, o_orderstatus, COUNT(*) AS n,
+        ${Registry.Ora.DS("l_extendedprice")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+      GROUP BY 1, 2"""),
+    planView = Some((s, d) => {
+      val small = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .join(small, col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Scalars.dsum(col("l_extendedprice")).as("revenue"))
+    }))
+
   val all: Seq[Q] = Seq(
+    bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ,
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,

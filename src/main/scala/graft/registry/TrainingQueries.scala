@@ -3022,6 +3022,28 @@ object TrainingQueries {
         MAX(doc_id) AS max_id
       FROM documents GROUP BY lang"""))
 
+  /** ORC roundtrip ([[graft.sources.Formats.writeOrc]]/readOrc): the full
+    * documents table — free text included — through the other columnar
+    * lake format and back; the per-lang aggregate must hash-match the
+    * parquet oracle, so any value mangling or row loss in the ORC path
+    * breaks the compare. The oracle never sees ORC (DuckDB reads the
+    * parquet truth) — that asymmetry IS the check.
+    */
+  private val orcRoundtrip = Q(
+    "src_orc_roundtrip",
+    (s, d) => {
+      val path = "/root/repo/target/tmp/orc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text", "n_chars")
+      graft.sources.Formats.writeOrc(docs, path)
+      graft.sources.Formats.readOrc(s, path, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_len"),
+          sum(col("n_chars")).as("sum_chars"), max(col("doc_id")).as("max_id"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang"""))
+
   /** Schema drift across parquet snapshots: an "old" drop (even doc_ids,
     * no `source` column) and a "new" drop (odd doc_ids, full schema) read
     * together via `mergeSchema` ([[graft.sources.Formats.readEvolved]]);
@@ -3382,6 +3404,40 @@ object TrainingQueries {
       SELECT doc_id, lang, n_chars FROM r
       ORDER BY CAST(ql AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id
       LIMIT 200"""))
+
+  /** DSIR importance selection ([[graft.quality.Selection.dsirSelect]]):
+    * the 100 raw docs whose hashed-unigram distribution is closest to the
+    * English-subset target. DuckDB rebuilds BOTH count tables, both
+    * Laplace-smoothed models, every per-bucket quantized log2 ratio, every
+    * doc's exact long weight sum, and the same (weight desc, id) top-100 —
+    * tk/tt are multiply-referenced heavy CTEs, hence MATERIALIZED.
+    */
+  private val dsirQ = Q(
+    "sel_dsir_importance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.quality.Selection.dsirSelect(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        carryCols = Seq("lang"), buckets = 1024, k = 100, salt = "dsir")
+    },
+    Some(s"""WITH tk AS MATERIALIZED (
+        SELECT doc_id, ('0x' || substr(md5(w || 'dsir'), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, unnest($WS) AS w FROM documents)),
+      tt AS MATERIALIZED (
+        SELECT ('0x' || substr(md5(w || 'dsir'), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT unnest($WS) AS w FROM documents WHERE lang = 'en')),
+      cr AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY b),
+      ct AS (SELECT b, COUNT(*) AS ct FROM tt GROUP BY b),
+      tot AS (SELECT (SELECT COUNT(*) FROM tk) AS trr, (SELECT COUNT(*) FROM tt) AS ttt),
+      lr AS (SELECT cr.b,
+          CAST(FLOOR(log2(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / CAST(ttt + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        - CAST(FLOOR(log2(CAST(cr.cr + 1 AS DOUBLE) / CAST(trr + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+      sc AS (SELECT doc_id, CAST(SUM(lr) AS BIGINT) AS dsir_units, COUNT(*) AS n_tokens
+        FROM tk JOIN lr USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, d.lang, sc.dsir_units, sc.n_tokens
+      FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY sc.dsir_units DESC, d.doc_id LIMIT 100"""))
 
   /** Per-language stratified sample of exactly 20 docs: the kept set is the
     * 20 hash-smallest doc_ids of each lang, which DuckDB reproduces with a
@@ -4261,8 +4317,9 @@ object TrainingQueries {
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,
+    dsirQ,
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
-    jsonlRoundtrip, csvRoundtrip, schemaEvolution,
+    jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,

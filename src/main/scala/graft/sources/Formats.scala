@@ -56,4 +56,21 @@ object Formats {
     */
   def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** ORC, the other columnar lake format (Hive-lineage lakes and
+    * Trino/Presto warehouses commonly land it): same columnar posture as
+    * parquet — predicate pushdown against stripe/row-group statistics,
+    * column pruning, splittable files — so a corpus arriving as ORC reads
+    * with the engine's full scan hygiene and needs no conversion pass
+    * first. Zstd, the same codec family as the parquet side.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+
+  /** Read [[writeOrc]] output with an EXPLICIT schema (the [[readJsonl]]
+    * no-inference contract; for ORC the schema also guards against a
+    * Hive-written file whose column NAMES drifted to `_col0`-style
+    * positions). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

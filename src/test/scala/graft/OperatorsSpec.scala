@@ -780,6 +780,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(8L))
   }
 
+  test("bloomFilteredJoin == plain inner join; empty build side -> empty result") {
+    import graft.operators.Relational
+    val big = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val small = Seq((7L, "a"), (13L, "b"), (7L, "c"), (499L, "d")).toDF("sk", "tag")
+    val out = Relational.bloomFilteredJoin(big, small, "k", "sk",
+      expectedItems = 100L, numBits = 1L << 12)
+      .select("k", "payload", "sk", "tag")
+    val plain = big.join(small, col("k") === col("sk"), "inner")
+      .select("k", "payload", "sk", "tag")
+    assert(out.collect().toSet == plain.collect().toSet)
+    assert(out.count() == 4)
+    val empty = Relational.bloomFilteredJoin(big, small.filter(col("sk") < 0), "k", "sk",
+      expectedItems = 100L, numBits = 1L << 12)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "payload", "sk", "tag"))
+  }
+
   test("resizeStub: output honors width*height contract and samples bytes") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
     val out = Multimodal.resizeStub(Multimodal.fromText(docs, "doc_id", "text"), 2, 2)

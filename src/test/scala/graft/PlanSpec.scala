@@ -161,6 +161,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"train postings must not shuffle-join:\n$plan")
   }
 
+  test("bloom-filtered join probes scan-adjacent, under the join, above the probe scan") {
+    graft.sources.Tables.configure(spark)
+    val wrapped = Registry.byName("join_bloom_filtered").run(spark, sf)
+      .queryExecution.executedPlan
+    val exec = wrapped match { // AQE wrapper hides the inner tree from collect
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val plan = exec.toString
+    assert(plan.contains("graft_bloom_probe"), s"probe filter missing:\n$plan")
+    // the probe must sit BELOW the join (filtering before any exchange /
+    // build), i.e. inside the same leaf stage as the lineitem scan: find
+    // a Filter whose condition carries the probe and whose subtree is the
+    // probe-side scan with no join beneath it
+    val probeFilters = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("graft_bloom_probe") => f
+    }
+    assert(probeFilters.nonEmpty, s"no FilterExec carries the bloom probe:\n$plan")
+    assert(probeFilters.exists(f => f.child.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty), s"bloom probe must filter before the join, not after:\n$plan")
+  }
+
   test("surprisal broadcasts the vocabulary into the scoring join") {
     graft.sources.Tables.configure(spark)
     val plan = Registry.byName("text_unigram_surprisal").run(spark, sf)
