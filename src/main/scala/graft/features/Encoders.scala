@@ -95,4 +95,32 @@ object Encoders {
       .withColumn("bin", bin)
       .drop((1 until nBins).map(k => s"__cut$k"): _*)
   }
+
+  /** Per-group z-score standardization: `z = (x − mean) / sqrt(var)` with
+    * mean and POPULATION variance derived from exact order-independent
+    * sums — the decimal cast for Σx, the microunit floor-quantization for
+    * Σx² ([[graft.functions.Scalars.dsumQ]]; a squared double cast
+    * straight to decimal hits the half-microunit tie hazard davgQ
+    * documents). The final chain runs in doubles, which stays
+    * cross-engine exact because IEEE 754 requires sqrt CORRECTLY ROUNDED
+    * (unlike log/exp — no residual assumption here): identical variance
+    * in ⇒ identical z out, bit for bit.
+    *
+    * Degenerate groups (var ≤ 0: constant or singleton) and null values
+    * get a null z rather than a NaN that would poison downstream
+    * aggregation. Scale shape: one keyed aggregation to ≤|groups| rows,
+    * broadcast back — the fact table never shuffles.
+    */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import graft.functions.Scalars
+    val x = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      (Scalars.dsum(x) / count(x)).as("__mean"),
+      ((Scalars.dsumQ(x * x) - Scalars.dsum(x) * Scalars.dsum(x) / count(x)) / count(x))
+        .as("__var"))
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn("z", when(x.isNotNull && col("__var") > 0.0,
+        (x - col("__mean")) / sqrt(col("__var"))))
+      .drop("__mean", "__var")
+  }
 }

@@ -123,4 +123,11 @@ object Scalars {
     */
   def davgQ(c: Column): Column =
     sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6) / count(c)
+
+  /** [[dsum]] with [[davgQ]]'s explicit microunit quantization — for
+    * summing COMPUTED doubles (products, quotients) whose decimal cast
+    * would hit the half-microunit tie hazard davgQ documents.
+    */
+  def dsumQ(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
 }

@@ -1497,6 +1497,53 @@ object ParityQueries {
       FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)"""))
 
+  /** Streaming sequence match ([[graft.streaming.Streams
+    * .sequenceMatchStream]]): the SAME gapped min-chain as
+    * `analytics_sequence_gapped`, but driven through a REAL watermarked
+    * AvailableNow drain over four arbitrarily-sliced parquet files (one
+    * micro-batch each — heavy out-of-order arrival; the 90-day lateness
+    * exceeds the corpus's 30-day span, so the watermark contract admits
+    * the slicing and EVERY event buffers until final) plus a far-future
+    * sentinel that pushes the watermark past every real event so the
+    * buffered state drains through the event-time timeout. The oracle is
+    * the batch min-chain restricted to matched users — it hash-matches
+    * only if buffering, watermark finality, and the (t, id) drain order
+    * reproduce batch semantics under the slicing.
+    */
+  private val streamingSequenceQ = Q(
+    "streaming_sequence_match",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_seq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+      (0 until 4).foreach(i => ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in"))
+      // sentinel: year-2100 nanos, unmatched type, dummy user — watermark push only
+      import s.implicits._
+      Seq((-1L, "zz", 4102444800000000000L, -1L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.sequenceMatchAvailableNow(
+        stream, s"$base/out", s"$base/ckpt", "user_id", "event_type", "ts", "event_id",
+        Seq("signup", "error", "purchase"), lateness = "90 days").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("user").as("user_id"),
+          element_at(col("ts"), 1).as("t1"),
+          element_at(col("ts"), 2).as("t2"),
+          element_at(col("ts"), 3).as("t3"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'error' AND e.t > s1.t1 GROUP BY 1, 2),
+      s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1, 2, 3)
+      SELECT user_id, t1, t2, t3 FROM s3"""))
+
   /** Cohort retention matrix ([[Behavior.retentionCohorts]]): cohort =
     * first active day, exact distinct-user counts per (cohort, offset).
     */
@@ -1892,6 +1939,60 @@ object ParityQueries {
           + 10.0 * pr.prior) / CAST(st.n - 1 + 10 AS DOUBLE) AS enc_smooth
       FROM orders o JOIN st USING (o_orderpriority) CROSS JOIN pr"""))
 
+  /** Incremental aggregate-view maintenance ([[graft.operators
+    * .Incremental.aggStateApply]]): the events rollup folded in TWO
+    * batches (odd event_ids, then even) into a persisted mergeable-partial
+    * state table; the oracle recomputes the whole aggregate from scratch —
+    * they hash-match only if the decimal partial merge is exactly
+    * associative across the slicing.
+    */
+  private val aggStateQ = Q(
+    "snk_agg_incremental",
+    (s, d) => {
+      val path = "/root/repo/target/tmp/aggstate_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = evDf(s, d)
+      Incremental.aggStateApply(s, ev.filter(col("event_id") % 2 === 1), path,
+        Seq("event_type"), "value")
+      Incremental.aggStateApply(s, ev.filter(col("event_id") % 2 === 0), path,
+        Seq("event_type"), "value")
+      Incremental.readAggState(s, path)
+    },
+    Some(s"""WITH $EV
+      SELECT event_type, ${DS("value")} AS sum, COUNT(value) AS cnt,
+        MIN(value) AS min, MAX(value) AS max,
+        ${DS("value")} / COUNT(value) AS avg
+      FROM ev GROUP BY 1"""))
+
+  /** Per-group z-score standardization ([[graft.features.Encoders
+    * .standardize]]): mean and population variance from exact decimal
+    * sums, then `(x − mean) / sqrt(var)` — safe cross-engine because
+    * IEEE 754 requires sqrt CORRECTLY ROUNDED (unlike log/exp), so with
+    * bit-identical variance the whole chain is bit-identical. Aggregated
+    * per (event_type, zbin) so the oracle checks every row's z through
+    * the binning.
+    */
+  private val standardizeQ = Q(
+    "feature_standardize",
+    (s, d) => graft.features.Encoders.standardize(
+      evDf(s, d).select("event_id", "event_type", "value"), "event_type", "value")
+      .filter(col("z").isNotNull)
+      .groupBy(col("event_type"), floor(col("z")).cast("long").as("zbin"))
+      .agg(count(lit(1)).as("n"), Scalars.dsumQ(col("z")).as("sum_z")),
+    Some(s"""WITH $EV,
+      st AS (SELECT event_type,
+          ${DS("value")} / COUNT(value) AS mean,
+          (CAST(SUM(CAST(FLOOR(value * value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+            - ${DS("value")} * ${DS("value")} / COUNT(value)) / COUNT(value) AS var
+        FROM ev GROUP BY 1),
+      z AS (SELECT ev.event_type, (value - mean) / sqrt(var) AS z
+        FROM ev JOIN st USING (event_type)
+        WHERE value IS NOT NULL AND var > 0)
+      SELECT event_type, CAST(FLOOR(z) AS BIGINT) AS zbin, COUNT(*) AS n,
+        CAST(SUM(CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_z
+      FROM z GROUP BY 1, 2"""))
+
   /** Equal-frequency quartile binning ([[graft.features.Encoders
     * .quantileBinEqualFreq]]) of event value micro-units, rolled up per
     * (event_type, bin): DuckDB re-derives the distinct-unit cumulative
@@ -1977,7 +2078,8 @@ object ParityQueries {
     }))
 
   val all: Seq[Q] = Seq(
-    bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ,
+    bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ,
+    streamingSequenceQ,
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,

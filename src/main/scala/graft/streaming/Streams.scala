@@ -618,6 +618,101 @@ object Streams {
     l.join(r, cond, "inner")
   }
 
+  /** Streaming event-sequence pattern matching — the always-on form of
+    * [[graft.operators.Behavior.sequenceMatch]]'s gapped (first-match,
+    * strict time order) semantics, via `flatMapGroupsWithState`: per
+    * user, a greedy prefix automaton advances over events in event-time
+    * order and emits ONE row `(user, ts)` the moment the pattern
+    * completes, with `ts` the matched step times.
+    *
+    * Correctness under out-of-order arrival: events are BUFFERED until
+    * the watermark passes them — only the finalized prefix (event time ≤
+    * current watermark) feeds the automaton, sorted by `(t, id)`, so the
+    * processed prefix is immutable and the emitted match is exactly the
+    * batch operator's on the same (watermark-respecting) data. Events
+    * arriving later than `lateness` violate the watermark contract and
+    * are ignored, same as every watermarked op here.
+    *
+    * State is bounded: the buffer holds at most one lateness-window of
+    * events per user (an event-time timeout drains it as the watermark
+    * advances — no new data needed), and a completed user collapses to a
+    * `done` tombstone so re-emission is impossible. Per-user state, keyed
+    * shuffle per micro-batch — the [[runningPerKey]] scale posture.
+    */
+  case class SeqPend(t: Long, id: Long, tp: String)
+  case class SeqState(pending: Seq[SeqPend], matched: Seq[Long], done: Boolean)
+  case class SeqHit(user: Long, ts: Seq[Long])
+
+  def sequenceMatchStream(
+      stream: DataFrame,
+      userCol: String,
+      typeCol: String,
+      nanosCol: String,
+      idCol: String,
+      pattern: Seq[String],
+      lateness: String): Dataset[SeqHit] = {
+    require(pattern.nonEmpty && pattern.size <= 8, "1..8 pattern steps")
+    val m = pattern.size
+    val ss = stream.sparkSession
+    import ss.implicits._
+    val ev = stream.select(
+        col(userCol).cast("long").as("user"), col(typeCol).as("tp"),
+        col(nanosCol).as("t"), col(idCol).cast("long").as("id"),
+        expr(s"timestamp_micros($nanosCol div 1000)").as("__et"))
+      .withWatermark("__et", lateness)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[SeqState, SeqHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[SeqState]) =>
+          val st0 = state.getOption.getOrElse(SeqState(Nil, Nil, done = false))
+          if (st0.done) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val incoming = rows.map(r => SeqPend(r._3, r._4, r._2)).toSeq
+            val wmMs = state.getCurrentWatermarkMs()
+            val (ready, pend) = (st0.pending ++ incoming)
+              .partition(e => e.t / 1000000L <= wmMs)
+            var matched = st0.matched.toVector
+            ready.sortBy(e => (e.t, e.id)).foreach { e =>
+              if (matched.size < m && e.tp == pattern(matched.size) &&
+                  (matched.isEmpty || e.t > matched.last)) matched = matched :+ e.t
+            }
+            if (matched.size == m) {
+              state.update(SeqState(Nil, Nil, done = true))
+              Iterator.single(SeqHit(user, matched))
+            } else {
+              state.update(SeqState(pend, matched, done = false))
+              // drain the rest when the watermark reaches the earliest
+              // buffered event — no new data required
+              if (pend.nonEmpty)
+                state.setTimeoutTimestamp(pend.map(_.t / 1000000L).min + 1L)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** [[sequenceMatchStream]] drained to parquet with `AvailableNow` — the
+    * bounded catch-up form (checkpointed: a restarted drain resumes the
+    * automaton state, and emitted matches are not re-emitted).
+    */
+  def sequenceMatchAvailableNow(
+      stream: DataFrame,
+      outPath: String,
+      ckptPath: String,
+      userCol: String,
+      typeCol: String,
+      nanosCol: String,
+      idCol: String,
+      pattern: Seq[String],
+      lateness: String): StreamingQuery =
+    sequenceMatchStream(stream, userCol, typeCol, nanosCol, idCol, pattern, lateness)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outPath).option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+
   /** Per-key running state via mapGroupsWithState: maintains (count,
     * decimal-exact running sum scaled 1e6, max epoch) per key across
     * micro-batches — the stateful form of the reference's per-wallet

@@ -348,6 +348,57 @@ class StreamsSpec extends SparkSpec {
       s"error must name the manifest batch id: $msg")
   }
 
+  test("sequenceMatchStream: incremental watermark drain == batch; restart never re-emits") {
+    val base = "target/tmp/streams_seqmatch"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    // nanos timestamps; per-user chains with intra-slice disorder and a
+    // within-lateness straggler crossing a slice boundary
+    def sec(n: Long) = n * 1000000000L
+    val events = Seq(
+      // user 1 matches a-b-c, with b arriving in a LATER slice than c's slice start
+      (1L, "a", sec(100), 1L), (1L, "b", sec(250), 2L), (1L, "c", sec(400), 3L),
+      // user 2: wrong order (c before a-b) -> no match
+      (2L, "c", sec(50), 4L), (2L, "a", sec(300), 5L), (2L, "b", sec(200), 6L),
+      // user 3: a-b only -> no match
+      (3L, "a", sec(120), 7L), (3L, "b", sec(130), 8L),
+      // user 4: duplicate steps + distractors, matches
+      (4L, "x", sec(90), 9L), (4L, "a", sec(110), 10L), (4L, "a", sec(115), 11L),
+      (4L, "b", sec(111), 12L), (4L, "b", sec(140), 13L), (4L, "c", sec(141), 14L))
+    val batchDf = events.toDF("user_id", "event_type", "ts", "event_id")
+    val expected = graft.operators.Behavior.sequenceMatch(
+      batchDf, "user_id", "event_type", "ts", "event_id",
+      Seq("a", "b", "c"), contiguous = false)
+      .filter(col("t3").isNotNull)
+      .select("user_id", "t1", "t2", "t3").as[(Long, Long, Long, Long)].collect().toSet
+    // slices ordered by time but overlapping within the 200 s lateness:
+    // slice 1 = t < 150 plus NOTHING; slice 2 = 150..300 plus user 1's
+    // straggler b(250) arrives here naturally; slice 3 = rest + sentinel
+    val slices = Seq(
+      events.filter(_._3 < sec(150)),
+      events.filter(e => e._3 >= sec(150) && e._3 < sec(320)),
+      events.filter(_._3 >= sec(320)) :+ ((-1L, "zz", sec(100000), -1L)))
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      sl.toDF("user_id", "event_type", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      // separate drains per slice = a RESTART between every micro-batch;
+      // checkpointed automaton state + sink must neither lose nor re-emit
+      Streams.sequenceMatchAvailableNow(
+        spark.readStream.schema(batchDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+        s"$base/out", s"$base/ckpt", "user_id", "event_type", "ts", "event_id",
+        Seq("a", "b", "c"), lateness = "200 seconds").awaitTermination()
+    }
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("user"), element_at(col("ts"), 1), element_at(col("ts"), 2),
+        element_at(col("ts"), 3))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "a match was emitted twice across restarts")
+    assert(got.toSet == expected, s"stream $got != batch $expected")
+    assert(expected.map(_._1) == Set(1L, 4L))
+  }
+
   test("compaction manifest: corrupt/truncated JSON fails with a clear error, not an NPE") {
     val base = "target/tmp/streams_manifest_corrupt"
     val fs = new org.apache.hadoop.fs.Path(base)
