@@ -787,4 +787,71 @@ object Similarity {
           coalesce(expr(s"${lcm.toLong}L div __ar"), lit(0L)))), lit(0L)).as("rr_units"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_truth").cast("double"))
   }
+
+  /** Hard-negative mining for embedding/contrastive training: each probe's
+    * top-`k` nearest corpus vectors whose LABEL DIFFERS from the probe's —
+    * the near-miss impostors a contrastive or reranker objective trains
+    * against (the standard in-batch-negatives upgrade). Same probe-side-
+    * small contract and map-side k-heap as [[bruteForceTopK]]; at corpus
+    * scale feed the candidate generation through the IVF/LSH variants and
+    * re-rank, exactly like the two-phase retrievers. Output:
+    * (query_id, query_label, neighbor_id, neighbor_label, cosine, rank).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__nl"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("__nl")))
+      .withColumn("cosine", graft.functions.Vectors.cosine(col("qv"), col("cv")))
+    rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
+      .join(broadcast(q.select("query_id", "query_label")), "query_id")
+      .join(c.select(col("neighbor_id"), col("__nl").as("neighbor_label")), "neighbor_id")
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank")
+  }
+
+  /** kNN label-noise audit from ANY top-k neighbor frame (the
+    * `(query_id, neighbor_id, …)` schema every retriever here emits —
+    * brute force for an exact audit, IVF/LSH for the 100 TB one): per
+    * probe, how many of its neighbors disagree with its label, the
+    * neighborhood's majority label (ties to the lower label), and the
+    * mislabel flag — the classic neighborhood-consensus label-error
+    * detector (Confident-Learning-style pruning signal). Pure integer
+    * counts + one mirrored double ratio; one keyed aggregation over the
+    * (tiny) top-k frame plus two broadcast label joins.
+    */
+  def labelNoiseFromTopK(
+      topk: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val lab = broadcast(labels.select(col(idCol).as("__lid"), col(labelCol).as("__l")))
+    val joined = topk
+      .join(lab, col("query_id") === col("__lid")).drop("__lid")
+      .withColumnRenamed("__l", "label")
+      .join(lab, col("neighbor_id") === col("__lid")).drop("__lid")
+      .withColumnRenamed("__l", "__nlabel")
+    val votes = joined.groupBy(col("query_id"), col("label"), col("__nlabel"))
+      .agg(count(lit(1)).as("__votes"))
+    votes.groupBy(col("query_id"), col("label"))
+      .agg(
+        sum("__votes").as("n_neighbors"),
+        sum(when(!(col("__nlabel") <=> col("label")), col("__votes"))
+          .otherwise(0L)).as("n_disagree"),
+        max(struct(col("__votes"), (-col("__nlabel")).as("__neg")))
+          .getField("__neg").as("__mneg"))
+      .withColumn("majority_label", -col("__mneg"))
+      .withColumn("noise_ratio",
+        col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
+      .withColumn("flagged", !(col("majority_label") <=> col("label")))
+      .drop("__mneg")
+  }
 }

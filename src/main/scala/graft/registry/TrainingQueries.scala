@@ -881,6 +881,66 @@ object TrainingQueries {
     bruteForceOracle(5),
     bench = true)
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per probe, the
+    * 5 nearest corpus vectors with a DIFFERENT label — DuckDB recomputes
+    * the filtered cosine ranking from scratch with the same
+    * (cosine desc, id) tie rule.
+    */
+  private val hardNegativesQ = Q(
+    "sim_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
+        FROM embeddings),
+      sc AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+          ${cosSql("qv", "cv")} AS cosine
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id AND query_label IS DISTINCT FROM neighbor_label),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, "rank"
+      FROM r WHERE "rank" <= 5"""))
+
+  /** kNN label-noise audit ([[Similarity.labelNoiseFromTopK]] over the
+    * exact brute-force neighbor frame, every 5th vector as probe): DuckDB
+    * rebuilds the k=10 neighborhoods, the per-label vote counts, the
+    * (votes desc, label asc) majority pick, and the disagreement ratio.
+    */
+  private val labelNoiseQ = Q(
+    "eval_label_noise",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 5 === 0)
+      Similarity.labelNoiseFromTopK(
+        Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 10),
+        emb, "vec_id", "label")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+        FROM embeddings WHERE vec_id % 5 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl FROM embeddings),
+      sc AS (SELECT query_id, q.label, neighbor_id, nl, ${cosSql("qv", "cv")} AS cosine
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rk FROM sc),
+      topk AS (SELECT query_id, label, nl FROM r WHERE rk <= 10),
+      votes AS (SELECT query_id, label, nl, COUNT(*) AS v FROM topk GROUP BY 1, 2, 3),
+      mj AS (SELECT query_id, nl AS majority_label,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nl) AS mr FROM votes),
+      agg AS (SELECT query_id, label, CAST(SUM(v) AS BIGINT) AS n_neighbors,
+          CAST(COALESCE(SUM(CASE WHEN nl IS DISTINCT FROM label THEN v END), 0) AS BIGINT)
+            AS n_disagree
+        FROM votes GROUP BY 1, 2)
+      SELECT a.query_id, a.label, a.n_neighbors, a.n_disagree, m.majority_label,
+        CAST(a.n_disagree AS DOUBLE) / CAST(a.n_neighbors AS DOUBLE) AS noise_ratio,
+        m.majority_label IS DISTINCT FROM a.label AS flagged
+      FROM agg a JOIN mj m ON m.query_id = a.query_id AND m.mr = 1"""))
+
   /** Two-phase int8 ANN: the oracle mirrors BOTH phases — the same
     * quantization, the same integer-array cosine candidate ranking (scales
     * cancel out of the cosine, so phase 1 is pure int math widened to
@@ -2603,6 +2663,43 @@ object TrainingQueries {
         COALESCE(ds.id_checksum, 0) AS id_checksum
       FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id"""))
 
+  /** Tokenizer fertility report ([[graft.functions.Bpe]] eval): per
+    * language, tokens-per-word and chars-per-token under the trained
+    * vocab — the standard "is this tokenizer fair to language X" audit
+    * (high fertility = that language pays more sequence length per word).
+    * DuckDB re-trains the vocab, re-tokenizes every doc, and re-derives
+    * both mirrored double ratios from the same integer totals.
+    */
+  private val bpeFertilityQ = Q(
+    "eval_bpe_fertility",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val vocab = graft.functions.Bpe.trainVocab(docs, "text")
+      docs
+        .withColumn("__st", graft.functions.Bpe.tokenize(col("text"), vocab))
+        .select(col("lang"),
+          coalesce(col("__st.n_tokens"), lit(0L)).as("nt"),
+          Text.tokenCount(col("text")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(sum("nt").as("n_tokens"), sum("nw").as("n_words"), sum("nc").as("n_chars"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+    },
+    Some(s"""WITH RECURSIVE ${bpeCtes()},
+      f AS (SELECT b.lang, COALESCE(ds.n_tokens, 0) AS nt,
+          len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
+            x -> length(x) > 0)) AS nw,
+          length(b.text) AS nc
+        FROM bdoc b LEFT JOIN dstat ds ON b.doc_id = ds.doc_id)
+      SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE AS fertility,
+        CAST(SUM(nc) AS BIGINT)::DOUBLE / CAST(SUM(nt) AS BIGINT)::DOUBLE AS chars_per_token
+      FROM f GROUP BY 1"""))
+
   /** Top-50 token-id histogram under the trained vocab — the "what is the
     * tokenizer actually emitting" report: explode ids, count, decode the
     * token string through a broadcast of the tiny vocab table, rank by
@@ -4302,6 +4399,7 @@ object TrainingQueries {
     corpusDiffQ,
     dedupContamination, pipelineCorpusClean,
     dedupSemantic, dedupEmbedding, embNormalize, embQuantize, simBruteForce, simQuantized,
+    hardNegativesQ, labelNoiseQ,
     simIvfQuantized, simIvfKmeans, simIvfAppend, simIvfRebuild, simEmbDrift, simLsh,
     simPqEncode, simPqTopK,
     simIvfPq,
@@ -4318,7 +4416,7 @@ object TrainingQueries {
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,
     dsirQ,
-    bpeTokenizeQ, bpeHistogram, bpeTokenPack, shardShuffle,
+    bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
