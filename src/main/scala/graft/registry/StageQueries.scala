@@ -240,6 +240,32 @@ object StageQueries {
         MIN(user_id) AS min_user, MAX(day) AS max_day
       FROM ev WHERE user_id < 400 AND day >= (SELECT MIN(day) + 10 FROM ev)"""))
 
+  /** Hilbert-ordered layout roundtrip ([[graft.sources.Layout
+    * .writeHilbertOrdered]]): the [[zOrderedSink]] contract with the
+    * Morton interleave swapped for the Hilbert index — content
+    * equivalence under a rectangle predicate; the adjacency property and
+    * the pruning measurement live in NativeExprSpec / LayoutSpec.
+    */
+  private val hilbertSink = Q(
+    "layout_hilbert",
+    (s, d) => {
+      val e = ParityQueries.evDf(s, d)
+      val path = "/root/repo/target/tmp/hilbert_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Layout.writeHilbertOrdered(
+        e.select("event_id", "user_id", "value", "day"), path, 8, "user_id", "day")
+      val lo = e.agg(min(col("day"))).head().getLong(0) + 10L
+      s.read.parquet(path)
+        .filter(col("user_id") < 400 && col("day") >= lo)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("user_id")).as("min_user"), max(col("day")).as("max_day"))
+    },
+    Some(s"""WITH $EV
+      SELECT COUNT(*) AS n, ${DS("value")} AS sum_value,
+        MIN(user_id) AS min_user, MAX(day) AS max_day
+      FROM ev WHERE user_id < 400 AND day >= (SELECT MIN(day) + 10 FROM ev)"""))
+
   /** Session windows (Structured Streaming's sessionization operator, run
     * in batch mode for a deterministic oracle): 4-hour inactivity gap per
     * user. Oracle reproduces Spark's END-INCLUSIVE merge rule via lag/cumsum
@@ -328,5 +354,5 @@ object StageQueries {
 
   val all: Seq[Q] = Seq(
     stageEvents, stageMarketData, stagePositions, partitionedSink, rangeClusteredSink,
-    zoneMapPruned, zOrderedSink, sessionWindows, simIvf, bucketedJoin, saltedJoin)
+    zoneMapPruned, zOrderedSink, hilbertSink, sessionWindows, simIvf, bucketedJoin, saltedJoin)
 }

@@ -3774,6 +3774,48 @@ object TrainingQueries {
     Some(s"""WITH $EV, src AS (SELECT event_id AS k FROM ev), ${hllRegSql("src")}
       SELECT ridx, rmax FROM reg"""))
 
+  /** Streaming CMS ingest ([[graft.streaming.Streams
+    * .cmsIngestAvailableNow]]): user_id frequencies drained in 1-file
+    * micro-batches into per-batch-id OVERWRITE cell state (counts ADD —
+    * the drift-counts replay discipline, not the HLL/KMV idempotent
+    * merge), then the accumulated sketch point-queried for the exact
+    * top-20 — and the estimates must equal the all-at-once batch sketch's,
+    * which is what the oracle recomputes from scratch.
+    */
+  private val streamingCms = Q(
+    "streaming_cms_ingest",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_cms_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = ParityQueries.evDf(s, d)
+      ev.select("user_id").repartition(5, col("user_id")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.select("user_id").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.cmsIngestAvailableNow(
+        stream, "user_id", s"$base/state", s"$base/ckpt").awaitTermination()
+      val sketch = graft.streaming.Streams.cmsState(s, s"$base/state")
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      top.join(graft.functions.Sketches.cmsPointQuery(
+          sketch, top.select(col("user_id").as("k")))
+          .withColumnRenamed("k", "user_id"), Seq("user_id"))
+        .select(col("user_id"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("never_under"))
+    },
+    Some(s"""WITH $EV, $cmsCellsSql,
+      x AS (SELECT user_id, COUNT(*) AS exact FROM ev GROUP BY 1
+        ORDER BY exact DESC, user_id LIMIT 20),
+      probes AS (SELECT x.user_id, r,
+        ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(x.user_id AS VARCHAR)), 1, 15))::BIGINT
+          % 512 AS cell
+        FROM x, (SELECT unnest(range(4)) AS r)),
+      e AS (SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell GROUP BY 1)
+      SELECT x.user_id, x.exact, e.est, e.est >= x.exact AS never_under
+      FROM x JOIN e ON e.user_id = x.user_id"""))
+
   /** Streaming KMV ingest ([[graft.streaming.Streams
     * .kmvIngestAvailableNow]]): the same slicing/replay proof as
     * `streaming_hll_ingest` for the set-algebra sketch — 1-file batches
@@ -4422,5 +4464,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingHll, streamingKmv, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingKmv, streamingCms, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
 }

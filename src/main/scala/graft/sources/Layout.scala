@@ -330,6 +330,33 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** HILBERT-ORDERED at-rest layout: [[writeZOrdered]] with the Morton
+    * interleave swapped for the Hilbert-curve index
+    * ([[org.apache.spark.sql.graftnative.NativeColumns.hilbert2D]]).
+    * Hilbert ordering has no quadrant-boundary diagonal jumps —
+    * consecutive indices are always grid neighbors — so a rectangle's
+    * index-range cover is more contiguous and footer-stat pruning is at
+    * least as tight as Morton's at the same file count (LayoutSpec
+    * measures both on the same rows). Content byte-identical; layout
+    * only.
+    */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      nFiles: Int,
+      colA: String,
+      colB: String,
+      bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftnative.NativeColumns
+    df.withColumn("__h",
+        NativeColumns.hilbert2D(col(colA).cast("long"), col(colB).cast("long"), bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** The shard + intra-shard order assignment behind
     * [[writeShuffledShards]], exposed as a plain frame so the registry
     * can differentially verify it: `shard = md5_60bit(id || salt) mod

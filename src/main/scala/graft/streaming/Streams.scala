@@ -294,6 +294,41 @@ object Streams {
   def driftState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath).groupBy("bin").agg(sum("n").as("n"))
 
+  /** STREAMING COUNT-MIN INGEST — the heavy-hitter/frequency half of the
+    * sketch-state family: each micro-batch's CMS cells land as a
+    * `batch=<id>` OVERWRITE subdir ([[driftIngestAvailableNow]]'s
+    * replay-by-directory-key discipline — CMS counts ADD, so the merge is
+    * not replay-idempotent and the subdir key must absorb at-least-once
+    * redelivery). [[cmsState]] folds the subdirs into the one accumulated
+    * sketch that [[graft.functions.Sketches.cmsPointQuery]] and the
+    * heavy-hitters report read — the always-on "what's trending in the
+    * ingest feed" monitor at O(d·w) state, independent of stream size.
+    */
+  def cmsIngestAvailableNow(
+      stream: DataFrame,
+      keyCol: String,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.Sketches.cmsSketch(batch, col(keyCol))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+
+  /** The accumulated CMS across every ingested batch — one tiny keyed sum
+    * over ≤ d·w·batches cell rows, shaped for [[graft.functions.Sketches
+    * .cmsPointQuery]]/cmsTopK.
+    */
+  def cmsState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
+    graft.functions.Sketches.cmsMerge(
+      spark.read.parquet(statePath).select("r", "cell", "cnt"))
+
   /** STREAMING NEAR-DUP INGEST: each micro-batch of new documents is
     * LSH-checked against the persisted bucket index
     * ([[graft.operators.Dedup.minhashBuckets]] at rest under

@@ -119,6 +119,14 @@ object NativeColumns {
   def blockHash64(payload: Column): Column =
     Column(ExpressionColumnNode(BlockHash64(ExpressionUtils.expression(payload))))
 
+  /** 2-D Hilbert-curve index of two long columns on a `2^bits` grid — the
+    * tighter-locality alternative to the Morton interleave for at-rest
+    * layout (see [[graft.functions.expressions.HilbertIndex2D]]).
+    */
+  def hilbert2D(x: Column, y: Column, bits: Int): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.HilbertIndex2D(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits)))
+
   /** RIFF/WAVE header sniff over a binary payload column:
     * `struct<sample_rate, channels, bits, duration_ms>`, NULL for
     * unparseable bytes (see [[WavMeta]] — a real little-endian chunk walk,

@@ -320,6 +320,36 @@ class LayoutSpec extends SparkSpec {
     assert(scanRows(rpath, bOnly, 4096) >= 60000, "1-D layout cannot prune on b")
   }
 
+  test("hilbert layout: prunes rectangles at least as tight as z-order; content identical") {
+    val hpath = "target/tmp/layout_hilbert_h"
+    val zpath = "target/tmp/layout_hilbert_z"
+    for (p <- Seq(hpath, zpath)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val df = (for { a <- 0 until 256; b <- 0 until 256 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    Layout.writeHilbertOrdered(df, hpath, 64, "a", "b", bits = 8)
+    Layout.writeZOrdered(df, zpath, 64, "a", "b", bits = 8)
+    // content equivalence
+    assert(spark.read.parquet(hpath).as[(Long, Long)].collect().toSet ==
+      df.as[(Long, Long)].collect().toSet)
+    def scanRows(path: String, pred: org.apache.spark.sql.Column, expect: Long): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      assert(q.collect().length == expect)
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).max
+    }
+    // the same rectangle/slice predicates as the z-order test; hilbert's
+    // contiguous cover must stay inside the same bounds (same slack rules)
+    val rect = col("a") < 32 && col("b") < 32
+    val hRect = scanRows(hpath, rect, 1024)
+    assert(hRect <= 6000, s"hilbert must prune both axes (read $hRect rows)")
+    val bOnly = col("b") < 16
+    val hB = scanRows(hpath, bOnly, 4096)
+    assert(hB <= 20000, s"hilbert must prune on b alone (read $hB rows)")
+  }
+
   test("bucketed join stays Exchange-free after catalog loss + DDL re-attach (restart story)") {
     // external bucketed tables at explicit paths: DROP forgets the catalog
     // entry (files survive) == what a JVM restart does to the in-memory

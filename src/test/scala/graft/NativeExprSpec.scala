@@ -91,6 +91,33 @@ class NativeExprSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("hilbert2D: exhaustive bijection + adjacency on 32x32; codegen == companion; null") {
+    import graft.functions.expressions.HilbertIndex2D
+    val bits = 5
+    val n = 1 << bits
+    // bijection: every cell maps to a distinct d in [0, n^2)
+    val cells = for { x <- 0 until n; y <- 0 until n }
+      yield (x, y, HilbertIndex2D.index(x.toLong, y.toLong, bits))
+    val ds = cells.map(_._3)
+    assert(ds.toSet == (0L until n.toLong * n).toSet, "must be a bijection onto [0, n^2)")
+    // the defining Hilbert property: consecutive d are GRID NEIGHBORS —
+    // Morton fails this at every quadrant boundary
+    val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+    (1L until n.toLong * n).foreach { d =>
+      val (x0, y0) = byD(d - 1); val (x1, y1) = byD(d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"d=$d jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+    // Column path (codegen) == companion; null in -> null out
+    val df = Seq((3L, 7L), (31L, 0L), (0L, 0L)).toDF("x", "y")
+    val got = df.select(NativeColumns.hilbert2D(col("x"), col("y"), bits)).as[Long].collect()
+    assert(got.toSeq == Seq(
+      HilbertIndex2D.index(3L, 7L, bits), HilbertIndex2D.index(31L, 0L, bits), 0L))
+    val nulls = Seq((java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]))
+      .toDF("x", "y").select(NativeColumns.hilbert2D(col("x"), col("y"), bits)).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("blockHash64: known payloads, null/empty, Column == SQL == companion") {
     import graft.functions.expressions.BlockHash64
     val rnd = new scala.util.Random(11)
