@@ -37,6 +37,54 @@ class EmptyInputSpec extends SparkSpec {
       expectedItems = 100L, numBits = 1024L).count() == 0)
   }
 
+  test("round-11 operators are total on empty inputs") {
+    import graft.features.Encoders
+    val big0 = Seq.empty[(Long, String)].toDF("k", "payload")
+    val small0 = Seq.empty[(Long, String)].toDF("sk", "tag")
+    // bloom join: empty build side short-circuits; empty probe side runs the probe
+    assert(graft.operators.Relational.bloomFilteredJoin(
+      big0, small0, "k", "sk", 10L, 1024L).count() == 0)
+    assert(graft.operators.Relational.bloomFilteredJoin(
+      big0, Seq((1L, "t")).toDF("sk", "tag"), "k", "sk", 10L, 1024L).count() == 0)
+    // DSIR: empty raw, empty target, empty both
+    val docs0x = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val docs1 = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    assert(graft.quality.Selection.dsirSelect(
+      docs0x, docs1, "doc_id", "text", Seq("lang"), 64, 5).count() == 0)
+    assert(graft.quality.Selection.dsirSelect(
+      docs1, docs0x, "doc_id", "text", Seq("lang"), 64, 5).count() == 1)
+    assert(graft.quality.Selection.dsirSelect(
+      docs0x, docs0x, "doc_id", "text", Seq("lang"), 64, 5).count() == 0)
+    // encoders
+    val cat0 = Seq.empty[(String, Long, Double)].toDF("cat", "id", "y")
+    assert(Encoders.targetEncodeLoo(cat0, "cat", "y", m = 2L).count() == 0)
+    assert(Encoders.quantileBinEqualFreq(
+      Seq.empty[Long].map(Tuple1(_)).toDF("u"), "u", 4).count() == 0)
+    assert(Encoders.standardize(
+      Seq.empty[(String, Double)].toDF("g", "x"), "g", "x").count() == 0)
+    // k-anonymity
+    assert(graft.quality.Constraints.kAnonymityReport(
+      Seq.empty[(String, Long)].toDF("q", "s"), Seq("q"), "s", 5L).count() == 0)
+    // aggregate state: empty first batch bootstraps a schema-bearing table
+    val ap = "target/tmp/empty_aggstate_spec"
+    val app = new org.apache.hadoop.fs.Path(ap)
+    app.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(app, true)
+    val eb = Seq.empty[(String, Double)].toDF("g", "v")
+    graft.operators.Incremental.aggStateApply(spark, eb, ap, Seq("g"), "v")
+    assert(graft.operators.Incremental.readAggState(spark, ap).count() == 0)
+    graft.operators.Incremental.aggStateApply(spark,
+      Seq(("a", 1.0)).toDF("g", "v"), ap, Seq("g"), "v")
+    graft.operators.Incremental.aggStateApply(spark, eb, ap, Seq("g"), "v")
+    assert(graft.operators.Incremental.readAggState(spark, ap).count() == 1)
+    // similarity additions
+    val embL0 = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Similarity.hardNegatives(
+      embL0, embL0, "vec_id", "embedding", "label", 5).count() == 0)
+    assert(graft.operators.Similarity.labelNoiseFromTopK(
+      Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id"),
+      embL0, "vec_id", "label").count() == 0)
+  }
+
   test("round-10 operators are total on empty inputs") {
     // triangles over an empty edge list
     assert(graft.operators.Triangles.perNodeTriangles(
