@@ -42,15 +42,19 @@ object Encoders {
       df: DataFrame, catCol: String, labelCol: String, m: Long): DataFrame = {
     require(m >= 0, "smoothing m must be >= 0")
     val yDec: Column = col(labelCol).cast("decimal(38,6)")
+    // the global prior rides an unpartitioned window over the tiny stats
+    // frame (≤|categories| rows) — sums of exact decimal partials ARE the
+    // global decimal sums, and no 1-row crossJoin (nested-loop) is needed
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val stats = df.groupBy(col(catCol))
       .agg(sum(yDec).as("__sum"), count(col(labelCol)).as("__n"))
-    val prior = df.agg(
-      (sum(yDec).cast("double") / count(col(labelCol))).as("__prior"))
+      .withColumn("__prior", sum("__sum").over(w).cast("double") / sum("__n").over(w))
     val loo = yDec.isNotNull // self leaves the stats only when it entered them
     val num = when(loo, col("__sum") - yDec).otherwise(col("__sum")).cast("double")
     val den = when(loo, col("__n") - 1L).otherwise(col("__n"))
     df.join(broadcast(stats), Seq(catCol), "left")
-      .crossJoin(broadcast(prior))
       .withColumn("n_cat", coalesce(col("__n"), lit(0L)))
       .withColumn("enc_loo", when(den > 0L, num / den.cast("double")))
       .withColumn("enc_smooth",
@@ -78,22 +82,29 @@ object Encoders {
   def quantileBinEqualFreq(df: DataFrame, unitCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")
     import org.apache.spark.sql.expressions.Window
+    // total count rides the same distinct-unit frame as the cumulative
+    // (an unpartitioned full-range window over ≤|distinct units| rows)
+    val fullW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = df.select(col(unitCol).as("__u")).filter(col("__u").isNotNull)
       .groupBy("__u").agg(count(lit(1)).as("__c"))
       .withColumn("__cv", sum("__c").over(Window.orderBy("__u")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = df.agg(count(col(unitCol)).as("__n"))
+      .withColumn("__n", sum("__c").over(fullW))
     val cutAggs = (1 until nBins).map { k =>
       min(when(col("__cv") >= expr(s"(__n * $k + ${nBins - 1}) div $nBins"),
         col("__u"))).as(s"__cut$k")
     }
-    val cuts = cum.crossJoin(broadcast(tot)).agg(cutAggs.head, cutAggs.tail: _*)
-    val bin = (1 until nBins).foldLeft(lit(1)) { (acc, k) =>
-      acc + (col(unitCol) > col(s"__cut$k")).cast("int")
-    }
-    df.crossJoin(broadcast(cuts))
-      .withColumn("bin", bin)
-      .drop((1 until nBins).map(k => s"__cut$k"): _*)
+    // cuts land as PLAN LITERALS via one tiny aggregate action (the
+    // snk_range_clustered / loghist-quantile two-phase discipline): a
+    // joined-in 1-row frame would plan a nested-loop join, and literals
+    // additionally let Catalyst push bin predicates into the scan
+    val row = cum.agg(cutAggs.head, cutAggs.tail: _*).head()
+    val bin =
+      if (row.isNullAt(0)) lit(null).cast("int") // empty input: no cuts, null bins
+      else (1 until nBins).foldLeft(lit(1)) { (acc, k) =>
+        acc + (col(unitCol) > lit(row.getLong(k - 1))).cast("int")
+      }
+    df.withColumn("bin", bin)
   }
 
   /** Per-group z-score standardization: `z = (x − mean) / sqrt(var)` with

@@ -172,6 +172,64 @@ object Multimodal {
       when(pmod(id, lit(13)) === 0, garbage).otherwise(wav).as("payload"))
   }
 
+  /** Deterministic synthetic ISO-BMFF (MP4) containers from an id column —
+    * the video counterpart of [[syntheticImages]]/[[syntheticWavs]],
+    * exercising [[org.apache.spark.sql.graftnative.NativeColumns
+    * .mp4Meta]]'s real box walk. Structure varies per id so only a
+    * correct parser lands on mvhd:
+    *  - a `free` box of id-dependent size precedes `moov` for 2 of 3 ids;
+    *  - `moov` opens with an id-dependent `udta` child for even ids;
+    *  - `moov` uses the 64-bit LARGESIZE header form for ids % 5 == 0;
+    *  - `mvhd` is VERSION 1 (64-bit times; duration deliberately above
+    *    2^32, which a v0-offset parser misreads) for ids % 7 == 0,
+    *    version 0 otherwise.
+    * All sizes big-endian per the spec — the opposite byte order of the
+    * WAV generator, so an endianness slip cannot pass both families.
+    * ids % 11 == 0 are garbage.
+    */
+  def syntheticMp4s(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    def byteOf(x: Column, i: Int): Column =
+      unhex(lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    def be32(x: Column): Column = concat(byteOf(x, 3), byteOf(x, 2), byteOf(x, 1), byteOf(x, 0))
+    def be64(x: Column): Column = concat(
+      byteOf(x, 7), byteOf(x, 6), byteOf(x, 5), byteOf(x, 4),
+      byteOf(x, 3), byteOf(x, 2), byteOf(x, 1), byteOf(x, 0))
+    def fourcc(t: String): Column = encode(lit(t), "UTF-8")
+    def zeros(n: Int): Column = lit(Array.fill(n)(0.toByte))
+    val brand = when(pmod(id, lit(2)) === 0, "isom").otherwise("mp41")
+    val ftyp = concat(be32(lit(16L)), fourcc("ftyp"), encode(brand, "UTF-8"), be32(lit(0L)))
+    val padLen = (pmod(id, lit(5)) + 2) * 4
+    val freeBox = concat(be32(padLen + 8), fourcc("free"),
+      encode(repeat(lit("x"), padLen.cast("int")), "UTF-8"))
+    val uLen = (pmod(id, lit(7)) + 1) * 2
+    val udta = concat(be32(uLen + 8), fourcc("udta"),
+      encode(repeat(lit("u"), uLen.cast("int")), "UTF-8"))
+    val ts = (pmod(id, lit(4)) + 1) * 600L
+    val durBase = pmod(id, lit(9000)) + 1 + ts
+    val v1 = pmod(id, lit(7)) === 0
+    val dur = when(v1, durBase + 4294967296L).otherwise(durBase)
+    val mvhdV0 = concat(be32(lit(108L)), fourcc("mvhd"),
+      zeros(4), zeros(4), zeros(4), be32(ts), be32(durBase), zeros(80))
+    val mvhdV1 = concat(be32(lit(120L)), fourcc("mvhd"),
+      lit(Array[Byte](1, 0, 0, 0)), zeros(8), zeros(8), be32(ts), be64(dur), zeros(80))
+    val mvhdBox = when(v1, mvhdV1).otherwise(mvhdV0)
+    val children = concat(
+      when(pmod(id, lit(2)) === 0, udta).otherwise(lit(Array.emptyByteArray)),
+      mvhdBox)
+    val childLen = length(children).cast("long")
+    val moov = when(pmod(id, lit(5)) === 0,
+      concat(be32(lit(1L)), fourcc("moov"), be64(childLen + 16), children))
+      .otherwise(concat(be32(childLen + 8), fourcc("moov"), children))
+    val mp4 = concat(ftyp,
+      when(pmod(id, lit(3)) =!= 0, freeBox).otherwise(lit(Array.emptyByteArray)),
+      moov)
+    val garbage = concat(fourcc("XXXX"), be32(id), encode(repeat(lit("g"), 16), "UTF-8"))
+    docs.select(
+      id.as("media_id"),
+      when(pmod(id, lit(11)) === 0, garbage).otherwise(mp4).as("payload"))
+  }
+
   /** Deterministic content body for the near-dup fixtures: `segs` md5
     * digests of `"<id>|m<j>"` concatenated to 16*segs high-entropy bytes —
     * recomputable by any SQL engine with md5. `mutate` replaces the LAST

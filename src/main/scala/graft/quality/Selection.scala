@@ -278,14 +278,19 @@ object Selection {
     val rawToks = bucketed(raw)
     val cr = rawToks.groupBy("__b").agg(count(lit(1)).as("__cr"))
     val ct = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
-    // totals stay IN-PLAN as 1-row broadcast frames (fully lazy, so the
-    // planView contract holds with no materialization boundary)
-    val tr = cr.agg(coalesce(sum("__cr"), lit(0L)).as("__tr"))
-    val tt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__tt"))
+    // totals ride an unpartitioned window over the ≤2·buckets-row model
+    // frame (the driftPsiFromCounts no-driver-scalars discipline — a
+    // crossJoin of 1-row totals would plan a nested-loop join); the FULL
+    // outer keeps target-only buckets in the target total
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     def qlog2(num: Column, den: Column): Column =
       floor(log2(num.cast("double") / den.cast("double")) * 1e6).cast("long")
-    val lr = cr.join(ct, Seq("__b"), "left")
-      .crossJoin(broadcast(tr)).crossJoin(broadcast(tt))
+    val lr = cr.join(ct, Seq("__b"), "full_outer")
+      .withColumn("__tr", sum("__cr").over(w))
+      .withColumn("__tt", coalesce(sum("__ct").over(w), lit(0L)))
+      .filter(col("__cr").isNotNull)
       .select(col("__b"),
         (qlog2(coalesce(col("__ct"), lit(0L)) + 1L, col("__tt") + buckets.toLong) -
           qlog2(col("__cr") + 1L, col("__tr") + buckets.toLong)).as("__lr"))

@@ -3238,6 +3238,41 @@ object TrainingQueries {
         CAST(CASE WHEN doc_id % 17 = 0 THEN -1 ELSE doc_id % 480 + 1 END AS BIGINT) AS height
       FROM documents"""))
 
+  /** MP4 container decode over synthetic-but-structurally-real ISO-BMFF
+    * payloads ([[Multimodal.syntheticMp4s]]): the native [[graft.functions
+    * .expressions.Mp4Meta]] expression walks big-endian boxes (free
+    * padding, largesize moov headers, udta-first children, mvhd v0 AND v1)
+    * to the brand/timescale/duration; the v1 rows carry durations above
+    * 2^32, so a v0-offset or 32-bit-duration parser cannot match the
+    * oracle's independent id -> metadata arithmetic. Corrupt rows
+    * (ids % 11 == 0) come back 'unknown'/-1, never a crash.
+    */
+  private val multimodalVideoMeta = Q(
+    "multimodal_video_meta",
+    (s, d) => {
+      val hdr = org.apache.spark.sql.graftnative.NativeColumns.mp4Meta(col("payload"))
+      Multimodal.syntheticMp4s(Tables.documents(s, d), "doc_id")
+        .select(col("media_id"), hdr.as("__h"))
+        .select(col("media_id"),
+          coalesce(col("__h.brand"), lit("unknown")).as("brand"),
+          coalesce(col("__h.timescale"), lit(-1L)).as("timescale"),
+          coalesce(col("__h.duration"), lit(-1L)).as("duration"),
+          coalesce(col("__h.duration_ms"), lit(-1L)).as("duration_ms"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+        (doc_id % 4 + 1) * 600 AS ts,
+        doc_id % 9000 + 1 + (doc_id % 4 + 1) * 600
+          + CASE WHEN doc_id % 7 = 0 THEN 4294967296 ELSE 0 END AS dur,
+        doc_id % 11 = 0 AS corrupt
+      FROM documents)
+      SELECT media_id,
+        CASE WHEN corrupt THEN 'unknown'
+             WHEN media_id % 2 = 0 THEN 'isom' ELSE 'mp41' END AS brand,
+        CAST(CASE WHEN corrupt THEN -1 ELSE ts END AS BIGINT) AS timescale,
+        CAST(CASE WHEN corrupt THEN -1 ELSE dur END AS BIGINT) AS duration,
+        CAST(CASE WHEN corrupt THEN -1 ELSE dur * 1000 // ts END AS BIGINT) AS duration_ms
+      FROM m"""))
+
   /** WAV header decode over synthetic-but-structurally-real RIFF/WAVE
     * payloads ([[Multimodal.syntheticWavs]]): the native [[WavMeta]]
     * expression walks little-endian chunks past a variable-length LIST to
@@ -4461,7 +4496,7 @@ object TrainingQueries {
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
-    multimodalAudioMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
+    multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingDrift, streamingAsOfEnrich, streamingLshDedup)

@@ -135,6 +135,16 @@ object NativeColumns {
   def wavMeta(payload: Column): Column =
     Column(ExpressionColumnNode(WavMeta(ExpressionUtils.expression(payload))))
 
+  /** ISO-BMFF (MP4/MOV) container sniff over a binary payload column:
+    * `struct<brand, timescale, duration, duration_ms>`, NULL for
+    * unparseable bytes (see [[graft.functions.expressions.Mp4Meta]] — a
+    * real big-endian box walk with largesize and mvhd v0/v1 support,
+    * codegen'd).
+    */
+  def mp4Meta(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.Mp4Meta(
+      ExpressionUtils.expression(payload))))
+
   /** Spark's own runtime-filter bloom aggregate (the engine behind
     * `spark.sql.optimizer.runtime.bloomFilter.*`), exposed as a Column:
     * builds a serialized bloom filter (binary) over `hash` (pass

@@ -65,9 +65,37 @@ class ParserFuzzSpec extends AnyFunSuite {
       ascii("data") ++ le32(dataLen)
   }
 
+  private def be64b(x: Long): Array[Byte] = be32(x >>> 32) ++ be32(x & 0xffffffffL)
+
+  private def mp4Of(ts: Long, dur: Long, v1: Boolean, largesize: Boolean,
+      freePad: Int, udtaPad: Int): Array[Byte] = {
+    val ftyp = be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0)
+    val free =
+      if (freePad <= 0) Array.emptyByteArray
+      else be32(freePad + 8L) ++ ascii("free") ++ Array.fill(freePad)('x'.toByte)
+    val udta =
+      if (udtaPad <= 0) Array.emptyByteArray
+      else be32(udtaPad + 8L) ++ ascii("udta") ++ Array.fill(udtaPad)('u'.toByte)
+    val mvhd =
+      if (v1) be32(120) ++ ascii("mvhd") ++ bytes(1, 0, 0, 0) ++
+        Array.fill(16)(0.toByte) ++ be32(ts) ++ be64b(dur) ++ Array.fill(80)(0.toByte)
+      else be32(108) ++ ascii("mvhd") ++ bytes(0, 0, 0, 0) ++
+        Array.fill(8)(0.toByte) ++ be32(ts) ++ be32(dur) ++ Array.fill(80)(0.toByte)
+    val children = udta ++ mvhd
+    val moov =
+      if (largesize) be32(1) ++ ascii("moov") ++ be64b(children.length + 16L) ++ children
+      else be32(children.length + 8L) ++ ascii("moov") ++ children
+    ftyp ++ free ++ moov
+  }
+
   // -- generators ---------------------------------------------------------
 
   private val genBase: Gen[Array[Byte]] = Gen.oneOf(
+    for {
+      ts <- Gen.chooseNum(0L, 0xffffffffL); dur <- Gen.chooseNum(0L, Long.MaxValue / 1001)
+      v1 <- Gen.oneOf(true, false); ls <- Gen.oneOf(true, false)
+      fp <- Gen.chooseNum(0, 48); up <- Gen.chooseNum(0, 24)
+    } yield mp4Of(ts, dur, v1, ls, fp, up),
     for { w <- Gen.chooseNum(0L, 0xffffffffL); h <- Gen.chooseNum(0L, 0xffffffffL) }
       yield pngOf(w, h),
     for {
@@ -136,6 +164,13 @@ class ParserFuzzSpec extends AnyFunSuite {
       assert(dec != null && dec.numFields == 4, "decodeStats always returns a row")
       assert(dec.getLong(0) == payload.length.toLong, "byte_len")
       assert(dec.getLong(1) >= 0L, "checksum is an unsigned sum")
+      val mp4 = graft.functions.expressions.Mp4Meta.parse(payload)
+      if (mp4 != null) {
+        assert(mp4.numFields == 4, "mp4 row shape")
+        assert(mp4.getUTF8String(0).numBytes == 4, "brand is the 4-byte fourcc")
+        assert(mp4.getLong(1) > 0L, "accepted timescale is positive")
+        assert(mp4.getLong(2) >= 0L && mp4.getLong(3) >= 0L, "durations non-negative")
+      }
       i += 1
     }
   }
@@ -150,6 +185,16 @@ class ParserFuzzSpec extends AnyFunSuite {
     val wv = WavMeta.parse(wavOf(16000, 2, 16, 32000, 10))
     assert(wv != null && wv.getInt(0) == 16000 && wv.getInt(1) == 2 &&
       wv.getInt(2) == 16 && wv.getLong(3) == 32000L * 1000 / (16000L * 4))
+    // mp4: every structural variant the generator can emit must accept —
+    // v0/v1 offsets, largesize headers, free/udta padding
+    for (v1 <- Seq(false, true); ls <- Seq(false, true)) {
+      val dur = if (v1) 4294967296L + 777L else 777L
+      val m = graft.functions.expressions.Mp4Meta.parse(
+        mp4Of(600L, dur, v1, ls, freePad = 12, udtaPad = 6))
+      assert(m != null, s"v1=$v1 ls=$ls must parse")
+      assert(m.getUTF8String(0).toString == "isom" && m.getLong(1) == 600L &&
+        m.getLong(2) == dur && m.getLong(3) == dur * 1000L / 600L, s"v1=$v1 ls=$ls")
+    }
   }
 
   test("DecodeNumericRefs: agrees with an independent regex decoder on 2000 random ref soups; never throws") {

@@ -31,7 +31,11 @@ class PlanSpec extends SparkSpec {
     "src_graphql_keyset_paginated", "src_graphql_keyset_resume",
     "src_graphql_address_filtered", "streaming_paged_ingest",
     "snk_upsert_keyed", "snk_upsert_bucketed", "snk_upsert_versioned", "snk_upsert_serve",
-    "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder")
+    "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder",
+    // r11: ORC roundtrip / hilbert sink / agg-state fold / the two real
+    // drains all write in run(); their hygiene lives in their own specs
+    "src_orc_roundtrip", "layout_hilbert", "snk_agg_incremental",
+    "streaming_sequence_match", "streaming_cms_ingest")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition, and the quantized two-phase variant scans the
@@ -49,7 +53,12 @@ class PlanSpec extends SparkSpec {
       "text_hybrid_retrieve",
       // recall evaluation NEEDS the exact brute-force ground truth — at
       // scale it runs over a sampled probe set, still exact per probe
-      "eval_ann_recall")
+      "eval_ann_recall",
+      // r11: hard-negative mining and the label-noise audit both ride the
+      // same exact brute-force baseline; production feeds the audit any
+      // keyed ANN top-k frame instead (labelNoiseFromTopK is retriever-
+      // agnostic by construction)
+      "sim_hard_negatives", "eval_label_noise")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)

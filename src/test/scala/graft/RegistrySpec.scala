@@ -79,7 +79,11 @@ class RegistrySpec extends AnyFunSuite {
       "text_hybrid_retrieve",
       // r10: the LSH-vs-exact eval routes minhashLsh's signature boundary,
       // the leakage audit routes simhashPairs'
-      "eval_lsh_dedup", "eval_split_leakage")
+      "eval_lsh_dedup", "eval_split_leakage",
+      // r11: the bloom join's filter build is a tiny aggregate action —
+      // the lazy twin is the PLAIN join (bloom-free), value-identical by
+      // the no-false-negatives argument
+      "join_bloom_filtered")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
