@@ -107,6 +107,53 @@ object Encoders {
     df.withColumn("bin", bin)
   }
 
+  /** Per-group simple linear regression (OLS) of `y` over an integer `x`
+    * (typically epoch seconds): the classic trend feature —
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, intercept reported AT
+    * THE GROUP'S EARLIEST x (x is shifted by the per-group minimum first:
+    * slope is shift-invariant, the shift keeps every cross-engine sum in
+    * small magnitudes, and "level at the first observation" is the
+    * meaningful anchor for a trend feature anyway).
+    *
+    * Determinism: shifted x is exact integer; Σx/Σx² accumulate in
+    * decimal(38,0), Σy in decimal(38,6), and Σxy through the microunit
+    * floor quantization into a decimal accumulator ([[graft.functions
+    * .Scalars.davgQ]]'s tie rule — a long accumulator would overflow at
+    * Σ|x·y|·1e6). The closed-form quotients then run in doubles with a
+    * mirrored expression tree. Degenerate groups (all x equal) get null
+    * slope/intercept.
+    *
+    * Scale shape: the min-shift window and the aggregation share the
+    * group-key exchange (Catalyst reuses it — the sessionize pattern);
+    * output is one row per group.
+    */
+  def linearTrend(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__x", col(xCol).cast("long") - min(col(xCol).cast("long")).over(w))
+    val x = col("__x")
+    val y = col(yCol)
+    val sxyQ = sum(floor(x.cast("double") * y * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6)
+    val agg = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum((x * x).cast("decimal(38,0)")).cast("double").as("__sxx"),
+      sum(y.cast("decimal(38,6)")).cast("double").as("__sy"),
+      sxyQ.as("__sxy"),
+      min(col(xCol).cast("long")).as("x_min"))
+    val nD = col("n").cast("double")
+    val den = nD * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (nD * col("__sxy") - col("__sx") * col("__sy")) / den
+    agg
+      .withColumn("slope", when(den =!= 0.0, slope))
+      .withColumn("intercept",
+        when(den =!= 0.0, (col("__sy") - slope * col("__sx")) / nD))
+      .drop("__sx", "__sxx", "__sy", "__sxy")
+  }
+
   /** Per-group z-score standardization: `z = (x − mean) / sqrt(var)` with
     * mean and POPULATION variance derived from exact order-independent
     * sums — the decimal cast for Σx, the microunit floor-quantization for

@@ -111,6 +111,47 @@ object Constraints {
       .drop("__te", "__ta", "__b")
   }
 
+  /** Chi-squared independence audit of two categorical columns — the
+    * classic "did the label distribution shift with the slice" test
+    * beside [[driftPsi]] (PSI grades one distribution against a frozen
+    * snapshot; chi² asks whether two dimensions of ONE table are
+    * independent, e.g. event type × weekday, label × data source).
+    * Output: one row — `(chi2, dof, n, n_rows_dim, n_cols_dim)` — graded
+    * against the chi² critical value by the caller.
+    *
+    * Determinism: observed counts are exact; expecteds
+    * `row_tot · col_tot / N` and the per-cell `(o−e)²/e` terms are
+    * mirrored IEEE doubles; each term floor-quantizes to integer
+    * microunits BEFORE the final sum ([[graft.functions.Scalars.davgQ]]'s
+    * rule), so the statistic is an exact integer sum divided once.
+    *
+    * Scale shape: one keyed aggregation to the ≤|A|·|B| contingency
+    * frame; the row/col/grand totals and the distinct-value counts all
+    * ride windows over that tiny frame — raw data is touched once.
+    */
+  def chiSquaredIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .withColumn("__rt", sum("__o").over(Window.partitionBy("__a")))
+      .withColumn("__ct", sum("__o").over(Window.partitionBy("__b")))
+      .withColumn("__n", sum("__o").over(full))
+      .withColumn("__e", col("__rt").cast("double") * col("__ct").cast("double")
+        / col("__n").cast("double"))
+      .withColumn("__t", (col("__o").cast("double") - col("__e")) *
+        (col("__o").cast("double") - col("__e")) / col("__e"))
+    cells.agg(
+      (sum(floor(col("__t") * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6))
+        .as("chi2"),
+      ((countDistinct(col("__a")) - 1L) * (countDistinct(col("__b")) - 1L)).as("dof"),
+      max(col("__n")).as("n"),
+      countDistinct(col("__a")).as("n_rows_dim"),
+      countDistinct(col("__b")).as("n_cols_dim"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy gate a
     * training-data release pipeline runs next to [[graft.functions.Text
     * .redactPii]]: every combination of quasi-identifier values (the

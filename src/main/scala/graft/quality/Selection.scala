@@ -207,6 +207,42 @@ object Selection {
     df.join(broadcast(picked), cond, "left_semi")
   }
 
+  /** Per-stratum weighted sampling WITHOUT replacement: exactly
+    * `min(k, |stratum|)` rows per stratum, drawn with probability
+    * proportional to `weightCol` — [[weightedSample]]'s
+    * Efraimidis–Spirakis keys ranked inside [[capPerStratum]]'s grouped
+    * k-heap instead of one global heap. The balanced-and-weighted
+    * selection an LLM mixture plan actually wants ("N docs per language,
+    * longer docs proportionally likelier") in one pass: same dyadic
+    * uniform, same 1e6-quantized log2, same exact-operand division, so
+    * any engine re-derives every key and the same per-stratum top-k
+    * (ties to the lower id). Zero-or-negative/null weights are excluded
+    * (they cannot win a draw).
+    *
+    * Scale shape: the heap aggregate carries O(k) rows per stratum per
+    * partition; winners come back as one broadcast semi-join — the
+    * corpus never shuffles (capPerStratum's contract verbatim).
+    */
+  def weightedStratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    requireIntegralId(df, idCol, "weightedStratifiedSample")
+    val M = 1048576L // 2^20
+    val h = pmod(Text.md5Hash64(concat(col(idCol).cast("string"), lit(salt))), lit(M))
+    val qlog = floor(log2((h + 1).cast("double") / lit(M.toDouble)) * 1e6).cast("long")
+    val key = qlog.cast("double") / col(weightCol).cast("double")
+    capPerStratum(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .withColumn("__eskey", key),
+      strataCols, idCol, "__eskey", k)
+      .drop("__eskey")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
     * standard pre-training batching step (concatenate ~`budget` tokens per
     * training sequence). Deterministic streaming assignment: docs are

@@ -1993,6 +1993,64 @@ object ParityQueries {
         CAST(SUM(CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_z
       FROM z GROUP BY 1, 2"""))
 
+  /** Per-group OLS trend ([[graft.features.Encoders.linearTrend]]) of
+    * event value over epoch seconds: DuckDB re-derives the min-shifted x,
+    * all four exact sums (decimal / microunit-quantized), and both
+    * mirrored closed-form quotients.
+    */
+  private val linearTrendQ = Q(
+    "feature_linear_trend",
+    (s, d) => graft.features.Encoders.linearTrend(
+      evDf(s, d), "event_type", "epoch", "value"),
+    Some(s"""WITH $EV,
+      b AS (SELECT event_type, epoch - MIN(epoch) OVER (PARTITION BY event_type) AS x,
+          value AS y, epoch FROM ev WHERE epoch IS NOT NULL AND value IS NOT NULL),
+      a AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * y * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+            / 1000000.0 AS sxy,
+          MIN(epoch) AS x_min
+        FROM b GROUP BY 1)
+      SELECT event_type, n, x_min,
+        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+          THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)
+        END AS slope,
+        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+          THEN (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE)
+        END AS intercept
+      FROM a"""))
+
+  /** Chi-squared independence of event type × weekday ([[graft.quality
+    * .Constraints.chiSquaredIndependence]]): exact contingency counts,
+    * mirrored expecteds, microunit-quantized terms summed to one exact
+    * statistic.
+    */
+  private val chiSquaredQ = Q(
+    "dq_chi_squared",
+    (s, d) => Constraints.chiSquaredIndependence(
+      evDf(s, d).withColumn("weekday", pmod(col("day"), lit(7L))),
+      "event_type", "weekday"),
+    Some(s"""WITH $EV,
+      v AS (SELECT event_type AS a, day % 7 AS b FROM ev
+        WHERE event_type IS NOT NULL AND day IS NOT NULL),
+      o AS (SELECT a, b, COUNT(*) AS o FROM v GROUP BY 1, 2),
+      w AS (SELECT a, b, o,
+          CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS rt,
+          CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS ct,
+          CAST(SUM(o) OVER () AS BIGINT) AS nn FROM o),
+      t AS (SELECT o, nn, a, b,
+          (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+            / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)) AS term
+        FROM w)
+      SELECT CAST(SUM(CAST(FLOOR(term * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2,
+        (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+        MAX(nn) AS n, COUNT(DISTINCT a) AS n_rows_dim, COUNT(DISTINCT b) AS n_cols_dim
+      FROM t"""))
+
   /** Equal-frequency quartile binning ([[graft.features.Encoders
     * .quantileBinEqualFreq]]) of event value micro-units, rolled up per
     * (event_type, bin): DuckDB re-derives the distinct-unit cumulative
@@ -2079,7 +2137,7 @@ object ParityQueries {
 
   val all: Seq[Q] = Seq(
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ,
-    streamingSequenceQ,
+    streamingSequenceQ, linearTrendQ, chiSquaredQ,
     cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,

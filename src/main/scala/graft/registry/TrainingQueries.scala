@@ -3571,6 +3571,25 @@ object TrainingQueries {
       FROM documents d JOIN sc ON sc.doc_id = d.doc_id
       ORDER BY sc.dsir_units DESC, d.doc_id LIMIT 100"""))
 
+  /** Per-stratum weighted sample ([[graft.quality.Selection
+    * .weightedStratifiedSample]]): exactly 30 docs per language, drawn
+    * ∝ n_chars — DuckDB re-derives every Efraimidis–Spirakis key and the
+    * per-language (key desc, id) top-30.
+    */
+  private val weightedStratQ = Q(
+    "sel_weighted_stratified",
+    (s, d) => graft.quality.Selection.weightedStratifiedSample(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      Seq("lang"), "doc_id", "n_chars", k = 30, salt = "ws11"),
+    Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+        CAST(FLOOR(log2(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws11'), 1, 15))::BIGINT % 1048576 + 1 AS DOUBLE) / 1048576.0) * 1000000.0) AS BIGINT) AS ql
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      rn AS (SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY CAST(ql AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk
+        FROM r)
+      SELECT doc_id, lang, n_chars FROM rn WHERE rk <= 30"""))
+
   /** Per-language stratified sample of exactly 20 docs: the kept set is the
     * 20 hash-smallest doc_ids of each lang, which DuckDB reproduces with a
     * row_number over the SAME double-cast rank (the cast is mirrored so any
@@ -4491,8 +4510,8 @@ object TrainingQueries {
     pipelineTrainingBuildBpe,
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
-    hashSample, stratSample, weightedSampleQ, mixResample, mixTemperature, chunkTokens, tokenPack,
-    dsirQ,
+    hashSample, stratSample, weightedSampleQ, weightedStratQ, mixResample, mixTemperature,
+    chunkTokens, tokenPack, dsirQ,
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
