@@ -128,13 +128,26 @@ object Incremental {
     * recoverable `__old` copy, never nothing. Local/HDFS rename contract;
     * object-store targets use the [[upsertByKeyVersioned]] pointer flip.
     */
-  private[graft] def swapCommit(spark: SparkSession, merged: DataFrame, path: String): Unit = {
+  private[graft] def swapCommit(spark: SparkSession, merged: DataFrame, path: String): Unit =
+    swapCommitWith(spark, merged, path, stageExtra = _ => ())
+
+  /** [[swapCommit]] with a hook that runs AGAINST THE STAGING DIR before
+    * the swap — anything it writes there (e.g. an applied-batch manifest)
+    * commits ATOMICALLY with the data in the one table rename, which is
+    * what makes [[aggStateApplyBatch]]'s replay guard exactly-once (a
+    * manifest written after a separate data commit would leave a
+    * double-count window on a crash between the two).
+    */
+  private[graft] def swapCommitWith(
+      spark: SparkSession, merged: DataFrame, path: String,
+      stageExtra: org.apache.hadoop.fs.Path => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__staging")
     val old = new Path(path + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    stageExtra(tmp)
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(dst)
     if (hadPrev && !fs.rename(dst, old))
@@ -410,15 +423,28 @@ object Incremental {
     * before one keyed full-outer merge against the state; history rows
     * stream through untouched. NOT idempotent under replay (a re-applied
     * batch double-counts — unlike the seq-guarded [[Cdc]] merge); feed it
-    * exactly-once slices (the [[maxWatermark]] read contract) or wrap
-    * batches with a processed-batch manifest.
+    * exactly-once slices (the [[maxWatermark]] read contract) or use
+    * [[aggStateApplyBatch]], whose applied-batch manifest commits
+    * atomically with the data.
     */
   def aggStateApply(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       keyCols: Seq[String],
-      measureCol: String): Unit = {
+      measureCol: String): Unit =
+    swapCommit(spark, mergedAggState(spark, batch, path, keyCols, measureCol), path)
+
+  /** The merged-partials frame [[aggStateApply]] / [[aggStateApplyBatch]]
+    * commit: the batch's map-side partial aggregation full-outer-merged
+    * into the existing state (or the partial alone on bootstrap).
+    */
+  private def mergedAggState(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      measureCol: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val part = batch.groupBy(keyCols.map(col): _*)
       .agg(
@@ -428,22 +454,69 @@ object Incremental {
         max(col(measureCol)).as("_max"))
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(dst)) part
-      else {
-        val st = spark.read.parquet(path)
-          .select(keyCols.map(col) ++
-            Seq(col("_sum").as("_s0"), col("_cnt").as("_c0"),
-              col("_min").as("_m0"), col("_max").as("_x0")): _*)
-        st.join(part, keyCols, "full_outer")
-          .select(keyCols.map(col) ++ Seq(
-            (coalesce(col("_s0"), lit(0).cast("decimal(38,6)")) +
-              coalesce(col("_sum"), lit(0).cast("decimal(38,6)"))).as("_sum"),
-            (coalesce(col("_c0"), lit(0L)) + coalesce(col("_cnt"), lit(0L))).as("_cnt"),
-            least(col("_m0"), col("_min")).as("_min"),
-            greatest(col("_x0"), col("_max")).as("_max")): _*)
-      }
-    swapCommit(spark, merged, path)
+    if (!fs.exists(dst)) part
+    else {
+      val st = spark.read.parquet(path)
+        .select(keyCols.map(col) ++
+          Seq(col("_sum").as("_s0"), col("_cnt").as("_c0"),
+            col("_min").as("_m0"), col("_max").as("_x0")): _*)
+      st.join(part, keyCols, "full_outer")
+        .select(keyCols.map(col) ++ Seq(
+          (coalesce(col("_s0"), lit(0).cast("decimal(38,6)")) +
+            coalesce(col("_sum"), lit(0).cast("decimal(38,6)"))).as("_sum"),
+          (coalesce(col("_c0"), lit(0L)) + coalesce(col("_cnt"), lit(0L))).as("_cnt"),
+          least(col("_m0"), col("_min")).as("_min"),
+          greatest(col("_x0"), col("_max")).as("_max")): _*)
+    }
+  }
+
+  /** [[aggStateApply]] guarded for AT-LEAST-ONCE delivery (the streaming
+    * foreachBatch contract): the applied-batch-id manifest
+    * (`_applied.json` INSIDE the table dir) commits atomically with the
+    * merged data in swapCommit's one table rename, so a replayed batch id
+    * is a detected no-op — there is no crash window where data committed
+    * but the manifest didn't. Batch ids must be monotone (Structured
+    * Streaming's are). Returns true iff the batch was applied.
+    */
+  def aggStateApplyBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      measureCol: String,
+      batchId: Long): Boolean = {
+    if (readAppliedBatch(spark, path).exists(_ >= batchId)) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    swapCommitWith(spark,
+      mergedAggState(spark, batch, path, keyCols, measureCol), path,
+      stageDir => {
+        val out = fs.create(new org.apache.hadoop.fs.Path(stageDir, "_applied.json"), true)
+        try out.write(s"""{"appliedThrough":$batchId}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      })
+    true
+  }
+
+  private[graft] def readAppliedBatch(spark: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/_applied.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        catch {
+          case e: Exception => throw new java.io.IOException(
+            s"corrupt applied-batch manifest $p (cause: ${e.getMessage})", e)
+        } finally in.close()
+      val f = node.get("appliedThrough")
+      if (f == null || !f.canConvertToLong) throw new java.io.IOException(
+        s"corrupt applied-batch manifest $p: ${node.toString.take(200)}")
+      Some(f.asLong())
+    }
   }
 
   /** The maintained view over [[aggStateApply]] state: exact sum (decimal

@@ -665,5 +665,102 @@ object FeaturePipeline {
     },
     bench = true)
 
-  val all: Seq[Q] = Seq(featureAssemblyQ, histViewQ, currentViewQ, enrichQ, enrichMergeQ)
+  /** The FEATURE-STORE flagship: one per-user training table composed
+    * from the round-11 encoder family end to end — exact micro-unit
+    * activity totals, the (count desc, type asc) dominant event type,
+    * leave-one-out + m-estimate target encoding of that type against the
+    * user totals, a global z-score of the totals, and the per-user OLS
+    * value trend — every stage (the argmax tie, the decimal LOO sums, the
+    * windowed prior, the quantized Σx², the sqrt chain, the min-shifted
+    * regression sums) recomputed by DuckDB from raw events in ONE oracle
+    * program. Scale shape: everything is keyed by user_id after the first
+    * aggregation; the encoder stats frames are ≤|categories| rows and
+    * broadcast; nothing re-shuffles the event table more than once.
+    *
+    * The label feeding the LOO encode is the micro-unit total cast back
+    * through decimal(38,6): the value sits ON the microunit grid (it was
+    * quantized at ingestion), so the double→decimal cast is tie-free by
+    * construction — the davgQ hazard needs half-grid values, which this
+    * pipeline cannot produce.
+    */
+  private val featureStoreQ = Q(
+    "pipeline_feature_store",
+    (s, d) => {
+      val ev = evDf(s, d)
+      val base = ev.filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")).as("__units"))
+        .withColumn("total_value", col("__units").cast("double") / lit(1e6))
+        .drop("__units")
+      val dom = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("user_id")
+        .agg(min(struct((-col("__c")).as("nc"), col("event_type").as("t"))).as("__m"))
+        .select(col("user_id"), col("__m.t").as("dom_type"))
+      val f = base.join(dom, "user_id")
+      val enc = graft.features.Encoders.targetEncodeLoo(f, "dom_type", "total_value", m = 10L)
+      val z = graft.features.Encoders.standardize(
+          f.withColumn("__g", lit("all")), "__g", "total_value")
+        .select(col("user_id"), col("z").as("z_total"))
+      val tr = graft.features.Encoders.linearTrend(ev, "user_id", "epoch", "value")
+        .select(col("user_id"), col("slope"), col("intercept"))
+      enc.join(z, "user_id").join(tr, "user_id")
+        .select("user_id", "n_events", "total_value", "dom_type", "n_cat",
+          "enc_loo", "enc_smooth", "z_total", "slope", "intercept")
+    },
+    Some(s"""WITH $EV,
+      b AS (SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS units
+        FROM ev WHERE value IS NOT NULL GROUP BY 1),
+      b2 AS (SELECT user_id, n_events, CAST(units AS DOUBLE) / 1000000.0 AS total_value FROM b),
+      dc AS (SELECT user_id, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      dm AS (SELECT user_id, event_type AS dom_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS r FROM dc),
+      f AS MATERIALIZED (SELECT b2.user_id, b2.n_events, b2.total_value, dm.dom_type
+        FROM b2 JOIN dm ON dm.user_id = b2.user_id AND dm.r = 1),
+      st AS (SELECT dom_type, SUM(CAST(total_value AS DECIMAL(38,6))) AS s,
+          COUNT(total_value) AS n FROM f GROUP BY 1),
+      stp AS (SELECT dom_type, s, n,
+          CAST(SUM(s) OVER () AS DOUBLE) / SUM(n) OVER () AS prior FROM st),
+      enc AS (SELECT f.user_id, st.n AS n_cat,
+          CAST(st.s - CAST(f.total_value AS DECIMAL(38,6)) AS DOUBLE)
+            / CAST(st.n - 1 AS DOUBLE) AS enc_loo,
+          (CAST(st.s - CAST(f.total_value AS DECIMAL(38,6)) AS DOUBLE) + 10.0 * st.prior)
+            / CAST(st.n - 1 + 10 AS DOUBLE) AS enc_smooth
+        FROM f JOIN stp st USING (dom_type)),
+      zs AS (SELECT
+          CAST(SUM(CAST(total_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(total_value) AS mean,
+          (CAST(SUM(CAST(FLOOR(total_value * total_value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+            - CAST(SUM(CAST(total_value AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(total_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(total_value))
+            / COUNT(total_value) AS var
+        FROM f),
+      z AS (SELECT user_id,
+          CASE WHEN var > 0 THEN (total_value - mean) / sqrt(var) END AS z_total
+        FROM f CROSS JOIN zs),
+      tb AS (SELECT user_id, epoch - MIN(epoch) OVER (PARTITION BY user_id) AS x,
+          value AS y FROM ev WHERE epoch IS NOT NULL AND value IS NOT NULL),
+      ta AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * y * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+            / 1000000.0 AS sxy
+        FROM tb GROUP BY 1),
+      tr AS (SELECT user_id,
+          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+            THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)
+          END AS slope,
+          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+            THEN (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE)
+          END AS intercept
+        FROM ta)
+      SELECT f.user_id, f.n_events, f.total_value, f.dom_type, e.n_cat,
+        e.enc_loo, e.enc_smooth, z.z_total, tr.slope, tr.intercept
+      FROM f JOIN enc e USING (user_id) JOIN z USING (user_id) JOIN tr USING (user_id)"""))
+
+  val all: Seq[Q] = Seq(featureAssemblyQ, histViewQ, currentViewQ, enrichQ, enrichMergeQ,
+    featureStoreQ)
 }

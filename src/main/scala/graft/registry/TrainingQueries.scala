@@ -3828,6 +3828,36 @@ object TrainingQueries {
     Some(s"""WITH $EV, src AS (SELECT event_id AS k FROM ev), ${hllRegSql("src")}
       SELECT ridx, rmax FROM reg"""))
 
+  /** Streaming aggregate-state ingest ([[graft.streaming.Streams
+    * .aggStateIngestAvailableNow]]): per-event-type mergeable partials
+    * drained in 1-file micro-batches into ONE persisted state table, the
+    * applied-batch manifest riding the table's own swap commit — the
+    * drained view must equal the from-scratch rollup (the
+    * `snk_agg_incremental` oracle), which only holds if no batch applied
+    * twice and none was lost.
+    */
+  private val streamingAggState = Q(
+    "streaming_aggstate_ingest",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_aggstate_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = ParityQueries.evDf(s, d).select("event_type", "value")
+      ev.repartition(5, col("event_type")).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.aggStateIngestAvailableNow(
+        stream, Seq("event_type"), "value", s"$base/state", s"$base/ckpt")
+        .awaitTermination()
+      graft.operators.Incremental.readAggState(s, s"$base/state")
+    },
+    Some(s"""WITH $EV
+      SELECT event_type, ${DS("value")} AS sum, COUNT(value) AS cnt,
+        MIN(value) AS min, MAX(value) AS max,
+        ${DS("value")} / COUNT(value) AS avg
+      FROM ev GROUP BY 1"""))
+
   /** Streaming CMS ingest ([[graft.streaming.Streams
     * .cmsIngestAvailableNow]]): user_id frequencies drained in 1-file
     * micro-batches into per-batch-id OVERWRITE cell state (counts ADD —
@@ -4518,5 +4548,5 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingHll, streamingKmv, streamingCms, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
 }

@@ -294,6 +294,35 @@ object Streams {
   def driftState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath).groupBy("bin").agg(sum("n").as("n"))
 
+  /** STREAMING AGGREGATE-STATE INGEST — the always-on form of
+    * [[graft.operators.Incremental.aggStateApply]]: each micro-batch's
+    * mergeable partials fold into the persisted per-key state through
+    * [[graft.operators.Incremental.aggStateApplyBatch]], whose
+    * applied-batch manifest commits ATOMICALLY with the data — so
+    * foreachBatch's at-least-once redelivery is a detected no-op, not a
+    * double-count (a different discipline from the CMS/drift batch-id
+    * subdirs: here the state is ONE merged table, so the guard must ride
+    * the table's own commit).
+    */
+  def aggStateIngestAvailableNow(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      measureCol: String,
+      statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Incremental.aggStateApplyBatch(
+            batch.sparkSession, batch, statePath, keyCols, measureCol, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** STREAMING COUNT-MIN INGEST — the heavy-hitter/frequency half of the
     * sketch-state family: each micro-batch's CMS cells land as a
     * `batch=<id>` OVERWRITE subdir ([[driftIngestAvailableNow]]'s

@@ -35,7 +35,7 @@ class PlanSpec extends SparkSpec {
     // r11: ORC roundtrip / hilbert sink / agg-state fold / the two real
     // drains all write in run(); their hygiene lives in their own specs
     "src_orc_roundtrip", "layout_hilbert", "snk_agg_incremental",
-    "streaming_sequence_match", "streaming_cms_ingest")
+    "streaming_sequence_match", "streaming_cms_ingest", "streaming_aggstate_ingest")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition, and the quantized two-phase variant scans the

@@ -399,6 +399,28 @@ class StreamsSpec extends SparkSpec {
     assert(expected.map(_._1) == Set(1L, 4L))
   }
 
+  test("aggStateApplyBatch: replayed batch is a no-op; manifest commits with the data") {
+    import graft.operators.Incremental
+    val path = "target/tmp/aggstate_batch_spec"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val b1 = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
+    val b2 = Seq(("a", 5.0), ("c", 7.0)).toDF("g", "v")
+    assert(Incremental.aggStateApplyBatch(spark, b1, path, Seq("g"), "v", 0L))
+    // at-least-once redelivery of batch 0: detected, no double count
+    assert(!Incremental.aggStateApplyBatch(spark, b1, path, Seq("g"), "v", 0L))
+    assert(Incremental.aggStateApplyBatch(spark, b2, path, Seq("g"), "v", 1L))
+    assert(!Incremental.aggStateApplyBatch(spark, b2, path, Seq("g"), "v", 1L))
+    val st = Incremental.readAggState(spark, path)
+      .select("g", "sum", "cnt").as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st == Map("a" -> ((9.0, 3L)), "b" -> ((10.0, 1L)), "c" -> ((7.0, 1L))))
+    // the manifest lives INSIDE the committed table dir (atomic with data)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_applied.json")))
+    assert(Incremental.readAppliedBatch(spark, path).contains(1L))
+  }
+
   test("compaction manifest: corrupt/truncated JSON fails with a clear error, not an NPE") {
     val base = "target/tmp/streams_manifest_corrupt"
     val fs = new org.apache.hadoop.fs.Path(base)
