@@ -700,9 +700,21 @@ object FeaturePipeline {
         .select(col("user_id"), col("__m.t").as("dom_type"))
       val f = base.join(dom, "user_id")
       val enc = graft.features.Encoders.targetEncodeLoo(f, "dom_type", "total_value", m = 10L)
-      val z = graft.features.Encoders.standardize(
-          f.withColumn("__g", lit("all")), "__g", "total_value")
-        .select(col("user_id"), col("z").as("z_total"))
+      // GLOBAL z over the per-user frame: the grouped standardize would
+      // need a constant group key (which Catalyst folds into a nested-loop
+      // join — caught by the plan census), and an unpartitioned window
+      // over a num-users frame is a scale bug; the two scalars land as
+      // plan literals instead (two-phase discipline), with the identical
+      // mirrored expression tree as Encoders.standardize
+      val tv = col("total_value")
+      val zs = f.agg(
+        (dsum(tv) / count(tv)).as("m"),
+        ((graft.functions.Scalars.dsumQ(tv * tv) - dsum(tv) * dsum(tv) / count(tv))
+          / count(tv)).as("v")).head()
+      val (zm, zv) = (zs.getDouble(0), zs.getDouble(1))
+      val z = f.select(col("user_id"),
+        when(lit(zv) > 0.0 && tv.isNotNull, (tv - lit(zm)) / sqrt(lit(zv)))
+          .as("z_total"))
       val tr = graft.features.Encoders.linearTrend(ev, "user_id", "epoch", "value")
         .select(col("user_id"), col("slope"), col("intercept"))
       enc.join(z, "user_id").join(tr, "user_id")
