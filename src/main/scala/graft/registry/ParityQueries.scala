@@ -1236,6 +1236,34 @@ object ParityQueries {
       SELECT user_id, value AS median_disc, cnt AS n
       FROM r WHERE rn = (cnt + 1) // 2"""))
 
+  /** Per-user INTERPOLATED median (ANSI `percentile_cont(0.5)`): the two
+    * middle rows by the same deterministic (value, event_id) rank rule as
+    * [[medianDisc]], averaged with ONE mirrored double operation —
+    * `(lo + hi) / 2.0` of verbatim row doubles, exact on any engine (at
+    * odd n the two positions coincide and the division is a no-op
+    * identity on the row value... / 2.0 of x+x is exact). Same shape:
+    * rank windows over the user partitioning, no interpolation weights.
+    */
+  private val medianCont = Q(
+    "agg_median_cont",
+    (s, d) => {
+      val wr = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      evDf(s, d)
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy("user_id")
+        .agg(((min(col("value")) + max(col("value"))) / 2.0).as("median_cont"),
+          max(col("cnt")).as("n"))
+    },
+    Some(s"""WITH $EV,
+      r AS (SELECT user_id, value, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM ev)
+      SELECT user_id, (MIN(value) + MAX(value)) / 2.0 AS median_cont, MAX(cnt) AS n
+      FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY user_id"""))
+
   /** Per-user MAD (median absolute deviation around the discrete median):
     * the robust spread statistic, as two stacked discrete-median passes —
     * both pure integer rank logic over deterministic orders, and the
@@ -2152,6 +2180,6 @@ object ParityQueries {
     argmaxLatest, featureChainQ, unionAccountSender, liquidationReassign,
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     pivotEvents, rollupWeekly, cubeWeekly, groupingSetsQ, approxQuantileBound,
-    movingSum, medianDisc, madDisc, topkPerGroup,
+    movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     sortPagination, upsertKeyed, upsertBucketed, upsertVersioned, ctasFullRefresh, upsertServe)
 }
