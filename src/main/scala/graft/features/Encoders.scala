@@ -85,7 +85,10 @@ object Encoders {
     // total count rides the same distinct-unit frame as the cumulative
     // (an unpartitioned full-range window over ≤|distinct units| rows)
     val fullW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = df.select(col(unitCol).as("__u")).filter(col("__u").isNotNull)
+    // normalize the unit column to LONG up front: "integer-unit measure"
+    // admits int/short inputs, whose min() would keep the narrow type and
+    // make the row.getLong cut read throw ClassCastException at runtime
+    val cum = df.select(col(unitCol).cast("long").as("__u")).filter(col("__u").isNotNull)
       .groupBy("__u").agg(count(lit(1)).as("__c"))
       .withColumn("__cv", sum("__c").over(Window.orderBy("__u")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -122,12 +122,19 @@ object Scalars {
     * the long sum (~1e15 headroom per group) converts to double exactly.
     */
   def davgQ(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6) / count(c)
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") / lit(1e6) / count(c)
 
   /** [[dsum]] with [[davgQ]]'s explicit microunit quantization — for
     * summing COMPUTED doubles (products, quotients) whose decimal cast
     * would hit the half-microunit tie hazard davgQ documents.
+    *
+    * The quantized units accumulate in decimal(38,0), NOT a bare long: a
+    * squared value near the 1e6 sentinel quantizes to ~1e18 units, so two
+    * such rows would silently wrap a long sum under non-ANSI Spark while
+    * DuckDB's 128-bit SUM(BIGINT) stays exact — the oracle would diverge
+    * only AFTER the engine had already corrupted the result. decimal(38,0)
+    * gives 38 digits of integer headroom at identical per-row values.
     */
   def dsumQ(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") / lit(1e6)
 }

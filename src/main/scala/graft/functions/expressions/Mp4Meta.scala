@@ -74,19 +74,22 @@ object Mp4Meta {
     b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
-  /** mvhd payload (after the 8-byte box header) → (timescale, duration),
-    * honoring version; null on truncation/bad version.
+  /** mvhd payload (after the RESOLVED box header — 8 plain or 16
+    * largesize; a fixed-8 assumption would read the first largesize byte
+    * as the version and emit size bytes as timescale/duration) →
+    * (timescale, duration), honoring version; null on truncation/bad
+    * version.
     */
-  private def mvhd(b: Array[Byte], p: Long, end: Long): Array[Long] = {
-    if (p + 12 > end || p + 12 > b.length) return null
-    val q = p.toInt
-    b(q + 8) match {
+  private def mvhd(b: Array[Byte], p: Long, hdr: Long, end: Long): Array[Long] = {
+    if (p + hdr + 4 > end || p + hdr + 4 > b.length) return null
+    val q = (p + hdr).toInt
+    b(q) match {
       case 0 => // ver(1) flags(3) ctime(4) mtime(4) ts(4) dur(4)
-        if (p + 28 > end || p + 28 > b.length) null
-        else Array(be32(b, q + 20), be32(b, q + 24))
+        if (p + hdr + 20 > end || p + hdr + 20 > b.length) null
+        else Array(be32(b, q + 12), be32(b, q + 16))
       case 1 => // ver(1) flags(3) ctime(8) mtime(8) ts(4) dur(8)
-        if (p + 40 > end || p + 40 > b.length) null
-        else Array(be32(b, q + 28), be64(b, q + 32))
+        if (p + hdr + 32 > end || p + hdr + 32 > b.length) null
+        else Array(be32(b, q + 20), be64(b, q + 24))
       case _ => null
     }
   }
@@ -134,7 +137,7 @@ object Mp4Meta {
             else cs32
           if (cs < chdr) return null
           if (tag(b, cp + 4, "mvhd")) {
-            val td = mvhd(b, cpos, math.min(cpos + cs, cend))
+            val td = mvhd(b, cpos, chdr, math.min(cpos + cs, cend))
             if (td == null) return null
             ts = td(0); dur = td(1)
           }

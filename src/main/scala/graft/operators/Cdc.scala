@@ -126,6 +126,117 @@ object Cdc {
     spark.read.parquet(path).filter(!col(DeletedMeta))
       .drop(SeqMeta, DeletedMeta, RankMeta)
 
+  /** BUCKET-PRUNED [[applyChanges]] — the 100 TB form. [[applyChanges]]'s
+    * swap commit full-outer-joins the ENTIRE snapshot with each (typically
+    * tiny) change batch and rewrites every byte of the table: daily CDC at
+    * datalake scale pays a 100% read+write for a 0.1% churn. Here the
+    * snapshot lives in the [[Incremental.upsertByKeyBucketed]] layout
+    * (`path/b=K`, `K = pmod(xxhash64(key), nBuckets)`) and a batch merges
+    * and rewrites ONLY the buckets containing batch keys — untouched
+    * buckets are neither read nor written (LayoutSpec asserts they survive
+    * byte-identical). The merge RULE is exactly [[applyChanges]]'s
+    * seq-aware `(seq, op-rank)` argmax, so every out-of-order / replay /
+    * tie invariant holds per bucket (a key's entire history lives in one
+    * bucket — the bucket id is a pure function of the key), and the
+    * write-ahead-manifest per-bucket swap gives the same roll-forward
+    * crash story as the bucketed upsert. Read back with
+    * [[readTableBucketed]].
+    */
+  def applyChangesBucketed(
+      spark: SparkSession,
+      changes: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int,
+      seqCol: String = "seq",
+      opCol: String = "op"): Unit =
+    Incremental.mergeBucketed(
+      spark, reduceBatch(changes, key, seqCol, opCol), path, key, nBuckets,
+      (existing, batch) => mergeSnapshots(existing, batch, key))
+
+  /** The live view of an [[applyChangesBucketed]] table: tombstones
+    * filtered, metadata and the physical bucket column dropped.
+    */
+  def readTableBucketed(spark: SparkSession, path: String): DataFrame =
+    Incremental.readBucketed(spark, path).filter(!col(DeletedMeta))
+      .drop(SeqMeta, DeletedMeta, RankMeta)
+
+  /** [[applyChanges]] through the pointer-committed snapshot protocol
+    * ([[Snapshots]]) — the object-store-safe, time-travel form: every
+    * apply commits an immutable `v=N` snapshot plus an atomic pointer
+    * flip, so a concurrent reader pinned at version N keeps reading
+    * exactly version N while N+1 commits (no rename gap), and
+    * [[readTableAt]] reproduces any retained version. Returns the
+    * committed version. Merge rule identical to [[applyChanges]].
+    */
+  def applyChangesVersioned(
+      spark: SparkSession,
+      changes: DataFrame,
+      path: String,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op",
+      keepVersions: Int = 2): Long = {
+    val batch = reduceBatch(changes, key, seqCol, opCol)
+    Snapshots.commitWith(spark, path, {
+      case None => batch
+      case Some(cur) => mergeSnapshots(cur, batch, key)
+    }, keepVersions)
+  }
+
+  private def stripMeta(df: DataFrame): DataFrame =
+    df.filter(!col(DeletedMeta)).drop(SeqMeta, DeletedMeta, RankMeta)
+
+  /** Live view of an [[applyChangesVersioned]] table. */
+  def readTableVersioned(spark: SparkSession, path: String): DataFrame =
+    stripMeta(Snapshots.readCurrent(spark, path))
+
+  /** TIME TRAVEL: the live view exactly as committed at `version` —
+    * immutable even while newer versions commit ([[Snapshots.readSnapshot]]
+    * fails fast once the version ages out of retention).
+    */
+  def readTableAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    stripMeta(Snapshots.readSnapshot(spark, path, version))
+
+  /** [[scd2ApplyTable]] through the [[Snapshots]] pointer commit — the
+    * dimension-history table with time travel over ITS OWN history: the
+    * SCD2 rows answer "what was the dimension at business time T", the
+    * snapshot version answers "what did the history TABLE look like as of
+    * commit N" (bitemporal when combined). Returns the committed version.
+    */
+  def scd2ApplyTableVersioned(spark: SparkSession, batch: DataFrame, path: String,
+      keyCol: String, tsCol: String, idCol: String, trackedCols: Seq[String],
+      keepVersions: Int = 2): Long =
+    Snapshots.commitWith(spark, path, {
+      case None => scd2Intervals(batch, keyCol, tsCol, idCol, trackedCols)
+      case Some(cur) => scd2Apply(cur, batch, keyCol, tsCol, idCol, trackedCols)
+    }, keepVersions)
+
+  /** [[pruneTombstones]] for the bucketed layout: one pushed-down scan
+    * finds the buckets that actually HOLD a sub-watermark tombstone
+    * (parquet min/max stats on `_deleted`/`_seq` let row groups skip;
+    * the result is ≤ nBuckets ints on the driver), then only those
+    * buckets are filtered and rewritten — a GC pass whose write cost
+    * scales with the garbage, not the table. A bucket left holding ONLY
+    * prunable tombstones stages empty and is dropped outright
+    * (`dropMissing`); a crash mid-commit leaves un-pruned buckets with
+    * their semantically-invisible tombstones for the next pass.
+    */
+  def pruneTombstonesBucketed(spark: SparkSession, path: String, lowWatermark: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Incremental.recoverBucketed(fs, path)
+    val prunable = col(DeletedMeta) && col(SeqMeta) < lowWatermark
+    val touched = spark.read.parquet(path).filter(prunable)
+      .select(col("b").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (touched.isEmpty) return
+    val kept = spark.read.parquet(path)
+      .filter(col("b").isin(touched.map(Int.box): _*)) // partition-pruned read
+      .filter(!prunable)
+    Incremental.stageAndCommitBuckets(spark, kept, path, touched, dropMissing = true)
+  }
+
   /** Drop tombstones the CDC source can no longer contradict: once the
     * source's low-watermark guarantees every in-flight change has
     * `seq >= lowWatermark`, a tombstone with `_seq < lowWatermark` can

@@ -102,9 +102,15 @@ object Incremental {
   private def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val updCols = updates.columns
     val u = updates.select(updCols.map(c => col(c).as(s"u_$c")): _*)
+    // Row-wise winner, keyed on UPDATE-ROW PRESENCE (u_key non-null after
+    // the full-outer), not column-wise coalesce: an update row that
+    // legitimately sets a non-key column to NULL must win with that NULL,
+    // not silently retain the stale existing value — the same
+    // when(incomingWins) rule as [[graft.operators.Cdc.mergeSnapshots]].
+    val incomingWins = col(s"u_$key").isNotNull
     existing
       .join(u, col(key) === col(s"u_$key"), "full_outer")
-      .select(updCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+      .select(updCols.map(c => when(incomingWins, col(s"u_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String, key: String): Unit = {
@@ -186,7 +192,24 @@ object Incremental {
       updates: DataFrame,
       path: String,
       key: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit =
+    mergeBucketed(spark, updates, path, key, nBuckets,
+      (existing, batch) => mergeByKey(existing, batch, key))
+
+  /** The shared touched-buckets-only machinery behind [[upsertByKeyBucketed]]
+    * and the CDC snapshot family ([[graft.operators.Cdc.applyChangesBucketed]]):
+    * identical layout, manifest, and per-bucket swap — only the keyed merge
+    * rule differs (last-writer-wins here, seq-aware there). `merge` sees
+    * (existing touched-bucket rows, batch rows) and must return rows whose
+    * key's bucket is unchanged (any pure function of the key qualifies).
+    */
+  private[graft] def mergeBucketed(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
@@ -199,25 +222,47 @@ object Incremental {
     recoverBucketed(fs, path)
     // touched buckets: driver-small by construction (<= nBuckets ints)
     val touched = updates.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val existing = touched.filter(k => fs.exists(new Path(s"$path/b=$k")))
     // one merge job: read ONLY the touched buckets' current rows
     val merged =
       if (existing.isEmpty) updates
-      else mergeByKey(
-        spark.read.parquet(existing.map(k => s"$path/b=$k").toIndexedSeq: _*),
-        updates, key)
+      else merge(
+        spark.read.parquet(existing.map(k => s"$path/b=$k"): _*),
+        updates)
+    stageAndCommitBuckets(spark, merged.withColumn("b", bucketOf), path, touched)
+  }
+
+  /** Stage `withB` (rows already carrying their `b` bucket column) and
+    * commit the listed buckets through the write-ahead-manifest two-rename
+    * protocol. `dropMissing = true` additionally DELETES a listed bucket
+    * whose staging dir is empty (every row of the bucket was filtered
+    * away — the tombstone-prune case); the default keeps it, matching the
+    * upsert path where an absent staging bucket means the batch's keys
+    * deduped away.
+    */
+  private[graft] def stageAndCommitBuckets(
+      spark: SparkSession,
+      withB: DataFrame,
+      path: String,
+      touched: Seq[Int],
+      dropMissing: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    merged.withColumn("b", bucketOf)
-      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    withB.write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
     // WRITE-AHEAD MANIFEST: batch intent (the touched bucket list) recorded
     // AFTER staging is fully written and BEFORE the first rename — so a
     // crash anywhere in the rename loop leaves both the intent and the
     // complete merged data on disk, and recovery can always roll FORWARD
     // to the state this batch was committing (never a partial mix).
     // Atomic via write-temp-then-rename; cleared only after every bucket
-    // landed and staging is gone.
+    // landed and staging is gone. Recovery replays commitBucket WITHOUT
+    // dropMissing: for a prune that crashed mid-commit the not-yet-dropped
+    // buckets keep their (semantically invisible) tombstones — a correct
+    // table either way, re-prunable by the next run.
     fs.mkdirs(root)
     val mf = new Path(path, "_MANIFEST")
     val mtmp = new Path(path, "_MANIFEST.tmp")
@@ -226,8 +271,12 @@ object Incremental {
     out.close()
     if (fs.exists(mf)) fs.delete(mf, false)
     if (!fs.rename(mtmp, mf))
-      throw new java.io.IOException(s"upsertByKeyBucketed: failed to write manifest $mf")
-    touched.foreach(k => commitBucket(fs, path, staging, k))
+      throw new java.io.IOException(s"stageAndCommitBuckets: failed to write manifest $mf")
+    touched.foreach { k =>
+      if (dropMissing && !fs.exists(new Path(staging, s"b=$k")))
+        fs.delete(new Path(s"$path/b=$k"), true)
+      else commitBucket(fs, path, staging, k)
+    }
     fs.delete(staging, true)
     fs.delete(mf, false)
   }
@@ -326,31 +375,16 @@ object Incremental {
     * its scan).
     */
   def upsertByKeyVersioned(spark: SparkSession, updates: DataFrame, path: String, key: String,
-      keepVersions: Int = 2): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      keepVersions: Int = 2): Unit =
     // the WRITER trusts only the pointer: merging from a _SUCCESS-complete
     // but never-pointer-committed snapshot would resurrect an upsert the
-    // caller saw fail (the crash-before-flip contract says v=N+1 is inert).
-    // `next` comes from max over ALL v= dirs so an inert orphan is never
-    // re-used as a base yet never collides with a live reader's scan.
-    val cur = markerVersion(spark, path)
-    val merged = cur match {
+    // caller saw fail — Snapshots.commitWith implements exactly that
+    // contract (and the whole protocol is now shared by every versioned
+    // sink — see [[Snapshots]]).
+    Snapshots.commitWith(spark, path, {
       case None => updates
-      case Some(v) => mergeByKey(spark.read.parquet(versionDir(path, v)), updates, key)
-    }
-    val next = (cur.toSeq ++ allVersionDirs(spark, path)).foldLeft(0L)(math.max) + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(path, next))
-    val tmp = new Path(root, "_CURRENT.tmp")
-    val marker = new Path(root, "_CURRENT")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, marker, Options.Rename.OVERWRITE)
-    committedVersions(spark, path).filter(_ <= next - keepVersions)
-      .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
-  }
+      case Some(cur) => mergeByKey(cur, updates, key)
+    }, keepVersions)
 
   /** Serve-boundary schema: storage snake_case -> serve camelCase. The
     * reference renames `wallet_address` -> `walletAddress` when handing the
@@ -372,42 +406,7 @@ object Incremental {
     * merging from one could commit an upsert the caller saw fail.
     */
   def readCurrent(spark: SparkSession, path: String): DataFrame =
-    markerVersion(spark, path)
-      .orElse(committedVersions(spark, path).sorted.lastOption) match {
-      case Some(v) => spark.read.parquet(versionDir(path, v))
-      case None => throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
-    }
-
-  private def versionDir(path: String, v: Long): String = s"$path/v=$v"
-
-  /** The pointer-committed live version: `_CURRENT` contents (validated to
-    * point at an existing snapshot), else None.
-    */
-  private def markerVersion(spark: SparkSession, path: String): Option[Long] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(root, "_CURRENT")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-      txt.toLongOption.filter(v => fs.exists(new Path(versionDir(path, v))))
-    }
-  }
-
-  /** Every `v=` directory, committed or not — the writer's collision-free
-    * `next` floor.
-    */
-  private def allVersionDirs(spark: SparkSession, path: String): Seq[Long] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
-  }
+    Snapshots.readCurrent(spark, path)
 
   /** Incremental aggregate-view maintenance: a persisted per-key state
     * table of MERGEABLE partials — `(keys…, _sum decimal(38,6), _cnt,
@@ -531,14 +530,4 @@ object Incremental {
       .withColumn("avg", when(col("_cnt") > 0L, col("_sum").cast("double") / col("_cnt")))
       .drop("_sum", "_cnt", "_min", "_max")
 
-  private def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
-  }
 }

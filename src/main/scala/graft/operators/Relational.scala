@@ -260,14 +260,27 @@ object Relational {
       expectedItems: Long,
       numBits: Long): DataFrame = {
     import org.apache.spark.sql.graftnative.NativeColumns
+    // Hash both sides through ONE common type. The equi-join itself would
+    // coerce mismatched key types (int vs bigint, differing decimal scales)
+    // and still match, but xxhash64 over the RAW columns would then hash
+    // different representations — a false NEGATIVE that silently drops
+    // matching rows, violating the EXACT contract above.
+    val bigT = big.schema(bigKey).dataType
+    val smallT = small.schema(smallKey).dataType
+    val common = if (bigT == smallT) bigT
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderTypeForTwo(bigT, smallT)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloomFilteredJoin: join keys have incompatible types $bigT vs $smallT"))
     val joined = big.join(small, big(bigKey) === small(smallKey), "inner")
     val bloom = small
-      .agg(NativeColumns.bloomFilterAgg(xxhash64(col(smallKey)), expectedItems, numBits))
+      .agg(NativeColumns.bloomFilterAgg(
+        xxhash64(col(smallKey).cast(common)), expectedItems, numBits))
       .head().getAs[Array[Byte]](0)
     if (bloom == null) return joined.limit(0) // empty build side: empty inner join
     val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
     big
-      .filter(NativeColumns.mightContainBroadcast(bloomBc, xxhash64(col(bigKey))))
+      .filter(NativeColumns.mightContainBroadcast(bloomBc, xxhash64(col(bigKey).cast(common))))
       .join(small, col(bigKey) === small(smallKey), "inner")
   }
 }

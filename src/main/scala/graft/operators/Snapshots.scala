@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Pointer-committed versioned snapshots with time travel — the
+  * object-store-safe commit protocol of [[Incremental.upsertByKeyVersioned]]
+  * generalized so EVERY maintained table (CDC snapshot, SCD2 history,
+  * sketch state, index builds) can commit through it instead of the
+  * two-rename directory swap, which has a reader-visible gap between
+  * renames and no way to pin a version — on an object store (no atomic
+  * rename) the difference between "works" and "corrupts a concurrent
+  * reader". This is the role Delta/Iceberg's metadata log plays, reduced
+  * to the minimum that gives atomic commit + snapshot isolation + time
+  * travel:
+  *
+  *   path/v=1/part-*.parquet     immutable committed snapshots
+  *   path/v=2/part-*.parquet
+  *   path/_CURRENT               first line = live version; remaining
+  *                               lines = older RETAINED committed versions
+  *
+  * Commit = write the full new snapshot to `v=N+1` (invisible to readers),
+  * then atomically replace `_CURRENT` — a single small-object write
+  * (all-or-nothing on object stores; `FileContext` overwrite-rename on
+  * HDFS/POSIX). A crash before the pointer flip leaves `v=N` live and
+  * `v=N+1` as an inert orphan the next commit skips past (never a merge
+  * base, never time-travel-readable — the committed-version list in the
+  * pointer is what distinguishes a real historical snapshot from a failed
+  * write that happens to carry `_SUCCESS`). A crash after the flip but
+  * before retention GC leaves an extra old snapshot, collected by the next
+  * commit. There is NO window with no live table and no partial state a
+  * reader can observe.
+  *
+  * Snapshot isolation: a reader that resolved version N keeps reading an
+  * immutable directory; commits never mutate existing files. With
+  * `keepVersions = K`, a pinned reader survives `K - 1` subsequent
+  * commits; past that, [[readSnapshot]] fails with a clear error instead
+  * of returning a half-deleted directory. Single-writer contract, like
+  * the rest of this sink family.
+  *
+  * 100 TB note: this protocol rewrites the full snapshot per commit — use
+  * it directly for state that is SMALL relative to its churn (sketch
+  * state, dimension history, serve slices, index manifests). For a big
+  * keyed table, combine with the bucketed layout (the
+  * [[Incremental.upsertByKeyBucketed]] discipline) or commit per-bucket
+  * versioned dirs; the protocol is identical per directory.
+  */
+object Snapshots {
+
+  def versionDir(path: String, v: Long): String = s"$path/v=$v"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Parse `_CURRENT`: (live version, retained committed versions). Legacy
+    * single-number markers ([[Incremental.upsertByKeyVersioned]]'s original
+    * format) parse as a one-entry history. None when the marker is absent,
+    * unparseable, or dangles (its live version has no directory).
+    */
+  private[graft] def pointerState(
+      spark: SparkSession, path: String): Option[(Long, Seq[Long])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val marker = new Path(path, "_CURRENT")
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val vs = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.toLongOption).toSeq
+    vs.headOption
+      .filter(v => fs.exists(new Path(versionDir(path, v))))
+      .map(v => (v, vs.distinct))
+  }
+
+  /** The pointer-committed live version, if any. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    pointerState(spark, path).map(_._1)
+
+  /** Committed versions still readable, newest first. Falls back to a
+    * `_SUCCESS` scan when the pointer is lost (read-side recovery only —
+    * same degradation contract as [[readCurrent]]).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    pointerState(spark, path) match {
+      case Some((_, vs)) =>
+        vs.filter(v => fs.exists(new Path(versionDir(path, v)))).sorted.reverse
+      case None => successVersions(spark, path).sorted.reverse
+    }
+  }
+
+  /** Read the live snapshot: the `_CURRENT` pointer, else — READ-SIDE
+    * RECOVERY ONLY, for a lost or corrupted marker — the highest
+    * `_SUCCESS`-complete snapshot. Writers never take the fallback (see
+    * [[commitWith]]): a reader degrading to the last complete snapshot is
+    * safe, a writer merging from one could commit a change the caller saw
+    * fail.
+    */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path)
+      .orElse(successVersions(spark, path).sorted.lastOption) match {
+      case Some(v) => spark.read.parquet(versionDir(path, v))
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
+  /** TIME TRAVEL: read the table exactly as committed at `version`. Only
+    * versions in the retained committed history qualify — an expired
+    * (GC'd) version or an orphan from a failed write fails fast with the
+    * retained list, never returns partial data.
+    */
+  def readSnapshot(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    spark.read.parquet(versionDir(path, version))
+  }
+
+  /** Commit `df` as the next version; returns the committed version. */
+  def commit(spark: SparkSession, df: DataFrame, path: String,
+      keepVersions: Int = 2): Long =
+    commitWith(spark, path, _ => df, keepVersions)
+
+  /** Read-modify-commit: `f` sees the current committed snapshot (None on
+    * first use) and returns the full next snapshot. `stageExtra` runs
+    * against the new version directory BEFORE the pointer flip, so
+    * anything it writes there (an applied-batch manifest, index metadata)
+    * commits ATOMICALLY with the data — the [[Incremental.swapCommitWith]]
+    * exactly-once discipline, without the rename gap.
+    *
+    * Commit sequence (crash anywhere leaves a consistent table):
+    *   1. resolve current pointer        — crash: nothing happened
+    *   2. write v=N+1 (+ stageExtra)     — crash: inert orphan, v=N live
+    *   3. atomically replace _CURRENT    — the commit point
+    *   4. GC expired snapshots           — crash: extra dirs, next run GCs
+    */
+  def commitWith(
+      spark: SparkSession,
+      path: String,
+      f: Option[DataFrame] => DataFrame,
+      keepVersions: Int = 2,
+      stageExtra: org.apache.hadoop.fs.Path => Unit = _ => ()): Long = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val fs = fsOf(spark, path)
+    val state = pointerState(spark, path)
+    val cur = state.map(_._1)
+    val merged = f(cur.map(v => spark.read.parquet(versionDir(path, v))))
+    // `next` floors over ALL v= dirs so an inert orphan's slot is never
+    // re-used while a fallback reader might still resolve it
+    val next = (cur.toSeq ++ allVersionDirs(spark, path)).foldLeft(0L)(math.max) + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(path, next))
+    stageExtra(new Path(versionDir(path, next)))
+    val retained = (next +: state.map(_._2).getOrElse(Seq.empty)).distinct
+      .filter(v => v > next - keepVersions)
+    val root = new Path(path)
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val marker = new Path(root, "_CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(retained.sorted.reverse.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, marker, Options.Rename.OVERWRITE)
+    // retention GC strictly AFTER the commit point: expired committed
+    // versions plus inert orphans that have aged out of the window
+    val keep = retained.toSet
+    allVersionDirs(spark, path)
+      .filter(v => !keep.contains(v) && v <= next - keepVersions)
+      .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
+    next
+  }
+
+  /** Every `v=` directory, committed or not — the writer's collision-free
+    * `next` floor.
+    */
+  private[graft] def allVersionDirs(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
+  }
+
+  /** `_SUCCESS`-complete snapshot dirs — read-side fallback only. */
+  private[graft] def successVersions(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
+  }
+}

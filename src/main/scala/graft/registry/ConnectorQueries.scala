@@ -21,6 +21,14 @@ import graft.sources.{Paged, Tables}
   */
 object ConnectorQueries {
 
+  /** Hard ceiling on any driver-resident address/key list fed to the
+    * bucketed source's IN-filter path. The reference's address-filtered
+    * extraction takes the list as an EXTERNAL parameter (chunked 1000 per
+    * request); anything larger belongs in a broadcast semi-join, never in
+    * a collect.
+    */
+  val AddressListCap = 10000
+
   private def root(name: String, d: String): String =
     "/root/repo/target/tmp/pages_" + name + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
@@ -213,8 +221,18 @@ object ConnectorQueries {
           col("event_id").as("last_event"), col("value").as("last_value"))
       val rt = root("addr", d)
       Paged.serveBucketedPages(cur, "user_id", nBuckets = 16, root = rt)
-      val addrs = ev.select("user_id").where(pmod(col("user_id"), lit(23L)) === 5L)
-        .distinct().collect().map(_.getLong(0)).sorted // fixture's stand-in for the externally-given list
+      // fixture's stand-in for the externally-given list — CAPPED: the
+      // limit(cap+1) bounds the collect itself (an unbounded key set can
+      // never reach the driver) and the require makes misuse fail fast
+      // with the contract spelled out, instead of silently materializing
+      // a corpus-sized list (round-9 directive 8).
+      val addrRows = ev.select("user_id").where(pmod(col("user_id"), lit(23L)) === 5L)
+        .distinct().limit(ConnectorQueries.AddressListCap + 1).collect()
+      require(addrRows.length <= ConnectorQueries.AddressListCap,
+        s"address-filtered source: externally-given address list exceeds the " +
+          s"${ConnectorQueries.AddressListCap}-key driver-resident cap; filter " +
+          "via a broadcast semi-join (join_semi_address_list) instead")
+      val addrs = addrRows.map(_.getLong(0)).sorted
       val df = s.read.format(Paged.FORMAT)
         .option("path", rt).option("mode", "bucketed").option("cursorField", "user_id")
         .option("schema",

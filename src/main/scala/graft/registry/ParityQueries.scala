@@ -1685,6 +1685,96 @@ object ParityQueries {
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
       FROM w WHERE rn = 1 AND op <> 'D'"""))
 
+  /** The bucket-pruned twin of `snk_cdc_apply` — same two out-of-order
+    * batches, same direct-argmax oracle, but through
+    * [[graft.operators.Cdc.applyChangesBucketed]] (16 hash buckets, only
+    * touched buckets merged+rewritten; LayoutSpec counts untouched buckets
+    * surviving byte-identical) plus a [[graft.operators.Cdc
+    * .pruneTombstonesBucketed]] GC pass, which must leave the live view
+    * unchanged (it only drops sub-watermark tombstones — rows the oracle
+    * never sees). The layout and the GC must both be invisible to the
+    * logical result.
+    */
+  private val cdcApplyBucketed = Q(
+    "snk_cdc_apply_bucketed",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      val path = "/root/repo/target/tmp/cdcb_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.Cdc.applyChangesBucketed(
+        s, ch.filter(col("seq") % 2 === 1), path, "user_id", nBuckets = 16)
+      graft.operators.Cdc.applyChangesBucketed(
+        s, ch.filter(col("seq") % 2 === 0), path, "user_id", nBuckets = 16)
+      graft.operators.Cdc.pruneTombstonesBucketed(s, path, lowWatermark = Long.MaxValue)
+      graft.operators.Cdc.readTableBucketed(s, path)
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type, value FROM ev),
+      w AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch)
+      SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
+      FROM w WHERE rn = 1 AND op <> 'D'"""))
+
+  /** CDC apply through the pointer-committed snapshot protocol
+    * ([[graft.operators.Snapshots]]), PROVING snapshot isolation + time
+    * travel: batch 1 commits version v1; batch 2 commits v2; the query
+    * then reads BOTH the pinned v1 snapshot (AFTER v2 committed — rows
+    * tagged 'pinned') and the live view ('current'). The oracle computes
+    * the batch-1-only argmax for the pinned half and the full argmax for
+    * the current half — so if the v2 commit mutated or dropped anything a
+    * v1-pinned reader sees, or the pointer flip lost an update, the hash
+    * breaks. Same change derivation as `snk_cdc_apply`.
+    */
+  private val cdcApplyVersioned = Q(
+    "snk_cdc_apply_versioned",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      val path = "/root/repo/target/tmp/cdcv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val v1 = graft.operators.Cdc.applyChangesVersioned(
+        s, ch.filter(col("seq") % 2 === 1), path, "user_id")
+      graft.operators.Cdc.applyChangesVersioned(
+        s, ch.filter(col("seq") % 2 === 0), path, "user_id")
+      graft.operators.Cdc.readTableAt(s, path, v1).withColumn("snap", lit("pinned"))
+        .unionByName(
+          graft.operators.Cdc.readTableVersioned(s, path).withColumn("snap", lit("current")))
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type, value FROM ev),
+      w1 AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn
+        FROM ch WHERE seq % 2 = 1),
+      w2 AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch)
+      SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value,
+        'pinned' AS snap FROM w1 WHERE rn = 1 AND op <> 'D'
+      UNION ALL
+      SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value,
+        'current' AS snap FROM w2 WHERE rn = 1 AND op <> 'D'"""))
+
   /** Regular-grid forward-fill resample ([[graft.operators.Timeseries
     * .resampleFfill]]): the per-user event stream densified onto a 6-hour
     * grid — grid bounds are exact integer bin arithmetic (an epoch-nanos
@@ -2166,7 +2256,7 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
-    cdcApply, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
+    cdcApply, cdcApplyBucketed, cdcApplyVersioned, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,

@@ -113,6 +113,107 @@ class CdcSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  private def stateB(path: String): Set[(Long, String)] =
+    Cdc.readTableBucketed(spark, path).select("k", "v").as[(Long, String)].collect().toSet
+
+  test("bucketed apply: slicing/order convergence, sticky tombstones, replay no-op") {
+    val stream = Seq(
+      (1L, 1L, "I", "a"), (1L, 4L, "U", "a4"), (1L, 7L, "D", "x"),
+      (2L, 2L, "I", "b"), (2L, 8L, "U", "b8"),
+      (3L, 3L, "I", "c"), (3L, 6L, "D", "x"), (3L, 9L, "I", "c9"),
+      (4L, 5L, "I", "d"))
+    val expected = Set((2L, "b8"), (3L, "c9"), (4L, "d"))
+    val one = fresh("b_conv_one")
+    Cdc.applyChangesBucketed(spark, ch(stream: _*), one, "k", nBuckets = 4)
+    assert(stateB(one) == expected)
+    // three interleaved batches applied newest-first
+    val ooo = fresh("b_conv_ooo")
+    Seq(2L, 0L, 1L).foreach { r =>
+      Cdc.applyChangesBucketed(spark, ch(stream.filter(_._2 % 3 == r): _*), ooo, "k", nBuckets = 4)
+    }
+    assert(stateB(ooo) == expected)
+    // replaying the middle batch changes nothing
+    Cdc.applyChangesBucketed(spark, ch(stream.filter(_._2 % 3 == 1): _*), ooo, "k", nBuckets = 4)
+    assert(stateB(ooo) == expected)
+    // stale update after the delete stays dead; a newer change resurrects
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "U", "stale")), ooo, "k", nBuckets = 4)
+    assert(stateB(ooo) == expected)
+    Cdc.applyChangesBucketed(spark, ch((1L, 11L, "I", "reborn")), ooo, "k", nBuckets = 4)
+    assert(stateB(ooo) == expected + ((1L, "reborn")))
+  }
+
+  test("bucketed apply: equal-seq D>U>I ties are slicing-invariant, as unbucketed") {
+    val a = fresh("b_tie_a"); val b = fresh("b_tie_b")
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "I", "i")), a, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "U", "u")), a, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "U", "u")), b, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "I", "i")), b, "k", nBuckets = 4)
+    assert(stateB(a) == Set((1L, "u")) && stateB(b) == Set((1L, "u")))
+    val c = fresh("b_tie_c"); val e = fresh("b_tie_d")
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "D", "x")), c, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "U", "u")), c, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "U", "u")), e, "k", nBuckets = 4)
+    Cdc.applyChangesBucketed(spark, ch((1L, 5L, "D", "x")), e, "k", nBuckets = 4)
+    assert(stateB(c).isEmpty && stateB(e).isEmpty)
+  }
+
+  test("bucketed apply: a small batch rewrites only its buckets; untouched survive byte-identical") {
+    val base = fresh("b_touch")
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = 16
+    val all = (1L to 2000L).map(i => (i, i, "I", s"v$i"))
+    Cdc.applyChangesBucketed(spark, ch(all: _*), base, "k", nBuckets)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+      }.toMap
+    val before = snapshot()
+    assert(before.size == nBuckets)
+    val batch = ch((5L, 3000L, "U", "new5"), (6L, 3001L, "D", "x"), (2001L, 3002L, "I", "n"))
+    Cdc.applyChangesBucketed(spark, batch, base, "k", nBuckets)
+    val after = snapshot()
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size <= 3 && changed.nonEmpty,
+      s"a 3-key batch must rewrite <= 3 of $nBuckets buckets, rewrote: $changed")
+    assert((before.keySet -- changed).forall(b => before(b) == after(b)),
+      "untouched buckets must keep identical files (names, sizes, mtimes)")
+    val got = stateB(base)
+    assert(got.size == 2000) // 2000 - deleted key 6 + new key 2001
+    assert(got((5L, "new5")) && got((2001L, "n")) && !got.exists(_._1 == 6L))
+  }
+
+  test("pruneTombstonesBucketed: watermark-scoped GC; all-tombstone buckets dropped; live view unchanged") {
+    val base = fresh("b_prune")
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = 4
+    val bucketOf = pmod(xxhash64(col("k")), lit(nBuckets.toLong)).cast("int")
+    val k2b = (1L to 40L).map(i => (i, i)).toDF("k", "x")
+      .select(col("k"), bucketOf.as("b")).as[(Long, Int)].collect().toMap
+    val deadBucket = k2b(1L)
+    // keys in deadBucket: ALL deleted below the watermark (bucket should
+    // vanish); one live key + one above-watermark tombstone elsewhere
+    val deadKeys = (1L to 40L).filter(k2b(_) == deadBucket)
+    val liveKey = (1L to 40L).find(k2b(_) != deadBucket).get
+    val highTombKey = (1L to 40L).find(k => k2b(k) != deadBucket && k != liveKey).get
+    val rows = deadKeys.map(k => (k, k, "D", "x")) ++
+      Seq((liveKey, 100L, "I", "alive"), (highTombKey, 200L, "D", "x"))
+    Cdc.applyChangesBucketed(spark, ch(rows: _*), base, "k", nBuckets)
+    val before = stateB(base)
+    Cdc.pruneTombstonesBucketed(spark, base, lowWatermark = 150L)
+    assert(stateB(base) == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/b=$deadBucket")),
+      "a bucket holding only prunable tombstones must be dropped")
+    val raw = graft.operators.Incremental.readBucketed(spark, base)
+    assert(raw.filter(col(Cdc.DeletedMeta)).select("k").as[Long].collect().toSet
+      == Set(highTombKey), "the above-watermark tombstone must survive")
+    // idempotent second pass with nothing to prune
+    Cdc.pruneTombstonesBucketed(spark, base, lowWatermark = 150L)
+    assert(stateB(base) == before)
+  }
+
   test("scd2: consecutive identical values extend a version, changes open one") {
     val changes = Seq(
       (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), // run of a: one version

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.{Cdc, Snapshots}
+import org.apache.spark.sql.functions._
+
+/** The pointer-committed snapshot protocol: atomic commit, snapshot
+  * isolation for pinned readers, time travel, retention, and a crash test
+  * at every commit-sequence point (resolve / write / flip / GC).
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val path = s"target/tmp/snapspec_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
+  private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("k", "v").as[(Long, String)].collect().toSet
+
+  test("commit + readCurrent + currentVersion round-trip") {
+    val path = fresh("basic")
+    val v1 = Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    assert(v1 == 1L)
+    assert(Snapshots.currentVersion(spark, path).contains(1L))
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "a")))
+    val v2 = Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path)
+    assert(v2 == 2L)
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "b")))
+  }
+
+  test("snapshot isolation: a reader pinned at v1 is untouched by the v2 commit") {
+    val path = fresh("isolation")
+    val v1 = Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    // pin BEFORE the next commit, materialize AFTER it — the immutable
+    // v= directory means the plan reads exactly the pinned bytes
+    Snapshots.commit(spark, Seq((1L, "CHANGED")).toDF("k", "v"), path)
+    assert(rows(Snapshots.readSnapshot(spark, path, v1)) == Set((1L, "a"), (2L, "b")))
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "CHANGED")))
+    assert(Snapshots.versions(spark, path) == Seq(2L, 1L))
+  }
+
+  test("retention: an expired version fails fast with the retained list, never partial data") {
+    val path = fresh("retention")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path, keepVersions = 2)
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path, keepVersions = 2)
+    Snapshots.commit(spark, Seq((1L, "c")).toDF("k", "v"), path, keepVersions = 2)
+    assert(!fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=1")))
+    assert(Snapshots.versions(spark, path) == Seq(3L, 2L))
+    val ex = intercept[java.io.FileNotFoundException] {
+      Snapshots.readSnapshot(spark, path, 1L)
+    }
+    assert(ex.getMessage.contains("v=1") && ex.getMessage.contains("retained"))
+    // keepVersions = 1 keeps only the live version
+    val p2 = fresh("retention1")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), p2, keepVersions = 1)
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), p2, keepVersions = 1)
+    assert(Snapshots.versions(spark, p2) == Seq(2L))
+  }
+
+  test("crash point 2 (after snapshot write, before flip): orphan is inert — not a merge base, not time-travel-readable, slot never reused") {
+    val path = fresh("orphan")
+    Snapshots.commit(spark, Seq((1L, "live")).toDF("k", "v"), path)
+    // simulate the crash: a fully-written (_SUCCESS-complete) v=2 that
+    // never got its pointer flip
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$path/v=2")
+    assert(Snapshots.currentVersion(spark, path).contains(1L))
+    intercept[java.io.FileNotFoundException] { Snapshots.readSnapshot(spark, path, 2L) }
+    // the next commit merges from v1 (not the ghost) and skips slot 2
+    Snapshots.commitWith(spark, path, {
+      case Some(cur) => cur.unionByName(Seq((2L, "new")).toDF("k", "v"))
+      case None => fail("expected a current snapshot")
+    })
+    assert(Snapshots.currentVersion(spark, path).contains(3L))
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "live"), (2L, "new")))
+  }
+
+  test("crash point 3 (mid-pointer-write): a stale _CURRENT.tmp never affects reads and the next commit overwrites it") {
+    val path = fresh("tmpfile")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_CURRENT.tmp")
+    val out = fs(path).create(tmp, true)
+    out.write("999".getBytes("UTF-8")); out.close()
+    assert(Snapshots.currentVersion(spark, path).contains(1L))
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path)
+    assert(Snapshots.currentVersion(spark, path).contains(2L))
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "b")))
+  }
+
+  test("crash point 4 (after flip, before GC): extra old snapshot is collected by the next commit") {
+    val path = fresh("gc")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path, keepVersions = 2)
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path, keepVersions = 2)
+    Snapshots.commit(spark, Seq((1L, "c")).toDF("k", "v"), path, keepVersions = 2)
+    // simulate the crash-before-GC leftover: resurrect an expired dir
+    // that is NOT in the retained pointer list
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$path/v=1")
+    Snapshots.commit(spark, Seq((1L, "d")).toDF("k", "v"), path, keepVersions = 2)
+    assert(!fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=1")),
+      "the next commit must GC the leftover expired snapshot")
+    assert(Snapshots.versions(spark, path) == Seq(4L, 3L))
+  }
+
+  test("marker loss degrades reads to the highest complete snapshot (read-side recovery)") {
+    val path = fresh("markerloss")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path)
+    fs(path).delete(new org.apache.hadoop.fs.Path(path, "_CURRENT"), false)
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((1L, "b")))
+    assert(Snapshots.versions(spark, path).nonEmpty)
+  }
+
+  test("legacy single-number _CURRENT markers parse as a one-entry history") {
+    val path = fresh("legacy")
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$path/v=1")
+    val out = fs(path).create(new org.apache.hadoop.fs.Path(path, "_CURRENT"), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    assert(Snapshots.currentVersion(spark, path).contains(1L))
+    assert(rows(Snapshots.readSnapshot(spark, path, 1L)) == Set((1L, "a")))
+    // and the next commit upgrades the marker to the history format
+    Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path)
+    assert(Snapshots.versions(spark, path) == Seq(2L, 1L))
+  }
+
+  test("stageExtra commits atomically with the data (inside the version dir, before the flip)") {
+    val path = fresh("stageextra")
+    Snapshots.commitWith(spark, path, _ => Seq((1L, "a")).toDF("k", "v"),
+      stageExtra = dir => {
+        val out = fs(path).create(new org.apache.hadoop.fs.Path(dir, "_META"), true)
+        out.write("42".getBytes("UTF-8")); out.close()
+      })
+    assert(fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=1/_META")))
+  }
+
+  test("versioned CDC apply: out-of-order convergence + pinned-version live view") {
+    val path = fresh("cdc")
+    def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")
+    val v1 = Cdc.applyChangesVersioned(spark,
+      chg((1L, 1L, "I", "a"), (2L, 8L, "U", "b8"), (3L, 9L, "I", "c9")), path, "k")
+    Cdc.applyChangesVersioned(spark,
+      chg((1L, 7L, "D", "x"), (2L, 2L, "I", "stale")), path, "k")
+    assert(rows(Cdc.readTableVersioned(spark, path)) == Set((2L, "b8"), (3L, "c9")))
+    // the pinned v1 live view still shows key 1 (the delete came in v2)
+    assert(rows(Cdc.readTableAt(spark, path, v1)) ==
+      Set((1L, "a"), (2L, "b8"), (3L, "c9")))
+  }
+
+  test("versioned SCD2 table == swap-committed SCD2 table, with table-level time travel") {
+    val path = fresh("scd2v")
+    val b1 = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x")).toDF("k", "t", "id", "v")
+    val b2 = Seq((1L, 30L, 3L, "b"), (3L, 35L, 4L, "n")).toDF("k", "t", "id", "v")
+    val v1 = Cdc.scd2ApplyTableVersioned(spark, b1, path, "k", "t", "id", Seq("v"))
+    Cdc.scd2ApplyTableVersioned(spark, b2, path, "k", "t", "id", Seq("v"))
+    val full = Cdc.scd2Intervals(
+      b1.unionByName(b2), "k", "t", "id", Seq("v")).collect().map(_.toSeq).toSet
+    assert(Snapshots.readCurrent(spark, path).collect().map(_.toSeq).toSet == full)
+    // table-level time travel: the history AS OF commit v1
+    val asOfV1 = Cdc.scd2Intervals(b1, "k", "t", "id", Seq("v")).collect().map(_.toSeq).toSet
+    assert(Snapshots.readSnapshot(spark, path, v1).collect().map(_.toSeq).toSet == asOfV1)
+  }
+}
