@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Encoders {
 
+  /** Default ceiling on the per-group stats frame a fact-table join will
+    * broadcast: 1M rows of (group, two doubles) is tens of MB — inside
+    * every practical driver/executor broadcast budget.
+    */
+  val DefaultMaxBroadcastGroups: Int = 1000000
+
+  /** Left-join the ≤|groups| stats frame onto the fact table, broadcasting
+    * ONLY when its cardinality fits the declared bound — ENFORCED, not a
+    * doc contract: a high-cardinality group column (per-user at corpus
+    * scale) silently OOMing the broadcast was the failure mode. The probe
+    * is a `limit(max+1).count()` — it early-outs at max+1 rows, so the
+    * guard never pays for the full cardinality. Past the bound the join
+    * falls back to a plain shuffle join (the [[graft.quality.Scoring]]
+    * `broadcastBigrams` escape-hatch discipline, automated) — identical
+    * results, EncodersSpec-asserted.
+    */
+  private def joinStats(
+      fact: DataFrame, stats: DataFrame, key: String, maxBroadcast: Int): DataFrame = {
+    require(maxBroadcast >= 1 && maxBroadcast < Int.MaxValue,
+      "maxBroadcast must be in [1, Int.MaxValue)")
+    val fits = stats.select(col(key)).limit(maxBroadcast + 1).count() <= maxBroadcast
+    fact.join(if (fits) broadcast(stats) else stats, Seq(key), "left")
+  }
+
   /** Leave-one-out target encoding with an m-estimate smoothed variant
     * (Micci-Barreca 2001): for each row, the mean label of its category
     * EXCLUDING the row itself —
@@ -35,11 +59,14 @@ object Encoders {
     * Scale shape: one keyed aggregation over the category column (map-
     * side partial), a ≤|categories|-row broadcast back onto the fact
     * table, and a 1-row broadcast for the prior — the corpus itself is
-    * never shuffled. Output: all input columns + `n_cat`, `enc_loo`,
-    * `enc_smooth`.
+    * never shuffled. The broadcast is GUARDED, not assumed: past
+    * `maxBroadcastCats` distinct categories the stats join automatically
+    * degrades to a shuffle join (identical results) instead of OOMing.
+    * Output: all input columns + `n_cat`, `enc_loo`, `enc_smooth`.
     */
   def targetEncodeLoo(
-      df: DataFrame, catCol: String, labelCol: String, m: Long): DataFrame = {
+      df: DataFrame, catCol: String, labelCol: String, m: Long,
+      maxBroadcastCats: Int = DefaultMaxBroadcastGroups): DataFrame = {
     require(m >= 0, "smoothing m must be >= 0")
     val yDec: Column = col(labelCol).cast("decimal(38,6)")
     // the global prior rides an unpartitioned window over the tiny stats
@@ -54,7 +81,7 @@ object Encoders {
     val loo = yDec.isNotNull // self leaves the stats only when it entered them
     val num = when(loo, col("__sum") - yDec).otherwise(col("__sum")).cast("double")
     val den = when(loo, col("__n") - 1L).otherwise(col("__n"))
-    df.join(broadcast(stats), Seq(catCol), "left")
+    joinStats(df, stats, catCol, maxBroadcastCats)
       .withColumn("n_cat", coalesce(col("__n"), lit(0L)))
       .withColumn("enc_loo", when(den > 0L, num / den.cast("double")))
       .withColumn("enc_smooth",
@@ -170,16 +197,19 @@ object Encoders {
     * Degenerate groups (var ≤ 0: constant or singleton) and null values
     * get a null z rather than a NaN that would poison downstream
     * aggregation. Scale shape: one keyed aggregation to ≤|groups| rows,
-    * broadcast back — the fact table never shuffles.
+    * broadcast back — the fact table never shuffles. As in
+    * [[targetEncodeLoo]], the broadcast is guarded: past
+    * `maxBroadcastGroups` the stats join falls back to a shuffle join.
     */
-  def standardize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def standardize(df: DataFrame, groupCol: String, valueCol: String,
+      maxBroadcastGroups: Int = DefaultMaxBroadcastGroups): DataFrame = {
     import graft.functions.Scalars
     val x = col(valueCol)
     val stats = df.groupBy(col(groupCol)).agg(
       (Scalars.dsum(x) / count(x)).as("__mean"),
       ((Scalars.dsumQ(x * x) - Scalars.dsum(x) * Scalars.dsum(x) / count(x)) / count(x))
         .as("__var"))
-    df.join(broadcast(stats), Seq(groupCol), "left")
+    joinStats(df, stats, groupCol, maxBroadcastGroups)
       .withColumn("z", when(x.isNotNull && col("__var") > 0.0,
         (x - col("__mean")) / sqrt(col("__var"))))
       .drop("__mean", "__var")

@@ -71,9 +71,21 @@ object LinkRank {
     * [[Dedup.resolveClusters]] flat-lineage discipline), so the returned
     * frame's plan is bounded and `edgesW` can be unpersisted before
     * returning — no block-manager storage outlives the call.
+    *
+    * EARLY STOP: with `earlyStopDeltaU >= 0`, the L1 step norm
+    * `sum(delta_u)` is checked at each checkpoint boundary (the frame is
+    * materialized there anyway — the check is one cheap aggregate over
+    * ≤|V| rows, no extra materialization) and iteration stops once it is
+    * ≤ the bound. At a 100 TB graph this is the difference between
+    * burning fixed iterations and stopping the moment the ranking is
+    * stable — and the observable that ALARMS when it is not shrinking.
+    * `earlyStopDeltaU = 0` is exact: integer rank is a deterministic
+    * fixed-point map, so a zero-delta frame reproduces itself and the
+    * early-stopped result equals the full run's (LinkRankSpec proves it);
+    * positive bounds trade iterations for tolerance.
     */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, earlyStopDeltaU: Long = -1L): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of [1,16] — see the deep-iteration note")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
@@ -106,7 +118,9 @@ object LinkRank {
           org.apache.spark.sql.types.LongType))))
     val teleport = ((dampDen - dampNum) * UNIT) / (dampDen * n)
     var ranks = nodes.withColumn("rank_u", lit(UNIT / n))
-    for (i <- 1 to iters) {
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       // per-edge contribution floor((r*w)/W), then exact integer sum —
       // every term and the total are order-independent
       // `div` (integral division), NOT `/`: rank_u * w approaches 1e18,
@@ -125,7 +139,13 @@ object LinkRank {
           lit(teleport) + expr(s"($dampNum * coalesce(cin, 0L)) div $dampDen"))
         .select(col("node"), col("rank_u"),
           abs(col("rank_u") - col("__prev")).as("delta_u"))
-      if (i % checkpointEvery == 0 || i == iters) ranks = ranks.localCheckpoint()
+      val boundary = i % checkpointEvery == 0 || i == iters
+      if (boundary) ranks = ranks.localCheckpoint()
+      if (boundary && earlyStopDeltaU >= 0L && i < iters) {
+        val l1 = ranks.agg(sum("delta_u")).head()
+        converged = !l1.isNullAt(0) && l1.getLong(0) <= earlyStopDeltaU
+      }
+      i += 1
     }
     edgesW.unpersist() // final frame is checkpointed — nothing references the cache
     ranks
@@ -159,10 +179,18 @@ object LinkRank {
     * kept flat with the [[pageRank]] localCheckpoint discipline.
     *
     * Node ids must be numeric (the `-label` tie trick); labels ARE node
-    * ids throughout, so the output `(node, lbl)` is directly a community
-    * assignment.
+    * ids throughout, so the output `(node, lbl, flip_u)` is directly a
+    * community assignment plus the convergence observable: `flip_u` is 1
+    * iff the node's label changed in the LAST round (`sum(flip_u)` is the
+    * round's flip count — zero means a fixed point). With
+    * `earlyStopFlips >= 0`, the flip count is checked at checkpoint
+    * boundaries (where the frame is materialized anyway) and rounds stop
+    * once ≤ the bound — `earlyStopFlips = 0` is exact, since synchronous
+    * LPA is a deterministic map and a zero-flip frame reproduces itself
+    * (LinkRankSpec proves early-stop == full run).
     */
-  def labelPropagate(edges: DataFrame, rounds: Int, checkpointEvery: Int = 4): DataFrame = {
+  def labelPropagate(edges: DataFrame, rounds: Int, checkpointEvery: Int = 4,
+      earlyStopFlips: Long = -1L): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds $rounds out of [1,16]")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val sym = edges.select(col("u"), col("v"), col("w"))
@@ -171,15 +199,30 @@ object LinkRank {
       .persist()
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node").cast("long"))
-    for (r <- 1 to rounds) {
-      labels = sym
+      .withColumn("flip_u", lit(0L))
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
+      val voted = sym
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u").as("node"), col("lbl"))
         .agg(sum("w").as("__votes"))
         .groupBy("node")
         .agg(max(struct(col("__votes"), (-col("lbl")).as("__nl"))).as("__w"))
         .select(col("node"), (-col("__w.__nl")).as("lbl"))
-      if (r % checkpointEvery == 0 || r == rounds) labels = labels.localCheckpoint()
+      // flip detection joins the new labels back onto the previous round's
+      // — both sides are node-keyed aggregates, so the exchange is reused
+      labels = voted
+        .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
+        .select(col("node"), col("lbl"),
+          (col("lbl") =!= col("__prev")).cast("long").as("flip_u"))
+      val boundary = r % checkpointEvery == 0 || r == rounds
+      if (boundary) labels = labels.localCheckpoint()
+      if (boundary && earlyStopFlips >= 0L && r < rounds) {
+        val flips = labels.agg(sum("flip_u")).head()
+        converged = !flips.isNullAt(0) && flips.getLong(0) <= earlyStopFlips
+      }
+      r += 1
     }
     sym.unpersist()
     labels

@@ -4221,7 +4221,9 @@ object TrainingQueries {
     * the vote weight — 3 unrolled rounds, integer vote sums, ties to the
     * smallest label; the oracle replays the identical rounds (the
     * `graph_link_rank` unrolled-iteration discipline), so every node's
-    * community label is hash-checked.
+    * community label is hash-checked — as is `flip_u`, the last round's
+    * per-node label-change indicator (the convergence observable,
+    * re-derived as l3 <> l2).
     */
   private val labelPropQ = {
     def lpRound(prev: String, cur: String): String =
@@ -4252,7 +4254,9 @@ object TrainingQueries {
         ${lpRound("0", "1")},
         ${lpRound("1", "2")},
         ${lpRound("2", "3")}
-        SELECT node, lbl FROM l3"""))
+        SELECT l3.node, l3.lbl,
+          CAST(l3.lbl <> l2.lbl AS BIGINT) AS flip_u
+        FROM l3 JOIN l2 ON l2.node = l3.node"""))
   }
 
   /** Hybrid retrieval ([[graft.quality.Scoring.rrfFuse]]): the BM25

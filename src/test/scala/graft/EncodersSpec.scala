@@ -53,6 +53,34 @@ class EncodersSpec extends SparkSpec {
     assert(out == Map(1 -> 2L, 2 -> 4L, 4 -> 2L, -1 -> 1L))
   }
 
+  test("broadcast guard: past the cardinality bound the stats join degrades to shuffle with identical results") {
+    val df = (1L to 200L).map(i => (s"cat${i % 40}", i.toDouble, i)).toDF("c", "y", "id")
+    def canonEnc(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "n_cat", "enc_loo", "enc_smooth").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    // 40 categories: bound 5 forces the shuffle path, default broadcasts
+    val bEnc = canonEnc(Encoders.targetEncodeLoo(df, "c", "y", m = 10L))
+    val sEnc = canonEnc(Encoders.targetEncodeLoo(df, "c", "y", m = 10L, maxBroadcastCats = 5))
+    assert(bEnc == sEnc)
+    // past the bound the FORCED broadcast hint must be gone — Catalyst's
+    // own size-based choice remains free to broadcast a frame it can SEE
+    // is small, but a stats-less 100 TB-scale frame would shuffle
+    val hinted = Encoders.targetEncodeLoo(df, "c", "y", 10L)
+      .queryExecution.analyzed.toString
+    val unhinted = Encoders.targetEncodeLoo(df, "c", "y", 10L, maxBroadcastCats = 5)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("UnresolvedHint BROADCAST") || hinted.contains("ResolvedHint"),
+      s"inside the bound the stats join must carry the broadcast hint:\n$hinted")
+    assert(!unhinted.contains("UnresolvedHint BROADCAST") && !unhinted.contains("ResolvedHint"),
+      s"past the bound the forced broadcast hint must be dropped:\n$unhinted")
+    def canonZ(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "z").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+    assert(canonZ(Encoders.standardize(df, "c", "y")) ==
+      canonZ(Encoders.standardize(df, "c", "y", maxBroadcastGroups = 5)))
+  }
+
   test("kAnonymityReport: distinct subjects decide the flag, not row counts") {
     val df = Seq(
       ("x", 1L), ("x", 1L), ("x", 1L), ("x", 2L), // 4 rows, 2 subjects

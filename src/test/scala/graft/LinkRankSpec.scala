@@ -101,9 +101,38 @@ class LinkRankSpec extends SparkSpec {
     assert(fwd == rev)
   }
 
+  test("pageRank early-stop at zero L1 delta == full run (integer fixed point)") {
+    // symmetric two-node graph reaches its fixed point at iteration 1:
+    // r1 = teleport + 85%*(UNIT/2) = UNIT/2 = r0, so delta goes 0 there
+    val g = edges(("a", "b", 1L), ("b", "a", 1L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank_u", "delta_u").as[(String, Long, Long)].collect().sorted.toSeq
+    val full = canon(LinkRank.pageRank(g, iters = 16, checkpointEvery = 1))
+    val stopped = canon(LinkRank.pageRank(g, iters = 16, checkpointEvery = 1,
+      earlyStopDeltaU = 0L))
+    assert(stopped == full)
+    assert(stopped.forall(_._3 == 0L), "at the fixed point every delta is zero")
+  }
+
+  test("labelPropagate early-stop at zero flips == full run; flip_u observable") {
+    val clique = (ns: Seq[Long]) => for (a <- ns; b <- ns if a < b) yield (a, b, 5L)
+    val es = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+ ((3L, 10L, 1L)))
+      .toDF("u", "v", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "lbl", "flip_u").as[(Long, Long, Long)].collect().sorted.toSeq
+    val full = canon(LinkRank.labelPropagate(es, rounds = 8, checkpointEvery = 1))
+    val stopped = canon(LinkRank.labelPropagate(es, rounds = 8, checkpointEvery = 1,
+      earlyStopFlips = 0L))
+    assert(stopped == full)
+    assert(stopped.forall(_._3 == 0L), "a converged round flips nothing")
+    // flip_u is a real observable: round 1 on this graph DOES flip labels
+    val r1 = LinkRank.labelPropagate(es, rounds = 1)
+    assert(r1.agg(sum("flip_u")).head.getLong(0) > 0L)
+  }
+
   private def lp(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
     LinkRank.labelPropagate(edges.toDF("u", "v", "w"), rounds)
-      .as[(Long, Long)].collect().toMap
+      .select("node", "lbl").as[(Long, Long)].collect().toMap
 
   test("label propagation separates two cliques joined by a weak bridge") {
     // clique {1,2,3} and clique {10,11,12} (weight 5 inside), one weight-1
