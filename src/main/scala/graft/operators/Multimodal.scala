@@ -273,6 +273,127 @@ object Multimodal {
     withBody.unionByName(twins)
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic PNGs with planted RE-ENCODE
+    * twins — the pixel-level near-dup fixture. Every valid row is a real
+    * 16×16 8-bit grayscale PNG: signature, IHDR, one IDAT whose zlib
+    * stream uses STORED deflate blocks (RFC 1951 §3.2.4 — btype=00 framing
+    * is buildable from codegen'd Column byte concat, and inflate treats it
+    * identically to compressed blocks), scanlines = filter byte 0 + the 16
+    * md5 bytes of `"<id>|px<row>"` (pseudo-random pixels: distinct ids sit
+    * ~32 dHash bits apart, so nothing but the planted twins pairs up —
+    * measured at both SFs). Chunk CRCs / Adler32 are dummy zeros —
+    * [[graft.functions.expressions.PngPixelHash]] deliberately skips
+    * trailer validation, and ParserFuzzSpec's ImageIO differential covers
+    * real-CRC streams.
+    *
+    * Planted twins (`id < 25`, at `id + 100000`): the SAME pixels
+    * re-encoded with a DIFFERENT byte stream — two stored blocks instead
+    * of one plus a different zlib header (0x789C vs 0x7801) — i.e. the
+    * re-compressed duplicate a crawled corpus actually contains. The
+    * byte-level [[perceptualPairs]] provably misses these (the md5 body
+    * never repeats); the pixel path lands them at Hamming 0.
+    *
+    * Corrupt rows (`id >= 25` only, so every twin base stays valid):
+    * `id % 13 == 0` truncates mid-IDAT (the torn-download case — decode
+    * must return null, never throw); `id % 17 == 0` is non-PNG garbage.
+    */
+  def pixelPngCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    def be32(x: Long): Column = bytes(
+      ((x >> 24) & 0xff).toInt, ((x >> 16) & 0xff).toInt,
+      ((x >> 8) & 0xff).toInt, (x & 0xff).toInt)
+    def cc(t: String): Column = encode(lit(t), "UTF-8")
+    val crc0 = bytes(0, 0, 0, 0)
+    // 16 scanlines of (filter=0, 16 md5 pixel bytes) = 272 raw bytes
+    def scan(src: Column, y: Int): Column = concat(bytes(0),
+      unhex(md5(encode(concat(src.cast("string"), lit(s"|px$y")), "UTF-8"))))
+    def raw(src: Column): Column = concat((0 until 16).map(y => scan(src, y)): _*)
+    // layout A: one stored block — hdr 0x7801, bfinal=1/btype=00,
+    // LEN=272 LE, NLEN=~272 LE, raw, dummy adler
+    def zlibA(src: Column): Column = concat(
+      bytes(0x78, 0x01, 0x01, 0x10, 0x01, 0xef, 0xfe), raw(src), bytes(0, 0, 0, 0))
+    // layout B (the re-encode): hdr 0x789C, TWO stored blocks split at
+    // 136 bytes (LEN=136 LE 0x88 0x00, NLEN 0x77 0xFF) — same pixels,
+    // different compressed byte stream
+    def zlibB(src: Column): Column = {
+      val r = raw(src)
+      concat(bytes(0x78, 0x9c, 0x00, 0x88, 0x00, 0x77, 0xff), r.substr(1, 136),
+        bytes(0x01, 0x88, 0x00, 0x77, 0xff), r.substr(137, 136), bytes(0, 0, 0, 0))
+    }
+    val ihdr = concat(be32(13), cc("IHDR"), be32(16), be32(16),
+      bytes(8, 0, 0, 0, 0), crc0)
+    val sig = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val iend = concat(be32(0), cc("IEND"), crc0)
+    def png(zlib: Column, zlibLen: Long): Column =
+      concat(sig, ihdr, be32(zlibLen), cc("IDAT"), zlib, crc0, iend)
+    val pngA = png(zlibA(id), 283) // 2 + 5 + 272 + 4
+    val pngB = png(zlibB(id), 288) // 2 + (5+136)*2 + 4
+    // cut 60 bytes off the tail: the IDAT length field now promises more
+    // data than the payload carries
+    val truncated = pngA.substr(lit(1), length(pngA) - 60)
+    val garbage = concat(encode(lit("NOTPNG"), "UTF-8"), be32(16))
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, truncated)
+        .when(id >= 25 && pmod(id, lit(17)) === 0, garbage)
+        .otherwise(pngA).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"), pngB.as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** Pixel-level fingerprint projection: `(media_id, pxhash)` via the
+    * codegen'd [[graft.functions.expressions.PngPixelHash]] — NULL pxhash
+    * for undecodable payloads (they keep the byte-level [[perceptualHash]]
+    * family instead). Zero-shuffle: only the 8-byte hash flows downstream.
+    */
+  def pixelHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .pngPixelHash(col(payloadCol)).as("pxhash"))
+
+  /** Pixel-level near-dup pairs: [[pixelHash]] → the same pigeonhole chunk
+    * banding + exact Hamming verify as [[perceptualPairs]]
+    * ([[Dedup.hammingPairs64]]). Undecodable payloads (null pxhash) drop
+    * out here and stay covered by the byte-level family. Output
+    * `(media_id_1 < media_id_2, hamming)`.
+    */
+  def pixelPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      pixelHash(media, idCol, payloadCol)
+        .filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "pxhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** Pixel pairs → connected components → keep/drop for EVERY input row
+    * (undecodable rows are singletons) — [[perceptualClusters]] with the
+    * pixel fingerprint.
+    */
+  def pixelClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = pixelPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Per-media 64-bit perceptual fingerprint over the payload bytes —
     * `(media_id, phash)` via the codegen'd
     * [[graft.functions.expressions.BlockHash64]] (block-mean vs

@@ -3446,6 +3446,35 @@ object TrainingQueries {
       boundary = graft.operators.Boundary.None)
       .withColumn("hamming", col("hamming").cast("long"))))
 
+  /** PIXEL-LEVEL image near-dup ([[Multimodal.pixelPairs]] over the
+    * fully-decodable [[Multimodal.pixelPngCorpus]]): every payload is a
+    * real 16×16 grayscale PNG decoded by
+    * [[graft.functions.expressions.PngPixelHash]] — zlib inflate,
+    * unfilter, integer-luma 9×8 box downsample, 64-bit dHash — then the
+    * same banded pair machinery as `dedup_image_neardup`. The planted
+    * twins here are RE-ENCODES (identical pixels, different zlib framing
+    * and header — the crawl duplicate the byte-level blockhash provably
+    * misses, since the compressed streams share no bytes); they must land
+    * at Hamming exactly 0, and the md5-driven pixel planes keep every
+    * non-planted pair ~32 bits apart. Truncated-IDAT and garbage rows
+    * hash NULL and drop out. Oracle: the planted-pair derivation directly
+    * from ids (the bound-assertion discipline — the decode itself is
+    * differentially verified against an independent ImageIO encoder and
+    * fuzzed in ParserFuzzSpec).
+    */
+  private val dedupImagePixelNearDup = Q(
+    "dedup_image_pixel_neardup",
+    (s, d) => Multimodal.pixelPairs(
+      Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.pixelPairs(
+      Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
   /** Audio twin of [[dedupImageNearDup]] — little-endian RIFF headers, the
     * %13 garbage rows, same planted twins; one fingerprint family serves
     * every modality because the hash math is byte-source-agnostic.
@@ -4549,7 +4578,8 @@ object TrainingQueries {
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
-    multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup, dedupAudioNearDup,
+    multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
+    dedupImagePixelNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup)

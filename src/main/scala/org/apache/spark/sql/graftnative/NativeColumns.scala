@@ -119,6 +119,17 @@ object NativeColumns {
   def blockHash64(payload: Column): Column =
     Column(ExpressionColumnNode(BlockHash64(ExpressionUtils.expression(payload))))
 
+  /** PIXEL-LEVEL 64-bit dHash for PNG payloads: deterministic zlib
+    * inflate + unfilter + integer-luma 9×8 box downsample + gradient
+    * bits; NULL for anything not a cleanly-decodable 8-bit PNG (see
+    * [[graft.functions.expressions.PngPixelHash]]). Re-encoded images —
+    * same pixels, different byte stream — hash identically, the case the
+    * byte-level [[blockHash64]] provably misses.
+    */
+  def pngPixelHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.PngPixelHash(
+      ExpressionUtils.expression(payload))))
+
   /** 2-D Hilbert-curve index of two long columns on a `2^bits` grid — the
     * tighter-locality alternative to the Morton interleave for at-rest
     * layout (see [[graft.functions.expressions.HilbertIndex2D]]).

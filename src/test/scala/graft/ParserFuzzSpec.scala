@@ -111,6 +111,68 @@ class ParserFuzzSpec extends AnyFunSuite {
       .map(_.map(_.toByte).toArray)),
     Gen.const(Array.emptyByteArray))
 
+  // -- independent FULL-PNG builder (real CRC32, real Deflater) ----------
+  // exercises PngPixelHash's inflate/unfilter path against streams this
+  // repo's Column-based fixture generator cannot produce
+
+  private def crc32(bs: Array[Byte]*): Array[Byte] = {
+    val c = new java.util.zip.CRC32()
+    bs.foreach(c.update)
+    be32(c.getValue)
+  }
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length.toLong) ++ ascii(typ) ++ data ++ crc32(ascii(typ), data)
+
+  /** Real zlib-deflated PNG: `filters(y)` picks each scanline's filter and
+    * the filtered bytes are computed by the spec's forward transform —
+    * decode must invert every one of them back to the same pixels.
+    */
+  private def fullPng(w: Int, h: Int, colorType: Int, px: (Int, Int) => Array[Int],
+      filters: Int => Int = _ => 0): Array[Byte] = {
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+    val stride = w * ch
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = filters(y)
+      raw(y * (1 + stride)) = f.toByte
+      val cur = new Array[Int](stride)
+      for (x <- 0 until w; c <- 0 until ch) cur(x * ch + c) = px(x, y)(c)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (x <- 0 until stride) {
+        // the forward filter needs the RECONSTRUCTED neighbors, which for
+        // this builder are just the original pixels (cur/up of raw pixels)
+        def upOrig(xx: Int) = if (y > 0) {
+          val pxy = px(xx / ch, y - 1); pxy(xx % ch)
+        } else 0
+        def leftOrig(xx: Int) = if (xx >= ch) { val p0 = px((xx - ch) / ch, y); p0(xx % ch) } else 0
+        def ulOrig(xx: Int) = if (y > 0 && xx >= ch) { val p0 = px((xx - ch) / ch, y - 1); p0(xx % ch) } else 0
+        val v = f match {
+          case 0 => cur(x)
+          case 1 => cur(x) - leftOrig(x)
+          case 2 => cur(x) - upOrig(x)
+          case 3 => cur(x) - ((leftOrig(x) + upOrig(x)) >> 1)
+          case _ => cur(x) - paeth(leftOrig(x), upOrig(x), ulOrig(x))
+        }
+        raw(y * (1 + stride) + 1 + x) = v.toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ bytes(8, colorType, 0, 0, 0)
+    bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** One random corruption: truncate, bit-flip a byte, overwrite a 4-byte
     * window (hits length/size fields), splice two payloads, or append noise.
     */
@@ -171,8 +233,114 @@ class ParserFuzzSpec extends AnyFunSuite {
         assert(mp4.getLong(1) > 0L, "accepted timescale is positive")
         assert(mp4.getLong(2) >= 0L && mp4.getLong(3) >= 0L, "durations non-negative")
       }
+      // pixel decode: null or a long, never a throw — the corpus-ingest
+      // contract extends to the inflate/unfilter path
+      graft.functions.expressions.PngPixelHash.hash(payload)
       i += 1
     }
+  }
+
+  test("PngPixelHash: fuzzing DECODABLE PNGs (truncations, bit flips, splices) never throws") {
+    // the generic fuzz corpus rarely reaches the inflate path; this one
+    // starts from real deflate streams so mutations land inside IDAT —
+    // torn downloads, flipped zlib headers, sliced scanlines
+    val rnd = new scala.util.Random(20260815L)
+    def randPx(seed: Int)(x: Int, y: Int): Array[Int] = {
+      val v = (x * 31 + y * 17 + seed * 7919) & 0xff
+      Array(v, (v * 3) & 0xff, (v * 5) & 0xff, 255)
+    }
+    val bases = Seq(
+      fullPng(16, 16, 0, randPx(1)),
+      fullPng(32, 9, 2, randPx(2)),
+      fullPng(9, 8, 6, randPx(3)),
+      fullPng(20, 20, 4, randPx(4), filters = y => y % 5))
+    var i = 0
+    while (i < 2000) {
+      val b = bases(rnd.nextInt(bases.length))
+      val m = mutate(b, bases(rnd.nextInt(bases.length)), rnd.nextInt(5),
+        rnd.nextInt(Int.MaxValue), rnd.nextInt(256).toByte)
+      graft.functions.expressions.PngPixelHash.hash(m) // null or long, never throws
+      // plain truncation must always be rejected cleanly
+      if (b.length > 10) {
+        val cut = b.take(10 + rnd.nextInt(b.length - 10))
+        // cuts inside the trailer (IDAT CRC 4 + IEND 12 = last 16 bytes)
+        // leave every pixel byte intact and legitimately still decode
+        if (cut.length < b.length - 16)
+          assert(graft.functions.expressions.PngPixelHash.hash(cut) == null,
+            "truncated-IDAT PNGs must hash null")
+      }
+      i += 1
+    }
+  }
+
+  test("PngPixelHash: re-encode invariance — ImageIO, all five filters, and stored-block encodings of the same pixels hash identically") {
+    def px(x: Int, y: Int): Array[Int] = {
+      val v = ((x * 131 + y * 31 + (x * y) % 7) * 37) & 0xff
+      Array(v, v, v, 255)
+    }
+    val w = 24; val h = 16
+    // (a) this repo's builder, filter 0, real deflate
+    val plain = graft.functions.expressions.PngPixelHash.hash(fullPng(w, h, 0, px))
+    assert(plain != null, "baseline gray PNG must decode")
+    // (b) every filter type on every row — the unfilter inverse is exact
+    for (f <- 0 to 4) {
+      val hf = graft.functions.expressions.PngPixelHash.hash(
+        fullPng(w, h, 0, px, filters = _ => f))
+      assert(hf == plain, s"filter $f re-encode must hash identically")
+    }
+    val mixed = graft.functions.expressions.PngPixelHash.hash(
+      fullPng(w, h, 0, px, filters = y => (y * 3 + 1) % 5))
+    assert(mixed == plain, "mixed-filter re-encode must hash identically")
+    // (c) RGB and RGBA encodings of the same gray pixels (luma(g,g,g)=g;
+    // alpha ignored)
+    assert(graft.functions.expressions.PngPixelHash.hash(fullPng(w, h, 2, px)) == plain)
+    def pxA(x: Int, y: Int): Array[Int] = { val p = px(x, y); Array(p(0), p(1), p(2), (x * 13 + y) & 0xff) }
+    assert(graft.functions.expressions.PngPixelHash.hash(fullPng(w, h, 6, pxA)) == plain,
+      "alpha must not affect the pixel hash")
+    assert(graft.functions.expressions.PngPixelHash.hash(fullPng(w, h, 4, pxA)) == plain,
+      "gray+alpha must match gray")
+    // (c2) palette encoding with an identity-gray PLTE — same pixels again
+    val rawPal = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h) {
+      rawPal(y * (1 + w)) = 0
+      for (x <- 0 until w) rawPal(y * (1 + w) + 1 + x) = px(x, y)(0).toByte
+    }
+    val dfl = new java.util.zip.Deflater()
+    dfl.setInput(rawPal); dfl.finish()
+    val palOut = new java.io.ByteArrayOutputStream()
+    val palBuf = new Array[Byte](4096)
+    while (!dfl.finished()) palOut.write(palBuf, 0, dfl.deflate(palBuf))
+    dfl.end()
+    val palPng = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++ bytes(8, 3, 0, 0, 0)) ++
+      chunk("PLTE", Array.tabulate(768)(i => (i / 3).toByte)) ++
+      chunk("IDAT", palOut.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    assert(graft.functions.expressions.PngPixelHash.hash(palPng) == plain,
+      "identity-palette encoding must match gray")
+    // (d) the INDEPENDENT encoder: javax.imageio's PNG writer (its own
+    // filter heuristics, its own deflate) — the true re-encode case
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(x, y)(0)
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "ImageIO must emit PNG")
+    val iioHash = graft.functions.expressions.PngPixelHash.hash(bos.toByteArray)
+    assert(iioHash == plain, "an ImageIO re-encode of the same pixels must hash identically")
+    // (e) different pixels hash differently (sanity that the hash sees content)
+    val other = graft.functions.expressions.PngPixelHash.hash(
+      fullPng(w, h, 0, (x, y) => Array((255 - ((x * 131 + y * 31) & 0xff)) & 0xff, 0, 0, 255)))
+    assert(other != plain)
+    // (f) rejected shapes: interlaced, 16-bit, tiny, oversized header
+    val inter = fullPng(w, h, 0, px)
+    inter(28) = 1 // IHDR interlace byte
+    assert(graft.functions.expressions.PngPixelHash.hash(inter) == null)
+    val deep = fullPng(w, h, 0, px)
+    deep(24) = 16 // IHDR bit depth
+    assert(graft.functions.expressions.PngPixelHash.hash(deep) == null)
+    assert(graft.functions.expressions.PngPixelHash.hash(fullPng(8, 7, 0, px)) == null,
+      "below the 9x8 grid floor the byte fingerprint family applies")
   }
 
   test("well-formed payloads still parse after the fuzz generators are composed (sanity)") {

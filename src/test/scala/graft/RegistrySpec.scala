@@ -83,7 +83,10 @@ class RegistrySpec extends AnyFunSuite {
       // r11: the bloom join's filter build is a tiny aggregate action —
       // the lazy twin is the PLAIN join (bloom-free), value-identical by
       // the no-false-negatives argument
-      "join_bloom_filtered")
+      "join_bloom_filtered",
+      // r12: the pixel-level near-dup routes hammingPairs64's signature
+      // boundary like the byte-level family
+      "dedup_image_pixel_neardup")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
