@@ -2640,6 +2640,175 @@ object TrainingQueries {
         FROM docw JOIN wstat s USING (w) GROUP BY doc_id)"""
   }
 
+  /** The DuckDB mirror of [[graft.functions.Unigram.trainModel]] +
+    * [[graft.functions.expressions.UnigramTokenize]]: BOTH training
+    * rounds re-derived from scratch — round-0 counts/costs, the Viterbi
+    * segmentation as a WINDOW-CARRY recursive CTE (the recursion walks
+    * pos from |w|+1 down to 1 carrying the next `maxLen` DP costs and
+    * emitted-id lists as columns, so min-cost DP needs only the previous
+    * iteration's row — recursive CTEs cannot see their full
+    * accumulation), the hard-EM recount/prune/smooth, round-1 costs, and
+    * the final Viterbi apply. Tie rule mirrored exactly: `list_sort` over
+    * `{'c': cost, 'ml': -len, 's': ids}` structs — min cost first, then
+    * the LONGER token. Emits `uvoc0/uvoc1` (tok, id, cost), `uwstat`
+    * (w, n_tok, id_sum), `udstat` (doc_id, n_tokens, id_checksum).
+    * Callers must open with WITH RECURSIVE. CTE names are u-prefixed so
+    * the chain composes with [[bpeCtes]] in one statement.
+    */
+  private def unigramCtes(
+      maxLen: Int = 4,
+      cands: Int = 400,
+      bdocSql: String = s"SELECT doc_id, lang, $bpeSaltSql AS text FROM documents"): String = {
+    val subCtes = (1 to maxLen).map { l =>
+      s"""usub$l AS (SELECT wc, substr(w, i, $l) AS tok FROM
+         (SELECT w, wc, unnest(range(1, length(w) - ${l - 2})) AS i FROM uwcnt))"""
+    }.mkString(",\n      ")
+    val subUnion = (1 to maxLen).map(l => s"SELECT * FROM usub$l").mkString(" UNION ALL ")
+    def viterbi(name: String, voc: String): String = {
+      val multiCases = (maxLen to 2 by -1).map { l =>
+        s"""CASE WHEN length(substr(t.w, CAST(t.pos - 1 AS INTEGER), $l)) = $l AND v$l.id IS NOT NULL
+           THEN {'c': v$l.cost + t.d$l, 'ml': ${-l}, 's': list_prepend(v$l.id, t.s$l)} END"""
+      }.mkString(",\n            ")
+      val joins = (maxLen to 1 by -1).map { l =>
+        s"LEFT JOIN $voc v$l ON length(v$l.tok) = $l AND v$l.tok = substr(t.w, CAST(t.pos - 1 AS INTEGER), $l)"
+      }.mkString("\n          ")
+      val dInit = (2 to maxLen).map(k => s"CAST(NULL AS BIGINT) AS d$k").mkString(", ")
+      val sInit = (2 to maxLen).map(k => s"CAST(NULL AS INTEGER[]) AS s$k").mkString(", ")
+      val dShift = (1 until maxLen).map(k => s"d$k").mkString(", ")
+      val sShift = (1 until maxLen).map(k => s"s$k").mkString(", ")
+      val passthru = ((1 to maxLen).map(k => s"t.d$k AS d$k") ++
+        (1 to maxLen).map(k => s"t.s$k AS s$k")).mkString(", ")
+      s"""$name AS (
+        SELECT w, CAST(length(w) + 1 AS BIGINT) AS pos,
+          CAST(0 AS BIGINT) AS d1, $dInit,
+          CAST([] AS INTEGER[]) AS s1, $sInit
+        FROM uwcnt
+        UNION ALL
+        SELECT w, pos - 1, b['c'], $dShift, b['s'], $sShift
+        FROM (
+          SELECT t.w AS w, t.pos AS pos, $passthru,
+            list_sort(list_filter([
+            $multiCases,
+            {'c': COALESCE(v1.cost, 1000000) + t.d1, 'ml': -1,
+             's': list_prepend(COALESCE(v1.id, -1), t.s1)}
+            ], x -> x IS NOT NULL))[1] AS b
+          FROM $name t
+          $joins
+          WHERE t.pos > 1) q)"""
+    }
+    s"""ubdoc AS MATERIALIZED ($bdocSql),
+      uwocc AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM ubdoc)),
+      uwcnt AS MATERIALIZED (SELECT w, COUNT(*) AS wc FROM uwocc GROUP BY w),
+      $subCtes,
+      ucnt0 AS (SELECT tok, CAST(SUM(wc) AS BIGINT) AS cnt FROM ($subUnion) GROUP BY tok),
+      usngl0 AS (SELECT tok, cnt FROM ucnt0 WHERE length(tok) = 1),
+      umult0 AS (SELECT tok, cnt FROM ucnt0 WHERE length(tok) >= 2
+        ORDER BY cnt DESC, tok ASC LIMIT $cands),
+      ucand0 AS (SELECT * FROM usngl0 UNION ALL SELECT * FROM umult0),
+      utot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM ucand0),
+      uvoc0 AS MATERIALIZED (SELECT tok,
+          CAST(row_number() OVER (ORDER BY (length(tok) >= 2), tok) - 1 AS INTEGER) AS id,
+          CAST(floor(-log2(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000.0) AS BIGINT) AS cost
+        FROM ucand0, utot0),
+      ${viterbi("utk1", "uvoc0")},
+      useg1 AS (SELECT t.w AS w, unnest(t.s1) AS id FROM utk1 t WHERE t.pos = 1),
+      ucnt1 AS (SELECT s.id, CAST(SUM(c.wc) AS BIGINT) AS cnt1
+        FROM useg1 s JOIN uwcnt c USING (w) GROUP BY s.id),
+      ukept AS (SELECT v.tok, COALESCE(c.cnt1, 0) + 1 AS cntp, (length(v.tok) >= 2) AS ismulti
+        FROM uvoc0 v LEFT JOIN ucnt1 c ON c.id = v.id
+        WHERE length(v.tok) = 1 OR COALESCE(c.cnt1, 0) > 0),
+      utot1 AS (SELECT CAST(SUM(cntp) AS BIGINT) AS t FROM ukept),
+      uvoc1 AS MATERIALIZED (SELECT tok,
+          CAST(row_number() OVER (ORDER BY ismulti, tok) - 1 AS INTEGER) AS id,
+          CAST(floor(-log2(CAST(cntp AS DOUBLE) / CAST(t AS DOUBLE)) * 1000.0) AS BIGINT) AS cost
+        FROM ukept, utot1),
+      ${viterbi("utk2", "uvoc1")},
+      uwstat AS MATERIALIZED (SELECT w, CAST(len(s1) AS BIGINT) AS n_tok,
+        CAST(COALESCE(list_sum(s1), 0) AS BIGINT) AS id_sum FROM utk2 WHERE pos = 1),
+      udocw AS (SELECT doc_id, unnest($WS) AS w FROM (SELECT doc_id, text FROM ubdoc)),
+      udstat AS (SELECT doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(s.id_sum) AS BIGINT) AS id_checksum
+        FROM udocw JOIN uwstat s USING (w) GROUP BY doc_id)"""
+  }
+
+  /** Per-doc UNIGRAM-LM tokenizer counts: hard-EM training (two rounds:
+    * count-derived costs, Viterbi recount/prune/smooth, final costs) on
+    * the salted corpus, then one Viterbi projection tokenizes every doc;
+    * DuckDB replays BOTH rounds via the window-carry recursive CTE and
+    * must land on identical counts AND id checksums — the checksum pins
+    * the exact segmentation, so a one-token difference in a single
+    * word's min-cost path breaks the row.
+    */
+  private val unigramTokenizeQ = Q(
+    "text_unigram_tokenize",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val model = graft.functions.Unigram.trainModel(docs, "text")
+      docs
+        .withColumn("__st", graft.functions.Unigram.tokenize(col("text"), model))
+        .select(col("doc_id"),
+          coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__st.id_checksum"), lit(0L)).as("id_checksum"))
+    },
+    Some(s"""WITH RECURSIVE ${unigramCtes()}
+      SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
+        COALESCE(ds.id_checksum, 0) AS id_checksum
+      FROM documents d LEFT JOIN udstat ds ON d.doc_id = ds.doc_id"""))
+
+  /** The tokenizer-grading comparison the fertility report exists for:
+    * BOTH trainable families — greedy BPE and Viterbi unigram-LM — graded
+    * side by side on the identical salted corpus, one row per
+    * (lang, tokenizer). DuckDB re-trains and re-applies BOTH tokenizers
+    * from scratch in one statement (the [[bpeCtes]] chain + the
+    * [[unigramCtes]] chain composed) — integer token totals, mirrored
+    * double ratios.
+    */
+  private val tokenizerFertilityCompareQ = Q(
+    "eval_tokenizer_fertility",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val bvocab = graft.functions.Bpe.trainVocab(docs, "text")
+      val umodel = graft.functions.Unigram.trainModel(docs, "text")
+      def report(st: org.apache.spark.sql.Column, tag: String) = docs
+        .withColumn("__st", st)
+        .select(col("lang"),
+          coalesce(col("__st.n_tokens"), lit(0L)).as("nt"),
+          Text.tokenCount(col("text")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(sum("nt").as("n_tokens"), sum("nw").as("n_words"), sum("nc").as("n_chars"))
+        .withColumn("tokenizer", lit(tag))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      report(graft.functions.Bpe.tokenize(col("text"), bvocab), "bpe")
+        .unionByName(report(graft.functions.Unigram.tokenize(col("text"), umodel), "unigram"))
+    },
+    Some(s"""WITH RECURSIVE ${bpeCtes()},
+      ${unigramCtes()},
+      bf AS (SELECT b.lang, COALESCE(ds.n_tokens, 0) AS nt,
+          len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
+            x -> length(x) > 0)) AS nw,
+          length(b.text) AS nc
+        FROM bdoc b LEFT JOIN dstat ds ON b.doc_id = ds.doc_id),
+      uf AS (SELECT b.lang, COALESCE(ds.n_tokens, 0) AS nt,
+          len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
+            x -> length(x) > 0)) AS nw,
+          length(b.text) AS nc
+        FROM ubdoc b LEFT JOIN udstat ds ON b.doc_id = ds.doc_id)
+      SELECT lang, 'bpe' AS tokenizer, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE AS fertility,
+        CAST(SUM(nc) AS BIGINT)::DOUBLE / CAST(SUM(nt) AS BIGINT)::DOUBLE AS chars_per_token
+      FROM bf GROUP BY 1
+      UNION ALL
+      SELECT lang, 'unigram', CAST(SUM(nt) AS BIGINT),
+        CAST(SUM(nw) AS BIGINT), CAST(SUM(nc) AS BIGINT),
+        CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE,
+        CAST(SUM(nc) AS BIGINT)::DOUBLE / CAST(SUM(nt) AS BIGINT)::DOUBLE
+      FROM uf GROUP BY 1"""))
+
   /** Per-doc REAL tokenizer counts: train the vocab on the salted corpus
     * (two tiny aggregations + a <= 1.1k-row collect — the model), then one
     * shuffle-free projection tokenizes every doc; DuckDB re-trains and
@@ -4575,7 +4744,8 @@ object TrainingQueries {
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, weightedStratQ, mixResample, mixTemperature,
     chunkTokens, tokenPack, dsirQ,
-    bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ, shardShuffle,
+    bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ,
+    unigramTokenizeQ, tokenizerFertilityCompareQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,

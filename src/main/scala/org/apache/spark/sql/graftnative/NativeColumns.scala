@@ -83,6 +83,16 @@ object NativeColumns {
       graft.functions.expressions.BpeTokenize(
         ExpressionUtils.expression(words), vocab, maxLen)))
 
+  /** Unigram-LM (SentencePiece-family) tokenizer apply: Viterbi
+    * minimum-cost segmentation under integer millibit costs, ties to the
+    * longer token (see [[graft.functions.expressions.UnigramTokenize]]) —
+    * the cost-model sibling of [[bpeTokenize]]'s greedy longest-match.
+    */
+  def unigramTokenize(words: Column, model: Seq[(String, Int, Long)], maxLen: Int): Column =
+    Column(ExpressionColumnNode(
+      graft.functions.expressions.UnigramTokenize(
+        ExpressionUtils.expression(words), model, maxLen)))
+
   /** Per-vector symmetric int8 quantization (max-abs scaling, round half
     * toward +inf) as one codegen'd two-pass loop (see [[QuantizeInt8]]).
     */

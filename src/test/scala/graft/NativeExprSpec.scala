@@ -595,4 +595,39 @@ class NativeExprSpec extends SparkSpec {
       .select(col("st.n_tokens"), col("st.id_checksum")).as[(Long, Long)].head()
     assert(erow == ((0L, 0L)))
   }
+  test("unigramTokenize: Viterbi min-cost beats greedy; tie goes to the longer token; unknowns; null totality") {
+    import org.apache.spark.sql.graftnative.NativeColumns
+    def ids(text: String, model: Seq[(String, Int, Long)]): Seq[Int] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(NativeColumns.unigramTokenize(
+          graft.functions.Text.words(col("text")), model, 4).as("st"))
+        .select(col("st.ids")).as[Seq[Int]].head()
+    // min-cost composition: "ab" as one token when cheaper...
+    val cheapAb = Seq(("a", 0, 1000L), ("b", 1, 1000L), ("ab", 2, 1500L))
+    assert(ids("ab", cheapAb) == Seq(2))
+    // ...as two singles when the pair is dearer (greedy longest-match
+    // would STILL take "ab" here -- the case that separates the families)
+    val dearAb = Seq(("a", 0, 1000L), ("b", 1, 1000L), ("ab", 2, 2500L))
+    assert(ids("ab", dearAb) == Seq(0, 1))
+    // exact tie on total cost -> the longer token wins
+    val tieAb = Seq(("a", 0, 1000L), ("b", 1, 1000L), ("ab", 2, 2000L))
+    assert(ids("ab", tieAb) == Seq(2))
+    // global optimum over overlapping candidates: "abc" with ab+c vs a+bc
+    val abc = Seq(("a", 0, 900L), ("b", 1, 1000L), ("c", 2, 1000L),
+      ("ab", 3, 1500L), ("bc", 4, 1300L))
+    assert(ids("abc", abc) == Seq(0, 4)) // a+bc = 2200 < ab+c = 2500
+    // unknown char: id -1 at UnkCost, segmentation still total
+    assert(ids("azb", cheapAb) == Seq(0, -1, 1))
+    // multi-word + stats
+    val st = Seq(Tuple1("ab a zz")).toDF("text")
+      .select(NativeColumns.unigramTokenize(
+        graft.functions.Text.words(col("text")), cheapAb, 4).as("st"))
+      .select(col("st.n_tokens"), col("st.id_checksum")).as[(Long, Long)].head()
+    assert(st == ((4L, 0L))) // [2], [0], [-1,-1] -> 4 tokens, 2+0-1-1 = 0
+    // null text -> null struct; empty -> zero stats
+    val nrow = Seq(Tuple1(null: String)).toDF("text")
+      .select(NativeColumns.unigramTokenize(
+        graft.functions.Text.words(col("text")), cheapAb, 4))
+    assert(nrow.head().isNullAt(0))
+  }
 }
