@@ -4331,6 +4331,64 @@ object TrainingQueries {
             AND x.doc_id < y.doc_id AND y.doc_id >= 100000),
         ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
 
+  /** THE COMPOSED ALWAYS-ON FLAGSHIP ([[graft.streaming.Streams
+    * .corpusServeAvailableNow]]): the documents table sliced into three
+    * id-ordered micro-batches and drained through ingest → gate/clean →
+    * exact dedup → LSH-vs-index → incremental CC → delete-aware serve
+    * apply, ALL in one foreachBatch program; the drained SERVE TABLE is
+    * then hash-checked against DuckDB's from-scratch batch recompute of
+    * the entire composition (gate, redact, exact-dedup argmin, md5
+    * minhash banding, exact-jaccard verify, recursive-CTE closure,
+    * cluster-min survivors with token counts) — the end-to-end
+    * exactly-once claim proven per-PIPELINE, not per-stage. Late-merge
+    * demotions (a bridge doc joining two served clusters — the loser
+    * must leave the table via a CDC delete) are part of the hash;
+    * StreamsSpec drives that path explicitly plus wiped-checkpoint
+    * replay.
+    */
+  private val pipelineStreamingServe = Q(
+    "pipeline_streaming_serve",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_serve_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      docs.filter(col("doc_id") <= b1).coalesce(1).write.parquet(s"$base/in")
+      docs.filter(col("doc_id") > b1 && col("doc_id") <= b2).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      docs.filter(col("doc_id") > b2).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.corpusServeAvailableNow(stream,
+        s"$base/state", s"$base/serve", s"$base/ckpt", "doc_id", "text")
+        .awaitTermination()
+      graft.operators.Cdc.readTable(s, s"$base/serve")
+    },
+    Some(s"""WITH RECURSIVE
+      gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),
+      e AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM (
+        SELECT doc_id, ${redactChainSql("text")} AS text FROM gq) c GROUP BY text),
+      ${md5MinhashCtes("e", 64, 16)},
+      cand AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+        FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+      vp AS (SELECT c.pa, c.pb
+        FROM cand c JOIN sh a ON a.doc_id = c.pa JOIN sh b ON b.doc_id = c.pb
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          CAST(GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) AS DOUBLE)
+            >= 0.5),
+      edges AS (SELECT pa AS eu, pb AS ev FROM vp UNION SELECT pb, pa FROM vp),
+      reach AS (SELECT eu AS node, ev AS r FROM edges
+        UNION SELECT rc.node, g.ev FROM reach rc JOIN edges g ON g.eu = rc.r),
+      cl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+      SELECT e.doc_id, CAST(len($WS) AS BIGINT) AS n_tokens
+      FROM e LEFT JOIN cl ON cl.node = e.doc_id
+      WHERE COALESCE(cl.cluster, e.doc_id) = e.doc_id"""))
+
   /** Weighted PageRank (3 iterations, damping 85/100) over the bipartite
     * user↔event-type interaction graph — the crawl-frontier / page-quality
     * centrality primitive ([[graft.operators.LinkRank]]). All arithmetic
@@ -4752,5 +4810,6 @@ object TrainingQueries {
     dedupImagePixelNearDup, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
-    streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup)
+    streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,
+    pipelineStreamingServe)
 }

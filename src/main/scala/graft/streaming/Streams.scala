@@ -470,6 +470,204 @@ object Streams {
       }
       .start()
 
+  /** THE COMPOSED ALWAYS-ON FLAGSHIP: ingest → clean/gate → exact dedup →
+    * LSH near-dup vs the persisted index → incremental connected
+    * components → delete-aware serve apply, ALL inside one foreachBatch
+    * program — the end-to-end streaming form of the batch
+    * [[graft.quality.CorpusClean.pipeline]] + serve-upsert composition,
+    * with every stage's replay-safety mechanism composed into one
+    * exactly-once story (the registry row hash-checks the drained serve
+    * table against the full batch recompute; StreamsSpec proves
+    * multi-slice == batch, wiped-checkpoint replay == no-op, and the
+    * late-merge DEMOTION path).
+    *
+    * Per micro-batch of raw `(idCol, textCol)` docs (batches must arrive
+    * in id order — the [[lshDedupAvailableNow]] convention; a crawl
+    * ingest's doc ids are assigned monotonically):
+    *
+    *  1. GATE + CLEAN: `Text.qualityScore >= 0.6`, whitespace-normalize,
+    *     PII-redact — [[graft.quality.CorpusClean.canonicalDocs]]'s
+    *     stages, as pure projections on the batch.
+    *  2. EXACT DEDUP: md5-digest argmin within the batch, then an
+    *     anti-join against the digests of every EARLIER survivor (read
+    *     from the docs state — only batch-digest rows cross the wire).
+    *  3. NEAR-DUP PAIRS: [[graft.operators.Dedup.minhashLshIncremental]]
+    *     against the persisted bucket/doc state + within-batch
+    *     [[graft.operators.Dedup.minhashLsh]] — the batch is sketched
+    *     once; the 100 TB history contributes index rows only.
+    *  4. INCREMENTAL CC: the new pairs extend the persisted assignment
+    *     via [[graft.operators.Dedup.connectedComponentsIncremental]]
+    *     (star-contraction state, == full recompute by the star
+    *     property).
+    *  5. SERVE APPLY: the batch's serve DELTA — `I(doc_id, n_tokens)`
+    *     for each new survivor that is its cluster's minimum, `D` for
+    *     each PREVIOUSLY-KEPT doc a new link just demoted (a later
+    *     bridge doc can merge two served clusters; the loser must leave
+    *     the serve table) — applied through the delete-aware
+    *     [[graft.operators.Cdc.applyChanges]] with `seq = batchId`:
+    *     replays are no-ops by the (seq, op-rank) argmax, D beats I on
+    *     the same batch, and a demotion always carries a later seq than
+    *     its insert. Read the live table with
+    *     [[graft.operators.Cdc.readTable]].
+    *
+    * REPLAY SAFETY (at-least-once foreachBatch): every state write is an
+    * OVERWRITE of a batch-id-keyed subdirectory (`buckets/b<id>`,
+    * `docs/b<id>`, `cc/b<id>`), every state read filters to STRICTLY
+    * EARLIER batch ids (a replayed batch never sees its own or future
+    * writes), the batch's outputs are a deterministic function of those
+    * reads, and the serve apply is idempotent — so a crash at ANY point
+    * between stage writes replays to the identical end state, and a
+    * wiped checkpoint over retained state re-drains byte-equivalently.
+    * The CC state is the full (node, cluster) assignment per batch —
+    * ≤ |paired docs| rows, Zipf-small next to the corpus.
+    */
+  def corpusServeAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      servePath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.Md5ShingleHash)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpusServeBatch(batch, batchId, statePath, servePath, idCol, textCol,
+          n, k, bands, threshold, shingleHash)
+      }
+      .start()
+
+  /** One [[corpusServeAvailableNow]] micro-batch, package-visible so
+    * StreamsSpec can drive replays and crash points directly.
+    */
+  private[graft] def corpusServeBatch(
+      batch0: DataFrame,
+      batchId: Long,
+      statePath: String,
+      servePath: String,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      shingleHash: graft.operators.Dedup.ShingleHash,
+      skipServeApply: Boolean = false): Unit = {
+    val spark = batch0.sparkSession
+    import graft.functions.Text
+    import graft.operators.{Cdc, Dedup}
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // state reads: strictly-earlier batch subdirs only (the
+    // lshDedupAvailableNow replay filter), with typed empties before the
+    // first batch ever lands
+    def state(sub: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val base = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val past =
+        if (!fs.exists(base)) Seq.empty
+        else fs.listStatus(base).toSeq.map(_.getPath).filter { p =>
+          val nm = p.getName
+          nm.length > 1 && nm.head == 'b' && nm.tail.forall(_.isDigit) &&
+            nm.tail.toLong < batchId
+        }
+      if (past.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("recursiveFileLookup", "true")
+        .parquet(past.map(_.toString): _*)
+    }
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField(textCol, StringType)))
+    val bucketsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("bucket", LongType)))
+    val ccSchema = StructType(Seq(
+      StructField("node", LongType), StructField("cluster", LongType)))
+    // 1-2. gate, clean, exact-dedup (within batch, then vs earlier
+    // survivors' digests); the result feeds five consumers — pin it once
+    val gated = batch0
+      .filter(Text.qualityScore(col(textCol)) >= 0.6)
+      .select(col(idCol).cast("long").as(idCol),
+        Text.redactPii(Text.normalizeWhitespace(col(textCol))).as(textCol))
+    val within = gated
+      .groupBy(md5(col(textCol)).as("__d"))
+      .agg(min_by(struct(col(idCol), col(textCol)), col(idCol)).as("__r"))
+      .select(col(s"__r.$idCol").as(idCol), col(s"__r.$textCol").as(textCol),
+        col("__d"))
+    val priorDocs = state("docs", docsSchema)
+    val survivors = within
+      .join(priorDocs.select(md5(col(textCol)).as("__d")), Seq("__d"), "left_anti")
+      .drop("__d")
+      .localCheckpoint()
+    // 3. near-dup pairs: vs the accumulated index, and within the batch
+    val priorBuckets = state("buckets", bucketsSchema)
+    val vsCorpus = Dedup.minhashLshIncremental(survivors, priorBuckets, priorDocs,
+      idCol, textCol, n, k, bands, threshold, shingleHash)
+      .select(col("new_id").as("pa"), col("corpus_id").as("pb"))
+    val newPairs = vsCorpus.unionByName(
+      Dedup.minhashLsh(survivors, idCol, textCol, n, k, bands, threshold, shingleHash)
+        .select(col("doc_id_1").as("pa"), col("doc_id_2").as("pb")))
+      .localCheckpoint()
+    // 4. incremental CC over (prior star ∪ new pairs); cc/b<id> holds the
+    // FULL post-batch assignment, so the latest strictly-earlier dir IS
+    // the prior state
+    val ccBase = new org.apache.hadoop.fs.Path(s"$statePath/cc")
+    val priorCcDirs =
+      if (!fs.exists(ccBase)) Seq.empty
+      else fs.listStatus(ccBase).toSeq.map(_.getPath.getName)
+        .filter(nm => nm.length > 1 && nm.head == 'b' && nm.tail.forall(_.isDigit))
+        .map(_.tail.toLong).filter(_ < batchId)
+    val priorCc =
+      if (priorCcDirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ccSchema)
+      else spark.read.parquet(s"$statePath/cc/b${priorCcDirs.max}")
+    val newAsg = (
+      if (newPairs.isEmpty) priorCc
+      else Dedup.connectedComponentsIncremental(priorCc, newPairs, "pa", "pb")
+      ).localCheckpoint()
+    // 5. the serve delta: inserts for kept new survivors, deletes for
+    // docs this batch's links DEMOTED (cluster-min changed under them)
+    val demotedNow = newAsg.filter(col("cluster") < col("node")).select("node")
+    val demotedBefore = priorCc.filter(col("cluster") < col("node")).select("node")
+    val newlyDemoted = demotedNow.join(demotedBefore, Seq("node"), "left_anti")
+    val inserts = survivors
+      .join(newAsg.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .filter(coalesce(col("cluster"), col(idCol)) === col(idCol))
+      .select(col(idCol).as("doc_id"), lit(batchId).as("seq"), lit("I").as("op"),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val deletes = newlyDemoted
+      .select(col("node").as("doc_id"), lit(batchId).as("seq"), lit("D").as("op"),
+        lit(0L).as("n_tokens"))
+    val changes = inserts.unionByName(deletes).localCheckpoint()
+    // state writes: idempotent per-batch OVERWRITEs; then the idempotent
+    // serve apply — a crash anywhere replays to the identical end state.
+    // Writes are SKIPPED when they would add nothing (an empty parquet
+    // dir carries no schema and would poison later multi-path reads);
+    // the replay filter is unaffected — an absent b<id> dir reads as no
+    // data, and the cc reader's latest-earlier fallback returns the same
+    // assignment a verbatim rewrite would have held.
+    if (!survivors.isEmpty) {
+      // a non-empty batch can still bucket empty (all docs under n words
+      // have no shingles) — guard each write independently
+      val newBuckets = Dedup.minhashBuckets(
+        survivors, idCol, textCol, n, k, bands, shingleHash).localCheckpoint()
+      if (!newBuckets.isEmpty)
+        newBuckets.write.mode("overwrite").parquet(s"$statePath/buckets/b$batchId")
+      survivors.write.mode("overwrite").parquet(s"$statePath/docs/b$batchId")
+    }
+    if (!newPairs.isEmpty)
+      newAsg.write.mode("overwrite").parquet(s"$statePath/cc/b$batchId")
+    if (!skipServeApply && !changes.isEmpty)
+      Cdc.applyChanges(spark, changes, servePath, "doc_id")
+  }
+
   /** Maintenance companion to [[lshDedupAvailableNow]]: fold the
     * accumulated per-batch state subdirectories (`b<j>` + `seed`) back
     * into a single `seed` once their count exceeds `maxSubdirs` — without

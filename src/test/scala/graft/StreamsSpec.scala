@@ -524,4 +524,140 @@ class StreamsSpec extends SparkSpec {
     assert(byUser(1L) == Seq(2L), "exact-gap events must merge into one session")
     assert(byUser(2L) == Seq(1L, 1L), "gap+1s must split into two sessions")
   }
+  // ---- the composed always-on flagship ---------------------------------
+  // fixture: S-P-Q overlap structure so the late bridge B pairs with BOTH
+  // A and C (J(A,B), J(C,B) >= 0.5) while A-C stay sub-threshold — the
+  // transitive merge that DEMOTES an already-served doc. All texts pass
+  // the 0.6 quality gate (length + stopword mass).
+  private val csS = "the alpha of beta and gamma to delta in epsilon the zeta"
+  private val csP = "omikron lambda the sigma upsilon"
+  private val csQ = "kappa the hydra mirror bastion"
+  private val csD = ("the quick brown fox jumps over a lazy dog and then runs to " +
+    "the river in search of shiny pebbles and quiet shade under an old willow")
+  private def csDocs: Seq[(Long, String)] = Seq(
+    1L -> s"$csS $csP",          // A: kept throughout (cluster min)
+    2L -> s"$csS $csQ",          // C: served after slice 0, demoted by B
+    3L -> csD,                   // independent: kept throughout
+    4L -> s"$csS $csP $csQ",     // B (slice 1): the bridge, arrives demoted
+    5L -> csD)                   // exact duplicate of 3: never served
+
+  private def csServe(path: String): Map[Long, Long] =
+    graft.operators.Cdc.readTable(spark, path)
+      .as[(Long, Long)].collect().toMap
+
+  test("corpusServe: fixture pair structure is the transitive bridge (precondition)") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLsh(
+      csDocs.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5,
+      shingleHash = Dedup.Md5ShingleHash)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+      s"bridge pairs missing: $pairs")
+    assert(!pairs.contains((1L, 2L)), s"A-C must stay sub-threshold: $pairs")
+  }
+
+  test("corpusServe: multi-slice drain == one-shot drain; a late bridge DEMOTES a served doc") {
+    val base = "target/tmp/streams_corpus_serve"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def drain(tag: String): Unit = {
+      val stream = spark.readStream
+        .schema(csDocs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/$tag/in")
+      Streams.corpusServeAvailableNow(stream, s"$base/$tag/state",
+        s"$base/$tag/serve", s"$base/$tag/ckpt", "doc_id", "text")
+        .awaitTermination()
+    }
+    // sliced run: {1,2,3} then {4,5}
+    csDocs.filter(_._1 <= 3).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$base/sliced/in")
+    drain("sliced")
+    val afterSlice0 = csServe(s"$base/sliced/serve")
+    assert(afterSlice0.keySet == Set(1L, 2L, 3L),
+      s"slice 0 must serve all three survivors, got $afterSlice0")
+    csDocs.filter(_._1 > 3).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$base/sliced/in")
+    drain("sliced")
+    val afterSlice1 = csServe(s"$base/sliced/serve")
+    assert(afterSlice1.keySet == Set(1L, 3L),
+      s"the bridge must demote doc 2 and arrive demoted itself, got $afterSlice1")
+    // one-shot run over the identical corpus
+    csDocs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/oneshot/in")
+    drain("oneshot")
+    assert(csServe(s"$base/oneshot/serve") == afterSlice1,
+      "multi-slice and one-shot drains must converge to the same serve table")
+    // and both equal the batch composition computed directly in Spark
+    import graft.functions.Text
+    import graft.operators.Dedup
+    val cleaned = csDocs.toDF("doc_id", "text")
+      .filter(Text.qualityScore(col("text")) >= 0.6)
+      .select(col("doc_id"), Text.redactPii(Text.normalizeWhitespace(col("text"))).as("text"))
+    val exact = cleaned.groupBy(md5(col("text")).as("__d"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
+    val bp = Dedup.minhashLsh(exact, "doc_id", "text", n = 3, k = 64, bands = 16,
+      threshold = 0.5, shingleHash = Dedup.Md5ShingleHash)
+    val cc = Dedup.connectedComponents(bp, "doc_id_1", "doc_id_2")
+      .withColumnRenamed("node", "doc_id")
+    val batchServe = exact.join(cc, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    assert(batchServe == afterSlice1, "streaming serve must equal the batch composition")
+  }
+
+  test("corpusServe: wiped-checkpoint replay over retained state and serve is a no-op") {
+    val base = "target/tmp/streams_corpus_replay"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    csDocs.filter(_._1 <= 3).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$base/in")
+    csDocs.filter(_._1 > 3).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(csDocs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      Streams.corpusServeAvailableNow(stream, s"$base/state",
+        s"$base/serve", s"$base/ckpt", "doc_id", "text").awaitTermination()
+    }
+    drain()
+    val before = csServe(s"$base/serve")
+    // RAW serve rows including tombstones: a replayed I or D that slipped
+    // through would change this set even if the live view looked fine
+    def raw(): Set[Seq[Any]] = spark.read.parquet(s"$base/serve")
+      .collect().map(_.toSeq).toSet
+    val rawBefore = raw()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    drain() // every batch replays against retained state
+    assert(csServe(s"$base/serve") == before, "replay must not change the live view")
+    assert(raw() == rawBefore, "replay must not add, drop, or mutate any serve row")
+  }
+
+  test("corpusServe: a crash between state writes and the serve apply replays to the identical end state") {
+    val base = "target/tmp/streams_corpus_crash"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val slice0 = csDocs.filter(_._1 <= 3).toDF("doc_id", "text")
+    // manufacture the crash point: batch 0 wrote ALL its state dirs but
+    // died before the serve apply and before the checkpoint advanced
+    Streams.corpusServeBatch(slice0, 0L, s"$base/state", s"$base/serve",
+      "doc_id", "text", 3, 64, 16, 0.5, graft.operators.Dedup.Md5ShingleHash,
+      skipServeApply = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/serve")),
+      "crash point: state written, serve absent")
+    // recovery: the stream starts from an empty checkpoint and replays
+    // batch 0 over the leftover state — per-batch overwrites make it
+    // idempotent, and the serve apply lands exactly once
+    slice0.coalesce(1).write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(slice0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    Streams.corpusServeAvailableNow(stream, s"$base/state",
+      s"$base/serve", s"$base/ckpt", "doc_id", "text").awaitTermination()
+    assert(csServe(s"$base/serve").keySet == Set(1L, 2L, 3L))
+  }
 }
