@@ -202,12 +202,19 @@ object Streams {
     * .swapCommit]] two-rename swap; read the state with
     * `spark.read.parquet` and estimate with
     * [[graft.functions.Sketches.hllEstimate]].
+    *
+    * `versioned = true` commits through the [[graft.operators.Snapshots]]
+    * pointer protocol instead: object-store-safe, and a monitoring reader
+    * can PIN a sketch version (e.g. "distinct keys as of yesterday's
+    * drain") while ingestion keeps committing — read with
+    * [[graft.operators.Snapshots.readCurrent]]/`readSnapshot`.
     */
   def hllIngestAvailableNow(
       stream: DataFrame,
       keyCol: String,
       statePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      versioned: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -216,13 +223,21 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val sk = graft.functions.Sketches.hllSketch(batch, col(keyCol))
-          val dst = new org.apache.hadoop.fs.Path(statePath)
-          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (!fs.exists(dst)) sk
-            else graft.functions.Sketches.hllMerge(
-              sk.unionByName(spark.read.parquet(statePath)))
-          graft.operators.Incremental.swapCommit(spark, merged, statePath)
+          if (versioned) {
+            graft.operators.Snapshots.commitWith(spark, statePath, {
+              case None => sk
+              case Some(cur) => graft.functions.Sketches.hllMerge(sk.unionByName(cur))
+            })
+            ()
+          } else {
+            val dst = new org.apache.hadoop.fs.Path(statePath)
+            val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val merged =
+              if (!fs.exists(dst)) sk
+              else graft.functions.Sketches.hllMerge(
+                sk.unionByName(spark.read.parquet(statePath)))
+            graft.operators.Incremental.swapCommit(spark, merged, statePath)
+          }
         }
       }
       .start()
@@ -240,7 +255,8 @@ object Streams {
       stream: DataFrame,
       keyCol: String,
       statePath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      versioned: Boolean = false): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -249,13 +265,21 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val sk = graft.functions.Sketches.kmvSketch(batch, col(keyCol))
-          val dst = new org.apache.hadoop.fs.Path(statePath)
-          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (!fs.exists(dst)) sk
-            else graft.functions.Sketches.kmvMerge(
-              sk.unionByName(spark.read.parquet(statePath)))
-          graft.operators.Incremental.swapCommit(spark, merged, statePath)
+          if (versioned) {
+            graft.operators.Snapshots.commitWith(spark, statePath, {
+              case None => sk
+              case Some(cur) => graft.functions.Sketches.kmvMerge(sk.unionByName(cur))
+            })
+            ()
+          } else {
+            val dst = new org.apache.hadoop.fs.Path(statePath)
+            val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val merged =
+              if (!fs.exists(dst)) sk
+              else graft.functions.Sketches.kmvMerge(
+                sk.unionByName(spark.read.parquet(statePath)))
+            graft.operators.Incremental.swapCommit(spark, merged, statePath)
+          }
         }
       }
       .start()

@@ -150,6 +150,32 @@ class SnapshotsSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b8"), (3L, "c9")))
   }
 
+  test("versioned sketch-state ingest: a pinned sketch version is isolated from later drains") {
+    val base = fresh("hllv")
+    val p = new org.apache.hadoop.fs.Path(base)
+    fs(base).delete(p, true)
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).write.parquet(s"$base/in")
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(1L).toDF("k").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.hllIngestAvailableNow(
+        stream, "k", s"$base/state", s"$base/ckpt", versioned = true)
+        .awaitTermination()
+    }
+    drain()
+    val v1 = Snapshots.currentVersion(spark, s"$base/state").get
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      graft.functions.Sketches.hllEstimate(df).select("est").as[Long].head()
+    val estV1 = est(Snapshots.readSnapshot(spark, s"$base/state", v1))
+    Seq(4L, 5L, 6L, 7L).toDF("k").coalesce(1).write.mode("append").parquet(s"$base/in")
+    drain()
+    assert(Snapshots.currentVersion(spark, s"$base/state").get > v1)
+    // the pinned version still answers with the FIRST drain's estimate
+    assert(est(Snapshots.readSnapshot(spark, s"$base/state", v1)) == estV1)
+    assert(est(Snapshots.readCurrent(spark, s"$base/state")) > estV1)
+  }
+
   test("versioned SCD2 table == swap-committed SCD2 table, with table-level time travel") {
     val path = fresh("scd2v")
     val b1 = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x")).toDF("k", "t", "id", "v")
