@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pointer-committed BUCKETED tables: [[Snapshots]]' atomic-pointer commit
+  * composed with [[Incremental.upsertByKeyBucketed]]'s touched-buckets-only
+  * layout — the shape a BIG keyed table needs on an object store at 100 TB:
+  *
+  *   path/_CURRENT                     first line = live table version,
+  *                                     rest = retained committed versions
+  *   path/manifest/v=N.txt             "bucket,bucketVersion" per line —
+  *                                     the table AS OF version N
+  *   path/b=K/v=M/part-*.parquet       immutable per-bucket snapshots
+  *
+  * A commit writes NEW `b=K/v=M+1` dirs for the TOUCHED buckets only,
+  * writes the next manifest (touched entries updated, untouched entries
+  * copied verbatim — their data dirs are REUSED, never rewritten or even
+  * read beyond the merge's own touched set), then atomically replaces
+  * `_CURRENT`. So:
+  *
+  *  - write amplification = touched buckets only (the bucketed layout's
+  *    point), yet the commit is ONE atomic small-object flip (the
+  *    versioned protocol's point) — no per-bucket rename windows at all,
+  *    unlike the rename-swap bucketed table whose crash story needs the
+  *    write-ahead manifest + roll-forward;
+  *  - a reader pinned at table version N resolves its manifest once and
+  *    reads immutable directories — snapshot isolation across ANY number
+  *    of concurrent commits within retention;
+  *  - time travel = [[readSnapshot]] at any retained version;
+  *  - a crash before the pointer flip leaves inert orphan bucket dirs and
+  *    possibly an orphan manifest — both invisible (the pointer never
+  *    referenced them) and GC'd by later commits.
+  *
+  * Retention: `keepVersions` table versions; bucket dirs and manifests
+  * referenced by NO retained version are deleted after the flip. This is
+  * the role an Iceberg/Delta metadata log plays, reduced to one pointer +
+  * one manifest per version. Single-writer contract, like the rest of the
+  * sink family.
+  */
+object BucketedSnapshots {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String, v: Long) = s"$path/manifest/v=$v.txt"
+
+  /** (bucket -> bucket version) of a committed table version. */
+  private[graft] def readManifest(
+      spark: SparkSession, path: String, v: Long): Map[Int, Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val in = fs.open(new Path(manifestPath(path, v)))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(b, bv) = line.split(",")
+      b.toInt -> bv.toLong
+    }.toMap
+  }
+
+  /** The pointer, validated against its own manifest (the bucketed layout
+    * has no `v=N` data dirs for [[Snapshots.pointerState]] to check).
+    */
+  private def pointerState(
+      spark: SparkSession, path: String): Option[(Long, Seq[Long])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    Snapshots.pointerStateRaw(spark, path)
+      .filter { case (v, _) => fs.exists(new Path(manifestPath(path, v))) }
+  }
+
+  /** The live table version, if any (same pointer format as [[Snapshots]]). */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    pointerState(spark, path).map(_._1)
+
+  /** Retained committed table versions, newest first. */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    pointerState(spark, path).map(_._2.sorted.reverse).getOrElse(Seq.empty)
+
+  /** Read the table exactly as committed at `version` (must be retained). */
+  def readSnapshot(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"bucketed snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    val m = readManifest(spark, path, version)
+    if (m.isEmpty) throw new java.io.FileNotFoundException(
+      s"bucketed snapshot v=$version at $path has an empty manifest")
+    spark.read.parquet(m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+  }
+
+  /** Read the live table. */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshot(spark, path, v)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
+  /** Last-writer-wins keyed upsert; returns the committed table version. */
+  def upsertByKey(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int,
+      keepVersions: Int = 2): Long =
+    mergeCommit(spark, updates, path, key, nBuckets, keepVersions,
+      (existing, batch) => {
+        val cols = batch.columns
+        val u = batch.select(cols.map(c => col(c).as(s"u_$c")).toSeq: _*)
+        val incomingWins = col(s"u_$key").isNotNull
+        existing.join(u, col(key) === col(s"u_$key"), "full_outer")
+          .select(cols.map(c =>
+            when(incomingWins, col(s"u_$c")).otherwise(col(c)).as(c)).toSeq: _*)
+      })
+
+  /** Delete-aware CDC apply through the same commit — [[Cdc.applyChanges]]'
+    * seq-aware merge rule on the touched buckets, one atomic flip; read the
+    * live view with [[readTable]], a pinned one with [[readTableAt]].
+    */
+  def applyChanges(
+      spark: SparkSession,
+      changes: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int,
+      seqCol: String = "seq",
+      opCol: String = "op",
+      keepVersions: Int = 2): Long =
+    mergeCommit(spark, Cdc.reduceBatch(changes, key, seqCol, opCol),
+      path, key, nBuckets, keepVersions,
+      (existing, batch) => Cdc.mergeSnapshots(existing, batch, key))
+
+  /** Tombstone-filtered live view of an [[applyChanges]] table. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    readCurrent(spark, path).filter(!col(Cdc.DeletedMeta))
+      .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+
+  /** Tombstone-filtered view as of table version `version`. */
+  def readTableAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    readSnapshot(spark, path, version).filter(!col(Cdc.DeletedMeta))
+      .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+
+  /** The shared commit: merge the batch into the TOUCHED buckets' current
+    * rows, write new per-bucket dirs + the next manifest, flip the
+    * pointer, GC. Commit sequence (a crash anywhere leaves a consistent
+    * table):
+    *   1. resolve pointer + manifest      — crash: nothing happened
+    *   2. write b=K/v=M+1 for touched K   — crash: inert orphans
+    *   3. write manifest v=N+1            — crash: inert orphan manifest
+    *   4. atomically replace _CURRENT     — the commit point
+    *   5. GC unreferenced dirs/manifests  — crash: extra dirs, next run GCs
+    */
+  private def mergeCommit(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      key: String,
+      nBuckets: Int,
+      keepVersions: Int,
+      merge: (DataFrame, DataFrame) => DataFrame): Long = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val fs = fsOf(spark, path)
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
+    val state = pointerState(spark, path)
+    val cur = state.map(_._1)
+    val curManifest = cur.map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
+    // touched buckets: driver-small by construction (<= nBuckets ints)
+    val touched = updates.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    val existingDirs = touched.flatMap(b =>
+      curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
+    val merged =
+      if (existingDirs.isEmpty) updates
+      else merge(spark.read.parquet(existingDirs.map(_._2): _*), updates)
+    // next bucket version per touched bucket: one past the max dir present
+    // (orphans from dead runs never get their slot reused)
+    def nextBucketVersion(b: Int): Long = {
+      val base = new Path(s"$path/b=$b")
+      val floor =
+        if (!fs.exists(base)) 0L
+        else fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+          .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
+          .foldLeft(0L)(math.max)
+      floor + 1
+    }
+    val newBucketVersions = touched.map(b => b -> nextBucketVersion(b)).toMap
+    // ONE staging write partitioned by bucket, then per-bucket renames
+    // into immutable v-dirs (renames of INVISIBLE dirs — the commit point
+    // is still only the pointer flip)
+    val staging = new Path(path + "__vstaging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.withColumn("b", bucketOf)
+      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    touched.foreach { b =>
+      val src = new Path(staging, s"b=$b")
+      val dstDir = new Path(s"$path/b=$b")
+      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
+      fs.mkdirs(dstDir)
+      if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"bucketed commit: failed to stage $dst")
+      } else {
+        // every key of this bucket deduped away in the merge: an EMPTY
+        // bucket version — represent as an empty dir with a marker-less
+        // parquet write of the merged schema
+        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      }
+    }
+    fs.delete(staging, true)
+    val next = (cur.toSeq ++ allManifestVersions(spark, path)).foldLeft(0L)(math.max) + 1
+    val nextManifest = curManifest ++ newBucketVersions
+    val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
+    val mf = new Path(manifestPath(path, next))
+    fs.mkdirs(new Path(s"$path/manifest"))
+    val out = fs.create(mfTmp, true)
+    try out.write(nextManifest.toSeq.sorted
+      .map { case (b, bv) => s"$b,$bv" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(mfTmp, mf))
+      throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
+    // THE commit point: atomic pointer replace with the retained history
+    val retained = (next +: state.map(_._2).getOrElse(Seq.empty)).distinct
+      .filter(v => v > next - keepVersions)
+    val root = new Path(path)
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val marker = new Path(root, "_CURRENT")
+    val pout = fs.create(tmp, true)
+    try pout.write(retained.sorted.reverse.mkString("\n").getBytes("UTF-8"))
+    finally pout.close()
+    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, marker, Options.Rename.OVERWRITE)
+    gc(spark, path, retained, next)
+    next
+  }
+
+  private def allManifestVersions(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/manifest")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".txt"))
+      .flatMap(n => n.stripPrefix("v=").stripSuffix(".txt").toLongOption)
+  }
+
+  /** Delete bucket dirs and manifests referenced by NO retained version;
+    * orphans (never-committed) age out once below the retention floor.
+    */
+  private def gc(spark: SparkSession, path: String,
+      retained: Seq[Long], next: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val keepManifests = retained.toSet
+    val live: Set[(Int, Long)] = retained
+      .filter(v => fs.exists(new Path(manifestPath(path, v))))
+      .flatMap(v => readManifest(spark, path, v).toSeq).toSet
+    allManifestVersions(spark, path)
+      .filter(v => !keepManifests.contains(v) && v <= next - retained.size)
+      .foreach(v => fs.delete(new Path(manifestPath(path, v)), false))
+    val root = new Path(path)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+      .foreach { bdir =>
+        val b = bdir.getPath.getName.stripPrefix("b=").toIntOption
+        b.foreach { bucket =>
+          val liveVs = live.collect { case (`bucket`, bv) => bv }
+          val floor = if (liveVs.isEmpty) Long.MaxValue else liveVs.min
+          fs.listStatus(bdir.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+            .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption
+              .map(bv => (st.getPath, bv)))
+            // unreferenced AND below every retained reference: referenced
+            // dirs stay, and orphans ABOVE the floor stay until the
+            // retention window passes them (a fallback reader may look)
+            .filter { case (_, bv) => !liveVs.contains(bv) && bv < floor }
+            .foreach { case (p, _) => fs.delete(p, true) }
+        }
+      }
+  }
+}

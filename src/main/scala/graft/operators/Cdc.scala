@@ -67,7 +67,7 @@ object Cdc {
     * precedence order is the struct comparison order and ties beyond it
     * cannot occur under the seq-totally-orders-each-key contract.
     */
-  private def reduceBatch(
+  private[graft] def reduceBatch(
       changes: DataFrame, key: String, seqCol: String, opCol: String): DataFrame = {
     val payload = changes.columns.toSeq.filter(c => c != key && c != seqCol && c != opCol)
     val fields = Seq(col(seqCol).as("s"), opRank(col(opCol)).as("r")) ++ payload.map(col)
@@ -88,7 +88,7 @@ object Cdc {
     * clobber newer state, and equal-seq ties (D > U > I) resolve the same
     * way no matter how batches slice the stream.
     */
-  private def mergeSnapshots(existing: DataFrame, batch: DataFrame, key: String): DataFrame = {
+  private[graft] def mergeSnapshots(existing: DataFrame, batch: DataFrame, key: String): DataFrame = {
     val cols = batch.columns.toSeq
     val u = batch.select(cols.map(c => col(c).as(s"u_$c")): _*)
     val incomingWins = col(s"u_$key").isNotNull && (col(key).isNull ||

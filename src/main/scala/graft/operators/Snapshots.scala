@@ -61,15 +61,25 @@ object Snapshots {
       spark: SparkSession, path: String): Option[(Long, Seq[Long])] = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
+    pointerStateRaw(spark, path)
+      .filter { case (v, _) => fs.exists(new Path(versionDir(path, v))) }
+  }
+
+  /** [[pointerState]] without the `v=N`-directory existence check — for
+    * layouts that validate the pointer against their own metadata (the
+    * bucketed table's manifest, [[BucketedSnapshots]]).
+    */
+  private[graft] def pointerStateRaw(
+      spark: SparkSession, path: String): Option[(Long, Seq[Long])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
     val marker = new Path(path, "_CURRENT")
     if (!fs.exists(marker)) return None
     val in = fs.open(marker)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val vs = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .flatMap(_.toLongOption).toSeq
-    vs.headOption
-      .filter(v => fs.exists(new Path(versionDir(path, v))))
-      .map(v => (v, vs.distinct))
+    vs.headOption.map(v => (v, vs.distinct))
   }
 
   /** The pointer-committed live version, if any. */

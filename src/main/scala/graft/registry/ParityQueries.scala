@@ -1383,6 +1383,45 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** The pointer-committed BUCKETED table ([[graft.operators
+    * .BucketedSnapshots]]): touched-buckets-only write amplification AND
+    * one-atomic-flip commits with snapshot isolation — the same two
+    * upserts, but the first commit's version is PINNED and re-read AFTER
+    * the second commits ('pinned' rows must equal the base-only state:
+    * the second commit reused the untouched bucket dirs and never
+    * mutated the pinned manifest's), unioned with the live view
+    * ('current' = the full merge). BucketedSnapshotsSpec counts the
+    * untouched dirs being literally REUSED across manifests.
+    */
+  private val upsertBucketedVersioned = Q(
+    "snk_upsert_bucketed_versioned",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/upsertbv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val v1 = graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, upd, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.readSnapshot(s, path, v1)
+        .withColumn("snap", lit("pinned"))
+        .unionByName(graft.operators.BucketedSnapshots.readCurrent(s, path)
+          .withColumn("snap", lit("current")))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT user_id, total, n, 'pinned' AS snap FROM base
+      UNION ALL
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n, 'current' AS snap
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -2271,5 +2310,6 @@ object ParityQueries {
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     pivotEvents, rollupWeekly, cubeWeekly, groupingSetsQ, approxQuantileBound,
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
-    sortPagination, upsertKeyed, upsertBucketed, upsertVersioned, ctasFullRefresh, upsertServe)
+    sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
+    ctasFullRefresh, upsertServe)
 }

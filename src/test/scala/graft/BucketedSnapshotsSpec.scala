@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.BucketedSnapshots
+import org.apache.spark.sql.functions._
+
+/** The pointer-committed bucketed table: touched-buckets-only writes with
+  * one-atomic-flip commits — untouched dirs REUSED across manifests,
+  * snapshot isolation for pinned readers, time travel, retention GC, and
+  * crash tests at the commit-sequence points.
+  */
+class BucketedSnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val path = s"target/tmp/bsnapspec_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
+  private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select("k", "v").as[(Long, Double)].collect().toMap
+
+  test("upsert: only touched buckets get new dirs; untouched dirs are REUSED, not rewritten") {
+    val path = fresh("touch")
+    val nBuckets = 16
+    val all = (1L to 2000L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val v1 = BucketedSnapshots.upsertByKey(spark, all, path, "k", nBuckets)
+    val m1 = BucketedSnapshots.readManifest(spark, path, v1)
+    assert(m1.size == nBuckets, "base load must populate every bucket")
+    // snapshot file listing per (bucket, bucketVersion) dir
+    def files(b: Int, bv: Long): Seq[(String, Long, Long)] =
+      fs(path).listStatus(new org.apache.hadoop.fs.Path(s"$path/b=$b/v=$bv")).toSeq
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    val before = m1.map { case (b, bv) => b -> files(b, bv) }
+    val v2 = BucketedSnapshots.upsertByKey(
+      spark, Seq((5L, 500.0), (6L, 600.0), (2001L, 1.5)).toDF("k", "v"),
+      path, "k", nBuckets, keepVersions = 2)
+    val m2 = BucketedSnapshots.readManifest(spark, path, v2)
+    val changed = m2.keySet.filter(b => m2(b) != m1.getOrElse(b, -1L))
+    assert(changed.size <= 3 && changed.nonEmpty,
+      s"a 3-key batch must re-version <= 3 of $nBuckets buckets, got $changed")
+    // untouched buckets: manifest entry AND the physical dir are identical
+    (m1.keySet -- changed).foreach { b =>
+      assert(m2(b) == m1(b), s"untouched bucket $b must keep its version")
+      assert(files(b, m1(b)) == before(b),
+        s"untouched bucket $b dir must be byte-identical (reused, not rewritten)")
+    }
+    val got = rows(BucketedSnapshots.readCurrent(spark, path))
+    assert(got.size == 2001 && got(5L) == 500.0 && got(2001L) == 1.5 && got(7L) == 7.0)
+    // the pinned base version is untouched by the second commit
+    assert(rows(BucketedSnapshots.readSnapshot(spark, path, v1)) == rows(all.toDF("k", "v")))
+  }
+
+  test("crash points: orphan bucket dirs and an orphan manifest are invisible; the flip is the commit") {
+    val path = fresh("crash")
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"), path, "k", 4)
+    val v1 = BucketedSnapshots.currentVersion(spark, path).get
+    // simulate a run that died AFTER writing bucket dirs and its manifest
+    // but BEFORE the pointer flip
+    Seq((9L, 9.0)).toDF("k", "v").write.parquet(s"$path/b=0/v=99")
+    val out = fs(path).create(new org.apache.hadoop.fs.Path(s"$path/manifest/v=98.txt"), true)
+    out.write("0,99".getBytes("UTF-8")); out.close()
+    assert(BucketedSnapshots.currentVersion(spark, path).contains(v1))
+    assert(!rows(BucketedSnapshots.readCurrent(spark, path)).contains(9L),
+      "orphan bucket data must stay invisible")
+    // the next commit skips past the orphan manifest version and commits
+    val v2 = BucketedSnapshots.upsertByKey(spark, Seq((2L, 2.0)).toDF("k", "v"), path, "k", 4)
+    assert(v2 > 98L, "orphan manifest slots are never reused")
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("retention: expired versions fail fast; GC drops dirs referenced by no retained manifest") {
+    val path = fresh("gc")
+    val v1 = BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 2.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 3.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    assert(BucketedSnapshots.versions(spark, path).length == 2)
+    val ex = intercept[java.io.FileNotFoundException] {
+      BucketedSnapshots.readSnapshot(spark, path, v1)
+    }
+    assert(ex.getMessage.contains("retained"))
+    // the expired manifest is gone and key 1's expired bucket version too
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/manifest/v=$v1.txt")))
+    val bucketOfK1 = BucketedSnapshots
+      .readManifest(spark, path, BucketedSnapshots.currentVersion(spark, path).get)
+      .keySet.head // only key 1 ever written: one bucket exists
+    val liveVs = BucketedSnapshots.versions(spark, path)
+      .map(v => BucketedSnapshots.readManifest(spark, path, v)(bucketOfK1)).toSet
+    val onDisk = fs(path).listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/b=$bucketOfK1")).toSeq
+      .map(_.getPath.getName.stripPrefix("v=").toLong).toSet
+    assert(onDisk == liveVs, s"on-disk bucket versions $onDisk must equal live refs $liveVs")
+  }
+
+  test("CDC apply: out-of-order convergence, sticky tombstones, pinned pre-delete view") {
+    val path = fresh("cdc")
+    def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, String)].collect().toSet
+    val v1 = BucketedSnapshots.applyChanges(spark,
+      chg((1L, 1L, "I", "a"), (2L, 8L, "U", "b8"), (3L, 9L, "I", "c9")), path, "k", 4)
+    BucketedSnapshots.applyChanges(spark,
+      chg((1L, 7L, "D", "x"), (2L, 2L, "I", "stale")), path, "k", 4)
+    assert(live(BucketedSnapshots.readTable(spark, path)) == Set((2L, "b8"), (3L, "c9")))
+    assert(live(BucketedSnapshots.readTableAt(spark, path, v1)) ==
+      Set((1L, "a"), (2L, "b8"), (3L, "c9")),
+      "the pinned pre-delete view must still show key 1")
+    // replay of the second batch is a no-op on the live view
+    BucketedSnapshots.applyChanges(spark,
+      chg((1L, 7L, "D", "x"), (2L, 2L, "I", "stale")), path, "k", 4)
+    assert(live(BucketedSnapshots.readTable(spark, path)) == Set((2L, "b8"), (3L, "c9")))
+  }
+}
