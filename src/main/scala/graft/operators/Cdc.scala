@@ -161,6 +161,56 @@ object Cdc {
     Incremental.readBucketed(spark, path).filter(!col(DeletedMeta))
       .drop(SeqMeta, DeletedMeta, RankMeta)
 
+  /** RIGHT-TO-BE-FORGOTTEN sweep (GDPR art. 17 / CCPA deletion): tombstone
+    * every given subject key in ONE delete batch at `seq` — callers pass a
+    * seq ABOVE every applied change so the erasure out-ranks any stale
+    * in-flight update (the sticky-tombstone property then keeps the
+    * subject dead until [[pruneTombstones]] reclaims the bytes once the
+    * source watermark passes the erasure). Works on the plain and the
+    * bucketed layout — on the bucketed one the sweep rewrites ONLY the
+    * buckets holding subject keys, the compliance-grade property at
+    * 100 TB (erasing 1k subjects must not cost a full-table rewrite).
+    *
+    * Returns the ERASURE AUDIT, computed from the table and never
+    * assumed: `(key, existed_before, exists_after)` — existed_before from
+    * a pre-apply live-view probe (materialized BEFORE the rewrite),
+    * exists_after from re-reading the committed table; an erasure that
+    * silently failed surfaces as `exists_after = true`, which the
+    * registry oracle (all-false column) would hash-break on.
+    */
+  def eraseKeys(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCol: String,
+      seq: Long,
+      bucketed: Boolean = false,
+      nBuckets: Int = 16): DataFrame = {
+    def liveView: DataFrame =
+      if (bucketed) readTableBucketed(spark, path) else readTable(spark, path)
+    val subjects = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val existedBefore = liveView.select(col(keyCol))
+      .join(subjects, Seq(keyCol), "left_semi").distinct().localCheckpoint()
+    val table = if (bucketed) Incremental.readBucketed(spark, path)
+      else spark.read.parquet(path)
+    val payload = table.columns.toSeq
+      .filterNot(c => c == keyCol || c == SeqMeta || c == DeletedMeta || c == RankMeta)
+    val changes = subjects
+      .select(Seq(col(keyCol), lit(seq).as("__seq"), lit("D").as("__op")) ++
+        payload.map(c => lit(null).cast(table.schema(c).dataType).as(c)): _*)
+    if (bucketed) applyChangesBucketed(spark, changes, path, keyCol, nBuckets,
+      seqCol = "__seq", opCol = "__op")
+    else applyChanges(spark, changes, path, keyCol, seqCol = "__seq", opCol = "__op")
+    val after = liveView.select(col(keyCol))
+      .join(subjects, Seq(keyCol), "left_semi").distinct()
+    subjects
+      .join(existedBefore.withColumn("__b", lit(true)), Seq(keyCol), "left")
+      .join(after.withColumn("__a", lit(true)), Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("__b"), lit(false)).as("existed_before"),
+        coalesce(col("__a"), lit(false)).as("exists_after"))
+  }
+
   /** [[applyChanges]] through the pointer-committed snapshot protocol
     * ([[Snapshots]]) — the object-store-safe, time-travel form: every
     * apply commits an immutable `v=N` snapshot plus an atomic pointer

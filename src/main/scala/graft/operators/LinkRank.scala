@@ -248,7 +248,7 @@ object LinkRank {
     * neighborhoods, not all-pairs shortest paths.
     */
   def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, earlyStop: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops $maxHops out of [1,16]")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val sym = edges.select(col("u"), col("v"))
@@ -256,13 +256,24 @@ object LinkRank {
       .repartition(col("u"))
       .persist()
     var dist = seeds.select(col("node")).distinct().withColumn("dist", lit(0L))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var converged = false
+    while (h <= maxHops && !converged) {
       val expanded = sym
         .join(dist.select(col("node").as("u"), col("dist")), "u")
         .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(expanded)
         .groupBy("node").agg(min("dist").as("dist"))
-      if (h % checkpointEvery == 0 || h == maxHops) dist = dist.localCheckpoint()
+      val boundary = h % checkpointEvery == 0 || h == maxHops
+      if (boundary) dist = dist.localCheckpoint()
+      // EXACT early stop ([[pageRank]]'s convergence-observable family):
+      // level-synchronous BFS assigns each node its FIRST-reach hop as
+      // its final distance, so an empty level-h frontier means every
+      // later round is a fixed point — checked only at checkpoint
+      // boundaries, where the frame is materialized anyway
+      if (boundary && earlyStop && h < maxHops)
+        converged = dist.filter(col("dist") === h).limit(1).isEmpty
+      h += 1
     }
     sym.unpersist()
     dist

@@ -1765,6 +1765,49 @@ object ParityQueries {
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
       FROM w WHERE rn = 1 AND op <> 'D'"""))
 
+  /** RIGHT-TO-BE-FORGOTTEN sweep over the bucketed CDC snapshot
+    * ([[graft.operators.Cdc.eraseKeys]]): the `snk_cdc_apply_bucketed`
+    * table is built, then every `user_id % 23 = 5` subject is tombstoned
+    * in one delete batch ABOVE the applied seq range, rewriting only the
+    * buckets holding subject keys. Output = the erasure AUDIT — computed
+    * from the table (existed_before from a pre-apply probe, exists_after
+    * by re-reading the committed table), so a silently-failed erasure
+    * hash-breaks against the oracle's all-false column.
+    */
+  private val cdcErasureSweep = Q(
+    "dq_erasure_sweep",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      val path = "/root/repo/target/tmp/cdce_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.Cdc.applyChangesBucketed(s, ch, path, "user_id", nBuckets = 16)
+      val maxSeq = ch.agg(max("seq")).head.getLong(0)
+      val subjects = evDf(s, d).select("user_id")
+        .where(pmod(col("user_id"), lit(23L)) === 5L).distinct()
+      graft.operators.Cdc.eraseKeys(s, path, subjects, "user_id",
+        seq = maxSeq + 1L, bucketed = true, nBuckets = 16)
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op
+        FROM ev),
+      w AS (SELECT user_id, op,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch),
+      live AS (SELECT user_id FROM w WHERE rn = 1 AND op <> 'D'),
+      subj AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 23 = 5)
+      SELECT s.user_id, (l.user_id IS NOT NULL) AS existed_before,
+        FALSE AS exists_after
+      FROM subj s LEFT JOIN live l ON l.user_id = s.user_id"""))
+
   /** CDC apply through the pointer-committed snapshot protocol
     * ([[graft.operators.Snapshots]]), PROVING snapshot isolation + time
     * travel: batch 1 commits version v1; batch 2 commits v2; the query
@@ -2295,7 +2338,7 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
-    cdcApply, cdcApplyBucketed, cdcApplyVersioned, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
+    cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,

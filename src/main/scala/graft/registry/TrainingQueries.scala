@@ -3644,6 +3644,23 @@ object TrainingQueries {
       boundary = graft.operators.Boundary.None)
       .withColumn("hamming", col("hamming").cast("long"))))
 
+  /** Pixel pairs → connected components → keep/drop for EVERY corpus row
+    * ([[Multimodal.pixelClusters]]): re-encode twins collapse onto their
+    * base id, undecodable rows (truncated IDAT, garbage) stay singletons
+    * — the dedup decision surface of the pixel family, oracle-derived
+    * directly from the planted structure.
+    */
+  private val dedupImagePixelClusters = Q(
+    "dedup_image_pixel_clusters",
+    (s, d) => Multimodal.pixelClusters(
+      Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.pixelClusters(
+      Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** Audio twin of [[dedupImageNearDup]] — little-endian RIFF headers, the
     * %13 garbage rows, same planted twins; one fingerprint family serves
     * every modality because the hash math is byte-source-agnostic.
@@ -4807,7 +4824,7 @@ object TrainingQueries {
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
-    dedupImagePixelNearDup, dedupAudioNearDup,
+    dedupImagePixelNearDup, dedupImagePixelClusters, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,

@@ -214,6 +214,47 @@ class CdcSpec extends SparkSpec {
     assert(stateB(base) == before)
   }
 
+  test("eraseKeys: subjects tombstoned above the seq range; audit computed from the table; stale updates stay dead") {
+    val path = fresh("erase")
+    Cdc.applyChanges(spark, ch(
+      (1L, 3L, "I", "a"), (2L, 5L, "I", "b"), (3L, 7L, "D", "x")), path, "k")
+    // subjects: 1 (live), 3 (already deleted), 9 (never seen)
+    val audit = Cdc.eraseKeys(spark, path,
+      Seq(1L, 3L, 9L).toDF("k"), "k", seq = 100L)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(audit(1L) == ((true, false)))
+    assert(audit(3L) == ((false, false)), "an already-dead subject audits as not-present")
+    assert(audit(9L) == ((false, false)))
+    assert(state(path) == Set((2L, "b")))
+    // the sticky-tombstone property holds for the erasure too
+    Cdc.applyChanges(spark, ch((1L, 50L, "U", "resurrect-attempt")), path, "k")
+    assert(state(path) == Set((2L, "b")), "a stale update must not resurrect an erased subject")
+  }
+
+  test("eraseKeys on the bucketed layout rewrites only subject buckets") {
+    val base = fresh("erase_b")
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = 16
+    Cdc.applyChangesBucketed(spark,
+      ch((1L to 2000L).map(i => (i, i, "I", s"v$i")): _*), base, "k", nBuckets)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      fsys.listStatus(root).filter(_.isDirectory).map { d0 =>
+        d0.getPath.getName -> fsys.listStatus(d0.getPath).toSeq
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+      }.toMap
+    val before = snapshot()
+    val audit = Cdc.eraseKeys(spark, base, Seq(5L, 6L).toDF("k"), "k",
+      seq = 3000L, bucketed = true, nBuckets = nBuckets)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(audit.forall(r => r._2 && !r._3))
+    val after = snapshot()
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size <= 2 && changed.nonEmpty,
+      s"erasing 2 subjects must rewrite <= 2 of $nBuckets buckets, rewrote $changed")
+    assert(stateB(base).size == 1998)
+  }
+
   test("scd2: consecutive identical values extend a version, changes open one") {
     val changes = Seq(
       (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), // run of a: one version

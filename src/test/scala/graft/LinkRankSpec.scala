@@ -130,6 +130,20 @@ class LinkRankSpec extends SparkSpec {
     assert(r1.agg(sum("flip_u")).head.getLong(0) > 0L)
   }
 
+  test("khopDistances early-stop at an empty frontier == full run") {
+    // component diameter 2 from the seed; a second component stays
+    // unreachable — earlyStop must cut after round 3 with identical output
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val full = canon(LinkRank.khopDistances(es, seeds, maxHops = 16, checkpointEvery = 1))
+    val stopped = canon(LinkRank.khopDistances(es, seeds, maxHops = 16,
+      checkpointEvery = 1, earlyStop = true))
+    assert(stopped == full)
+    assert(stopped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   private def lp(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
     LinkRank.labelPropagate(edges.toDF("u", "v", "w"), rounds)
       .select("node", "lbl").as[(Long, Long)].collect().toMap

@@ -84,9 +84,9 @@ class RegistrySpec extends AnyFunSuite {
       // the lazy twin is the PLAIN join (bloom-free), value-identical by
       // the no-false-negatives argument
       "join_bloom_filtered",
-      // r12: the pixel-level near-dup routes hammingPairs64's signature
-      // boundary like the byte-level family
-      "dedup_image_pixel_neardup")
+      // r12: the pixel-level near-dup family routes hammingPairs64's
+      // signature boundary like the byte-level family
+      "dedup_image_pixel_neardup", "dedup_image_pixel_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
