@@ -4383,7 +4383,7 @@ object TrainingQueries {
       graft.streaming.Streams.corpusServeAvailableNow(stream,
         s"$base/state", s"$base/serve", s"$base/ckpt", "doc_id", "text")
         .awaitTermination()
-      graft.operators.Cdc.readTable(s, s"$base/serve")
+      graft.operators.Cdc.readTableBucketed(s, s"$base/serve")
     },
     Some(s"""WITH RECURSIVE
       gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),

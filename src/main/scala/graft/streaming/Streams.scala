@@ -527,12 +527,16 @@ object Streams {
     *     for each new survivor that is its cluster's minimum, `D` for
     *     each PREVIOUSLY-KEPT doc a new link just demoted (a later
     *     bridge doc can merge two served clusters; the loser must leave
-    *     the serve table) — applied through the delete-aware
-    *     [[graft.operators.Cdc.applyChanges]] with `seq = batchId`:
-    *     replays are no-ops by the (seq, op-rank) argmax, D beats I on
-    *     the same batch, and a demotion always carries a later seq than
-    *     its insert. Read the live table with
-    *     [[graft.operators.Cdc.readTable]].
+    *     the serve table) — applied through the delete-aware BUCKETED
+    *     [[graft.operators.Cdc.applyChangesBucketed]] with
+    *     `seq = batchId`: replays are no-ops by the (seq, op-rank)
+    *     argmax, D beats I on the same batch, a demotion always carries
+    *     a later seq than its insert, and each micro-batch rewrites ONLY
+    *     the serve buckets holding its changed keys — the serve table is
+    *     corpus-sized, so a full-rewrite sink here would be the exact
+    *     per-batch amplification the bucketed CDC layout exists to kill.
+    *     Read the live table with
+    *     [[graft.operators.Cdc.readTableBucketed]].
     *
     * REPLAY SAFETY (at-least-once foreachBatch): every state write is an
     * OVERWRITE of a batch-id-keyed subdirectory (`buckets/b<id>`,
@@ -556,7 +560,8 @@ object Streams {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.Md5ShingleHash)
+      shingleHash: graft.operators.Dedup.ShingleHash = graft.operators.Dedup.Md5ShingleHash,
+      serveBuckets: Int = 16)
       : StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
@@ -564,7 +569,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         corpusServeBatch(batch, batchId, statePath, servePath, idCol, textCol,
-          n, k, bands, threshold, shingleHash)
+          n, k, bands, threshold, shingleHash, serveBuckets)
       }
       .start()
 
@@ -583,6 +588,7 @@ object Streams {
       bands: Int,
       threshold: Double,
       shingleHash: graft.operators.Dedup.ShingleHash,
+      serveBuckets: Int = 16,
       skipServeApply: Boolean = false): Unit = {
     val spark = batch0.sparkSession
     import graft.functions.Text
@@ -689,7 +695,7 @@ object Streams {
     if (!newPairs.isEmpty)
       newAsg.write.mode("overwrite").parquet(s"$statePath/cc/b$batchId")
     if (!skipServeApply && !changes.isEmpty)
-      Cdc.applyChanges(spark, changes, servePath, "doc_id")
+      Cdc.applyChangesBucketed(spark, changes, servePath, "doc_id", serveBuckets)
   }
 
   /** Maintenance companion to [[lshDedupAvailableNow]]: fold the

@@ -542,7 +542,7 @@ class StreamsSpec extends SparkSpec {
     5L -> csD)                   // exact duplicate of 3: never served
 
   private def csServe(path: String): Map[Long, Long] =
-    graft.operators.Cdc.readTable(spark, path)
+    graft.operators.Cdc.readTableBucketed(spark, path)
       .as[(Long, Long)].collect().toMap
 
   test("corpusServe: fixture pair structure is the transitive bridge (precondition)") {
