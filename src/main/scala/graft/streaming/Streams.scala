@@ -136,7 +136,8 @@ object Streams {
       outPath: String,
       checkpoint: String,
       key: String,
-      versionCol: String): StreamingQuery =
+      versionCol: String,
+      nBuckets: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -146,16 +147,30 @@ object Streams {
         val cols = batch.columns
         val dst = new org.apache.hadoop.fs.Path(outPath)
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val all =
-          if (!fs.exists(dst)) batch
-          else batch.unionByName(
-            spark.read.parquet(outPath).select(cols.map(col): _*)
-              .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi"))
+        val existing =
+          if (!fs.exists(dst)) None
+          else Some(nBuckets match {
+            case Some(_) => graft.operators.Incremental.readBucketed(spark, outPath)
+            case None => spark.read.parquet(outPath)
+          })
+        val all = existing match {
+          case None => batch
+          case Some(e) => batch.unionByName(e.select(cols.map(col): _*)
+            .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi"))
+        }
         val row = struct(cols.map(col): _*)
         val one = all.groupBy(col(key))
           .agg(max_by(row, struct(col(versionCol), row)).as("__r"))
           .select(col("__r.*"))
-        graft.operators.Incremental.upsertByKey(spark, one, outPath, key)
+        nBuckets match {
+          // bucketed: the serve table rewrites only the batch's buckets —
+          // at a corpus-sized serve table the full-rewrite form is the
+          // classic per-micro-batch amplification (see corpusServe)
+          case Some(n) =>
+            graft.operators.Incremental.upsertByKeyBucketed(spark, one, outPath, key, n)
+          case None =>
+            graft.operators.Incremental.upsertByKey(spark, one, outPath, key)
+        }
       }
       .start()
 
@@ -178,15 +193,19 @@ object Streams {
       checkpoint: String,
       key: String,
       seqCol: String = "seq",
-      opCol: String = "op"): StreamingQuery =
+      opCol: String = "op",
+      nBuckets: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Cdc.applyChanges(
+        if (!batch.isEmpty) nBuckets match {
+          case Some(n) => graft.operators.Cdc.applyChangesBucketed(
+            batch.sparkSession, batch, outPath, key, n, seqCol, opCol)
+          case None => graft.operators.Cdc.applyChanges(
             batch.sparkSession, batch, outPath, key, seqCol, opCol)
+        }
       }
       .start()
 

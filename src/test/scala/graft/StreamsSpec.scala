@@ -60,6 +60,34 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 7L, 11.0), (2L, 9L, 21.0), (3L, 9L, 30.0)))
   }
 
+  test("cdcApplyAvailableNow/upsertAvailableNow bucketed twins land on the plain forms' state") {
+    val base = "target/tmp/streams_bucketed_sinks"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Seq((1L, 1L, "I", "a"), (2L, 2L, "I", "b"), (2L, 4L, "D", "x"), (1L, 5L, "U", "a5"))
+      .toDF("k", "seq", "op", "v").repartition(2).write.parquet(s"$base/cin")
+    Streams.cdcApplyAvailableNow(
+      Streams.incrementalParquet(spark, s"$base/cin", s"$base/cin"),
+      s"$base/cout", s"$base/cckpt", "k", nBuckets = Some(4)).awaitTermination()
+    assert(graft.operators.Cdc.readTableBucketed(spark, s"$base/cout")
+      .select("k", "v").as[(Long, String)].collect().toSet == Set((1L, "a5")))
+    Seq((1L, 5L, 10.0), (1L, 7L, 11.0), (2L, 5L, 20.0)).toDF("k", "ver", "v")
+      .write.parquet(s"$base/uin")
+    Streams.upsertAvailableNow(
+      Streams.incrementalParquet(spark, s"$base/uin", s"$base/uin"),
+      s"$base/uout", s"$base/uckpt", "k", "ver", nBuckets = Some(4)).awaitTermination()
+    // second drain: stale + newer rows, merged against the bucketed table
+    Seq((2L, 9L, 21.0), (1L, 3L, 9.0)).toDF("k", "ver", "v")
+      .write.mode("append").parquet(s"$base/uin")
+    Streams.upsertAvailableNow(
+      Streams.incrementalParquet(spark, s"$base/uin", s"$base/uin"),
+      s"$base/uout", s"$base/uckpt", "k", "ver", nBuckets = Some(4)).awaitTermination()
+    assert(graft.operators.Incremental.readBucketed(spark, s"$base/uout")
+      .as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 7L, 11.0), (2L, 9L, 21.0)))
+  }
+
   test("cdcApplyAvailableNow: multi-batch drain == one-batch apply, deletes survive restarts") {
     val base = "target/tmp/streams_cdc_spec"
     val fs = new org.apache.hadoop.fs.Path(base)
