@@ -463,6 +463,44 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "hamming")
   }
 
+  /** INCREMENTAL [[hammingPairs64]]: pair a BATCH of new 64-bit signatures
+    * against a persisted corpus signature table — only new×corpus, never
+    * corpus×corpus, so a day's media ingest Hamming-checks a 100 TB
+    * history by joining 8-byte rows on chunk values ([[minhashLshIncremental]]'s
+    * contract for the fingerprint family). Same pigeonhole banding, exact
+    * `bit_count(xor)` verify, 100% recall within `maxHamming`. Output
+    * `(new_id, corpus_id, hamming)`.
+    */
+  def hammingPairs64Incremental(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      sigCol: String,
+      maxHamming: Int,
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    def chunked(df: DataFrame, idAs: String, sigAs: String): DataFrame = {
+      val chunkCols = (0 until nChunks).map { c =>
+        val width = bounds(c + 1) - bounds(c)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftright(col(sigAs), bounds(c)).bitwiseAND(mask)
+      }
+      df.select(col("doc_id").as(idAs), col(sigCol).as(sigAs))
+        .select(col(idAs), col(sigAs), posexplode(array(chunkCols: _*)))
+        .toDF(idAs, sigAs, "chunk", "chunk_val")
+    }
+    val candidates = boundary(
+      chunked(newSigs, "new_id", "__s1")
+        .join(chunked(corpusSigs, "corpus_id", "__s2"), Seq("chunk", "chunk_val"))
+        .select("new_id", "corpus_id", "__s1", "__s2")
+        .distinct())
+    candidates
+      .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "corpus_id", "hamming")
+  }
+
   /** Train/eval CONTAMINATION detection (decontamination): emit every
     * (train doc, benchmark doc) pair where the train doc's word-`n`-gram
     * set covers at least `minFrac` of the benchmark doc's — the standard

@@ -4348,6 +4348,46 @@ object TrainingQueries {
             AND x.doc_id < y.doc_id AND y.doc_id >= 100000),
         ${lshVerifySql("cand", "doc_id_1", "doc_id_2", 0.5)}"""))
 
+  /** Streaming PIXEL near-dup ingest ([[graft.streaming.Streams
+    * .pixelDedupAvailableNow]]): the 25 re-encode twins arrive as two
+    * micro-batches against signature state seeded from the base corpus —
+    * every twin must land at Hamming 0 against its base THE MOMENT it
+    * arrives, across the batch boundary, with nothing else pairing (the
+    * planted-pair oracle of `dedup_image_pixel_neardup`, now proven
+    * through the always-on path). Only 8-byte signatures persist or
+    * shuffle; payloads never leave their scan.
+    */
+  private val streamingPixelDedup = Q(
+    "streaming_pixel_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_px_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id")
+      val seed = corpus.filter(col("media_id") < 100000L)
+      val ingest = corpus.filter(col("media_id") >= 100000L)
+      Multimodal.pixelHash(seed).filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id")
+        .write.parquet(s"$base/state/sigs/seed")
+      ingest.filter(col("media_id") < 100013L).coalesce(1).write.parquet(s"$base/in")
+      ingest.filter(col("media_id") >= 100013L).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.pixelDedupAvailableNow(stream,
+        s"$base/state", s"$base/out", s"$base/ckpt", "media_id", "payload",
+        maxHamming = 2)
+        .awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(least(col("media_id_new"), col("media_id_old")).as("media_id_1"),
+          greatest(col("media_id_new"), col("media_id_old")).as("media_id_2"),
+          col("hamming"))
+    },
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""))
+
   /** THE COMPOSED ALWAYS-ON FLAGSHIP ([[graft.streaming.Streams
     * .corpusServeAvailableNow]]): the documents table sliced into three
     * id-ordered micro-batches and drained through ingest → gate/clean →
@@ -4828,5 +4868,5 @@ object TrainingQueries {
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,
-    pipelineStreamingServe)
+    streamingPixelDedup, pipelineStreamingServe)
 }

@@ -513,6 +513,77 @@ object Streams {
       }
       .start()
 
+  /** STREAMING PIXEL NEAR-DUP INGEST — [[lshDedupAvailableNow]]'s media
+    * sibling: each micro-batch of (id, payload) media rows is decoded to
+    * its 64-bit pixel dHash ([[graft.operators.Multimodal.pixelHash]];
+    * undecodable payloads drop out and keep the byte-fingerprint family),
+    * Hamming-checked against the persisted signature state
+    * (`statePath/sigs` — 8-byte rows, seeded from the existing corpus
+    * under `sigs/seed`) AND within itself, then appends its own
+    * signatures so later batches dedup against it. A re-encoded duplicate
+    * of ANY earlier media lands at Hamming 0 the moment it arrives.
+    *
+    * Replay safety is the per-batch-directory discipline verbatim:
+    * pairs OVERWRITE `outPath/b<id>`, signatures OVERWRITE
+    * `sigs/b<id>`, and state reads filter to strictly-earlier batch ids —
+    * a wiped-checkpoint re-drain over retained state is byte-equivalent.
+    * Scale: only 8-byte signatures ever persist or shuffle; the payloads
+    * never leave their scan.
+    */
+  def pixelDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 2): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        import graft.operators.{Dedup, Multimodal}
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val sigs = Multimodal.pixelHash(batch0, idCol, payloadCol)
+          .filter(col("pxhash").isNotNull)
+          .withColumnRenamed("media_id", "doc_id")
+          .localCheckpoint()
+        val base = new org.apache.hadoop.fs.Path(s"$statePath/sigs")
+        val past =
+          if (!fs.exists(base)) Seq.empty
+          else fs.listStatus(base).toSeq.map(_.getPath).filter { p =>
+            val nm = p.getName
+            !(nm.length > 1 && nm.head == 'b' && nm.tail.forall(_.isDigit) &&
+              nm.tail.toLong >= batchId)
+          }
+        val corpus =
+          if (past.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("pxhash",
+                org.apache.spark.sql.types.LongType))))
+          else spark.read.option("recursiveFileLookup", "true")
+            .parquet(past.map(_.toString): _*)
+        val vsCorpus = Dedup.hammingPairs64Incremental(sigs, corpus, "pxhash", maxHamming)
+        val within = Dedup.hammingPairs64(sigs, "pxhash", maxHamming)
+          .select(col("doc_id_2").as("new_id"), col("doc_id_1").as("corpus_id"),
+            col("hamming"))
+        val pairs = vsCorpus.unionByName(within)
+          .select(col("new_id").as("media_id_new"), col("corpus_id").as("media_id_old"),
+            col("hamming").cast("long").as("hamming"))
+          .localCheckpoint()
+        if (!pairs.isEmpty)
+          pairs.write.mode("overwrite").parquet(s"$outPath/b$batchId")
+        if (!sigs.isEmpty)
+          sigs.write.mode("overwrite").parquet(s"$statePath/sigs/b$batchId")
+      }
+      .start()
+
   /** THE COMPOSED ALWAYS-ON FLAGSHIP: ingest → clean/gate → exact dedup →
     * LSH near-dup vs the persisted index → incremental connected
     * components → delete-aware serve apply, ALL inside one foreachBatch

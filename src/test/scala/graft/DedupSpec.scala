@@ -172,6 +172,29 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 0.0, true)))
   }
 
+  test("hammingPairs64Incremental == full hammingPairs64 restricted to new-x-corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val corpus = (1L to 60L).map(i => (i, rnd.nextLong()))
+    // plant near-dups: new ids 101..105 are 1-2 bit flips of corpus sigs
+    val fresh = (101L to 105L).map { i =>
+      val baseSig = corpus((i % 60).toInt)._2
+      (i, baseSig ^ (1L << (i % 64).toInt) ^ (if (i % 2 == 0) 1L << 40 else 0L))
+    } ++ Seq((106L, rnd.nextLong()))
+    val cdf = corpus.toDF("doc_id", "sig")
+    val ndf = fresh.toDF("doc_id", "sig")
+    val inc = graft.operators.Dedup
+      .hammingPairs64Incremental(ndf, cdf, "sig", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+    val full = graft.operators.Dedup
+      .hammingPairs64(cdf.unionByName(ndf), "sig", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .filter(t => t._2 > 100L && t._1 <= 60L) // new-x-corpus only (ids ordered)
+      .map(t => (t._2, t._1, t._3)).toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.size >= 5, "the planted flips must all pair")
+  }
+
   test("spanRemoval: excises cross-doc duplicated spans, keeps unique text; within-doc reps untouched") {
     val docs = Seq(
       (1L, "a b c x y z"),   // "a b c"(0..2) shared with doc 2; "x y z" unique

@@ -328,6 +328,21 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(javax.imageio.ImageIO.write(img, "png", bos), "ImageIO must emit PNG")
     val iioHash = graft.functions.expressions.PngPixelHash.hash(bos.toByteArray)
     assert(iioHash == plain, "an ImageIO re-encode of the same pixels must hash identically")
+    // (d2) the zlib stream SPLIT ACROSS MULTIPLE IDAT chunks (how real
+    // encoders emit large images) must concatenate and decode identically
+    val single = fullPng(w, h, 0, px)
+    // locate the IDAT chunk: sig(8) + IHDR chunk (8+13+4) = offset 33
+    val l = ((single(33) & 0xff) << 24) | ((single(34) & 0xff) << 16) |
+      ((single(35) & 0xff) << 8) | (single(36) & 0xff)
+    assert(new String(single, 37, 4, "US-ASCII") == "IDAT")
+    val zdata = java.util.Arrays.copyOfRange(single, 41, 41 + l)
+    val cut = zdata.length / 2
+    val multi = java.util.Arrays.copyOfRange(single, 0, 33) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(zdata, 0, cut)) ++
+      chunk("IDAT", java.util.Arrays.copyOfRange(zdata, cut, zdata.length)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(graft.functions.expressions.PngPixelHash.hash(multi) == plain,
+      "a multi-IDAT re-chunking must hash identically")
     // (e) different pixels hash differently (sanity that the hash sees content)
     val other = graft.functions.expressions.PngPixelHash.hash(
       fullPng(w, h, 0, (x, y) => Array((255 - ((x * 131 + y * 31) & 0xff)) & 0xff, 0, 0, 255)))
