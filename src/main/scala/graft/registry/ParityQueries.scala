@@ -1323,6 +1323,110 @@ object ParityQueries {
         FROM ev)
       SELECT user_id, rank, value, event_id FROM r WHERE rank <= 3"""))
 
+  /** Semi-structured JSON fixture: a nested JSON document built from event
+    * fields by deterministic string concat (integers and bare words only —
+    * float formatting never enters a JSON string), with `event_id % 13`
+    * rows TRUNCATED mid-array (the malformed case every lake ingest
+    * carries). Both engines then run their REAL JSON parsers over it —
+    * construction is mirrored, extraction is independent.
+    */
+  private def jsonFixture(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("event_id"), expr("ts div 86400000000000").as("day"),
+      col("user_id"), col("event_type"), col("props"))
+    val full = concat(
+      lit("{\"u\":"), col("user_id").cast("string"),
+      lit(",\"ty\":\""), col("event_type"),
+      lit("\",\"m\":{\"d\":"), col("day").cast("string"),
+      lit(",\"seq\":["), pmod(col("event_id"), lit(7L)).cast("string"),
+      lit(","), pmod(col("event_id"), lit(11L)).cast("string"), lit("]}}"))
+    e.withColumn("j",
+      when(pmod(col("event_id"), lit(13L)) === 0,
+        full.substr(lit(1), length(full) - 5)).otherwise(full))
+  }
+
+  private val JF: String =
+    """jf AS (SELECT event_id, epoch_ns(ts)//86400000000000 AS day, user_id,
+        event_type, props,
+        '{"u":' || CAST(user_id AS VARCHAR) || ',"ty":"' || event_type ||
+        '","m":{"d":' || CAST(epoch_ns(ts)//86400000000000 AS VARCHAR) ||
+        ',"seq":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
+        CAST(event_id % 11 AS VARCHAR) || ']}}' AS fullj
+      FROM events),
+      jd AS (SELECT event_id, user_id, event_type, props,
+        CASE WHEN event_id % 13 = 0 THEN substr(fullj, 1, length(fullj) - 5)
+          ELSE fullj END AS j FROM jf)"""
+
+  /** Typed path extraction from nested JSON (`get_json_object` — codegen'd,
+    * no UDF): top-level scalar, quoted string, nested object field, array
+    * index, plus the real `props` column's key. Malformed rows yield NULL
+    * on every path (never throw — the corrupt-row-is-data contract);
+    * DuckDB re-parses with its own JSON engine behind a json_valid guard.
+    */
+  private val jsonExtract = Q(
+    "scalar_json_extract",
+    (s, d) => jsonFixture(s, d).select(
+      col("event_id"),
+      get_json_object(col("j"), "$.u").cast("long").as("ju"),
+      get_json_object(col("j"), "$.ty").as("jty"),
+      get_json_object(col("j"), "$.m.d").cast("long").as("jd"),
+      get_json_object(col("j"), "$.m.seq[1]").cast("long").as("js1"),
+      get_json_object(col("props"), "$.k").cast("long").as("pk")),
+    Some(s"""WITH $JF
+      SELECT event_id,
+        CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$$.u') AS BIGINT) END AS ju,
+        CASE WHEN json_valid(j) THEN json_extract_string(j, '$$.ty') END AS jty,
+        CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$$.m.d') AS BIGINT) END AS jd,
+        CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$$.m.seq[1]') AS BIGINT) END AS js1,
+        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS pk
+      FROM jd"""))
+
+  /** JSON array explosion through a TYPED `from_json` (partial schema —
+    * only the needed subtree is parsed): one row per array element with
+    * its position; malformed documents parse to null and drop. The oracle
+    * re-walks the array by index with its own parser.
+    */
+  private val jsonExplodeSeq = Q(
+    "json_explode_seq",
+    (s, d) => jsonFixture(s, d)
+      .select(col("event_id"),
+        from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(
+          "m struct<seq:array<bigint>>"))
+          .getField("m").getField("seq").as("sq"))
+      .filter(col("sq").isNotNull)
+      .select(col("event_id"), posexplode(col("sq")))
+      .select(col("event_id"), col("pos").cast("long").as("pos"), col("col").as("v")),
+    Some(s"""WITH $JF
+      SELECT event_id, CAST(i AS BIGINT) AS pos,
+        CAST(json_extract_string(j, '$$.m.seq[' || CAST(i AS VARCHAR) || ']') AS BIGINT) AS v
+      FROM (SELECT event_id, j,
+          unnest(range(CAST(json_array_length(j::JSON, '$$.m.seq') AS BIGINT))) AS i
+        FROM jd WHERE json_valid(j))"""))
+
+  /** Schema-drift profile of a JSON column: top-level key frequencies
+    * (`json_object_keys`) plus the malformed-document count — the
+    * monitoring query a lake ingest runs to catch producers changing
+    * their payload shape. Order-free aggregation; both parsers must agree
+    * on exactly which documents are objects and what keys they carry.
+    */
+  private val jsonKeysProfile = Q(
+    "agg_json_keys_profile",
+    (s, d) => {
+      val ks = jsonFixture(s, d)
+        .select(json_object_keys(col("j")).as("ks"))
+      ks.filter(col("ks").isNotNull)
+        .select(explode(col("ks")).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .unionByName(ks.filter(col("ks").isNull)
+          .agg(count(lit(1)).as("n")).select(lit("__invalid").as("key"), col("n")))
+    },
+    Some(s"""WITH $JF
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(json_keys(j)) AS key FROM jd WHERE json_valid(j)) t
+      GROUP BY 1
+      UNION ALL
+      SELECT '__invalid', CAST(COUNT(*) AS BIGINT) FROM jd WHERE NOT json_valid(j)"""))
+
   private val sortPagination = Q(
     "sort_pagination",
     (s, d) =>
@@ -2353,6 +2457,7 @@ object ParityQueries {
     disjunctiveTheta, countDistinctBelow, semiAddressList, unionAllAddresses,
     pivotEvents, rollupWeekly, cubeWeekly, groupingSetsQ, approxQuantileBound,
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
+    jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     ctasFullRefresh, upsertServe)
 }
