@@ -270,6 +270,95 @@ object Selection {
       .drop("__cum_before")
   }
 
+  /** [[packByTokenBudget]] extended to the PACK MANIFEST a trainer's data
+    * loader actually consumes: per doc, its byte-level placement inside
+    * the pack — `offset` (token position where the doc starts),
+    * `n_tokens`, and `overflow_tokens` (how many of its tokens spill past
+    * the budget boundary — the portion a loss mask truncates or the
+    * loader wraps). The offsets double as the cross-document attention
+    * boundaries (a doc's span is `[offset, offset + n_tokens)`), so this
+    * one frame carries everything sequence assembly needs. All integer
+    * window arithmetic over the same per-shard cumsum as the packer —
+    * zero extra exchanges.
+    */
+  def packManifest(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      shardCol: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    docs
+      .withColumn("__cb", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id", expr(s"__cb div $budget"))
+      .withColumn("offset", col("__cb") - col("pack_id") * budget)
+      .withColumn("overflow_tokens",
+        greatest(lit(0L), col("offset") + col(tokenCol) - budget))
+      .drop("__cb")
+  }
+
+  /** CURRICULUM INTERLEAVE: a deterministic global training order that
+    * round-robins across quality tiers — position `p` of tier `t` (both
+    * 0-based) trains at `order_idx = p * maxTiers + tierRank(t)`, so
+    * every window of `maxTiers` consecutive examples sees every tier
+    * once (the standard anti-forgetting mix schedule), and the order is
+    * a pure function of (tier, id): reproducible across runs, engines,
+    * and restarts.
+    *
+    * 100 TB shape — the naive form is a SCALE BUG and this one is not:
+    * `row_number over (partition by tier)` puts each tier in ONE task (a
+    * dominant tier = one executor sorting terabytes). Here the per-tier
+    * rank is TWO-PHASE distributed ranking: ids group into ORDERED
+    * coarse buckets (`id div granularity`); per-(tier, bucket) counts
+    * aggregate map-side; the running offset rides a window over that
+    * tiny count frame (≤ tiers × buckets rows); and the final rank =
+    * offset + rank within (tier, bucket) — a window over MANY fine
+    * partitions. The oracle computes the same positions with a plain
+    * global row_number, so the hash proves two-phase == global rank.
+    *
+    * `maxTiers` is the round-robin stride (enforced: more distinct tiers
+    * than `maxTiers` fails fast rather than silently colliding order
+    * indices).
+    */
+  def curriculumInterleave(
+      docs: DataFrame,
+      tierCol: String,
+      idCol: String,
+      maxTiers: Int = 16,
+      granularity: Long = 1024L): DataFrame = {
+    require(maxTiers >= 1, "maxTiers must be >= 1")
+    require(granularity >= 1, "granularity must be >= 1")
+    val tiers = docs.select(col(tierCol)).distinct()
+    require(tiers.limit(maxTiers + 1).count() <= maxTiers,
+      s"curriculumInterleave: more than $maxTiers distinct tiers — raise maxTiers " +
+        "(the round-robin stride) or bucket tiers upstream")
+    val tierRank = tiers.withColumn("__tr",
+      (row_number().over(Window.orderBy(tierCol)) - 1).cast("long"))
+    val bucketed = docs.withColumn("__bk", expr(s"${idCol} div $granularity"))
+    // phase 1: per-(tier, bucket) counts — map-side combined, tiny result
+    val counts = bucketed.groupBy(col(tierCol), col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum("__c").over(Window.partitionBy(tierCol).orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"),
+          lit(0L)))
+      .drop("__c")
+    // phase 2: rank within the FINE (tier, bucket) partitions + offset
+    val wFine = Window.partitionBy(col(tierCol), col("__bk")).orderBy(idCol)
+    // counts joins on the SAME (tier, bucket) keys the fine window
+    // partitions by — no broadcast hint, so Catalyst either broadcasts a
+    // frame it can see is small or co-partitions with the window exchange
+    bucketed
+      .join(counts, Seq(tierCol, "__bk"))
+      .join(broadcast(tierRank), Seq(tierCol))
+      .withColumn("tier_pos",
+        col("__off") + row_number().over(wFine).cast("long") - 1L)
+      .withColumn("tier_rank", col("__tr"))
+      .withColumn("order_idx", col("tier_pos") * maxTiers + col("__tr"))
+      .drop("__bk", "__off", "__tr")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023): pick the raw-corpus documents whose hashed-unigram
     * distribution looks most like a small TARGET corpus, by per-document

@@ -3945,6 +3945,51 @@ object TrainingQueries {
           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
       SELECT doc_id, lang, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM c"""))
 
+  /** The pack MANIFEST a trainer's loader consumes
+    * ([[graft.quality.Selection.packManifest]]): per doc, its pack, token
+    * offset inside the pack (the cross-document attention boundary), and
+    * boundary overflow — all integer window arithmetic the oracle
+    * re-derives from the same per-shard cumsum.
+    */
+  private val packManifestQ = Q(
+    "sel_pack_manifest",
+    (s, d) => graft.quality.Selection.packManifest(
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048, shardCol = "lang"),
+    Some(s"""WITH w AS (SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS cb FROM w)
+      SELECT doc_id, lang, n_tokens, CAST(cb // 2048 AS BIGINT) AS pack_id,
+        CAST(cb - (cb // 2048) * 2048 AS BIGINT) AS "offset",
+        CAST(GREATEST(0, cb - (cb // 2048) * 2048 + n_tokens - 2048) AS BIGINT)
+          AS overflow_tokens
+      FROM c"""))
+
+  /** Deterministic curriculum interleave
+    * ([[graft.quality.Selection.curriculumInterleave]]): round-robin
+    * training order across quality tiers via TWO-PHASE distributed
+    * ranking (coarse ordered id-buckets + running offsets over the tiny
+    * count frame + fine-partition ranks) — the oracle computes the same
+    * positions with a plain global row_number, so the hash proves
+    * two-phase == global rank. Tiers here = the language column.
+    */
+  private val curriculumInterleaveQ = Q(
+    "sel_curriculum_interleave",
+    (s, d) => graft.quality.Selection.curriculumInterleave(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", maxTiers = 8),
+    Some("""WITH tr AS (SELECT lang,
+        CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS tier_rank
+        FROM (SELECT DISTINCT lang FROM documents)),
+      p AS (SELECT doc_id, lang,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS BIGINT) AS tier_pos
+        FROM documents)
+      SELECT p.doc_id, p.lang, p.tier_pos, t.tier_rank,
+        p.tier_pos * 8 + t.tier_rank AS order_idx
+      FROM p JOIN tr t ON t.lang = p.lang"""))
+
   /** Streaming serve upsert run end to end: the event stream drains in
     * 1-file micro-batches (order unspecified) into the KV serve table,
     * highest epoch per user winning globally — the oracle is a plain
@@ -4858,7 +4903,7 @@ object TrainingQueries {
     nfcNormalizeQ, sentenceStats, tokenHistogram,
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, weightedStratQ, mixResample, mixTemperature,
-    chunkTokens, tokenPack, dsirQ,
+    chunkTokens, tokenPack, packManifestQ, curriculumInterleaveQ, dsirQ,
     bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ,
     unigramTokenizeQ, tokenizerFertilityCompareQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,

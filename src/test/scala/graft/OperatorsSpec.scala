@@ -457,6 +457,51 @@ class ConstraintsSpec extends SparkSpec {
 class SelectionSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curriculumInterleave: round-robin order, two-phase == naive rank across bucket boundaries, tier cap fails fast") {
+    // ids span several granularity buckets (g = 4) with uneven tiers
+    val docs = ((1L to 23L).map(i => (i, if (i % 3 == 0) "hi" else "lo")) :+ (40L, "hi"))
+      .toDF("id", "tier")
+    val out = graft.quality.Selection
+      .curriculumInterleave(docs, "tier", "id", maxTiers = 4, granularity = 4L)
+      .select("id", "tier", "tier_pos", "tier_rank", "order_idx")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // two-phase rank == naive per-tier rank by id
+    val naive: Map[Long, Long] = docs.as[(Long, String)].collect().toSeq
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.map(_._1).sorted.zipWithIndex.map { case (id, p) => id -> p.toLong }
+      }.toMap
+    out.foreach { case (id, _, pos, _, _) =>
+      assert(pos == naive(id), s"id $id two-phase pos $pos != naive ${naive(id)}")
+    }
+    // round-robin: order_idx mod stride == tier rank; all order_idx distinct
+    assert(out.map(_._5).distinct.length == out.length)
+    out.foreach { case (_, tier, _, tr, oi) =>
+      assert(oi % 4 == tr, s"tier $tier stride slot")
+    }
+    // "hi" (rank 0 lexicographically) interleaves before "lo" at equal pos
+    val byOrder = out.sortBy(_._5).map(_._2).take(4).toSeq
+    assert(byOrder.count(_ == "hi") >= 1 && byOrder.count(_ == "lo") >= 1,
+      s"first stride window must mix tiers: $byOrder")
+    // more tiers than maxTiers fails fast
+    val many = (1L to 10L).map(i => (i, s"t$i")).toDF("id", "tier")
+    val ex = intercept[IllegalArgumentException] {
+      graft.quality.Selection.curriculumInterleave(many, "tier", "id", maxTiers = 4)
+    }
+    assert(ex.getMessage.contains("distinct tiers"))
+  }
+
+  test("packManifest: offsets are attention boundaries; overflow only at pack seams") {
+    val docs = Seq((1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 500L), (4L, "s", 100L))
+      .toDF("id", "shard", "n")
+    val out = graft.quality.Selection.packManifest(docs, "id", "n", budget = 2048, shardCol = "shard")
+      .select("id", "pack_id", "offset", "overflow_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 1000L, 0L)))
+    assert(out(3L) == ((0L, 2000L, 452L))) // 2000 + 500 - 2048 spills
+    assert(out(4L) == ((1L, 452L, 0L)))    // cum_before 2500 -> pack 1, offset 452
+  }
+
   test("filterByScoreQuantile keeps the top (1-q) of rows, inclusive threshold") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
     val kept = graft.quality.Selection.filterByScoreQuantile(df, "score", 0.25)
