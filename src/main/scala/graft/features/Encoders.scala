@@ -184,6 +184,42 @@ object Encoders {
       .drop("__sx", "__sxx", "__sy", "__sxy")
   }
 
+  /** Per-group ROBUST scaling — `r = (x − median) / IQR` — the
+    * outlier-immune sibling of [[standardize]] (one 1e9 sentinel value
+    * shifts a z-score's mean/var arbitrarily; it moves a median/IQR not
+    * at all, which is why robust scaling is the default for heavy-tailed
+    * telemetry features). All three quantiles are DISCRETE picks
+    * (smallest value whose rank reaches `ceil(q·n)`): verbatim input
+    * doubles, so only the final subtract/divide runs in mirrored IEEE
+    * arithmetic — cross-engine exact with no decimal machinery. Ties in
+    * `value` leave the picked VALUE deterministic regardless of
+    * row_number tie order, so no tiebreak column is needed. Degenerate
+    * groups (IQR = 0) and null values get a null `r`.
+    *
+    * Scale shape: one per-group window pass (rank + count share the
+    * exchange), conditional-aggregation to a ≤|groups| stats frame,
+    * joined back under the same cardinality guard as the other encoders.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+      maxBroadcastGroups: Int = DefaultMaxBroadcastGroups): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    def pick(q: Int) =
+      max(when(expr(s"__rn = (__n * $q + 99) div 100"), col(valueCol)))
+    val stats = ranked.groupBy(col(groupCol)).agg(
+      pick(25).as("__p25"), pick(50).as("__p50"), pick(75).as("__p75"))
+    joinStats(df, stats, groupCol, maxBroadcastGroups)
+      .withColumn("p50", col("__p50"))
+      .withColumn("iqr", col("__p75") - col("__p25"))
+      .withColumn("r", when(
+        col(valueCol).isNotNull && col("__p75") > col("__p25"),
+        (col(valueCol) - col("__p50")) / (col("__p75") - col("__p25"))))
+      .drop("__p25", "__p50", "__p75")
+  }
+
   /** Per-group z-score standardization: `z = (x − mean) / sqrt(var)` with
     * mean and POPULATION variance derived from exact order-independent
     * sums — the decimal cast for Σx, the microunit floor-quantization for

@@ -2277,6 +2277,32 @@ object ParityQueries {
     * per (event_type, zbin) so the oracle checks every row's z through
     * the binning.
     */
+  /** Per-group robust scaling ([[graft.features.Encoders.robustScale]]):
+    * discrete-pick median/IQR (verbatim input doubles — no decimal
+    * machinery needed), final subtract/divide mirrored per row, so every
+    * scaled value is hash-exact directly (no binning indirection).
+    */
+  private val robustScaleQ = Q(
+    "feature_robust_scale",
+    (s, d) => graft.features.Encoders.robustScale(
+      evDf(s, d).select("event_id", "event_type", "value"), "event_type", "value")
+      .select("event_id", "event_type", "value", "p50", "iqr", "r"),
+    Some(s"""WITH $EV,
+      rk AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev WHERE value IS NOT NULL),
+      st AS (SELECT event_type,
+          MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+          MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+          MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END) AS p75
+        FROM rk GROUP BY 1)
+      SELECT ev.event_id, ev.event_type, ev.value, st.p50 AS p50,
+        st.p75 - st.p25 AS iqr,
+        CASE WHEN ev.value IS NOT NULL AND st.p75 > st.p25
+          THEN (ev.value - st.p50) / (st.p75 - st.p25) END AS r
+      FROM ev LEFT JOIN st USING (event_type)"""))
+
   private val standardizeQ = Q(
     "feature_standardize",
     (s, d) => graft.features.Encoders.standardize(
@@ -2440,7 +2466,7 @@ object ParityQueries {
     }))
 
   val all: Seq[Q] = Seq(
-    bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ,
+    bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ, robustScaleQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
     cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
