@@ -413,6 +413,30 @@ object Cdc {
     Incremental.swapCommit(spark, merged, path)
   }
 
+  /** POINT-IN-TIME lookup against a Type-2 dimension — "what was the
+    * dimension row for this key when this fact happened": the standard
+    * bitemporal enrichment ([[scd2Intervals]] builds the table, this
+    * reads it). Routed through the NATIVE as-of merge exec
+    * ([[AsOfJoin.asOfMerge]]) as a backward match on `valid_from`: a
+    * key's versions PARTITION its timeline from the first change onward
+    * (each `valid_to` IS the next `valid_from`), so the latest
+    * `valid_from <= t` version automatically satisfies the half-open
+    * containment `t < valid_to` — no interval predicate, no range join,
+    * no argmax re-join; one sort-merge pass. Facts before the key's
+    * first version (or with unknown keys) get null tracked columns.
+    * Output: facts + `asof_<tracked>` + `asof_valid_to` (carried so the
+    * containment is visible/hash-checkable, not just argued).
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCol: String, factTs: String,
+      trackedCols: Seq[String]): DataFrame =
+    AsOfJoin.asOfMerge(
+      facts,
+      dim.select((col(keyCol) +: trackedCols.map(col)) :+
+        col("valid_from") :+ col("valid_to"): _*),
+      Seq(keyCol), factTs, "valid_from",
+      tolerance = Long.MaxValue / 4, // unbounded lookback, overflow-safe
+      rightValueCols = trackedCols :+ "valid_to")
+
   def scd2Intervals(changes: DataFrame, keyCol: String, tsCol: String,
       idCol: String, trackedCols: Seq[String]): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must be non-empty")

@@ -2023,6 +2023,48 @@ object ParityQueries {
       SELECT user_id, event_type, valid_from, valid_to, version_idx,
         valid_to IS NULL AS is_current FROM f"""))
 
+  /** Point-in-time SCD2 lookup ([[graft.operators.Cdc.scd2Lookup]]):
+    * every event probes the Type-2 table built from the SAME stream at
+    * its own timestamp (must land in the version it opened or extended —
+    * boundary inclusivity checked at every `valid_from`), plus one t=0
+    * probe per user (before any version — the null-enrichment path). The
+    * oracle is the direct interval-containment join; the engine runs ONE
+    * native backward as-of merge with no interval predicate, relying on
+    * versions partitioning the timeline.
+    */
+  private val scd2LookupQ = Q(
+    "join_scd2_lookup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.Cdc.scd2Intervals(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      val probes = ev.select(col("event_id"), col("user_id"), col("ts").as("t"))
+        .unionByName(ev.select(col("user_id")).distinct()
+          .select((-col("user_id")).as("event_id"), col("user_id"), lit(0L).as("t")))
+      graft.operators.Cdc.scd2Lookup(probes, dim, "user_id", "t", Seq("event_type"))
+        .select("event_id", "user_id", "t", "asof_event_type", "asof_valid_to")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id, event_type
+        FROM events),
+      b AS (SELECT user_id, t, id, event_type,
+          CASE WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w
+               THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+      r AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM b),
+      v AS (SELECT user_id, run, MIN(event_type) AS event_type,
+          MIN(t) AS valid_from FROM r GROUP BY 1, 2),
+      iv AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to FROM v),
+      probes AS (SELECT id AS event_id, user_id, t FROM e
+        UNION ALL SELECT -user_id, user_id, 0 FROM (SELECT DISTINCT user_id FROM e))
+      SELECT p.event_id, p.user_id, p.t,
+        d.event_type AS asof_event_type, d.valid_to AS asof_valid_to
+      FROM probes p LEFT JOIN iv d
+        ON d.user_id = p.user_id AND d.valid_from <= p.t
+          AND (d.valid_to IS NULL OR p.t < d.valid_to)"""))
+
   /** Incremental SCD2 maintenance ([[graft.operators.Cdc.scd2Apply]]):
     * the change stream split at the watermark midpoint, yesterday's
     * interval table absorbing today's batch — extends-or-closes the open
@@ -2468,7 +2510,8 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ, robustScaleQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
-    cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
+    cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q,
+    scd2LookupQ, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
