@@ -413,6 +413,36 @@ object Cdc {
     Incremental.swapCommit(spark, merged, path)
   }
 
+  /** [[scd2ApplyTable]] with the APPLIED-BATCH manifest committed inside
+    * the same swap rename — the exactly-once form a streaming caller
+    * needs: unlike the CDC argmax or the sketch merges, SCD2 apply is NOT
+    * replay-idempotent (re-applying a batch would re-append its runs as
+    * duplicate versions), so at-least-once redelivery must be DETECTED.
+    * The manifest rides [[Incremental.swapCommitWith]]'s stageExtra, so a
+    * crash between data commit and manifest write is impossible by
+    * construction (they are one rename); a replayed `batchId` ≤ the
+    * manifest is a no-op. Returns whether the batch applied. The
+    * [[graft.streaming.Streams.scd2ApplyAvailableNow]] sink drives this.
+    */
+  def scd2ApplyTableBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCol: String, tsCol: String, idCol: String, trackedCols: Seq[String],
+      batchId: Long): Boolean = {
+    if (Incremental.readAppliedBatch(spark, path).exists(_ >= batchId)) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        scd2Intervals(batch, keyCol, tsCol, idCol, trackedCols)
+      else scd2Apply(spark.read.parquet(path), batch, keyCol, tsCol, idCol, trackedCols)
+    Incremental.swapCommitWith(spark, merged, path, stageDir => {
+      val out = fs.create(new org.apache.hadoop.fs.Path(stageDir, "_applied.json"), true)
+      try out.write(s"""{"appliedThrough":$batchId}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    })
+    true
+  }
+
   /** POINT-IN-TIME lookup against a Type-2 dimension — "what was the
     * dimension row for this key when this fact happened": the standard
     * bitemporal enrichment ([[scd2Intervals]] builds the table, this

@@ -2065,6 +2065,51 @@ object ParityQueries {
         ON d.user_id = p.user_id AND d.valid_from <= p.t
           AND (d.valid_to IS NULL OR p.t < d.valid_to)"""))
 
+  /** STREAMING SCD2 maintenance ([[graft.streaming.Streams
+    * .scd2ApplyAvailableNow]]): the change stream drains as three
+    * time-ordered micro-batches into the persisted Type-2 table — the
+    * applied-batch manifest (committed inside each swap) is what makes
+    * the non-replay-idempotent apply exactly-once; the oracle rebuilds
+    * the whole interval table from scratch, so sliced streaming == one
+    * batch build, hash-checked row for row.
+    */
+  private val streamingScd2Q = Q(
+    "streaming_scd2_apply",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_scd2_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ch = Tables.events(s, d).select("user_id", "ts", "event_id", "event_type")
+      val b = ch.agg(min("ts"), max("ts")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+      ch.filter(col("ts") <= t1).coalesce(1).write.parquet(s"$base/in")
+      ch.filter(col("ts") > t1 && col("ts") <= t2).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      ch.filter(col("ts") > t2).coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.scd2ApplyAvailableNow(stream,
+        s"$base/out", s"$base/ckpt", "user_id", "ts", "event_id", Seq("event_type"))
+        .awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id, event_type
+        FROM events),
+      b AS (SELECT user_id, t, id, event_type,
+          CASE WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w
+               THEN 0 ELSE 1 END AS nw
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, id)),
+      r AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM b),
+      v AS (SELECT user_id, run AS version_idx, MIN(event_type) AS event_type,
+          MIN(t) AS valid_from FROM r GROUP BY 1, 2),
+      f AS (SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from) AS valid_to FROM v)
+      SELECT user_id, event_type, valid_from, valid_to, version_idx,
+        valid_to IS NULL AS is_current FROM f"""))
+
   /** Incremental SCD2 maintenance ([[graft.operators.Cdc.scd2Apply]]):
     * the change stream split at the watermark midpoint, yesterday's
     * interval table absorbing today's batch — extends-or-closes the open
@@ -2511,7 +2556,7 @@ object ParityQueries {
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ, robustScaleQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
     cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q,
-    scd2LookupQ, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
+    scd2LookupQ, streamingScd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,

@@ -209,6 +209,41 @@ object Streams {
       }
       .start()
 
+  /** STREAMING SCD2 MAINTENANCE: each micro-batch of change records
+    * extends the persisted Type-2 dimension table via
+    * [[graft.operators.Cdc.scd2ApplyTableBatch]]. Where the CDC argmax
+    * and the sketch merges absorb at-least-once redelivery by algebra,
+    * SCD2 apply is NOT replay-idempotent (a re-applied batch would
+    * re-append its runs as duplicate versions), so exactly-once here is
+    * DETECTED: the applied-batch manifest commits atomically inside the
+    * table swap and a replayed batchId is a no-op — the
+    * [[aggStateIngestAvailableNow]] discipline on interval history.
+    * Contract inherited from [[graft.operators.Cdc.scd2Apply]]: each
+    * batch's `(tsCol, idCol)` must be strictly later than everything
+    * already applied for its key (file slices arriving in time order).
+    */
+  def scd2ApplyAvailableNow(
+      stream: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      trackedCols: Seq[String]): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Cdc.scd2ApplyTableBatch(
+            batch.sparkSession, batch, outPath, keyCol, tsCol, idCol,
+            trackedCols, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** STREAMING SKETCH-STATE INGEST: each micro-batch folds its keys into a
     * persisted HLL register table (`statePath`, at most 256 rows at rest)
     * by register-wise max — after any drain the state answers "distinct

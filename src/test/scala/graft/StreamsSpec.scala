@@ -60,6 +60,41 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 7L, 11.0), (2L, 9L, 21.0), (3L, 9L, 30.0)))
   }
 
+  test("scd2ApplyAvailableNow: sliced drain == one-shot build; wiped-checkpoint replay is a detected no-op") {
+    val base = "target/tmp/streams_scd2_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ch = Seq(
+      (1L, 10L, 1L, "a"), (2L, 15L, 2L, "x"),
+      (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"), (2L, 35L, 5L, "y"),
+      (3L, 50L, 6L, "n"), (1L, 60L, 7L, "c"))
+      .toDF("k", "t", "id", "v")
+    ch.filter(col("t") <= 20L).coalesce(1).write.parquet(s"$base/in")
+    ch.filter(col("t") > 20L && col("t") <= 45L).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    ch.filter(col("t") > 45L).coalesce(1).write.mode("append").parquet(s"$base/in")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      Streams.scd2ApplyAvailableNow(stream, s"$base/out", s"$base/ckpt",
+        "k", "t", "id", Seq("v")).awaitTermination()
+    }
+    drain()
+    def table(): Set[Seq[Any]] =
+      spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSet
+    val got = table()
+    val full = graft.operators.Cdc.scd2Intervals(ch, "k", "t", "id", Seq("v"))
+      .collect().map(_.toSeq).toSet
+    assert(got == full, "sliced streaming build must equal the from-scratch table")
+    // a wiped checkpoint replays every batch: the applied-batch manifest
+    // (committed inside the swap) must make each one a no-op — a
+    // re-applied SCD2 batch would otherwise append duplicate versions
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    drain()
+    assert(table() == full, "replayed batches must be detected no-ops")
+  }
+
   test("cdcApplyAvailableNow/upsertAvailableNow bucketed twins land on the plain forms' state") {
     val base = "target/tmp/streams_bucketed_sinks"
     val fs = new org.apache.hadoop.fs.Path(base)
