@@ -788,6 +788,36 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("n_truth").cast("double"))
   }
 
+  /** nDCG@k of an approximate retriever against exact labels — the graded
+    * sibling of [[annRecall]] (recall treats a rank-1 and a rank-k hit
+    * alike; nDCG discounts by position, the number that actually ranks
+    * two retriever configurations). Relevance is graded from the exact
+    * ranking (`rel = maxRank + 1 − truth_rank`); each DCG/IDCG term is
+    * quantized as `floor(rel · 1e6 / log2(rank + 1))` — the shared
+    * `floor(log2·K)` residual-assumption idiom — so both sums are exact
+    * longs and only the final ratio runs in mirrored doubles. Docs the
+    * retriever returns OUTSIDE the truth set carry rel 0 and contribute
+    * nothing, the standard convention. Output per query:
+    * (query_id, dcg_u, idcg_u, ndcg).
+    */
+  def ndcgAtK(truth: DataFrame, approx: DataFrame, maxRank: Int): DataFrame = {
+    require(maxRank >= 1, "maxRank must be >= 1")
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__tr"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__ar"))
+    val rel = (lit(maxRank + 1L) - col("__tr")).cast("double")
+    t.join(a, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__dcg", when(col("__ar").isNotNull,
+        floor(rel * lit(1e6) / log2((col("__ar") + 1L).cast("double"))).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__idcg",
+        floor(rel * lit(1e6) / log2((col("__tr") + 1L).cast("double"))).cast("long"))
+      .groupBy("query_id")
+      .agg(sum("__dcg").as("dcg_u"), sum("__idcg").as("idcg_u"))
+      .withColumn("ndcg", col("dcg_u").cast("double") / col("idcg_u").cast("double"))
+  }
+
   /** Hard-negative mining for embedding/contrastive training: each probe's
     * top-`k` nearest corpus vectors whose LABEL DIFFERS from the probe's —
     * the near-miss impostors a contrastive or reranker objective trains

@@ -4690,20 +4690,15 @@ object TrainingQueries {
     * that decides an nProbe trade-off — is hash-checked, not just the
     * lists it grades.
     */
-  private val annRecallQ = {
+  /** The shared oracle chain of the ANN evaluation family: the full
+    * two-phase IVF-int8 pipeline AND the exact brute-force ranking, joined
+    * per (query, neighbor) as `j(query_id, tr, ar)` — recall, RR, and
+    * nDCG are all aggregations over this one frame.
+    */
+  private val annEvalCtes: String = {
     val ma = "list_reduce(list_prepend(0.0, list_transform(embedding, " +
       "x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> GREATEST(acc, x))"
-    Q(
-      "eval_ann_recall",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val probes = emb.filter(col("vec_id") < 10)
-        val truth = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 10)
-        val approx = Similarity.ivfQuantizedTopK(probes, emb, "vec_id", "embedding",
-          nCentroids = 8, nProbe = 2, k = 10, refine = 3)
-        Similarity.annRecall(truth, approx, maxRank = 10)
-      },
-      Some(s"""WITH m AS (SELECT vec_id, embedding, $ma AS ma FROM embeddings),
+    s"""m AS (SELECT vec_id, embedding, $ma AS ma FROM embeddings),
         z AS (SELECT vec_id, embedding,
           CASE WHEN ma > 0
             THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
@@ -4747,13 +4742,56 @@ object TrainingQueries {
             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
           FROM bsc) t WHERE rn <= 10),
         j AS (SELECT truth.query_id, truth.tr, approx.ar
-          FROM truth LEFT JOIN approx USING (query_id, neighbor_id))
+          FROM truth LEFT JOIN approx USING (query_id, neighbor_id))"""
+  }
+
+  private val annRecallQ = {
+    Q(
+      "eval_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 10)
+        val approx = Similarity.ivfQuantizedTopK(probes, emb, "vec_id", "embedding",
+          nCentroids = 8, nProbe = 2, k = 10, refine = 3)
+        Similarity.annRecall(truth, approx, maxRank = 10)
+      },
+      Some(s"""WITH $annEvalCtes
         SELECT query_id, COUNT(*) AS n_truth,
           COUNT(ar) AS n_hit,
           COALESCE(MAX(CASE WHEN tr = 1 THEN COALESCE(2520 // ar, 0) END), 0) AS rr_units,
           CAST(COUNT(ar) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
         FROM j GROUP BY 1"""))
   }
+
+  /** nDCG@10 of the IVF-int8 retriever against the exact ranking — the
+    * graded sibling of `eval_ann_recall` (recall treats rank 1 and rank
+    * 10 hits alike; nDCG weights by position): rel = 11 − truth_rank,
+    * each DCG/IDCG term quantized as floor(rel · 1e6 / log2(rank + 1))
+    * (the shared floor(log2·K) residual idiom) so the sums are exact
+    * longs and only the final ratio runs in mirrored doubles. The oracle
+    * re-derives both lists AND both quantized sums over the same shared
+    * chain.
+    */
+  private val annNdcgQ = Q(
+    "eval_retrieval_ndcg",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfQuantizedTopK(probes, emb, "vec_id", "embedding",
+        nCentroids = 8, nProbe = 2, k = 10, refine = 3)
+      Similarity.ndcgAtK(truth, approx, maxRank = 10)
+    },
+    Some(s"""WITH $annEvalCtes
+      SELECT query_id, CAST(dcg_u AS BIGINT) AS dcg_u, CAST(idcg_u AS BIGINT) AS idcg_u,
+        CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) AS ndcg
+      FROM (SELECT query_id,
+          SUM(CASE WHEN ar IS NOT NULL
+            THEN CAST(floor(CAST(11 - tr AS DOUBLE) * 1000000.0 / log2(CAST(ar + 1 AS DOUBLE))) AS BIGINT)
+            ELSE 0 END) AS dcg_u,
+          SUM(CAST(floor(CAST(11 - tr AS DOUBLE) * 1000000.0 / log2(CAST(tr + 1 AS DOUBLE))) AS BIGINT)) AS idcg_u
+        FROM j GROUP BY 1) t"""))
 
   /** K-hop BFS ([[graft.operators.LinkRank.khopDistances]]) from the
     * `node % 257 = 0` seeds over the interaction graph — 3
@@ -4878,7 +4916,7 @@ object TrainingQueries {
       WHERE CAST(common AS DOUBLE) / CAST(LEAST(sz1, sz2) AS DOUBLE) >= 0.8"""))
 
   val all: Seq[Q] = Seq(
-    labelPropQ, hybridRetrieveQ, annRecallQ, khopQ, evalLshQ, containmentQ, splitLeakageQ,
+    labelPropQ, hybridRetrieveQ, annRecallQ, annNdcgQ, khopQ, evalLshQ, containmentQ, splitLeakageQ,
     linkRankQ, triangleCountQ,
     dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
