@@ -28,8 +28,9 @@ object Behavior {
     * nothing ordered globally.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxStepGap: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8, "1..8 funnel steps")
+    require(maxStepGap > 0, "maxStepGap must be positive")
     val ev = events.select(col(userCol).as("user"), col(typeCol).as("tp"), col(tsCol).as("t"))
     val users = ev.select("user").distinct()
     var chain = ev.filter(col("tp") === steps.head)
@@ -40,9 +41,17 @@ object Behavior {
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
       val prev = s"t$i"
       val cur = s"t${i + 1}"
+      // TIMED funnel (the product-analytics conversion window): each step
+      // must land within `maxStepGap` of the previous one — the greedy
+      // first-occurrence semantics of the untimed chain, with the window
+      // as one more pushable predicate (no overflow at the unbounded
+      // default: the bound is simply absent)
+      val withinGap =
+        if (maxStepGap == Long.MaxValue) lit(true)
+        else col("t") <= col(prev) + maxStepGap
       chain = ev.filter(col("tp") === st)
         .join(chain, "user")
-        .filter(col("t") > col(prev))
+        .filter(col("t") > col(prev) && withinGap)
         .groupBy((col("user") +: (1 to i).map(j => col(s"t$j"))): _*)
         .agg(min(col("t")).as(cur))
       stages += chain.select("user", cur)

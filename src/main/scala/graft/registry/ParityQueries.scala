@@ -1622,6 +1622,34 @@ object ParityQueries {
       FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)"""))
 
+  /** TIMED funnel — the conversion-window form every product-analytics
+    * engine ships (Amplitude/Mixpanel semantics: each step's first
+    * occurrence within the window of the previous step): view→click→
+    * purchase with a 6-hour per-step gap. A user who clicks 7 hours
+    * after viewing does NOT convert here but does in
+    * `analytics_funnel_steps` — the rows differ exactly where the window
+    * binds, which is what the oracle's mirrored gap predicates check.
+    */
+  private val funnelTimedQ = Q(
+    "analytics_funnel_timed",
+    (s, d) => graft.operators.Behavior.funnel(
+      Tables.events(s, d), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxStepGap = 21600L * 1000000000L),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      u AS (SELECT DISTINCT user_id FROM e),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > s1.t1
+          AND e.t <= s1.t1 + 21600000000000 GROUP BY 1, 2),
+      s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > s2.t2
+          AND e.t <= s2.t2 + 21600000000000 GROUP BY 1, 2, 3)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+          WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS reached
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)"""))
+
   /** CONTIGUOUS sequence match ([[Behavior.sequenceMatch]]): the first
     * view→click→purchase occupying consecutive events of the user's
     * (t, id)-ordered stream — MATCH_RECOGNIZE's adjacent-rows pattern,
@@ -2558,7 +2586,7 @@ object ParityQueries {
     cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q,
     scd2LookupQ, streamingScd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
-    funnelQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
+    funnelQ, funnelTimedQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
     q1Agg, perWallet, creditMix, timeSince, positionRollup, conditionalAvg,
     riskFactorStats, weightedAvg, scalarWatermark, firstBlockOfDay, distinctDedup,
     dqConstraints, incrementalWatermark, boundedCatchup, literalPredicates, projStageEvents,
