@@ -173,6 +173,10 @@ object BucketedSnapshots {
     // touched buckets: driver-small by construction (<= nBuckets ints)
     val touched = updates.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    // an EMPTY batch touches nothing: committing would write an empty (or
+    // verbatim-copied) manifest for no data change — make it a no-op that
+    // returns the live version (0 on a never-committed table)
+    if (touched.isEmpty) return cur.getOrElse(0L)
     val existingDirs = touched.flatMap(b =>
       curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
     val merged =

@@ -154,6 +154,53 @@ class EmptyInputSpec extends SparkSpec {
       "lo", "hi", 10L, Seq("id")).count() == 0)
   }
 
+  test("round-12 operators are total on empty inputs") {
+    val base = "target/tmp/empty_r12"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // pointer-committed snapshots: committing an EMPTY frame still yields
+    // a readable (zero-row) table — Spark writes a schema-bearing empty
+    // part file, the pointer flips normally
+    graft.operators.Snapshots.commit(spark, docs0, s"$base/snap")
+    assert(graft.operators.Snapshots.readCurrent(spark, s"$base/snap").count() == 0)
+    // bucketed snapshots: an empty batch touches no buckets — a NO-OP
+    // returning the live version (0 on a never-committed table)
+    assert(graft.operators.BucketedSnapshots.upsertByKey(
+      spark, docs0, s"$base/bsnap", "doc_id", nBuckets = 4) == 0L)
+    val v1 = graft.operators.BucketedSnapshots.upsertByKey(
+      spark, Seq((1L, "a")).toDF("doc_id", "text"), s"$base/bsnap", "doc_id", 4)
+    assert(graft.operators.BucketedSnapshots.upsertByKey(
+      spark, docs0, s"$base/bsnap", "doc_id", 4) == v1,
+      "an empty upsert must not advance the version")
+    // bucketed CDC: empty change batch no-ops; eraseKeys with no subjects
+    // audits empty
+    val ch0 = Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v")
+    graft.operators.Cdc.applyChangesBucketed(spark,
+      Seq((1L, 1L, "I", "a")).toDF("k", "seq", "op", "v"), s"$base/cdc", "k", 4)
+    graft.operators.Cdc.applyChangesBucketed(spark, ch0, s"$base/cdc", "k", 4)
+    assert(graft.operators.Cdc.readTableBucketed(spark, s"$base/cdc").count() == 1)
+    assert(graft.operators.Cdc.eraseKeys(spark, s"$base/cdc",
+      Seq.empty[Long].toDF("k"), "k", seq = 99L, bucketed = true, nBuckets = 4)
+      .count() == 0)
+    // media / tokenizer / assembly families
+    assert(graft.operators.Multimodal.pixelPngCorpus(docs0, "doc_id").count() == 0)
+    assert(graft.operators.Multimodal.pixelPairs(
+      graft.operators.Multimodal.pixelPngCorpus(docs0, "doc_id")).count() == 0)
+    val m0 = graft.functions.Unigram.trainModel(docs0, "text")
+    assert(m0.isEmpty)
+    assert(graft.quality.Selection.packManifest(
+      Seq.empty[(Long, String, Long)].toDF("id", "shard", "n"),
+      "id", "n", budget = 100, shardCol = "shard").count() == 0)
+    assert(graft.quality.Selection.curriculumInterleave(
+      Seq.empty[(Long, String)].toDF("id", "tier"), "tier", "id").count() == 0)
+    assert(graft.features.Encoders.robustScale(
+      Seq.empty[(Long, String, Double)].toDF("id", "g", "v"), "g", "v").count() == 0)
+    assert(graft.operators.Dedup.hammingPairs64Incremental(
+      Seq.empty[(Long, Long)].toDF("doc_id", "sig"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "sig"), "sig", 2).count() == 0)
+  }
+
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {
     assert(graft.quality.Scoring.unigramSurprisal(docs0, "doc_id", "text").count() == 0)
     assert(graft.quality.Scoring.bigramSurprisal(docs0, "doc_id", "text").count() == 0)
