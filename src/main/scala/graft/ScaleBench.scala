@@ -210,6 +210,14 @@ object ScaleBench {
           "session_start", "session_end", 86400000000000L,
           Seq("user_id", "session_idx"))
           .filter(col("user_id") =!= col("r_user_id")).count()
+      },
+      // r12 pixel family: the quadratic risk is random 64-bit dHash
+      // collisions inside the ~21-bit Hamming band chunks (expected
+      // candidates ~ n²·3/2^21 — tiny constant, but genuinely n²); the
+      // per-row decode constant dominates while that stays true
+      "pixel_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pixelPngCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.pixelPairs(media, maxHamming = 2).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
