@@ -58,7 +58,10 @@ class PlanSpec extends SparkSpec {
       // same exact brute-force baseline; production feeds the audit any
       // keyed ANN top-k frame instead (labelNoiseFromTopK is retriever-
       // agnostic by construction)
-      "sim_hard_negatives", "eval_label_noise")
+      "sim_hard_negatives", "eval_label_noise",
+      // r12: nDCG grades against the same exact ground truth as
+      // eval_ann_recall (ndcgAtK itself is keyed joins only)
+      "eval_retrieval_ndcg")
 
   test("no registry query plans a CartesianProduct or an unsanctioned BroadcastNestedLoopJoin") {
     graft.sources.Tables.configure(spark)
