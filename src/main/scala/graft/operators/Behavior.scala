@@ -44,11 +44,14 @@ object Behavior {
       // TIMED funnel (the product-analytics conversion window): each step
       // must land within `maxStepGap` of the previous one — the greedy
       // first-occurrence semantics of the untimed chain, with the window
-      // as one more pushable predicate (no overflow at the unbounded
-      // default: the bound is simply absent)
+      // as one more pushable predicate. Written as a DIFFERENCE: the
+      // conjoined `t > prev` makes `t - prev` non-negative, so the
+      // comparison can't wrap even for epoch-nanos timestamps with a
+      // large finite gap (`prev + maxStepGap` could overflow long and,
+      // under non-ANSI Spark, silently drop every conversion)
       val withinGap =
         if (maxStepGap == Long.MaxValue) lit(true)
-        else col("t") <= col(prev) + maxStepGap
+        else col("t") - col(prev) <= maxStepGap
       chain = ev.filter(col("tp") === st)
         .join(chain, "user")
         .filter(col("t") > col(prev) && withinGap)

@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
   *    possibly an orphan manifest — both invisible (the pointer never
   *    referenced them) and GC'd by later commits.
   *
-  * Retention: `keepVersions` table versions; bucket dirs and manifests
-  * referenced by NO retained version are deleted after the flip. This is
-  * the role an Iceberg/Delta metadata log plays, reduced to one pointer +
-  * one manifest per version. Single-writer contract, like the rest of the
-  * sink family.
+  * Retention: the newest `keepVersions` committed table versions (count-
+  * based — crash orphans never shrink the window); bucket dirs and
+  * manifests referenced by NO retained version are deleted after the
+  * flip. This is the role an Iceberg/Delta metadata log plays, reduced to
+  * one pointer + one manifest per version. Writers are optimistically
+  * concurrent: the pointer flip CAS-checks the merge base and a losing
+  * racer aborts with [[CommitConflictException]]
+  * (see [[Snapshots.commitWith]]'s concurrency note).
   */
 object BucketedSnapshots {
 
@@ -154,7 +157,7 @@ object BucketedSnapshots {
     *   4. atomically replace _CURRENT     — the commit point
     *   5. GC unreferenced dirs/manifests  — crash: extra dirs, next run GCs
     */
-  private def mergeCommit(
+  private[graft] def mergeCommit(
       spark: SparkSession,
       updates: DataFrame,
       path: String,
@@ -165,10 +168,14 @@ object BucketedSnapshots {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(!updates.columns.contains("b"),
+      "column name 'b' is reserved for the bucket layout — rename the payload column")
     val fs = fsOf(spark, path)
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
     val state = pointerState(spark, path)
     val cur = state.map(_._1)
+    // CAS base for the pointer flip (raw, see Snapshots.commitWith)
+    val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
     val curManifest = cur.map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
     // touched buckets: driver-small by construction (<= nBuckets ints)
     val touched = updates.select(bucketOf.as("b")).distinct()
@@ -230,18 +237,22 @@ object BucketedSnapshots {
     finally out.close()
     if (!fs.rename(mfTmp, mf))
       throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
-    // THE commit point: atomic pointer replace with the retained history
+    // THE commit point: atomic pointer replace with the retained history.
+    // Retention is COUNT-based (newest keepVersions committed versions) —
+    // a value window on `next` would let a crash-orphan manifest inflate
+    // `next` and evict the still-pinned previous table version.
     val retained = (next +: state.map(_._2).getOrElse(Seq.empty)).distinct
-      .filter(v => v > next - keepVersions)
+      .sorted.reverse.take(keepVersions)
+    Snapshots.checkPointerUnmoved(spark, path, casBase)
     val root = new Path(path)
     val tmp = new Path(root, "_CURRENT.tmp")
     val marker = new Path(root, "_CURRENT")
     val pout = fs.create(tmp, true)
-    try pout.write(retained.sorted.reverse.mkString("\n").getBytes("UTF-8"))
+    try pout.write(retained.mkString("\n").getBytes("UTF-8"))
     finally pout.close()
     FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, marker, Options.Rename.OVERWRITE)
-    gc(spark, path, retained, next)
+    gc(spark, path, retained)
     next
   }
 
@@ -256,18 +267,20 @@ object BucketedSnapshots {
   }
 
   /** Delete bucket dirs and manifests referenced by NO retained version;
-    * orphans (never-committed) age out once below the retention floor.
+    * orphans (never-committed) age out once below the retention floor —
+    * the floor is the OLDEST RETAINED version, never an arithmetic window
+    * on the next version number (crash orphans inflate that).
     */
-  private def gc(spark: SparkSession, path: String,
-      retained: Seq[Long], next: Long): Unit = {
+  private def gc(spark: SparkSession, path: String, retained: Seq[Long]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
     val keepManifests = retained.toSet
+    val floor = retained.min
     val live: Set[(Int, Long)] = retained
       .filter(v => fs.exists(new Path(manifestPath(path, v))))
       .flatMap(v => readManifest(spark, path, v).toSeq).toSet
     allManifestVersions(spark, path)
-      .filter(v => !keepManifests.contains(v) && v <= next - retained.size)
+      .filter(v => !keepManifests.contains(v) && v < floor)
       .foreach(v => fs.delete(new Path(manifestPath(path, v)), false))
     val root = new Path(path)
     if (fs.exists(root)) fs.listStatus(root).toSeq

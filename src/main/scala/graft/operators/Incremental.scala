@@ -212,6 +212,8 @@ object Incremental {
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(!updates.columns.contains("b"),
+      "column name 'b' is reserved for the bucket layout — rename the payload column")
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -2,6 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** Raised when the single-pointer CAS detects a concurrent commit: the
+  * live `_CURRENT` moved past the merge base this commit resolved. The
+  * staged version directory is an inert orphan (never referenced, GC'd by
+  * later commits); the caller retries the whole read-merge-commit from
+  * the new base.
+  */
+class CommitConflictException(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 /** Pointer-committed versioned snapshots with time travel — the
   * object-store-safe commit protocol of [[Incremental.upsertByKeyVersioned]]
   * generalized so EVERY maintained table (CDC snapshot, SCD2 history,
@@ -34,8 +43,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * immutable directory; commits never mutate existing files. With
   * `keepVersions = K`, a pinned reader survives `K - 1` subsequent
   * commits; past that, [[readSnapshot]] fails with a clear error instead
-  * of returning a half-deleted directory. Single-writer contract, like
-  * the rest of this sink family.
+  * of returning a half-deleted directory. Writers are optimistically
+  * concurrent: the pointer flip CAS-checks the merge base and a losing
+  * racer aborts with [[CommitConflictException]] instead of silently
+  * last-writer-winning (see [[commitWith]]).
   *
   * 100 TB note: this protocol rewrites the full snapshot per commit — use
   * it directly for state that is SMALL relative to its churn (sketch
@@ -144,8 +155,20 @@ object Snapshots {
     * Commit sequence (crash anywhere leaves a consistent table):
     *   1. resolve current pointer        — crash: nothing happened
     *   2. write v=N+1 (+ stageExtra)     — crash: inert orphan, v=N live
-    *   3. atomically replace _CURRENT    — the commit point
-    *   4. GC expired snapshots           — crash: extra dirs, next run GCs
+    *   3. CAS check: pointer unmoved     — crash/conflict: orphan, v live
+    *   4. atomically replace _CURRENT    — the commit point
+    *   5. GC expired snapshots           — crash: extra dirs, next run GCs
+    *
+    * Concurrency: step 3 re-reads `_CURRENT` and ABORTS with
+    * [[CommitConflictException]] if the live version moved past the merge
+    * base resolved in step 1 — optimistic single-pointer CAS, so two
+    * racing committers can't silently last-writer-win each other's merged
+    * state (the loser retries from the new base). On POSIX/HDFS the
+    * check-then-rename window is sub-millisecond best-effort; an object
+    * store deployment replaces the rename with a conditional put
+    * (S3 If-Match / GCS generation-match) on `_CURRENT`, which makes the
+    * same check truly atomic — the protocol shape is already the
+    * conditional-put shape.
     */
   def commitWith(
       spark: SparkSession,
@@ -158,29 +181,56 @@ object Snapshots {
     val fs = fsOf(spark, path)
     val state = pointerState(spark, path)
     val cur = state.map(_._1)
+    // CAS base: the RAW pointer (unvalidated), so a dangling pointer that
+    // pointerState filtered away doesn't read as someone else's commit
+    val casBase = pointerStateRaw(spark, path).map(_._1)
     val merged = f(cur.map(v => spark.read.parquet(versionDir(path, v))))
     // `next` floors over ALL v= dirs so an inert orphan's slot is never
     // re-used while a fallback reader might still resolve it
     val next = (cur.toSeq ++ allVersionDirs(spark, path)).foldLeft(0L)(math.max) + 1
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(path, next))
     stageExtra(new Path(versionDir(path, next)))
+    // retention is COUNT-based (newest keepVersions committed versions),
+    // never a value window on `next`: a crash orphan inflates `next` past
+    // the live version, and a value window would evict the still-pinned
+    // previous snapshot after a single crash+commit
     val retained = (next +: state.map(_._2).getOrElse(Seq.empty)).distinct
-      .filter(v => v > next - keepVersions)
+      .sorted.reverse.take(keepVersions)
+    checkPointerUnmoved(spark, path, casBase)
     val root = new Path(path)
     val tmp = new Path(root, "_CURRENT.tmp")
     val marker = new Path(root, "_CURRENT")
     val out = fs.create(tmp, true)
-    try out.write(retained.sorted.reverse.mkString("\n").getBytes("UTF-8"))
+    try out.write(retained.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, marker, Options.Rename.OVERWRITE)
-    // retention GC strictly AFTER the commit point: expired committed
-    // versions plus inert orphans that have aged out of the window
+    // retention GC strictly AFTER the commit point: only dirs BELOW the
+    // oldest retained version go — younger unretained dirs are orphans a
+    // fallback reader may still resolve, and they age out once the
+    // retention window passes them
     val keep = retained.toSet
+    val floor = retained.min
     allVersionDirs(spark, path)
-      .filter(v => !keep.contains(v) && v <= next - keepVersions)
+      .filter(v => !keep.contains(v) && v < floor)
       .foreach(v => fs.delete(new Path(versionDir(path, v)), true))
     next
+  }
+
+  /** Optimistic-concurrency gate shared by [[Snapshots]] and
+    * [[BucketedSnapshots]]: abort unless the live pointer still equals the
+    * version this commit merged from. See [[commitWith]]'s concurrency
+    * note for the atomicity contract per filesystem.
+    */
+  private[graft] def checkPointerUnmoved(
+      spark: SparkSession, path: String, mergeBase: Option[Long]): Unit = {
+    val liveNow = pointerStateRaw(spark, path).map(_._1)
+    if (liveNow != mergeBase)
+      throw new CommitConflictException(
+        s"concurrent commit detected at $path: merge base was " +
+          s"${mergeBase.fold("<empty table>")(v => s"v=$v")} but the live version is now " +
+          s"${liveNow.fold("<empty table>")(v => s"v=$v")}; this commit's staged data is an " +
+          "inert orphan — retry from the new base")
   }
 
   /** Every `v=` directory, committed or not — the writer's collision-free

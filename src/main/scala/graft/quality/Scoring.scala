@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Scoring {
 
+  /** Default ceiling on the vocabulary rows a scoring join will broadcast:
+    * 1M (word, count) rows is tens of MB — inside every practical
+    * driver/executor broadcast budget ([[graft.features.Encoders
+    * .DefaultMaxBroadcastGroups]] is the same figure for the same reason).
+    * A web-scale corpus vocabulary runs to tens of millions of rows —
+    * multi-GB as a broadcast — so past the bound the model side
+    * shuffle-joins instead, with identical results.
+    */
+  val DefaultMaxBroadcastVocab: Long = 1000000L
+
   /** Unigram-LM surprisal per document: the mean of `-log2 p(w)` over the
     * doc's tokens, where `p` is the corpus unigram distribution — the
     * classic perplexity-proxy quality signal (high = unusual vocabulary,
@@ -118,16 +128,22 @@ object Scoring {
     mixtureResample(docs, strataCol, idCol, tokenCol, weights, salt)
   }
 
-  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab): DataFrame = {
+    require(maxBroadcastVocab >= 1, "maxBroadcastVocab must be >= 1")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Text.words(col(textCol))).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     // empty corpus: SUM is null — the scoring join below is empty anyway,
-    // the 0 literal just keeps the two-phase read total (no NPE)
-    val totalRow = vocab.agg(sum("cnt")).head()
+    // the 0 literal just keeps the two-phase read total (no NPE). The
+    // vocabulary cardinality (the broadcast guard) rides the same action —
+    // zero extra corpus passes, like [[bigramSurprisal]]'s guard.
+    val totalRow = vocab.agg(sum("cnt"), count(lit(1))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val vocabSide =
+      if (totalRow.getLong(1) <= maxBroadcastVocab) broadcast(vocab) else vocab
     toks
-      .join(broadcast(vocab), "w")
+      .join(vocabSide, "w")
       .withColumn("t", -log2(col("cnt").cast("double") / lit(total).cast("double")))
       .groupBy("doc_id")
       .agg(
@@ -352,12 +368,15 @@ object Scoring {
     * Shape at scale: two narrow count aggregations build the model (the
     * unigram vocab and the bigram table); both — orders of magnitude
     * smaller than the corpus — broadcast into the scoring join, so the
-    * pair stream is never shuffled (beyond broadcastable bigram
-    * vocabulary, pass `broadcastBigrams = false` to run the (w1, w2)
-    * join as a shuffle join — the unigram side always broadcasts); T
-    * comes back as a two-phase
-    * scalar literal; the per-doc mean is one map-side-combinable
-    * aggregation.
+    * pair stream is never shuffled. Both model sides are GUARDED, not
+    * assumed small: the unigram sides broadcast only while the probed
+    * vocabulary cardinality fits `maxBroadcastVocab` (the cardinality
+    * rides the same scalar action that reads T, so the guard costs zero
+    * extra corpus passes — the [[graft.features.Encoders]] probe-then-
+    * fallback discipline), else they shuffle-join; past a broadcastable
+    * bigram vocabulary, pass `broadcastBigrams = false` for the (w1, w2)
+    * side. T comes back as a two-phase scalar literal; the per-doc mean
+    * is one map-side-combinable aggregation.
     *
     * Determinism: the -log2 terms quantize to decimal(38,3) before the
     * order-independent sum ([[unigramSurprisal]]'s idiom); the
@@ -370,14 +389,19 @@ object Scoring {
       idCol: String,
       textCol: String,
       lambda: Double = 0.7,
-      broadcastBigrams: Boolean = true): DataFrame = {
+      broadcastBigrams: Boolean = true,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    require(maxBroadcastVocab >= 1, "maxBroadcastVocab must be >= 1")
     val ws = docs.select(col(idCol).as("doc_id"), Text.words(col(textCol)).as("__ws"))
     val toks = ws.select(col("doc_id"), explode(col("__ws")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-    // empty-corpus guard, as in [[unigramSurprisal]]
-    val totalRow = uni.agg(sum("cu")).head()
+    // empty-corpus guard, as in [[unigramSurprisal]]; the vocabulary
+    // cardinality (the unigram-broadcast guard) rides the SAME action
+    val totalRow = uni.agg(sum("cu"), count(lit(1))).head()
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val vocabFits = totalRow.getLong(1) <= maxBroadcastVocab
+    def uniSide(df: DataFrame): DataFrame = if (vocabFits) broadcast(df) else df
     val pairs = ws.select(col("doc_id"), explode(
       when(size(col("__ws")) >= 2, transform(
         sequence(lit(1), size(col("__ws")) - 1),
@@ -391,12 +415,14 @@ object Scoring {
         lit(1 - lambda) * (col("cu2").cast("double") / lit(total).cast("double"))
     // the bigram table grows toward vocab^2 on large corpora: past the
     // broadcast budget, callers pass broadcastBigrams = false and the
-    // (w1, w2) join shuffles instead — the unigram sides always broadcast
+    // (w1, w2) join shuffles instead — the unigram sides broadcast only
+    // under the cardinality guard probed above (a web-scale vocabulary
+    // is tens of millions of rows: multi-GB broadcast, executor OOM)
     val biSide = if (broadcastBigrams) broadcast(bi) else bi
     pairs
       .join(biSide, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+      .join(uniSide(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+      .join(uniSide(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
       .withColumn("t", -log2(p))
       .groupBy("doc_id")
       .agg(
@@ -456,24 +482,31 @@ object Scoring {
     * dropped is the classic mix) via the deterministic key-hash rule of
     * [[Selection.hashSample]]. Output: (doc_id, surprisal, bucket, keep).
     *
-    * Bucket boundaries come from an EXACT global rank (row_number ordered
-    * by (surprisal, doc_id)) so the assignment is reproducible
-    * row-for-row by an external oracle. That global sort runs over the
-    * per-doc SCORE table — one narrow row per doc, orders of magnitude
-    * smaller than the corpus — not the corpus itself; at the scale where
-    * even that sort hurts, production derives cutoffs once (on a
-    * [[Selection.hashSample]] of scores, as CCNet computes its
-    * percentiles on a sample) and applies them as literals through
-    * [[perplexityBucketsByCutoffs]], which is a pure scan-shaped filter.
+    * ORACLE/SMALL-CORPUS FORM — [[perplexityBucketsByCutoffs]] is the
+    * production default. Bucket boundaries here come from an EXACT global
+    * rank (row_number ordered by (surprisal, doc_id)) so the assignment
+    * is reproducible row-for-row by an external oracle — but that rank is
+    * an UNPARTITIONED window (one task sorts every score row), so the
+    * form is ENFORCED small: it aborts past `maxExactRank` docs instead
+    * of silently single-tasking a corpus-sized sort. At scale, production
+    * derives cutoffs once (on a [[Selection.hashSample]] of scores, as
+    * CCNet computes its percentiles on a sample) and applies them as
+    * literals through [[perplexityBucketsByCutoffs]], which is a pure
+    * scan-shaped filter.
     */
   def perplexityBuckets(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       rates: Map[String, Double] = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      maxExactRank: Long = 10000000L): DataFrame = {
     val scored = unigramSurprisal(docs, idCol, textCol)
     val n = scored.count()
+    require(n <= maxExactRank,
+      s"perplexityBuckets ranks $n docs through one unpartitioned window task " +
+        s"(bound: $maxExactRank) — this exact-rank form is for oracle/small-corpus " +
+        "use; at scale derive cutoffs on a hashSample and use perplexityBucketsByCutoffs")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("surprisal"), col("doc_id"))
     val ranked = scored
@@ -486,9 +519,13 @@ object Scoring {
       .select("doc_id", "surprisal", "bucket", "keep")
   }
 
-  /** The production form of [[perplexityBuckets]]: cutoffs as literals
+  /** THE PRODUCTION DEFAULT for perplexity bucketing: cutoffs as literals
     * (head < `c1` <= middle < `c2` <= tail), no rank, no sort — the
-    * bucket rule and keep filter both collapse into the scan.
+    * bucket rule and keep filter both collapse into the scan, so the form
+    * is corpus-scale by construction. Derive `c1`/`c2` once on a
+    * [[Selection.hashSample]] of scores (the CCNet percentile-on-a-sample
+    * recipe); [[perplexityBuckets]] (exact rank, enforced small) exists
+    * for oracle verification of the assignment rule.
     */
   def perplexityBucketsByCutoffs(
       docs: DataFrame,

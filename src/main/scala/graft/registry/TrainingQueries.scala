@@ -3126,17 +3126,23 @@ object TrainingQueries {
       val toks = ws.select(explode(col("__ws")).as("w"))
       val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
       // token-less corpus: SUM is null — 0 keeps the two-phase read total
-      // (same guard as Scoring's unigram/bigramSurprisal scalar reads)
-      val totalRow = uni.agg(sum("cu")).head()
+      // (same guard as Scoring's unigram/bigramSurprisal scalar reads);
+      // the vocabulary cardinality (the unigram-broadcast guard — a
+      // web-scale vocabulary is a multi-GB broadcast) rides the same
+      // action, the Scoring.bigramSurprisal discipline
+      val totalRow = uni.agg(sum("cu"), count(lit(1))).head()
       val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val uniFits = totalRow.getLong(1) <= graft.quality.Scoring.DefaultMaxBroadcastVocab
+      def uniSide(df: org.apache.spark.sql.DataFrame) =
+        if (uniFits) broadcast(df) else df
       val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 5)
       val pmi = floor(log2(
         col("cb").cast("double") * lit(total).cast("double") /
           (col("cu1").cast("double") * col("cu2").cast("double"))) * 1e6).cast("long")
       val scored = bi
-        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+        .join(uniSide(uni.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+        .join(uniSide(uni.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
         .withColumn("pmi_q", pmi)
         .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
         .limit(50)

@@ -30,6 +30,22 @@ class BehaviorSpec extends SparkSpec {
     assert(r(4L) == ((null, null, null, 0)))
   }
 
+  test("timed funnel: epoch-nanos timestamps + a large finite gap cannot overflow the window check") {
+    // prev + maxStepGap would wrap long (4e18 + 6e18); the difference form
+    // must still count the conversion that lands 1ns after the first step
+    val base = 4000000000000000000L
+    val ev = Seq(
+      (1L, "A", base), (1L, "B", base + 1L),
+      // u2's B lands OUTSIDE the gap: must not count
+      (2L, "A", 10L), (2L, "B", 9223372036854775000L)
+    ).toDF("user_id", "event_type", "ts")
+    val r = Behavior.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B"),
+      maxStepGap = 6000000000000000000L)
+      .collect().map(x => x.getAs[Long]("user_id") -> x.getAs[Int]("reached")).toMap
+    assert(r(1L) == 2, "in-window conversion dropped — the gap check overflowed")
+    assert(r(2L) == 1)
+  }
+
   test("sequenceMatch gapped == funnel on chain patterns (property, random streams)") {
     val rnd = new scala.util.Random(42)
     val types = Seq("A", "B", "C", "D")

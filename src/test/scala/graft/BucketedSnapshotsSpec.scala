@@ -100,6 +100,59 @@ class BucketedSnapshotsSpec extends SparkSpec {
     assert(onDisk == liveVs, s"on-disk bucket versions $onDisk must equal live refs $liveVs")
   }
 
+  test("crash orphan manifest never shrinks retention: the pinned previous version survives") {
+    val path = fresh("orphanretain")
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    val v2 = BucketedSnapshots.upsertByKey(spark, Seq((1L, 2.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    // crash leftover: an orphan manifest far AHEAD of the live version —
+    // it inflates `next` (via allManifestVersions); value-window retention
+    // would evict the still-pinned v2 and GC its bucket dirs
+    val out = fs(path).create(new org.apache.hadoop.fs.Path(s"$path/manifest/v=9.txt"), true)
+    out.write("0,99".getBytes("UTF-8")); out.close()
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 3.0)).toDF("k", "v"),
+      path, "k", 2, keepVersions = 2)
+    assert(BucketedSnapshots.versions(spark, path).contains(v2),
+      "retention must keep the NEWEST keepVersions committed versions by count")
+    assert(rows(BucketedSnapshots.readSnapshot(spark, path, v2)) == Map(1L -> 2.0),
+      "a pinned reader must survive K-1 commits even after a crash orphan")
+  }
+
+  test("two-writer race: the bucketed pointer-flip CAS aborts the loser; winner intact, retry succeeds") {
+    val path = fresh("cas")
+    // nBuckets = 1 so the racing batch always merges against existing rows
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"), path, "k", 1)
+    val ex = intercept[graft.operators.CommitConflictException] {
+      BucketedSnapshots.mergeCommit(spark, Seq((2L, 2.0)).toDF("k", "v"),
+        path, "k", 1, 2, (existing, batch) => {
+          // writer B lands between A's merge-base resolve and A's flip
+          BucketedSnapshots.upsertByKey(spark, Seq((3L, 3.0)).toDF("k", "v"), path, "k", 1)
+          existing.unionByName(batch) // keys disjoint: union IS the upsert
+        })
+    }
+    assert(ex.getMessage.contains("retry"))
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) == Map(1L -> 1.0, 3L -> 3.0),
+      "the winner's commit must be intact — nothing last-writer-won away")
+    BucketedSnapshots.upsertByKey(spark, Seq((2L, 2.0)).toDF("k", "v"), path, "k", 1)
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
+  test("reserved bucket column: a payload column named 'b' is rejected up front, not silently replaced") {
+    val pathV = fresh("reservedb_v")
+    val bad = Seq((1L, 1.0)).toDF("k", "b")
+    val ex1 = intercept[IllegalArgumentException] {
+      BucketedSnapshots.upsertByKey(spark, bad, pathV, "k", 4)
+    }
+    assert(ex1.getMessage.contains("reserved"))
+    val pathR = fresh("reservedb_r")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.operators.Incremental.upsertByKeyBucketed(spark, bad, pathR, "k", 4)
+    }
+    assert(ex2.getMessage.contains("reserved"))
+  }
+
   test("CDC apply: out-of-order convergence, sticky tombstones, pinned pre-delete view") {
     val path = fresh("cdc")
     def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")

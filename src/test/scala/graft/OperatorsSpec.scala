@@ -602,6 +602,41 @@ class SelectionSpec extends SparkSpec {
     assert(!r.contains(3L), "single-word doc has no bigrams")
   }
 
+  test("unigram-broadcast guard: past the vocab bound the model sides shuffle-join with identical results") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d e"), (3L, "c d a b a"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // vocab here is 5 words: maxBroadcastVocab = 1 forces the shuffle path
+    assert(key(graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text",
+      maxBroadcastVocab = 1)) ==
+      key(graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text")))
+    assert(key(graft.quality.Scoring.bigramSurprisal(docs, "doc_id", "text",
+      maxBroadcastVocab = 1)) ==
+      key(graft.quality.Scoring.bigramSurprisal(docs, "doc_id", "text")))
+    // and the guard really controls the hint: none past the bound, present
+    // under it (the physical join choice then belongs to Catalyst/AQE)
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hints(graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text",
+      maxBroadcastVocab = 1)) == 0,
+      "past the vocab bound no broadcast hint may be planted")
+    assert(hints(graft.quality.Scoring.unigramSurprisal(docs, "doc_id", "text")) > 0)
+  }
+
+  test("perplexityBuckets (exact-rank, oracle form) is enforced small; the cutoff form is unbounded") {
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.quality.Scoring.perplexityBuckets(docs, "doc_id", "text", maxExactRank = 2)
+    }
+    assert(ex.getMessage.contains("perplexityBucketsByCutoffs"))
+    // the production form has no such bound — the same 3 docs pass through
+    assert(graft.quality.Scoring.perplexityBucketsByCutoffs(
+      docs, "doc_id", "text", c1 = 1.0, c2 = 2.0).count() == 3)
+  }
+
   test("bm25Retrieve: rare terms outrank common, dl-normalization, missing terms") {
     val docs = Seq(
       (1L, "zebra walks home"),          // the only zebra doc

@@ -137,6 +137,46 @@ class SnapshotsSpec extends SparkSpec {
     assert(fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=1/_META")))
   }
 
+  test("crash orphan never shrinks retention: the pinned previous version survives (count-based window)") {
+    val path = fresh("orphanretain")
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), path, keepVersions = 2)
+    val v2 = Snapshots.commit(spark, Seq((1L, "b")).toDF("k", "v"), path, keepVersions = 2)
+    // crash leftover: a fully-written orphan far AHEAD of the live version
+    // (a died run had resolved a later slot) — it inflates `next`, which a
+    // value-window retention would turn into eviction of the pinned v2
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$path/v=7")
+    Snapshots.commit(spark, Seq((1L, "c")).toDF("k", "v"), path, keepVersions = 2)
+    assert(Snapshots.versions(spark, path) == Seq(8L, 2L),
+      "retention must keep the NEWEST keepVersions committed versions by count")
+    assert(rows(Snapshots.readSnapshot(spark, path, v2)) == Set((1L, "b")),
+      "a pinned reader must survive K-1 commits even after a crash orphan")
+    // the young orphan stays (a fallback reader may resolve it); v=1,
+    // below the retention floor, is collected
+    assert(fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=7")))
+    assert(!fs(path).exists(new org.apache.hadoop.fs.Path(s"$path/v=1")))
+  }
+
+  test("two-writer race: the pointer-flip CAS aborts the loser; retry from the new base succeeds") {
+    val path = fresh("cas")
+    Snapshots.commit(spark, Seq((1L, "base")).toDF("k", "v"), path)
+    // writer B lands BETWEEN writer A's merge-base resolve and A's flip —
+    // injected through A's own merge function, which runs exactly there
+    val ex = intercept[graft.operators.CommitConflictException] {
+      Snapshots.commitWith(spark, path, { cur =>
+        Snapshots.commit(spark, Seq((2L, "writerB")).toDF("k", "v"), path)
+        cur.get.unionByName(Seq((3L, "writerA")).toDF("k", "v"))
+      })
+    }
+    assert(ex.getMessage.contains("retry"))
+    // the winner's commit is intact — nothing was last-writer-won away
+    assert(rows(Snapshots.readCurrent(spark, path)) == Set((2L, "writerB")))
+    // the loser retries from the NEW base and succeeds
+    Snapshots.commitWith(spark, path,
+      cur => cur.get.unionByName(Seq((3L, "writerA")).toDF("k", "v")))
+    assert(rows(Snapshots.readCurrent(spark, path)) ==
+      Set((2L, "writerB"), (3L, "writerA")))
+  }
+
   test("versioned CDC apply: out-of-order convergence + pinned-version live view") {
     val path = fresh("cdc")
     def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")
