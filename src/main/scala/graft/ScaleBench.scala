@@ -218,6 +218,14 @@ object ScaleBench {
       "pixel_neardup" -> { k: Int =>
         val media = graft.operators.Multimodal.pixelPngCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.pixelPairs(media, maxHamming = 2).count()
+      },
+      // r13 JPEG addendum: same banded pair machinery, but the per-row
+      // constant is the full Huffman+IDCT decode — the gate proves the
+      // decode stays a linear scan-side cost and the band join stays
+      // collision-bounded with the JPEG fingerprint too
+      "jpeg_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pixelJpegCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.jpegPairs(media, maxHamming = 4).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")

@@ -1,0 +1,601 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** PIXEL-LEVEL perceptual hash for BASELINE JPEG payloads — the
+  * [[PngPixelHash]] contract extended to the DOMINANT crawl image format:
+  * parse the JFIF/EXIF marker stream, Huffman-decode the entropy data,
+  * dequantize, run the deterministic fixed-point integer IDCT (the
+  * Loeffler-Ligtenberg-Moshovitz factorization at 13-bit precision — the
+  * classic "islow" exact-integer path, so every engine reconstructs the
+  * same samples; no float, no FMA, no libm), and dHash the LUMA plane on
+  * the same 9×8 grid. Returns NULL for anything that is not a
+  * cleanly-decodable baseline JPEG — progressive (SOF2) and arithmetic
+  * (SOF9+) frames, 12-bit precision, truncated entropy data, bad Huffman
+  * streams, dimensions outside the [[PngPixelHash]] gates — never throws
+  * (ParserFuzzSpec).
+  *
+  * WHY luma only: dHash is a gradient hash over integer luma, and in
+  * JPEG's YCbCr the luma IS the Y component — so the chroma blocks are
+  * Huffman-decoded only to advance the bitstream (their DC predictors
+  * tracked, their coefficients discarded) and never IDCT'd or upsampled.
+  * That skips the color convert entirely AND removes the chroma-
+  * subsampling variable: a 4:2:0 re-encode of a 4:4:4 original keeps its
+  * Y plane, so the hash still lands the pair.
+  *
+  * WHY pixels, not bytes: a re-encoded JPEG — different Huffman tables
+  * (jpegtran -optimize), different quant tables (quality bump), restart
+  * markers added, metadata stripped — shares almost no compressed bytes
+  * with its original, so [[BlockHash64]] provably misses the single most
+  * common duplicate class in a crawled multimodal corpus. Decoding
+  * re-encode twins: identical framing-only re-encodes land at Hamming 0
+  * exactly (same coefficients ⇒ the integer IDCT is bit-reproducible);
+  * requantized re-encodes land within a few gradient bits.
+  *
+  * Supported: SOF0/SOF1 (baseline + extended sequential Huffman), 8-bit,
+  * 1- or 3-component, any sampling factors 1..4, restart intervals, one
+  * interleaved scan (or the single-component non-interleaved scan).
+  * Everything else — progressive, arithmetic, hierarchical, CMYK,
+  * multi-scan — keeps the byte-level [[BlockHash64]] fingerprint.
+  *
+  * Scale: one codegen'd projection, payload never shuffles — only the
+  * 8-byte hash flows into the banded pair machinery
+  * ([[graft.operators.Dedup.hammingPairs64]]).
+  */
+case class JpegPixelHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_pixel_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckSuccess
+    case dt => TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    JpegPixelHash.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // static singleton call — nothing to serialize into the task
+      val impl = s"${JpegPixelHash.getClass.getName.stripSuffix("$")}$$.MODULE$$"
+      val tmp = ctx.freshName("jxh")
+      s"""
+        |java.lang.Long $tmp = $impl.hash($v);
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $tmp.longValue(); }
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixelHash =
+    copy(child = newChild)
+}
+
+object JpegPixelHash {
+
+  /** Zigzag scan position -> natural (row-major) position, ITU T.81 fig 5. */
+  private[expressions] val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  def hash(b: Array[Byte]): java.lang.Long =
+    try {
+      val g = decodeLuma(b)
+      if (g == null) null else java.lang.Long.valueOf(PngPixelHash.dhash(g.px, g.w, g.h))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** One canonical Huffman table: the T.81 F.2.2.3 DECODE structures. */
+  private final class HuffTable(bits: Array[Int], val vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private final class Component {
+    var id = 0
+    var h = 1; var v = 1
+    var tq = 0        // quant table selector
+    var dcTbl = 0; var acTbl = 0
+    var dcPred = 0
+  }
+
+  /** MSB-first entropy-segment bit reader with 0xFF00 unstuffing. A bare
+    * marker (0xFF 0xD0-D7, EOI, ...) or end-of-input stops refills
+    * (`drained` — NORMAL near the end of a scan: the final blocks decode
+    * from the buffered bits); `bad` is set only when a read actually
+    * comes up short. The marker itself is never consumed: the caller
+    * byte-aligns onto the expected restart marker or finishes the scan.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var buf = 0L
+    private var cnt = 0
+    private var drained = false
+    var bad = false
+
+    private def fill(): Unit = {
+      while (cnt <= 56 && !drained) {
+        if (pos >= b.length) { drained = true; return }
+        val v = b(pos) & 0xff
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) { drained = true; return }
+          val nx = b(pos + 1) & 0xff
+          if (nx == 0x00) { pos += 2 }            // stuffed literal FF
+          else { drained = true; return }
+        } else pos += 1
+        buf = (buf << 8) | v
+        cnt += 8
+      }
+    }
+
+    def bit(): Int = {
+      if (cnt == 0) { fill(); if (cnt == 0) return -1 }
+      cnt -= 1
+      ((buf >>> cnt) & 1L).toInt
+    }
+
+    def bits(n: Int): Int = {
+      if (n == 0) return 0
+      if (cnt < n) { fill(); if (cnt < n) return -1 }
+      cnt -= n
+      ((buf >>> cnt) & ((1L << n) - 1)).toInt
+    }
+
+    /** Drop to the byte boundary and position `pos` at the next raw byte
+      * (used at restart markers, which are byte-aligned by construction).
+      */
+    def align(): Unit = { buf = 0L; cnt = 0 }
+
+    /** Resume after a consumed restart marker: reset every flag and read
+      * from `newPos`.
+      */
+    def resume(newPos: Int): Unit = {
+      pos = newPos; buf = 0L; cnt = 0; drained = false; bad = false
+    }
+
+    def decode(t: HuffTable): Int = {
+      var code = bit()
+      if (code < 0) return -1
+      var l = 1
+      while (code > t.maxCode(l)) {
+        val nb = bit()
+        if (nb < 0) return -1
+        code = (code << 1) | nb
+        l += 1
+        if (l > 16) return -1
+      }
+      val idx = t.valPtr(l) + code - t.minCode(l)
+      if (idx < 0 || idx >= t.vals.length) return -1
+      t.vals(idx) & 0xff
+    }
+
+    /** RECEIVE + EXTEND (T.81 F.2.2.1): read `t` magnitude bits. */
+    def extend(t: Int): Int = {
+      if (t == 0) return 0
+      val v = bits(t)
+      if (v < 0) { bad = true; return 0 }
+      if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+  }
+
+  /** Full baseline decode of the LUMA component to an integer plane, or
+    * null on anything unclean.
+    */
+  private[expressions] def decodeLuma(b: Array[Byte]): PngPixelHash.Gray = {
+    if (b == null || b.length < 16) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null // SOI
+    var pos = 2
+    val quant = Array.ofDim[Int](4, 64) // stored in ZIGZAG order
+    val quantSeen = new Array[Boolean](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var sofSeen = false
+
+    while (pos + 1 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return null
+      // fill bytes: any number of FFs may precede the marker code
+      while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= b.length) return null
+      val m = b(pos) & 0xff; pos += 1
+      m match {
+        case 0xd8 => return null                       // a second SOI: garbage
+        case 0xd9 => return null                       // EOI before any scan
+        case 0x01 => ()                                // TEM: standalone
+        case x if x >= 0xd0 && x <= 0xd7 => ()         // stray RST: standalone
+        case _ =>
+          if (pos + 2 > b.length) return null
+          val len = (((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)) - 2
+          val seg = pos + 2
+          if (len < 0 || seg + len > b.length) return null
+          m match {
+            case 0xdb => // DQT: one or more tables
+              var p = seg
+              while (p < seg + len) {
+                val pq = (b(p) & 0xff) >> 4
+                val tq = b(p) & 0x0f
+                if (tq > 3 || pq > 1) return null
+                p += 1
+                val need = if (pq == 0) 64 else 128
+                if (p + need > seg + len) return null
+                var k = 0
+                while (k < 64) {
+                  quant(tq)(k) =
+                    if (pq == 0) b(p + k) & 0xff
+                    else ((b(p + 2 * k) & 0xff) << 8) | (b(p + 2 * k + 1) & 0xff)
+                  if (quant(tq)(k) == 0) return null
+                  k += 1
+                }
+                quantSeen(tq) = true
+                p += need
+              }
+            case 0xc4 => // DHT: one or more tables
+              var p = seg
+              while (p < seg + len) {
+                if (p + 17 > seg + len) return null
+                val tc = (b(p) & 0xff) >> 4
+                val th = b(p) & 0x0f
+                if (tc > 1 || th > 3) return null
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+                if (total == 0 || total > 256 || p + 17 + total > seg + len) return null
+                val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                p += 17 + total
+              }
+            case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+              if (sofSeen) return null
+              val prec = b(seg) & 0xff
+              if (prec != 8) return null
+              height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+              width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+              val nf = b(seg + 5) & 0xff
+              if (nf != 1 && nf != 3) return null     // gray or YCbCr only
+              if (len < 6 + 3 * nf) return null
+              comps = Array.fill(nf)(new Component)
+              var c = 0
+              while (c < nf) {
+                val o = seg + 6 + 3 * c
+                comps(c).id = b(o) & 0xff
+                comps(c).h = (b(o + 1) & 0xff) >> 4
+                comps(c).v = b(o + 1) & 0x0f
+                comps(c).tq = b(o + 2) & 0xff
+                if (comps(c).h < 1 || comps(c).h > 4 ||
+                  comps(c).v < 1 || comps(c).v > 4 || comps(c).tq > 3) return null
+                c += 1
+              }
+              sofSeen = true
+            case x if (x >= 0xc2 && x <= 0xcf) && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+              return null // progressive / arithmetic / lossless / hierarchical
+            case 0xdd => // DRI: body is the 2-byte restart interval
+              if (len < 2) return null
+              restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+            case 0xda => // SOS — the one scan we decode
+              if (!sofSeen) return null
+              val ns = b(seg) & 0xff
+              if (ns != comps.length) return null     // one full interleaved scan
+              var c = 0
+              while (c < ns) {
+                val cs = b(seg + 1 + 2 * c) & 0xff
+                val comp = comps.find(_.id == cs).orNull
+                if (comp == null) return null
+                comp.dcTbl = (b(seg + 2 + 2 * c) & 0xff) >> 4
+                comp.acTbl = b(seg + 2 + 2 * c) & 0x0f
+                if (comp.dcTbl > 3 || comp.acTbl > 3) return null
+                c += 1
+              }
+              val o = seg + 1 + 2 * ns
+              if (o + 3 > b.length) return null
+              // baseline spectral selection: full band, no approximation
+              if ((b(o) & 0xff) != 0 || (b(o + 1) & 0xff) != 63 || (b(o + 2) & 0xff) != 0)
+                return null
+              return decodeScan(b, seg + len, comps, width, height,
+                quant, quantSeen, dcTables, acTables, restartInterval)
+            case _ => () // APPn / COM / anything else: skip
+          }
+          pos = seg + len
+      }
+    }
+    null // no SOS reached
+  }
+
+  private def decodeScan(
+      b: Array[Byte], scanStart: Int, comps: Array[Component],
+      width: Int, height: Int,
+      quant: Array[Array[Int]], quantSeen: Array[Boolean],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable],
+      restartInterval: Int): PngPixelHash.Gray = {
+    import PngPixelHash.{MaxDim, MaxPixels}
+    var hMax = 1; var vMax = 1
+    comps.foreach { c => hMax = math.max(hMax, c.h); vMax = math.max(vMax, c.v) }
+    comps.foreach { c =>
+      if (!quantSeen(c.tq) || dcTables(c.dcTbl) == null || acTables(c.acTbl) == null)
+        return null
+    }
+    val luma = comps(0)
+    // component dims at its natural sampling resolution (T.81 A.1.1)
+    val lw = (width.toLong * luma.h + hMax - 1) / hMax
+    val lh = (height.toLong * luma.v + vMax - 1) / vMax
+    if (lw < 9 || lw > MaxDim || lh < 8 || lh > MaxDim) return null
+    if (lw * lh > MaxPixels) return null
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // padded luma plane: whole blocks, cropped at the end
+    val pw = mcusX * 8 * luma.h
+    val ph = mcusY * 8 * luma.v
+    if (pw.toLong * ph > 4L * MaxPixels) return null
+    val plane = new Array[Int](pw * ph)
+    val coef = new Array[Int](64)
+    val pixel = new Array[Int](64)
+    val r = new BitReader(b, scanStart)
+    var rstNext = 0
+
+    def decodeBlock(c: Component, doIdct: Boolean, px0: Int, py0: Int): Boolean = {
+      val t = r.decode(dcTables(c.dcTbl))
+      if (t < 0 || t > 15) return false
+      val diff = r.extend(t)
+      if (r.bad) return false
+      c.dcPred += diff
+      if (!doIdct) {
+        // chroma: run the AC stream to advance the reader, discard values
+        var k = 1
+        while (k < 64) {
+          val rs = r.decode(acTables(c.acTbl))
+          if (rs < 0) return false
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 else k = 64 // ZRL / EOB
+          } else {
+            k += run
+            if (k > 63) return false
+            r.extend(size)
+            if (r.bad) return false
+            k += 1
+          }
+        }
+        return true
+      }
+      val q = quant(c.tq)
+      java.util.Arrays.fill(coef, 0)
+      coef(0) = c.dcPred * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = r.decode(acTables(c.acTbl))
+        if (rs < 0) return false
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 else k = 64
+        } else {
+          k += run
+          if (k > 63) return false
+          coef(ZigZag(k)) = r.extend(size) * q(k)
+          if (r.bad) return false
+          k += 1
+        }
+      }
+      idctIslow(coef, pixel)
+      // place the 8x8 samples (clamped into [0,255] by the IDCT)
+      var y = 0
+      while (y < 8) {
+        val row = (py0 + y) * pw + px0
+        var x = 0
+        while (x < 8) { plane(row + x) = pixel(y * 8 + x); x += 1 }
+        y += 1
+      }
+      true
+    }
+
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and consume the expected RSTn, reset DC predictors.
+        // `pos` points at the first byte the reader never pulled: between
+        // it and the marker sit at most the final padding byte (possibly
+        // stuffed) plus optional fill FFs — scan a short bounded window.
+        r.align()
+        var p = r.pos
+        val limit = math.min(b.length - 1, p + 4)
+        while (p < limit &&
+          !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == (0xd0 + rstNext)))
+          p += 1
+        if (p >= limit &&
+          !(p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+            (b(p + 1) & 0xff) == (0xd0 + rstNext))) return null
+        r.resume(p + 2)
+        rstNext = (rstNext + 1) & 7
+        comps.foreach(_.dcPred = 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var c = 0
+      while (c < comps.length) {
+        val comp = comps(c)
+        val isLuma = c == 0
+        var by = 0
+        while (by < comp.v) {
+          var bx = 0
+          while (bx < comp.h) {
+            val px0 = (mx * comp.h + bx) * 8
+            val py0 = (my * comp.v + by) * 8
+            if (!decodeBlock(comp, isLuma, px0, py0)) return null
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // crop the padded plane to the luma component's natural dims
+    val w = lw.toInt; val h = lh.toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(plane, y * pw, px, y * w, w)
+      y += 1
+    }
+    new PngPixelHash.Gray(px, w, h)
+  }
+
+  // ---- fixed-point integer IDCT -------------------------------------
+  // The Loeffler-Ligtenberg-Moshovitz 1989 factorization in 13-bit fixed
+  // point (CONST_BITS = 13, PASS1_BITS = 2) — the exact-integer "islow"
+  // arithmetic every libjpeg-lineage decoder uses, so the reconstruction
+  // is bit-reproducible across engines and architectures. All Long
+  // intermediates: coefficients are <= 2047 * 65535 after dequant, far
+  // inside 64-bit at 13 fractional bits.
+
+  private final val ConstBits = 13
+  private final val Pass1Bits = 2
+  private final val F_0_298631336 = 2446L
+  private final val F_0_390180644 = 3196L
+  private final val F_0_541196100 = 4433L
+  private final val F_0_765366865 = 6270L
+  private final val F_0_899976223 = 7373L
+  private final val F_1_175875602 = 9633L
+  private final val F_1_501321110 = 12299L
+  private final val F_1_847759065 = 15137L
+  private final val F_1_961570560 = 16069L
+  private final val F_2_053119869 = 16819L
+  private final val F_2_562915447 = 20995L
+  private final val F_3_072711026 = 25172L
+
+  @inline private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+  @inline private def clamp255(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  /** in: 64 dequantized coefficients (natural order); out: 64 samples in
+    * [0, 255] (level shift +128 applied).
+    */
+  private[expressions] def idctIslow(in: Array[Int], out: Array[Int]): Unit = {
+    val ws = new Array[Long](64)
+    // pass 1: columns, results scaled up by PASS1_BITS
+    var col = 0
+    while (col < 8) {
+      if (in(8 + col) == 0 && in(16 + col) == 0 && in(24 + col) == 0 &&
+        in(32 + col) == 0 && in(40 + col) == 0 && in(48 + col) == 0 &&
+        in(56 + col) == 0) {
+        val dc = in(col).toLong << Pass1Bits
+        var i = 0
+        while (i < 8) { ws(i * 8 + col) = dc; i += 1 }
+      } else {
+        var z2 = in(16 + col).toLong
+        var z3 = in(48 + col).toLong
+        var z1 = (z2 + z3) * F_0_541196100
+        val t2 = z1 - z3 * F_1_847759065
+        val t3 = z1 + z2 * F_0_765366865
+        z2 = in(col).toLong
+        z3 = in(32 + col).toLong
+        val t0 = (z2 + z3) << ConstBits
+        val t1 = (z2 - z3) << ConstBits
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var o0 = in(56 + col).toLong
+        var o1 = in(40 + col).toLong
+        var o2 = in(24 + col).toLong
+        var o3 = in(8 + col).toLong
+        z1 = o0 + o3
+        z2 = o1 + o2
+        var zc = o0 + o2
+        var zd = o1 + o3
+        val z5 = (zc + zd) * F_1_175875602
+        o0 *= F_0_298631336
+        o1 *= F_2_053119869
+        o2 *= F_3_072711026
+        o3 *= F_1_501321110
+        z1 *= -F_0_899976223
+        z2 *= -F_2_562915447
+        zc = zc * -F_1_961570560 + z5
+        zd = zd * -F_0_390180644 + z5
+        o0 += z1 + zc
+        o1 += z2 + zd
+        o2 += z2 + zc
+        o3 += z1 + zd
+        ws(col) = descale(t10 + o3, ConstBits - Pass1Bits)
+        ws(56 + col) = descale(t10 - o3, ConstBits - Pass1Bits)
+        ws(8 + col) = descale(t11 + o2, ConstBits - Pass1Bits)
+        ws(48 + col) = descale(t11 - o2, ConstBits - Pass1Bits)
+        ws(16 + col) = descale(t12 + o1, ConstBits - Pass1Bits)
+        ws(40 + col) = descale(t12 - o1, ConstBits - Pass1Bits)
+        ws(24 + col) = descale(t13 + o0, ConstBits - Pass1Bits)
+        ws(32 + col) = descale(t13 - o0, ConstBits - Pass1Bits)
+      }
+      col += 1
+    }
+    // pass 2: rows, final descale by CONST_BITS + PASS1_BITS + 3, +128
+    var row = 0
+    while (row < 8) {
+      val o = row * 8
+      var z2 = ws(o + 2)
+      var z3 = ws(o + 6)
+      var z1 = (z2 + z3) * F_0_541196100
+      val t2 = z1 - z3 * F_1_847759065
+      val t3 = z1 + z2 * F_0_765366865
+      z2 = ws(o)
+      z3 = ws(o + 4)
+      val t0 = (z2 + z3) << ConstBits
+      val t1 = (z2 - z3) << ConstBits
+      val t10 = t0 + t3; val t13 = t0 - t3
+      val t11 = t1 + t2; val t12 = t1 - t2
+      var o0 = ws(o + 7)
+      var o1 = ws(o + 5)
+      var o2 = ws(o + 3)
+      var o3 = ws(o + 1)
+      z1 = o0 + o3
+      z2 = o1 + o2
+      var zc = o0 + o2
+      var zd = o1 + o3
+      val z5 = (zc + zd) * F_1_175875602
+      o0 *= F_0_298631336
+      o1 *= F_2_053119869
+      o2 *= F_3_072711026
+      o3 *= F_1_501321110
+      z1 *= -F_0_899976223
+      z2 *= -F_2_562915447
+      zc = zc * -F_1_961570560 + z5
+      zd = zd * -F_0_390180644 + z5
+      o0 += z1 + zc
+      o1 += z2 + zd
+      o2 += z2 + zc
+      o3 += z1 + zd
+      val sh = ConstBits + Pass1Bits + 3
+      out(o) = clamp255(descale(t10 + o3, sh) + 128)
+      out(o + 7) = clamp255(descale(t10 - o3, sh) + 128)
+      out(o + 1) = clamp255(descale(t11 + o2, sh) + 128)
+      out(o + 6) = clamp255(descale(t11 - o2, sh) + 128)
+      out(o + 2) = clamp255(descale(t12 + o1, sh) + 128)
+      out(o + 5) = clamp255(descale(t12 - o1, sh) + 128)
+      out(o + 3) = clamp255(descale(t13 + o0, sh) + 128)
+      out(o + 4) = clamp255(descale(t13 - o0, sh) + 128)
+      row += 1
+    }
+  }
+}

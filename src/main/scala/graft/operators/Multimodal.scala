@@ -394,6 +394,94 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic baseline JPEGs with planted
+    * RE-ENCODE twins — the JPEG pixel-level near-dup fixture, the
+    * [[pixelPngCorpus]] design carried to the DOMINANT crawl format.
+    * Payloads come from the [[graft.functions.expressions.SyntheticJpeg]]
+    * native encoder (entropy coding is not Column byte algebra): real
+    * JFIF streams — DQT/SOF0/DHT/SOS, Huffman entropy data with byte
+    * stuffing — over a smooth 16×16 bilinear md5 field per id (smooth, so
+    * requantization moves dHash cells by only a few gray levels; random
+    * across ids, so non-twin hashes sit ~32 bits apart).
+    *
+    * Planted twins at `id + 100000`:
+    *  - `id < 13` — FRAMING re-encode: same quant table and coefficients,
+    *    different Huffman tables, restart markers, APP0 stripped (the
+    *    jpegtran-optimize case). Decodes bit-identically ⇒ Hamming 0.
+    *  - `13 <= id < 25` — REQUANTIZED re-encode: coarser quant table (the
+    *    quality-bump case). Near-identical pixels ⇒ small Hamming.
+    *
+    * Corrupt rows (`id >= 25` only, twin bases stay valid): `%13` torn
+    * mid-entropy (NULL, never throw), `%17` non-JPEG garbage, `%19` a
+    * PROGRESSIVE-marked header (SOF2) the baseline decoder must cleanly
+    * reject — those rows stay covered by the byte-level family.
+    */
+  def pixelJpegCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticJpeg
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticJpeg(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticJpeg(id, "garbage"))
+        .when(id >= 25 && pmod(id, lit(19)) === 0, syntheticJpeg(id, "progressive"))
+        .otherwise(syntheticJpeg(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 13, syntheticJpeg(id, "framing"))
+        .otherwise(syntheticJpeg(id, "quant")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** JPEG pixel-level fingerprint projection: `(media_id, pxhash)` via the
+    * codegen'd [[graft.functions.expressions.JpegPixelHash]] — NULL pxhash
+    * for anything not cleanly-decodable baseline (progressive, torn,
+    * non-JPEG), which keeps the byte-level [[perceptualHash]] family.
+    * Zero-shuffle: only the 8-byte hash flows downstream.
+    */
+  def jpegHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .jpegPixelHash(col(payloadCol)).as("pxhash"))
+
+  /** JPEG pixel-level near-dup pairs — [[jpegHash]] through the same
+    * pigeonhole banding + exact Hamming verify as [[pixelPairs]]. Output
+    * `(media_id_1 < media_id_2, hamming)`.
+    */
+  def jpegPairs(
+      media: DataFrame,
+      maxHamming: Int = 4,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      jpegHash(media, idCol, payloadCol)
+        .filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "pxhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** JPEG pixel pairs → connected components → keep/drop for EVERY input
+    * row (undecodable rows are singletons) — [[pixelClusters]] with the
+    * JPEG fingerprint.
+    */
+  def jpegClusters(
+      media: DataFrame,
+      maxHamming: Int = 4,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = jpegPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Per-media 64-bit perceptual fingerprint over the payload bytes —
     * `(media_id, phash)` via the codegen'd
     * [[graft.functions.expressions.BlockHash64]] (block-mean vs

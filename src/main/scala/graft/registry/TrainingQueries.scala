@@ -3667,6 +3667,55 @@ object TrainingQueries {
       Multimodal.pixelPngCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** JPEG pixel-level near-dup ([[Multimodal.jpegPairs]] over the
+    * fully-decodable [[Multimodal.pixelJpegCorpus]]): every payload is a
+    * real baseline JFIF stream decoded by
+    * [[graft.functions.expressions.JpegPixelHash]] — marker walk, Huffman
+    * decode, deterministic integer IDCT of the luma plane, 9×8 dHash —
+    * then the same banded pair machinery as the PNG family. The planted
+    * twins are the two real-world re-encode classes: FRAMING (id < 13 —
+    * new Huffman tables, restart markers, APP0 stripped; decodes
+    * bit-identically, so `exact_framing` asserts Hamming EXACTLY 0 in the
+    * oracle compare) and REQUANTIZED (13 <= id < 25 — coarser quant
+    * table; lands within the Hamming-4 threshold). Torn, garbage, and
+    * PROGRESSIVE-marked rows hash NULL and drop out (they keep the
+    * byte-level family). Oracle: the planted-pair derivation from ids
+    * (the bound-assertion discipline — the decode itself is
+    * differentially verified against ImageIO on BOTH our fixtures and
+    * ImageIO's own 4:2:0 color encodes, and fuzzed in ParserFuzzSpec).
+    */
+  private val dedupJpegPixelNearDup = Q(
+    "dedup_jpeg_pixel_neardup",
+    (s, d) => Multimodal.jpegPairs(
+      Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4)
+      .select(col("media_id_1"), col("media_id_2"),
+        (col("media_id_1") < 13 && col("hamming") === 0).as("exact_framing")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        doc_id < 13 AS exact_framing
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.jpegPairs(
+      Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
+      boundary = graft.operators.Boundary.None)
+      .select(col("media_id_1"), col("media_id_2"),
+        (col("media_id_1") < 13 && col("hamming") === 0).as("exact_framing"))))
+
+  /** JPEG pixel pairs → connected components → keep/drop for EVERY corpus
+    * row ([[Multimodal.jpegClusters]]): both re-encode classes collapse
+    * onto their base id, undecodable rows (torn, garbage, progressive)
+    * stay singletons — the dedup decision surface of the JPEG family,
+    * oracle-derived directly from the planted structure.
+    */
+  private val dedupJpegPixelClusters = Q(
+    "dedup_jpeg_pixel_clusters",
+    (s, d) => Multimodal.jpegClusters(
+      Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.jpegClusters(
+      Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
+      boundary = graft.operators.Boundary.None)))
+
   /** Audio twin of [[dedupImageNearDup]] — little-endian RIFF headers, the
     * %13 garbage rows, same planted twins; one fingerprint family serves
     * every modality because the hash math is byte-source-agnostic.
@@ -4953,7 +5002,8 @@ object TrainingQueries {
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
-    dedupImagePixelNearDup, dedupImagePixelClusters, dedupAudioNearDup,
+    dedupImagePixelNearDup, dedupImagePixelClusters,
+    dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,

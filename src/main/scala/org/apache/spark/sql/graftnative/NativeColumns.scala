@@ -140,6 +140,26 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.PngPixelHash(
       ExpressionUtils.expression(payload))))
 
+  /** PIXEL-LEVEL 64-bit dHash for BASELINE JPEG payloads: marker-stream
+    * parse + Huffman decode + deterministic fixed-point integer IDCT of
+    * the LUMA plane (chroma advanced, never reconstructed) + the same 9×8
+    * gradient bits; NULL for progressive/arithmetic/12-bit/truncated
+    * streams (see [[graft.functions.expressions.JpegPixelHash]]). Lands
+    * the requantized/reframed re-encode duplicates [[blockHash64]]
+    * provably misses in the dominant crawl image format.
+    */
+  def jpegPixelHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.JpegPixelHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic baseline-JPEG generator over a long id column
+    * (fixture corpora only — see
+    * [[graft.functions.expressions.SyntheticJpeg]] for the variants).
+    */
+  def syntheticJpeg(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticJpeg(
+      ExpressionUtils.expression(id), mode)))
+
   /** 2-D Hilbert-curve index of two long columns on a `2^bits` grid — the
     * tighter-locality alternative to the Morton interleave for at-rest
     * layout (see [[graft.functions.expressions.HilbertIndex2D]]).

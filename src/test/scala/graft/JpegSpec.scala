@@ -1,0 +1,153 @@
+package graft.functions.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The JPEG pixel-level near-dup family: encoder/decoder round trip,
+  * re-encode twin invariants, corrupt-input totality, the ImageIO
+  * differential (both our own gray fixtures AND color 4:2:0 streams
+  * ImageIO itself encodes — an independent codec on both sides), and the
+  * corpus operators' planted-pair surface.
+  */
+class JpegSpec extends SparkSpec {
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def baseHash(id: Long): Long = {
+    val h = JpegPixelHash.hash(JpegFixture.build(id, "base"))
+    assert(h != null, s"base fixture $id must decode")
+    h.longValue()
+  }
+
+  test("framing re-encode twins (new Huffman tables, restarts, no APP0) hash IDENTICALLY") {
+    (0L until 13L).foreach { id =>
+      val f = JpegPixelHash.hash(JpegFixture.build(id, "framing"))
+      assert(f != null, s"framing twin $id must decode")
+      assert(ham(f, baseHash(id)) == 0,
+        s"id $id: same coefficients re-framed must hash at Hamming exactly 0")
+    }
+  }
+
+  test("requantized re-encode twins land within the pair threshold; non-twins stay far") {
+    val hs = (0L until 60L).map(id => id -> baseHash(id)).toMap
+    (13L until 25L).foreach { id =>
+      val q = JpegPixelHash.hash(JpegFixture.build(id, "quant"))
+      assert(q != null, s"quant twin $id must decode")
+      val d = ham(q, hs(id))
+      assert(d <= 4, s"id $id: requantized twin at Hamming $d > 4")
+    }
+    val nonTwin = for { i <- hs.keys; j <- hs.keys if i < j } yield ham(hs(i), hs(j))
+    assert(nonTwin.min > 4,
+      s"closest non-twin pair at Hamming ${nonTwin.min} — inside the pair threshold")
+  }
+
+  test("truncated / garbage / progressive variants decode to NULL, never throw") {
+    (25L until 60L).foreach { id =>
+      Seq("truncated", "garbage", "progressive").foreach { m =>
+        assert(JpegPixelHash.hash(JpegFixture.build(id, m)) == null,
+          s"$m fixture $id must hash NULL")
+      }
+    }
+    assert(JpegPixelHash.hash(null) == null)
+    assert(JpegPixelHash.hash(Array.emptyByteArray) == null)
+  }
+
+  test("ImageIO differential on our gray fixtures: an independent decoder sees the same image") {
+    (0L until 25L).foreach { id =>
+      val bytes = JpegFixture.build(id, "base")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must decode fixture $id")
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val px = new Array[Int](16 * 16)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { px(y * 16 + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val iio = PngPixelHash.dhash(px, 16, 16)
+      val ours = baseHash(id)
+      // libjpeg's IDCT and ours are both islow-shaped but may differ in
+      // the last gray level on a few samples — allow 2 gradient bits
+      assert(ham(iio, ours) <= 2,
+        s"id $id: ImageIO dHash vs ours at Hamming ${ham(iio, ours)}")
+    }
+  }
+
+  test("ImageIO-ENCODED color 4:2:0 JPEG: the multi-component path decodes the Y plane") {
+    // a smooth RGB field (quantization-stable like the fixtures)
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + (x * 3) % 180
+      val g = 200 - (y * 3) % 160
+      val b = 60 + ((x + y) * 2) % 150
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "ImageIO must emit JPEG")
+    val bytes = bos.toByteArray
+    val ours = JpegPixelHash.hash(bytes)
+    assert(ours != null, "ImageIO's baseline color JPEG must decode")
+    // ground truth: ImageIO's own decode -> integer luma -> the same dhash
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+    }
+    val iio = PngPixelHash.dhash(px, w, h)
+    // our Y plane skips the YCbCr->RGB->luma round trip ImageIO's path
+    // takes (clamping + rounding both ways) — allow a few gradient bits
+    assert(ham(iio.longValue(), ours.longValue()) <= 4,
+      s"color JPEG: luma-dHash differential at Hamming ${ham(iio, ours)}")
+  }
+
+  test("ImageIO-ENCODED grayscale JPEG decodes and matches its own decode") {
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, 30 + (x * 5 + y * 3) % 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val ours = JpegPixelHash.hash(bytes)
+    assert(ours != null, "ImageIO's baseline gray JPEG must decode")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) px(y * w + x) = back.getRaster.getSample(x, y, 0)
+    val iio = PngPixelHash.dhash(px, w, h)
+    assert(ham(iio.longValue(), ours.longValue()) <= 2,
+      s"gray JPEG differential at Hamming ${ham(iio, ours)}")
+  }
+
+  test("jpegPairs over pixelJpegCorpus: exactly the planted twins, framing pairs at 0") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val corpus = graft.operators.Multimodal.pixelJpegCorpus(docs, "doc_id")
+    val pairs = graft.operators.Multimodal.jpegPairs(corpus, maxHamming = 4)
+      .select("media_id_1", "media_id_2", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val expected = (0L until 25L).map(id => (id, id + 100000L)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      "the pair set must be exactly the planted twins")
+    pairs.filter(_._1 < 13L).foreach { p =>
+      assert(p._3 == 0, s"framing twin ${p._1} must pair at Hamming 0, got ${p._3}")
+    }
+    // the cluster surface: twins collapse onto their base, corrupt rows
+    // are singletons, every input row is present
+    val cl = graft.operators.Multimodal.jpegClusters(corpus, maxHamming = 4)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cl.size == 120 + 25)
+    (0L until 25L).foreach { id =>
+      assert(cl(id) == ((id, true)))
+      assert(cl(id + 100000L) == ((id, false)), s"twin of $id must drop")
+    }
+    (25L until 120L).foreach { id => assert(cl(id) == ((id, true))) }
+  }
+}

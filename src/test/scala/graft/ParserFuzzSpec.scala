@@ -236,6 +236,34 @@ class ParserFuzzSpec extends AnyFunSuite {
       // pixel decode: null or a long, never a throw — the corpus-ingest
       // contract extends to the inflate/unfilter path
       graft.functions.expressions.PngPixelHash.hash(payload)
+      // and to the JPEG marker-walk/Huffman/IDCT path
+      graft.functions.expressions.JpegPixelHash.hash(payload)
+      i += 1
+    }
+  }
+
+  test("JpegPixelHash: fuzzing DECODABLE JPEGs (truncations, bit flips, splices) never throws") {
+    // the generic corpus rarely parses past SOI; these mutations start
+    // from real baseline streams (plain, restart-framed, requantized) so
+    // they land inside quant/Huffman tables and entropy data
+    import graft.functions.expressions.{JpegFixture, JpegPixelHash}
+    val rnd = new scala.util.Random(20260815L)
+    val bases = Seq(
+      JpegFixture.build(1L, "base"),
+      JpegFixture.build(2L, "framing"),
+      JpegFixture.build(3L, "quant"))
+    var i = 0
+    while (i < 2000) {
+      val b = bases(rnd.nextInt(bases.length))
+      val m = mutate(b, bases(rnd.nextInt(bases.length)), rnd.nextInt(5),
+        rnd.nextInt(Int.MaxValue), rnd.nextInt(256).toByte)
+      JpegPixelHash.hash(m) // null or long, never throws
+      // a truncation that removes real entropy data (not just the EOI
+      // trailer) must be rejected cleanly, never decoded partially
+      if (b.length > 60) {
+        val cut = b.take(10 + rnd.nextInt(b.length - 60))
+        assert(JpegPixelHash.hash(cut) == null, "torn JPEGs must hash null")
+      }
       i += 1
     }
   }
