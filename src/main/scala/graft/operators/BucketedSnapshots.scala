@@ -91,7 +91,10 @@ object BucketedSnapshots {
     val m = readManifest(spark, path, version)
     if (m.isEmpty) throw new java.io.FileNotFoundException(
       s"bucketed snapshot v=$version at $path has an empty manifest")
-    spark.read.parquet(m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    // mergeSchema: after an evolving commit, untouched buckets still carry
+    // the old schema — union-by-name with null backfill on read
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
   }
 
   /** Read the live table. */
@@ -102,6 +105,73 @@ object BucketedSnapshots {
         throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
     }
 
+  /** CHANGE DATA FEED between two committed table versions, MANIFEST-
+    * PRUNED: only buckets whose `(bucket -> bucketVersion)` manifest entry
+    * changed between the versions are read on either side — an untouched
+    * bucket's dir is literally the same directory in both versions
+    * (commits REUSE untouched dirs), so it provably contributed no change
+    * and costs zero bytes. This is what makes an incremental consumer of
+    * a 100 TB table cheap: a daily commit touching 1% of buckets yields a
+    * feed that reads 2 x 1% of the table, not 2 x 100%.
+    *
+    * Raw stored rows (for [[applyChanges]] tables that includes the CDC
+    * meta columns — tombstoning a key surfaces as U with `_deleted`
+    * true); [[readTableChangesBetween]] is the user-level view.
+    */
+  def readChangesBetween(
+      spark: SparkSession, path: String, key: String,
+      fromV: Long, toV: Long): DataFrame =
+    prunedSides(spark, path, fromV, toV) match {
+      case (from, to) => Snapshots.diffByKey(from, to, key)
+    }
+
+  /** [[readChangesBetween]] on the TOMBSTONE-FILTERED view of an
+    * [[applyChanges]] table: meta columns dropped, a key tombstoned
+    * between the versions emits a real 'D' with its pre-delete payload —
+    * the Delta-CDF-shaped feed a downstream consumer of the LIVE table
+    * wants. Same manifest pruning.
+    */
+  def readTableChangesBetween(
+      spark: SparkSession, path: String, key: String,
+      fromV: Long, toV: Long): DataFrame =
+    prunedSides(spark, path, fromV, toV) match {
+      case (from, to) =>
+        def live(df: DataFrame) = df.filter(!col(Cdc.DeletedMeta))
+          .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+        Snapshots.diffByKey(live(from), live(to), key)
+    }
+
+  /** The two version reads restricted to buckets whose manifest entry
+    * changed (empty-schema-preserving when NOTHING changed).
+    */
+  private def prunedSides(
+      spark: SparkSession, path: String, fromV: Long, toV: Long): (DataFrame, DataFrame) = {
+    require(fromV < toV, s"change feed runs forward: fromV=$fromV, toV=$toV")
+    val have = versions(spark, path)
+    Seq(fromV, toV).foreach { v =>
+      if (!have.contains(v))
+        throw new java.io.FileNotFoundException(
+          s"bucketed snapshot v=$v at $path is not a retained committed version " +
+            s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    }
+    val mFrom = readManifest(spark, path, fromV)
+    val mTo = readManifest(spark, path, toV)
+    val touched = (mFrom.keySet ++ mTo.keySet)
+      .filter(b => mFrom.get(b) != mTo.get(b)).toSeq.sorted
+    def side(m: Map[Int, Long]): DataFrame = {
+      val dirs = touched.flatMap(b => m.get(b).map(bv => s"$path/b=$b/v=$bv"))
+      if (dirs.nonEmpty) spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      else {
+        // nothing changed (or one side has none of the touched buckets):
+        // an empty frame with the table's schema
+        val any = (m ++ mFrom ++ mTo).headOption.map { case (b, bv) => s"$path/b=$b/v=$bv" }
+        any.map(d => spark.read.parquet(d).limit(0)).getOrElse(
+          throw new java.io.FileNotFoundException(s"no bucket data under $path"))
+      }
+    }
+    (side(mFrom), side(mTo))
+  }
+
   /** Last-writer-wins keyed upsert; returns the committed table version. */
   def upsertByKey(
       spark: SparkSession,
@@ -111,14 +181,7 @@ object BucketedSnapshots {
       nBuckets: Int,
       keepVersions: Int = 2): Long =
     mergeCommit(spark, updates, path, key, nBuckets, keepVersions,
-      (existing, batch) => {
-        val cols = batch.columns
-        val u = batch.select(cols.map(c => col(c).as(s"u_$c")).toSeq: _*)
-        val incomingWins = col(s"u_$key").isNotNull
-        existing.join(u, col(key) === col(s"u_$key"), "full_outer")
-          .select(cols.map(c =>
-            when(incomingWins, col(s"u_$c")).otherwise(col(c)).as(c)).toSeq: _*)
-      })
+      (existing, batch) => Incremental.mergeByKey(existing, batch, key))
 
   /** Delete-aware CDC apply through the same commit — [[Cdc.applyChanges]]'
     * seq-aware merge rule on the touched buckets, one atomic flip; read the
@@ -178,6 +241,7 @@ object BucketedSnapshots {
     val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
     val curManifest = cur.map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
     // touched buckets: driver-small by construction (<= nBuckets ints)
+    // (bucket id hashes the KEY only, so schema evolution never moves rows)
     val touched = updates.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
     // an EMPTY batch touches nothing: committing would write an empty (or
@@ -188,20 +252,10 @@ object BucketedSnapshots {
       curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
     val merged =
       if (existingDirs.isEmpty) updates
-      else merge(spark.read.parquet(existingDirs.map(_._2): _*), updates)
-    // next bucket version per touched bucket: one past the max dir present
-    // (orphans from dead runs never get their slot reused)
-    def nextBucketVersion(b: Int): Long = {
-      val base = new Path(s"$path/b=$b")
-      val floor =
-        if (!fs.exists(base)) 0L
-        else fs.listStatus(base).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-          .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
-          .foldLeft(0L)(math.max)
-      floor + 1
-    }
-    val newBucketVersions = touched.map(b => b -> nextBucketVersion(b)).toMap
+      else merge(spark.read.option("mergeSchema", "true")
+        .parquet(existingDirs.map(_._2): _*), updates)
+    val newBucketVersions =
+      touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
     // ONE staging write partitioned by bucket, then per-bucket renames
     // into immutable v-dirs (renames of INVISIBLE dirs — the commit point
     // is still only the pointer flip)
@@ -226,6 +280,25 @@ object BucketedSnapshots {
       }
     }
     fs.delete(staging, true)
+    commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
+      keepVersions)
+  }
+
+  /** The shared commit tail: write manifest v=next (current entries
+    * overlaid with `newBucketVersions`), CAS-check the pointer, flip it
+    * atomically, GC. Returns the committed table version.
+    */
+  private def commitManifest(
+      spark: SparkSession,
+      path: String,
+      state: Option[(Long, Seq[Long])],
+      casBase: Option[Long],
+      curManifest: Map[Int, Long],
+      newBucketVersions: Map[Int, Long],
+      keepVersions: Int): Long = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val fs = fsOf(spark, path)
+    val cur = state.map(_._1)
     val next = (cur.toSeq ++ allManifestVersions(spark, path)).foldLeft(0L)(math.max) + 1
     val nextManifest = curManifest ++ newBucketVersions
     val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
@@ -254,6 +327,78 @@ object BucketedSnapshots {
       .rename(tmp, marker, Options.Rename.OVERWRITE)
     gc(spark, path, retained)
     next
+  }
+
+  /** COMPACTION as a table version: rewrite every live bucket dir holding
+    * more than `maxFilesPerBucket` data files into ONE file at a fresh
+    * bucket version, then commit through the normal manifest + pointer
+    * flip — a maintenance commit with NO data change. Daily CDC through
+    * [[applyChanges]] leaves each hot bucket version with one part file
+    * per staging shuffle partition; left alone, a 100 TB table's read
+    * amplification grows with commit count. Properties:
+    *
+    *  - write cost scales with the FRAGMENTED buckets only; compact
+    *    entries for untouched buckets are copied verbatim;
+    *  - time-travel-safe: pinned readers of prior versions keep their
+    *    immutable dirs (within retention) — CompactionSpec proves the
+    *    pre-compaction version byte-stable and the live read equivalent;
+    *  - crash-safe and CAS-guarded like any other commit (a crash leaves
+    *    inert orphan bucket dirs; a racing writer aborts one side).
+    *
+    * Runs one small coalesce job per fragmented bucket — bounded by
+    * nBuckets, not table size. Returns the committed version (the live
+    * version unchanged when nothing is fragmented).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerBucket: Int = 1,
+      keepVersions: Int = 2): Long = {
+    import org.apache.hadoop.fs.Path
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val fs = fsOf(spark, path)
+    val state = pointerState(spark, path)
+    val cur = state.map(_._1).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed snapshot under $path"))
+    val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
+    val curManifest = readManifest(spark, path, cur)
+    def dataFiles(b: Int, bv: Long): Int =
+      fs.listStatus(new Path(s"$path/b=$b/v=$bv")).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fragmented = curManifest.toSeq
+      .filter { case (b, bv) => dataFiles(b, bv) > maxFilesPerBucket }
+      .map(_._1).sorted
+    if (fragmented.isEmpty) return cur
+    val newBucketVersions = fragmented.map { b =>
+      val nv = nextBucketVersion(spark, path, b)
+      val dst = new Path(s"$path/b=$b/v=$nv")
+      if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
+      spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      b -> nv
+    }.toMap
+    commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
+      keepVersions)
+  }
+
+  /** Next version for one bucket: one past the max dir present (orphans
+    * from dead runs never get their slot reused).
+    */
+  private def nextBucketVersion(spark: SparkSession, path: String, b: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val base = new Path(s"$path/b=$b")
+    val floor =
+      if (!fs.exists(base)) 0L
+      else fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
+        .foldLeft(0L)(math.max)
+    floor + 1
   }
 
   private def allManifestVersions(spark: SparkSession, path: String): Seq[Long] = {

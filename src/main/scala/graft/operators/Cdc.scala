@@ -88,7 +88,10 @@ object Cdc {
     * clobber newer state, and equal-seq ties (D > U > I) resolve the same
     * way no matter how batches slice the stream.
     */
-  private[graft] def mergeSnapshots(existing: DataFrame, batch: DataFrame, key: String): DataFrame = {
+  private[graft] def mergeSnapshots(existing0: DataFrame, batch0: DataFrame, key: String): DataFrame = {
+    // schema evolution: added payload columns null-backfill on the side
+    // missing them; retypes are rejected (Incremental.alignSchemas)
+    val (existing, batch) = Incremental.alignSchemas(existing0, batch0)
     val cols = batch.columns.toSeq
     val u = batch.select(cols.map(c => col(c).as(s"u_$c")): _*)
     val incomingWins = col(s"u_$key").isNotNull && (col(key).isNull ||

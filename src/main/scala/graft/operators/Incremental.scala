@@ -95,11 +95,47 @@ object Incremental {
     * single-object PUT IS atomic) or a table format with a commit protocol
     * (Delta/Iceberg). Local/HDFS bench and test paths use this rename swap.
     */
+  /** SCHEMA EVOLUTION for the maintained-table sinks: align two frames to
+    * their UNION-BY-NAME schema before a keyed merge — the missing side of
+    * an added column is null-backfilled, so adding a column to a 100 TB
+    * maintained table is one ordinary commit (old rows read as NULL; the
+    * bucketed layouts read mixed-schema dirs back with `mergeSchema`).
+    * Shared columns must keep their type (`sameType`, nullability-blind):
+    * a retyped column is REJECTED up front — silently coercing it would
+    * corrupt every historical row at merge time. Column order: the
+    * existing table's order, new columns appended.
+    *
+    * Note the interaction with row-wise update-wins merges: a batch that
+    * OMITS an existing column null-backfills it, so rows the batch updates
+    * get NULL there (the update row is the new truth — the same rule as a
+    * batch that explicitly sets NULL). Producers evolving a schema should
+    * keep sending every live column.
+    */
+  private[graft] def alignSchemas(
+      existing: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val e = existing.schema.map(f => f.name -> f.dataType).toMap
+    val b = batch.schema.map(f => f.name -> f.dataType).toMap
+    (e.keySet intersect b.keySet).foreach { c =>
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        e(c), b(c), ignoreNullability = true),
+        s"incompatible schema change on column '$c': table has ${e(c).catalogString}, " +
+          s"batch has ${b(c).catalogString} — retyping a maintained column is not supported")
+    }
+    val cols = existing.columns.toSeq ++ batch.columns.filterNot(e.contains)
+    def conform(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(cols.map(c =>
+        if (have.contains(c)) col(c)
+        else lit(null).cast(b.getOrElse(c, e(c))).as(c)): _*)
+    (conform(existing, e), conform(batch, b))
+  }
+
   /** Last-writer-wins merge of `updates` into `existing` on `key`:
     * full-outer join, update row preferred, unmatched rows from both kept.
-    * Shared by both upsert sinks below.
+    * Schema-evolving via [[alignSchemas]]. Shared by the upsert sinks here
+    * and [[graft.operators.BucketedSnapshots.upsertByKey]].
     */
-  private def mergeByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  private[graft] def mergeByKey(existing0: DataFrame, updates0: DataFrame, key: String): DataFrame = {
+    val (existing, updates) = alignSchemas(existing0, updates0)
     val updCols = updates.columns
     val u = updates.select(updCols.map(c => col(c).as(s"u_$c")): _*)
     // Row-wise winner, keyed on UPDATE-ROW PRESENCE (u_key non-null after
@@ -226,11 +262,14 @@ object Incremental {
     val touched = updates.select(bucketOf.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val existing = touched.filter(k => fs.exists(new Path(s"$path/b=$k")))
-    // one merge job: read ONLY the touched buckets' current rows
+    // one merge job: read ONLY the touched buckets' current rows.
+    // mergeSchema: after an evolving commit, buckets carry mixed schemas —
+    // union-by-name with null backfill is exactly the evolution contract
     val merged =
       if (existing.isEmpty) updates
       else merge(
-        spark.read.parquet(existing.map(k => s"$path/b=$k"): _*),
+        spark.read.option("mergeSchema", "true")
+          .parquet(existing.map(k => s"$path/b=$k"): _*),
         updates)
     stageAndCommitBuckets(spark, merged.withColumn("b", bucketOf), path, touched)
   }
@@ -351,7 +390,7 @@ object Incremental {
     * point lookup into a one-bucket scan).
     */
   def readBucketed(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("b")
+    spark.read.option("mergeSchema", "true").parquet(path).drop("b")
 
   /** Object-store-safe keyed upsert: versioned snapshot directories plus an
     * atomically-committed pointer file. This is the production path for

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Raised when the single-pointer CAS detects a concurrent commit: the
   * live `_CURRENT` moved past the merge base this commit resolved. The
@@ -138,6 +139,74 @@ object Snapshots {
         s"snapshot v=$version at $path is not a retained committed version " +
           s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
     spark.read.parquet(versionDir(path, version))
+  }
+
+  /** CHANGE DATA FEED between two committed versions — the incremental-
+    * consumer API (the Delta CDF / Iceberg incremental-read role): one row
+    * per key whose STORED row differs between `fromV` and `toV`, with
+    * `op` = 'I' (key new at toV), 'U' (key present in both, any non-key
+    * column differs — null-safe compare), or 'D' (key gone at toV; the
+    * emitted payload is the FROM-side preimage, the standard CDC delete
+    * convention). A downstream job processes only what changed instead of
+    * diffing two full reads itself.
+    *
+    * Scale shape: one keyed full-outer join of two snapshot scans — for
+    * big tables use the [[BucketedSnapshots.readChangesBetween]] twin,
+    * which reads ONLY the buckets whose manifest entry changed between
+    * the versions (untouched bucket dirs are shared, hence provably
+    * identical — zero bytes read for them).
+    */
+  def readChangesBetween(
+      spark: SparkSession, path: String, key: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"change feed runs forward: fromV=$fromV, toV=$toV")
+    diffByKey(readSnapshot(spark, path, fromV), readSnapshot(spark, path, toV), key)
+  }
+
+  /** The keyed table diff behind the change feeds: `(payload columns, op)`
+    * with the I/U/D semantics of [[readChangesBetween]]. Schema evolution
+    * between the versions is aligned union-by-name (a column added at toV
+    * reads as NULL on the from side, so rows differing only there surface
+    * as U); retyped columns are rejected
+    * ([[Incremental.alignSchemas]]). Rows with a NULL key never match and
+    * surface as a D + I pair (keyed tables should not carry null keys).
+    */
+  def diffByKey(from0: DataFrame, to0: DataFrame, key: String): DataFrame = {
+    val (from, to) = Incremental.alignSchemas(from0, to0)
+    val cols = to.columns.toSeq
+    require(cols.contains(key), s"diffByKey: key '$key' not in schema")
+    val f = from.select(cols.map(c => col(c).as(s"__f_$c")): _*)
+    val t = to.select(cols.map(c => col(c).as(s"__t_$c")): _*)
+    val payload = cols.filterNot(_ == key)
+    val changed = payload.map(c => !(col(s"__f_$c") <=> col(s"__t_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    f.join(t, col(s"__f_$key") === col(s"__t_$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"__f_$key").isNull, "I")
+          .when(col(s"__t_$key").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(cols.map(c =>
+        when(col("op") === "D", col(s"__f_$c")).otherwise(col(s"__t_$c")).as(c))
+        :+ col("op"): _*)
+  }
+
+  /** Replay a [[diffByKey]]/[[readChangesBetween]] feed onto the FROM
+    * snapshot — the consumer-side apply whose result must equal the TO
+    * snapshot exactly (SnapshotsSpec proves the round trip). I/U rows
+    * win over the base by key; D keys drop.
+    */
+  def applyChangeFeed(base: DataFrame, feed: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val f = feed.select((key +: "op" +: cols.filterNot(_ == key)).map {
+      case "op" => col("op")
+      case c => col(c).as(s"__u_$c")
+    }: _*)
+    base.join(f, col(key) === col(s"__u_$key"), "left_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(cols.map(c =>
+        when(col("op").isNotNull, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+      .unionByName(feed.filter(col("op") === "I").drop("op"))
   }
 
   /** Commit `df` as the next version; returns the committed version. */

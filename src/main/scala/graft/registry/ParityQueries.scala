@@ -1526,6 +1526,42 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS n, 'current' AS snap
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** SCHEMA EVOLUTION on a maintained bucketed-versioned table: the update
+    * batch ADDS a column (`last_epoch`), the merge null-backfills every
+    * not-updated row, untouched buckets keep their old-schema dirs and the
+    * merged read unions them by name
+    * ([[graft.operators.Incremental.alignSchemas]] +
+    * `mergeSchema` reads) — the add-column path a 100 TB maintained table
+    * needs. Oracle: the full-outer update-wins merge with NULL
+    * `last_epoch` for non-updated users, hash-exact per row. The rejected
+    * retype error path is SchemaEvolutionSpec's.
+    */
+  private val upsertSchemaEvolution = Q(
+    "snk_upsert_schema_evolution",
+    (s, d) => {
+      val e = evDf(s, d)
+      val base = e.filter(col("epoch") < MidEpoch)
+        .groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val upd = e.filter(col("epoch") >= MidEpoch)
+        .groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"),
+          max(col("epoch")).as("last_epoch"))
+      val path = "/root/repo/target/tmp/upsertevo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(s, base, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.upsertByKey(s, upd, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.readCurrent(s, path)
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n, MAX(epoch) AS last_epoch
+        FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+        CASE WHEN u.user_id IS NOT NULL THEN u.total ELSE b.total END AS total,
+        CASE WHEN u.user_id IS NOT NULL THEN u.n ELSE b.n END AS n,
+        u.last_epoch
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -1988,6 +2024,69 @@ object ParityQueries {
       UNION ALL
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value,
         'current' AS snap FROM w2 WHERE rn = 1 AND op <> 'D'"""))
+
+  /** CHANGE DATA FEED between two committed table versions
+    * ([[graft.operators.BucketedSnapshots.readTableChangesBetween]]) — the
+    * incremental-consumer API the commit protocol makes cheap: the feed
+    * reads ONLY buckets whose manifest entry changed (untouched dirs are
+    * shared between versions, zero bytes). Derivation: the
+    * `snk_cdc_apply_versioned` table, v1 = odd-seq changes, v2 = all; the
+    * feed is the keyed I/U/D diff of the two LIVE views, deletes carrying
+    * their pre-delete payload. The oracle recomputes both live views from
+    * the events table and diffs them in SQL — every op and payload column
+    * hash-exact. BucketedSnapshotsSpec additionally proves the consumer
+    * round trip (v1 + feed == v2) and the manifest pruning (scanned
+    * bucket dirs counted).
+    */
+  private val snapshotChangesFeed = Q(
+    "snapshot_changes_feed",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      val path = "/root/repo/target/tmp/cdf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val v1 = graft.operators.BucketedSnapshots.applyChanges(
+        s, ch.filter(col("seq") % 2 === 1), path, "user_id", nBuckets = 16,
+        keepVersions = 3)
+      val v2 = graft.operators.BucketedSnapshots.applyChanges(
+        s, ch.filter(col("seq") % 2 === 0), path, "user_id", nBuckets = 16,
+        keepVersions = 3)
+      graft.operators.BucketedSnapshots.readTableChangesBetween(
+        s, path, "user_id", v1, v2)
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type, value FROM ev),
+      w1 AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn
+        FROM ch WHERE seq % 2 = 1),
+      w2 AS (SELECT user_id, seq, op, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch),
+      l1 AS (SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
+        FROM w1 WHERE rn = 1 AND op <> 'D'),
+      l2 AS (SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
+        FROM w2 WHERE rn = 1 AND op <> 'D'),
+      df AS (SELECT COALESCE(l2.user_id, l1.user_id) AS user_id,
+        CASE WHEN l1.user_id IS NULL THEN l2.last_seq ELSE l1.last_seq END AS f_seq,
+        CASE WHEN l1.user_id IS NULL THEN 'I' WHEN l2.user_id IS NULL THEN 'D'
+          WHEN (l1.last_seq IS DISTINCT FROM l2.last_seq)
+            OR (l1.last_type IS DISTINCT FROM l2.last_type)
+            OR (l1.last_value IS DISTINCT FROM l2.last_value) THEN 'U' END AS op,
+        CASE WHEN l2.user_id IS NULL THEN l1.last_seq ELSE l2.last_seq END AS last_seq,
+        CASE WHEN l2.user_id IS NULL THEN l1.last_type ELSE l2.last_type END AS last_type,
+        CASE WHEN l2.user_id IS NULL THEN l1.last_value ELSE l2.last_value END AS last_value
+        FROM l1 FULL OUTER JOIN l2 ON l1.user_id = l2.user_id)
+      SELECT user_id, last_seq, last_type, last_value, op FROM df WHERE op IS NOT NULL"""))
 
   /** Regular-grid forward-fill resample ([[graft.operators.Timeseries
     * .resampleFfill]]): the per-user event stream densified onto a 6-hour
@@ -2583,7 +2682,8 @@ object ParityQueries {
   val all: Seq[Q] = Seq(
     bloomJoinQ, kAnonymityQ, targetEncodeQ, quantileBinQ, aggStateQ, standardizeQ, robustScaleQ,
     streamingSequenceQ, linearTrendQ, chiSquaredQ,
-    cdcApply, cdcApplyBucketed, cdcApplyVersioned, cdcErasureSweep, resampleFfillQ, scd2Q,
+    cdcApply, cdcApplyBucketed, cdcApplyVersioned, snapshotChangesFeed,
+    cdcErasureSweep, resampleFfillQ, scd2Q,
     scd2LookupQ, streamingScd2Q, anomalyMadQ, ewmaQ, intervalOverlapQ, winsorizeQ,
     asOfNearestQ, driftPsiQ, tsPipelineQ, scd2IncrementalQ, typeEntropyQ, giniQ,
     funnelQ, funnelTimedQ, sequenceMatchQ, sequenceGappedQ, retentionQ, twabQ, transitionsQ, sessionizeQ,
@@ -2601,5 +2701,5 @@ object ParityQueries {
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
-    ctasFullRefresh, upsertServe)
+    upsertSchemaEvolution, ctasFullRefresh, upsertServe)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.BucketedSnapshots
+import graft.operators.{BucketedSnapshots, Snapshots}
 import org.apache.spark.sql.functions._
 
 /** The pointer-committed bucketed table: touched-buckets-only writes with
@@ -100,6 +100,60 @@ class BucketedSnapshotsSpec extends SparkSpec {
     assert(onDisk == liveVs, s"on-disk bucket versions $onDisk must equal live refs $liveVs")
   }
 
+  test("bucketed change feed: manifest-pruned — only changed buckets are read; replay reproduces v2") {
+    val path = fresh("cdf")
+    val nBuckets = 16
+    val all = (1L to 2000L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val v1 = BucketedSnapshots.upsertByKey(spark, all, path, "k", nBuckets,
+      keepVersions = 3)
+    val v2 = BucketedSnapshots.upsertByKey(spark,
+      Seq((5L, 500.0), (2001L, 1.5)).toDF("k", "v"), path, "k", nBuckets,
+      keepVersions = 3)
+    val feedDf = BucketedSnapshots.readChangesBetween(spark, path, "k", v1, v2)
+    val feed = feedDf.select("k", "v", "op")
+      .as[(Long, Double, String)].collect().toSet
+    assert(feed == Set((5L, 500.0, "U"), (2001L, 1.5, "I")),
+      "the 1998 untouched keys must not appear in the feed")
+    // PRUNING: the feed's scan set is confined to the <= 2 touched
+    // buckets' dirs on each side — never the other 14 buckets
+    val scannedBuckets = feedDf.inputFiles
+      .map(f => f.split("/").filter(_.startsWith("b=")).head).toSet
+    assert(scannedBuckets.size <= 2,
+      s"feed must read only changed buckets, scanned: $scannedBuckets")
+    // consumer round trip through the generic replay
+    val replayed = Snapshots.applyChangeFeed(
+      BucketedSnapshots.readSnapshot(spark, path, v1), feedDf, "k")
+    assert(rows(replayed) == rows(BucketedSnapshots.readSnapshot(spark, path, v2)))
+  }
+
+  test("bucketed TABLE change feed on a CDC table: a tombstoned key emits a real D with its preimage") {
+    val path = fresh("cdftable")
+    def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")
+    val v1 = BucketedSnapshots.applyChanges(spark,
+      chg((1L, 1L, "I", "a"), (2L, 2L, "I", "b"), (3L, 3L, "I", "c")),
+      path, "k", 4, keepVersions = 3)
+    val v2 = BucketedSnapshots.applyChanges(spark,
+      chg((1L, 7L, "D", "x"), (2L, 8L, "U", "b8")),
+      path, "k", 4, keepVersions = 3)
+    val feed = BucketedSnapshots.readTableChangesBetween(spark, path, "k", v1, v2)
+      .select("k", "v", "op").as[(Long, String, String)].collect().toSet
+    assert(feed == Set((1L, "a", "D"), (2L, "b8", "U")),
+      "the delete must surface as D with the pre-delete payload; key 3 unchanged")
+    // the raw stored-row feed shows the same delete as a tombstone UPDATE
+    val raw = BucketedSnapshots.readChangesBetween(spark, path, "k", v1, v2)
+      .filter(col("k") === 1L)
+      .select(col("op"), col(graft.operators.Cdc.DeletedMeta)).collect()
+    assert(raw.length == 1 && raw(0).getString(0) == "U" && raw(0).getBoolean(1),
+      "raw feed: tombstoning is an update of the stored row")
+    // replaying the TABLE feed onto the v1 live view reproduces v2's
+    val replayed = Snapshots.applyChangeFeed(
+      BucketedSnapshots.readTableAt(spark, path, v1),
+      BucketedSnapshots.readTableChangesBetween(spark, path, "k", v1, v2), "k")
+    assert(replayed.select("k", "v").as[(Long, String)].collect().toSet ==
+      BucketedSnapshots.readTable(spark, path)
+        .select("k", "v").as[(Long, String)].collect().toSet)
+  }
+
   test("crash orphan manifest never shrinks retention: the pinned previous version survives") {
     val path = fresh("orphanretain")
     BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"),
@@ -151,6 +205,36 @@ class BucketedSnapshotsSpec extends SparkSpec {
       graft.operators.Incremental.upsertByKeyBucketed(spark, bad, pathR, "k", 4)
     }
     assert(ex2.getMessage.contains("reserved"))
+  }
+
+  test("compaction: file counts measured down, reads equivalent, pinned version untouched, idempotent") {
+    val path = fresh("compact")
+    // 8 staging partitions -> up to 8 part files per bucket dir
+    val all = (1L to 500L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8)
+    val v1 = BucketedSnapshots.upsertByKey(spark, all, path, "k", 4, keepVersions = 3)
+    def liveFiles(v: Long): Map[Int, Int] =
+      BucketedSnapshots.readManifest(spark, path, v).map { case (b, bv) =>
+        b -> fs(path).listStatus(new org.apache.hadoop.fs.Path(s"$path/b=$b/v=$bv"))
+          .count { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+      }
+    val before = liveFiles(v1)
+    assert(before.values.max > 1, "fixture must start fragmented")
+    val rowsBefore = rows(BucketedSnapshots.readCurrent(spark, path))
+    val v2 = BucketedSnapshots.compact(spark, path, maxFilesPerBucket = 1, keepVersions = 3)
+    assert(v2 > v1, "compaction must commit a new table version")
+    val after = liveFiles(v2)
+    assert(after.values.max == 1, s"every live bucket must hold one file, got $after")
+    assert(after.values.sum < before.values.sum, "file counts must measurably drop")
+    // read equivalence + snapshot isolation for the pre-compaction reader
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) == rowsBefore)
+    assert(rows(BucketedSnapshots.readSnapshot(spark, path, v1)) == rowsBefore,
+      "the pinned pre-compaction version must be unaffected")
+    assert(liveFiles(v1) == before, "pre-compaction dirs must be byte-untouched")
+    // nothing fragmented anymore: a second pass is a no-op at the live version
+    assert(BucketedSnapshots.compact(spark, path, 1, 3) == v2)
   }
 
   test("CDC apply: out-of-order convergence, sticky tombstones, pinned pre-delete view") {

@@ -86,7 +86,9 @@ class RegistrySpec extends AnyFunSuite {
       "join_bloom_filtered",
       // r12: the pixel-level near-dup family routes hammingPairs64's
       // signature boundary like the byte-level family
-      "dedup_image_pixel_neardup", "dedup_image_pixel_clusters")
+      "dedup_image_pixel_neardup", "dedup_image_pixel_clusters",
+      // r13: the JPEG pixel family routes the same boundary
+      "dedup_jpeg_pixel_neardup", "dedup_jpeg_pixel_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")

@@ -177,6 +177,27 @@ class SnapshotsSpec extends SparkSpec {
       Set((2L, "writerB"), (3L, "writerA")))
   }
 
+  test("change data feed: I/U/D between versions; replaying the feed onto v1 reproduces v2 exactly") {
+    val path = fresh("cdf")
+    val v1 = Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path, keepVersions = 3)
+    val v2 = Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("k", "v"), path, keepVersions = 3)
+    val feed = Snapshots.readChangesBetween(spark, path, "k", v1, v2)
+      .select("k", "v", "op").as[(Long, String, String)].collect().toSet
+    assert(feed == Set((2L, "B2", "U"), (3L, "c", "D"), (4L, "d", "I")),
+      "unchanged keys must not appear; D carries the preimage")
+    // the consumer contract: from-snapshot + feed == to-snapshot
+    val replayed = Snapshots.applyChangeFeed(
+      Snapshots.readSnapshot(spark, path, v1),
+      Snapshots.readChangesBetween(spark, path, "k", v1, v2), "k")
+    assert(rows(replayed) == rows(Snapshots.readSnapshot(spark, path, v2)))
+    // feed of a version against itself is illegal; reversed range too
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangesBetween(spark, path, "k", v2, v1)
+    }
+  }
+
   test("versioned CDC apply: out-of-order convergence + pinned-version live view") {
     val path = fresh("cdc")
     def chg(rows: (Long, Long, String, String)*) = rows.toDF("k", "seq", "op", "v")
