@@ -71,7 +71,7 @@ case class SyntheticJpeg(child: Expression, mode: String) extends UnaryExpressio
 object JpegFixture {
 
   val Modes: Set[String] =
-    Set("base", "framing", "quant", "truncated", "garbage", "progressive")
+    Set("base", "framing", "quant", "exif", "truncated", "garbage", "progressive")
 
   private final val Dim = 16
 
@@ -276,12 +276,34 @@ object JpegFixture {
       full
     case _ =>
       val framing = mode == "framing"
+      val exif = mode == "exif"
       val quant = if (mode == "quant") QuantCoarse else QuantFine
       val (dcT, acT) = if (framing) (EncH2Dc, EncH2Ac) else (EncH1Dc, EncH1Ac)
       val (dcSpec, acSpec) = if (framing) (H2Dc, H2Ac) else (H1Dc, H1Ac)
-      val px = sourcePixels(id)
+      // the EXIF re-encode stores the image PHYSICALLY rotated 90 CCW and
+      // marks orientation 6 (display = rotate 90 CW) — the decoder must
+      // normalize it back onto its upright original's dHash
+      val px0 = sourcePixels(id)
+      val px =
+        if (!exif) px0
+        else {
+          val r = new Array[Int](Dim * Dim)
+          var y = 0
+          while (y < Dim) {
+            var x = 0
+            while (x < Dim) { r((Dim - 1 - x) * Dim + y) = px0(y * Dim + x); x += 1 }
+            y += 1
+          }
+          r
+        }
       val out = new java.io.ByteArrayOutputStream(512)
       out.write(0xff); out.write(0xd8) // SOI
+      if (exif) writeSeg(out, 0xe1, // APP1 EXIF: one-entry IFD0, orientation 6
+        Array[Byte]('E', 'x', 'i', 'f', 0, 0,
+          'M', 'M', 0, 42, 0, 0, 0, 8,          // TIFF big-endian, IFD0 at +8
+          0, 1,                                  // 1 entry
+          0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 6, 0, 0, // tag 0x0112 SHORT x1 = 6
+          0, 0, 0, 0))                           // next-IFD offset: none
       if (!framing) writeSeg(out, 0xe0, // APP0 JFIF 1.1, no thumbnail
         Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
       writeSeg(out, 0xdb, dqtBody(quant))

@@ -215,6 +215,7 @@ object JpegPixelHash {
     var width = 0; var height = 0
     var restartInterval = 0
     var sofSeen = false
+    var orientation = 1
 
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return null
@@ -294,6 +295,9 @@ object JpegPixelHash {
               sofSeen = true
             case x if (x >= 0xc2 && x <= 0xcf) && x != 0xc4 && x != 0xc8 && x != 0xcc =>
               return null // progressive / arithmetic / lossless / hierarchical
+            case 0xe1 => // APP1: EXIF orientation, if present and sane
+              val o = exifOrientation(b, seg, len)
+              if (o >= 1 && o <= 8) orientation = o
             case 0xdd => // DRI: body is the 2-byte restart interval
               if (len < 2) return null
               restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
@@ -316,14 +320,93 @@ object JpegPixelHash {
               // baseline spectral selection: full band, no approximation
               if ((b(o) & 0xff) != 0 || (b(o + 1) & 0xff) != 63 || (b(o + 2) & 0xff) != 0)
                 return null
-              return decodeScan(b, seg + len, comps, width, height,
+              val g = decodeScan(b, seg + len, comps, width, height,
                 quant, quantSeen, dcTables, acTables, restartInterval)
+              // EXIF-orientation normalization: a rotation-via-metadata
+              // re-encode must hash like its upright original
+              val og = orient(g, orientation)
+              return if (og == null || og.w < 9 || og.h < 8) null else og
             case _ => () // APPn / COM / anything else: skip
           }
           pos = seg + len
       }
     }
     null // no SOS reached
+  }
+
+  /** Parse the EXIF Orientation tag (0x0112) out of an APP1 segment: the
+    * "Exif\0\0" header, a TIFF header (II/MM byte order, magic 42), and a
+    * linear IFD0 scan — sub-IFDs are irrelevant (Orientation lives in
+    * IFD0). Every read is bounds-guarded; anything malformed returns -1
+    * (caller keeps orientation 1). This is metadata, not pixel data — a
+    * parse failure must never fail the decode.
+    */
+  private def exifOrientation(b: Array[Byte], seg: Int, len: Int): Int = {
+    if (len < 14) return -1
+    if (b(seg) != 'E' || b(seg + 1) != 'x' || b(seg + 2) != 'i' ||
+      b(seg + 3) != 'f' || b(seg + 4) != 0 || b(seg + 5) != 0) return -1
+    val t = seg + 6 // TIFF header origin; all offsets are relative to it
+    val end = seg + len
+    val little =
+      if (b(t) == 'I' && b(t + 1) == 'I') true
+      else if (b(t) == 'M' && b(t + 1) == 'M') false
+      else return -1
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > end) -1
+      else if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > end) -1L
+      else if (little) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    if (u16(t + 2) != 42) return -1
+    val off = u32(t + 4)
+    if (off < 0 || off > Int.MaxValue - 8) return -1
+    val ifd = t + off.toInt
+    val n = u16(ifd)
+    if (n < 0 || n > 512) return -1
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) return u16(e + 8)
+      i += 1
+    }
+    -1
+  }
+
+  /** Apply an EXIF orientation (2-8: flips / rotations / transposes) to a
+    * decoded plane — orientations 5-8 swap the axes. Identity for 1 and
+    * anything out of range.
+    */
+  private def orient(g: PngPixelHash.Gray, o: Int): PngPixelHash.Gray = {
+    if (g == null || o <= 1 || o > 8) return g
+    val w = g.w; val h = g.h
+    val nw = if (o >= 5) h else w
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = g.px(y * w + x)
+        // stored (x, y) -> displayed (nx, ny), T.81/EXIF 2.3 semantics
+        var nx = 0; var ny = 0
+        o match {
+          case 2 => nx = w - 1 - x; ny = y              // mirror horizontal
+          case 3 => nx = w - 1 - x; ny = h - 1 - y      // rotate 180
+          case 4 => nx = x; ny = h - 1 - y              // mirror vertical
+          case 5 => nx = y; ny = x                      // transpose
+          case 6 => nx = h - 1 - y; ny = x              // rotate 90 CW
+          case 7 => nx = h - 1 - y; ny = w - 1 - x      // transverse
+          case _ => nx = y; ny = w - 1 - x              // 8: rotate 270 CW
+        }
+        out(ny * nw + nx) = v
+        x += 1
+      }
+      y += 1
+    }
+    new PngPixelHash.Gray(out, nw, if (o >= 5) w else h)
   }
 
   private def decodeScan(

@@ -120,9 +120,9 @@ object BucketedSnapshots {
     */
   def readChangesBetween(
       spark: SparkSession, path: String, key: String,
-      fromV: Long, toV: Long): DataFrame =
+      fromV: Long, toV: Long, updatePreimages: Boolean = false): DataFrame =
     prunedSides(spark, path, fromV, toV) match {
-      case (from, to) => Snapshots.diffByKey(from, to, key)
+      case (from, to) => Snapshots.diffByKey(from, to, key, updatePreimages)
     }
 
   /** [[readChangesBetween]] on the TOMBSTONE-FILTERED view of an
@@ -133,12 +133,12 @@ object BucketedSnapshots {
     */
   def readTableChangesBetween(
       spark: SparkSession, path: String, key: String,
-      fromV: Long, toV: Long): DataFrame =
+      fromV: Long, toV: Long, updatePreimages: Boolean = false): DataFrame =
     prunedSides(spark, path, fromV, toV) match {
       case (from, to) =>
         def live(df: DataFrame) = df.filter(!col(Cdc.DeletedMeta))
           .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
-        Snapshots.diffByKey(live(from), live(to), key)
+        Snapshots.diffByKey(live(from), live(to), key, updatePreimages)
     }
 
   /** The two version reads restricted to buckets whose manifest entry

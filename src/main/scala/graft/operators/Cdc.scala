@@ -244,6 +244,23 @@ object Cdc {
   def readTableVersioned(spark: SparkSession, path: String): DataFrame =
     stripMeta(Snapshots.readCurrent(spark, path))
 
+  /** CHANGE DATA FEED between two committed versions of an
+    * [[applyChangesVersioned]] table, on the LIVE (tombstone-filtered)
+    * view — a key tombstoned between the versions emits a real 'D' with
+    * its pre-delete payload ([[Snapshots.readChangesBetween]] semantics;
+    * the bucketed twin is
+    * [[graft.operators.BucketedSnapshots.readTableChangesBetween]], which
+    * additionally manifest-prunes the reads).
+    */
+  def readTableChangesVersioned(
+      spark: SparkSession, path: String, key: String,
+      fromV: Long, toV: Long, updatePreimages: Boolean = false): DataFrame = {
+    require(fromV < toV, s"change feed runs forward: fromV=$fromV, toV=$toV")
+    Snapshots.diffByKey(
+      stripMeta(Snapshots.readSnapshot(spark, path, fromV)),
+      stripMeta(Snapshots.readSnapshot(spark, path, toV)), key, updatePreimages)
+  }
+
   /** TIME TRAVEL: the live view exactly as committed at `version` —
     * immutable even while newer versions commit ([[Snapshots.readSnapshot]]
     * fails fast once the version ages out of retention).

@@ -410,6 +410,10 @@ object Multimodal {
     *    jpegtran-optimize case). Decodes bit-identically ⇒ Hamming 0.
     *  - `13 <= id < 25` — REQUANTIZED re-encode: coarser quant table (the
     *    quality-bump case). Near-identical pixels ⇒ small Hamming.
+    * And at `id + 200000` for `id < 8` — the EXIF-ROTATION re-encode: the
+    * image stored physically rotated 90° with orientation 6 marked (the
+    * phone-camera duplicate); the decoder's orientation normalization
+    * lands it at Hamming 0 against both the base and the framing twin.
     *
     * Corrupt rows (`id >= 25` only, twin bases stay valid): `%13` torn
     * mid-entropy (NULL, never throw), `%17` non-JPEG garbage, `%19` a
@@ -429,7 +433,9 @@ object Multimodal {
       (id + 100000L).as("media_id"),
       when(id < 13, syntheticJpeg(id, "framing"))
         .otherwise(syntheticJpeg(id, "quant")).as("payload"))
-    base.unionByName(twins)
+    val exifTwins = docs.filter(id < 8).select(
+      (id + 200000L).as("media_id"), syntheticJpeg(id, "exif").as("payload"))
+    base.unionByName(twins).unionByName(exifTwins)
   }
 
   /** JPEG pixel-level fingerprint projection: `(media_id, pxhash)` via the

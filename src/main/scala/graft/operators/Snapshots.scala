@@ -158,9 +158,10 @@ object Snapshots {
     */
   def readChangesBetween(
       spark: SparkSession, path: String, key: String,
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, updatePreimages: Boolean = false): DataFrame = {
     require(fromV < toV, s"change feed runs forward: fromV=$fromV, toV=$toV")
-    diffByKey(readSnapshot(spark, path, fromV), readSnapshot(spark, path, toV), key)
+    diffByKey(readSnapshot(spark, path, fromV), readSnapshot(spark, path, toV), key,
+      updatePreimages)
   }
 
   /** The keyed table diff behind the change feeds: `(payload columns, op)`
@@ -171,7 +172,8 @@ object Snapshots {
     * ([[Incremental.alignSchemas]]). Rows with a NULL key never match and
     * surface as a D + I pair (keyed tables should not carry null keys).
     */
-  def diffByKey(from0: DataFrame, to0: DataFrame, key: String): DataFrame = {
+  def diffByKey(from0: DataFrame, to0: DataFrame, key: String,
+      updatePreimages: Boolean = false): DataFrame = {
     val (from, to) = Incremental.alignSchemas(from0, to0)
     val cols = to.columns.toSeq
     require(cols.contains(key), s"diffByKey: key '$key' not in schema")
@@ -180,21 +182,53 @@ object Snapshots {
     val payload = cols.filterNot(_ == key)
     val changed = payload.map(c => !(col(s"__f_$c") <=> col(s"__t_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    f.join(t, col(s"__f_$key") === col(s"__t_$key"), "full_outer")
+    val joined = f.join(t, col(s"__f_$key") === col(s"__t_$key"), "full_outer")
       .withColumn("op",
         when(col(s"__f_$key").isNull, "I")
           .when(col(s"__t_$key").isNull, "D")
           .when(changed, "U"))
       .filter(col("op").isNotNull)
-      .select(cols.map(c =>
-        when(col("op") === "D", col(s"__f_$c")).otherwise(col(s"__t_$c")).as(c))
-        :+ col("op"): _*)
+    val post = joined.select(cols.map(c =>
+      when(col("op") === "D", col(s"__f_$c")).otherwise(col(s"__t_$c")).as(c))
+      :+ col("op"): _*)
+    if (!updatePreimages) post
+    else
+      // the Delta-CDF shape: every U becomes a (U_pre old row, U_post new
+      // row) pair — exactly what incremental AGGREGATE maintenance needs
+      // (new_agg = old_agg − pre + post; I adds, D subtracts its preimage)
+      post.withColumn("op",
+        when(col("op") === "U", "U_post").otherwise(col("op")))
+        .unionByName(joined.filter(col("op") === "U")
+          .select(cols.map(c => col(s"__f_$c").as(c)) :+ lit("U_pre").as("op"): _*))
+  }
+
+  /** Retry loop for optimistic-concurrency losers: run `commit` (any
+    * read-merge-commit against the live pointer) until it lands or
+    * `maxAttempts` conflicts abort — each retry naturally re-resolves the
+    * NEW merge base because the commit functions re-read the pointer.
+    * Backoff-free by design: the conflict window is one small-object
+    * write, so immediate retry is correct; callers wanting pacing wrap
+    * `commit` themselves.
+    */
+  def retryOnConflict[A](maxAttempts: Int = 3)(commit: => A): A = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return commit
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Replay a [[diffByKey]]/[[readChangesBetween]] feed onto the FROM
     * snapshot — the consumer-side apply whose result must equal the TO
     * snapshot exactly (SnapshotsSpec proves the round trip). I/U rows
-    * win over the base by key; D keys drop.
+    * win over the base by key; D keys drop. Takes the POST-image feed
+    * (`updatePreimages = false` form).
     */
   def applyChangeFeed(base: DataFrame, feed: DataFrame, key: String): DataFrame = {
     val cols = base.columns.toSeq

@@ -3689,15 +3689,21 @@ object TrainingQueries {
     (s, d) => Multimodal.jpegPairs(
       Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4)
       .select(col("media_id_1"), col("media_id_2"),
-        (col("media_id_1") < 13 && col("hamming") === 0).as("exact_framing")),
+        (col("media_id_1") < 13 && col("media_id_2") < 200000L &&
+          col("hamming") === 0).as("exact_framing")),
     Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
         doc_id < 13 AS exact_framing
-      FROM documents WHERE doc_id < 25"""),
+      FROM documents WHERE doc_id < 25
+      UNION ALL  -- EXIF-rotation twins: normalized into the pair threshold
+      SELECT doc_id, doc_id + 200000, FALSE FROM documents WHERE doc_id < 8
+      UNION ALL  -- framing twin vs exif twin: both near the shared base
+      SELECT doc_id + 100000, doc_id + 200000, FALSE FROM documents WHERE doc_id < 8"""),
     planView = Some((s, d) => Multimodal.jpegPairs(
       Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
       boundary = graft.operators.Boundary.None)
       .select(col("media_id_1"), col("media_id_2"),
-        (col("media_id_1") < 13 && col("hamming") === 0).as("exact_framing"))))
+        (col("media_id_1") < 13 && col("media_id_2") < 200000L &&
+          col("hamming") === 0).as("exact_framing"))))
 
   /** JPEG pixel pairs → connected components → keep/drop for EVERY corpus
     * row ([[Multimodal.jpegClusters]]): both re-encode classes collapse
@@ -3711,7 +3717,9 @@ object TrainingQueries {
       Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4),
     Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
       UNION ALL
-      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, FALSE FROM documents WHERE doc_id < 8"""),
     planView = Some((s, d) => Multimodal.jpegClusters(
       Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
       boundary = graft.operators.Boundary.None)))
@@ -4488,6 +4496,52 @@ object TrainingQueries {
         CAST(0 AS BIGINT) AS hamming
       FROM documents WHERE doc_id < 25"""))
 
+  /** Streaming JPEG near-dup ingest ([[graft.streaming.Streams
+    * .jpegDedupAvailableNow]]): all three re-encode twin classes —
+    * framing, requantized, EXIF-rotated — arrive as two micro-batches
+    * against signature state seeded from the base corpus; every twin must
+    * pair the moment it arrives (framing exactly 0, asserted through the
+    * same `exact` flag as the batch query), including the CROSS-BATCH
+    * framing-vs-exif pairs (batch 1 state vs batch 2 arrivals). Only
+    * 8-byte signatures persist or shuffle; decode stays in the scan.
+    */
+  private val streamingJpegDedup = Q(
+    "streaming_jpeg_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_jpx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id")
+      val seed = corpus.filter(col("media_id") < 100000L)
+      val ingest = corpus.filter(col("media_id") >= 100000L)
+      Multimodal.jpegHash(seed).filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id")
+        .write.parquet(s"$base/state/sigs/seed")
+      ingest.filter(col("media_id") < 100013L).coalesce(1).write.parquet(s"$base/in")
+      ingest.filter(col("media_id") >= 100013L).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.jpegDedupAvailableNow(stream,
+        s"$base/state", s"$base/out", s"$base/ckpt", "media_id", "payload",
+        maxHamming = 4)
+        .awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(least(col("media_id_new"), col("media_id_old")).as("media_id_1"),
+          greatest(col("media_id_new"), col("media_id_old")).as("media_id_2"),
+          (least(col("media_id_new"), col("media_id_old")) < 13L &&
+            greatest(col("media_id_new"), col("media_id_old")) < 200000L &&
+            col("hamming") === 0L).as("exact_framing"))
+    },
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        doc_id < 13 AS exact_framing
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id, doc_id + 200000, FALSE FROM documents WHERE doc_id < 8
+      UNION ALL
+      SELECT doc_id + 100000, doc_id + 200000, FALSE FROM documents WHERE doc_id < 8"""))
+
   /** THE COMPOSED ALWAYS-ON FLAGSHIP ([[graft.streaming.Streams
     * .corpusServeAvailableNow]]): the documents table sliced into three
     * id-ordered micro-batches and drained through ingest → gate/clean →
@@ -5007,5 +5061,5 @@ object TrainingQueries {
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,
-    streamingPixelDedup, pipelineStreamingServe)
+    streamingPixelDedup, streamingJpegDedup, pipelineStreamingServe)
 }

@@ -573,16 +573,49 @@ object Streams {
       idCol: String,
       payloadCol: String,
       maxHamming: Int = 2): StreamingQuery =
+    mediaHashDedupAvailableNow(stream, statePath, outPath, checkpoint,
+      idCol, payloadCol, maxHamming,
+      (df, id, payload) => graft.operators.Multimodal.pixelHash(df, id, payload))
+
+  /** The JPEG sibling of [[pixelDedupAvailableNow]]: micro-batches decode
+    * through the baseline-JFIF luma path
+    * ([[graft.operators.Multimodal.jpegHash]] — Huffman + integer IDCT +
+    * EXIF orientation normalization), so a re-encoded OR rotated-via-
+    * metadata duplicate of any earlier image lands the moment it arrives.
+    * Identical per-batch-dir replay discipline; only 8-byte signatures
+    * persist or shuffle.
+    */
+  def jpegDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 4): StreamingQuery =
+    mediaHashDedupAvailableNow(stream, statePath, outPath, checkpoint,
+      idCol, payloadCol, maxHamming,
+      (df, id, payload) => graft.operators.Multimodal.jpegHash(df, id, payload))
+
+  private def mediaHashDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int,
+      hashOf: (DataFrame, String, String) => DataFrame): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
-        import graft.operators.{Dedup, Multimodal}
+        import graft.operators.Dedup
         val fs = new org.apache.hadoop.fs.Path(statePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val sigs = Multimodal.pixelHash(batch0, idCol, payloadCol)
+        val sigs = hashOf(batch0, idCol, payloadCol)
           .filter(col("pxhash").isNotNull)
           .withColumnRenamed("media_id", "doc_id")
           .localCheckpoint()

@@ -154,6 +154,63 @@ class BucketedSnapshotsSpec extends SparkSpec {
         .select("k", "v").as[(Long, String)].collect().toSet)
   }
 
+  test("incremental aggregate maintenance from the preimage feed == from-scratch rollup") {
+    val path = fresh("cdfagg")
+    def chg(rows: (Long, Long, String, String, Long)*) =
+      rows.toDF("k", "seq", "op", "g", "v")
+    // v1: three groups; v2: update (new value, same group), group MOVE,
+    // delete, and insert — every delta class the rollup must absorb
+    val v1 = BucketedSnapshots.applyChanges(spark,
+      chg((1L, 1L, "I", "a", 10L), (2L, 2L, "I", "a", 20L),
+        (3L, 3L, "I", "b", 30L), (4L, 4L, "I", "c", 40L)),
+      path, "k", 4, keepVersions = 3)
+    val v2 = BucketedSnapshots.applyChanges(spark,
+      chg((1L, 7L, "U", "a", 15L), (3L, 8L, "U", "c", 30L),
+        (4L, 9L, "D", "c", 0L), (5L, 10L, "I", "b", 50L)),
+      path, "k", 4, keepVersions = 3)
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sum("v").as("total"), count(lit(1)).as("n"))
+    val feed = BucketedSnapshots.readTableChangesBetween(
+      spark, path, "k", v1, v2, updatePreimages = true)
+    // delta apply: I and U_post add, D and U_pre subtract
+    val sign = when(col("op").isin("I", "U_post"), 1L).otherwise(-1L)
+    val delta = feed.groupBy("g")
+      .agg(sum(col("v") * sign).as("d_total"), sum(sign).as("d_n"))
+    val maintained = rollup(BucketedSnapshots.readTableAt(spark, path, v1))
+      .join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("d_total"), lit(0L))).as("total"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)].collect().toSet
+    val scratch = rollup(BucketedSnapshots.readTable(spark, path))
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained == scratch,
+      "rollup maintained from the feed must equal the from-scratch rollup")
+    // v2 live: a = {k1:15, k2:20}, b = {k5:50}, c = {k3:30}; k4 deleted
+    assert(scratch == Set(("a", 35L, 2L), ("b", 50L, 1L), ("c", 30L, 1L)))
+  }
+
+  test("retryOnConflict: the losing writer's retry commits from the new base") {
+    val path = fresh("casretry")
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"), path, "k", 1)
+    var injected = false
+    val v = Snapshots.retryOnConflict(maxAttempts = 3) {
+      BucketedSnapshots.mergeCommit(spark, Seq((2L, 2.0)).toDF("k", "v"),
+        path, "k", 1, 2, (existing, batch) => {
+          if (!injected) {
+            injected = true // writer B races exactly once
+            BucketedSnapshots.upsertByKey(spark, Seq((3L, 3.0)).toDF("k", "v"), path, "k", 1)
+          }
+          existing.unionByName(batch)
+        })
+    }
+    assert(BucketedSnapshots.currentVersion(spark, path).contains(v))
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0),
+      "the retry must merge from the NEW base — both writers' rows present")
+  }
+
   test("crash orphan manifest never shrinks retention: the pinned previous version survives") {
     val path = fresh("orphanretain")
     BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"),

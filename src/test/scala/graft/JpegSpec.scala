@@ -126,6 +126,28 @@ class JpegSpec extends SparkSpec {
       s"gray JPEG differential at Hamming ${ham(iio, ours)}")
   }
 
+  test("EXIF orientation normalization: the rotation-via-metadata re-encode lands; unnormalized it would miss") {
+    (0L until 8L).foreach { id =>
+      val bytes = JpegFixture.build(id, "exif")
+      val normalized = JpegPixelHash.hash(bytes)
+      assert(normalized != null, s"exif fixture $id must decode")
+      val d = ham(normalized, baseHash(id))
+      assert(d <= 4, s"id $id: orientation-normalized twin at Hamming $d > 4")
+      // strip the orientation claim (patch the APP1 value to 1): the RAW
+      // stored image is physically rotated and must sit far from the base
+      // — this is exactly the duplicate class normalization buys
+      val raw = bytes.clone()
+      assert((raw(30) & 0xff) == 0 && (raw(31) & 0xff) == 6, "fixture layout moved")
+      raw(31) = 1
+      val unnormalized = JpegPixelHash.hash(raw)
+      assert(unnormalized != null)
+      assert(ham(unnormalized, baseHash(id)) > 4,
+        s"id $id: the physically-rotated image must NOT pair without normalization")
+      // every orientation value (incl. invalid) decodes cleanly
+      (0 to 9).foreach { o => raw(31) = o.toByte; JpegPixelHash.hash(raw) }
+    }
+  }
+
   test("jpegPairs over pixelJpegCorpus: exactly the planted twins, framing pairs at 0") {
     import spark.implicits._
     val docs = (0L until 120L).toDF("doc_id")
@@ -133,20 +155,25 @@ class JpegSpec extends SparkSpec {
     val pairs = graft.operators.Multimodal.jpegPairs(corpus, maxHamming = 4)
       .select("media_id_1", "media_id_2", "hamming")
       .as[(Long, Long, Int)].collect()
-    val expected = (0L until 25L).map(id => (id, id + 100000L)).toSet
+    val expected = (0L until 25L).map(id => (id, id + 100000L)).toSet ++
+      (0L until 8L).flatMap(id =>
+        Seq((id, id + 200000L), (id + 100000L, id + 200000L))).toSet
     assert(pairs.map(p => (p._1, p._2)).toSet == expected,
       "the pair set must be exactly the planted twins")
-    pairs.filter(_._1 < 13L).foreach { p =>
+    pairs.filter(p => p._1 < 13L && p._2 < 200000L).foreach { p =>
       assert(p._3 == 0, s"framing twin ${p._1} must pair at Hamming 0, got ${p._3}")
     }
     // the cluster surface: twins collapse onto their base, corrupt rows
     // are singletons, every input row is present
     val cl = graft.operators.Multimodal.jpegClusters(corpus, maxHamming = 4)
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(cl.size == 120 + 25)
+    assert(cl.size == 120 + 25 + 8)
     (0L until 25L).foreach { id =>
       assert(cl(id) == ((id, true)))
       assert(cl(id + 100000L) == ((id, false)), s"twin of $id must drop")
+    }
+    (0L until 8L).foreach { id =>
+      assert(cl(id + 200000L) == ((id, false)), s"exif twin of $id must drop")
     }
     (25L until 120L).foreach { id => assert(cl(id) == ((id, true))) }
   }
