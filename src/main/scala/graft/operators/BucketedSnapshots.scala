@@ -179,9 +179,11 @@ object BucketedSnapshots {
       path: String,
       key: String,
       nBuckets: Int,
-      keepVersions: Int = 2): Long =
+      keepVersions: Int = 2,
+      statsColumns: Seq[String] = Nil): Long =
     mergeCommit(spark, updates, path, key, nBuckets, keepVersions,
-      (existing, batch) => Incremental.mergeByKey(existing, batch, key))
+      (existing, batch) => Incremental.mergeByKey(existing, batch, key),
+      statsColumns)
 
   /** Delete-aware CDC apply through the same commit — [[Cdc.applyChanges]]'
     * seq-aware merge rule on the touched buckets, one atomic flip; read the
@@ -195,10 +197,12 @@ object BucketedSnapshots {
       nBuckets: Int,
       seqCol: String = "seq",
       opCol: String = "op",
-      keepVersions: Int = 2): Long =
+      keepVersions: Int = 2,
+      statsColumns: Seq[String] = Nil): Long =
     mergeCommit(spark, Cdc.reduceBatch(changes, key, seqCol, opCol),
       path, key, nBuckets, keepVersions,
-      (existing, batch) => Cdc.mergeSnapshots(existing, batch, key))
+      (existing, batch) => Cdc.mergeSnapshots(existing, batch, key),
+      statsColumns)
 
   /** Tombstone-filtered live view of an [[applyChanges]] table. */
   def readTable(spark: SparkSession, path: String): DataFrame =
@@ -227,7 +231,8 @@ object BucketedSnapshots {
       key: String,
       nBuckets: Int,
       keepVersions: Int,
-      merge: (DataFrame, DataFrame) => DataFrame): Long = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      statsColumns: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -263,6 +268,14 @@ object BucketedSnapshots {
     if (fs.exists(staging)) fs.delete(staging, true)
     merged.withColumn("b", bucketOf)
       .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    // zonemap stats for the TOUCHED buckets, off the staged write (one
+    // column-pruned aggregation over the touched data only — the 1%-churn
+    // batch, never the table); declared columns are sticky across commits
+    // via the stats-file header, so one declaration covers the table's life
+    val statCols = effectiveStatCols(
+      cur.map(v => readStats(spark, path, v)._1).getOrElse(Nil),
+      statsColumns, merged.schema)
+    val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
     touched.foreach { b =>
       val src = new Path(staging, s"b=$b")
       val dstDir = new Path(s"$path/b=$b")
@@ -281,12 +294,27 @@ object BucketedSnapshots {
     }
     fs.delete(staging, true)
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
-      keepVersions)
+      keepVersions, statCols, newStats)
   }
 
   /** The shared commit tail: write manifest v=next (current entries
-    * overlaid with `newBucketVersions`), CAS-check the pointer, flip it
-    * atomically, GC. Returns the committed table version.
+    * overlaid with `newBucketVersions`) plus its zonemap-stats sidecar,
+    * CAS-check the pointer, flip it atomically, GC. Returns the committed
+    * table version.
+    *
+    * DISJOINT-BUCKET REBASE (what lets independent writers share a table):
+    * when the CAS detects a concurrent commit, the loser re-reads the NEW
+    * live manifest and, if the winner touched a DISJOINT set of buckets,
+    * re-commits by overlaying its already-staged bucket versions onto the
+    * winner's manifest — no data rewrite, no re-merge (its merge inputs
+    * for its own buckets are provably still the live ones). Only when the
+    * bucket sets OVERLAP does [[graft.operators.CommitConflictException]]
+    * surface, and [[Snapshots.retryOnConflict]] re-merges from the new
+    * base. This is the Iceberg-style optimistic-concurrency resolution at
+    * bucket granularity: at 100 TB, two daily feeds each touching 1% of
+    * buckets almost never collide, and neither pays the other's latency.
+    * The staged dirs stay valid across rebase attempts because GC never
+    * deletes bucket versions ABOVE the live one (see [[gc]]'s floor rule).
     */
   private def commitManifest(
       spark: SparkSession,
@@ -295,39 +323,332 @@ object BucketedSnapshots {
       casBase: Option[Long],
       curManifest: Map[Int, Long],
       newBucketVersions: Map[Int, Long],
-      keepVersions: Int): Long = {
+      keepVersions: Int,
+      addStatCols: Seq[String] = Nil,
+      newStats: Map[Int, Seq[BucketStat]] = Map.empty,
+      maxRebase: Int = 5): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
-    val cur = state.map(_._1)
-    val next = (cur.toSeq ++ allManifestVersions(spark, path)).foldLeft(0L)(math.max) + 1
-    val nextManifest = curManifest ++ newBucketVersions
-    val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
-    val mf = new Path(manifestPath(path, next))
-    fs.mkdirs(new Path(s"$path/manifest"))
-    val out = fs.create(mfTmp, true)
-    try out.write(nextManifest.toSeq.sorted
-      .map { case (b, bv) => s"$b,$bv" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(mfTmp, mf))
-      throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
-    // THE commit point: atomic pointer replace with the retained history.
-    // Retention is COUNT-based (newest keepVersions committed versions) —
-    // a value window on `next` would let a crash-orphan manifest inflate
-    // `next` and evict the still-pinned previous table version.
-    val retained = (next +: state.map(_._2).getOrElse(Seq.empty)).distinct
-      .sorted.reverse.take(keepVersions)
-    Snapshots.checkPointerUnmoved(spark, path, casBase)
-    val root = new Path(path)
-    val tmp = new Path(root, "_CURRENT.tmp")
-    val marker = new Path(root, "_CURRENT")
-    val pout = fs.create(tmp, true)
-    try pout.write(retained.mkString("\n").getBytes("UTF-8"))
-    finally pout.close()
-    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, marker, Options.Rename.OVERWRITE)
-    gc(spark, path, retained)
-    next
+    var st = state
+    var cb = casBase
+    var cm = curManifest
+    var attempt = 0
+    while (true) {
+      val cur = st.map(_._1)
+      val next = (cur.toSeq ++ allManifestVersions(spark, path)).foldLeft(0L)(math.max) + 1
+      val nextManifest = cm ++ newBucketVersions
+      val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
+      val mf = new Path(manifestPath(path, next))
+      fs.mkdirs(new Path(s"$path/manifest"))
+      val out = fs.create(mfTmp, true)
+      try out.write(nextManifest.toSeq.sorted
+        .map { case (b, bv) => s"$b,$bv" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(mfTmp, mf))
+        throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
+      // stats sidecar: untouched buckets carry the LIVE version's entries
+      // (re-read per attempt — a rebase must keep the winner's stats for
+      // the winner's buckets), touched buckets get this commit's
+      val (prevCols, prevStats) =
+        cur.map(v => readStats(spark, path, v)).getOrElse((Nil, Map.empty[Int, Seq[BucketStat]]))
+      val cols = (prevCols ++ addStatCols).distinct
+      if (cols.nonEmpty) {
+        val entries = nextManifest.keySet.toSeq.sorted.flatMap { b =>
+          if (newBucketVersions.contains(b)) newStats.getOrElse(b, Nil)
+            .map(stat => b -> stat)
+          else prevStats.getOrElse(b, Nil).map(stat => b -> stat)
+        }
+        writeStats(spark, path, next, cols, entries)
+      }
+      // THE commit point: atomic pointer replace with the retained history.
+      // Retention is COUNT-based (newest keepVersions committed versions) —
+      // a value window on `next` would let a crash-orphan manifest inflate
+      // `next` and evict the still-pinned previous table version.
+      val retained = (next +: st.map(_._2).getOrElse(Seq.empty)).distinct
+        .sorted.reverse.take(keepVersions)
+      val unmoved =
+        try { Snapshots.checkPointerUnmoved(spark, path, cb); true }
+        catch {
+          case e: CommitConflictException =>
+            attempt += 1
+            val st2 = pointerState(spark, path)
+            val cb2 = Snapshots.pointerStateRaw(spark, path).map(_._1)
+            val cm2 = st2.map(s => readManifest(spark, path, s._1))
+              .getOrElse(Map.empty[Int, Long])
+            val changed = (cm.keySet ++ cm2.keySet).filter(b => cm.get(b) != cm2.get(b))
+            if (attempt > maxRebase || (changed intersect newBucketVersions.keySet).nonEmpty)
+              throw e // overlapping buckets: this commit's merge inputs are stale
+            // our v=next manifest/stats are inert orphans (never pointed
+            // to); later GCs age them out below the retention floor
+            st = st2; cb = cb2; cm = cm2
+            false // retry: overlay our bucket versions onto the new base
+        }
+      if (unmoved) {
+        val root = new Path(path)
+        val tmp = new Path(root, "_CURRENT.tmp")
+        val marker = new Path(root, "_CURRENT")
+        val pout = fs.create(tmp, true)
+        try pout.write(retained.mkString("\n").getBytes("UTF-8"))
+        finally pout.close()
+        FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, marker, Options.Rename.OVERWRITE)
+        gc(spark, path, retained)
+        return next
+      }
+    }
+    -1L // unreachable
   }
+
+  // ------------------------------------------------------------------
+  // Zonemap stats in the manifest: per-bucket min/max per declared column
+  // ------------------------------------------------------------------
+
+  /** One column's min/max for one bucket. `typ`: 'l' integral (stored as
+    * long), 'd' float/double (stored via `Double.toString`, which
+    * round-trips exactly), 'c' decimal (plain string, exact), 'n' the
+    * bucket holds NO non-null value of the column (skippable under ANY
+    * range predicate — SQL ranges never select NULL).
+    */
+  private[graft] case class BucketStat(col: String, typ: Char, min: String, max: String)
+
+  private def statsPath(path: String, v: Long) = s"$path/manifest/v=$v.stats.txt"
+
+  /** `(declared stat columns, bucket -> stats)` of a committed version;
+    * `(Nil, empty)` when the version has no stats sidecar. A bucket/column
+    * with no entry is simply never pruned — stats are an optimization
+    * layer, absence is always safe.
+    */
+  private[graft] def readStats(
+      spark: SparkSession, path: String, v: Long): (Seq[String], Map[Int, Seq[BucketStat]]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val p = new Path(statsPath(path, v))
+    if (!fs.exists(p)) return (Nil, Map.empty)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = txt.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty).toSeq
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val entries = lines.drop(1).flatMap { line =>
+      line.split(",", 5) match {
+        case Array(b, c, t, mn, mx) if t.length == 1 =>
+          b.toIntOption.map(_ -> BucketStat(c, t.charAt(0), mn, mx))
+        case _ => None
+      }
+    }
+    (cols, entries.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) })
+  }
+
+  private def writeStats(
+      spark: SparkSession, path: String, v: Long,
+      cols: Seq[String], entries: Seq[(Int, BucketStat)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val tmp = new Path(statsPath(path, v) + ".tmp")
+    val dst = new Path(statsPath(path, v))
+    val content = (s"#cols=${cols.mkString(",")}" +:
+      entries.map { case (b, s) => s"$b,${s.col},${s.typ},${s.min},${s.max}" })
+      .mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"bucketed commit: failed to write stats $dst")
+  }
+
+  private def isStatType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Sticky stat-column set: previously declared columns plus this
+    * commit's, restricted to numeric columns of the merged schema (a
+    * declared column must exist and be numeric — fail fast; a PREVIOUS
+    * column missing from this schema just contributes no new entries).
+    */
+  private def effectiveStatCols(
+      prevCols: Seq[String], declared: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    declared.foreach { c =>
+      require(!c.contains(","), s"stats column name '$c' must not contain ','")
+      val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"stats column '$c' is not a column of the table (have: ${schema.fieldNames.mkString(", ")})"))
+      require(isStatType(f.dataType),
+        s"stats column '$c' must be numeric, got ${f.dataType.catalogString}")
+    }
+    (prevCols ++ declared).distinct
+      .filter(c => schema.find(_.name == c).exists(f => isStatType(f.dataType)))
+  }
+
+  /** Min/max/non-null-count per touched bucket off the STAGED write — one
+    * column-pruned aggregation over the commit's own data (the churn, not
+    * the table). Touched buckets whose keys all deduped away (empty dirs)
+    * get 'n' entries; a double column whose min/max is NaN/Infinite gets
+    * NO entry (never pruned).
+    */
+  private def computeBucketStats(
+      spark: SparkSession, staging: String, statCols: Seq[String],
+      touched: Seq[Int]): Map[Int, Seq[BucketStat]] = {
+    import org.apache.spark.sql.types._
+    if (statCols.isEmpty) return Map.empty
+    val staged = spark.read.parquet(staging)
+    val types = statCols.map(c => c -> staged.schema(c).dataType).toMap
+    val aggs = statCols.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"), count(col(c)).as(s"ct$i")) }
+    val rows = staged.groupBy(col("b")).agg(aggs.head, aggs.tail: _*).collect()
+    def stringify(dt: DataType, v: Any): Option[(Char, String)] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(('l', v.asInstanceOf[Number].longValue.toString))
+      case FloatType | DoubleType =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN || d.isInfinite) None else Some(('d', java.lang.Double.toString(d)))
+      case _: DecimalType =>
+        Some(('c', v.asInstanceOf[java.math.BigDecimal].toPlainString))
+      case _ => None
+    }
+    val computed = rows.map { r =>
+      val b = r.get(0).toString.toInt
+      val stats = statCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.getLong(r.fieldIndex(s"ct$i")) == 0L) Some(BucketStat(c, 'n', "", ""))
+        else for {
+          (t, mn) <- stringify(types(c), r.get(r.fieldIndex(s"mn$i")))
+          (_, mx) <- stringify(types(c), r.get(r.fieldIndex(s"mx$i")))
+        } yield BucketStat(c, t, mn, mx)
+      }
+      b -> stats
+    }.toMap
+    touched.map(b => b -> computed.getOrElse(
+      b, statCols.map(c => BucketStat(c, 'n', "", "")))).toMap
+  }
+
+  /** Normalize user bounds to the COLUMN's comparison space, so the stats
+    * prune and the residual filter use the SAME effective bounds:
+    * integral columns get ceil/floor-rounded long bounds (so the residual
+    * literal is a plain long — parquet row-group pushdown stays intact),
+    * float/double columns get the nearest double, decimal columns compare
+    * exactly. Returns `(effLower, effUpper, residualFilter)`;
+    * `residualFilter` is `lit(false)` when no column value can satisfy
+    * the bound (e.g. an integral lower bound above Long.MaxValue).
+    */
+  private def typedBounds(
+      dt: org.apache.spark.sql.types.DataType, column: String,
+      lower: Option[BigDecimal], upper: Option[BigDecimal])
+      : (Option[BigDecimal], Option[BigDecimal], org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types._
+    import scala.math.BigDecimal.RoundingMode
+    val longMax = BigDecimal(Long.MaxValue)
+    val longMin = BigDecimal(Long.MinValue)
+    var impossible = false
+    def norm(bd: BigDecimal, isLower: Boolean): (BigDecimal, org.apache.spark.sql.Column) =
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val r = bd.setScale(0, if (isLower) RoundingMode.CEILING else RoundingMode.FLOOR)
+          if (isLower && r > longMax) impossible = true
+          if (!isLower && r < longMin) impossible = true
+          val clamped = r.max(longMin).min(longMax)
+          (clamped, lit(clamped.toLong))
+        case FloatType | DoubleType =>
+          val d = bd.toDouble
+          (BigDecimal(d), lit(d))
+        case _: DecimalType => (bd, lit(bd.underlying()))
+        case other => throw new IllegalArgumentException(
+          s"stats-pruned read supports numeric columns; '$column' is ${other.catalogString}")
+      }
+    val lo = lower.map(norm(_, isLower = true))
+    val hi = upper.map(norm(_, isLower = false))
+    val c = col(column)
+    val residual =
+      if (impossible) lit(false)
+      else (lo.map(x => c >= x._2).toSeq ++ hi.map(x => c <= x._2).toSeq)
+        .reduceOption(_ && _).getOrElse(lit(true))
+    (lo.map(_._1), hi.map(_._1), residual)
+  }
+
+  /** Manifest entries that MAY hold a row of `column` within
+    * `[effLo, effHi]` per the version's stats sidecar. Comparisons run in
+    * the column's own space ('l' long, 'd' double, 'c' exact decimal) —
+    * the same space the residual filter compares in, so pruning is always
+    * conservative with respect to it. Missing stats, a type mismatch, or
+    * an unparseable entry mean "read the bucket".
+    */
+  private[graft] def pruneBuckets(
+      spark: SparkSession, path: String, version: Long, m: Map[Int, Long],
+      column: String, effLo: Option[BigDecimal], effHi: Option[BigDecimal]): Map[Int, Long] = {
+    val stats = readStats(spark, path, version)._2
+    m.filter { case (b, _) =>
+      stats.get(b).flatMap(_.find(_.col == column)) match {
+        case Some(st) if st.typ == 'n' => false
+        case Some(st) =>
+          try st.typ match {
+            case 'l' =>
+              val mn = st.min.toLong; val mx = st.max.toLong
+              effHi.forall(u => BigDecimal(mn) <= u) && effLo.forall(l => BigDecimal(mx) >= l)
+            case 'd' =>
+              val mn = java.lang.Double.parseDouble(st.min)
+              val mx = java.lang.Double.parseDouble(st.max)
+              effHi.forall(u => mn <= u.toDouble) && effLo.forall(l => mx >= l.toDouble)
+            case 'c' =>
+              val mn = BigDecimal(st.min); val mx = BigDecimal(st.max)
+              effHi.forall(u => mn <= u) && effLo.forall(l => mx >= l)
+            case _ => true
+          } catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+  }
+
+  /** STATS-PRUNED read as of `version`: rows of the snapshot with
+    * `column` in `[lower, upper]` (either bound open), reading ONLY the
+    * bucket dirs whose zonemap may intersect — the manifest-level data
+    * skipping an Iceberg/Delta reader does, at bucket granularity. The
+    * residual filter is always applied (and, being a plain typed literal
+    * comparison, reaches the parquet scan for row-group skipping inside
+    * the buckets that ARE read), so the result is exact whether or not
+    * stats exist. At 100 TB a time- or value-correlated layout turns this
+    * into reading a handful of buckets instead of all of them; worst case
+    * it degrades to the full snapshot read plus a pushed filter.
+    */
+  def readSnapshotWhere(
+      spark: SparkSession, path: String, version: Long, column: String,
+      lower: Option[BigDecimal], upper: Option[BigDecimal]): DataFrame = {
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"bucketed snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    val m = readManifest(spark, path, version)
+    if (m.isEmpty) throw new java.io.FileNotFoundException(
+      s"bucketed snapshot v=$version at $path has an empty manifest")
+    val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
+    // footer-only pass for the merged schema (types the bounds; at scale
+    // this is metadata IO, not data IO)
+    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val dt = full.schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$column' is not a column of the table at $path " +
+          s"(have: ${full.schema.fieldNames.mkString(", ")})")).dataType
+    val (effLo, effHi, residual) = typedBounds(dt, column, lower, upper)
+    val chosen = pruneBuckets(spark, path, version, m, column, effLo, effHi)
+    val df =
+      if (chosen.isEmpty) full.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    df.filter(residual)
+  }
+
+  /** [[readSnapshotWhere]] on the live version. */
+  def readCurrentWhere(
+      spark: SparkSession, path: String, column: String,
+      lower: Option[BigDecimal], upper: Option[BigDecimal]): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshotWhere(spark, path, v, column, lower, upper)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
 
   /** COMPACTION as a table version: rewrite every live bucket dir holding
     * more than `maxFilesPerBucket` data files into ONE file at a fresh
@@ -381,8 +702,11 @@ object BucketedSnapshots {
         .write.mode(SaveMode.Overwrite).parquet(dst.toString)
       b -> nv
     }.toMap
+    // no data change: the compacted buckets' zonemap stats carry verbatim
+    val prevStats = readStats(spark, path, cur)._2
+    val carried = fragmented.map(b => b -> prevStats.getOrElse(b, Nil)).toMap
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
-      keepVersions)
+      keepVersions, Nil, carried)
   }
 
   /** Next version for one bucket: one past the max dir present (orphans
@@ -426,7 +750,10 @@ object BucketedSnapshots {
       .flatMap(v => readManifest(spark, path, v).toSeq).toSet
     allManifestVersions(spark, path)
       .filter(v => !keepManifests.contains(v) && v < floor)
-      .foreach(v => fs.delete(new Path(manifestPath(path, v)), false))
+      .foreach { v =>
+        fs.delete(new Path(manifestPath(path, v)), false)
+        fs.delete(new Path(statsPath(path, v)), false) // sidecar, if any
+      }
     val root = new Path(path)
     if (fs.exists(root)) fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))

@@ -1562,6 +1562,46 @@ object ParityQueries {
         u.last_epoch
       FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
 
+  /** MANIFEST ZONEMAP STATS + data-skipping read on the bucketed-versioned
+    * table ([[graft.operators.BucketedSnapshots.readCurrentWhere]]): the
+    * first commit DECLARES stat columns (`total`, `n`), the second commit
+    * maintains them without re-declaring (sticky via the stats-file
+    * header), and the read prunes whole bucket dirs whose per-bucket
+    * min/max cannot intersect the range — the Iceberg/Delta data-skipping
+    * role at bucket granularity. The residual filter is a plain typed
+    * literal comparison (parquet row-group pushdown inside the buckets
+    * that ARE read), so the result is exact regardless of pruning —
+    * which is what this oracle hash-checks; ZonemapStatsSpec proves the
+    * skipping itself (chosen set counted, exactly the intersecting
+    * buckets).
+    */
+  private val snapshotStatsPrunedRead = Q(
+    "snapshot_stats_pruned_read",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/statsprune_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, statsColumns = Seq("total", "n"))
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, upd, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.readCurrentWhere(
+        s, path, "n", Some(BigDecimal(2)), Some(BigDecimal(500000)))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT * FROM (
+        SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+          COALESCE(u.n, b.n) AS n
+        FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
+      WHERE n >= 2 AND n <= 500000"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -2701,5 +2741,5 @@ object ParityQueries {
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
-    upsertSchemaEvolution, ctasFullRefresh, upsertServe)
+    upsertSchemaEvolution, snapshotStatsPrunedRead, ctasFullRefresh, upsertServe)
 }

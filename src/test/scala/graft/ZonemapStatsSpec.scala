@@ -1,0 +1,242 @@
+package graft
+
+import graft.operators.{BucketedSnapshots, CommitConflictException}
+import org.apache.spark.sql.functions._
+
+/** Manifest zonemap stats + data-skipping reads on the pointer-committed
+  * bucketed table, and the disjoint-bucket commit rebase:
+  *
+  *  - a stats-pruned read returns EXACTLY the filtered full read while
+  *    provably skipping buckets (the chosen manifest is asserted smaller,
+  *    and exactly the stats-intersecting set);
+  *  - all-null buckets are skippable under any range predicate; NULLs
+  *    never leak into a range result;
+  *  - stat columns are sticky: declared once, maintained on every later
+  *    commit and carried verbatim through compaction;
+  *  - long/double/decimal columns each round-trip, including fractional
+  *    bounds on integral columns (ceil/floor normalization);
+  *  - two writers touching DISJOINT buckets both commit (the loser
+  *    rebases onto the winner's manifest without re-merging); OVERLAPPING
+  *    buckets still abort with [[CommitConflictException]].
+  */
+class ZonemapStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val path = s"target/tmp/zonemapspec_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
+  private def bucketOf(k: Long, n: Int): Int =
+    Seq(k).toDF("k").select(pmod(xxhash64(col("k")), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+
+  /** Keys 1..200 with v = bucket*1000 + k: every bucket's value range is
+    * a disjoint [b*1000, b*1000+200] band, so a band-range predicate must
+    * prune every other bucket.
+    */
+  private def bandedTable(path: String, nBuckets: Int): Long = {
+    val rows = (1L to 200L).map { k =>
+      val b = bucketOf(k, nBuckets)
+      (k, b * 1000L + k, (b * 1000 + k).toDouble / 2.0, BigDecimal(b * 1000 + k))
+    }
+    BucketedSnapshots.upsertByKey(
+      spark, rows.toDF("k", "vl", "vd", "vc"), path, "k", nBuckets,
+      statsColumns = Seq("vl", "vd", "vc"))
+  }
+
+  test("stats-pruned read: exact result, provably fewer buckets, exactly the intersecting set") {
+    val path = fresh("prune")
+    val n = 8
+    val v1 = bandedTable(path, n)
+    val m = BucketedSnapshots.readManifest(spark, path, v1)
+    assert(m.size == n)
+    // band of bucket 3 only
+    val lo = BigDecimal(3000); val hi = BigDecimal(3999)
+    val chosen = BucketedSnapshots.pruneBuckets(spark, path, v1, m, "vl", Some(lo), Some(hi))
+    assert(chosen.keySet == Set(3), s"only bucket 3's band intersects, got ${chosen.keySet}")
+    val got = BucketedSnapshots.readCurrentWhere(spark, path, "vl", Some(lo), Some(hi))
+      .select("k", "vl").as[(Long, Long)].collect().toSet
+    val want = BucketedSnapshots.readCurrent(spark, path)
+      .filter(col("vl") >= lo.toLong && col("vl") <= hi.toLong)
+      .select("k", "vl").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // an all-pruned range: empty result, zero buckets read
+    val none = BucketedSnapshots.pruneBuckets(
+      spark, path, v1, m, "vl", Some(BigDecimal(n * 1000 + 5000)), None)
+    assert(none.isEmpty)
+    assert(BucketedSnapshots.readCurrentWhere(
+      spark, path, "vl", Some(BigDecimal(n * 1000 + 5000)), None).count() == 0)
+  }
+
+  test("double and decimal stat columns prune and read exactly; fractional bounds on longs ceil/floor") {
+    val path = fresh("types")
+    val n = 8
+    val v1 = bandedTable(path, n)
+    val m = BucketedSnapshots.readManifest(spark, path, v1)
+    // vd = (b*1000+k)/2: bucket 5's band is [2500.0, 2600.0]
+    val cd = BucketedSnapshots.pruneBuckets(
+      spark, path, v1, m, "vd", Some(BigDecimal(2500)), Some(BigDecimal(2601)))
+    assert(cd.keySet == Set(5), s"got ${cd.keySet}")
+    val gotD = BucketedSnapshots.readCurrentWhere(
+      spark, path, "vd", Some(BigDecimal(2500)), Some(BigDecimal(2601)))
+      .select("k").as[Long].collect().toSet
+    val wantD = BucketedSnapshots.readCurrent(spark, path)
+      .filter(col("vd") >= 2500.0 && col("vd") <= 2601.0)
+      .select("k").as[Long].collect().toSet
+    assert(gotD == wantD && gotD.nonEmpty)
+    // decimal column, exact compare
+    val cc = BucketedSnapshots.pruneBuckets(
+      spark, path, v1, m, "vc", Some(BigDecimal(3000)), Some(BigDecimal(3999)))
+    assert(cc.keySet == Set(3))
+    val gotC = BucketedSnapshots.readCurrentWhere(
+      spark, path, "vc", Some(BigDecimal(3000)), Some(BigDecimal(3999))).count()
+    assert(gotC == BucketedSnapshots.readCurrentWhere(
+      spark, path, "vl", Some(BigDecimal(3000)), Some(BigDecimal(3999))).count())
+    // fractional bounds on a long column: [3000.5, 3002.5] == {3001, 3002}
+    val frac = BucketedSnapshots.readCurrentWhere(
+      spark, path, "vl", Some(BigDecimal("3000.5")), Some(BigDecimal("3002.5")))
+      .select("vl").as[Long].collect().toSet
+    val fracWant = BucketedSnapshots.readCurrent(spark, path)
+      .filter(col("vl") >= 3001L && col("vl") <= 3002L)
+      .select("vl").as[Long].collect().toSet
+    assert(frac == fracWant)
+  }
+
+  test("all-null buckets are skipped; NULLs never appear in a range result") {
+    val path = fresh("nulls")
+    val n = 4
+    // bucket-0 keys carry NULL w; all others carry w = 1.0
+    val rows = (1L to 100L).map { k =>
+      val b = bucketOf(k, n)
+      (k, if (b == 0) None else Some(1.0))
+    }
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, rows.toDF("k", "w"), path, "k", n, statsColumns = Seq("w"))
+    val m = BucketedSnapshots.readManifest(spark, path, v1)
+    val chosen = BucketedSnapshots.pruneBuckets(
+      spark, path, v1, m, "w", Some(BigDecimal(0)), None)
+    assert(!chosen.keySet.contains(0), "an all-null bucket is skippable under any range")
+    val got = BucketedSnapshots.readCurrentWhere(spark, path, "w", Some(BigDecimal(0)), None)
+    assert(got.filter(col("w").isNull).count() == 0)
+    assert(got.count() == rows.count(_._2.isDefined))
+  }
+
+  test("stat columns are sticky across commits and carried through compaction") {
+    val path = fresh("sticky")
+    val n = 8
+    bandedTable(path, n)
+    // second commit does NOT re-declare; its touched buckets must still
+    // get fresh stats (move key 1's value out of its bucket's old band)
+    val b1 = bucketOf(1L, n)
+    val v2 = BucketedSnapshots.upsertByKey(
+      spark, Seq((1L, 999999L, 0.0, BigDecimal(0))).toDF("k", "vl", "vd", "vc"),
+      path, "k", n)
+    val m2 = BucketedSnapshots.readManifest(spark, path, v2)
+    val hit = BucketedSnapshots.pruneBuckets(
+      spark, path, v2, m2, "vl", Some(BigDecimal(999999)), None)
+    assert(hit.keySet == Set(b1),
+      s"the touched bucket's stats must reflect the NEW max, got ${hit.keySet}")
+    val got = BucketedSnapshots.readCurrentWhere(
+      spark, path, "vl", Some(BigDecimal(999999)), None)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L))
+    // fragment + compact: stats carry verbatim, pruning and results intact
+    val frag = (1L to 200L).filter(k => bucketOf(k, n) == 3)
+      .map(k => (k, 3000L + k, (3000 + k) / 2.0, BigDecimal(3000 + k)))
+      .toDF("k", "vl", "vd", "vc").repartition(8)
+    BucketedSnapshots.upsertByKey(spark, frag, path, "k", n)
+    val vc = BucketedSnapshots.compact(spark, path)
+    val mc = BucketedSnapshots.readManifest(spark, path, vc)
+    val cc = BucketedSnapshots.pruneBuckets(
+      spark, path, vc, mc, "vl", Some(BigDecimal(3000)), Some(BigDecimal(3999)))
+    // b1's range [~b1*1000, 999999] legitimately spans the band too —
+    // zonemaps are conservative; everything else must be pruned
+    assert(cc.keySet == Set(3, b1).filter(mc.keySet),
+      s"compaction must carry stats, got ${cc.keySet}")
+  }
+
+  test("schema evolution: a new stat column prunes new buckets, reads old ones, result exact") {
+    val path = fresh("evolve")
+    val n = 4
+    val first = (1L to 50L).map(k => (k, k)).toDF("k", "vl")
+    BucketedSnapshots.upsertByKey(spark, first, path, "k", n, statsColumns = Seq("vl"))
+    // evolution: add column `extra`, declare it; only touched buckets get
+    // entries for it — untouched (old-schema) buckets must still be READ
+    val b7 = bucketOf(7L, n)
+    val v2 = BucketedSnapshots.upsertByKey(
+      spark, Seq((7L, 7L, 123L)).toDF("k", "vl", "extra"),
+      path, "k", n, statsColumns = Seq("extra"))
+    val m2 = BucketedSnapshots.readManifest(spark, path, v2)
+    val chosen = BucketedSnapshots.pruneBuckets(
+      spark, path, v2, m2, "extra", Some(BigDecimal(0)), None)
+    // buckets WITHOUT entries for `extra` (the old-schema ones) are
+    // conservatively read; b7's entry [123,123] intersects [0, inf)
+    assert(chosen.keySet == m2.keySet)
+    // a range excluding 123 prunes EXACTLY b7 (the only bucket with stats)
+    val excl = BucketedSnapshots.pruneBuckets(
+      spark, path, v2, m2, "extra", Some(BigDecimal(200)), None)
+    assert(excl.keySet == m2.keySet - b7, s"got ${excl.keySet}")
+    val got = BucketedSnapshots.readCurrentWhere(
+      spark, path, "extra", Some(BigDecimal(0)), None)
+      .select("k", "extra").as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 123L)), "old-schema rows have NULL extra — excluded by the range")
+  }
+
+  test("disjoint-bucket writers BOTH commit: the loser rebases, no re-merge, rows and stats intact") {
+    val path = fresh("rebase")
+    val n = 4
+    // two keys in DIFFERENT buckets
+    val ka = (1L to 50L).find(k => bucketOf(k, n) == 0).get
+    val kb = (1L to 50L).find(k => bucketOf(k, n) == 1).get
+    BucketedSnapshots.upsertByKey(
+      spark, Seq((ka, 1.0), (kb, 2.0)).toDF("k", "v"), path, "k", n,
+      statsColumns = Seq("v"))
+    // writer A updates ka (bucket 0); racer B lands kb (bucket 1) between
+    // A's merge-base resolve and A's flip — disjoint, so A must REBASE
+    val vA = BucketedSnapshots.mergeCommit(
+      spark, Seq((ka, 10.0)).toDF("k", "v"), path, "k", n, 2,
+      (existing, batch) => {
+        BucketedSnapshots.upsertByKey(
+          spark, Seq((kb, 20.0)).toDF("k", "v"), path, "k", n)
+        graft.operators.Incremental.mergeByKey(existing, batch, "k")
+      })
+    assert(BucketedSnapshots.currentVersion(spark, path).contains(vA))
+    val got = BucketedSnapshots.readCurrent(spark, path)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(ka -> 10.0, kb -> 20.0),
+      "both writers' rows must land — the rebase keeps the winner's buckets")
+    // stats reflect BOTH commits (winner's bucket from its commit, ours from ours)
+    val m = BucketedSnapshots.readManifest(spark, path, vA)
+    val hi = BucketedSnapshots.pruneBuckets(
+      spark, path, vA, m, "v", Some(BigDecimal(15)), None)
+    assert(hi.keySet == Set(1), s"the winner's stats must survive the rebase, got ${hi.keySet}")
+    val lo = BucketedSnapshots.pruneBuckets(
+      spark, path, vA, m, "v", Some(BigDecimal(5)), Some(BigDecimal(15)))
+    assert(lo.keySet == Set(0), s"the rebased commit's stats must land, got ${lo.keySet}")
+  }
+
+  test("overlapping-bucket writers still conflict: the loser aborts, the winner is intact") {
+    val path = fresh("overlap")
+    val n = 4
+    val ka = (1L to 50L).find(k => bucketOf(k, n) == 0).get
+    val ka2 = (Range.Long(ka + 1, 200L, 1L)).find(k => bucketOf(k, n) == 0).get
+    BucketedSnapshots.upsertByKey(spark, Seq((ka, 1.0)).toDF("k", "v"), path, "k", n)
+    val ex = intercept[CommitConflictException] {
+      BucketedSnapshots.mergeCommit(
+        spark, Seq((ka, 10.0)).toDF("k", "v"), path, "k", n, 2,
+        (existing, batch) => {
+          // racer writes to the SAME bucket: A's merge inputs are stale
+          BucketedSnapshots.upsertByKey(
+            spark, Seq((ka2, 20.0)).toDF("k", "v"), path, "k", n)
+          graft.operators.Incremental.mergeByKey(existing, batch, "k")
+        })
+    }
+    assert(ex.getMessage.contains("retry"))
+    val got = BucketedSnapshots.readCurrent(spark, path)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(ka -> 1.0, ka2 -> 20.0), "the winner's commit must be intact")
+  }
+}
