@@ -488,6 +488,101 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic PCM WAVs with planted
+    * RE-ENCODE twins — the AUDIO content near-dup fixture, the
+    * [[pixelJpegCorpus]] design carried to sound. Payloads come from the
+    * [[graft.functions.expressions.SyntheticWav]] native generator: real
+    * RIFF/WAVE streams (canonical chunk walk — WavContentSpec
+    * differentially decodes them through `javax.sound.sampled`) over a
+    * 65-window md5-derived square-wave envelope per id — envelope steps
+    * large enough that every planted re-encode lands at Hamming EXACTLY
+    * 0, random across ids so non-twin hashes sit ~32 bits apart.
+    *
+    * Planted twins at `id + 100000`:
+    *  - `id < 9`        — GAIN re-encode (every sample exactly halved:
+    *                      the volume-normalized duplicate);
+    *  - `9 <= id < 17`  — PAD remux (500 zero samples each side + a
+    *                      LIST/INFO chunk: the silence-padded export);
+    *  - `17 <= id < 25` — QUANT8 re-encode (16→8-bit PCM: the
+    *                      bit-depth-reduced duplicate).
+    * And at `id + 200000` for `id < 8` — the STEREO remux (the signal
+    * duplicated into 2 channels; the mixdown recovers it), which also
+    * pairs with the gain twin of the same id.
+    *
+    * Corrupt rows (`id >= 25` only, twin bases stay valid): `%13` torn
+    * mid-data (NULL, never throw), `%17` non-RIFF garbage, `%19` an
+    * IEEE-FLOAT-tagged container the integer-PCM decoder must cleanly
+    * reject — those rows stay covered by the byte-level family.
+    */
+  def pcmWavCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticWav
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticWav(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticWav(id, "garbage"))
+        .when(id >= 25 && pmod(id, lit(19)) === 0, syntheticWav(id, "float32"))
+        .otherwise(syntheticWav(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 9, syntheticWav(id, "gain"))
+        .when(id < 17, syntheticWav(id, "pad"))
+        .otherwise(syntheticWav(id, "quant8")).as("payload"))
+    val stereoTwins = docs.filter(id < 8).select(
+      (id + 200000L).as("media_id"), syntheticWav(id, "stereo").as("payload"))
+    base.unionByName(twins).unionByName(stereoTwins)
+  }
+
+  /** Audio content-fingerprint projection: `(media_id, awhash)` via the
+    * codegen'd [[graft.functions.expressions.WavContentHash]] — NULL for
+    * anything not cleanly-decodable integer PCM (those rows keep the
+    * byte-level [[perceptualHash]] family). Zero-shuffle: only the
+    * 8-byte hash flows downstream.
+    */
+  def audioHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .wavContentHash(col(payloadCol)).as("awhash"))
+
+  /** Audio content near-dup pairs — [[audioHash]] through the same
+    * pigeonhole banding + exact Hamming verify as [[pixelPairs]]. Output
+    * `(media_id_1 < media_id_2, hamming)`.
+    */
+  def audioPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      audioHash(media, idCol, payloadCol)
+        .filter(col("awhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "awhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** Audio pairs → connected components → keep/drop for EVERY input row
+    * (undecodable rows are singletons) — [[pixelClusters]] with the audio
+    * fingerprint.
+    */
+  def audioClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = audioPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Per-media 64-bit perceptual fingerprint over the payload bytes —
     * `(media_id, phash)` via the codegen'd
     * [[graft.functions.expressions.BlockHash64]] (block-mean vs

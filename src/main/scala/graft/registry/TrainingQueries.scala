@@ -3739,6 +3739,61 @@ object TrainingQueries {
       boundary = graft.operators.Boundary.None)
       .withColumn("hamming", col("hamming").cast("long"))))
 
+  /** AUDIO CONTENT-LEVEL near-dup ([[Multimodal.audioPairs]] over the
+    * fully-decodable [[Multimodal.pcmWavCorpus]]): every payload is a
+    * real RIFF/WAVE PCM stream decoded by
+    * [[graft.functions.expressions.WavContentHash]] — chunk walk, 8/16-bit
+    * mono/stereo PCM decode + mixdown, silence trim, 65-window |sample|
+    * envelope, 64 gradient bits — then the same banded pair machinery as
+    * the pixel families. The planted twins are the FOUR real-world audio
+    * re-encode classes the byte-level fingerprint provably misses: GAIN
+    * (volume normalization), PAD (silence-padded remux + metadata chunk),
+    * QUANT8 (16→8-bit depth reduction), STEREO (mono→stereo remux); the
+    * fixture envelope sits on an even 512-step lattice so every class
+    * decodes to the SAME envelope comparisons — the oracle asserts
+    * Hamming EXACTLY 0 for all of them. Torn, garbage, and float-tagged
+    * rows hash NULL and drop out (they keep the byte-level family).
+    * Oracle: the planted-pair derivation from ids (the bound-assertion
+    * discipline — the decode itself is differentially verified against
+    * `javax.sound.sampled` and fuzzed in WavContentSpec).
+    */
+  private val dedupAudioContentNearDup = Q(
+    "dedup_audio_content_neardup",
+    (s, d) => Multimodal.audioPairs(
+      Multimodal.pcmWavCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25
+      UNION ALL  -- stereo-remux twins: the mixdown recovers the signal
+      SELECT doc_id, doc_id + 200000, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 8
+      UNION ALL  -- gain twin vs stereo twin: both at the shared envelope
+      SELECT doc_id + 100000, doc_id + 200000, CAST(0 AS BIGINT)
+      FROM documents WHERE doc_id < 8"""),
+    planView = Some((s, d) => Multimodal.audioPairs(
+      Multimodal.pcmWavCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** Audio pairs → connected components → keep/drop for EVERY corpus row
+    * ([[Multimodal.audioClusters]]): all four re-encode classes collapse
+    * onto their base id, undecodable rows (torn, garbage, float) stay
+    * singletons — the dedup decision surface of the audio content
+    * family, oracle-derived directly from the planted structure.
+    */
+  private val dedupAudioContentClusters = Q(
+    "dedup_audio_content_clusters",
+    (s, d) => Multimodal.audioClusters(
+      Multimodal.pcmWavCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, FALSE FROM documents WHERE doc_id < 8"""),
+    planView = Some((s, d) => Multimodal.audioClusters(
+      Multimodal.pcmWavCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** Pairs -> clusters -> keep/drop for EVERY media row (the dedup
     * decision surface): engine CC vs the oracle's recursive-CTE transitive
     * closure over its own recomputed pair graph.
@@ -4542,6 +4597,52 @@ object TrainingQueries {
       UNION ALL
       SELECT doc_id + 100000, doc_id + 200000, FALSE FROM documents WHERE doc_id < 8"""))
 
+  /** Streaming AUDIO near-dup ingest ([[graft.streaming.Streams
+    * .audioDedupAvailableNow]]): all four re-encode twin classes — gain,
+    * pad, quant8, stereo — arrive as two micro-batches against signature
+    * state seeded from the base corpus; every twin must pair at Hamming
+    * EXACTLY 0 the moment it arrives, including the CROSS-BATCH
+    * gain-vs-stereo pairs (batch 1 state vs batch 2 arrivals). Only
+    * 8-byte signatures persist or shuffle; the PCM decode stays in the
+    * scan.
+    */
+  private val streamingAudioDedup = Q(
+    "streaming_audio_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_aw_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Multimodal.pcmWavCorpus(Tables.documents(s, d), "doc_id")
+      val seed = corpus.filter(col("media_id") < 100000L)
+      val ingest = corpus.filter(col("media_id") >= 100000L)
+      Multimodal.audioHash(seed).filter(col("awhash").isNotNull)
+        .withColumnRenamed("awhash", "pxhash")
+        .withColumnRenamed("media_id", "doc_id")
+        .write.parquet(s"$base/state/sigs/seed")
+      ingest.filter(col("media_id") < 100013L).coalesce(1).write.parquet(s"$base/in")
+      ingest.filter(col("media_id") >= 100013L).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.audioDedupAvailableNow(stream,
+        s"$base/state", s"$base/out", s"$base/ckpt", "media_id", "payload",
+        maxHamming = 2)
+        .awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(least(col("media_id_new"), col("media_id_old")).as("media_id_1"),
+          greatest(col("media_id_new"), col("media_id_old")).as("media_id_2"),
+          col("hamming").cast("long").as("hamming"))
+    },
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id, doc_id + 200000, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 8
+      UNION ALL
+      SELECT doc_id + 100000, doc_id + 200000, CAST(0 AS BIGINT)
+      FROM documents WHERE doc_id < 8"""))
+
   /** THE COMPOSED ALWAYS-ON FLAGSHIP ([[graft.streaming.Streams
     * .corpusServeAvailableNow]]): the documents table sliced into three
     * id-ordered micro-batches and drained through ingest → gate/clean →
@@ -5058,8 +5159,10 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
     dedupImagePixelNearDup, dedupImagePixelClusters,
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
+    dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,
-    streamingPixelDedup, streamingJpegDedup, pipelineStreamingServe)
+    streamingPixelDedup, streamingJpegDedup, streamingAudioDedup,
+    pipelineStreamingServe)
 }

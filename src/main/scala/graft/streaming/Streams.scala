@@ -597,6 +597,27 @@ object Streams {
       idCol, payloadCol, maxHamming,
       (df, id, payload) => graft.operators.Multimodal.jpegHash(df, id, payload))
 
+  /** The AUDIO sibling of [[pixelDedupAvailableNow]]: micro-batches decode
+    * through the PCM envelope path
+    * ([[graft.operators.Multimodal.audioHash]] — RIFF walk + PCM decode +
+    * silence trim + 65-window envelope gradient), so a volume-normalized,
+    * silence-padded, bit-depth-reduced, or remuxed duplicate of any
+    * earlier clip lands the moment it arrives. Identical per-batch-dir
+    * replay discipline; only 8-byte signatures persist or shuffle.
+    */
+  def audioDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 2): StreamingQuery =
+    mediaHashDedupAvailableNow(stream, statePath, outPath, checkpoint,
+      idCol, payloadCol, maxHamming,
+      (df, id, payload) => graft.operators.Multimodal.audioHash(df, id, payload)
+        .withColumnRenamed("awhash", "pxhash"))
+
   private def mediaHashDedupAvailableNow(
       stream: DataFrame,
       statePath: String,

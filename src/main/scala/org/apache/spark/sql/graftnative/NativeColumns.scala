@@ -168,6 +168,26 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.HilbertIndex2D(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits)))
 
+  /** CONTENT-LEVEL 64-bit envelope fingerprint for PCM WAV payloads:
+    * real RIFF chunk walk + 8/16-bit mono/stereo PCM decode + silence
+    * trim + 65-window |sample| envelope + gradient bits; NULL for
+    * anything not cleanly-decodable integer PCM (see
+    * [[graft.functions.expressions.WavContentHash]]). Lands the
+    * volume-normalized / silence-padded / bit-depth-reduced / remuxed
+    * audio duplicates [[blockHash64]] provably misses.
+    */
+  def wavContentHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.WavContentHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic PCM-WAV generator over a long id column
+    * (fixture corpora only — see
+    * [[graft.functions.expressions.SyntheticWav]] for the variants).
+    */
+  def syntheticWav(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticWav(
+      ExpressionUtils.expression(id), mode)))
+
   /** RIFF/WAVE header sniff over a binary payload column:
     * `struct<sample_rate, channels, bits, duration_ms>`, NULL for
     * unparseable bytes (see [[WavMeta]] — a real little-endian chunk walk,
