@@ -1602,6 +1602,56 @@ object ParityQueries {
         FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
       WHERE n >= 2 AND n <= 500000"""))
 
+  /** INCREMENTAL CHANGE-FEED CONSUMER ([[graft.operators.FeedConsumer]]):
+    * the downstream half of the CDF story. The upstream is a
+    * bucketed-versioned CDC table built from the same out-of-order `%7`
+    * change synthesis as `snk_cdc_apply_bucketed`; the consumer
+    * BOOTSTRAPS its rollup from the first commit's snapshot, then
+    * maintains it INCREMENTALLY from the manifest-pruned change feed of
+    * the second (preimage-aware: a key whose `last_type` changes debits
+    * the old group and credits the new). The oracle recomputes the
+    * from-scratch rollup of the FINAL table state — so any drift between
+    * the incremental path and the truth breaks the hash; exactly-once
+    * redo and the data-less-commit path are FeedConsumerSpec's.
+    */
+  private val snapshotFeedConsume = Q(
+    "snapshot_feed_consume",
+    (s, d) => {
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"))
+      val up = "/root/repo/target/tmp/feedup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val cons = "/root/repo/target/tmp/feedcons_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(up, cons).foreach { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.operators.BucketedSnapshots.applyChanges(
+        s, ch.filter(col("seq") % 2 === 1), up, "user_id", nBuckets = 16)
+      graft.operators.FeedConsumer.drainRollup(
+        s, up, cons, "user_id", "last_type", Seq("last_seq"))
+      graft.operators.BucketedSnapshots.applyChanges(
+        s, ch.filter(col("seq") % 2 === 0), up, "user_id", nBuckets = 16)
+      graft.operators.FeedConsumer.drainRollup(
+        s, up, cons, "user_id", "last_type", Seq("last_seq"))
+      graft.operators.FeedConsumer.readRollup(s, cons)
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type FROM ev),
+      w AS (SELECT user_id, seq, op, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch),
+      fin AS (SELECT user_id, seq AS last_seq, event_type AS last_type
+        FROM w WHERE rn = 1 AND op <> 'D')
+      SELECT last_type, COUNT(*) AS n, CAST(SUM(last_seq) AS BIGINT) AS sum_last_seq
+      FROM fin GROUP BY 1"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -2741,5 +2791,6 @@ object ParityQueries {
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
-    upsertSchemaEvolution, snapshotStatsPrunedRead, ctasFullRefresh, upsertServe)
+    upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotFeedConsume,
+    ctasFullRefresh, upsertServe)
 }
