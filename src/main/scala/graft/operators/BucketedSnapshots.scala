@@ -49,18 +49,35 @@ object BucketedSnapshots {
 
   private def manifestPath(path: String, v: Long) = s"$path/manifest/v=$v.txt"
 
-  /** (bucket -> bucket version) of a committed table version. */
+  /** (bucket -> bucket version) of a committed table version. Header
+    * lines (`#key=value`) carry table metadata — see [[readNBuckets]].
+    */
   private[graft] def readManifest(
       spark: SparkSession, path: String, v: Long): Map[Int, Long] = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(spark, path)
-    val in = fs.open(new Path(manifestPath(path, v)))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+    manifestLines(spark, path, v).filterNot(_.startsWith("#")).map { line =>
       val Array(b, bv) = line.split(",")
       b.toInt -> bv.toLong
     }.toMap
   }
+
+  private def manifestLines(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val in = fs.open(new Path(manifestPath(path, v)))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The bucket-function arity the table was committed with (`#nBuckets=`
+    * manifest header). None only for manifests written before the header
+    * existed — those tables cannot point-lookup-prune and do not get the
+    * arity-change guard, but read and commit normally.
+    */
+  private[graft] def readNBuckets(
+      spark: SparkSession, path: String, v: Long): Option[Int] =
+    manifestLines(spark, path, v)
+      .find(_.startsWith("#nBuckets="))
+      .flatMap(_.stripPrefix("#nBuckets=").toIntOption)
 
   /** The pointer, validated against its own manifest (the bucketed layout
     * has no `v=N` data dirs for [[Snapshots.pointerState]] to check).
@@ -242,6 +259,14 @@ object BucketedSnapshots {
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
     val state = pointerState(spark, path)
     val cur = state.map(_._1)
+    // arity guard: committing with a DIFFERENT nBuckets than the table
+    // was built with would scatter existing keys' updates into the wrong
+    // buckets — silent key duplication. Fail fast instead.
+    cur.flatMap(v => readNBuckets(spark, path, v)).foreach { n =>
+      require(n == nBuckets,
+        s"table at $path was committed with nBuckets=$n; committing with " +
+          s"nBuckets=$nBuckets would scatter keys across mismatched buckets")
+    }
     // CAS base for the pointer flip (raw, see Snapshots.commitWith)
     val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
     val curManifest = cur.map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
@@ -294,7 +319,7 @@ object BucketedSnapshots {
     }
     fs.delete(staging, true)
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
-      keepVersions, statCols, newStats)
+      keepVersions, statCols, newStats, nBuckets)
   }
 
   /** The shared commit tail: write manifest v=next (current entries
@@ -326,6 +351,7 @@ object BucketedSnapshots {
       keepVersions: Int,
       addStatCols: Seq[String] = Nil,
       newStats: Map[Int, Seq[BucketStat]] = Map.empty,
+      nBuckets: Int = 0, // 0 = preserve/omit the arity header
       maxRebase: Int = 5): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
@@ -340,9 +366,16 @@ object BucketedSnapshots {
       val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
       val mf = new Path(manifestPath(path, next))
       fs.mkdirs(new Path(s"$path/manifest"))
+      // arity header: committed with the table so point-lookup pruning and
+      // the arity-change guard survive restarts (preserved from the live
+      // manifest when this commit doesn't know it, e.g. compaction)
+      val arity =
+        if (nBuckets > 0) Some(nBuckets)
+        else cur.flatMap(v => readNBuckets(spark, path, v))
       val out = fs.create(mfTmp, true)
-      try out.write(nextManifest.toSeq.sorted
-        .map { case (b, bv) => s"$b,$bv" }.mkString("\n").getBytes("UTF-8"))
+      try out.write((arity.map(n => s"#nBuckets=$n").toSeq ++
+        nextManifest.toSeq.sorted.map { case (b, bv) => s"$b,$bv" })
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (!fs.rename(mfTmp, mf))
         throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
@@ -646,6 +679,68 @@ object BucketedSnapshots {
       lower: Option[BigDecimal], upper: Option[BigDecimal]): DataFrame =
     currentVersion(spark, path) match {
       case Some(v) => readSnapshotWhere(spark, path, v, column, lower, upper)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
+  /** POINT-LOOKUP read as of `version`: rows whose `key` is in `keys`,
+    * reading ONLY the buckets the key hash maps to — the serve-path read
+    * of a keyed 100 TB table (a 20-key lookup touches ≤ 20 of the
+    * buckets, each pre-merged and small). The key hash must match the
+    * commit's (`pmod(xxhash64(key), nBuckets)` on the STORED key type),
+    * so the arity comes from the manifest's `#nBuckets=` header; a
+    * pre-header table degrades to reading every bucket (still exact).
+    * `keys` is a driver-side list, capped at `maxKeys` — for large key
+    * sets use a broadcast semi-join against the table read instead.
+    */
+  def readSnapshotKeys(
+      spark: SparkSession, path: String, version: Long, key: String,
+      keys: Seq[Any], maxKeys: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(keys.nonEmpty, "readSnapshotKeys: empty key list")
+    require(keys.size <= maxKeys,
+      s"readSnapshotKeys: ${keys.size} keys > maxKeys=$maxKeys — use a broadcast " +
+        "semi-join against readSnapshot for large key sets")
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"bucketed snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    val m = readManifest(spark, path, version)
+    if (m.isEmpty) throw new java.io.FileNotFoundException(
+      s"bucketed snapshot v=$version at $path has an empty manifest")
+    val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
+    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val keyDt = full.schema.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(
+        s"key '$key' is not a column of the table at $path")).dataType
+    val chosen = readNBuckets(spark, path, version) match {
+      case Some(n) =>
+        // hash exactly as the commit did: same function, same stored type
+        // (createDataFrame validates the external type against keyDt, so a
+        // mistyped key list fails loudly instead of hashing differently)
+        val kdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(keys.map(org.apache.spark.sql.Row(_)), 1),
+          StructType(Seq(StructField(key, keyDt))))
+        val buckets = kdf
+          .select(pmod(xxhash64(col(key)), lit(n.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        m.filter { case (b, _) => buckets.contains(b) }
+      case None => m // pre-header table: no pruning, still exact
+    }
+    val df =
+      if (chosen.isEmpty) full.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    df.filter(col(key).isin(keys: _*))
+  }
+
+  /** [[readSnapshotKeys]] on the live version. */
+  def readCurrentKeys(
+      spark: SparkSession, path: String, key: String,
+      keys: Seq[Any], maxKeys: Int = 10000): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshotKeys(spark, path, v, key, keys, maxKeys)
       case None =>
         throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
     }

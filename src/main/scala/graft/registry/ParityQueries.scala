@@ -1602,6 +1602,39 @@ object ParityQueries {
         FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
       WHERE n >= 2 AND n <= 500000"""))
 
+  /** POINT-LOOKUP read on the bucketed-versioned table
+    * ([[graft.operators.BucketedSnapshots.readCurrentKeys]]): a 20-key
+    * serve-path lookup that reads ONLY the buckets the key hash maps to
+    * (the manifest's `#nBuckets=` arity header makes the read-side hash
+    * provably match the commit-side one; ZonemapStatsSpec asserts the
+    * scan's inputFiles stay inside the covering buckets and that an
+    * arity-changing commit is REJECTED). Oracle: the full merge filtered
+    * to the key list.
+    */
+  private val snapshotPointLookup = Q(
+    "snapshot_point_lookup",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val path = "/root/repo/target/tmp/pointlk_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, aggOf(e.filter(col("epoch") < MidEpoch)), path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, aggOf(e.filter(col("epoch") >= MidEpoch)), path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.readCurrentKeys(
+        s, path, "user_id", (1L to 20L).map(identity[Any]))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+      WHERE COALESCE(u.user_id, b.user_id) BETWEEN 1 AND 20"""))
+
   /** INCREMENTAL CHANGE-FEED CONSUMER ([[graft.operators.FeedConsumer]]):
     * the downstream half of the CDF story. The upstream is a
     * bucketed-versioned CDC table built from the same out-of-order `%7`
@@ -2791,6 +2824,6 @@ object ParityQueries {
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
-    upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotFeedConsume,
-    ctasFullRefresh, upsertServe)
+    upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotPointLookup,
+    snapshotFeedConsume, ctasFullRefresh, upsertServe)
 }

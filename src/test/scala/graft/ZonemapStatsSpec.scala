@@ -29,6 +29,9 @@ class ZonemapStatsSpec extends SparkSpec {
     path
   }
 
+  private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def bucketOf(k: Long, n: Int): Int =
     Seq(k).toDF("k").select(pmod(xxhash64(col("k")), lit(n.toLong)).cast("int"))
       .head().getInt(0)
@@ -216,6 +219,58 @@ class ZonemapStatsSpec extends SparkSpec {
     val lo = BucketedSnapshots.pruneBuckets(
       spark, path, vA, m, "v", Some(BigDecimal(5)), Some(BigDecimal(15)))
     assert(lo.keySet == Set(0), s"the rebased commit's stats must land, got ${lo.keySet}")
+  }
+
+  test("point lookup reads ONLY the covering buckets; result equals the filtered full read") {
+    val path = fresh("pointlk")
+    val n = 8
+    bandedTable(path, n)
+    val keys = Seq(1L, 2L, 3L)
+    val wantBuckets = keys.map(bucketOf(_, n)).toSet
+    val got = BucketedSnapshots.readCurrentKeys(spark, path, "k", keys.map(identity[Any]))
+    // the scan must touch no file outside the covering buckets
+    val touched = got.inputFiles.map { f =>
+      f.split("/").find(_.startsWith("b=")).get.stripPrefix("b=").toInt
+    }.toSet
+    assert(touched == wantBuckets, s"read buckets $touched, keys cover $wantBuckets")
+    val gotRows = got.select("k", "vl").as[(Long, Long)].collect().toSet
+    val wantRows = BucketedSnapshots.readCurrent(spark, path)
+      .filter(col("k").isin(keys: _*)).select("k", "vl").as[(Long, Long)].collect().toSet
+    assert(gotRows == wantRows && gotRows.size == 3)
+    // a mistyped key list fails loudly instead of hashing differently
+    intercept[Exception] {
+      BucketedSnapshots.readCurrentKeys(spark, path, "k", Seq("1": Any)).collect()
+    }
+  }
+
+  test("arity guard: committing with a different nBuckets is rejected; pre-header tables degrade safely") {
+    val path = fresh("arity")
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path, "k", nBuckets = 8)
+    assert(BucketedSnapshots.readNBuckets(spark, path, v1).contains(8))
+    val ex = intercept[IllegalArgumentException] {
+      BucketedSnapshots.upsertByKey(
+        spark, Seq((3L, 3.0)).toDF("k", "v"), path, "k", nBuckets = 16)
+    }
+    assert(ex.getMessage.contains("nBuckets=8"))
+    // compaction preserves the header without being told the arity
+    BucketedSnapshots.upsertByKey(
+      spark, (10L to 80L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8),
+      path, "k", nBuckets = 8)
+    val vc = BucketedSnapshots.compact(spark, path)
+    assert(BucketedSnapshots.readNBuckets(spark, path, vc).contains(8))
+    // pre-header manifest: strip the header line — point lookup must
+    // degrade to reading every bucket, still exact
+    val mf = new org.apache.hadoop.fs.Path(s"$path/manifest/v=$vc.txt")
+    val in = fs(path).open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val out = fs(path).create(mf, true)
+    out.write(txt.linesIterator.filterNot(_.startsWith("#")).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    assert(BucketedSnapshots.readNBuckets(spark, path, vc).isEmpty)
+    val got = BucketedSnapshots.readCurrentKeys(spark, path, "k", Seq(10L: Any, 11L: Any))
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(10L, 11L))
   }
 
   test("overlapping-bucket writers still conflict: the loser aborts, the winner is intact") {
