@@ -226,6 +226,13 @@ object ScaleBench {
       "jpeg_neardup" -> { k: Int =>
         val media = graft.operators.Multimodal.pixelJpegCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.jpegPairs(media, maxHamming = 4).count()
+      },
+      // r13 audio addendum: the envelope fingerprint through the same
+      // banded machinery — per-row constant is the PCM decode + window
+      // sums (linear in payload bytes), band join collision-bounded
+      "audio_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pcmWavCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.audioPairs(media, maxHamming = 2).count()
       })
     val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
     require(ops.nonEmpty, s"SPARK_GRAFT_SCALE_OPS matched none of ${allOps.map(_._1)}")
