@@ -227,6 +227,12 @@ object ScaleBench {
         val media = graft.operators.Multimodal.pixelJpegCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.jpegPairs(media, maxHamming = 4).count()
       },
+      // r13 GIF addendum: LZW decode + palette luma through the same
+      // banded machinery
+      "gif_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pixelGifCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.gifPairs(media, maxHamming = 2).count()
+      },
       // r13 audio addendum: the envelope fingerprint through the same
       // banded machinery — per-row constant is the PCM decode + window
       // sums (linear in payload bytes), band join collision-bounded

@@ -488,6 +488,88 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic GIFs with planted RE-ENCODE
+    * twins — the GIF leg of the pixel family, from the
+    * [[graft.functions.expressions.SyntheticGif]] native generator (real
+    * LZW streams; GifSpec differentially decodes them through ImageIO).
+    *
+    * Planted twins at `id + 100000`:
+    *  - `id < 9`        — REBLOCK re-encode (GIF87a, different clear
+    *                      cadence and sub-block sizes: the optimizer
+    *                      pass; near-zero shared bytes, same raster);
+    *  - `9 <= id < 17`  — PALETTE-PERMUTED re-encode (table reversed,
+    *                      indices remapped: the palette-sorting pass);
+    *  - `17 <= id < 25` — INTERLACED re-encode (4-pass row order: the
+    *                      progressive-download export).
+    * All three decode to the identical raster ⇒ dHash Hamming EXACTLY 0.
+    *
+    * Corrupt rows (`id >= 25` only): `%13` torn mid-sub-block, `%17`
+    * non-GIF garbage, `%19` a container with NO color table the decoder
+    * must cleanly reject — those keep the byte-level family.
+    */
+  def pixelGifCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticGif
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticGif(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticGif(id, "garbage"))
+        .when(id >= 25 && pmod(id, lit(19)) === 0, syntheticGif(id, "noct"))
+        .otherwise(syntheticGif(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 9, syntheticGif(id, "reblock"))
+        .when(id < 17, syntheticGif(id, "palperm"))
+        .otherwise(syntheticGif(id, "interlace")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** GIF pixel-level fingerprint projection: `(media_id, pxhash)` via the
+    * codegen'd [[graft.functions.expressions.GifPixelHash]] — NULL for
+    * anything not cleanly decodable. Zero-shuffle.
+    */
+  def gifHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .gifPixelHash(col(payloadCol)).as("pxhash"))
+
+  /** GIF pixel-level near-dup pairs — [[gifHash]] through the same
+    * pigeonhole banding + exact Hamming verify as [[pixelPairs]].
+    */
+  def gifPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      gifHash(media, idCol, payloadCol)
+        .filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "pxhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** GIF pixel pairs → connected components → keep/drop for EVERY input
+    * row (undecodable rows are singletons).
+    */
+  def gifClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = gifPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Deterministic FULLY-DECODABLE synthetic PCM WAVs with planted
     * RE-ENCODE twins — the AUDIO content near-dup fixture, the
     * [[pixelJpegCorpus]] design carried to sound. Payloads come from the

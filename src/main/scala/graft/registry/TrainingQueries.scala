@@ -3739,6 +3739,50 @@ object TrainingQueries {
       boundary = graft.operators.Boundary.None)
       .withColumn("hamming", col("hamming").cast("long"))))
 
+  /** GIF pixel-level near-dup ([[Multimodal.gifPairs]] over the
+    * fully-decodable [[Multimodal.pixelGifCorpus]]): every payload is a
+    * real GIF stream decoded by
+    * [[graft.functions.expressions.GifPixelHash]] — container walk,
+    * GIF-LZW decode (variable code width, clear/EOI, deferred
+    * dictionary), de-interlace, palette→integer-luma, the same 9×8 dHash
+    * as the PNG/JPEG legs — then the same banded pair machinery. The
+    * planted twins are the three GIF re-encode classes the byte-level
+    * fingerprint provably misses: REBLOCK (different clear cadence +
+    * sub-block sizes — near-zero shared bytes), PALETTE-PERMUTED (table
+    * reversed, indices remapped), INTERLACED (4-pass row order). All
+    * three decode to the identical raster — the oracle asserts Hamming
+    * EXACTLY 0. Torn, garbage, and no-color-table rows hash NULL and
+    * drop out. Oracle: planted-pair derivation from ids (the decode is
+    * ImageIO-differential and fuzzed in GifSpec).
+    */
+  private val dedupGifPixelNearDup = Q(
+    "dedup_gif_pixel_neardup",
+    (s, d) => Multimodal.gifPairs(
+      Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.gifPairs(
+      Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** GIF pixel pairs → connected components → keep/drop for EVERY corpus
+    * row: all three re-encode classes collapse onto their base id,
+    * undecodable rows stay singletons.
+    */
+  private val dedupGifPixelClusters = Q(
+    "dedup_gif_pixel_clusters",
+    (s, d) => Multimodal.gifClusters(
+      Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.gifClusters(
+      Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** AUDIO CONTENT-LEVEL near-dup ([[Multimodal.audioPairs]] over the
     * fully-decodable [[Multimodal.pcmWavCorpus]]): every payload is a
     * real RIFF/WAVE PCM stream decoded by
@@ -5159,6 +5203,7 @@ object TrainingQueries {
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
     dedupImagePixelNearDup, dedupImagePixelClusters,
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
+    dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

@@ -168,6 +168,25 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.HilbertIndex2D(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits)))
 
+  /** PIXEL-LEVEL 64-bit dHash for GIF payloads: container walk + GIF-LZW
+    * decode of the first frame (variable code width, clear/EOI, deferred
+    * dictionary) + de-interlace + palette-to-luma + the same 9×8 gradient
+    * bits as the PNG/JPEG decoders; NULL for anything not cleanly
+    * decodable (see [[graft.functions.expressions.GifPixelHash]]). Lands
+    * the reblocked/palette-permuted/interlaced re-encode duplicates
+    * [[blockHash64]] provably misses.
+    */
+  def gifPixelHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.GifPixelHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic GIF generator over a long id column (fixture
+    * corpora only — see [[graft.functions.expressions.SyntheticGif]]).
+    */
+  def syntheticGif(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticGif(
+      ExpressionUtils.expression(id), mode)))
+
   /** CONTENT-LEVEL 64-bit envelope fingerprint for PCM WAV payloads:
     * real RIFF chunk walk + 8/16-bit mono/stereo PCM decode + silence
     * trim + 65-window |sample| envelope + gradient bits; NULL for
