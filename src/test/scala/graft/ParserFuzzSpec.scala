@@ -238,6 +238,46 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.functions.expressions.PngPixelHash.hash(payload)
       // and to the JPEG marker-walk/Huffman/IDCT path
       graft.functions.expressions.JpegPixelHash.hash(payload)
+      // and to the GIF LZW path and the WAV PCM-envelope path (r13)
+      graft.functions.expressions.GifPixelHash.hash(payload)
+      graft.functions.expressions.WavContentHash.hash(payload)
+      i += 1
+    }
+  }
+
+  test("GifPixelHash: fuzzing DECODABLE GIFs (truncations, bit flips, splices) never throws") {
+    // start from real LZW streams so mutations land inside code data,
+    // sub-block boundaries, and the palette
+    import graft.functions.expressions.{GifFixture, GifPixelHash}
+    val rnd = new scala.util.Random(20260816L)
+    val bases = Seq(
+      GifFixture.build(1L, "base"),
+      GifFixture.build(2L, "reblock"),
+      GifFixture.build(3L, "interlace"))
+    var i = 0
+    while (i < 2000) {
+      val b = bases(rnd.nextInt(bases.length))
+      val m = mutate(b, bases(rnd.nextInt(bases.length)), rnd.nextInt(5),
+        rnd.nextInt(Int.MaxValue), rnd.nextInt(256).toByte)
+      GifPixelHash.hash(m) // null or long, never throws
+      i += 1
+    }
+  }
+
+  test("WavContentHash: fuzzing DECODABLE WAVs (truncations, bit flips, splices) never throws") {
+    import graft.functions.expressions.{WavContentHash, WavFixture}
+    val rnd = new scala.util.Random(20260817L)
+    val bases = Seq(
+      WavFixture.build(1L, "base"),
+      WavFixture.build(2L, "pad"),
+      WavFixture.build(3L, "stereo"),
+      WavFixture.build(4L, "quant8"))
+    var i = 0
+    while (i < 2000) {
+      val b = bases(rnd.nextInt(bases.length))
+      val m = mutate(b, bases(rnd.nextInt(bases.length)), rnd.nextInt(5),
+        rnd.nextInt(Int.MaxValue), rnd.nextInt(256).toByte)
+      WavContentHash.hash(m) // null or long, never throws
       i += 1
     }
   }
