@@ -1685,6 +1685,52 @@ object ParityQueries {
       SELECT last_type, COUNT(*) AS n, CAST(SUM(last_seq) AS BIGINT) AS sum_last_seq
       FROM fin GROUP BY 1"""))
 
+  /** The ALWAYS-ON CDF loop ([[graft.streaming.Streams
+    * .feedConsumeAvailableNow]]): change records arrive as TWO
+    * out-of-order micro-batches (odd seqs then even — the
+    * `snk_cdc_apply` slicing); each batch commits a table VERSION and
+    * the change-feed consumer drains that commit into its rollup. The
+    * final rollup must equal the from-scratch rollup of the final table
+    * — seq-aware merging, manifest-pruned feeds, preimage debits, and
+    * the consumer offset all have to compose for the hash to land.
+    */
+  private val streamingFeedConsume = Q(
+    "streaming_feed_consume",
+    (s, d) => {
+      Tables.configure(s)
+      val ch = evDf(s, d).select(
+        col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U").as("op"),
+        col("event_id").as("last_seq"),
+        col("event_type").as("last_type"))
+      val base = "/root/repo/target/tmp/sfeed_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ch.filter(col("seq") % 2 === 1).coalesce(1).write.parquet(s"$base/in")
+      ch.filter(col("seq") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.feedConsumeAvailableNow(stream,
+        s"$base/table", s"$base/consumer", s"$base/ckpt",
+        "user_id", "last_type", Seq("last_seq"))
+        .awaitTermination()
+      graft.operators.FeedConsumer.readRollup(s, s"$base/consumer")
+    },
+    Some(s"""WITH $EV,
+      ch AS (SELECT user_id, event_id AS seq,
+        CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        event_type FROM ev),
+      w AS (SELECT user_id, seq, op, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+          (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch),
+      fin AS (SELECT user_id, seq AS last_seq, event_type AS last_type
+        FROM w WHERE rn = 1 AND op <> 'D')
+      SELECT last_type, COUNT(*) AS n, CAST(SUM(last_seq) AS BIGINT) AS sum_last_seq
+      FROM fin GROUP BY 1"""))
+
   /** The serve hand-off: keyed upsert on a wallet-keyed feature slice, then
     * the serve-boundary camelCase projection — the public output schema the
     * reference's KV loader exposes (wallet_address -> walletAddress,
@@ -2825,5 +2871,5 @@ object ParityQueries {
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotPointLookup,
-    snapshotFeedConsume, ctasFullRefresh, upsertServe)
+    snapshotFeedConsume, streamingFeedConsume, ctasFullRefresh, upsertServe)
 }

@@ -209,6 +209,46 @@ object Streams {
       }
       .start()
 
+  /** STREAMING VERSIONED TABLE + INCREMENTAL CONSUMER — the always-on
+    * CDF loop: each micro-batch of change records commits a new VERSION
+    * of the bucketed serve table ([[graft.operators.BucketedSnapshots
+    * .applyChanges]] — touched-buckets write, one pointer flip), then the
+    * change-feed consumer ([[graft.operators.FeedConsumer.drainRollup]])
+    * drains exactly that commit to maintain its downstream rollup.
+    * Replay-safe end to end WITHOUT a batch manifest: a replayed
+    * micro-batch re-applies the same seq-keyed changes and converges to
+    * byte-identical table content (a new version whose manifest-pruned
+    * feed is then EMPTY — the consumer just advances its offset), and the
+    * consumer's own crash window is covered by its pinned-base
+    * idempotence. The consumer lags the table by at most the in-flight
+    * commit, inside the rollup's keepVersions=3 retention.
+    */
+  def feedConsumeAvailableNow(
+      stream: DataFrame,
+      tablePath: String,
+      consumerPath: String,
+      checkpoint: String,
+      key: String,
+      groupCol: String,
+      measures: Seq[String],
+      seqCol: String = "seq",
+      opCol: String = "op",
+      nBuckets: Int = 16): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty)
+          graft.operators.BucketedSnapshots.applyChanges(
+            spark, batch, tablePath, key, nBuckets, seqCol, opCol, keepVersions = 3)
+        graft.operators.FeedConsumer.drainRollup(
+          spark, tablePath, consumerPath, key, groupCol, measures, nBuckets)
+        ()
+      }
+      .start()
+
   /** STREAMING SCD2 MAINTENANCE: each micro-batch of change records
     * extends the persisted Type-2 dimension table via
     * [[graft.operators.Cdc.scd2ApplyTableBatch]]. Where the CDC argmax
