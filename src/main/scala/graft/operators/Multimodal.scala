@@ -570,6 +570,89 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic MJPEG-in-AVI clips with
+    * planted RE-CONTAINER twins — the VIDEO leg of the content family
+    * ([[graft.functions.expressions.SyntheticAvi]]): real RIFF/AVI
+    * containers whose frames are [[graft.functions.expressions
+    * .JpegFixture]] baseline streams, so the poster frame rides the
+    * production JPEG decode.
+    *
+    * Planted twins at `id + 100000`:
+    *  - `id < 13`       — REMUX (JUNK chunk, different header fill, a
+    *                      text chunk before the first frame, no index:
+    *                      near-zero shared container bytes, identical
+    *                      poster frame);
+    *  - `13 <= id < 25` — RE-ENCODE (every frame losslessly reframed:
+    *                      the jpegtran-over-every-frame pass).
+    * Both ⇒ poster dHash Hamming EXACTLY 0.
+    *
+    * Corrupt rows (`id >= 25` only): `%13` torn inside the poster frame,
+    * `%17` non-RIFF garbage, `%19` a valid AVI holding only AUDIO chunks
+    * — all NULL (they keep the byte-level family).
+    */
+  def mjpegAviCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticAvi
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticAvi(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticAvi(id, "garbage"))
+        .when(id >= 25 && pmod(id, lit(19)) === 0, syntheticAvi(id, "noframes"))
+        .otherwise(syntheticAvi(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 13, syntheticAvi(id, "remux"))
+        .otherwise(syntheticAvi(id, "reenc")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** Video poster-frame fingerprint projection: `(media_id, pxhash)` via
+    * the codegen'd [[graft.functions.expressions.AviFrameHash]] — NULL
+    * for anything without a decodable baseline-JPEG first frame.
+    * Zero-shuffle; reads only up to the first frame.
+    */
+  def videoHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .aviFrameHash(col(payloadCol)).as("pxhash"))
+
+  /** Video poster-frame near-dup pairs — [[videoHash]] through the same
+    * pigeonhole banding + exact Hamming verify as [[pixelPairs]].
+    */
+  def videoPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      videoHash(media, idCol, payloadCol)
+        .filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "pxhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** Video pairs → connected components → keep/drop for EVERY input row
+    * (undecodable rows are singletons).
+    */
+  def videoClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = videoPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Deterministic FULLY-DECODABLE synthetic PCM WAVs with planted
     * RE-ENCODE twins — the AUDIO content near-dup fixture, the
     * [[pixelJpegCorpus]] design carried to sound. Payloads come from the

@@ -3783,6 +3783,49 @@ object TrainingQueries {
       Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** VIDEO POSTER-FRAME near-dup ([[Multimodal.videoPairs]] over the
+    * fully-decodable [[Multimodal.mjpegAviCorpus]]): every payload is a
+    * real RIFF/AVI container whose MJPEG frames ride the production
+    * baseline-JPEG decode — the container walk finds the first video
+    * chunk, [[graft.functions.expressions.JpegPixelHash]] does the rest.
+    * The planted twins are the two clip-duplicate classes a crawled
+    * video corpus actually contains: REMUX (same frames, rebuilt
+    * container — near-zero shared bytes) and LOSSLESS RE-ENCODE (every
+    * frame reframed with new Huffman tables). Both keep the identical
+    * poster frame — the oracle asserts Hamming EXACTLY 0. Torn, garbage,
+    * and audio-only containers hash NULL and drop out. Oracle: the
+    * planted-pair derivation from ids (container walk fuzzed in
+    * AviSpec; the frame decode inherits the JPEG family's ImageIO
+    * differential).
+    */
+  private val dedupVideoFrameNearDup = Q(
+    "dedup_video_frame_neardup",
+    (s, d) => Multimodal.videoPairs(
+      Multimodal.mjpegAviCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.videoPairs(
+      Multimodal.mjpegAviCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** Video pairs → connected components → keep/drop for EVERY corpus row:
+    * both clip-duplicate classes collapse onto their base id,
+    * undecodable rows stay singletons.
+    */
+  private val dedupVideoFrameClusters = Q(
+    "dedup_video_frame_clusters",
+    (s, d) => Multimodal.videoClusters(
+      Multimodal.mjpegAviCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.videoClusters(
+      Multimodal.mjpegAviCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** AUDIO CONTENT-LEVEL near-dup ([[Multimodal.audioPairs]] over the
     * fully-decodable [[Multimodal.pcmWavCorpus]]): every payload is a
     * real RIFF/WAVE PCM stream decoded by
@@ -5204,6 +5247,7 @@ object TrainingQueries {
     dedupImagePixelNearDup, dedupImagePixelClusters,
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
+    dedupVideoFrameNearDup, dedupVideoFrameClusters,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

@@ -168,6 +168,25 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.HilbertIndex2D(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits)))
 
+  /** VIDEO POSTER-FRAME 64-bit dHash for MJPEG-in-AVI payloads: RIFF/AVI
+    * walk to the first `##dc`/`##db` frame, then the full baseline-JPEG
+    * decode ([[jpegPixelHash]]); NULL for torn containers, frame-less
+    * movi lists, or frames the JPEG decoder rejects (see
+    * [[graft.functions.expressions.AviFrameHash]]). Lands the remuxed /
+    * losslessly-re-encoded clip duplicates [[blockHash64]] provably
+    * misses.
+    */
+  def aviFrameHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.AviFrameHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic MJPEG-in-AVI generator over a long id column
+    * (fixture corpora only — see [[graft.functions.expressions.SyntheticAvi]]).
+    */
+  def syntheticAvi(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticAvi(
+      ExpressionUtils.expression(id), mode)))
+
   /** PIXEL-LEVEL 64-bit dHash for GIF payloads: container walk + GIF-LZW
     * decode of the first frame (variable code width, clear/EOI, deferred
     * dictionary) + de-interlace + palette-to-luma + the same 9×8 gradient

@@ -88,7 +88,12 @@ class RegistrySpec extends AnyFunSuite {
       // signature boundary like the byte-level family
       "dedup_image_pixel_neardup", "dedup_image_pixel_clusters",
       // r13: the JPEG pixel family routes the same boundary
-      "dedup_jpeg_pixel_neardup", "dedup_jpeg_pixel_clusters")
+      "dedup_jpeg_pixel_neardup", "dedup_jpeg_pixel_clusters",
+      // r13: the GIF, audio-envelope, and video poster-frame families
+      // route the same hammingPairs64 signature boundary
+      "dedup_gif_pixel_neardup", "dedup_gif_pixel_clusters",
+      "dedup_audio_content_neardup", "dedup_audio_content_clusters",
+      "dedup_video_frame_neardup", "dedup_video_frame_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
