@@ -3783,6 +3783,56 @@ object TrainingQueries {
       Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** WARC shard ingest ([[org.apache.spark.sql.graftnative.NativeColumns
+    * .warcRecords]] + `posexplode`): each payload is a concatenation of
+    * three WARC/1.0 response records (Column-synthesized text — headers,
+    * Content-Length, CRLF framing all real), parsed by the native
+    * CONTENT-LENGTH-DRIVEN parser (binary-safe bodies; regex splitting
+    * would corrupt any body containing the separator — WarcSpec proves
+    * that case). Torn (`%13`) and non-WARC (`%17`) payloads parse NULL
+    * and drop out of the explode — strict totality, no partial parses.
+    * Oracle: the FULL record set re-derived from ids (headers, lengths,
+    * md5 bodies) — a text format, so the parse itself is recomputed in
+    * SQL, not just bound-asserted.
+    */
+  private val srcWarcRecords = Q(
+    "src_warc_records",
+    (s, d) => {
+      import org.apache.spark.sql.graftnative.NativeColumns.warcRecords
+      val id = col("doc_id").cast("long")
+      def rec(r: Int): org.apache.spark.sql.Column = {
+        val body = md5(encode(concat(id.cast("string"), lit(s"|wb$r")), "UTF-8"))
+        concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/"),
+          id.cast("string"), lit(s"/$r"),
+          lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+          length(body).cast("string"), lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+      }
+      val whole = concat(rec(0), rec(1), rec(2))
+      val payload =
+        when(pmod(id, lit(13)) === 0,
+          encode(substring(whole, 1, 300), "UTF-8")) // torn mid-record
+          .when(pmod(id, lit(17)) === 0,
+            encode(md5(encode(id.cast("string"), "UTF-8")), "UTF-8")) // not WARC
+          .otherwise(encode(whole, "UTF-8"))
+      Tables.documents(s, d).select(id.as("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), posexplode(warcRecords(col("payload"))))
+        .select(col("doc_id"), col("pos").cast("long").as("rec"),
+          col("col.warc_type").as("warc_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_type").as("content_type"),
+          col("col.content_length").as("content_length"),
+          decode(col("col.body"), "UTF-8").as("body"))
+    },
+    Some("""SELECT d.doc_id, CAST(r.r AS BIGINT) AS rec,
+        'response' AS warc_type,
+        'https://crawl.test/' || CAST(d.doc_id AS VARCHAR) || '/' || CAST(r.r AS VARCHAR) AS target_uri,
+        'text/html' AS content_type,
+        CAST(32 AS BIGINT) AS content_length,
+        md5(CAST(d.doc_id AS VARCHAR) || '|wb' || CAST(r.r AS VARCHAR)) AS body
+      FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS r) r
+      WHERE d.doc_id % 13 <> 0 AND d.doc_id % 17 <> 0"""))
+
   /** VIDEO POSTER-FRAME near-dup ([[Multimodal.videoPairs]] over the
     * fully-decodable [[Multimodal.mjpegAviCorpus]]): every payload is a
     * real RIFF/AVI container whose MJPEG frames ride the production
@@ -5247,7 +5297,7 @@ object TrainingQueries {
     dedupImagePixelNearDup, dedupImagePixelClusters,
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
-    dedupVideoFrameNearDup, dedupVideoFrameClusters,
+    dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

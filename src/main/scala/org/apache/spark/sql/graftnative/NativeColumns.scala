@@ -168,6 +168,19 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.HilbertIndex2D(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits)))
 
+  /** WARC (ISO 28500, the Common Crawl container) record parser over a
+    * binary payload column:
+    * `array<struct<warc_type, target_uri, content_type, content_length, body>>`,
+    * Content-LENGTH-driven (binary-safe bodies — a body containing the
+    * record separator parses correctly where regex splitting is wrong);
+    * NULL on ANY malformation, never a partial parse (see
+    * [[graft.functions.expressions.WarcRecords]]). A shard ingest is
+    * `explode(warcRecords(payload))`.
+    */
+  def warcRecords(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.WarcRecords(
+      ExpressionUtils.expression(payload))))
+
   /** VIDEO POSTER-FRAME 64-bit dHash for MJPEG-in-AVI payloads: RIFF/AVI
     * walk to the first `##dc`/`##db` frame, then the full baseline-JPEG
     * decode ([[jpegPixelHash]]); NULL for torn containers, frame-less
