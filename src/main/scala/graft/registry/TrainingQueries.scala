@@ -3833,6 +3833,54 @@ object TrainingQueries {
       FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS r) r
       WHERE d.doc_id % 13 <> 0 AND d.doc_id % 17 <> 0"""))
 
+  /** THE CRAWL-INGESTION COMPOSITION: WARC shard → native record parse →
+    * HTTP response split → status gate → HTML extraction — the real
+    * "Common Crawl in, clean text out" front half of a training
+    * pipeline, each layer by its right tool: the WARC layer is the
+    * native Content-Length parser (binary-safe), the HTTP layer is pure
+    * built-in Column algebra (the header/body split is the FIRST
+    * `\r\n\r\n`, which is correct by construction whatever the body
+    * contains — no custom code needed, stays in codegen), the HTML
+    * layer is the production extraction chain. Each page ships with a
+    * planted 404 sibling record the status gate must drop; torn shards
+    * (`%13`) parse NULL and drop whole. Oracle: the clean text
+    * re-derived from `documents.text` through the SQL twin of the
+    * extraction chain, restricted to the non-torn 200s.
+    */
+  private val pipelineCrawlExtract = Q(
+    "pipeline_crawl_extract",
+    (s, d) => {
+      import org.apache.spark.sql.graftnative.NativeColumns.warcRecords
+      val id = col("doc_id").cast("long")
+      val page = htmlSalted(Tables.documents(s, d).select("doc_id", "text"))
+      val http200 = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html"))
+      val http404 =
+        lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot found")
+      def recOf(body: org.apache.spark.sql.Column, path: String) = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/"),
+        id.cast("string"), lit(path),
+        lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+        octet_length(encode(body, "UTF-8")).cast("string"),
+        lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+      val whole = concat(recOf(http200, "/page"), recOf(http404, "/missing"))
+      val payload = when(pmod(id, lit(13)) === 0,
+        encode(substring(whole, 1, 200), "UTF-8")) // torn shard
+        .otherwise(encode(whole, "UTF-8"))
+      page.select(id.as("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), posexplode(warcRecords(col("payload"))))
+        .select(col("doc_id"), decode(col("col.body"), "UTF-8").as("msg"))
+        .withColumn("status",
+          regexp_extract(col("msg"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1).cast("int"))
+        .filter(col("status") === 200) // the 404 sibling drops here
+        .select(col("doc_id"),
+          Text.extractHtmlText(
+            col("msg").substr(locate("\r\n\r\n", col("msg")) + 4, length(col("msg"))))
+            .as("clean"))
+    },
+    Some(s"""SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS clean
+      FROM documents WHERE doc_id % 13 <> 0"""))
+
   /** VIDEO POSTER-FRAME near-dup ([[Multimodal.videoPairs]] over the
     * fully-decodable [[Multimodal.mjpegAviCorpus]]): every payload is a
     * real RIFF/AVI container whose MJPEG frames ride the production
@@ -5298,6 +5346,7 @@ object TrainingQueries {
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
+    pipelineCrawlExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
