@@ -94,9 +94,51 @@ object BucketedSnapshots {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     pointerState(spark, path).map(_._1)
 
-  /** Retained committed table versions, newest first. */
-  def versions(spark: SparkSession, path: String): Seq[Long] =
-    pointerState(spark, path).map(_._2.sorted.reverse).getOrElse(Seq.empty)
+  /** Readable committed table versions, newest first: the pointer's
+    * retained history plus TAGGED versions (named refs pin a version
+    * against retention — see [[tag]]), each validated by its manifest.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val retained = pointerState(spark, path).map(_._2).getOrElse(Seq.empty)
+    (retained ++ Snapshots.readRefs(spark, path).values).distinct
+      .filter(v => fs.exists(new Path(manifestPath(path, v))))
+      .sorted.reverse
+  }
+
+  /** TAG a committed table version under a name — the reproducibility pin
+    * ([[Snapshots.tag]]'s contract): the tagged version's manifest, stats
+    * sidecar, and every bucket dir it references survive retention GC
+    * until [[dropTag]]. Shared ref layout (`path/refs/<name>.txt`).
+    */
+  def tag(spark: SparkSession, path: String, name: String, version: Long,
+      overwrite: Boolean = false): Unit = {
+    val have = versions(spark, path)
+    require(have.contains(version),
+      s"cannot tag v=$version at $path: not a readable committed version " +
+        s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    Snapshots.writeRef(spark, path, name, version, overwrite)
+  }
+
+  /** The version a tag pins, if it exists. */
+  def tagVersion(spark: SparkSession, path: String, name: String): Option[Long] =
+    Snapshots.readRefs(spark, path).get(name)
+
+  /** All named refs of the table. */
+  def listTags(spark: SparkSession, path: String): Map[String, Long] =
+    Snapshots.readRefs(spark, path)
+
+  /** Read the table exactly as the named tag pinned it. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    tagVersion(spark, path, name) match {
+      case Some(v) => readSnapshot(spark, path, v)
+      case None => throw new java.io.FileNotFoundException(s"no ref '$name' at $path")
+    }
+
+  /** Drop a tag: its version re-enters normal retention. */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit =
+    Snapshots.dropTag(spark, path, name)
 
   /** Read the table exactly as committed at `version` (must be retained). */
   def readSnapshot(spark: SparkSession, path: String, version: Long): DataFrame = {
@@ -838,9 +880,12 @@ object BucketedSnapshots {
   private def gc(spark: SparkSession, path: String, retained: Seq[Long]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
-    val keepManifests = retained.toSet
+    // tagged versions are pinned: their manifests and every bucket dir
+    // they reference survive, whatever the retention window says
+    val tagged = Snapshots.readRefs(spark, path).values.toSeq
+    val keepManifests = retained.toSet ++ tagged
     val floor = retained.min
-    val live: Set[(Int, Long)] = retained
+    val live: Set[(Int, Long)] = (retained ++ tagged).distinct
       .filter(v => fs.exists(new Path(manifestPath(path, v))))
       .flatMap(v => readManifest(spark, path, v).toSeq).toSet
     allManifestVersions(spark, path)

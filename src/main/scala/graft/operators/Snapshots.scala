@@ -98,18 +98,108 @@ object Snapshots {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     pointerState(spark, path).map(_._1)
 
-  /** Committed versions still readable, newest first. Falls back to a
-    * `_SUCCESS` scan when the pointer is lost (read-side recovery only —
-    * same degradation contract as [[readCurrent]]).
+  /** Committed versions still readable, newest first: the pointer's
+    * retained history plus any TAGGED versions (named refs pin a version
+    * against retention — see [[tag]]). Falls back to a `_SUCCESS` scan
+    * when the pointer is lost (read-side recovery only — same
+    * degradation contract as [[readCurrent]]).
     */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
     pointerState(spark, path) match {
       case Some((_, vs)) =>
-        vs.filter(v => fs.exists(new Path(versionDir(path, v)))).sorted.reverse
+        (vs ++ readRefs(spark, path).values).distinct
+          .filter(v => fs.exists(new Path(versionDir(path, v)))).sorted.reverse
       case None => successVersions(spark, path).sorted.reverse
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Named refs (tags): reproducibility pins — "the version run X read"
+  // ------------------------------------------------------------------
+
+  private def refPath(path: String, name: String) = s"$path/refs/$name.txt"
+
+  private def checkRefName(name: String): Unit =
+    require(name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"ref name '$name' must be [A-Za-z0-9._-]{1,128}")
+
+  /** All named refs of a table: name -> pinned version. */
+  def listTags(spark: SparkSession, path: String): Map[String, Long] =
+    readRefs(spark, path)
+
+  private[graft] def readRefs(spark: SparkSession, path: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/refs")
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.trim.toLongOption.map(st.getPath.getName.stripSuffix(".txt") -> _)
+      }.toMap
+  }
+
+  /** TAG a committed version under a name — the training-run
+    * reproducibility pin: a tagged version (and everything it references)
+    * survives retention GC until [[dropTag]], however many commits pass,
+    * so "the exact snapshot model X trained on" stays readable. The ref
+    * write is atomic (tmp + rename); re-tagging an existing name requires
+    * `overwrite = true` (tags are pins, not branches — accidental
+    * re-pointing is the failure mode). Layout-shared: [[BucketedSnapshots
+    * .tag]] validates against its own version set and delegates here.
+    */
+  def tag(spark: SparkSession, path: String, name: String, version: Long,
+      overwrite: Boolean = false): Unit = {
+    checkRefName(name)
+    val have = versions(spark, path)
+    require(have.contains(version),
+      s"cannot tag v=$version at $path: not a readable committed version " +
+        s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    writeRef(spark, path, name, version, overwrite)
+  }
+
+  private[graft] def writeRef(spark: SparkSession, path: String, name: String,
+      version: Long, overwrite: Boolean): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    checkRefName(name)
+    val fs = fsOf(spark, path)
+    val dst = new Path(refPath(path, name))
+    require(overwrite || !fs.exists(dst),
+      s"ref '$name' already exists at $path (pass overwrite = true to re-pin)")
+    fs.mkdirs(new Path(s"$path/refs"))
+    val tmp = new Path(refPath(path, name) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def tagVersion(spark: SparkSession, path: String, name: String): Option[Long] =
+    readRefs(spark, path).get(name)
+
+  /** Read the table exactly as the named tag pinned it. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    tagVersion(spark, path, name) match {
+      case Some(v) => readSnapshot(spark, path, v)
+      case None => throw new java.io.FileNotFoundException(
+        s"no ref '$name' at $path (have: ${readRefs(spark, path).keys.toSeq.sorted.mkString(", ") match { case "" => "none"; case s => s }})")
+    }
+
+  /** Drop a tag: the pinned version re-enters normal retention and is
+    * GC'd by the next commit once outside the retained window.
+    */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    checkRefName(name)
+    fsOf(spark, path).delete(new Path(refPath(path, name)), false)
+    ()
   }
 
   /** Read the live snapshot: the `_CURRENT` pointer, else — READ-SIDE
@@ -311,8 +401,11 @@ object Snapshots {
     // retention GC strictly AFTER the commit point: only dirs BELOW the
     // oldest retained version go — younger unretained dirs are orphans a
     // fallback reader may still resolve, and they age out once the
-    // retention window passes them
-    val keep = retained.toSet
+    // retention window passes them. TAGGED versions are pinned: they stay
+    // whatever the window says, and they don't lower the floor for
+    // untagged dirs around them.
+    val tagged = readRefs(spark, path).values.toSet
+    val keep = retained.toSet ++ tagged
     val floor = retained.min
     allVersionDirs(spark, path)
       .filter(v => !keep.contains(v) && v < floor)

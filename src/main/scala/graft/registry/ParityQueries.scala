@@ -1602,6 +1602,48 @@ object ParityQueries {
         FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
       WHERE n >= 2 AND n <= 500000"""))
 
+  /** NAMED TAGS on the bucketed-versioned table
+    * ([[graft.operators.BucketedSnapshots.tag]]/`readTag`): the
+    * training-run reproducibility pin. The FIRST commit is tagged, then
+    * two more commits at `keepVersions = 2` push it OUT of the pointer's
+    * retained window — the tagged read must still return the exact
+    * pinned state (its manifest and bucket dirs survive GC because the
+    * tag pins them), while the live read reflects the full merge.
+    * TagsSpec proves the GC behavior (untagged siblings deleted, dropTag
+    * releases); this row hash-checks both reads.
+    */
+  private val snapshotTaggedRead = Q(
+    "snapshot_tagged_read",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/tagread_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val v1 = graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, keepVersions = 2)
+      graft.operators.BucketedSnapshots.tag(s, path, "train-run", v1)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, upd, path, "user_id", nBuckets = 16, keepVersions = 2)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, upd, path, "user_id", nBuckets = 16, keepVersions = 2)
+      graft.operators.BucketedSnapshots.readTag(s, path, "train-run")
+        .withColumn("snap", lit("tagged"))
+        .unionByName(graft.operators.BucketedSnapshots.readCurrent(s, path)
+          .withColumn("snap", lit("current")))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, ${DS("value")} AS total, COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT user_id, total, n, 'tagged' AS snap FROM base
+      UNION ALL
+      SELECT COALESCE(u.user_id, b.user_id) AS user_id, COALESCE(u.total, b.total) AS total,
+        COALESCE(u.n, b.n) AS n, 'current' AS snap
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id"""))
+
   /** POINT-LOOKUP read on the bucketed-versioned table
     * ([[graft.operators.BucketedSnapshots.readCurrentKeys]]): a 20-key
     * serve-path lookup that reads ONLY the buckets the key hash maps to
@@ -2871,5 +2913,6 @@ object ParityQueries {
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotPointLookup,
-    snapshotFeedConsume, streamingFeedConsume, ctasFullRefresh, upsertServe)
+    snapshotTaggedRead, snapshotFeedConsume, streamingFeedConsume,
+    ctasFullRefresh, upsertServe)
 }
