@@ -846,6 +846,72 @@ object BucketedSnapshots {
       keepVersions, Nil, carried)
   }
 
+  /** BUCKET-COUNT EVOLUTION as a table version: rewrite the LIVE table
+    * under a new hash arity and commit it through the normal manifest +
+    * pointer flip — the sanctioned path for the arity change
+    * [[mergeCommit]]'s guard rejects. A full rewrite is inherent (every
+    * key can move buckets under the new hash), so this is the
+    * "rewrite-to-resize" maintenance job a growing table schedules
+    * off-peak, NOT a per-commit operation; after it, commits must pass
+    * the new `nBuckets` (the manifest header changes with the version,
+    * so time travel and tagged reads keep their own arity — point
+    * lookups against a pinned old version still hash with the old one).
+    * Zonemap stats are recomputed for every new bucket (the stat-column
+    * set carries via the header); pinned/tagged readers keep their
+    * immutable dirs within retention. CAS-guarded like any commit.
+    *
+    * `key` must be the column every commit hashed on — passing a
+    * different one would scatter keys exactly like the arity mismatch
+    * the guard exists for.
+    */
+  def rebucket(
+      spark: SparkSession,
+      path: String,
+      key: String,
+      newNBuckets: Int,
+      keepVersions: Int = 2): Long = {
+    import org.apache.hadoop.fs.Path
+    require(newNBuckets >= 1, "newNBuckets must be >= 1")
+    val fs = fsOf(spark, path)
+    val state = pointerState(spark, path)
+    val cur = state.map(_._1).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed snapshot under $path"))
+    val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
+    require(!readNBuckets(spark, path, cur).contains(newNBuckets),
+      s"table at $path already has nBuckets=$newNBuckets")
+    val rows = readSnapshot(spark, path, cur)
+    require(rows.columns.contains(key), s"key '$key' is not a column of the table at $path")
+    val bucketOf = pmod(xxhash64(col(key)), lit(newNBuckets.toLong)).cast("int")
+    val prevStatCols = readStats(spark, path, cur)._1
+    // one staging write under the NEW arity, then per-bucket renames —
+    // same invisibility as mergeCommit (the commit point is the flip)
+    val staging = new Path(path + "__vstaging_rebucket")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    rows.withColumn("b", bucketOf)
+      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    val touched = (0 until newNBuckets).toIndexedSeq
+    val statCols = effectiveStatCols(prevStatCols, Nil, rows.schema)
+    val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
+    val newBucketVersions = touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
+    touched.foreach { b =>
+      val src = new Path(staging, s"b=$b")
+      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
+      fs.mkdirs(new Path(s"$path/b=$b"))
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rebucket: failed to stage $dst")
+      } else {
+        rows.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      }
+    }
+    fs.delete(staging, true)
+    // the new manifest REPLACES the bucket set wholesale: pass an empty
+    // current manifest so stale old-arity entries never leak in
+    commitManifest(spark, path, state, casBase, Map.empty,
+      newBucketVersions, keepVersions, statCols, newStats, newNBuckets)
+  }
+
   /** Next version for one bucket: one past the max dir present (orphans
     * from dead runs never get their slot reused).
     */

@@ -273,6 +273,47 @@ class ZonemapStatsSpec extends SparkSpec {
     assert(got == Set(10L, 11L))
   }
 
+  test("rebucket: arity evolves as a table version; old pins keep the old hash; stats recomputed") {
+    val path = fresh("rebucket")
+    val all = (1L to 300L).map(i => (i, i)).toDF("k", "vl")
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, all, path, "k", nBuckets = 4, statsColumns = Seq("vl"))
+    BucketedSnapshots.tag(spark, path, "pre", v1)
+    val v2 = BucketedSnapshots.rebucket(spark, path, "k", newNBuckets = 16)
+    assert(BucketedSnapshots.readNBuckets(spark, path, v2).contains(16))
+    assert(BucketedSnapshots.readNBuckets(spark, path, v1).contains(4),
+      "the pinned old version keeps its own arity header")
+    // content identical across the rewrite
+    val live = BucketedSnapshots.readCurrent(spark, path)
+      .select("k", "vl").as[(Long, Long)].collect().toSet
+    assert(live == (1L to 300L).map(i => (i, i)).toSet)
+    // commits must now pass the NEW arity; the old one is rejected
+    intercept[IllegalArgumentException] {
+      BucketedSnapshots.upsertByKey(spark, Seq((1L, 0L)).toDF("k", "vl"), path, "k", 4)
+    }
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 0L)).toDF("k", "vl"), path, "k", 16)
+    // point lookup under the new arity prunes with the new hash...
+    val got = BucketedSnapshots.readCurrentKeys(spark, path, "k", Seq(1L: Any, 2L: Any))
+      .select("k", "vl").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L))
+    val touched16 = got.keys.map(bucketOf(_, 16)).toSet
+    // ...and the TAGGED pre-rebucket read still hashes with the OLD one
+    val pinned = BucketedSnapshots.readSnapshotKeys(spark, path, v1, "k", Seq(1L: Any))
+      .select("vl").as[Long].collect().toSet
+    assert(pinned == Set(1L), "the pinned version reads its pre-rebucket content")
+    // stats were recomputed under the new arity: a range predicate still
+    // prunes (vl correlates with k, scattered — at least the empty range)
+    assert(BucketedSnapshots.readCurrentWhere(
+      spark, path, "vl", Some(BigDecimal(5000)), None).count() == 0)
+    val m2 = BucketedSnapshots.readManifest(spark, path,
+      BucketedSnapshots.currentVersion(spark, path).get)
+    val none = BucketedSnapshots.pruneBuckets(spark, path,
+      BucketedSnapshots.currentVersion(spark, path).get, m2, "vl",
+      Some(BigDecimal(5000)), None)
+    assert(none.isEmpty, "recomputed stats must prune the impossible range to zero buckets")
+    assert(touched16.nonEmpty)
+  }
+
   test("overlapping-bucket writers still conflict: the loser aborts, the winner is intact") {
     val path = fresh("overlap")
     val n = 4
