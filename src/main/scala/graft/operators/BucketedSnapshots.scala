@@ -480,7 +480,10 @@ object BucketedSnapshots {
 
   /** One column's min/max for one bucket. `typ`: 'l' integral (stored as
     * long), 'd' float/double (stored via `Double.toString`, which
-    * round-trips exactly), 'c' decimal (plain string, exact), 'n' the
+    * round-trips exactly), 'c' decimal (plain string, exact), 's' string
+    * (URL-safe Base64 of the UTF-8 bytes — comma/newline-free in the
+    * sidecar, compared BYTE-WISE unsigned, which is exactly Spark's
+    * UTF8String binary order, NOT Java String's UTF-16 order), 'n' the
     * bucket holds NO non-null value of the column (skippable under ANY
     * range predicate — SQL ranges never select NULL).
     */
@@ -534,11 +537,18 @@ object BucketedSnapshots {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType => true
+           FloatType | DoubleType | StringType => true
       case _: DecimalType => true
       case _ => false
     }
   }
+
+  private def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getUrlDecoder.decode(s)
 
   /** Sticky stat-column set: previously declared columns plus this
     * commit's, restricted to numeric columns of the merged schema (a
@@ -553,7 +563,7 @@ object BucketedSnapshots {
       val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"stats column '$c' is not a column of the table (have: ${schema.fieldNames.mkString(", ")})"))
       require(isStatType(f.dataType),
-        s"stats column '$c' must be numeric, got ${f.dataType.catalogString}")
+        s"stats column '$c' must be numeric or string, got ${f.dataType.catalogString}")
     }
     (prevCols ++ declared).distinct
       .filter(c => schema.find(_.name == c).exists(f => isStatType(f.dataType)))
@@ -583,6 +593,8 @@ object BucketedSnapshots {
         if (d.isNaN || d.isInfinite) None else Some(('d', java.lang.Double.toString(d)))
       case _: DecimalType =>
         Some(('c', v.asInstanceOf[java.math.BigDecimal].toPlainString))
+      case StringType =>
+        Some(('s', b64(v.asInstanceOf[String])))
       case _ => None
     }
     val computed = rows.map { r =>
@@ -721,6 +733,83 @@ object BucketedSnapshots {
       lower: Option[BigDecimal], upper: Option[BigDecimal]): DataFrame =
     currentVersion(spark, path) match {
       case Some(v) => readSnapshotWhere(spark, path, v, column, lower, upper)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
+  /** Manifest entries that MAY hold a row of STRING `column` within
+    * `[lower, upper]` — the string twin of [[pruneBuckets]]. Comparisons
+    * are UTF-8 BYTE-WISE unsigned on both sides: that is Spark's
+    * UTF8String binary order (what the residual filter and the stored
+    * min/max both use), NOT Java String's UTF-16 order — the two differ
+    * for code points around the surrogate range, so comparing decoded
+    * Strings here would mis-prune (ZonemapStatsSpec plants that case).
+    */
+  private[graft] def pruneBucketsString(
+      spark: SparkSession, path: String, version: Long, m: Map[Int, Long],
+      column: String, lower: Option[String], upper: Option[String]): Map[Int, Long] = {
+    val stats = readStats(spark, path, version)._2
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    val lo = lower.map(_.getBytes("UTF-8"))
+    val hi = upper.map(_.getBytes("UTF-8"))
+    m.filter { case (b, _) =>
+      stats.get(b).flatMap(_.find(_.col == column)) match {
+        case Some(st) if st.typ == 'n' => false
+        case Some(st) if st.typ == 's' =>
+          try {
+            val mn = unb64(st.min); val mx = unb64(st.max)
+            hi.forall(u => cmp(mn, u) <= 0) && lo.forall(l => cmp(mx, l) >= 0)
+          } catch { case _: IllegalArgumentException => true }
+        case _ => true // numeric stats or none: never prune a string read on them
+      }
+    }
+  }
+
+  /** STATS-PRUNED read on a STRING column as of `version`: rows with
+    * `column` in `[lower, upper]` (either bound open; bounds compare in
+    * Spark's binary string order), reading only the bucket dirs whose
+    * string zonemap may intersect. The residual filter is a plain string
+    * literal comparison (parquet row-group pushdown inside the buckets
+    * that are read) — exact whether or not stats exist.
+    */
+  def readSnapshotWhereString(
+      spark: SparkSession, path: String, version: Long, column: String,
+      lower: Option[String], upper: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"bucketed snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    val m = readManifest(spark, path, version)
+    if (m.isEmpty) throw new java.io.FileNotFoundException(
+      s"bucketed snapshot v=$version at $path has an empty manifest")
+    val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
+    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val dt = full.schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$column' is not a column of the table at $path")).dataType
+    require(dt == StringType,
+      s"readSnapshotWhereString needs a string column; '$column' is ${dt.catalogString} " +
+        "(use readSnapshotWhere for numeric columns)")
+    val chosen = pruneBucketsString(spark, path, version, m, column, lower, upper)
+    val df =
+      if (chosen.isEmpty) full.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    val c = col(column)
+    val residual = (lower.map(l => c >= lit(l)).toSeq ++ upper.map(u => c <= lit(u)).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    df.filter(residual)
+  }
+
+  /** [[readSnapshotWhereString]] on the live version. */
+  def readCurrentWhereString(
+      spark: SparkSession, path: String, column: String,
+      lower: Option[String], upper: Option[String]): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshotWhereString(spark, path, v, column, lower, upper)
       case None =>
         throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
     }

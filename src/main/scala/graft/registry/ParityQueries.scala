@@ -1602,6 +1602,48 @@ object ParityQueries {
         FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
       WHERE n >= 2 AND n <= 500000"""))
 
+  /** STRING zonemap pruning ([[graft.operators.BucketedSnapshots
+    * .readCurrentWhereString]]): the string twin of
+    * `snapshot_stats_pruned_read` — per-bucket min/max strings ride the
+    * stats sidecar URL-safe-Base64-encoded and compare UTF-8 BYTE-WISE
+    * (Spark's binary string order; the UTF-16 ordering trap is
+    * ZonemapStatsSpec's), the residual is a plain string-literal filter
+    * (parquet row-group pushdown). Oracle: the merged rollup filtered to
+    * the range.
+    */
+  private val snapshotStatsPrunedReadStr = Q(
+    "snapshot_stats_pruned_read_str",
+    (s, d) => {
+      val e = evDf(s, d)
+      def aggOf(df: DataFrame) =
+        df.groupBy("user_id").agg(
+          max(concat(col("event_type"), lit("#"),
+            pmod(col("user_id"), lit(97L)).cast("string"))).as("last_type"),
+          count(lit(1)).as("n"))
+      val base = aggOf(e.filter(col("epoch") < MidEpoch))
+      val upd = aggOf(e.filter(col("epoch") >= MidEpoch))
+      val path = "/root/repo/target/tmp/statsprunes_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, statsColumns = Seq("last_type"))
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, upd, path, "user_id", nBuckets = 16)
+      graft.operators.BucketedSnapshots.readCurrentWhereString(
+        s, path, "last_type", Some("view#2"), Some("view#5"))
+    },
+    Some(s"""WITH $EV,
+      base AS (SELECT user_id, MAX(event_type || '#' || CAST(user_id % 97 AS VARCHAR)) AS last_type,
+        COUNT(*) AS n FROM ev WHERE epoch < $MidEpoch GROUP BY 1),
+      upd AS (SELECT user_id, MAX(event_type || '#' || CAST(user_id % 97 AS VARCHAR)) AS last_type,
+        COUNT(*) AS n FROM ev WHERE epoch >= $MidEpoch GROUP BY 1)
+      SELECT * FROM (
+        SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+          CASE WHEN u.user_id IS NOT NULL THEN u.last_type ELSE b.last_type END AS last_type,
+          CASE WHEN u.user_id IS NOT NULL THEN u.n ELSE b.n END AS n
+        FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id)
+      WHERE last_type >= 'view#2' AND last_type <= 'view#5'"""))
+
   /** NAMED TAGS on the bucketed-versioned table
     * ([[graft.operators.BucketedSnapshots.tag]]/`readTag`): the
     * training-run reproducibility pin. The FIRST commit is tagged, then
@@ -2912,7 +2954,7 @@ object ParityQueries {
     movingSum, medianDisc, medianCont, madDisc, topkPerGroup,
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
-    upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotPointLookup,
-    snapshotTaggedRead, snapshotFeedConsume, streamingFeedConsume,
-    ctasFullRefresh, upsertServe)
+    upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
+    snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
+    streamingFeedConsume, ctasFullRefresh, upsertServe)
 }

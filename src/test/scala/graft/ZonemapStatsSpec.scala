@@ -273,6 +273,56 @@ class ZonemapStatsSpec extends SparkSpec {
     assert(got == Set(10L, 11L))
   }
 
+  test("string zonemaps: byte-order-exact pruning, incl. the UTF-16-vs-UTF-8 ordering trap") {
+    val path = fresh("strstats")
+    val n = 4
+    // bucket-banded string values: every bucket's range is its own letter
+    // prefix, so a prefix-range predicate must prune every other bucket
+    val rows = (1L to 120L).map { k =>
+      val b = bucketOf(k, n)
+      (k, s"${('a' + b).toChar}-val-$k")
+    }
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, rows.toDF("k", "s"), path, "k", n, statsColumns = Seq("s"))
+    val m = BucketedSnapshots.readManifest(spark, path, v1)
+    val chosen = BucketedSnapshots.pruneBucketsString(
+      spark, path, v1, m, "s", Some("c"), Some("c\uFFFF"))
+    assert(chosen.keySet == Set(2), s"only bucket 2 carries the 'c' prefix, got ${chosen.keySet}")
+    val got = BucketedSnapshots.readCurrentWhereString(
+      spark, path, "s", Some("c"), Some("c\uFFFF"))
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val want = BucketedSnapshots.readCurrent(spark, path)
+      .filter(col("s") >= "c" && col("s") <= "c\uFFFF")
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the ordering trap: U+FFFD sorts BELOW U+10000 in UTF-8 byte order
+    // (Spark/parquet binary order) but ABOVE it in Java's UTF-16 order.
+    // A Java-String-compare prune would wrongly drop the bucket holding
+    // U+10000 for a lower bound of U+FFFD; byte-wise compare keeps it.
+    val trap = fresh("strtrap")
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val kSupp = (1L to 50L).find(k => bucketOf(k, 2) == 0).get
+    val kBmp = (1L to 50L).find(k => bucketOf(k, 2) == 1).get
+    BucketedSnapshots.upsertByKey(
+      spark, Seq((kSupp, supp), (kBmp, "A")).toDF("k", "s"), trap, "k", 2,
+      statsColumns = Seq("s"))
+    val gotTrap = BucketedSnapshots.readCurrentWhereString(
+      spark, trap, "s", Some("\uFFFD"), None)
+      .select("s").as[String].collect().toSet
+    val wantTrap = BucketedSnapshots.readCurrent(spark, trap)
+      .filter(col("s") >= "\uFFFD").select("s").as[String].collect().toSet
+    assert(gotTrap == wantTrap && gotTrap == Set(supp),
+      s"byte-order prune must keep the supplementary-plane row, got $gotTrap")
+    // all-null skip and the sticky carry work for strings too
+    val v2 = BucketedSnapshots.upsertByKey(
+      spark, Seq((1L, "zz-updated")).toDF("k", "s"), path, "k", n)
+    val m2 = BucketedSnapshots.readManifest(spark, path, v2)
+    val hit = BucketedSnapshots.pruneBucketsString(
+      spark, path, v2, m2, "s", Some("zz"), None)
+    assert(hit.keySet == Set(bucketOf(1L, n)),
+      s"the touched bucket's string stats must reflect the new max, got ${hit.keySet}")
+  }
+
   test("rebucket: arity evolves as a table version; old pins keep the old hash; stats recomputed") {
     val path = fresh("rebucket")
     val all = (1L to 300L).map(i => (i, i)).toDF("k", "vl")
