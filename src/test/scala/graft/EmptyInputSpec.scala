@@ -201,6 +201,36 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "sig"), "sig", 2).count() == 0)
   }
 
+  test("round-13 operators are total on empty inputs") {
+    import graft.operators.Multimodal
+    val ids0 = Seq.empty[Long].toDF("doc_id")
+    // the three new media families: empty corpora yield empty pair/cluster
+    // sets through the full decode + banding machinery, never a throw
+    assert(Multimodal.gifPairs(Multimodal.pixelGifCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.gifClusters(Multimodal.pixelGifCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.audioPairs(Multimodal.pcmWavCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.audioClusters(Multimodal.pcmWavCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.videoPairs(Multimodal.mjpegAviCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.videoClusters(Multimodal.mjpegAviCorpus(ids0, "doc_id")).count() == 0)
+    // WARC explode over an empty shard set
+    val shards0 = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(shards0.select(posexplode(
+      org.apache.spark.sql.graftnative.NativeColumns.warcRecords(col("payload"))))
+      .count() == 0)
+    // feed consumer on a never-committed upstream: None, nothing created
+    val up = "target/tmp/empty13_up"; val cons = "target/tmp/empty13_cons"
+    Seq(up, cons).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    assert(graft.operators.FeedConsumer.drainRollup(
+      spark, up, cons, "k", "g", Seq("v")).isEmpty)
+    assert(graft.operators.FeedConsumer.offset(spark, cons).isEmpty)
+    // an EMPTY upsert batch on the versioned table is a no-op, not a crash
+    assert(graft.operators.BucketedSnapshots.upsertByKey(
+      spark, Seq.empty[(Long, Double)].toDF("k", "v"), up, "k", 4) == 0L)
+  }
+
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {
     assert(graft.quality.Scoring.unigramSurprisal(docs0, "doc_id", "text").count() == 0)
     assert(graft.quality.Scoring.bigramSurprisal(docs0, "doc_id", "text").count() == 0)
