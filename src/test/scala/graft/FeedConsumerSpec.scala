@@ -83,6 +83,30 @@ class FeedConsumerSpec extends SparkSpec {
       BucketedSnapshots.currentVersion(spark, up).get))
   }
 
+  test("the feed crosses an upstream REBUCKET: data-less arity change is a no-op, later drains exact") {
+    val up = fresh("rebk_up"); val cons = fresh("rebk_cons")
+    BucketedSnapshots.applyChanges(spark,
+      ch((1L, 1L, "I", "a", 10L), (2L, 1L, "I", "b", 20L), (3L, 1L, "I", "b", 30L)),
+      up, "k", nBuckets = 2)
+    FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"), nBuckets = 2)
+    val before = rollup(cons)
+    // arity evolution upstream: every bucket id changes meaning, every
+    // manifest entry differs — but the KEYED diff finds no row change,
+    // so the consumer must advance its offset without downstream churn
+    val vR = BucketedSnapshots.rebucket(spark, up, "k", newNBuckets = 8)
+    val d = FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"), nBuckets = 2)
+    assert(FeedConsumer.offset(spark, cons).exists(_._1 == vR),
+      "the rebucket commit must advance the consumer offset")
+    assert(rollup(cons) == before, "a data-less arity change must not move the rollup")
+    // a subsequent REAL change under the new arity drains exactly
+    BucketedSnapshots.applyChanges(spark,
+      ch((2L, 2L, "U", "a", 25L), (4L, 2L, "I", "c", 40L)), up, "k", nBuckets = 8)
+    FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"), nBuckets = 2)
+    assert(rollup(cons) == scratch(up))
+    assert(rollup(cons) == Set(("a", 2L, 35L), ("b", 1L, 30L), ("c", 1L, 40L)))
+    assert(d.isDefined)
+  }
+
   test("caught-up and data-less (compaction) upstream commits advance without rollup churn") {
     val up = fresh("noop_up"); val cons = fresh("noop_cons")
     BucketedSnapshots.applyChanges(spark,
