@@ -87,6 +87,32 @@ class TagsSpec extends SparkSpec {
 
   private def manifestOf(path: String, v: Long) = s"$path/manifest/v=$v.txt"
 
+  test("stats-pruned and point-lookup reads work at a tagged version outside retention") {
+    val path = fresh("tagreads")
+    val rows = (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v")
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, rows, path, "k", nBuckets = 4, statsColumns = Seq("v"))
+    BucketedSnapshots.tag(spark, path, "pin", v1)
+    (1 to 3).foreach { i =>
+      BucketedSnapshots.upsertByKey(
+        spark, (1L to 100L).map(k => (k, k * 10L + i)).toDF("k", "v"),
+        path, "k", nBuckets = 4, keepVersions = 2)
+    }
+    assert(!Snapshots.pointerStateRaw(spark, path).get._2.contains(v1))
+    // the tagged version's stats sidecar survived with it: pruned reads
+    // resolve and filter against the PINNED content
+    val got = BucketedSnapshots.readSnapshotWhere(
+      spark, path, v1, "v", Some(BigDecimal(100)), Some(BigDecimal(200)))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got == (10L to 20L).map(k => (k, k * 10L)).toSet)
+    val lk = BucketedSnapshots.readSnapshotKeys(spark, path, v1, "k", Seq(7L: Any))
+      .select("v").as[Long].collect().toSet
+    assert(lk == Set(70L), "point lookup at the pinned version sees pre-expiry values")
+    // the live version reads its own (updated) values
+    assert(BucketedSnapshots.readCurrentKeys(spark, path, "k", Seq(7L: Any))
+      .select("v").as[Long].head() == 73L)
+  }
+
   test("tag hygiene: unknown versions, duplicate names, bad names all fail fast") {
     val path = fresh("hygiene")
     val v1 = Snapshots.commitWith(spark, path, _ => Seq((1L, 1)).toDF("k", "n"))
