@@ -78,8 +78,15 @@ object WarcRecords {
   /** Sanity ceiling: one payload holds at most this many records. */
   val MaxRecords = 65536
 
-  /** All records, or null on ANY malformation. Never throws. */
-  def parse(b: Array[Byte]): ArrayData = {
+  /** All records, or null on ANY malformation. Never throws — the
+    * belt-and-braces NonFatal catch backs the totality contract even if a
+    * bound check is ever wrong for some adversarial input shape (this
+    * parser's input is untrusted crawl data).
+    */
+  def parse(b: Array[Byte]): ArrayData =
+    try parseImpl(b) catch { case scala.util.control.NonFatal(_) => null }
+
+  private def parseImpl(b: Array[Byte]): ArrayData = {
     if (b == null || b.length == 0) return null
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
     var pos = 0
@@ -127,9 +134,11 @@ object WarcRecords {
       if (contentLength == -2L) return null // non-numeric Content-Length
       if (contentLength < 0L || contentLength > Int.MaxValue.toLong) return null
       val bodyStart = hEnd + 4
-      val bodyEnd = bodyStart + contentLength.toInt
-      // body sliced by LENGTH (binary-safe), then the record terminator
-      if (bodyEnd + 4 > b.length) return null // torn body or missing terminator
+      // bounds math in Long: a Content-Length near Int.MaxValue must not
+      // wrap negative and dodge the torn-body check below
+      val bodyEndL = bodyStart.toLong + contentLength
+      if (bodyEndL + 4L > b.length.toLong) return null // torn body or missing terminator
+      val bodyEnd = bodyEndL.toInt
       if (!(b(bodyEnd) == '\r' && b(bodyEnd + 1) == '\n' &&
         b(bodyEnd + 2) == '\r' && b(bodyEnd + 3) == '\n')) return null
       val body = java.util.Arrays.copyOfRange(b, bodyStart, bodyEnd)

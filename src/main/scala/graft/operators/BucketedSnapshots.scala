@@ -119,6 +119,13 @@ object BucketedSnapshots {
       s"cannot tag v=$version at $path: not a readable committed version " +
         s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})")
     Snapshots.writeRef(spark, path, name, version, overwrite)
+    // close the check-then-write race with retention GC (see Snapshots.tag)
+    if (!versions(spark, path).contains(version)) {
+      dropTag(spark, path, name)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' at $path lost a race with retention GC: v=$version was " +
+          "collected before the ref pinned it — re-tag a retained version")
+    }
   }
 
   /** The version a tag pins, if it exists. */
@@ -383,6 +390,31 @@ object BucketedSnapshots {
     * The staged dirs stay valid across rebase attempts because GC never
     * deletes bucket versions ABOVE the live one (see [[gc]]'s floor rule).
     */
+  /** Atomically claim `dst` by renaming `tmp` onto it WITHOUT overwrite
+    * (`FileContext` `Rename.NONE` fails on an existing destination —
+    * unlike `FileSystem.rename`, which RawLocalFileSystem implements as a
+    * silent clobber). Returns false — with `tmp` cleaned up and `dst`
+    * byte-untouched — when another writer holds the destination: the
+    * same-`next` manifest race must cost the loser a rebase, never the
+    * winner its just-committed manifest.
+    */
+  private[graft] def claimExclusive(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        fs.delete(tmp, false)
+        false
+    }
+
   private def commitManifest(
       spark: SparkSession,
       path: String,
@@ -419,8 +451,35 @@ object BucketedSnapshots {
         nextManifest.toSeq.sorted.map { case (b, bv) => s"$b,$bv" })
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(mfTmp, mf))
-        throw new java.io.IOException(s"bucketed commit: failed to write manifest $mf")
+      // CLAIM v=next exclusively: rename WITHOUT overwrite (FileContext
+      // Rename.NONE fails on an existing destination, unlike
+      // FileSystem.rename on RawLocalFileSystem, which silently clobbers).
+      // Two writers starting from the same base compute the same `next`;
+      // without this, the loser would overwrite the winner's
+      // just-committed live manifest and readers would see the loser's
+      // stale bucket set under the winner's pointer. The loser rebases:
+      // its recomputed `next` sees the winner's manifest file and moves
+      // past it.
+      val claimed = claimExclusive(
+        spark.sparkContext.hadoopConfiguration, fs, mfTmp, mf)
+      if (!claimed) {
+        attempt += 1
+        if (attempt > maxRebase)
+          throw new CommitConflictException(
+            s"bucketed commit at $path: lost the manifest claim for v=$next " +
+              s"$maxRebase times — a concurrent writer is racing this commit; retry")
+        val st2 = pointerState(spark, path)
+        val cb2 = Snapshots.pointerStateRaw(spark, path).map(_._1)
+        val cm2 = st2.map(s => readManifest(spark, path, s._1))
+          .getOrElse(Map.empty[Int, Long])
+        val changed = (cm.keySet ++ cm2.keySet).filter(b => cm.get(b) != cm2.get(b))
+        if ((changed intersect newBucketVersions.keySet).nonEmpty)
+          throw new CommitConflictException(
+            s"bucketed commit at $path: concurrent commit touched overlapping " +
+              s"buckets ${(changed intersect newBucketVersions.keySet).toSeq.sorted.mkString(",")} " +
+              "— merge inputs are stale; re-read and retry")
+        st = st2; cb = cb2; cm = cm2
+      } else {
       // stats sidecar: untouched buckets carry the LIVE version's entries
       // (re-read per attempt — a rebase must keep the winner's stats for
       // the winner's buckets), touched buckets get this commit's
@@ -469,6 +528,7 @@ object BucketedSnapshots {
           .rename(tmp, marker, Options.Rename.OVERWRITE)
         gc(spark, path, retained)
         return next
+      }
       }
     }
     -1L // unreachable
@@ -829,6 +889,12 @@ object BucketedSnapshots {
       keys: Seq[Any], maxKeys: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     require(keys.nonEmpty, "readSnapshotKeys: empty key list")
+    // reject null keys up front (fail-loudly, like the mistyped-key path):
+    // a null would hash to a NULL bucket (NPE on collect) and `isin` never
+    // matches null anyway — a null key can have no stored row
+    require(keys.forall(_ != null),
+      "readSnapshotKeys: null key in the lookup list — bucketed keys are " +
+        "non-null by construction (mergeByKey rejects null keys at commit)")
     require(keys.size <= maxKeys,
       s"readSnapshotKeys: ${keys.size} keys > maxKeys=$maxKeys — use a broadcast " +
         "semi-join against readSnapshot for large key sets")

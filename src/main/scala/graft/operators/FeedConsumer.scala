@@ -108,7 +108,8 @@ object FeedConsumer {
       groupCol: String,
       measures: Seq[String],
       nBuckets: Int = 16,
-      keepVersions: Int = 3): Option[Long] = {
+      keepVersions: Int = 3,
+      maxCatchupVersions: Int = 8): Option[Long] = {
     require(keepVersions >= 2,
       "the pinned downstream base must survive a crashed commit: keepVersions >= 2")
     val curUp = BucketedSnapshots.currentVersion(spark, tablePath) match {
@@ -127,6 +128,38 @@ object FeedConsumer {
           .withColumn("seq", lit(curUp)).withColumn("op", lit("I"))
         val downV = BucketedSnapshots.applyChanges(
           spark, init, roll, groupCol, nBuckets, keepVersions = keepVersions)
+        writeOffset(spark, consumerPath, curUp, downV)
+        Some(downV)
+
+      case Some((fromV, downBaseV)) if curUp - fromV > maxCatchupVersions =>
+        // RE-BOOTSTRAP FALLBACK — bounds the catch-up read after a long
+        // outage. The coalesced feed read over (fromV, curUp] replays
+        // every intermediate version's touched buckets; on a hot table a
+        // long-enough gap degrades that to a near-full-history scan (and
+        // upstream retention may have GC'd fromV entirely). Past
+        // `maxCatchupVersions`, rebuilding from the LIVE snapshot is
+        // strictly cheaper: one snapshot read + one rollup-cardinality
+        // anti-join. Exactly-once is preserved — the new totals are a pure
+        // function of (snapshot at curUp) and the delete list a pure
+        // function of (pinned base, snapshot), so a crashed redo
+        // recomputes byte-identical rows at the same seq.
+        val snap = BucketedSnapshots.readTableAt(spark, tablePath, curUp)
+        val fresh = aggOf(snap, groupCol, measures)
+        val base = BucketedSnapshots.readTableAt(spark, roll, downBaseV)
+        val upserts = fresh
+          .withColumn("seq", lit(curUp)).withColumn("op", lit("U"))
+        // groups that vanished upstream since the pinned base: tombstone
+        val gone = base.join(fresh.select(groupCol), Seq(groupCol), "left_anti")
+          .select(
+            col(groupCol) +: lit(0L).as("n") +:
+              measures.map { m =>
+                val dt = base.schema(s"sum_$m").dataType
+                lit(null).cast(dt).as(s"sum_$m")
+              }: _*)
+          .withColumn("seq", lit(curUp)).withColumn("op", lit("D"))
+        val downV = BucketedSnapshots.applyChanges(
+          spark, upserts.unionByName(gone), roll, groupCol, nBuckets,
+          keepVersions = keepVersions)
         writeOffset(spark, consumerPath, curUp, downV)
         Some(downV)
 
@@ -160,7 +193,11 @@ object FeedConsumer {
               // and a widened type would trip the retype rejection in the
               // downstream merge's schema alignment
               val dt = base.schema(s"sum_$m").dataType
-              (coalesce(col(s"sum_$m"), lit(0).cast(dt)) + col(s"d_$m"))
+              // coalesce BOTH sides: a group whose feed rows all carry NULL
+              // for this measure yields d_m = NULL, and base + NULL would
+              // null out the stored rollup (diverging from a from-scratch agg)
+              (coalesce(col(s"sum_$m"), lit(0).cast(dt)) +
+                coalesce(col(s"d_$m"), lit(0).cast(dt)))
                 .cast(dt).as(s"sum_$m")
             }: _*)
         val ops = next

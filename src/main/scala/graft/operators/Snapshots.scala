@@ -162,6 +162,18 @@ object Snapshots {
       s"cannot tag v=$version at $path: not a readable committed version " +
         s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})")
     writeRef(spark, path, name, version, overwrite)
+    // tag() is check-then-write: between the validation above and the ref
+    // write, a concurrent commit's retention GC may have deleted this
+    // version (it only becomes GC-pinned once the ref file exists).
+    // Re-verify AFTER the write — if the version is gone, remove the
+    // dangling ref and fail loudly rather than leave a tag pointing at
+    // deleted data.
+    if (!versions(spark, path).contains(version)) {
+      dropTag(spark, path, name)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' at $path lost a race with retention GC: v=$version was " +
+          "collected before the ref pinned it — re-tag a retained version")
+    }
   }
 
   private[graft] def writeRef(spark: SparkSession, path: String, name: String,

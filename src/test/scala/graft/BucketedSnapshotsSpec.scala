@@ -250,6 +250,35 @@ class BucketedSnapshotsSpec extends SparkSpec {
       Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
   }
 
+  test("manifest claim is create-exclusive: a racer's committed manifest is never clobbered") {
+    val path = fresh("mfclaim")
+    BucketedSnapshots.upsertByKey(spark, Seq((1L, 1.0)).toDF("k", "v"), path, "k", 2)
+    val f = fs(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the "winner": a racer already renamed its manifest for v=2 into place
+    val winner = new org.apache.hadoop.fs.Path(s"$path/manifest/v=99.txt")
+    val wout = f.create(winner, true); wout.write("#winner".getBytes("UTF-8")); wout.close()
+    // the "loser" computed the same next and tries to claim the same name
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/manifest/v=99.txt.tmp")
+    val lout = f.create(tmp, true); lout.write("#loser".getBytes("UTF-8")); lout.close()
+    assert(!BucketedSnapshots.claimExclusive(conf, f, tmp, winner),
+      "claiming an already-claimed manifest name must fail, not overwrite")
+    val in = f.open(winner)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(txt == "#winner",
+      "the winner's manifest bytes must be untouched by the losing claim")
+    assert(!f.exists(tmp), "the loser's tmp file must be cleaned up")
+    // a FRESH name claims fine (the rebase path: loser recomputes next)
+    val tmp2 = new org.apache.hadoop.fs.Path(s"$path/manifest/v=100.txt.tmp")
+    val o2 = f.create(tmp2, true); o2.write("x".getBytes("UTF-8")); o2.close()
+    assert(BucketedSnapshots.claimExclusive(conf, f, tmp2,
+      new org.apache.hadoop.fs.Path(s"$path/manifest/v=100.txt")))
+    f.delete(winner, false); f.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/v=100.txt"), false)
+    // the table still commits normally after the cleanup
+    BucketedSnapshots.upsertByKey(spark, Seq((2L, 2.0)).toDF("k", "v"), path, "k", 2)
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
   test("reserved bucket column: a payload column named 'b' is rejected up front, not silently replaced") {
     val pathV = fresh("reservedb_v")
     val bad = Seq((1L, 1.0)).toDF("k", "b")

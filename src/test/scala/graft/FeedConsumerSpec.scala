@@ -130,4 +130,42 @@ class FeedConsumerSpec extends SparkSpec {
       "a data-less commit must not create a new downstream version")
     assert(rollup(cons) == scratch(up))
   }
+
+  test("long outage past maxCatchupVersions re-bootstraps: bounded read, identical rollup") {
+    val up = fresh("gap_up"); val cons = fresh("gap_cons")
+    BucketedSnapshots.applyChanges(spark,
+      ch((1L, 1L, "I", "a", 10L), (2L, 1L, "I", "b", 20L), (3L, 1L, "I", "c", 30L)),
+      up, "k", nBuckets = 4, keepVersions = 2)
+    FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"), nBuckets = 4)
+    // FIVE upstream commits while the consumer is down — updates, a group
+    // move, a delete that empties group c, and inserts. keepVersions=2 on
+    // the upstream GCs the intermediate versions AND the consumer's
+    // offset version: the coalesced feed read over (1, 6] is not just
+    // expensive, it is IMPOSSIBLE — only the fallback can catch up.
+    BucketedSnapshots.applyChanges(spark, ch((1L, 2L, "U", "a", 11L)),
+      up, "k", nBuckets = 4, keepVersions = 2)
+    BucketedSnapshots.applyChanges(spark, ch((4L, 3L, "I", "a", 40L)),
+      up, "k", nBuckets = 4, keepVersions = 2)
+    BucketedSnapshots.applyChanges(spark, ch((2L, 4L, "U", "a", 20L)), // b -> a
+      up, "k", nBuckets = 4, keepVersions = 2)
+    BucketedSnapshots.applyChanges(spark, ch((3L, 5L, "D", "c", 30L)), // empties c
+      up, "k", nBuckets = 4, keepVersions = 2)
+    BucketedSnapshots.applyChanges(spark, ch((5L, 6L, "I", "b", 50L)),
+      up, "k", nBuckets = 4, keepVersions = 2)
+    assert(!BucketedSnapshots.versions(spark, up).contains(1L),
+      "precondition: the consumer's offset version must be GC'd upstream")
+    val d = FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"),
+      nBuckets = 4, maxCatchupVersions = 2)
+    assert(d.isDefined)
+    assert(FeedConsumer.offset(spark, cons).exists(_._1 == 6L))
+    assert(rollup(cons) == scratch(up))
+    assert(!rollup(cons).exists(_._1 == "c"),
+      "a group emptied during the outage must be tombstoned by the re-bootstrap")
+    // idempotent redo of the fallback itself (crash before offset write)
+    val out = fs(cons).create(new org.apache.hadoop.fs.Path(s"$cons/_OFFSET"), true)
+    out.write("1,1".getBytes("UTF-8")); out.close()
+    FeedConsumer.drainRollup(spark, up, cons, "k", "g", Seq("v"),
+      nBuckets = 4, maxCatchupVersions = 2)
+    assert(rollup(cons) == scratch(up), "the fallback redo must converge, not double-apply")
+  }
 }
