@@ -233,6 +233,13 @@ object ScaleBench {
         val media = graft.operators.Multimodal.pixelGifCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.gifPairs(media, maxHamming = 2).count()
       },
+      // r14 WebP addendum: the full VP8L decode (prefix codes, transforms,
+      // cache, LZ77) through the same banded machinery — per-row constant
+      // is the decode, band join collision-bounded
+      "webp_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pixelWebpCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.webpPairs(media, maxHamming = 2).count()
+      },
       // r13 audio addendum: the envelope fingerprint through the same
       // banded machinery — per-row constant is the PCM decode + window
       // sums (linear in payload bytes), band join collision-bounded

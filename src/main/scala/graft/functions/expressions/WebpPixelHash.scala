@@ -1,0 +1,646 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** PIXEL-LEVEL perceptual hash for WebP-lossless (VP8L) payloads — the
+  * fourth leg of the image content-identity family ([[PngPixelHash]],
+  * [[JpegPixelHash]], [[GifPixelHash]]): walk the RIFF/WEBP container
+  * (simple or VP8X-extended) to the `VP8L` chunk, decode the full VP8L
+  * bitstream — LSB-first bit reading, canonical prefix codes (simple and
+  * normal forms, code-length-code machinery with 16/17/18 repeats),
+  * meta-prefix (entropy) images, the LZ77 backward references with the
+  * 120-entry two-dimensional distance map, the color cache, and all four
+  * transforms (predictor incl. all 14 modes, cross-color, subtract-green,
+  * color-indexing incl. sub-8-bit pixel bundling) — to ARGB, reduce to
+  * integer luma, and emit the shared 9×8 box-downsampled 64-bit dHash
+  * ([[PngPixelHash.dhash]]).
+  *
+  * WHY WebP: it is the remaining top-4 crawl image format without
+  * content identity, and the format CDNs RE-ENCODE JPEG/PNG into — the
+  * cross-format duplicate class is precisely what pixel hashing exists
+  * for. A VP8L re-encode (different predictor set, palettization, color
+  * cache, LZ77 choices) shares almost no bytes with the original, so the
+  * byte-level [[BlockHash64]] provably misses it; the decoded-pixel
+  * dHash lands it at Hamming 0. Lossy `VP8 ` and animated (`ANMF`)
+  * payloads are DOCUMENTED-UNSUPPORTED (like progressive JPEG): they
+  * return NULL and keep the byte-level family.
+  *
+  * Returns NULL for anything not cleanly decodable: wrong container,
+  * lossy-only payload, bad signature/version, dimensions outside
+  * `[9..MaxDim] × [8..MaxDim]` or above [[WebpPixelHash.MaxPixels]],
+  * truncated or over/under-subscribed prefix codes, out-of-range
+  * backrefs/cache/palette indices — never throws (ParserFuzzSpec).
+  *
+  * Scale: one codegen'd projection, payload never shuffles — only the
+  * 8-byte hash flows into the banded pair machinery.
+  */
+case class WebpPixelHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_webp_pixel_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckSuccess
+    case dt => TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebpPixelHash.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val impl = ctx.addReferenceObj("webpPixelHashImpl", WebpPixelHash,
+        WebpPixelHash.getClass.getName)
+      val tmp = ctx.freshName("wph")
+      s"""
+        |java.lang.Long $tmp = $impl.hash($v);
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $tmp.longValue(); }
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WebpPixelHash =
+    copy(child = newChild)
+}
+
+object WebpPixelHash {
+
+  val MaxDim = 8192
+  val MaxPixels: Int = 1 << 22
+
+  /** Shared malformation signal — decode is exception-driven internally
+    * (cleaner than threading nulls through a recursive bitstream walk),
+    * caught once at the [[hash]]/[[decodeArgb]] boundary. Stackless: the
+    * throw is the COMMON case on fuzzed input.
+    */
+  private object Bad extends RuntimeException with scala.util.control.NoStackTrace
+  private def bad(): Nothing = throw Bad
+
+  // --------------------------------------------------------------
+  // bit reader: LSB-first within bytes (DEFLATE-style), like the spec
+  // --------------------------------------------------------------
+  private final class Br(val b: Array[Byte], var pos: Int, val end: Int) {
+    private var bitBuf: Long = 0L
+    private var bitCnt: Int = 0
+    def readBits(n: Int): Int = {
+      while (bitCnt < n) {
+        if (pos >= end) bad()
+        bitBuf |= (b(pos) & 0xffL) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      val v = (bitBuf & ((1L << n) - 1)).toInt
+      bitBuf >>>= n; bitCnt -= n
+      v
+    }
+    def readBit(): Int = readBits(1)
+  }
+
+  // --------------------------------------------------------------
+  // canonical prefix codes — decoded bit-by-bit, code bits MSB-first
+  // (the usual canonical construction with reversed transmission)
+  // --------------------------------------------------------------
+  /** `lens(sym)` = code length (0 = unused). A single used symbol makes a
+    * 0-bit code (reads consume nothing); otherwise the Kraft sum must be
+    * exactly complete.
+    */
+  private final class Huff(lens: Array[Int]) {
+    private val maxLen = { var m = 0; var i = 0; while (i < lens.length) { if (lens(i) > 15) bad(); if (lens(i) > m) m = lens(i); i += 1 }; m }
+    val single: Int = {
+      var cnt = 0; var s = -1; var i = 0
+      while (i < lens.length) { if (lens(i) > 0) { cnt += 1; s = i }; i += 1 }
+      if (cnt == 0) bad()
+      if (cnt == 1) s else -1
+    }
+    private val count = new Array[Int](maxLen + 1)
+    private val first = new Array[Int](maxLen + 2)
+    private val syms: Array[Int] = {
+      if (single >= 0) new Array[Int](0)
+      else {
+        var i = 0
+        while (i < lens.length) { if (lens(i) > 0) count(lens(i)) += 1; i += 1 }
+        // completeness: sum of count[l] * 2^(max-l) == 2^max
+        var kraft = 0L; var l = 1
+        while (l <= maxLen) { kraft += count(l).toLong << (maxLen - l); l += 1 }
+        if (kraft != (1L << maxLen)) bad()
+        var code = 0
+        l = 1
+        val off = new Array[Int](maxLen + 1)
+        var total = 0
+        while (l <= maxLen) {
+          first(l) = code
+          off(l) = total
+          total += count(l)
+          code = (code + count(l)) << 1
+          l += 1
+        }
+        val out = new Array[Int](total)
+        val fill = off.clone()
+        i = 0
+        while (i < lens.length) {
+          if (lens(i) > 0) { out(fill(lens(i))) = i; fill(lens(i)) += 1 }
+          i += 1
+        }
+        out
+      }
+    }
+    private val offsets: Array[Int] = {
+      val off = new Array[Int](maxLen + 1)
+      var total = 0; var l = 1
+      while (l <= maxLen) { off(l) = total; total += count(l); l += 1 }
+      off
+    }
+    def read(br: Br): Int = {
+      if (single >= 0) return single
+      var code = 0; var len = 0
+      while (true) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        if (len > maxLen) bad()
+        if (count(len) > 0 && code - first(len) < count(len))
+          return syms(offsets(len) + code - first(len))
+      }
+      -1 // unreachable
+    }
+  }
+
+  /** Code-length-code transmission order (spec §"normal code length
+    * code").
+    */
+  private val ClcOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code (simple or normal form) over `alphabet`. */
+  private def readCode(br: Br, alphabet: Int): Huff = {
+    val lens = new Array[Int](alphabet)
+    if (br.readBit() == 1) {
+      // simple: 1 or 2 symbols
+      val numSyms = br.readBit() + 1
+      val first8 = br.readBit()
+      val s0 = br.readBits(if (first8 == 1) 8 else 1)
+      if (s0 >= alphabet) bad()
+      lens(s0) = 1
+      if (numSyms == 2) {
+        val s1 = br.readBits(8)
+        if (s1 >= alphabet || s1 == s0) bad()
+        lens(s1) = 1
+      }
+      new Huff(lens)
+    } else {
+      val numClc = br.readBits(4) + 4
+      if (numClc > ClcOrder.length) bad()
+      val clcLens = new Array[Int](19)
+      var i = 0
+      while (i < numClc) { clcLens(ClcOrder(i)) = br.readBits(3); i += 1 }
+      val clc = new Huff(clcLens)
+      // optional explicit symbol count cap
+      var maxSymbol =
+        if (br.readBit() == 1) {
+          val nbits = 2 + 2 * br.readBits(3)
+          val m = 2 + br.readBits(nbits)
+          if (m > alphabet) bad()
+          m
+        } else alphabet
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val c = clc.read(br)
+        if (c < 16) {
+          lens(sym) = c; sym += 1
+          if (c != 0) prevLen = c
+        } else {
+          val (extra, base, usePrev) = c match {
+            case 16 => (2, 3, true)
+            case 17 => (3, 3, false)
+            case 18 => (7, 11, false)
+            case _ => bad()
+          }
+          var rep = br.readBits(extra) + base
+          if (sym + rep > alphabet) bad()
+          val v = if (usePrev) prevLen else 0
+          while (rep > 0) { lens(sym) = v; sym += 1; rep -= 1 }
+        }
+      }
+      new Huff(lens)
+    }
+  }
+
+  /** Length/distance prefix-coded values (spec §"LZ77 backward
+    * reference"): 24/40-symbol prefix alphabets with extra bits.
+    */
+  private def prefixValue(br: Br, code: Int): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.readBits(extra) + 1
+    }
+
+  /** The 120-entry two-dimensional distance map (spec §"distance
+    * mapping"): plane code -> packed (dy << 4) | (dx + 8) neighbor,
+    * actual distance = dy * xsize + (8 - (code & 0xf)) floored at 1.
+    */
+  private val CodeToPlane: Array[Int] = Array(
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1a,
+    0x26, 0x2a, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1b, 0x36, 0x3a,
+    0x25, 0x2b, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1c, 0x35, 0x3b,
+    0x46, 0x4a, 0x24, 0x2c, 0x58, 0x45, 0x4b, 0x34, 0x3c, 0x03,
+    0x57, 0x59, 0x13, 0x1d, 0x56, 0x5a, 0x23, 0x2d, 0x44, 0x4c,
+    0x55, 0x5b, 0x33, 0x3d, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1e,
+    0x66, 0x6a, 0x22, 0x2e, 0x54, 0x5c, 0x43, 0x4d, 0x65, 0x6b,
+    0x32, 0x3e, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5d, 0x11, 0x1f,
+    0x64, 0x6c, 0x42, 0x4e, 0x76, 0x7a, 0x21, 0x2f, 0x75, 0x7b,
+    0x31, 0x3f, 0x63, 0x6d, 0x52, 0x5e, 0x00, 0x74, 0x7c, 0x41,
+    0x4f, 0x10, 0x20, 0x62, 0x6e, 0x30, 0x73, 0x7d, 0x51, 0x5f,
+    0x40, 0x72, 0x7e, 0x61, 0x6f, 0x50, 0x71, 0x7f, 0x60, 0x70)
+
+  private[expressions] def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val c = CodeToPlane(planeCode - 1)
+      val dy = c >> 4
+      val dx = 8 - (c & 0xf)
+      val d = dy * xsize + dx
+      if (d >= 1) d else 1
+    }
+
+  /** Find the plane code encoding an exact distance, or -1 (encoder side
+    * of the same table — keeps the two directions consistent by
+    * construction).
+    */
+  private[expressions] def distanceToPlaneCode(xsize: Int, dist: Int): Int = {
+    var i = 0
+    while (i < 120) {
+      val c = CodeToPlane(i)
+      val d = (c >> 4) * xsize + (8 - (c & 0xf))
+      if ((if (d >= 1) d else 1) == dist) return i + 1
+      i += 1
+    }
+    -1
+  }
+
+  private def divRoundUp(a: Int, shiftBits: Int): Int = (a + (1 << shiftBits) - 1) >> shiftBits
+
+  // transform records, in READ order; inverses run in reverse
+  private final case class Xform(typ: Int, bits: Int, data: Array[Int], w: Int, paletteCount: Int)
+
+  /** Decode one entropy-coded image (spec `decode_image_stream`):
+    * `level0` reads transforms and may read a meta-prefix image.
+    */
+  private def decodeImageStream(br: Br, w0: Int, h0: Int, level0: Boolean): Array[Int] = {
+    var w = w0
+    val h = h0
+    val xforms = new scala.collection.mutable.ArrayBuffer[Xform](4)
+    if (level0) {
+      val seen = new Array[Boolean](4)
+      while (br.readBit() == 1) {
+        val t = br.readBits(2)
+        if (seen(t)) bad()
+        seen(t) = true
+        t match {
+          case 0 | 1 => // PREDICTOR | COLOR: sub-resolution transform image
+            val bits = br.readBits(3) + 2
+            val sw = divRoundUp(w, bits); val sh = divRoundUp(h, bits)
+            val img = decodeImageStream(br, sw, sh, level0 = false)
+            xforms += Xform(t, bits, img, w, 0)
+          case 2 => // SUBTRACT_GREEN
+            xforms += Xform(2, 0, null, w, 0)
+          case 3 => // COLOR_INDEXING
+            val count = br.readBits(8) + 1
+            val pal = decodeImageStream(br, count, 1, level0 = false)
+            var i = 1
+            while (i < count) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+            val widthBits =
+              if (count <= 2) 3 else if (count <= 4) 2 else if (count <= 16) 1 else 0
+            xforms += Xform(3, widthBits, pal, w, count)
+            w = divRoundUp(w, widthBits) // packed width for everything after
+          case _ => bad()
+        }
+      }
+    }
+    // color cache
+    val cacheBits = if (br.readBit() == 1) {
+      val cb = br.readBits(4)
+      if (cb < 1 || cb > 11) bad()
+      cb
+    } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    // meta-prefix image (level 0 only)
+    var metaImg: Array[Int] = null
+    var metaBits = 0
+    var numGroups = 1
+    if (level0 && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      val mw = divRoundUp(w, metaBits); val mh = divRoundUp(h, metaBits)
+      metaImg = decodeImageStream(br, mw, mh, level0 = false)
+      var mx = 0
+      var i = 0
+      while (i < metaImg.length) {
+        val idx = (metaImg(i) >>> 8) & 0xffff
+        if (idx > mx) mx = idx
+        i += 1
+      }
+      numGroups = mx + 1
+      if (numGroups > 4096) bad() // a real stream cannot carry that many code sets
+    }
+    val greenAlpha = 256 + 24 + cacheSize
+    val codes = new Array[Array[Huff]](numGroups)
+    var g = 0
+    while (g < numGroups) {
+      codes(g) = Array(
+        readCode(br, greenAlpha), readCode(br, 256), readCode(br, 256),
+        readCode(br, 256), readCode(br, 40))
+      g += 1
+    }
+    // LZ77 + cache + literal pixel stream
+    val total = w * h
+    if (total <= 0 || total > MaxPixels) bad()
+    val out = new Array[Int](total)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def cacheInsert(argb: Int): Unit =
+      if (cache != null) cache(((0x1e35a7bd * argb) >>> (32 - cacheBits))) = argb
+    val mw = if (metaImg != null) divRoundUp(w, metaBits) else 0
+    var pos = 0
+    while (pos < total) {
+      val grp =
+        if (metaImg == null) codes(0)
+        else {
+          val x = pos % w; val y = pos / w
+          val m = metaImg((y >> metaBits) * mw + (x >> metaBits))
+          val idx = (m >>> 8) & 0xffff
+          codes(idx)
+        }
+      val s = grp(0).read(br)
+      if (s < 256) {
+        val red = grp(1).read(br)
+        val blue = grp(2).read(br)
+        val alpha = grp(3).read(br)
+        val argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+        out(pos) = argb; cacheInsert(argb); pos += 1
+      } else if (s < 280) {
+        val len = prefixValue(br, s - 256)
+        val distCode = prefixValue(br, grp(4).read(br))
+        val dist = planeCodeToDistance(w, distCode)
+        if (dist > pos || pos + len > total) bad()
+        var i = 0
+        while (i < len) {
+          val v = out(pos - dist)
+          out(pos) = v; cacheInsert(v); pos += 1; i += 1
+        }
+      } else {
+        if (cache == null) bad()
+        val idx = s - 280
+        if (idx >= cacheSize) bad()
+        out(pos) = cache(idx); pos += 1
+      }
+    }
+    // inverse transforms, reverse read order
+    var cur = out
+    var curW = w
+    var xi = xforms.length - 1
+    while (xi >= 0) {
+      val x = xforms(xi)
+      x.typ match {
+        case 3 => cur = inverseColorIndexing(cur, curW, h, x); curW = x.w
+        case 2 => inverseSubtractGreen(cur)
+        case 1 => inverseColorTransform(cur, curW, h, x)
+        case 0 => inversePredictor(cur, curW, h, x)
+      }
+      xi -= 1
+    }
+    cur
+  }
+
+  private def addPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >>> 16) & 0xff) + ((b >>> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >>> 8) & 0xff) + ((b >>> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  private def inverseSubtractGreen(px: Array[Int]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val gch = (p >>> 8) & 0xff
+      val r = (((p >>> 16) & 0xff) + gch) & 0xff
+      val b = ((p & 0xff) + gch) & 0xff
+      px(i) = (p & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  private def inverseColorIndexing(px: Array[Int], packedW: Int, h: Int, x: Xform): Array[Int] = {
+    val pal = x.data
+    val outW = x.w
+    val out = new Array[Int](outW * h)
+    if (x.bits == 0) {
+      var i = 0
+      while (i < px.length) {
+        val idx = (px(i) >>> 8) & 0xff
+        if (idx >= x.paletteCount) bad()
+        out(i) = pal(idx)
+        i += 1
+      }
+    } else {
+      val perByte = 1 << x.bits        // sub-pixels per packed green byte
+      val bpp = 8 >> x.bits            // bits per sub-pixel
+      val mask = (1 << bpp) - 1
+      var y = 0
+      while (y < h) {
+        var ox = 0
+        while (ox < outW) {
+          val packed = (px(y * packedW + (ox >> x.bits)) >>> 8) & 0xff
+          val sub = ox & (perByte - 1)
+          val idx = (packed >>> (bpp * sub)) & mask
+          if (idx >= x.paletteCount) bad()
+          out(y * outW + ox) = pal(idx)
+          ox += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** `(t * c) >> 5` with both operands as SIGNED bytes (spec
+    * `ColorTransformDelta`).
+    */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte.toInt * c.toByte.toInt) >> 5
+
+  private def inverseColorTransform(px: Array[Int], w: Int, h: Int, x: Xform): Unit = {
+    val sw = divRoundUp(w, x.bits)
+    var y = 0
+    while (y < h) {
+      var xx = 0
+      while (xx < w) {
+        val cte = x.data((y >> x.bits) * sw + (xx >> x.bits))
+        val g2r = cte & 0xff
+        val g2b = (cte >>> 8) & 0xff
+        val r2b = (cte >>> 16) & 0xff
+        val p = px(y * w + xx)
+        val green = (p >>> 8) & 0xff
+        var red = (p >>> 16) & 0xff
+        var blue = p & 0xff
+        red = (red + ctDelta(g2r, green)) & 0xff
+        blue = (blue + ctDelta(g2b, green)) & 0xff
+        blue = (blue + ctDelta(r2b, red)) & 0xff
+        px(y * w + xx) = (p & 0xff00ff00.toInt) | (red << 16) | blue
+        xx += 1
+      }
+      y += 1
+    }
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) >> 1) << 24
+    val rr = ((((a >>> 16) & 0xff) + ((b >>> 16) & 0xff)) >> 1) << 16
+    val gg = ((((a >>> 8) & 0xff) + ((b >>> 8) & 0xff)) >> 1) << 8
+    val bb = (((a & 0xff) + (b & 0xff)) >> 1)
+    aa | rr | gg | bb
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubtractFull(a: Int, b: Int, c: Int): Int = {
+    def ch(sh: Int): Int =
+      clip255(((a >>> sh) & 0xff) + ((b >>> sh) & 0xff) - ((c >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampAddSubtractHalf(ave: Int, c: Int): Int = {
+    def ch(sh: Int): Int = {
+      val a = (ave >>> sh) & 0xff; val cc = (c >>> sh) & 0xff
+      clip255(a + (a - cc) / 2)
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def select(t: Int, l: Int, tl: Int): Int = {
+    def sub3(a: Int, b: Int, c: Int): Int = {
+      val pb = b - c; val pa = a - c
+      math.abs(pb) - math.abs(pa)
+    }
+    val d =
+      sub3(t >>> 24, l >>> 24, tl >>> 24) +
+        sub3((t >>> 16) & 0xff, (l >>> 16) & 0xff, (tl >>> 16) & 0xff) +
+        sub3((t >>> 8) & 0xff, (l >>> 8) & 0xff, (tl >>> 8) & 0xff) +
+        sub3(t & 0xff, l & 0xff, tl & 0xff)
+    if (d <= 0) t else l
+  }
+
+  private def inversePredictor(px: Array[Int], w: Int, h: Int, x: Xform): Unit = {
+    val sw = divRoundUp(w, x.bits)
+    var y = 0
+    while (y < h) {
+      var xx = 0
+      while (xx < w) {
+        val i = y * w + xx
+        val pred =
+          if (xx == 0 && y == 0) 0xff000000
+          else if (y == 0) px(i - 1) // top row: L
+          else if (xx == 0) px(i - w) // left column: T
+          else {
+            val mode = (x.data((y >> x.bits) * sw + (xx >> x.bits)) >>> 8) & 0xff
+            val l = px(i - 1); val t = px(i - w)
+            val tl = px(i - w - 1)
+            // TR at the rightmost column is, per spec, the leftmost pixel
+            // of the CURRENT row — which the row-major layout gives for
+            // free: i - w + 1 lands on px(y*w), already reconstructed
+            val tr = px(i - w + 1)
+            mode match {
+              case 0 => 0xff000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => avg2(avg2(l, tr), t)
+              case 6 => avg2(l, tl)
+              case 7 => avg2(l, t)
+              case 8 => avg2(tl, t)
+              case 9 => avg2(t, tr)
+              case 10 => avg2(avg2(l, tl), avg2(t, tr))
+              case 11 => select(t, l, tl)
+              case 12 => clampAddSubtractFull(l, t, tl)
+              case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+              case _ => bad()
+            }
+          }
+        px(i) = addPixels(px(i), pred)
+        xx += 1
+      }
+      y += 1
+    }
+  }
+
+  // --------------------------------------------------------------
+  // container + entry points
+  // --------------------------------------------------------------
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  def hash(b: Array[Byte]): java.lang.Long = {
+    val g = decodeArgb(b)
+    if (g == null) null
+    else {
+      val (argb, w, h) = g
+      val px = new Array[Int](argb.length)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        px(i) = (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        i += 1
+      }
+      java.lang.Long.valueOf(PngPixelHash.dhash(px, w, h))
+    }
+  }
+
+  /** Full ARGB decode `(pixels row-major, w, h)`, or null on anything
+    * unclean. Never throws.
+    */
+  private[expressions] def decodeArgb(b: Array[Byte]): (Array[Int], Int, Int) =
+    try {
+      if (b == null || b.length < 20) return null
+      if (!tag(b, 0, "RIFF") || !tag(b, 8, "WEBP")) return null
+      // chunk walk to VP8L (skips VP8X/ICCP/EXIF/XMP/ALPH; a lossy `VP8 `
+      // or animated `ANMF`-only payload has no VP8L and returns null)
+      var pos = 12
+      while (pos + 8 <= b.length) {
+        val sz = le32(b, pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8L) return null
+        val l = sz.toInt
+        if (pos + 8 + l > b.length) return null
+        if (tag(b, pos, "VP8L"))
+          return decodeVp8l(b, pos + 8, pos + 8 + l)
+        pos += 8 + l + (l & 1) // chunks pad to even
+      }
+      null // no VP8L chunk (lossy/animated/truncated container)
+    } catch { case Bad => null; case scala.util.control.NonFatal(_) => null }
+
+  private def decodeVp8l(b: Array[Byte], start: Int, end: Int): (Array[Int], Int, Int) = {
+    if (end - start < 5) bad()
+    if ((b(start) & 0xff) != 0x2f) bad()
+    val br = new Br(b, start + 1, end)
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    val alphaHint = br.readBit()
+    val version = br.readBits(3)
+    if (version != 0) bad()
+    val _ = alphaHint
+    if (w < 9 || w > MaxDim || h < 8 || h > MaxDim) bad()
+    if (w.toLong * h > MaxPixels) bad()
+    val px = decodeImageStream(br, w, h, level0 = true)
+    if (px.length != w * h) bad()
+    (px, w, h)
+  }
+}

@@ -570,6 +570,92 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** Deterministic FULLY-DECODABLE synthetic VP8L WebPs with planted
+    * RE-ENCODE twins — the WebP leg of the pixel family
+    * ([[graft.functions.expressions.SyntheticWebp]]): real RIFF/VP8L
+    * bitstreams WebpSpec round-trips pixel-exactly.
+    *
+    * Planted twins at `id + 100000`:
+    *  - `id < 7`        — SUBTRACT-GREEN re-encode (transform on,
+    *                      different prefix codes: the cwebp -z pass);
+    *  - `7 <= id < 13`  — PREDICTOR re-encode (8×8 spatial prediction,
+    *                      residual coding: the "different predictor set"
+    *                      pass);
+    *  - `13 <= id < 19` — PALETTE re-encode (64-entry color-indexing:
+    *                      the palettization pass);
+    *  - `19 <= id < 25` — COLOR-CACHE + LZ77 re-encode inside a VP8X
+    *                      extended container with an XMP chunk.
+    * All four decode to the identical raster ⇒ dHash Hamming EXACTLY 0.
+    *
+    * Corrupt rows (`id >= 25` only): `%13` torn mid-bitstream, `%17`
+    * non-RIFF garbage, `%19` a LOSSY `VP8 `-only container (valid WebP
+    * the lossless decoder must cleanly decline) — those keep the
+    * byte-level family.
+    */
+  def pixelWebpCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticWebp
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticWebp(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticWebp(id, "garbage"))
+        .when(id >= 25 && pmod(id, lit(19)) === 0, syntheticWebp(id, "lossy"))
+        .otherwise(syntheticWebp(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 7, syntheticWebp(id, "subg"))
+        .when(id < 13, syntheticWebp(id, "pred"))
+        .when(id < 19, syntheticWebp(id, "pal"))
+        .otherwise(syntheticWebp(id, "cache")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** WebP pixel-level fingerprint projection: `(media_id, pxhash)` via
+    * the codegen'd [[graft.functions.expressions.WebpPixelHash]] — NULL
+    * for anything not cleanly decodable. Zero-shuffle.
+    */
+  def webpHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      org.apache.spark.sql.graftnative.NativeColumns
+        .webpPixelHash(col(payloadCol)).as("pxhash"))
+
+  /** WebP pixel-level near-dup pairs — [[webpHash]] through the same
+    * pigeonhole banding + exact Hamming verify as [[pixelPairs]].
+    */
+  def webpPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      webpHash(media, idCol, payloadCol)
+        .filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "pxhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** WebP pixel pairs → connected components → keep/drop for EVERY input
+    * row (undecodable rows are singletons).
+    */
+  def webpClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = webpPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Deterministic FULLY-DECODABLE synthetic MJPEG-in-AVI clips with
     * planted RE-CONTAINER twins — the VIDEO leg of the content family
     * ([[graft.functions.expressions.SyntheticAvi]]): real RIFF/AVI

@@ -3783,6 +3783,51 @@ object TrainingQueries {
       Multimodal.pixelGifCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** WebP (VP8L) pixel-level near-dup ([[Multimodal.webpPairs]] over the
+    * fully-decodable [[Multimodal.pixelWebpCorpus]]): every payload is a
+    * real RIFF/VP8L bitstream decoded by
+    * [[graft.functions.expressions.WebpPixelHash]] — canonical prefix
+    * codes (simple + normal form), LZ77 with the 2-D distance map, color
+    * cache, meta-prefix images, all four transforms — to ARGB, then the
+    * same 9×8 dHash and banded pair machinery as the PNG/JPEG/GIF legs.
+    * The planted twins are the four VP8L re-encode classes a byte-level
+    * fingerprint provably misses: SUBTRACT-GREEN, PREDICTOR (the
+    * "different predictor set" pass), PALETTE (color indexing), and
+    * COLOR-CACHE+LZ77 inside a VP8X extended container. All four decode
+    * to the identical raster — the oracle asserts Hamming EXACTLY 0.
+    * Torn, garbage, and lossy-`VP8 ` rows hash NULL and drop out (lossy
+    * stays documented-unsupported → byte family, the progressive-JPEG
+    * precedent). Oracle: planted-pair derivation from ids (the decode is
+    * round-tripped pixel-exactly and fuzzed in WebpSpec).
+    */
+  private val dedupWebpPixelNearDup = Q(
+    "dedup_webp_pixel_neardup",
+    (s, d) => Multimodal.webpPairs(
+      Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.webpPairs(
+      Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** WebP pixel pairs → connected components → keep/drop for EVERY
+    * corpus row: all four re-encode classes collapse onto their base id,
+    * undecodable rows stay singletons.
+    */
+  private val dedupWebpPixelClusters = Q(
+    "dedup_webp_pixel_clusters",
+    (s, d) => Multimodal.webpClusters(
+      Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.webpClusters(
+      Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** WARC shard ingest ([[org.apache.spark.sql.graftnative.NativeColumns
     * .warcRecords]] + `posexplode`): each payload is a concatenation of
     * three WARC/1.0 response records (Column-synthesized text — headers,
@@ -4791,6 +4836,45 @@ object TrainingQueries {
     * 8-byte signatures persist or shuffle; the PCM decode stays in the
     * scan.
     */
+  /** Streaming WebP near-dup ingest ([[graft.streaming.Streams
+    * .webpDedupAvailableNow]]): all four VP8L re-encode twin classes —
+    * subtract-green, predictor, palette, cache+LZ77-in-VP8X — arrive as
+    * two micro-batches against signature state seeded from the base
+    * corpus; every twin must pair at Hamming 0 the moment it arrives.
+    * Only 8-byte signatures persist or shuffle; the VP8L decode stays in
+    * the scan.
+    */
+  private val streamingWebpDedup = Q(
+    "streaming_webp_dedup",
+    (s, d) => {
+      Tables.configure(s)
+      val base = "/root/repo/target/tmp/stream_wbp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val corpus = Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id")
+      val seed = corpus.filter(col("media_id") < 100000L)
+      val ingest = corpus.filter(col("media_id") >= 100000L)
+      Multimodal.webpHash(seed).filter(col("pxhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id")
+        .write.parquet(s"$base/state/sigs/seed")
+      ingest.filter(col("media_id") < 100013L).coalesce(1).write.parquet(s"$base/in")
+      ingest.filter(col("media_id") >= 100013L).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      graft.streaming.Streams.webpDedupAvailableNow(stream,
+        s"$base/state", s"$base/out", s"$base/ckpt", "media_id", "payload",
+        maxHamming = 2)
+        .awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(least(col("media_id_new"), col("media_id_old")).as("media_id_1"),
+          greatest(col("media_id_new"), col("media_id_old")).as("media_id_2"),
+          col("hamming"))
+    },
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""))
+
   private val streamingAudioDedup = Q(
     "streaming_audio_dedup",
     (s, d) => {
@@ -5345,12 +5429,13 @@ object TrainingQueries {
     dedupImagePixelNearDup, dedupImagePixelClusters,
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
+    dedupWebpPixelNearDup, dedupWebpPixelClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
     pipelineCrawlExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
     streamingCdc, streamingHll, streamingKmv, streamingCms, streamingAggState, streamingDrift, streamingAsOfEnrich, streamingLshDedup,
-    streamingPixelDedup, streamingJpegDedup, streamingAudioDedup,
+    streamingPixelDedup, streamingJpegDedup, streamingWebpDedup, streamingAudioDedup,
     pipelineStreamingServe)
 }

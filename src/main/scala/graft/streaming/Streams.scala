@@ -637,6 +637,27 @@ object Streams {
       idCol, payloadCol, maxHamming,
       (df, id, payload) => graft.operators.Multimodal.jpegHash(df, id, payload))
 
+  /** The WebP sibling of [[pixelDedupAvailableNow]]: micro-batches decode
+    * through the full VP8L path
+    * ([[graft.operators.Multimodal.webpHash]] — canonical prefix codes,
+    * transforms, color cache, LZ77 with the 2-D distance map), so a
+    * CDN-re-encoded duplicate (different predictor set / palettization /
+    * cache choices) of any earlier image lands the moment it arrives.
+    * Identical per-batch-dir replay discipline; only 8-byte signatures
+    * persist or shuffle.
+    */
+  def webpDedupAvailableNow(
+      stream: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 2): StreamingQuery =
+    mediaHashDedupAvailableNow(stream, statePath, outPath, checkpoint,
+      idCol, payloadCol, maxHamming,
+      (df, id, payload) => graft.operators.Multimodal.webpHash(df, id, payload))
+
   /** The AUDIO sibling of [[pixelDedupAvailableNow]]: micro-batches decode
     * through the PCM envelope path
     * ([[graft.operators.Multimodal.audioHash]] — RIFF walk + PCM decode +

@@ -219,6 +219,28 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.SyntheticGif(
       ExpressionUtils.expression(id), mode)))
 
+  /** PIXEL-LEVEL 64-bit dHash for WebP-lossless (VP8L) payloads: RIFF
+    * walk (simple or VP8X-extended) + full VP8L decode (canonical prefix
+    * codes, meta-prefix images, LZ77 with the 2-D distance map, color
+    * cache, all four transforms incl. bundled palettes) + luma + the same
+    * 9×8 gradient bits as the PNG/JPEG/GIF decoders; NULL for anything
+    * not cleanly decodable — lossy `VP8 ` payloads stay on the byte-level
+    * [[blockHash64]] family (see
+    * [[graft.functions.expressions.WebpPixelHash]]). Lands the
+    * CDN-re-encode duplicates (different predictor set / palettization /
+    * cache / LZ77 choices) byte fingerprints provably miss.
+    */
+  def webpPixelHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.WebpPixelHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic VP8L WebP generator over a long id column
+    * (fixture corpora only — see [[graft.functions.expressions.SyntheticWebp]]).
+    */
+  def syntheticWebp(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticWebp(
+      ExpressionUtils.expression(id), mode)))
+
   /** CONTENT-LEVEL 64-bit envelope fingerprint for PCM WAV payloads:
     * real RIFF chunk walk + 8/16-bit mono/stereo PCM decode + silence
     * trim + 65-window |sample| envelope + gradient bits; NULL for

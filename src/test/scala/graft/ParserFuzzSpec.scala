@@ -241,6 +241,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       // and to the GIF LZW path and the WAV PCM-envelope path (r13)
       graft.functions.expressions.GifPixelHash.hash(payload)
       graft.functions.expressions.WavContentHash.hash(payload)
+      // and to the VP8L prefix-code/transform path (r14)
+      graft.functions.expressions.WebpPixelHash.hash(payload)
       i += 1
     }
   }
