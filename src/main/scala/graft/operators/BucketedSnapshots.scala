@@ -51,14 +51,56 @@ object BucketedSnapshots {
 
   /** (bucket -> bucket version) of a committed table version. Header
     * lines (`#key=value`) carry table metadata — see [[readNBuckets]].
+    * Line format: `b,bv` or `b,bv,dv1;dv2;...` — the optional third field
+    * lists the bucket's MERGE-ON-READ delete-vector versions (see
+    * [[deleteKeys]]).
     */
   private[graft] def readManifest(
       spark: SparkSession, path: String, v: Long): Map[Int, Long] = {
     manifestLines(spark, path, v).filterNot(_.startsWith("#")).map { line =>
-      val Array(b, bv) = line.split(",")
-      b.toInt -> bv.toLong
+      val parts = line.split(",", 3)
+      parts(0).toInt -> parts(1).toLong
     }.toMap
   }
+
+  /** (bucket -> delete-vector versions) of a committed table version —
+    * the merge-on-read sidecars a reader must anti-join away. Buckets
+    * with no sidecars are absent.
+    */
+  private[graft] def readDvs(
+      spark: SparkSession, path: String, v: Long): Map[Int, Seq[Long]] = {
+    manifestLines(spark, path, v).filterNot(_.startsWith("#")).flatMap { line =>
+      line.split(",", 3) match {
+        case Array(b, _, dvs) if dvs.nonEmpty =>
+          Some(b.toInt -> dvs.split(";").toSeq.map(_.toLong))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def dvDir(path: String, b: Int, j: Long) = s"$path/b=$b/dv=$j"
+
+  /** FOLD delete-vector sidecars into a data read: one broadcast
+    * anti-join on the key column (the sidecar's only column — the join
+    * key needs no out-of-band metadata). Sound on the key alone because a
+    * bucket's sidecar can only name keys that hash to that bucket.
+    * Broadcast is safe by construction: [[deleteKeys]]' fold threshold
+    * bounds the number of outstanding sidecars per bucket, so the dv side
+    * stays churn-sized while the 100 TB data side never shuffles.
+    */
+  private def foldDeletes(
+      spark: SparkSession, path: String, data: DataFrame,
+      dvs: Seq[(Int, Long)]): DataFrame =
+    if (dvs.isEmpty) data
+    else {
+      val keys = spark.read.option("mergeSchema", "true")
+        .parquet(dvs.map { case (b, j) => dvDir(path, b, j) }: _*)
+      val kc = keys.schema.fieldNames.head
+      data.join(broadcast(keys.select(kc).distinct()), Seq(kc), "left_anti")
+    }
+
+  private def dvPairs(dvm: Map[Int, Seq[Long]]): Seq[(Int, Long)] =
+    dvm.toSeq.flatMap { case (b, ds) => ds.map(b -> _) }
 
   private def manifestLines(spark: SparkSession, path: String, v: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -159,8 +201,9 @@ object BucketedSnapshots {
       s"bucketed snapshot v=$version at $path has an empty manifest")
     // mergeSchema: after an evolving commit, untouched buckets still carry
     // the old schema — union-by-name with null backfill on read
-    spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    foldDeletes(spark, path, raw, dvPairs(readDvs(spark, path, version)))
   }
 
   /** Read the live table. */
@@ -222,20 +265,28 @@ object BucketedSnapshots {
     }
     val mFrom = readManifest(spark, path, fromV)
     val mTo = readManifest(spark, path, toV)
+    val dFrom = readDvs(spark, path, fromV)
+    val dTo = readDvs(spark, path, toV)
+    // a bucket is touched if its data version OR its delete-vector list
+    // moved — a delete-only commit changes rows without a new data dir
     val touched = (mFrom.keySet ++ mTo.keySet)
-      .filter(b => mFrom.get(b) != mTo.get(b)).toSeq.sorted
-    def side(m: Map[Int, Long]): DataFrame = {
+      .filter(b => mFrom.get(b) != mTo.get(b) ||
+        dFrom.getOrElse(b, Nil) != dTo.getOrElse(b, Nil)).toSeq.sorted
+    def side(m: Map[Int, Long], d: Map[Int, Seq[Long]]): DataFrame = {
       val dirs = touched.flatMap(b => m.get(b).map(bv => s"$path/b=$b/v=$bv"))
-      if (dirs.nonEmpty) spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      else {
+      if (dirs.nonEmpty) {
+        val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        foldDeletes(spark, path, raw,
+          dvPairs(d.filter { case (b, _) => touched.contains(b) }))
+      } else {
         // nothing changed (or one side has none of the touched buckets):
         // an empty frame with the table's schema
         val any = (m ++ mFrom ++ mTo).headOption.map { case (b, bv) => s"$path/b=$b/v=$bv" }
-        any.map(d => spark.read.parquet(d).limit(0)).getOrElse(
+        any.map(dd => spark.read.parquet(dd).limit(0)).getOrElse(
           throw new java.io.FileNotFoundException(s"no bucket data under $path"))
       }
     }
-    (side(mFrom), side(mTo))
+    (side(mFrom, dFrom), side(mTo, dTo))
   }
 
   /** Last-writer-wins keyed upsert; returns the committed table version. */
@@ -269,6 +320,118 @@ object BucketedSnapshots {
       path, key, nBuckets, keepVersions,
       (existing, batch) => Cdc.mergeSnapshots(existing, batch, key),
       statsColumns)
+
+  /** MERGE-ON-READ KEY DELETES — the write-amplification answer for
+    * scattered deletes on a 100 TB table (the `dq_erasure_sweep` / GDPR
+    * pattern): instead of rewriting every touched bucket to remove a
+    * handful of keys (copy-on-write, bucket-sized amplification per key),
+    * each touched bucket gains a tiny KEY-DELETE SIDECAR
+    * (`b=K/dv=J/` — a parquet of just the key column) referenced from the
+    * manifest line (`b,bv,dv1;dv2`), committed through the normal
+    * manifest + pointer flip. Readers fold sidecars with one broadcast
+    * anti-join ([[foldDeletes]]); every read path folds — snapshot,
+    * change feed, stats-pruned range reads, point lookups — and the fold
+    * is Iceberg-v2/Delta's deletion-vector role reduced to keys.
+    *
+    * Bytes written per delete commit ≈ deleted keys, NOT touched-bucket
+    * bytes (DeleteVectorsSpec measures the drop). The anti-join debt is
+    * bounded: once a bucket's outstanding sidecar count would exceed
+    * `maxDvsPerBucket`, THIS commit folds that bucket copy-on-write
+    * (fresh data dir, sidecar-free entry), and [[compact]] folds every
+    * sidecar-carrying bucket. Rewritten buckets always absorb their
+    * sidecars ([[mergeCommit]] merges against the folded view), so a
+    * deleted key re-upserted later comes back exactly once.
+    *
+    * Snapshot semantics are unchanged: a pinned reader of the
+    * pre-delete version still sees the keys (its manifest has no sidecar
+    * entry); the change feed between the versions emits real `D` rows.
+    * Deleting absent keys is a no-op; null keys are ignored (bucketed
+    * keys are non-null by construction). Concurrent commits touching the
+    * same buckets conflict conservatively ([[CommitConflictException]] —
+    * delete-vs-update races must be resolved by the caller's retry, not
+    * silently interleaved). Returns the committed table version.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      key: String,
+      keepVersions: Int = 2,
+      maxDvsPerBucket: Int = 4): Long = {
+    import org.apache.hadoop.fs.Path
+    require(maxDvsPerBucket >= 1, "maxDvsPerBucket must be >= 1")
+    require(keys.columns.contains(key),
+      s"key '$key' is not a column of the delete-key frame (have: ${keys.columns.mkString(", ")})")
+    val fs = fsOf(spark, path)
+    val state = pointerState(spark, path)
+    val cur = state.map(_._1).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed snapshot under $path"))
+    val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
+    val curManifest = readManifest(spark, path, cur)
+    val curDvs = readDvs(spark, path, cur)
+    val nBuckets = readNBuckets(spark, path, cur).getOrElse(
+      throw new IllegalStateException(
+        s"table at $path has no #nBuckets header — merge-on-read deletes " +
+          "need it to bucket the keys (pre-header tables: delete via a rewriting upsert)"))
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
+    val kdf = keys.select(col(key)).filter(col(key).isNotNull).distinct()
+    // buckets that exist AND are named by a key (driver-small)
+    val touched = kdf.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      .filter(curManifest.contains)
+    if (touched.isEmpty) return cur
+    val foldSet = touched.filter(b =>
+      curDvs.getOrElse(b, Nil).size + 1 > maxDvsPerBucket).toSet
+    val appendBuckets = touched.filterNot(foldSet)
+    // sidecars for the append buckets: one staged partitioned write of
+    // (key, b), renamed per bucket into immutable dv dirs
+    val newDvIds = appendBuckets.map(b => b -> nextDvVersion(spark, path, b)).toMap
+    if (appendBuckets.nonEmpty) {
+      val staging = new Path(path + "__vstaging_dv")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      kdf.withColumn("b", bucketOf)
+        .filter(col("b").isin(appendBuckets.map(Int.box): _*))
+        .repartition(col("b"))
+        .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+      appendBuckets.foreach { b =>
+        val src = new Path(staging, s"b=$b")
+        val dst = new Path(dvDir(path, b, newDvIds(b)))
+        fs.mkdirs(new Path(s"$path/b=$b"))
+        if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
+        if (!fs.exists(src) || !fs.rename(src, dst))
+          throw new java.io.IOException(s"deleteKeys: failed to stage $dst")
+      }
+      fs.delete(staging, true)
+    }
+    // budget-exhausted buckets fold copy-on-write: existing sidecars AND
+    // this commit's keys absorbed into a fresh data dir
+    val newBucketVersions = foldSet.toSeq.sorted.map { b =>
+      val nv = nextBucketVersion(spark, path, b)
+      val dst = new Path(s"$path/b=$b/v=$nv")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      foldDeletes(spark, path,
+        spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}"),
+        curDvs.getOrElse(b, Nil).map(b -> _))
+        .join(broadcast(kdf), Seq(key), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      b -> nv
+    }.toMap
+    // folded buckets carry their (wider-safe) zonemap stats verbatim
+    val prevStats = readStats(spark, path, cur)._2
+    val carried = newBucketVersions.keys.map(b => b -> prevStats.getOrElse(b, Nil)).toMap
+    commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
+      keepVersions, Nil, carried.toMap,
+      dvAppend = newDvIds.map { case (b, j) => b -> Seq(j) })
+  }
+
+  /** Outstanding delete-vector sidecars of the live version (bucket ->
+    * count) — the observability hook for "when should I [[compact]]".
+    */
+  def deleteVectorCounts(spark: SparkSession, path: String): Map[Int, Int] =
+    currentVersion(spark, path) match {
+      case Some(v) => readDvs(spark, path, v).map { case (b, ds) => b -> ds.size }
+      case None => Map.empty
+    }
 
   /** Tombstone-filtered live view of an [[applyChanges]] table. */
   def readTable(spark: SparkSession, path: String): DataFrame =
@@ -329,10 +492,18 @@ object BucketedSnapshots {
     if (touched.isEmpty) return cur.getOrElse(0L)
     val existingDirs = touched.flatMap(b =>
       curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
+    // merge against the DELETE-FOLDED view of the touched buckets: a
+    // rewritten bucket's new dir absorbs its delete vectors (its manifest
+    // entry comes out sidecar-free), so a deleted key re-upserted in this
+    // batch comes back exactly once
+    val curDvs = cur.map(v => readDvs(spark, path, v)).getOrElse(Map.empty)
     val merged =
       if (existingDirs.isEmpty) updates
-      else merge(spark.read.option("mergeSchema", "true")
-        .parquet(existingDirs.map(_._2): _*), updates)
+      else merge(
+        foldDeletes(spark, path,
+          spark.read.option("mergeSchema", "true").parquet(existingDirs.map(_._2): _*),
+          dvPairs(curDvs.filter { case (b, _) => touched.contains(b) })),
+        updates)
     val newBucketVersions =
       touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
     // ONE staging write partitioned by bucket, then per-bucket renames
@@ -426,17 +597,31 @@ object BucketedSnapshots {
       addStatCols: Seq[String] = Nil,
       newStats: Map[Int, Seq[BucketStat]] = Map.empty,
       nBuckets: Int = 0, // 0 = preserve/omit the arity header
-      maxRebase: Int = 5): Long = {
+      maxRebase: Int = 5,
+      dvAppend: Map[Int, Seq[Long]] = Map.empty): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
     var st = state
     var cb = casBase
     var cm = curManifest
+    // dv lists re-read per attempt alongside cm (see the rebase paths)
+    var cd = st.map(s => readDvs(spark, path, s._1)).getOrElse(Map.empty[Int, Seq[Long]])
     var attempt = 0
+    // "touched" for conflict purposes includes dv-append-only buckets: a
+    // concurrent rewrite of a bucket we append a delete to (or vice
+    // versa) must conflict, not silently rebase
+    val ourTouched = newBucketVersions.keySet ++ dvAppend.keySet
     while (true) {
       val cur = st.map(_._1)
       val next = (cur.toSeq ++ allManifestVersions(spark, path)).foldLeft(0L)(math.max) + 1
       val nextManifest = cm ++ newBucketVersions
+      // delete vectors: REWRITTEN buckets absorb theirs (sidecar-free
+      // entry); appended buckets extend the live list; others carry
+      val nextDvs: Map[Int, Seq[Long]] = nextManifest.keySet.toSeq.flatMap { b =>
+        val base = if (newBucketVersions.contains(b)) Nil else cd.getOrElse(b, Nil)
+        val all = base ++ dvAppend.getOrElse(b, Nil)
+        if (all.nonEmpty) Some(b -> all) else None
+      }.toMap
       val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
       val mf = new Path(manifestPath(path, next))
       fs.mkdirs(new Path(s"$path/manifest"))
@@ -448,7 +633,12 @@ object BucketedSnapshots {
         else cur.flatMap(v => readNBuckets(spark, path, v))
       val out = fs.create(mfTmp, true)
       try out.write((arity.map(n => s"#nBuckets=$n").toSeq ++
-        nextManifest.toSeq.sorted.map { case (b, bv) => s"$b,$bv" })
+        nextManifest.toSeq.sorted.map { case (b, bv) =>
+          nextDvs.get(b) match {
+            case Some(ds) => s"$b,$bv,${ds.mkString(";")}"
+            case None => s"$b,$bv"
+          }
+        })
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // CLAIM v=next exclusively: rename WITHOUT overwrite (FileContext
@@ -472,13 +662,18 @@ object BucketedSnapshots {
         val cb2 = Snapshots.pointerStateRaw(spark, path).map(_._1)
         val cm2 = st2.map(s => readManifest(spark, path, s._1))
           .getOrElse(Map.empty[Int, Long])
-        val changed = (cm.keySet ++ cm2.keySet).filter(b => cm.get(b) != cm2.get(b))
-        if ((changed intersect newBucketVersions.keySet).nonEmpty)
+        val cd2 = st2.map(s => readDvs(spark, path, s._1))
+          .getOrElse(Map.empty[Int, Seq[Long]])
+        // full-entry comparison: a delete-vector-only change to a bucket
+        // is a data change to that bucket
+        val changed = (cm.keySet ++ cm2.keySet).filter(b =>
+          cm.get(b) != cm2.get(b) || cd.getOrElse(b, Nil) != cd2.getOrElse(b, Nil))
+        if ((changed intersect ourTouched).nonEmpty)
           throw new CommitConflictException(
             s"bucketed commit at $path: concurrent commit touched overlapping " +
-              s"buckets ${(changed intersect newBucketVersions.keySet).toSeq.sorted.mkString(",")} " +
+              s"buckets ${(changed intersect ourTouched).toSeq.sorted.mkString(",")} " +
               "— merge inputs are stale; re-read and retry")
-        st = st2; cb = cb2; cm = cm2
+        st = st2; cb = cb2; cm = cm2; cd = cd2
       } else {
       // stats sidecar: untouched buckets carry the LIVE version's entries
       // (re-read per attempt — a rebase must keep the winner's stats for
@@ -509,12 +704,15 @@ object BucketedSnapshots {
             val cb2 = Snapshots.pointerStateRaw(spark, path).map(_._1)
             val cm2 = st2.map(s => readManifest(spark, path, s._1))
               .getOrElse(Map.empty[Int, Long])
-            val changed = (cm.keySet ++ cm2.keySet).filter(b => cm.get(b) != cm2.get(b))
-            if (attempt > maxRebase || (changed intersect newBucketVersions.keySet).nonEmpty)
+            val cd2 = st2.map(s => readDvs(spark, path, s._1))
+              .getOrElse(Map.empty[Int, Seq[Long]])
+            val changed = (cm.keySet ++ cm2.keySet).filter(b =>
+              cm.get(b) != cm2.get(b) || cd.getOrElse(b, Nil) != cd2.getOrElse(b, Nil))
+            if (attempt > maxRebase || (changed intersect ourTouched).nonEmpty)
               throw e // overlapping buckets: this commit's merge inputs are stale
             // our v=next manifest/stats are inert orphans (never pointed
             // to); later GCs age them out below the retention floor
-            st = st2; cb = cb2; cm = cm2
+            st = st2; cb = cb2; cm = cm2; cd = cd2
             false // retry: overlay our bucket versions onto the new base
         }
       if (unmoved) {
@@ -780,10 +978,16 @@ object BucketedSnapshots {
           s"(have: ${full.schema.fieldNames.mkString(", ")})")).dataType
     val (effLo, effHi, residual) = typedBounds(dt, column, lower, upper)
     val chosen = pruneBuckets(spark, path, version, m, column, effLo, effHi)
+    // delete vectors of the CHOSEN buckets fold in after pruning (a
+    // delete only narrows content, so pre-delete min/max stay SAFE — at
+    // worst a bucket is read unnecessarily, never skipped wrongly)
+    val dvs = readDvs(spark, path, version)
     val df =
       if (chosen.isEmpty) full.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+      else foldDeletes(spark, path,
+        spark.read.option("mergeSchema", "true")
+          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     df.filter(residual)
   }
 
@@ -854,10 +1058,13 @@ object BucketedSnapshots {
       s"readSnapshotWhereString needs a string column; '$column' is ${dt.catalogString} " +
         "(use readSnapshotWhere for numeric columns)")
     val chosen = pruneBucketsString(spark, path, version, m, column, lower, upper)
+    val dvs = readDvs(spark, path, version)
     val df =
       if (chosen.isEmpty) full.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+      else foldDeletes(spark, path,
+        spark.read.option("mergeSchema", "true")
+          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     val c = col(column)
     val residual = (lower.map(l => c >= lit(l)).toSeq ++ upper.map(u => c <= lit(u)).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -925,10 +1132,13 @@ object BucketedSnapshots {
         m.filter { case (b, _) => buckets.contains(b) }
       case None => m // pre-header table: no pruning, still exact
     }
+    val dvs = readDvs(spark, path, version)
     val df =
       if (chosen.isEmpty) full.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+      else foldDeletes(spark, path,
+        spark.read.option("mergeSchema", "true")
+          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     df.filter(col(key).isin(keys: _*))
   }
 
@@ -981,20 +1191,30 @@ object BucketedSnapshots {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
+    // a bucket is fragmented if it holds too many data files OR carries
+    // merge-on-read delete vectors — compaction FOLDS the sidecars into
+    // the rewrite, so the new entry reads without the anti-join
+    val curDvs = readDvs(spark, path, cur)
     val fragmented = curManifest.toSeq
-      .filter { case (b, bv) => dataFiles(b, bv) > maxFilesPerBucket }
+      .filter { case (b, bv) =>
+        dataFiles(b, bv) > maxFilesPerBucket || curDvs.getOrElse(b, Nil).nonEmpty }
       .map(_._1).sorted
     if (fragmented.isEmpty) return cur
     val newBucketVersions = fragmented.map { b =>
       val nv = nextBucketVersion(spark, path, b)
       val dst = new Path(s"$path/b=$b/v=$nv")
       if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
-      spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}")
+      foldDeletes(spark, path,
+        spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}"),
+        curDvs.getOrElse(b, Nil).map(b -> _))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(dst.toString)
       b -> nv
     }.toMap
-    // no data change: the compacted buckets' zonemap stats carry verbatim
+    // no row-value change: the compacted buckets' zonemap stats carry
+    // verbatim (after a dv fold the carried bounds may be WIDER than the
+    // surviving rows — safe for pruning, which only skips when the range
+    // provably excludes; the next data commit recomputes them)
     val prevStats = readStats(spark, path, cur)._2
     val carried = fragmented.map(b => b -> prevStats.getOrElse(b, Nil)).toMap
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
@@ -1083,6 +1303,22 @@ object BucketedSnapshots {
     floor + 1
   }
 
+  /** Next delete-vector id for one bucket (same one-past-max-dir rule as
+    * [[nextBucketVersion]], over `dv=` dirs).
+    */
+  private def nextDvVersion(spark: SparkSession, path: String, b: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val base = new Path(s"$path/b=$b")
+    val floor =
+      if (!fs.exists(base)) 0L
+      else fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("dv="))
+        .flatMap(st => st.getPath.getName.stripPrefix("dv=").toLongOption)
+        .foldLeft(0L)(math.max)
+    floor + 1
+  }
+
   private def allManifestVersions(spark: SparkSession, path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
@@ -1106,9 +1342,14 @@ object BucketedSnapshots {
     val tagged = Snapshots.readRefs(spark, path).values.toSeq
     val keepManifests = retained.toSet ++ tagged
     val floor = retained.min
-    val live: Set[(Int, Long)] = (retained ++ tagged).distinct
+    val refVersions = (retained ++ tagged).distinct
       .filter(v => fs.exists(new Path(manifestPath(path, v))))
-      .flatMap(v => readManifest(spark, path, v).toSeq).toSet
+    val live: Set[(Int, Long)] =
+      refVersions.flatMap(v => readManifest(spark, path, v).toSeq).toSet
+    // delete-vector sidecars referenced by ANY retained/tagged manifest
+    // must survive exactly like data dirs
+    val liveDv: Set[(Int, Long)] =
+      refVersions.flatMap(v => dvPairs(readDvs(spark, path, v))).toSet
     allManifestVersions(spark, path)
       .filter(v => !keepManifests.contains(v) && v < floor)
       .foreach { v =>
@@ -1123,6 +1364,15 @@ object BucketedSnapshots {
         b.foreach { bucket =>
           val liveVs = live.collect { case (`bucket`, bv) => bv }
           val floor = if (liveVs.isEmpty) Long.MaxValue else liveVs.min
+          // sidecar rule: delete unreferenced dv dirs AT OR BELOW the
+          // highest referenced id only. A concurrent deleteKeys' just-
+          // staged sidecar always has an id above every referenced one
+          // (nextDvVersion is one past the max DIR), so it is never
+          // collectable here; once-folded orphans linger until the next
+          // delete commit raises the referenced ceiling past them
+          // (churn-sized bytes, not a correctness issue).
+          val liveDvs = liveDv.collect { case (`bucket`, j) => j }
+          val dvCeil = if (liveDvs.isEmpty) 0L else liveDvs.max
           fs.listStatus(bdir.getPath).toSeq
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
             .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption
@@ -1131,6 +1381,12 @@ object BucketedSnapshots {
             // dirs stay, and orphans ABOVE the floor stay until the
             // retention window passes them (a fallback reader may look)
             .filter { case (_, bv) => !liveVs.contains(bv) && bv < floor }
+            .foreach { case (p, _) => fs.delete(p, true) }
+          fs.listStatus(bdir.getPath).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("dv="))
+            .flatMap(st => st.getPath.getName.stripPrefix("dv=").toLongOption
+              .map(j => (st.getPath, j)))
+            .filter { case (_, j) => !liveDvs.contains(j) && j <= dvCeil }
             .foreach { case (p, _) => fs.delete(p, true) }
         }
       }

@@ -2341,6 +2341,53 @@ object ParityQueries {
         FROM l1 FULL OUTER JOIN l2 ON l1.user_id = l2.user_id)
       SELECT user_id, last_seq, last_type, last_value, op FROM df WHERE op IS NOT NULL"""))
 
+  /** MERGE-ON-READ DELETE VECTORS ([[graft.operators.BucketedSnapshots
+    * .deleteKeys]]): scattered key deletes on a bucketed table write
+    * key-sized sidecars instead of rewriting whole buckets (the
+    * Iceberg-v2/Delta deletion-vector role, reduced to keys) — the
+    * `dq_erasure_sweep` pattern at 100 TB write amplification. Derivation:
+    * per-user rollup committed once, then TWO delete commits (`%11 = 3`,
+    * `%13 = 5` users) leaving their sidecars OUTSTANDING at read time; the
+    * result unions the live read with a stats-pruned range read, so the
+    * oracle proves the anti-join fold on both paths (pruning first, fold
+    * after — pre-delete bounds stay safe because deletes only narrow).
+    * DeleteVectorsSpec additionally MEASURES the write-amplification drop
+    * and proves budget folds, compaction folds, re-upsert-once, GC, and
+    * tag pinning.
+    */
+  private val snapshotDeleteVectors = Q(
+    "snapshot_delete_vectors",
+    (s, d) => {
+      val base = evDf(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("n"), max(col("event_id")).as("max_event"))
+      val path = "/root/repo/target/tmp/dv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, keepVersions = 3,
+        statsColumns = Seq("max_event"))
+      graft.operators.BucketedSnapshots.deleteKeys(
+        s, path, base.filter(col("user_id") % 11 === 3).select("user_id"),
+        "user_id", keepVersions = 3)
+      graft.operators.BucketedSnapshots.deleteKeys(
+        s, path, base.filter(col("user_id") % 13 === 5).select("user_id"),
+        "user_id", keepVersions = 3)
+      val live = graft.operators.BucketedSnapshots.readCurrent(s, path)
+        .withColumn("readpath", lit("live"))
+      val pruned = graft.operators.BucketedSnapshots.readCurrentWhere(
+        s, path, "max_event", Some(BigDecimal(100)), None)
+        .withColumn("readpath", lit("pruned"))
+      live.unionByName(pruned)
+    },
+    Some(s"""WITH $EV,
+      agg AS (SELECT user_id, COUNT(*) AS n, MAX(event_id) AS max_event
+        FROM ev GROUP BY 1),
+      kept AS (SELECT * FROM agg WHERE user_id % 11 <> 3 AND user_id % 13 <> 5)
+      SELECT user_id, n, max_event, 'live' AS readpath FROM kept
+      UNION ALL
+      SELECT user_id, n, max_event, 'pruned' AS readpath FROM kept
+      WHERE max_event >= 100"""))
+
   /** Regular-grid forward-fill resample ([[graft.operators.Timeseries
     * .resampleFfill]]): the per-user event stream densified onto a 6-hour
     * grid — grid bounds are exact integer bin arithmetic (an epoch-nanos
@@ -2955,6 +3002,7 @@ object ParityQueries {
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
+    snapshotDeleteVectors,
     snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
     streamingFeedConsume, ctasFullRefresh, upsertServe)
 }
