@@ -102,6 +102,19 @@ object BucketedSnapshots {
   private def dvPairs(dvm: Map[Int, Seq[Long]]): Seq[(Int, Long)] =
     dvm.toSeq.flatMap { case (b, ds) => ds.map(b -> _) }
 
+  /** The manifest text: arity header + one `b,bv[,dv1;dv2]` line per
+    * bucket (shared by main and branch commits).
+    */
+  private def manifestBody(
+      arity: Option[Int], manifest: Map[Int, Long], dvs: Map[Int, Seq[Long]]): String =
+    (arity.map(n => s"#nBuckets=$n").toSeq ++
+      manifest.toSeq.sorted.map { case (b, bv) =>
+        dvs.get(b) match {
+          case Some(ds) if ds.nonEmpty => s"$b,$bv,${ds.mkString(";")}"
+          case _ => s"$b,$bv"
+        }
+      }).mkString("\n")
+
   private def manifestLines(spark: SparkSession, path: String, v: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
@@ -144,7 +157,8 @@ object BucketedSnapshots {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
     val retained = pointerState(spark, path).map(_._2).getOrElse(Seq.empty)
-    (retained ++ Snapshots.readRefs(spark, path).values).distinct
+    (retained ++ Snapshots.readRefs(spark, path).values ++
+      Snapshots.readBranches(spark, path).values.map(_._1)).distinct
       .filter(v => fs.exists(new Path(manifestPath(path, v))))
       .sorted.reverse
   }
@@ -433,6 +447,186 @@ object BucketedSnapshots {
       case None => Map.empty
     }
 
+  // ------------------------------------------------------------------
+  // BRANCHES + WRITE-AUDIT-PUBLISH — the operational companion of the
+  // quality gate: commits staged on a branch are INVISIBLE to main
+  // readers until a fast-forward publish, so a failing audit never
+  // becomes the live table
+  // ------------------------------------------------------------------
+
+  /** Create branch `name` at the live version (head = base = live). The
+    * branch head is GC-pinned like a tag; [[commitToBranch]] moves it,
+    * [[publishBranch]] fast-forwards main onto it.
+    */
+  def branch(spark: SparkSession, path: String, name: String,
+      overwrite: Boolean = false): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed snapshot under $path"))
+    Snapshots.writeBranchFile(spark, path, name, cur, cur, overwrite)
+    cur
+  }
+
+  /** `(head, base)` of a branch, if it exists. */
+  def branchState(spark: SparkSession, path: String, name: String): Option[(Long, Long)] =
+    Snapshots.readBranches(spark, path).get(name)
+
+  /** Read the branch head exactly as staged (the AUDIT read: run the
+    * quality gate against this before [[publishBranch]]).
+    */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    branchState(spark, path, name) match {
+      case Some((head, _)) => readSnapshot(spark, path, head)
+      case None => throw new java.io.FileNotFoundException(s"no branch '$name' at $path")
+    }
+
+  /** Last-writer-wins keyed upsert COMMITTED TO A BRANCH: stages new
+    * bucket dirs and a manifest exactly like [[upsertByKey]], but the
+    * commit point moves the branch file, NOT `_CURRENT` — main readers
+    * never see it. Manifest version numbers share the table's namespace
+    * (claimed create-exclusively), so branch and main commits never
+    * collide on a version id. One writer per branch (a moved head aborts
+    * with [[CommitConflictException]]); main may advance freely — that
+    * conflict surfaces at [[publishBranch]], not here.
+    */
+  def commitToBranch(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      updates: DataFrame,
+      key: String,
+      nBuckets: Int,
+      statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    require(!updates.columns.contains("b"),
+      "column name 'b' is reserved for the bucket layout — rename the payload column")
+    val fs = fsOf(spark, path)
+    val (head, base) = branchState(spark, path, name).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $path"))
+    readNBuckets(spark, path, head).foreach { n =>
+      require(n == nBuckets,
+        s"table at $path was committed with nBuckets=$n; committing with " +
+          s"nBuckets=$nBuckets would scatter keys across mismatched buckets")
+    }
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
+    val headManifest = readManifest(spark, path, head)
+    val headDvs = readDvs(spark, path, head)
+    val touched = updates.select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (touched.isEmpty) return head
+    val existingDirs = touched.flatMap(b =>
+      headManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
+    val merged =
+      if (existingDirs.isEmpty) updates
+      else Incremental.mergeByKey(
+        foldDeletes(spark, path,
+          spark.read.option("mergeSchema", "true").parquet(existingDirs.map(_._2): _*),
+          dvPairs(headDvs.filter { case (b, _) => touched.contains(b) })),
+        updates, key)
+    val newBucketVersions =
+      touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
+    val staging = new Path(path + "__vstaging_branch")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.withColumn("b", bucketOf)
+      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    val statCols = effectiveStatCols(
+      readStats(spark, path, head)._1, statsColumns, merged.schema)
+    val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
+    touched.foreach { b =>
+      val src = new Path(staging, s"b=$b")
+      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
+      fs.mkdirs(new Path(s"$path/b=$b"))
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"branch commit: failed to stage $dst")
+      } else {
+        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
+      }
+    }
+    fs.delete(staging, true)
+    // manifest for the branch head: same claimed-version namespace as main
+    val nextManifest = headManifest ++ newBucketVersions
+    val nextDvs = headDvs.filter { case (b, _) => !newBucketVersions.contains(b) }
+    val arity = if (nBuckets > 0) Some(nBuckets) else readNBuckets(spark, path, head)
+    var next = 0L
+    var claimed = false
+    var attempt = 0
+    while (!claimed) {
+      next = allManifestVersions(spark, path).foldLeft(head)(math.max) + 1
+      val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
+      fs.mkdirs(new Path(s"$path/manifest"))
+      val out = fs.create(mfTmp, true)
+      try out.write(manifestBody(arity, nextManifest, nextDvs).getBytes("UTF-8"))
+      finally out.close()
+      claimed = claimExclusive(spark.sparkContext.hadoopConfiguration, fs,
+        mfTmp, new Path(manifestPath(path, next)))
+      attempt += 1
+      if (!claimed && attempt > 5)
+        throw new CommitConflictException(
+          s"branch commit at $path: lost the manifest claim $attempt times; retry")
+    }
+    if (statCols.nonEmpty) {
+      val prevStats = readStats(spark, path, head)._2
+      val entries = nextManifest.keySet.toSeq.sorted.flatMap { b =>
+        if (newBucketVersions.contains(b)) newStats.getOrElse(b, Nil).map(b -> _)
+        else prevStats.getOrElse(b, Nil).map(b -> _)
+      }
+      writeStats(spark, path, next, statCols, entries)
+    }
+    // commit point: the branch file moves (single writer per branch)
+    branchState(spark, path, name) match {
+      case Some((h, _)) if h == head =>
+        Snapshots.writeBranchFile(spark, path, name, next, base, overwrite = true)
+        next
+      case other =>
+        throw new CommitConflictException(
+          s"branch '$name' at $path moved during the commit (head was $head, " +
+            s"now ${other.map(_._1)}) — one writer per branch; retry from the new head")
+    }
+  }
+
+  /** FAST-FORWARD PUBLISH: flip `_CURRENT` to the branch head, provided
+    * main still sits at the branch's base — the write-audit-publish
+    * commit point. A failing audit simply never calls this (and
+    * [[dropBranch]] discards the staged work); main advancing since the
+    * fork aborts with [[CommitConflictException]] (re-branch and replay —
+    * the staged versions are content, not position, so the caller decides
+    * how to rebase). Drops the branch file on success.
+    */
+  def publishBranch(
+      spark: SparkSession, path: String, name: String,
+      keepVersions: Int = 2): Long = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val fs = fsOf(spark, path)
+    val (head, base) = branchState(spark, path, name).getOrElse(
+      throw new java.io.FileNotFoundException(s"no branch '$name' at $path"))
+    val state = pointerState(spark, path)
+    val live = state.map(_._1).getOrElse(0L)
+    if (live != base)
+      throw new CommitConflictException(
+        s"publish of branch '$name' at $path is not a fast-forward: main is at " +
+          s"v=$live but the branch forked from v=$base — re-branch and replay; retry")
+    val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
+    Snapshots.checkPointerUnmoved(spark, path, casBase)
+    val retained = (head +: state.map(_._2).getOrElse(Seq.empty)).distinct
+      .sorted.reverse.take(keepVersions)
+    val root = new Path(path)
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(retained.mkString("\n").getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(root, "_CURRENT"), Options.Rename.OVERWRITE)
+    Snapshots.dropBranchFile(spark, path, name)
+    gc(spark, path, retained)
+    head
+  }
+
+  /** Discard a branch: the staged versions become unpinned orphans the
+    * next commit's GC ages out. Main is untouched.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit =
+    Snapshots.dropBranchFile(spark, path, name)
+
   /** Tombstone-filtered live view of an [[applyChanges]] table. */
   def readTable(spark: SparkSession, path: String): DataFrame =
     readCurrent(spark, path).filter(!col(Cdc.DeletedMeta))
@@ -632,14 +826,7 @@ object BucketedSnapshots {
         if (nBuckets > 0) Some(nBuckets)
         else cur.flatMap(v => readNBuckets(spark, path, v))
       val out = fs.create(mfTmp, true)
-      try out.write((arity.map(n => s"#nBuckets=$n").toSeq ++
-        nextManifest.toSeq.sorted.map { case (b, bv) =>
-          nextDvs.get(b) match {
-            case Some(ds) => s"$b,$bv,${ds.mkString(";")}"
-            case None => s"$b,$bv"
-          }
-        })
-        .mkString("\n").getBytes("UTF-8"))
+      try out.write(manifestBody(arity, nextManifest, nextDvs).getBytes("UTF-8"))
       finally out.close()
       // CLAIM v=next exclusively: rename WITHOUT overwrite (FileContext
       // Rename.NONE fails on an existing destination, unlike
@@ -1337,9 +1524,12 @@ object BucketedSnapshots {
   private def gc(spark: SparkSession, path: String, retained: Seq[Long]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
-    // tagged versions are pinned: their manifests and every bucket dir
-    // they reference survive, whatever the retention window says
-    val tagged = Snapshots.readRefs(spark, path).values.toSeq
+    // tagged versions AND branch heads are pinned: their manifests and
+    // every bucket dir they reference survive, whatever the retention
+    // window says (intermediate branch commits are unpinned orphans that
+    // age out below the floor like any crash orphan)
+    val tagged = Snapshots.readRefs(spark, path).values.toSeq ++
+      Snapshots.readBranches(spark, path).values.map(_._1)
     val keepManifests = retained.toSet ++ tagged
     val floor = retained.min
     val refVersions = (retained ++ tagged).distinct

@@ -121,6 +121,57 @@ object Snapshots {
 
   private def refPath(path: String, name: String) = s"$path/refs/$name.txt"
 
+  // ------------------------------------------------------------------
+  // branch files (`branches/<name>.txt` = "head,base") — the WRITABLE
+  // sibling of tags: head moves with branch commits, base records the
+  // main version the branch forked from (the fast-forward publish check)
+  // ------------------------------------------------------------------
+  private def branchFile(path: String, name: String) = s"$path/branches/$name.txt"
+
+  private[graft] def readBranches(
+      spark: SparkSession, path: String): Map[String, (Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/branches")
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".txt"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.trim.split(",") match {
+          case Array(h, b) =>
+            for { hv <- h.toLongOption; bv <- b.toLongOption }
+              yield st.getPath.getName.stripSuffix(".txt") -> (hv, bv)
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private[graft] def writeBranchFile(spark: SparkSession, path: String, name: String,
+      head: Long, base: Long, overwrite: Boolean): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    checkRefName(name)
+    val fs = fsOf(spark, path)
+    val dst = new Path(branchFile(path, name))
+    require(overwrite || !fs.exists(dst),
+      s"branch '$name' already exists at $path")
+    fs.mkdirs(new Path(s"$path/branches"))
+    val tmp = new Path(branchFile(path, name) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$head,$base".getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def dropBranchFile(spark: SparkSession, path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    checkRefName(name)
+    fsOf(spark, path).delete(new Path(branchFile(path, name)), false)
+    ()
+  }
+
   private def checkRefName(name: String): Unit =
     require(name.nonEmpty && name.length <= 128 &&
       name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),

@@ -2388,6 +2388,115 @@ object ParityQueries {
       SELECT user_id, n, max_event, 'pruned' AS readpath FROM kept
       WHERE max_event >= 100"""))
 
+  /** BRANCHES + WRITE-AUDIT-PUBLISH ([[graft.operators.BucketedSnapshots
+    * .branch]]/`commitToBranch`/`publishBranch`) composed with the DQ
+    * gate ([[Constraints]]): a staged load that FAILS the gate (`%7`
+    * users arrive with a negative count) is audited on its branch and
+    * dropped — invisible to main forever; the repaired load (`%5` users'
+    * `max_event` bumped by 1000) passes the gate and fast-forward
+    * publishes. The oracle is the final MAIN table: if the failing
+    * branch had leaked, the negative counts would hash-mismatch; if the
+    * publish had not landed, the bumps would be missing. BranchWapSpec
+    * additionally proves isolation, the non-fast-forward abort, dv
+    * folding on branches, and orphan aging.
+    */
+  private val snapshotBranchWap = Q(
+    "snapshot_branch_wap",
+    (s, d) => {
+      val base = evDf(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("n"), max(col("event_id")).as("max_event"))
+      val path = "/root/repo/target/tmp/wap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, keepVersions = 3)
+      val gate = Seq(Constraints.AnyNegative("no_negative_n", col("n")))
+      def audited(name: String, updates: DataFrame): Unit = {
+        graft.operators.BucketedSnapshots.branch(s, path, name)
+        graft.operators.BucketedSnapshots.commitToBranch(
+          s, path, name, updates, "user_id", nBuckets = 16)
+        val failed = Constraints.evaluate(
+          graft.operators.BucketedSnapshots.readBranch(s, path, name), gate)
+          .filter(col("is_fail")).count() > 0
+        if (failed) graft.operators.BucketedSnapshots.dropBranch(s, path, name)
+        else graft.operators.BucketedSnapshots.publishBranch(s, path, name, keepVersions = 3)
+      }
+      // the corrupt load: audited, fails, never reaches main
+      audited("etl_bad", base.filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), lit(-1L).as("n"), col("max_event")))
+      // the repaired load: audited, passes, fast-forward publishes
+      audited("etl_good", base.filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("n"), (col("max_event") + 1000L).as("max_event")))
+      graft.operators.BucketedSnapshots.readCurrent(s, path)
+    },
+    Some(s"""WITH $EV,
+      agg AS (SELECT user_id, COUNT(*) AS n, MAX(event_id) AS max_event
+        FROM ev GROUP BY 1)
+      SELECT user_id, n,
+        CASE WHEN user_id % 5 = 0 THEN max_event + 1000 ELSE max_event END AS max_event
+      FROM agg"""))
+
+  /** METADATA TABLES ([[graft.operators.TableMeta]] —
+    * `history`/`files`/`statsTable`, the Iceberg metadata-tables role):
+    * a deterministic commit sequence — load (v1, tagged `baseline`),
+    * delete every `%3` user as merge-on-read sidecars (v2: every bucket
+    * gains one dv at these cardinalities), compact-fold (v3), re-upsert
+    * the surviving rows (v4: stats recomputed exactly) — whose manifest
+    * facts the oracle RE-DERIVES independently: version liveness and
+    * outstanding-sidecar totals per history row, per-bucket file counts
+    * at the compacted version (16 buckets × exactly 1 file), the stats
+    * sidecar's global bounds (= SQL min/max of the stat column over the
+    * surviving rows), and the tag pin. All surfaced as one typed frame,
+    * zero data files opened.
+    */
+  private val snapshotHistoryMeta = Q(
+    "snapshot_history_meta",
+    (s, d) => {
+      val base = evDf(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("n"), max(col("event_id")).as("max_event"))
+      val path = "/root/repo/target/tmp/meta_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      import graft.operators.{BucketedSnapshots => BS, TableMeta}
+      val v1 = BS.upsertByKey(s, base, path, "user_id", nBuckets = 4,
+        keepVersions = 8, statsColumns = Seq("max_event"))
+      BS.tag(s, path, "baseline", v1)
+      BS.deleteKeys(s, path, base.filter(col("user_id") % 3 === 0).select("user_id"),
+        "user_id", keepVersions = 8)
+      val v3 = BS.compact(s, path, maxFilesPerBucket = 1, keepVersions = 8)
+      BS.upsertByKey(s, BS.readCurrent(s, path), path, "user_id", nBuckets = 4,
+        keepVersions = 8, statsColumns = Seq("max_event"))
+      val hist = TableMeta.history(s, path).select(
+        lit("history").as("kind"), col("version").as("a"),
+        when(col("is_live"), 1L).otherwise(0L).as("b"),
+        col("delete_vectors").as("c"),
+        col("refs").as("note"))
+      val fl = TableMeta.files(s, path, Some(v3)).groupBy(lit(1)).agg(
+        countDistinct(col("bucket")).as("nb"), count(lit(1)).as("nf"),
+        max(col("version")).as("v"))
+        .select(lit("files").as("kind"), col("v").as("a"), col("nb").as("b"),
+          col("nf").as("c"), lit("").as("note"))
+      val st = TableMeta.statsTable(s, path).filter(col("column") === "max_event")
+        .groupBy(lit(1)).agg(
+          min(col("min").cast("long")).as("lo"), max(col("max").cast("long")).as("hi"),
+          max(col("version")).as("v"))
+        .select(lit("stats").as("kind"), col("v").as("a"), col("lo").as("b"),
+          col("hi").as("c"), lit("").as("note"))
+      hist.unionByName(fl).unionByName(st)
+    },
+    Some(s"""WITH $EV,
+      agg AS (SELECT user_id, COUNT(*) AS n, MAX(event_id) AS max_event
+        FROM ev GROUP BY 1),
+      kept AS (SELECT * FROM agg WHERE user_id % 3 <> 0)
+      SELECT 'history' AS kind, CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+        CAST(0 AS BIGINT) AS c, 'baseline' AS note
+      UNION ALL SELECT 'history', 2, 0, 4, ''
+      UNION ALL SELECT 'history', 3, 0, 0, ''
+      UNION ALL SELECT 'history', 4, 1, 0, ''
+      UNION ALL SELECT 'files', 3, 4, 4, ''
+      UNION ALL SELECT 'stats', 4,
+        (SELECT MIN(max_event) FROM kept), (SELECT MAX(max_event) FROM kept), ''"""))
+
   /** Regular-grid forward-fill resample ([[graft.operators.Timeseries
     * .resampleFfill]]): the per-user event stream densified onto a 6-hour
     * grid — grid bounds are exact integer bin arithmetic (an epoch-nanos
@@ -3002,7 +3111,7 @@ object ParityQueries {
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
-    snapshotDeleteVectors,
+    snapshotDeleteVectors, snapshotBranchWap, snapshotHistoryMeta,
     snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
     streamingFeedConsume, ctasFullRefresh, upsertServe)
 }
