@@ -240,6 +240,12 @@ object ScaleBench {
         val media = graft.operators.Multimodal.pixelWebpCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.webpPairs(media, maxHamming = 2).count()
       },
+      // r14 FLAC addendum: the cross-container hash (WAV + native FLAC
+      // decode) through the same banded machinery
+      "flac_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.crossAudioCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.crossAudioPairs(media, maxHamming = 2).count()
+      },
       // r13 audio addendum: the envelope fingerprint through the same
       // banded machinery — per-row constant is the PCM decode + window
       // sums (linear in payload bytes), band join collision-bounded

@@ -147,6 +147,16 @@ object WavContentHash {
         i += 1
       }
     }
+    envelope(s)
+  }
+
+  /** The shared envelope contract — trim near-silence, 65 equal windows,
+    * 64 gradient bits — over a mono 16-bit-domain sample run. Shared
+    * with [[FlacContentHash]] so a FLAC encode of a WAV (the
+    * cross-container duplicate class) hashes IDENTICALLY.
+    */
+  private[expressions] def envelope(s: Array[Int]): java.lang.Long = {
+    val frames = s.length
     // trim near-silence at both ends
     var lo = 0
     while (lo < frames && math.abs(s(lo)) <= SilenceFloor) lo += 1

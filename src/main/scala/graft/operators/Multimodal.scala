@@ -834,6 +834,79 @@ object Multimodal {
         (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
   }
 
+  /** CROSS-CONTAINER audio corpus — WAV originals with FLAC twins: the
+    * archive keeps the lossless .flac master, the crawl serves the .wav
+    * (or vice versa); identical samples, zero shared bytes. Twins at
+    * `id + 100000`: `id < 9` a mono FLAC encode (mixed
+    * VERBATIM/FIXED/LPC subframes), `9 <= id < 17` a MID/SIDE stereo
+    * FLAC, `17 <= id < 25` a LEFT/SIDE stereo FLAC — all of the SAME
+    * [[graft.functions.expressions.WavFixture]] signal, so every pair
+    * lands at Hamming EXACTLY 0 across formats. Corrupt rows
+    * (`id >= 25`): `%13` torn FLAC, `%17` garbage — NULL, byte family.
+    */
+  def crossAudioCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.{syntheticFlac, syntheticWav}
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticFlac(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticFlac(id, "garbage"))
+        .otherwise(syntheticWav(id, "base")).as("payload"))
+    val twins = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"),
+      when(id < 9, syntheticFlac(id, "flac"))
+        .when(id < 17, syntheticFlac(id, "ms"))
+        .otherwise(syntheticFlac(id, "ls")).as("payload"))
+    base.unionByName(twins)
+  }
+
+  /** Container-agnostic audio content fingerprint: the WAV envelope hash
+    * where the payload is RIFF/WAVE, the FLAC decode's (identical
+    * envelope contract) where it is FLAC — one column, so WAV↔FLAC
+    * duplicates meet in the same banded pair space. Zero-shuffle.
+    */
+  def crossAudioHash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.{flacContentHash, wavContentHash}
+    media.select(
+      col(idCol).cast("long").as("media_id"),
+      coalesce(wavContentHash(col(payloadCol)),
+        flacContentHash(col(payloadCol))).as("awhash"))
+  }
+
+  /** Cross-container audio near-dup pairs — [[crossAudioHash]] through
+    * the same banded machinery as [[audioPairs]].
+    */
+  def crossAudioPairs(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame =
+    Dedup.hammingPairs64(
+      crossAudioHash(media, idCol, payloadCol)
+        .filter(col("awhash").isNotNull)
+        .withColumnRenamed("media_id", "doc_id"),
+      "awhash", maxHamming, boundary)
+      .select(col("doc_id_1").as("media_id_1"), col("doc_id_2").as("media_id_2"),
+        col("hamming"))
+
+  /** Cross-container audio pairs → connected components → keep/drop. */
+  def crossAudioClusters(
+      media: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      boundary: Boundary = Boundary.Local): DataFrame = {
+    val pairs = crossAudioPairs(media, maxHamming, idCol, payloadCol, boundary)
+    val comp = Dedup.connectedComponents(pairs, "media_id_1", "media_id_2")
+    media.select(col(idCol).cast("long").as("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("component"),
+        (coalesce(col("cluster"), col("media_id")) === col("media_id")).as("keep"))
+  }
+
   /** Per-media 64-bit perceptual fingerprint over the payload bytes —
     * `(media_id, phash)` via the codegen'd
     * [[graft.functions.expressions.BlockHash64]] (block-mean vs

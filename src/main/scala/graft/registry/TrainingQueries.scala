@@ -3828,6 +3828,49 @@ object TrainingQueries {
       Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** CROSS-CONTAINER audio near-dup ([[Multimodal.crossAudioPairs]] over
+    * [[Multimodal.crossAudioCorpus]]): WAV originals vs FLAC encodes of
+    * the SAME samples — the duplicate class where the archive serves the
+    * lossless .flac master and the crawl the .wav, with zero shared
+    * bytes. The native FLAC decode
+    * ([[graft.functions.expressions.FlacContentHash]] — frame walk,
+    * VERBATIM/FIXED/LPC subframes, Rice residuals, mid-side/left-side
+    * stereo decorrelation, spec CRCs in the fixture) is integer-exact by
+    * spec, so every WAV↔FLAC pair hashes at Hamming EXACTLY 0 through
+    * the shared envelope contract. Torn/garbage FLACs hash NULL. MP3/AAC
+    * stay documented-unsupported on the byte family (lossy decode is
+    * decoder-dependent — the progressive-JPEG precedent). Oracle:
+    * planted-pair derivation from ids (the decode is sample-exact
+    * round-tripped and fuzzed in FlacSpec).
+    */
+  private val dedupFlacAudioNearDup = Q(
+    "dedup_flac_audio_neardup",
+    (s, d) => Multimodal.crossAudioPairs(
+      Multimodal.crossAudioCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.crossAudioPairs(
+      Multimodal.crossAudioCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
+  /** Cross-container audio pairs → connected components → keep/drop:
+    * every FLAC twin collapses onto its WAV base id, undecodable rows
+    * stay singletons.
+    */
+  private val dedupFlacAudioClusters = Q(
+    "dedup_flac_audio_clusters",
+    (s, d) => Multimodal.crossAudioClusters(
+      Multimodal.crossAudioCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.crossAudioClusters(
+      Multimodal.crossAudioCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
+      boundary = graft.operators.Boundary.None)))
+
   /** WARC shard ingest ([[org.apache.spark.sql.graftnative.NativeColumns
     * .warcRecords]] + `posexplode`): each payload is a concatenation of
     * three WARC/1.0 response records (Column-synthesized text — headers,
@@ -5430,6 +5473,7 @@ object TrainingQueries {
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupWebpPixelNearDup, dedupWebpPixelClusters,
+    dedupFlacAudioNearDup, dedupFlacAudioClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
     pipelineCrawlExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,

@@ -253,6 +253,26 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.WavContentHash(
       ExpressionUtils.expression(payload))))
 
+  /** CONTENT-LEVEL 64-bit envelope fingerprint for FLAC payloads: native
+    * FLAC decode (CONSTANT/VERBATIM/FIXED/LPC subframes, Rice/Rice2
+    * residuals, wasted bits, left-side/right-side/mid-side stereo) +
+    * the SAME trim/65-window envelope as [[wavContentHash]] — a FLAC
+    * encode of a WAV hashes at Hamming 0 against the WAV original (the
+    * cross-container duplicate class). NULL for anything not cleanly
+    * decodable; MP3/AAC stay on the byte-level family (see
+    * [[graft.functions.expressions.FlacContentHash]]).
+    */
+  def flacContentHash(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.FlacContentHash(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic FLAC generator over a long id column
+    * (fixture corpora only — see [[graft.functions.expressions.SyntheticFlac]]).
+    */
+  def syntheticFlac(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticFlac(
+      ExpressionUtils.expression(id), mode)))
+
   /** Deterministic synthetic PCM-WAV generator over a long id column
     * (fixture corpora only — see
     * [[graft.functions.expressions.SyntheticWav]] for the variants).

@@ -241,8 +241,10 @@ class ParserFuzzSpec extends AnyFunSuite {
       // and to the GIF LZW path and the WAV PCM-envelope path (r13)
       graft.functions.expressions.GifPixelHash.hash(payload)
       graft.functions.expressions.WavContentHash.hash(payload)
-      // and to the VP8L prefix-code/transform path (r14)
+      // and to the VP8L prefix-code/transform path and the FLAC
+      // subframe/Rice path (r14)
       graft.functions.expressions.WebpPixelHash.hash(payload)
+      graft.functions.expressions.FlacContentHash.hash(payload)
       i += 1
     }
   }
