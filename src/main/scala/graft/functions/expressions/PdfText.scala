@@ -1,0 +1,508 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PDF TEXT EXTRACTION as a native expression — the second-biggest text
+  * source in a real crawl after HTML (`application/pdf` WARC
+  * responses): parse the classic cross-reference table from the trailer
+  * (`startxref` → `xref` sections → `/Root`, with `/Prev` chains for
+  * incrementally-updated files), walk Catalog → Pages → Kids → Page →
+  * Contents, FlateDecode the content streams (RFC 1951 — the same
+  * deterministic inflate as the PNG decoder), and interpret the text
+  * operators: `Tj` / `'` / `"` show strings, `TJ` shows arrays
+  * (kerning numbers ignored), `Td`/`TD`/`T*`/`'` break lines, pages
+  * join with a newline. String literals decode the full escape set
+  * (`\( \) \\ \n \r \t \b \f`, octal, line continuations, balanced
+  * nested parens); hex strings decode per spec; bytes map via Latin-1
+  * (standard-font text; CID/Type0 composite fonts are out of scope and
+  * extract as raw bytes).
+  *
+  * Returns NULL for anything not cleanly walkable: bad header, missing
+  * or malformed xref (cross-reference STREAMS — PDF 1.5 compressed
+  * xref — are DOCUMENTED-UNSUPPORTED, like progressive JPEG), broken
+  * object graph, non-Flate filters, torn streams, or no extractable
+  * text — never throws (PdfSpec fuzzes).
+  *
+  * Scale: one codegen'd projection, O(bytes); the payload never
+  * shuffles — only the extracted text flows on, straight into the
+  * text-quality/dedup machinery like any HTML extraction.
+  */
+case class PdfText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pdf_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckSuccess
+    case dt => TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = PdfText.extract(input.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val impl = ctx.addReferenceObj("pdfTextImpl", PdfText,
+        PdfText.getClass.getName)
+      val tmp = ctx.freshName("pdt")
+      s"""
+        |String $tmp = $impl.extract($v);
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PdfText =
+    copy(child = newChild)
+}
+
+object PdfText {
+
+  /** Decompressed-stream ceiling per content stream. */
+  val MaxStreamBytes: Int = 1 << 24
+  /** Object / page walk ceilings (hostile graphs must terminate). */
+  val MaxObjects = 65536
+  val MaxPages = 4096
+
+  private object Bad extends RuntimeException with scala.util.control.NoStackTrace
+  private def bad(): Nothing = throw Bad
+
+  // ---------------- object model ----------------
+  private sealed trait V
+  private case class VNum(v: Double) extends V
+  private case class VName(v: String) extends V
+  private case class VStr(v: Array[Byte]) extends V
+  private case class VArr(v: Vector[V]) extends V
+  private case class VDict(v: Map[String, V]) extends V
+  private case class VRef(num: Int, gen: Int) extends V
+  private case object VNull extends V
+  private case class VBool(v: Boolean) extends V
+
+  private final class Lexer(val b: Array[Byte], var pos: Int) {
+    def ws(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (pos < b.length && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+    def peek: Int = if (pos < b.length) b(pos) & 0xff else -1
+    def expect(s: String): Unit = {
+      ws()
+      if (pos + s.length > b.length) bad()
+      var i = 0
+      while (i < s.length) { if (b(pos + i) != s.charAt(i)) bad(); i += 1 }
+      pos += s.length
+    }
+    def tryKeyword(s: String): Boolean = {
+      ws()
+      if (pos + s.length > b.length) return false
+      var i = 0
+      while (i < s.length) { if (b(pos + i) != s.charAt(i)) return false; i += 1 }
+      pos += s.length
+      true
+    }
+    def value(depth: Int = 0): V = {
+      if (depth > 64) bad()
+      ws()
+      peek match {
+        case -1 => bad()
+        case '<' =>
+          if (pos + 1 < b.length && b(pos + 1) == '<') { pos += 2; dict(depth) }
+          else { pos += 1; hexString() }
+        case '(' => pos += 1; literalString()
+        case '/' => pos += 1; VName(name())
+        case '[' =>
+          pos += 1
+          var items = Vector.empty[V]
+          ws()
+          while (peek != ']') { items :+= value(depth + 1); ws(); if (peek == -1) bad() }
+          pos += 1
+          VArr(items)
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          numberOrRef()
+        case 't' => expect("true"); VBool(true)
+        case 'f' => expect("false"); VBool(false)
+        case 'n' => expect("null"); VNull
+        case _ => bad()
+      }
+    }
+    private def dict(depth: Int): V = {
+      var m = Map.empty[String, V]
+      ws()
+      while (!(peek == '>' && pos + 1 < b.length && b(pos + 1) == '>')) {
+        if (peek != '/') bad()
+        pos += 1
+        val k = name()
+        m += (k -> value(depth + 1))
+        ws()
+        if (peek == -1) bad()
+      }
+      pos += 2
+      VDict(m)
+    }
+    def name(): String = {
+      val sb = new StringBuilder
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos) & 0xff
+        if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0 ||
+          c == '/' || c == '[' || c == ']' || c == '(' || c == ')' || c == '<' || c == '>' ||
+          c == '%') go = false
+        else if (c == '#' && pos + 2 < b.length) {
+          sb.append(((hexVal(b(pos + 1)) << 4) | hexVal(b(pos + 2))).toChar)
+          pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      sb.toString
+    }
+    private def hexVal(c: Byte): Int = {
+      val x = c & 0xff
+      if (x >= '0' && x <= '9') x - '0'
+      else if (x >= 'a' && x <= 'f') x - 'a' + 10
+      else if (x >= 'A' && x <= 'F') x - 'A' + 10
+      else bad()
+    }
+    def hexString(): V = {
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var go = true
+      while (go) {
+        if (pos >= b.length) bad()
+        val c = b(pos) & 0xff
+        pos += 1
+        if (c == '>') go = false
+        else if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0) ()
+        else {
+          val v = hexVal(c.toByte)
+          if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+      VStr(out.toByteArray)
+    }
+    def literalString(): V = {
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (pos >= b.length) bad()
+        val c = b(pos) & 0xff
+        pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case '\\' =>
+            if (pos >= b.length) bad()
+            val e = b(pos) & 0xff
+            pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (pos < b.length && b(pos) == '\n') pos += 1 // continuation
+              case '\n' => () // continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                  v = (v << 3) | (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // unknown escape: the char itself
+            }
+          case other => out.write(other)
+        }
+      }
+      VStr(out.toByteArray)
+    }
+    private def numberOrRef(): V = {
+      val start = pos
+      val n1 = number()
+      // "N G R" is an indirect reference — lookahead for two ints + R
+      if (n1 >= 0 && n1 == math.floor(n1)) {
+        val save = pos
+        ws()
+        if (peek >= '0' && peek <= '9') {
+          val n2 = number()
+          ws()
+          if (tryKeyword("R")) return VRef(n1.toInt, n2.toInt)
+        }
+        pos = save
+      }
+      val _ = start
+      VNum(n1)
+    }
+    def number(): Double = {
+      ws()
+      val sb = new StringBuilder
+      if (peek == '+' || peek == '-') { sb.append(peek.toChar); pos += 1 }
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos) & 0xff
+        if ((c >= '0' && c <= '9') || c == '.') { sb.append(c.toChar); pos += 1 }
+        else go = false
+      }
+      if (sb.isEmpty || sb.toString == "+" || sb.toString == "-") bad()
+      sb.toString.toDouble
+    }
+  }
+
+  // ---------------- xref + object resolution ----------------
+  private final class Doc(b: Array[Byte]) {
+    // declared BEFORE `offsets`: its initializer assigns the root ref
+    var trailerRoot: Option[VRef] = None
+
+    val offsets: Map[Int, Int] = {
+      // startxref from the tail
+      val tail = new String(b, math.max(0, b.length - 2048),
+        math.min(2048, b.length), "ISO-8859-1")
+      val ix = tail.lastIndexOf("startxref")
+      if (ix < 0) bad()
+      val rest = tail.substring(ix + 9).trim
+      val off0 = rest.takeWhile(_.isDigit)
+      if (off0.isEmpty) bad()
+      var next = off0.toLong
+      var acc = Map.empty[Int, Int]
+      var hops = 0
+      while (next >= 0 && hops < 8) {
+        hops += 1
+        if (next > b.length - 4) bad()
+        val lx = new Lexer(b, next.toInt)
+        // a classic table starts with the keyword `xref`; an OBJECT here
+        // means a 1.5+ cross-reference stream — documented-unsupported
+        if (!lx.tryKeyword("xref")) bad()
+        var go = true
+        while (go) {
+          lx.ws()
+          if (lx.tryKeyword("trailer")) go = false
+          else {
+            val start = lx.number().toInt
+            val count = lx.number().toInt
+            if (count < 0 || count > MaxObjects) bad()
+            var i = 0
+            while (i < count) {
+              lx.ws()
+              if (lx.pos + 18 > b.length) bad()
+              val entry = new String(b, lx.pos, 18, "ISO-8859-1")
+              val off = entry.substring(0, 10).trim
+              val typ = entry.charAt(17)
+              // first-seen wins across /Prev chains (newest section first)
+              if (typ == 'n' && !acc.contains(start + i))
+                acc += ((start + i) -> off.toInt)
+              lx.pos += 18
+              i += 1
+            }
+          }
+        }
+        val tr = lx.value() match { case VDict(m) => m; case _ => bad() }
+        if (!trailerRoot.isDefined) trailerRoot = tr.get("Root").collect { case r: VRef => r }
+        next = tr.get("Prev") match {
+          case Some(VNum(p)) => p.toLong
+          case _ => -1L
+        }
+      }
+      acc
+    }
+
+    private val cache = scala.collection.mutable.Map.empty[Int, (V, Array[Byte])]
+
+    /** Resolve object `num`: (value, raw stream bytes or null). */
+    def obj(num: Int): (V, Array[Byte]) = cache.getOrElseUpdate(num, {
+      val off = offsets.getOrElse(num, bad())
+      if (off < 0 || off >= b.length) bad()
+      val lx = new Lexer(b, off)
+      val n = lx.number().toInt
+      if (n != num) bad()
+      lx.number() // generation
+      lx.expect("obj")
+      val v = lx.value()
+      lx.ws()
+      if (lx.tryKeyword("stream")) {
+        // EOL after `stream`: CRLF or LF
+        if (lx.pos < b.length && b(lx.pos) == '\r') lx.pos += 1
+        if (lx.pos < b.length && b(lx.pos) == '\n') lx.pos += 1
+        val len = v match {
+          case VDict(m) => m.get("Length") match {
+            case Some(VNum(l)) => l.toLong
+            case Some(r: VRef) => deref(r) match { case VNum(l) => l.toLong; case _ => bad() }
+            case _ => bad()
+          }
+          case _ => bad()
+        }
+        if (len < 0 || len > MaxStreamBytes || lx.pos + len > b.length) bad()
+        val raw = java.util.Arrays.copyOfRange(b, lx.pos, lx.pos + len.toInt)
+        (v, raw)
+      } else (v, null)
+    })
+
+    def deref(v: V): V = v match {
+      case r: VRef => obj(r.num)._1
+      case other => other
+    }
+  }
+
+  /** Extracted text, or null if the payload is not a cleanly-walkable
+    * classic-xref PDF with extractable text. Never throws.
+    */
+  def extract(b: Array[Byte]): String =
+    try extractImpl(b)
+    catch { case Bad => null; case scala.util.control.NonFatal(_) => null }
+
+  private def extractImpl(b: Array[Byte]): String = {
+    if (b == null || b.length < 32) return null
+    if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-')) return null
+    val doc = new Doc(b)
+    val root = doc.trailerRoot.getOrElse(bad())
+    val catalog = doc.deref(root) match { case VDict(m) => m; case _ => bad() }
+    val pagesRef = catalog.getOrElse("Pages", bad())
+    // walk the page tree
+    val pages = Vector.newBuilder[Map[String, V]]
+    var seen = 0
+    def walk(v: V, depth: Int): Unit = {
+      if (depth > 32) bad()
+      doc.deref(v) match {
+        case VDict(m) =>
+          m.get("Type") match {
+            case Some(VName("Pages")) =>
+              doc.deref(m.getOrElse("Kids", bad())) match {
+                case VArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _ => bad()
+              }
+            case Some(VName("Page")) =>
+              seen += 1
+              if (seen > MaxPages) bad()
+              pages += m
+            case _ => bad()
+          }
+        case _ => bad()
+      }
+    }
+    walk(pagesRef, 0)
+    val sb = new StringBuilder
+    def emitNl(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    pages.result().foreach { page =>
+      emitNl()
+      val contents = page.get("Contents") match {
+        case None => Vector.empty[V]
+        case Some(v) => doc.deref(v) match {
+          case VArr(items) => items
+          case _ => Vector(v)
+        }
+      }
+      contents.foreach { c =>
+        val r = c match { case r: VRef => r; case _ => bad() }
+        val (v, raw) = doc.obj(r.num)
+        if (raw == null) bad()
+        val dict = v match { case VDict(m) => m; case _ => bad() }
+        val data = dict.get("Filter") match {
+          case None => raw
+          case Some(VName("FlateDecode")) => inflate(raw)
+          case _ => bad() // other filters: documented-unsupported
+        }
+        interpret(data, sb, emitNl _)
+      }
+    }
+    val out = sb.toString
+    val trimmed = out.dropWhile(_ == '\n')
+    if (trimmed.isEmpty) null else trimmed
+  }
+
+  private def inflate(z: Array[Byte]): Array[Byte] = {
+    if (z.length < 2) bad()
+    val cmf = z(0) & 0xff; val flg = z(1) & 0xff
+    if ((cmf & 0x0f) != 8 || ((cmf << 8) | flg) % 31 != 0) bad()
+    if ((flg & 0x20) != 0) bad()
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      val out = new java.io.ByteArrayOutputStream(math.min(z.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf)
+        catch { case _: java.util.zip.DataFormatException => bad() }
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) bad() // truncated
+        } else out.write(buf, 0, n)
+        if (out.size > MaxStreamBytes) bad()
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** The content-stream text interpreter: a tiny operand-stack machine
+    * over the same lexer, handling only what text extraction needs.
+    */
+  private def interpret(data: Array[Byte], sb: StringBuilder, emitNl: () => Unit): Unit = {
+    val lx = new Lexer(data, 0)
+    var lastStr: Array[Byte] = null
+    var arr: Vector[V] = null
+    var steps = 0
+    def show(bytes: Array[Byte]): Unit =
+      bytes.foreach(x => sb.append((x & 0xff).toChar)) // Latin-1
+    while ({ lx.ws(); lx.pos < data.length }) {
+      steps += 1
+      if (steps > (1 << 22)) bad()
+      val c = lx.peek
+      if (c == '(') { lx.pos += 1; lastStr = lx.literalString().asInstanceOf[VStr].v }
+      else if (c == '<' && lx.pos + 1 < data.length && data(lx.pos + 1) == '<') {
+        lx.value() // inline dict (marked content props): parse + drop
+      } else if (c == '<') { lx.pos += 1; lastStr = lx.hexString().asInstanceOf[VStr].v }
+      else if (c == '[') { arr = lx.value() match { case VArr(v) => v; case _ => bad() } }
+      else if (c == '/') { lx.pos += 1; lx.name(); () }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) { lx.number(); () }
+      else {
+        // operator: a run of non-delimiter, non-numeric chars
+        val start = lx.pos
+        var go = true
+        while (go && lx.pos < data.length) {
+          val x = data(lx.pos) & 0xff
+          if (x == ' ' || x == '\r' || x == '\n' || x == '\t' || x == '\f' || x == 0 ||
+            x == '(' || x == '<' || x == '[' || x == '/' || x == ']' || x == ')' || x == '>' ||
+            x == '%') go = false
+          else lx.pos += 1
+        }
+        if (lx.pos == start) bad() // stray delimiter
+        val op = new String(data, start, lx.pos - start, "ISO-8859-1")
+        op match {
+          case "Tj" => if (lastStr != null) show(lastStr)
+          case "'" | "\"" => emitNl(); if (lastStr != null) show(lastStr)
+          case "TJ" =>
+            if (arr != null) arr.foreach {
+              case VStr(s) => show(s)
+              case _ => () // kerning numbers
+            }
+          case "Td" | "TD" | "T*" => emitNl()
+          case "BI" =>
+            // inline image: scan to `EI` at a whitespace boundary
+            var found = false
+            while (!found) {
+              if (lx.pos + 2 > data.length) bad()
+              if (data(lx.pos) == 'E' && data(lx.pos + 1) == 'I') { lx.pos += 2; found = true }
+              else lx.pos += 1
+            }
+          case _ => () // every other operator: operands already consumed
+        }
+        if (op == "Tj" || op == "'" || op == "\"") lastStr = null
+        if (op == "TJ") arr = null
+      }
+    }
+  }
+}

@@ -3921,6 +3921,43 @@ object TrainingQueries {
       FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS r) r
       WHERE d.doc_id % 13 <> 0 AND d.doc_id % 17 <> 0"""))
 
+  /** PDF TEXT EXTRACTION ([[org.apache.spark.sql.graftnative
+    * .NativeColumns.pdfText]]): the second-biggest text source in a real
+    * crawl after HTML — classic-xref walk, Catalog→Pages→Contents object
+    * graph, FlateDecode (the PNG decoder's inflate discipline), and the
+    * BT/ET text operators (Tj, kerned TJ arrays, `'` line-shows, Td/T*
+    * breaks, the full escape set, hex strings). The fixture writer emits
+    * REAL two-page PDFs (byte-exact xref tables, Helvetica, one
+    * Flate-compressed and one raw variant of the same text) whose page
+    * text is md5-derived from the id — so the oracle re-derives the
+    * extraction straight in SQL. Torn (`%13`), non-PDF (`%17`), and
+    * compressed-xref-1.5 (`%19` — documented-unsupported) payloads
+    * extract NULL and drop.
+    */
+  private val textPdfExtract = Q(
+    "text_pdf_extract",
+    (s, d) => {
+      import org.apache.spark.sql.graftnative.NativeColumns.{pdfText, syntheticPdf}
+      val id = col("doc_id").cast("long")
+      val payload =
+        when(pmod(id, lit(13)) === 0, syntheticPdf(id, "truncated"))
+          .when(pmod(id, lit(17)) === 0, syntheticPdf(id, "garbage"))
+          .when(pmod(id, lit(19)) === 0, syntheticPdf(id, "xrefstream"))
+          .when(pmod(id, lit(2)) === 0, syntheticPdf(id, "flate"))
+          .otherwise(syntheticPdf(id, "raw"))
+      Tables.documents(s, d).select(id.as("doc_id"), pdfText(payload).as("txt"))
+        .filter(col("txt").isNotNull)
+    },
+    Some("""SELECT doc_id,
+        'pdf ' || md5(CAST(doc_id AS VARCHAR) || '|pdf0') || chr(10) ||
+        'kern ' || md5(CAST(doc_id AS VARCHAR) || '|pdf1') || chr(10) ||
+        'esc ( ) \ end' || chr(10) ||
+        'hex ' || md5(CAST(doc_id AS VARCHAR) || '|pdf2') || chr(10) ||
+        'page2 ' || md5(CAST(doc_id AS VARCHAR) || '|pdf3') || chr(10) ||
+        'more ' || md5(CAST(doc_id AS VARCHAR) || '|pdf4') AS txt
+      FROM documents
+      WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0"""))
+
   /** THE CRAWL-INGESTION COMPOSITION: WARC shard → native record parse →
     * HTTP response split → status gate → HTML extraction — the real
     * "Common Crawl in, clean text out" front half of a training
@@ -3929,44 +3966,75 @@ object TrainingQueries {
     * built-in Column algebra (the header/body split is the FIRST
     * `\r\n\r\n`, which is correct by construction whatever the body
     * contains — no custom code needed, stays in codegen), the HTML
-    * layer is the production extraction chain. Each page ships with a
-    * planted 404 sibling record the status gate must drop; torn shards
-    * (`%13`) parse NULL and drop whole. Oracle: the clean text
-    * re-derived from `documents.text` through the SQL twin of the
-    * extraction chain, restricted to the non-torn 200s.
+    * layer is the production extraction chain, and (r14) the
+    * `application/pdf` responses route through the native
+    * [[org.apache.spark.sql.graftnative.NativeColumns.pdfText]]
+    * extraction — records are BINARY end-to-end so the compressed PDF
+    * body survives the WARC framing. Each page ships with a planted 404
+    * sibling record the status gate must drop; torn shards (`%13`)
+    * parse NULL and drop whole. Oracle: the clean HTML text re-derived
+    * from `documents.text` through the SQL twin of the extraction
+    * chain, UNION the PDF text re-derived from the fixture contract,
+    * restricted to the non-torn 200s.
     */
   private val pipelineCrawlExtract = Q(
     "pipeline_crawl_extract",
     (s, d) => {
-      import org.apache.spark.sql.graftnative.NativeColumns.warcRecords
+      import org.apache.spark.sql.graftnative.NativeColumns.{pdfText, syntheticPdf, warcRecords}
       val id = col("doc_id").cast("long")
       val page = htmlSalted(Tables.documents(s, d).select("doc_id", "text"))
-      val http200 = concat(
-        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html"))
-      val http404 =
-        lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot found")
-      def recOf(body: org.apache.spark.sql.Column, path: String) = concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/"),
-        id.cast("string"), lit(path),
-        lit("\r\nContent-Type: application/http\r\nContent-Length: "),
-        octet_length(encode(body, "UTF-8")).cast("string"),
-        lit("\r\n\r\n"), body, lit("\r\n\r\n"))
-      val whole = concat(recOf(http200, "/page"), recOf(http404, "/missing"))
+      // records are BINARY end-to-end (r14): the PDF branch's body is
+      // compressed bytes a string round-trip would corrupt
+      def recOf(bodyBin: org.apache.spark.sql.Column, path: String) = concat(
+        encode(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/"),
+          id.cast("string"), lit(path),
+          lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+          octet_length(bodyBin).cast("string"),
+          lit("\r\n\r\n")), "UTF-8"),
+        bodyBin, encode(lit("\r\n\r\n"), "UTF-8"))
+      val htmlBody = encode(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html")), "UTF-8")
+      val notFound = encode(
+        lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot found"), "UTF-8")
+      val pdfBody = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"), "UTF-8"),
+        syntheticPdf(id, "flate"))
+      val whole = concat(
+        recOf(htmlBody, "/page"), recOf(notFound, "/missing"), recOf(pdfBody, "/doc.pdf"))
       val payload = when(pmod(id, lit(13)) === 0,
-        encode(substring(whole, 1, 200), "UTF-8")) // torn shard
-        .otherwise(encode(whole, "UTF-8"))
+        substring(whole, 1, 200)) // torn shard
+        .otherwise(whole)
       page.select(id.as("doc_id"), payload.as("payload"))
         .select(col("doc_id"), posexplode(warcRecords(col("payload"))))
-        .select(col("doc_id"), decode(col("col.body"), "UTF-8").as("msg"))
+        .select(col("doc_id"), col("col.body").as("raw"))
+        // header sniff via ISO-8859-1: total on ANY bytes (UTF-8 decode
+        // is strict and a PDF body would throw), ASCII-transparent, and
+        // char position == byte position for the locate below
+        .withColumn("head", decode(substring(col("raw"), 1, 120), "ISO-8859-1"))
         .withColumn("status",
-          regexp_extract(col("msg"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1).cast("int"))
+          regexp_extract(col("head"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1).cast("int"))
         .filter(col("status") === 200) // the 404 sibling drops here
-        .select(col("doc_id"),
-          Text.extractHtmlText(
-            col("msg").substr(locate("\r\n\r\n", col("msg")) + 4, length(col("msg"))))
+        .withColumn("ctype", regexp_extract(col("head"), "Content-Type: ([^\r\n]+)", 1))
+        .withColumn("off", locate("\r\n\r\n", col("head")) + 4) // ASCII region: char pos == byte pos
+        .select(col("doc_id"), col("ctype"),
+          when(col("ctype") === "application/pdf",
+            pdfText(col("raw").substr(col("off"), octet_length(col("raw")))))
+            .otherwise(Text.extractHtmlText(
+              decode(col("raw"), "UTF-8")
+                .substr(col("off"), octet_length(col("raw")).cast("int"))))
             .as("clean"))
     },
-    Some(s"""SELECT doc_id, ${htmlChainSql(htmlSaltSql)} AS clean
+    Some(s"""SELECT doc_id, 'text/html' AS ctype, ${htmlChainSql(htmlSaltSql)} AS clean
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, 'application/pdf',
+        'pdf ' || md5(CAST(doc_id AS VARCHAR) || '|pdf0') || chr(10) ||
+        'kern ' || md5(CAST(doc_id AS VARCHAR) || '|pdf1') || chr(10) ||
+        'esc ( ) \\ end' || chr(10) ||
+        'hex ' || md5(CAST(doc_id AS VARCHAR) || '|pdf2') || chr(10) ||
+        'page2 ' || md5(CAST(doc_id AS VARCHAR) || '|pdf3') || chr(10) ||
+        'more ' || md5(CAST(doc_id AS VARCHAR) || '|pdf4')
       FROM documents WHERE doc_id % 13 <> 0"""))
 
   /** VIDEO POSTER-FRAME near-dup ([[Multimodal.videoPairs]] over the
@@ -5475,7 +5543,7 @@ object TrainingQueries {
     dedupWebpPixelNearDup, dedupWebpPixelClusters,
     dedupFlacAudioNearDup, dedupFlacAudioClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
-    pipelineCrawlExtract,
+    pipelineCrawlExtract, textPdfExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

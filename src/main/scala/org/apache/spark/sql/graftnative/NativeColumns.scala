@@ -273,6 +273,25 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.SyntheticFlac(
       ExpressionUtils.expression(id), mode)))
 
+  /** PDF text extraction: classic-xref walk (startxref → xref sections →
+    * Catalog → Pages → Contents), FlateDecode, and the BT/ET text
+    * operators (`Tj`/`TJ`/`'`/`"`, `Td`/`TD`/`T*` line breaks, full
+    * string-escape set, hex strings) — the `application/pdf` leg of the
+    * crawl-ingestion pipeline. NULL for anything not cleanly walkable
+    * (xref STREAMS are documented-unsupported, like progressive JPEG) —
+    * see [[graft.functions.expressions.PdfText]].
+    */
+  def pdfText(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.PdfText(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic PDF generator over a long id column
+    * (fixture corpora only — see [[graft.functions.expressions.SyntheticPdf]]).
+    */
+  def syntheticPdf(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticPdf(
+      ExpressionUtils.expression(id), mode)))
+
   /** Deterministic synthetic PCM-WAV generator over a long id column
     * (fixture corpora only — see
     * [[graft.functions.expressions.SyntheticWav]] for the variants).

@@ -245,6 +245,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       // subframe/Rice path (r14)
       graft.functions.expressions.WebpPixelHash.hash(payload)
       graft.functions.expressions.FlacContentHash.hash(payload)
+      // and to the PDF xref/object/content-stream walk (r14)
+      graft.functions.expressions.PdfText.extract(payload)
       i += 1
     }
   }
