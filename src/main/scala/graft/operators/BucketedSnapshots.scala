@@ -430,9 +430,11 @@ object BucketedSnapshots {
         .write.mode(SaveMode.Overwrite).parquet(dst.toString)
       b -> nv
     }.toMap
-    // folded buckets carry their (wider-safe) zonemap stats verbatim
+    // folded buckets carry their (wider-safe) BUCKET-LEVEL zonemap stats;
+    // per-file entries drop with the rewrite (file names change)
     val prevStats = readStats(spark, path, cur)._2
-    val carried = newBucketVersions.keys.map(b => b -> prevStats.getOrElse(b, Nil)).toMap
+    val carried = newBucketVersions.keys.map(b =>
+      b -> prevStats.getOrElse(b, Nil).filter(_.file.isEmpty)).toMap
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, Nil, carried.toMap,
       dvAppend = newDvIds.map { case (b, j) => b -> Seq(j) })
@@ -932,7 +934,15 @@ object BucketedSnapshots {
     * bucket holds NO non-null value of the column (skippable under ANY
     * range predicate — SQL ranges never select NULL).
     */
-  private[graft] case class BucketStat(col: String, typ: Char, min: String, max: String)
+  /** `file` empty = whole-bucket entry (what bucket pruning uses);
+    * nonEmpty = a PER-FILE entry (`file` is the part-file basename inside
+    * the bucket dir) for sub-bucket skipping on fragmented buckets. File
+    * entries are purely ADDITIVE hints: a data file with no entry is
+    * always read, and a stale entry (post-compaction names change) simply
+    * matches no file — pruning degrades to wider, never wrong.
+    */
+  private[graft] case class BucketStat(
+      col: String, typ: Char, min: String, max: String, file: String = "")
 
   private def statsPath(path: String, v: Long) = s"$path/manifest/v=$v.stats.txt"
 
@@ -953,9 +963,11 @@ object BucketedSnapshots {
     val cols = lines.headOption.filter(_.startsWith("#cols="))
       .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val entries = lines.drop(1).flatMap { line =>
-      line.split(",", 5) match {
+      line.split(",", 6) match {
         case Array(b, c, t, mn, mx) if t.length == 1 =>
           b.toIntOption.map(_ -> BucketStat(c, t.charAt(0), mn, mx))
+        case Array(b, c, t, mn, mx, f) if t.length == 1 =>
+          b.toIntOption.map(_ -> BucketStat(c, t.charAt(0), mn, mx, f))
         case _ => None
       }
     }
@@ -970,7 +982,10 @@ object BucketedSnapshots {
     val tmp = new Path(statsPath(path, v) + ".tmp")
     val dst = new Path(statsPath(path, v))
     val content = (s"#cols=${cols.mkString(",")}" +:
-      entries.map { case (b, s) => s"$b,${s.col},${s.typ},${s.min},${s.max}" })
+      entries.map { case (b, s) =>
+        val base = s"$b,${s.col},${s.typ},${s.min},${s.max}"
+        if (s.file.isEmpty) base else s"$base,${s.file}"
+      })
       .mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -1030,6 +1045,17 @@ object BucketedSnapshots {
     val aggs = statCols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"), count(col(c)).as(s"ct$i")) }
     val rows = staged.groupBy(col("b")).agg(aggs.head, aggs.tail: _*).collect()
+    // PER-FILE entries (sub-bucket skipping on fragmented buckets): one
+    // more map-side-combined aggregation over the same staged churn,
+    // keyed by (bucket, part-file basename) — basenames survive the
+    // staging rename into the immutable v-dir verbatim
+    val fileRows = staged
+      .groupBy(col("b"),
+        substring_index(input_file_name(), "/", -1).as("_f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val perFileCount = fileRows.groupBy(_.get(0).toString.toInt).map {
+      case (b, rs) => b -> rs.length
+    }
     def stringify(dt: DataType, v: Any): Option[(Char, String)] = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(('l', v.asInstanceOf[Number].longValue.toString))
@@ -1042,19 +1068,28 @@ object BucketedSnapshots {
         Some(('s', b64(v.asInstanceOf[String])))
       case _ => None
     }
-    val computed = rows.map { r =>
-      val b = r.get(0).toString.toInt
-      val stats = statCols.zipWithIndex.flatMap { case (c, i) =>
-        if (r.getLong(r.fieldIndex(s"ct$i")) == 0L) Some(BucketStat(c, 'n', "", ""))
+    def entriesOf(r: org.apache.spark.sql.Row, file: String): Seq[BucketStat] =
+      statCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.getLong(r.fieldIndex(s"ct$i")) == 0L) Some(BucketStat(c, 'n', "", "", file))
         else for {
           (t, mn) <- stringify(types(c), r.get(r.fieldIndex(s"mn$i")))
           (_, mx) <- stringify(types(c), r.get(r.fieldIndex(s"mx$i")))
-        } yield BucketStat(c, t, mn, mx)
+        } yield BucketStat(c, t, mn, mx, file)
       }
-      b -> stats
+    val computed = rows.map { r =>
+      r.get(0).toString.toInt -> entriesOf(r, "")
     }.toMap
-    touched.map(b => b -> computed.getOrElse(
-      b, statCols.map(c => BucketStat(c, 'n', "", "")))).toMap
+    // file entries only where a bucket actually fragments (a single-file
+    // bucket's file entry would duplicate the bucket entry byte-for-byte)
+    val fileComputed = fileRows
+      .filter(r => perFileCount.getOrElse(r.get(0).toString.toInt, 0) > 1)
+      .groupBy(_.get(0).toString.toInt)
+      .map { case (b, rs) =>
+        b -> rs.toSeq.flatMap(r => entriesOf(r, r.getString(1)))
+      }
+    touched.map(b => b -> (computed.getOrElse(
+      b, statCols.map(c => BucketStat(c, 'n', "", ""))) ++
+      fileComputed.getOrElse(b, Nil))).toMap
   }
 
   /** Normalize user bounds to the COLUMN's comparison space, so the stats
@@ -1107,28 +1142,68 @@ object BucketedSnapshots {
     * conservative with respect to it. Missing stats, a type mismatch, or
     * an unparseable entry mean "read the bucket".
     */
+  /** May a row of a range-`[effLo, effHi]` read live inside `st`'s
+    * bounds? (conservative: parse trouble or unknown type = yes).
+    */
+  private def statIntersects(
+      st: BucketStat, effLo: Option[BigDecimal], effHi: Option[BigDecimal]): Boolean =
+    if (st.typ == 'n') false
+    else try st.typ match {
+      case 'l' =>
+        val mn = st.min.toLong; val mx = st.max.toLong
+        effHi.forall(u => BigDecimal(mn) <= u) && effLo.forall(l => BigDecimal(mx) >= l)
+      case 'd' =>
+        val mn = java.lang.Double.parseDouble(st.min)
+        val mx = java.lang.Double.parseDouble(st.max)
+        effHi.forall(u => mn <= u.toDouble) && effLo.forall(l => mx >= l.toDouble)
+      case 'c' =>
+        val mn = BigDecimal(st.min); val mx = BigDecimal(st.max)
+        effHi.forall(u => mn <= u) && effLo.forall(l => mx >= l)
+      case _ => true
+    } catch { case _: NumberFormatException => true }
+
   private[graft] def pruneBuckets(
       spark: SparkSession, path: String, version: Long, m: Map[Int, Long],
       column: String, effLo: Option[BigDecimal], effHi: Option[BigDecimal]): Map[Int, Long] = {
     val stats = readStats(spark, path, version)._2
     m.filter { case (b, _) =>
-      stats.get(b).flatMap(_.find(_.col == column)) match {
-        case Some(st) if st.typ == 'n' => false
-        case Some(st) =>
-          try st.typ match {
-            case 'l' =>
-              val mn = st.min.toLong; val mx = st.max.toLong
-              effHi.forall(u => BigDecimal(mn) <= u) && effLo.forall(l => BigDecimal(mx) >= l)
-            case 'd' =>
-              val mn = java.lang.Double.parseDouble(st.min)
-              val mx = java.lang.Double.parseDouble(st.max)
-              effHi.forall(u => mn <= u.toDouble) && effLo.forall(l => mx >= l.toDouble)
-            case 'c' =>
-              val mn = BigDecimal(st.min); val mx = BigDecimal(st.max)
-              effHi.forall(u => mn <= u) && effLo.forall(l => mx >= l)
-            case _ => true
-          } catch { case _: NumberFormatException => true }
+      // bucket decisions use WHOLE-BUCKET entries only (a per-file entry
+      // covers one file's narrower range — using it here would wrongly
+      // drop the rest of the bucket)
+      stats.get(b).flatMap(_.find(st => st.col == column && st.file.isEmpty)) match {
+        case Some(st) => statIntersects(st, effLo, effHi)
         case None => true
+      }
+    }
+  }
+
+  /** The data paths of the CHOSEN buckets with PER-FILE skipping applied:
+    * buckets without file entries contribute their whole dir; fragmented
+    * buckets contribute only the part files whose entry may intersect
+    * (files with no entry are always read — additive hints, never
+    * load-bearing).
+    */
+  private def prunedDataPaths(
+      spark: SparkSession, path: String, version: Long,
+      chosen: Map[Int, Long], column: String,
+      intersects: BucketStat => Boolean): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val stats = readStats(spark, path, version)._2
+    val fs = fsOf(spark, path)
+    chosen.toSeq.sorted.flatMap { case (b, bv) =>
+      val dir = s"$path/b=$b/v=$bv"
+      val fileEntries = stats.getOrElse(b, Nil)
+        .filter(st => st.col == column && st.file.nonEmpty)
+      if (fileEntries.isEmpty) Seq(dir)
+      else {
+        val byFile = fileEntries.map(st => st.file -> st).toMap
+        fs.listStatus(new Path(dir)).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .filter(f => byFile.get(f.getPath.getName).forall(intersects))
+          .map(_.getPath.toString)
       }
     }
   }
@@ -1165,15 +1240,18 @@ object BucketedSnapshots {
           s"(have: ${full.schema.fieldNames.mkString(", ")})")).dataType
     val (effLo, effHi, residual) = typedBounds(dt, column, lower, upper)
     val chosen = pruneBuckets(spark, path, version, m, column, effLo, effHi)
+    // per-file skipping inside the chosen buckets (fragmented buckets
+    // carry per-file sidecar entries)
+    val paths = prunedDataPaths(spark, path, version, chosen, column,
+      statIntersects(_, effLo, effHi))
     // delete vectors of the CHOSEN buckets fold in after pruning (a
     // delete only narrows content, so pre-delete min/max stay SAFE — at
     // worst a bucket is read unnecessarily, never skipped wrongly)
     val dvs = readDvs(spark, path, version)
     val df =
-      if (chosen.isEmpty) full.limit(0)
+      if (paths.isEmpty) full.limit(0)
       else foldDeletes(spark, path,
-        spark.read.option("mergeSchema", "true")
-          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        spark.read.option("mergeSchema", "true").parquet(paths: _*),
         dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     df.filter(residual)
   }
@@ -1196,23 +1274,32 @@ object BucketedSnapshots {
     * for code points around the surrogate range, so comparing decoded
     * Strings here would mis-prune (ZonemapStatsSpec plants that case).
     */
+  /** String twin of [[statIntersects]] (UTF-8 byte-wise unsigned — see
+    * [[pruneBucketsString]]'s ordering note).
+    */
+  private def statIntersectsString(
+      st: BucketStat, lo: Option[Array[Byte]], hi: Option[Array[Byte]]): Boolean = {
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    if (st.typ == 'n') false
+    else if (st.typ == 's') {
+      try {
+        val mn = unb64(st.min); val mx = unb64(st.max)
+        hi.forall(u => cmp(mn, u) <= 0) && lo.forall(l => cmp(mx, l) >= 0)
+      } catch { case _: IllegalArgumentException => true }
+    } else true // numeric stats: never prune a string read on them
+  }
+
   private[graft] def pruneBucketsString(
       spark: SparkSession, path: String, version: Long, m: Map[Int, Long],
       column: String, lower: Option[String], upper: Option[String]): Map[Int, Long] = {
     val stats = readStats(spark, path, version)._2
-    def cmp(a: Array[Byte], b: Array[Byte]): Int =
-      java.util.Arrays.compareUnsigned(a, b)
     val lo = lower.map(_.getBytes("UTF-8"))
     val hi = upper.map(_.getBytes("UTF-8"))
     m.filter { case (b, _) =>
-      stats.get(b).flatMap(_.find(_.col == column)) match {
-        case Some(st) if st.typ == 'n' => false
-        case Some(st) if st.typ == 's' =>
-          try {
-            val mn = unb64(st.min); val mx = unb64(st.max)
-            hi.forall(u => cmp(mn, u) <= 0) && lo.forall(l => cmp(mx, l) >= 0)
-          } catch { case _: IllegalArgumentException => true }
-        case _ => true // numeric stats or none: never prune a string read on them
+      stats.get(b).flatMap(_.find(st => st.col == column && st.file.isEmpty)) match {
+        case Some(st) => statIntersectsString(st, lo, hi)
+        case None => true
       }
     }
   }
@@ -1245,12 +1332,14 @@ object BucketedSnapshots {
       s"readSnapshotWhereString needs a string column; '$column' is ${dt.catalogString} " +
         "(use readSnapshotWhere for numeric columns)")
     val chosen = pruneBucketsString(spark, path, version, m, column, lower, upper)
+    val loB = lower.map(_.getBytes("UTF-8")); val hiB = upper.map(_.getBytes("UTF-8"))
+    val paths = prunedDataPaths(spark, path, version, chosen, column,
+      statIntersectsString(_, loB, hiB))
     val dvs = readDvs(spark, path, version)
     val df =
-      if (chosen.isEmpty) full.limit(0)
+      if (paths.isEmpty) full.limit(0)
       else foldDeletes(spark, path,
-        spark.read.option("mergeSchema", "true")
-          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        spark.read.option("mergeSchema", "true").parquet(paths: _*),
         dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     val c = col(column)
     val residual = (lower.map(l => c >= lit(l)).toSeq ++ upper.map(u => c <= lit(u)).toSeq)
@@ -1398,12 +1487,15 @@ object BucketedSnapshots {
         .write.mode(SaveMode.Overwrite).parquet(dst.toString)
       b -> nv
     }.toMap
-    // no row-value change: the compacted buckets' zonemap stats carry
-    // verbatim (after a dv fold the carried bounds may be WIDER than the
-    // surviving rows — safe for pruning, which only skips when the range
-    // provably excludes; the next data commit recomputes them)
+    // no row-value change: the compacted buckets' BUCKET-LEVEL zonemap
+    // stats carry verbatim (after a dv fold the carried bounds may be
+    // WIDER than the surviving rows — safe for pruning, which only skips
+    // when the range provably excludes; the next data commit recomputes
+    // them). Per-FILE entries are dropped: the rewrite renames the files
+    // and one compacted file needs no sub-bucket skipping anyway.
     val prevStats = readStats(spark, path, cur)._2
-    val carried = fragmented.map(b => b -> prevStats.getOrElse(b, Nil)).toMap
+    val carried = fragmented.map(b =>
+      b -> prevStats.getOrElse(b, Nil).filter(_.file.isEmpty)).toMap
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, Nil, carried)
   }

@@ -83,8 +83,10 @@ object TableMeta {
       s"v=$v at $path is not a readable committed version")
     val (_, stats) = BucketedSnapshots.readStats(spark, path, v)
     val rows = stats.toSeq.sortBy(_._1).flatMap { case (b, ss) =>
-      ss.map(s => (v, b, s.col, s.typ.toString, s.min, s.max))
+      ss.map(s => (v, b, s.col, s.typ.toString, s.min, s.max, s.file))
     }
-    rows.toDF("version", "bucket", "column", "typ", "min", "max")
+    // `file` empty = the whole-bucket entry; nonEmpty = a per-file entry
+    // (fragmented buckets carry both — sub-bucket skipping hints)
+    rows.toDF("version", "bucket", "column", "typ", "min", "max", "file")
   }
 }

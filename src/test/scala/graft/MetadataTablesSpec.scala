@@ -64,6 +64,7 @@ class MetadataTablesSpec extends SparkSpec {
       (1L to 100L).map(i => (i, i * 10L)).toDF("k", "val"), path, "k", 2,
       keepVersions = 3, statsColumns = Seq("val"))
     val st = TableMeta.statsTable(spark, path)
+      .filter(col("file") === "") // whole-bucket entries (per-file rows are hints)
       .select("bucket", "column", "typ", "min", "max")
       .as[(Int, String, String, String, String)].collect()
     assert(st.length == 2 && st.forall(s => s._2 == "val" && s._3 == "l"))

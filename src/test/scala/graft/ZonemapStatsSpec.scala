@@ -385,4 +385,44 @@ class ZonemapStatsSpec extends SparkSpec {
       .select("k", "v").as[(Long, Double)].collect().toMap
     assert(got == Map(ka -> 1.0, ka2 -> 20.0), "the winner's commit must be intact")
   }
+
+  test("per-file stats: a fragmented bucket's range read scans only the intersecting part files") {
+    val path = fresh("perfile")
+    // nBuckets=1, value-ordered input repartitioned BY RANGE into 4
+    // staged files: each part file covers a disjoint value band
+    val rows = (1L to 400L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(4, col("v"))
+    BucketedSnapshots.upsertByKey(spark, rows, path, "k", 1,
+      keepVersions = 3, statsColumns = Seq("v"))
+    val dataFiles = fs(path).listStatus(new org.apache.hadoop.fs.Path(
+      s"$path/b=0/v=${BucketedSnapshots.readManifest(spark, path,
+        BucketedSnapshots.currentVersion(spark, path).get)(0)}"))
+      .count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    assert(dataFiles == 4, s"fixture must stage 4 part files, got $dataFiles")
+    // a band inside ONE file's range
+    val got = BucketedSnapshots.readCurrentWhere(spark, path, "v",
+      Some(BigDecimal(10)), Some(BigDecimal(20)))
+    assert(got.select("k").as[Long].collect().toSet == (10L to 20L).toSet)
+    val scanned = got.inputFiles.length
+    assert(scanned == 1,
+      s"a one-band range over a 4-file bucket must scan 1 file, scanned $scanned")
+    // a band spanning two files
+    val mid = BucketedSnapshots.readCurrentWhere(spark, path, "v",
+      Some(BigDecimal(95)), Some(BigDecimal(105)))
+    assert(mid.select("k").as[Long].collect().toSet == (95L to 105L).toSet)
+    assert(mid.inputFiles.length <= 2, s"got ${mid.inputFiles.length}")
+    // compaction folds the bucket to one file and DROPS the stale
+    // per-file entries; reads stay exact
+    BucketedSnapshots.compact(spark, path, maxFilesPerBucket = 1, keepVersions = 3)
+    val after = BucketedSnapshots.readCurrentWhere(spark, path, "v",
+      Some(BigDecimal(10)), Some(BigDecimal(20)))
+    assert(after.select("k").as[Long].collect().toSet == (10L to 20L).toSet)
+    val (_, stats) = BucketedSnapshots.readStats(spark, path,
+      BucketedSnapshots.currentVersion(spark, path).get)
+    assert(stats(0).forall(_.file.isEmpty),
+      "post-compaction entries must be bucket-level only")
+  }
 }
