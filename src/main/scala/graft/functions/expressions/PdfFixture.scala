@@ -54,7 +54,8 @@ case class SyntheticPdf(child: Expression, mode: String) extends UnaryExpression
 
 object PdfFixture {
 
-  val Modes: Set[String] = Set("flate", "raw", "truncated", "garbage", "xrefstream")
+  val Modes: Set[String] =
+    Set("flate", "raw", "modern", "modernpred", "truncated", "garbage", "xrefstream")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -71,6 +72,8 @@ object PdfFixture {
   def build(id: Long, mode: String): Array[Byte] = mode match {
     case "flate" => assemble(id, compress = true, xrefStream = false)
     case "raw" => assemble(id, compress = false, xrefStream = false)
+    case "modern" => assembleModern(id, predictor = false)
+    case "modernpred" => assembleModern(id, predictor = true)
     case "truncated" =>
       val full = assemble(id, compress = true, xrefStream = false)
       java.util.Arrays.copyOfRange(full, 0, full.length / 2)
@@ -90,9 +93,11 @@ object PdfFixture {
     out.toByteArray
   }
 
-  private def assemble(id: Long, compress: Boolean, xrefStream: Boolean): Array[Byte] = {
+  /** The two pages' content-stream bytes — every operator class the
+    * interpreter handles.
+    */
+  private def contents(id: Long): (Array[Byte], Array[Byte]) = {
     def h(k: Int) = md5hex(s"$id|pdf$k")
-    // content streams: every operator class the interpreter handles
     val hexShow = s"hex ${h(2)}".getBytes("ISO-8859-1").map(b => f"$b%02X").mkString
     val content1 =
       s"""BT
@@ -113,7 +118,11 @@ object PdfFixture {
          |(page2 ${h(3)}) Tj
          |(more ${h(4)}) '
          |ET""".stripMargin.getBytes("ISO-8859-1")
+    (content1, content2)
+  }
 
+  private def assemble(id: Long, compress: Boolean, xrefStream: Boolean): Array[Byte] = {
+    val (content1, content2) = contents(id)
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = new Array[Int](8)
@@ -140,8 +149,9 @@ object PdfFixture {
     streamObj(7, content2)
     val xrefOff = out.size()
     if (xrefStream) {
-      // PDF-1.5 shape: startxref points at an OBJECT, not a table —
-      // the walk must cleanly decline (documented-unsupported)
+      // a MALFORMED 1.5 shape: an XRef object with no /W and a garbage
+      // stream — the walk must cleanly decline (the well-formed modern
+      // shape is `modern`/`modernpred`)
       w("8 0 obj\n<< /Type /XRef /Size 9 >>\nstream\nxx\nendstream\nendobj\n")
       w(s"startxref\n$xrefOff\n%%EOF\n")
     } else {
@@ -151,6 +161,92 @@ object PdfFixture {
       w("trailer\n<< /Size 8 /Root 1 0 R >>\n")
       w(s"startxref\n$xrefOff\n%%EOF\n")
     }
+    out.toByteArray
+  }
+
+  /** The PDF-1.5 shape real producers emit: the catalog/pages/font
+    * dicts packed into a Flate OBJECT STREAM, content streams direct,
+    * and a CROSS-REFERENCE STREAM (`/W [1 2 1]`, type-1 and type-2
+    * entries) as the trailer — optionally pre-filtered with the PNG Up
+    * predictor (`/DecodeParms << /Predictor 12 /Columns 4 >>`, the
+    * common xref-stream encoding).
+    */
+  private def assembleModern(id: Long, predictor: Boolean): Array[Byte] = {
+    val (content1, content2) = contents(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = new Array[Int](10)
+    w("%PDF-1.5\n%âãÏÓ\n")
+    def streamObj(num: Int, raw: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      val data = deflate(raw)
+      w(s"$num 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    streamObj(6, content1)
+    streamObj(7, content2)
+    // object stream (8): objects 1..5 packed behind the pair header
+    val bodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>"),
+      4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      5 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents [7 0 R] >>"))
+    val payload = new StringBuilder
+    val pairs = new StringBuilder
+    bodies.foreach { case (n, s) =>
+      pairs.append(s"$n ${payload.length} ")
+      payload.append(s).append(' ')
+    }
+    val first = pairs.length
+    val stmData = (pairs.toString + payload.toString).getBytes("ISO-8859-1")
+    val z = deflate(stmData)
+    offsets(8) = out.size()
+    w(s"8 0 obj\n<< /Type /ObjStm /N ${bodies.length} /First $first " +
+      s"/Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(z, 0, z.length)
+    w("\nendstream\nendobj\n")
+    // cross-reference stream (9): W=[1,2,1] rows for objects 0..9
+    val xrefOff = out.size()
+    offsets(9) = xrefOff
+    val rowW = 4
+    val table = new Array[Byte](10 * rowW)
+    def put(i: Int, t: Int, f2: Int, f3: Int): Unit = {
+      table(i * rowW) = t.toByte
+      table(i * rowW + 1) = ((f2 >> 8) & 0xff).toByte
+      table(i * rowW + 2) = (f2 & 0xff).toByte
+      table(i * rowW + 3) = (f3 & 0xff).toByte
+    }
+    put(0, 0, 0, 0xff) // free head
+    (1 to 5).foreach(n => put(n, 2, 8, n - 1)) // packed in objstm 8
+    Seq(6, 7, 8, 9).foreach(n => put(n, 1, offsets(n), 0))
+    val enc =
+      if (!predictor) table
+      else { // PNG Up pre-filter: rows of 4 columns, filter byte 2
+        val e = new Array[Byte](10 * (rowW + 1))
+        var r = 0
+        while (r < 10) {
+          e(r * (rowW + 1)) = 2
+          var i = 0
+          while (i < rowW) {
+            val up = if (r > 0) table((r - 1) * rowW + i) & 0xff else 0
+            e(r * (rowW + 1) + 1 + i) = (((table(r * rowW + i) & 0xff) - up) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+        e
+      }
+    val zx = deflate(enc)
+    val parms = if (predictor) " /DecodeParms << /Predictor 12 /Columns 4 >>" else ""
+    w(s"9 0 obj\n<< /Type /XRef /Size 10 /W [1 2 1] /Root 1 0 R$parms " +
+      s"/Length ${zx.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(zx, 0, zx.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }

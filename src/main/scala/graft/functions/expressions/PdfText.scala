@@ -9,12 +9,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** PDF TEXT EXTRACTION as a native expression — the second-biggest text
   * source in a real crawl after HTML (`application/pdf` WARC
-  * responses): parse the classic cross-reference table from the trailer
-  * (`startxref` → `xref` sections → `/Root`, with `/Prev` chains for
-  * incrementally-updated files), walk Catalog → Pages → Kids → Page →
-  * Contents, FlateDecode the content streams (RFC 1951 — the same
-  * deterministic inflate as the PNG decoder), and interpret the text
-  * operators: `Tj` / `'` / `"` show strings, `TJ` shows arrays
+  * responses): parse the cross-reference from the trailer — BOTH the
+  * classic table (`startxref` → `xref` sections → `/Root`, `/Prev`
+  * chains for incrementally-updated files) and the PDF-1.5
+  * CROSS-REFERENCE STREAM shape (`/W` field widths, `/Index`
+  * subsections, FlateDecode with TIFF/PNG `/Predictor` pre-filters —
+  * the modern default) with OBJECT STREAMS (`/Type /ObjStm` packed
+  * compressed objects) — walk Catalog → Pages → Kids → Page → Contents,
+  * FlateDecode the content streams (RFC 1951 — the same deterministic
+  * inflate as the PNG decoder), and interpret the text operators: `Tj` / `'` / `"` show strings, `TJ` shows arrays
   * (kerning numbers ignored), `Td`/`TD`/`T*`/`'` break lines, pages
   * join with a newline. String literals decode the full escape set
   * (`\( \) \\ \n \r \t \b \f`, octal, line continuations, balanced
@@ -23,10 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * extract as raw bytes).
   *
   * Returns NULL for anything not cleanly walkable: bad header, missing
-  * or malformed xref (cross-reference STREAMS — PDF 1.5 compressed
-  * xref — are DOCUMENTED-UNSUPPORTED, like progressive JPEG), broken
-  * object graph, non-Flate filters, torn streams, or no extractable
-  * text — never throws (PdfSpec fuzzes).
+  * or malformed xref (table or stream), broken object graph, non-Flate
+  * filters, torn streams, or no extractable text — never throws
+  * (PdfSpec fuzzes).
   *
   * Scale: one codegen'd projection, O(bytes); the payload never
   * shuffles — only the extracted text flows on, straight into the
@@ -265,11 +267,15 @@ object PdfText {
   }
 
   // ---------------- xref + object resolution ----------------
+  private sealed trait Entry
+  private final case class Direct(off: Int) extends Entry
+  private final case class InStm(stm: Int, idx: Int) extends Entry
+
   private final class Doc(b: Array[Byte]) {
     // declared BEFORE `offsets`: its initializer assigns the root ref
     var trailerRoot: Option[VRef] = None
 
-    val offsets: Map[Int, Int] = {
+    val offsets: Map[Int, Entry] = {
       // startxref from the tail
       val tail = new String(b, math.max(0, b.length - 2048),
         math.min(2048, b.length), "ISO-8859-1")
@@ -279,39 +285,47 @@ object PdfText {
       val off0 = rest.takeWhile(_.isDigit)
       if (off0.isEmpty) bad()
       var next = off0.toLong
-      var acc = Map.empty[Int, Int]
+      var acc = Map.empty[Int, Entry]
       var hops = 0
       while (next >= 0 && hops < 8) {
         hops += 1
         if (next > b.length - 4) bad()
         val lx = new Lexer(b, next.toInt)
         // a classic table starts with the keyword `xref`; an OBJECT here
-        // means a 1.5+ cross-reference stream — documented-unsupported
-        if (!lx.tryKeyword("xref")) bad()
-        var go = true
-        while (go) {
-          lx.ws()
-          if (lx.tryKeyword("trailer")) go = false
-          else {
-            val start = lx.number().toInt
-            val count = lx.number().toInt
-            if (count < 0 || count > MaxObjects) bad()
-            var i = 0
-            while (i < count) {
+        // is a 1.5+ CROSS-REFERENCE STREAM (also supported)
+        val tr: Map[String, V] =
+          if (lx.tryKeyword("xref")) {
+            var go = true
+            while (go) {
               lx.ws()
-              if (lx.pos + 18 > b.length) bad()
-              val entry = new String(b, lx.pos, 18, "ISO-8859-1")
-              val off = entry.substring(0, 10).trim
-              val typ = entry.charAt(17)
-              // first-seen wins across /Prev chains (newest section first)
-              if (typ == 'n' && !acc.contains(start + i))
-                acc += ((start + i) -> off.toInt)
-              lx.pos += 18
-              i += 1
+              if (lx.tryKeyword("trailer")) go = false
+              else {
+                val start = lx.number().toInt
+                val count = lx.number().toInt
+                if (count < 0 || count > MaxObjects) bad()
+                var i = 0
+                while (i < count) {
+                  lx.ws()
+                  if (lx.pos + 18 > b.length) bad()
+                  val entry = new String(b, lx.pos, 18, "ISO-8859-1")
+                  val off = entry.substring(0, 10).trim
+                  val typ = entry.charAt(17)
+                  // first-seen wins across /Prev chains (newest first)
+                  if (typ == 'n' && !acc.contains(start + i))
+                    acc += ((start + i) -> Direct(off.toInt))
+                  lx.pos += 18
+                  i += 1
+                }
+              }
             }
+            lx.value() match { case VDict(m) => m; case _ => bad() }
+          } else {
+            val (dict, entries) = readXrefStream(b, next.toInt)
+            entries.foreach { case (num, e) =>
+              if (!acc.contains(num)) acc += (num -> e)
+            }
+            dict
           }
-        }
-        val tr = lx.value() match { case VDict(m) => m; case _ => bad() }
         if (!trailerRoot.isDefined) trailerRoot = tr.get("Root").collect { case r: VRef => r }
         next = tr.get("Prev") match {
           case Some(VNum(p)) => p.toLong
@@ -321,11 +335,186 @@ object PdfText {
       acc
     }
 
+    /** PDF-1.5 cross-reference stream at `off`: `(stream dict, entries)`.
+      * `/W` field widths (big-endian), `/Index` subsections, FlateDecode
+      * with optional PNG/TIFF `/Predictor` — the modern default shape.
+      * `/Length` must be direct here (the map is not built yet).
+      */
+    private def readXrefStream(b: Array[Byte], off: Int): (Map[String, V], Seq[(Int, Entry)]) = {
+      val lx = new Lexer(b, off)
+      lx.number(); lx.number(); lx.expect("obj")
+      val dict = lx.value() match { case VDict(m) => m; case _ => bad() }
+      if (!dict.get("Type").contains(VName("XRef"))) bad()
+      lx.ws()
+      lx.expect("stream")
+      if (lx.pos < b.length && b(lx.pos) == '\r') lx.pos += 1
+      if (lx.pos < b.length && b(lx.pos) == '\n') lx.pos += 1
+      val len = dict.get("Length") match {
+        case Some(VNum(l)) => l.toLong
+        case _ => bad()
+      }
+      if (len < 0 || len > MaxStreamBytes || lx.pos + len > b.length) bad()
+      val raw = java.util.Arrays.copyOfRange(b, lx.pos, lx.pos + len.toInt)
+      val w = dict.get("W") match {
+        case Some(VArr(Vector(VNum(a), VNum(bb), VNum(c)))) => Array(a.toInt, bb.toInt, c.toInt)
+        case _ => bad()
+      }
+      if (w.exists(x => x < 0 || x > 8)) bad()
+      val rowW = w.sum
+      if (rowW <= 0) bad()
+      val filtered = dict.get("Filter") match {
+        case None => raw
+        case Some(VName("FlateDecode")) => inflate(raw)
+        case _ => bad()
+      }
+      val data = dict.get("DecodeParms").orElse(dict.get("DP")) match {
+        case Some(d) =>
+          val pm = d match { case VDict(m) => m; case _ => bad() }
+          pm.get("Predictor") match {
+            case None | Some(VNum(1)) => filtered
+            case Some(VNum(p)) =>
+              val cols = pm.get("Columns") match {
+                case Some(VNum(c)) => c.toInt
+                case None => 1
+                case _ => bad()
+              }
+              unpredict(filtered, p.toInt, cols)
+            case _ => bad()
+          }
+        case None => filtered
+      }
+      val size = dict.get("Size") match { case Some(VNum(s)) => s.toInt; case _ => bad() }
+      val index: Seq[(Int, Int)] = dict.get("Index") match {
+        case Some(VArr(items)) =>
+          if (items.length % 2 != 0) bad()
+          items.grouped(2).map {
+            case Vector(VNum(s), VNum(c)) => (s.toInt, c.toInt)
+            case _ => bad()
+          }.toSeq
+        case None => Seq((0, size))
+        case _ => bad()
+      }
+      val out = Seq.newBuilder[(Int, Entry)]
+      var pos = 0
+      def field(width: Int, default: Long): Long = {
+        if (width == 0) return default
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(pos + i) & 0xffL); i += 1 }
+        pos += width
+        v
+      }
+      index.foreach { case (start, count) =>
+        if (count < 0 || count > MaxObjects) bad()
+        var i = 0
+        while (i < count) {
+          if (pos + rowW > data.length) bad()
+          val t = field(w(0), 1L) // width-0 type defaults to 1 per spec
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          t match {
+            case 1 => out += ((start + i) -> Direct(f2.toInt))
+            case 2 => out += ((start + i) -> InStm(f2.toInt, f3.toInt))
+            case _ => () // 0 = free; other types: ignored per spec
+          }
+          i += 1
+        }
+      }
+      (dict, out.result())
+    }
+
+    /** Undo the `/Predictor` pre-filter on decoded xref rows: 2 = TIFF
+      * horizontal difference, 10-15 = PNG per-row filters over
+      * `columns`-byte rows (the common `/Predictor 12` = PNG Up).
+      */
+    private def unpredict(data: Array[Byte], predictor: Int, columns: Int): Array[Byte] = {
+      if (columns <= 0) bad()
+      if (predictor == 2) {
+        if (data.length % columns != 0) bad()
+        val out = data.clone()
+        var r = 0
+        while (r < out.length) {
+          var i = 1
+          while (i < columns) { out(r + i) = (out(r + i) + out(r + i - 1)).toByte; i += 1 }
+          r += columns
+        }
+        out
+      } else if (predictor >= 10 && predictor <= 15) {
+        val rowW = columns + 1 // per-row filter byte
+        if (data.length % rowW != 0) bad()
+        val rows = data.length / rowW
+        val out = new Array[Byte](rows * columns)
+        var r = 0
+        while (r < rows) {
+          val f = data(r * rowW) & 0xff
+          var i = 0
+          while (i < columns) {
+            val x = data(r * rowW + 1 + i) & 0xff
+            val left = if (i > 0) out(r * columns + i - 1) & 0xff else 0
+            val up = if (r > 0) out((r - 1) * columns + i) & 0xff else 0
+            val ul = if (i > 0 && r > 0) out((r - 1) * columns + i - 1) & 0xff else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + ((left + up) >> 1)
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              case _ => bad()
+            }
+            out(r * columns + i) = v.toByte
+            i += 1
+          }
+          r += 1
+        }
+        out
+      } else bad()
+    }
+
     private val cache = scala.collection.mutable.Map.empty[Int, (V, Array[Byte])]
+    // parsed object streams: stm number -> (inflated data, obj -> data offset)
+    private val objStms = scala.collection.mutable.Map.empty[Int, (Array[Byte], Map[Int, Int])]
 
     /** Resolve object `num`: (value, raw stream bytes or null). */
     def obj(num: Int): (V, Array[Byte]) = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, bad())
+      offsets.getOrElse(num, bad()) match {
+        case Direct(off) => parseAt(num, off)
+        case InStm(stm, _) =>
+          // OBJECT STREAM (PDF 1.5): compressed non-stream objects packed
+          // back to back behind an `N (objnum offset)` pair header
+          val (data, index) = objStms.getOrElseUpdate(stm, {
+            val (v, raw) = offsets.get(stm) match {
+              case Some(Direct(off)) => parseAt(stm, off)
+              case _ => bad() // object streams cannot nest
+            }
+            if (raw == null) bad()
+            val d = v match { case VDict(m) => m; case _ => bad() }
+            if (!d.get("Type").contains(VName("ObjStm"))) bad()
+            val n = d.get("N") match { case Some(VNum(x)) => x.toInt; case _ => bad() }
+            val first = d.get("First") match { case Some(VNum(x)) => x.toInt; case _ => bad() }
+            if (n < 0 || n > MaxObjects) bad()
+            val inflated = d.get("Filter") match {
+              case None => raw
+              case Some(VName("FlateDecode")) => inflate(raw)
+              case _ => bad()
+            }
+            val hlx = new Lexer(inflated, 0)
+            val idx = (0 until n).map { _ =>
+              val on = hlx.number().toInt
+              val oo = hlx.number().toInt
+              on -> (first + oo)
+            }.toMap
+            (inflated, idx)
+          })
+          val at = index.getOrElse(num, bad())
+          if (at < 0 || at >= data.length) bad()
+          (new Lexer(data, at).value(), null) // in-stream objects carry no stream
+      }
+    })
+
+    private def parseAt(num: Int, off: Int): (V, Array[Byte]) = {
       if (off < 0 || off >= b.length) bad()
       val lx = new Lexer(b, off)
       val n = lx.number().toInt
@@ -350,7 +539,7 @@ object PdfText {
         val raw = java.util.Arrays.copyOfRange(b, lx.pos, lx.pos + len.toInt)
         (v, raw)
       } else (v, null)
-    })
+    }
 
     def deref(v: V): V = v match {
       case r: VRef => obj(r.num)._1

@@ -3930,9 +3930,12 @@ object TrainingQueries {
     * REAL two-page PDFs (byte-exact xref tables, Helvetica, one
     * Flate-compressed and one raw variant of the same text) whose page
     * text is md5-derived from the id — so the oracle re-derives the
-    * extraction straight in SQL. Torn (`%13`), non-PDF (`%17`), and
-    * compressed-xref-1.5 (`%19` — documented-unsupported) payloads
-    * extract NULL and drop.
+    * extraction straight in SQL, across ALL FOUR encodings: classic
+    * table + Flate streams, classic + raw, and the PDF-1.5 shape
+    * (OBJECT STREAMS + CROSS-REFERENCE STREAM, with and without the
+    * PNG Up `/Predictor` pre-filter — what modern producers emit).
+    * Torn (`%13`), non-PDF (`%17`), and malformed-xref-stream (`%19`)
+    * payloads extract NULL and drop.
     */
   private val textPdfExtract = Q(
     "text_pdf_extract",
@@ -3942,9 +3945,11 @@ object TrainingQueries {
       val payload =
         when(pmod(id, lit(13)) === 0, syntheticPdf(id, "truncated"))
           .when(pmod(id, lit(17)) === 0, syntheticPdf(id, "garbage"))
-          .when(pmod(id, lit(19)) === 0, syntheticPdf(id, "xrefstream"))
-          .when(pmod(id, lit(2)) === 0, syntheticPdf(id, "flate"))
-          .otherwise(syntheticPdf(id, "raw"))
+          .when(pmod(id, lit(19)) === 0, syntheticPdf(id, "xrefstream")) // MALFORMED 1.5
+          .when(pmod(id, lit(4)) === 0, syntheticPdf(id, "flate"))
+          .when(pmod(id, lit(4)) === 1, syntheticPdf(id, "raw"))
+          .when(pmod(id, lit(4)) === 2, syntheticPdf(id, "modern")) // 1.5 objstm+xref stream
+          .otherwise(syntheticPdf(id, "modernpred")) // + PNG-predicted xref
       Tables.documents(s, d).select(id.as("doc_id"), pdfText(payload).as("txt"))
         .filter(col("txt").isNotNull)
     },

@@ -10,10 +10,13 @@ import graft.SparkSpec
   */
 class PdfSpec extends SparkSpec {
 
-  test("extraction is byte-exact against the fixture contract, Flate and raw alike") {
+  test("extraction is byte-exact against the fixture contract across ALL four encodings") {
     (0L until 30L).foreach { id =>
       val want = PdfFixture.expectedText(id)
-      Seq("flate", "raw").foreach { m =>
+      // classic table (Flate + raw streams) AND the PDF-1.5 shape
+      // (object streams + cross-reference stream, with and without the
+      // PNG Up predictor pre-filter)
+      Seq("flate", "raw", "modern", "modernpred").foreach { m =>
         val got = PdfText.extract(PdfFixture.build(id, m))
         assert(got == want, s"id=$id mode=$m:\nwant: $want\ngot:  $got")
       }
@@ -45,7 +48,7 @@ class PdfSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260820L)
     val bases = Seq(
       PdfFixture.build(1L, "flate"), PdfFixture.build(2L, "raw"),
-      PdfFixture.build(3L, "flate"))
+      PdfFixture.build(3L, "modern"), PdfFixture.build(4L, "modernpred"))
     var i = 0
     while (i < 3000) {
       val b = bases(rnd.nextInt(bases.length)).clone()
