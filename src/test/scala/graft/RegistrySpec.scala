@@ -93,7 +93,11 @@ class RegistrySpec extends AnyFunSuite {
       // route the same hammingPairs64 signature boundary
       "dedup_gif_pixel_neardup", "dedup_gif_pixel_clusters",
       "dedup_audio_content_neardup", "dedup_audio_content_clusters",
-      "dedup_video_frame_neardup", "dedup_video_frame_clusters")
+      "dedup_video_frame_neardup", "dedup_video_frame_clusters",
+      // r14: the WebP pixel and WAV<->FLAC cross-container families route
+      // the same hammingPairs64 signature boundary
+      "dedup_webp_pixel_neardup", "dedup_webp_pixel_clusters",
+      "dedup_flac_audio_neardup", "dedup_flac_audio_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
