@@ -231,6 +231,45 @@ class EmptyInputSpec extends SparkSpec {
       spark, Seq.empty[(Long, Double)].toDF("k", "v"), up, "k", 4) == 0L)
   }
 
+  test("round-14 operators are total on empty inputs") {
+    import graft.operators.{BucketedSnapshots, Multimodal, TableMeta}
+    val ids0 = Seq.empty[Long].toDF("doc_id")
+    // the two new media families through the full decode + banding
+    assert(Multimodal.webpPairs(Multimodal.pixelWebpCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.webpClusters(Multimodal.pixelWebpCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.crossAudioPairs(Multimodal.crossAudioCorpus(ids0, "doc_id")).count() == 0)
+    assert(Multimodal.crossAudioClusters(Multimodal.crossAudioCorpus(ids0, "doc_id")).count() == 0)
+    // PDF extraction over an empty shard set
+    val shards0 = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(shards0.select(
+      org.apache.spark.sql.graftnative.NativeColumns.pdfText(col("payload")))
+      .count() == 0)
+    // an EMPTY delete-key frame on a committed table is a no-op version
+    val path = "target/tmp/empty14_tbl"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val v1 = BucketedSnapshots.upsertByKey(
+      spark, Seq((1L, 1.0)).toDF("k", "v"), path, "k", 2)
+    assert(BucketedSnapshots.deleteKeys(
+      spark, path, Seq.empty[Long].toDF("k"), "k") == v1)
+    // ... and a frame of only-null keys is also a no-op
+    assert(BucketedSnapshots.deleteKeys(
+      spark, path, Seq.empty[Option[Long]].toDF("k")
+        .unionByName(Seq(Option.empty[Long]).toDF("k")), "k") == v1)
+    // metadata tables on a one-commit table: exactly one history row
+    assert(TableMeta.history(spark, path).count() == 1)
+    assert(TableMeta.statsTable(spark, path).count() == 0) // no stat columns declared
+    // branching an empty-HISTORY table fails loudly, not mysteriously
+    val none = "target/tmp/empty14_none"
+    val np = new org.apache.hadoop.fs.Path(none)
+    np.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(np, true)
+    intercept[java.io.FileNotFoundException] {
+      BucketedSnapshots.branch(spark, none, "b")
+    }
+    // history of a never-committed table is an empty frame, not a crash
+    assert(TableMeta.history(spark, none).count() == 0)
+  }
+
   test("scoring family is total on an empty corpus (two-phase scalars guarded)") {
     assert(graft.quality.Scoring.unigramSurprisal(docs0, "doc_id", "text").count() == 0)
     assert(graft.quality.Scoring.bigramSurprisal(docs0, "doc_id", "text").count() == 0)
