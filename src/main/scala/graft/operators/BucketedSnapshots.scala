@@ -440,6 +440,33 @@ object BucketedSnapshots {
       dvAppend = newDvIds.map { case (b, j) => b -> Seq(j) })
   }
 
+  /** PREDICATE DELETE — the erasure-sweep shape callers actually write
+    * ("every row where `predicate`"): resolve the matching keys from the
+    * live view and route them through [[deleteKeys]]' merge-on-read
+    * sidecars. The key scan is one filtered read of the table (a range
+    * predicate on a declared stat column can be pre-pruned by passing
+    * `readCurrentWhere(...)` keys to [[deleteKeys]] directly); everything
+    * committed is still just keys. On an [[applyChanges]] table the
+    * predicate sees the TOMBSTONE-FILTERED live view, so it can only
+    * name rows that exist.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      key: String,
+      keepVersions: Int = 2,
+      maxDvsPerBucket: Int = 4): Long = {
+    val live = readCurrent(spark, path)
+    val view =
+      if (live.columns.contains(Cdc.DeletedMeta))
+        live.filter(!col(Cdc.DeletedMeta))
+          .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+      else live
+    deleteKeys(spark, path, view.filter(predicate).select(key), key,
+      keepVersions, maxDvsPerBucket)
+  }
+
   /** Outstanding delete-vector sidecars of the live version (bucket ->
     * count) — the observability hook for "when should I [[compact]]".
     */
@@ -497,7 +524,49 @@ object BucketedSnapshots {
       updates: DataFrame,
       key: String,
       nBuckets: Int,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil): Long =
+    commitToBranchWith(spark, path, name, updates, key, nBuckets,
+      (existing, batch) => Incremental.mergeByKey(existing, batch, key),
+      statsColumns)
+
+  /** Delete-aware CDC apply COMMITTED TO A BRANCH — the WAP shape most
+    * production loads need (daily change feeds, not LWW upserts): stage
+    * the day's I/U/D batch on the branch, gate [[readTableBranch]]'s
+    * live view, publish or drop. Same seq-argmax merge rule as
+    * [[applyChanges]].
+    */
+  def applyChangesToBranch(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      changes: DataFrame,
+      key: String,
+      nBuckets: Int,
+      seqCol: String = "seq",
+      opCol: String = "op",
+      statsColumns: Seq[String] = Nil): Long =
+    commitToBranchWith(spark, path, name,
+      Cdc.reduceBatch(changes, key, seqCol, opCol), key, nBuckets,
+      (existing, batch) => Cdc.mergeSnapshots(existing, batch, key),
+      statsColumns)
+
+  /** Tombstone-filtered live view of a branch head on an
+    * [[applyChanges]]-maintained table — the frame the quality gate
+    * audits before [[publishBranch]].
+    */
+  def readTableBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    readBranch(spark, path, name).filter(!col(Cdc.DeletedMeta))
+      .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+
+  private def commitToBranchWith(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      updates: DataFrame,
+      key: String,
+      nBuckets: Int,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      statsColumns: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
     require(!updates.columns.contains("b"),
       "column name 'b' is reserved for the bucket layout — rename the payload column")
@@ -519,11 +588,11 @@ object BucketedSnapshots {
       headManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
     val merged =
       if (existingDirs.isEmpty) updates
-      else Incremental.mergeByKey(
+      else merge(
         foldDeletes(spark, path,
           spark.read.option("mergeSchema", "true").parquet(existingDirs.map(_._2): _*),
           dvPairs(headDvs.filter { case (b, _) => touched.contains(b) })),
-        updates, key)
+        updates)
     val newBucketVersions =
       touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
     val staging = new Path(path + "__vstaging_branch")

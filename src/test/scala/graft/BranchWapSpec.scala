@@ -107,6 +107,58 @@ class BranchWapSpec extends SparkSpec {
       "the replayed branch must carry BOTH main's concurrent change and its own")
   }
 
+  test("CDC apply to a branch: the staged I/U/D batch gates and publishes like any load") {
+    val path = fresh("cdcbranch")
+    def ch(rows: (Long, Long, String, Double)*) = rows.toDF("k", "seq", "op", "v")
+    BucketedSnapshots.applyChanges(spark,
+      ch((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (3L, 1L, "I", 30.0)),
+      path, "k", nBuckets = 2, keepVersions = 3)
+    val mainBefore = rows(BucketedSnapshots.readTable(spark, path))
+    BucketedSnapshots.branch(spark, path, "daily_cdc")
+    // the day's change batch: update, delete, insert, out-of-order seqs
+    BucketedSnapshots.applyChangesToBranch(spark, path, "daily_cdc",
+      ch((1L, 3L, "U", 11.0), (1L, 2L, "U", 99.0), // seq argmax keeps 11.0
+        (2L, 2L, "D", 20.0), (4L, 2L, "I", 40.0)),
+      "k", nBuckets = 2)
+    // staged: invisible on main; the gated view is tombstone-filtered
+    assert(rows(BucketedSnapshots.readTable(spark, path)) == mainBefore)
+    val audit = rows(BucketedSnapshots.readTableBranch(spark, path, "daily_cdc"))
+    assert(audit == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0),
+      s"the branch live view must apply the CDC batch exactly, got $audit")
+    Constraints.enforce(BucketedSnapshots.readTableBranch(spark, path, "daily_cdc"), gate)
+    BucketedSnapshots.publishBranch(spark, path, "daily_cdc", keepVersions = 3)
+    assert(rows(BucketedSnapshots.readTable(spark, path)) == audit)
+    // a later MAIN CDC apply continues the same seq discipline
+    BucketedSnapshots.applyChanges(spark, ch((1L, 2L, "U", 5.0)), // stale seq: loses
+      path, "k", nBuckets = 2, keepVersions = 3)
+    assert(rows(BucketedSnapshots.readTable(spark, path))(1L) == 11.0,
+      "a stale-seq change after the publish must lose to the branch's argmax")
+  }
+
+  test("deleteWhere: predicate deletes route through merge-on-read sidecars") {
+    val path = fresh("delwhere")
+    BucketedSnapshots.upsertByKey(spark,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"), path, "k", 4, keepVersions = 3)
+    val v = BucketedSnapshots.deleteWhere(spark, path, col("v") > 90.0, "k",
+      keepVersions = 3)
+    assert(v > 0)
+    assert(rows(BucketedSnapshots.readCurrent(spark, path)) ==
+      (1L to 90L).map(i => i -> i * 1.0).toMap)
+    assert(BucketedSnapshots.deleteVectorCounts(spark, path).nonEmpty,
+      "the predicate delete must have written sidecars, not rewritten buckets")
+    // no matching rows: a committed no-op
+    val v2 = BucketedSnapshots.currentVersion(spark, path).get
+    assert(BucketedSnapshots.deleteWhere(spark, path, col("v") > 1e9, "k") == v2)
+    // on a CDC table the predicate sees the tombstone-filtered view
+    val cdc = fresh("delwhere_cdc")
+    BucketedSnapshots.applyChanges(spark,
+      Seq((1L, 1L, "I", 1.0), (2L, 1L, "I", 2.0), (3L, 1L, "D", 3.0))
+        .toDF("k", "seq", "op", "v"),
+      cdc, "k", nBuckets = 2, keepVersions = 3)
+    BucketedSnapshots.deleteWhere(spark, cdc, col("v") >= 2.0, "k", keepVersions = 3)
+    assert(rows(BucketedSnapshots.readTable(spark, cdc)) == Map(1L -> 1.0))
+  }
+
   test("branch commits fold delete vectors and honor the arity guard") {
     val path = fresh("dvbranch")
     BucketedSnapshots.upsertByKey(spark,
