@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** WARC (ISO 28500 Web ARChive — the Common Crawl container) record
   * parser over a binary payload column: split a concatenation of
-  * `WARC/1.x` records into
+  * `WARC/1.x` records — PLAIN or GZIPPED (`.warc.gz`, per-record gzip
+  * members or one whole-shard member; multi-member inflate is
+  * transparent) — into
   * `array<struct<warc_type, target_uri, content_type, content_length, body>>`.
   *
   * CONTENT-LENGTH-DRIVEN, not delimiter-driven: a record's body length
@@ -78,13 +80,38 @@ object WarcRecords {
   /** Sanity ceiling: one payload holds at most this many records. */
   val MaxRecords = 65536
 
+  /** Decompressed-payload ceiling for gzipped shards. */
+  val MaxInflatedBytes: Int = 1 << 28 // 256 MB per shard payload
+
   /** All records, or null on ANY malformation. Never throws — the
     * belt-and-braces NonFatal catch backs the totality contract even if a
     * bound check is ever wrong for some adversarial input shape (this
     * parser's input is untrusted crawl data).
     */
   def parse(b: Array[Byte]): ArrayData =
-    try parseImpl(b) catch { case scala.util.control.NonFatal(_) => null }
+    try parseImpl(gunzipIfNeeded(b)) catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Real WARC shards ship PER-RECORD-GZIPPED (`.warc.gz` — each record
+    * its own gzip member, the Common Crawl layout); `GZIPInputStream`
+    * reads concatenated members natively, so the whole shard inflates to
+    * the plain record concatenation [[parseImpl]] already handles.
+    * Non-gzip payloads pass through untouched; a torn or oversized
+    * stream throws into [[parse]]'s NonFatal catch (NULL).
+    */
+  private def gunzipIfNeeded(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return b
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) out.write(buf, 0, n)
+      if (out.size > MaxInflatedBytes)
+        throw new java.io.IOException("gzipped WARC shard exceeds the inflate ceiling")
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
 
   private def parseImpl(b: Array[Byte]): ArrayData = {
     if (b == null || b.length == 0) return null

@@ -102,4 +102,35 @@ class WarcSpec extends SparkSpec {
       WarcRecords.parse(java.util.Arrays.copyOf(base, cut))
     }
   }
+
+  test(".warc.gz shards parse identically: per-record gzip members AND one whole-shard member") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    val b1 = "hello gz".getBytes("UTF-8")
+    val b2 = Array[Byte](9, 8, -1, 0, 7)
+    val r1 = rec("https://gz.test/1", b1)
+    val r2 = rec("https://gz.test/2", b2, typ = "request")
+    val plain = WarcRecords.parse(r1 ++ r2)
+    assert(plain != null && plain.numElements == 2)
+    // the Common Crawl layout: EACH RECORD its own gzip member, members
+    // concatenated — and the single-member whole-shard variant
+    Seq(gz(r1) ++ gz(r2), gz(r1 ++ r2)).foreach { shard =>
+      val got = WarcRecords.parse(shard)
+      assert(got != null && got.numElements == 2, "gz shard must parse")
+      (0 until 2).foreach { i =>
+        val p = fields(plain.getStruct(i, 5)); val g = fields(got.getStruct(i, 5))
+        assert(p._1 == g._1 && p._2 == g._2 && p._3 == g._3 && p._4 == g._4)
+        assert(java.util.Arrays.equals(p._5, g._5), s"record $i body must match plain")
+      }
+    }
+    // torn gzip: NULL, never a throw (strict totality carries over)
+    val torn = gz(r1 ++ r2)
+    assert(WarcRecords.parse(java.util.Arrays.copyOf(torn, torn.length / 2)) == null)
+    // gzip of garbage: inflates fine, fails the WARC magic -> NULL
+    assert(WarcRecords.parse(gz("not a warc".getBytes("UTF-8"))) == null)
+  }
 }
