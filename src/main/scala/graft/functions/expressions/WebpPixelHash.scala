@@ -37,6 +37,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Scale: one codegen'd projection, payload never shuffles — only the
   * 8-byte hash flows into the banded pair machinery.
+  *
+  * Assurance: every fixture variant round-trips pixel-exactly against
+  * the pre-encode raster, and WebpSpec additionally decodes
+  * HAND-AUTHORED spec-derived streams (golden-byte-pinned, written
+  * without the fixture encoder) covering the header, simple-code, and
+  * canonical-assignment paths. No independent WebP codec ships in this
+  * sandbox (no ImageIO plugin, no dwebp), so the LZ77 distance-map,
+  * transform, and cache paths beyond those streams rest on
+  * encoder/decoder self-consistency plus the [[planeCodeToDistance]]
+  * unit tests — a DOCUMENTED assurance gap until a vendored cwebp
+  * corpus is available.
   */
 case class WebpPixelHash(child: Expression) extends UnaryExpression {
 

@@ -398,22 +398,49 @@ object BucketedSnapshots {
       curDvs.getOrElse(b, Nil).size + 1 > maxDvsPerBucket).toSet
     val appendBuckets = touched.filterNot(foldSet)
     // sidecars for the append buckets: one staged partitioned write of
-    // (key, b), renamed per bucket into immutable dv dirs
-    val newDvIds = appendBuckets.map(b => b -> nextDvVersion(spark, path, b)).toMap
+    // (key, b) into a PER-WRITER staging dir, then each bucket's dir
+    // CLAIMS its dv id create-exclusively (FileContext Rename.NONE fails
+    // on an existing destination) — two concurrent deleteKeys can never
+    // clobber each other's staged or placed dirs; a lost id claim retries
+    // with a fresh one-past-max id, and the manifest claim below then
+    // decides commit order (the loser's conflict check sees the winner's
+    // dv entry). A dead run's claimed-but-unreferenced dv dir is an
+    // orphan ABOVE every referenced id — invisible to readers, swept by
+    // [[vacuum]]/retention once the referenced ceiling passes it.
+    val newDvIds = scala.collection.mutable.Map.empty[Int, Long]
     if (appendBuckets.nonEmpty) {
-      val staging = new Path(path + "__vstaging_dv")
-      if (fs.exists(staging)) fs.delete(staging, true)
+      val staging = new Path(
+        path + "__vstaging_dv_" + java.util.UUID.randomUUID().toString.take(12))
       kdf.withColumn("b", bucketOf)
         .filter(col("b").isin(appendBuckets.map(Int.box): _*))
         .repartition(col("b"))
         .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
       appendBuckets.foreach { b =>
         val src = new Path(staging, s"b=$b")
-        val dst = new Path(dvDir(path, b, newDvIds(b)))
+        if (!fs.exists(src))
+          throw new java.io.IOException(s"deleteKeys: failed to stage dv keys for bucket $b")
         fs.mkdirs(new Path(s"$path/b=$b"))
-        if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
-        if (!fs.exists(src) || !fs.rename(src, dst))
-          throw new java.io.IOException(s"deleteKeys: failed to stage $dst")
+        var attempts = 0
+        var claimed = false
+        while (!claimed) {
+          val id = nextDvVersion(spark, path, b)
+          val dst = new Path(dvDir(path, b, id))
+          try {
+            fc.rename(src, dst) // Rename.NONE: fails on an existing dst
+            newDvIds(b) = id
+            claimed = true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException |
+                 _: org.apache.hadoop.fs.PathExistsException =>
+              attempts += 1
+              if (attempts > 64) throw new CommitConflictException(
+                s"deleteKeys at $path: could not claim a dv id for bucket $b " +
+                  "after 64 attempts — a concurrent writer is racing this delete")
+          }
+        }
       }
       fs.delete(staging, true)
     }
@@ -437,7 +464,7 @@ object BucketedSnapshots {
       b -> prevStats.getOrElse(b, Nil).filter(_.file.isEmpty)).toMap
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, Nil, carried.toMap,
-      dvAppend = newDvIds.map { case (b, j) => b -> Seq(j) })
+      dvAppend = newDvIds.toMap.map { case (b, j) => b -> Seq(j) })
   }
 
   /** PREDICATE DELETE — the erasure-sweep shape callers actually write

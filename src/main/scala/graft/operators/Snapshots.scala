@@ -212,18 +212,26 @@ object Snapshots {
     require(have.contains(version),
       s"cannot tag v=$version at $path: not a readable committed version " +
         s"(have: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    // capture the prior pin BEFORE the write: a failed re-tag must restore
+    // it, not delete it (dropping would leave the name dangling AND make
+    // the previously-pinned version newly GC-eligible)
+    val prior = if (overwrite) readRefs(spark, path).get(name) else None
     writeRef(spark, path, name, version, overwrite)
     // tag() is check-then-write: between the validation above and the ref
     // write, a concurrent commit's retention GC may have deleted this
     // version (it only becomes GC-pinned once the ref file exists).
-    // Re-verify AFTER the write — if the version is gone, remove the
-    // dangling ref and fail loudly rather than leave a tag pointing at
-    // deleted data.
+    // Re-verify AFTER the write — if the version is gone, restore the
+    // prior pin (or remove the fresh ref) and fail loudly rather than
+    // leave a tag pointing at deleted data.
     if (!versions(spark, path).contains(version)) {
-      dropTag(spark, path, name)
+      prior match {
+        case Some(pv) => writeRef(spark, path, name, pv, overwrite = true)
+        case None => dropTag(spark, path, name)
+      }
       throw new java.util.ConcurrentModificationException(
         s"tag '$name' at $path lost a race with retention GC: v=$version was " +
-          "collected before the ref pinned it — re-tag a retained version")
+          "collected before the ref pinned it — re-tag a retained version" +
+          prior.fold("")(pv => s" (prior pin v=$pv restored)"))
     }
   }
 

@@ -4015,13 +4015,18 @@ object TrainingQueries {
         .select(col("doc_id"), col("col.body").as("raw"))
         // header sniff via ISO-8859-1: total on ANY bytes (UTF-8 decode
         // is strict and a PDF body would throw), ASCII-transparent, and
-        // char position == byte position for the locate below
-        .withColumn("head", decode(substring(col("raw"), 1, 120), "ISO-8859-1"))
+        // char position == byte position for the locate below. The split
+        // is located over the FULL bytes (real-world header blocks can
+        // run long); a record with no header/body split drops whole.
+        .withColumn("txt", decode(col("raw"), "ISO-8859-1"))
+        .withColumn("hdrEnd", locate("\r\n\r\n", col("txt")))
+        .filter(col("hdrEnd") > 0)
+        .withColumn("head", col("txt").substr(lit(1), col("hdrEnd") - 1))
         .withColumn("status",
           regexp_extract(col("head"), "^HTTP/1\\.[01] ([0-9]{3}) ", 1).cast("int"))
         .filter(col("status") === 200) // the 404 sibling drops here
         .withColumn("ctype", regexp_extract(col("head"), "Content-Type: ([^\r\n]+)", 1))
-        .withColumn("off", locate("\r\n\r\n", col("head")) + 4) // ASCII region: char pos == byte pos
+        .withColumn("off", col("hdrEnd") + 4) // ASCII region: char pos == byte pos
         .select(col("doc_id"), col("ctype"),
           when(col("ctype") === "application/pdf",
             pdfText(col("raw").substr(col("off"), octet_length(col("raw")))))

@@ -273,13 +273,15 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.SyntheticFlac(
       ExpressionUtils.expression(id), mode)))
 
-  /** PDF text extraction: classic-xref walk (startxref → xref sections →
-    * Catalog → Pages → Contents), FlateDecode, and the BT/ET text
-    * operators (`Tj`/`TJ`/`'`/`"`, `Td`/`TD`/`T*` line breaks, full
-    * string-escape set, hex strings) — the `application/pdf` leg of the
-    * crawl-ingestion pipeline. NULL for anything not cleanly walkable
-    * (xref STREAMS are documented-unsupported, like progressive JPEG) —
-    * see [[graft.functions.expressions.PdfText]].
+  /** PDF text extraction: full xref walk — classic xref sections AND
+    * PDF-1.5 cross-reference streams / object streams (`/W`, `/Index`,
+    * TIFF + PNG predictors) — then Catalog → Pages → Contents,
+    * FlateDecode, and the BT/ET text operators (`Tj`/`TJ`/`'`/`"`,
+    * `Td`/`TD`/`T*` line breaks, full string-escape set, hex strings) —
+    * the `application/pdf` leg of the crawl-ingestion pipeline. NULL for
+    * anything not cleanly walkable (non-Flate stream filters, CID/Type0
+    * encoded text, malformed xref) — see
+    * [[graft.functions.expressions.PdfText]].
     */
   def pdfText(payload: Column): Column =
     Column(ExpressionColumnNode(graft.functions.expressions.PdfText(
