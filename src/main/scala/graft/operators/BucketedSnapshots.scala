@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Pointer-committed BUCKETED tables: [[Snapshots]]' atomic-pointer commit
   * composed with [[Incremental.upsertByKeyBucketed]]'s touched-buckets-only
@@ -102,12 +103,18 @@ object BucketedSnapshots {
   private def dvPairs(dvm: Map[Int, Seq[Long]]): Seq[(Int, Long)] =
     dvm.toSeq.flatMap { case (b, ds) => ds.map(b -> _) }
 
-  /** The manifest text: arity header + one `b,bv[,dv1;dv2]` line per
-    * bucket (shared by main and branch commits).
+  /** The manifest text: metadata headers (`#nBuckets=` arity,
+    * `#bucketKey=` hash column, `#schema=` recorded table schema as a
+    * single-line StructType JSON) + one `b,bv[,dv1;dv2]` line per bucket
+    * (shared by main and branch commits).
     */
   private def manifestBody(
-      arity: Option[Int], manifest: Map[Int, Long], dvs: Map[Int, Seq[Long]]): String =
+      arity: Option[Int], bucketKey: Option[String],
+      schema: Option[StructType],
+      manifest: Map[Int, Long], dvs: Map[Int, Seq[Long]]): String =
     (arity.map(n => s"#nBuckets=$n").toSeq ++
+      bucketKey.map(k => s"#bucketKey=$k").toSeq ++
+      schema.map(sc => s"#schema=${sc.json}").toSeq ++
       manifest.toSeq.sorted.map { case (b, bv) =>
         dvs.get(b) match {
           case Some(ds) if ds.nonEmpty => s"$b,$bv,${ds.mkString(";")}"
@@ -133,6 +140,43 @@ object BucketedSnapshots {
     manifestLines(spark, path, v)
       .find(_.startsWith("#nBuckets="))
       .flatMap(_.stripPrefix("#nBuckets=").toIntOption)
+
+  /** The column the table's bucket hash is computed over (`#bucketKey=`
+    * manifest header). None for pre-header manifests — those tables
+    * cannot report their layout to the planner ([[readCurrentSPJ]]) but
+    * read and commit normally.
+    */
+  private[graft] def readBucketKey(
+      spark: SparkSession, path: String, v: Long): Option[String] =
+    manifestLines(spark, path, v)
+      .find(_.startsWith("#bucketKey="))
+      .map(_.stripPrefix("#bucketKey="))
+
+  /** The RECORDED table schema of a committed version (`#schema=`
+    * header): maintained as the union-by-position-merge of every commit's
+    * written schema, so a read can pass it explicitly and skip per-file
+    * footer schema merging entirely — missing columns in pre-evolution
+    * bucket dirs null-backfill inside the parquet reader. None for
+    * pre-header manifests (those reads fall back to `mergeSchema`).
+    */
+  private[graft] def readTableSchema(
+      spark: SparkSession, path: String, v: Long): Option[StructType] =
+    manifestLines(spark, path, v)
+      .find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
+
+  /** Read committed bucket dirs of version `v` with the right schema
+    * strategy: the recorded `#schema=` header when present (ZERO footer
+    * IO — on a never-evolved 100 TB-wide table the per-file footer merge
+    * is pure waste) or the legacy `mergeSchema` footer merge for
+    * pre-header tables.
+    */
+  private def readDirs(
+      spark: SparkSession, path: String, v: Long, dirs: Seq[String]): DataFrame =
+    readTableSchema(spark, path, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
 
   /** The pointer, validated against its own manifest (the bucketed layout
     * has no `v=N` data dirs for [[Snapshots.pointerState]] to check).
@@ -213,10 +257,12 @@ object BucketedSnapshots {
     val m = readManifest(spark, path, version)
     if (m.isEmpty) throw new java.io.FileNotFoundException(
       s"bucketed snapshot v=$version at $path has an empty manifest")
-    // mergeSchema: after an evolving commit, untouched buckets still carry
-    // the old schema — union-by-name with null backfill on read
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*)
+    // schema strategy ([[readDirs]]): recorded `#schema=` header when
+    // present (zero footer IO), else mergeSchema — after an evolving
+    // commit untouched buckets still carry the old schema and
+    // null-backfill either way
+    val raw = readDirs(spark, path, version,
+      m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" })
     foldDeletes(spark, path, raw, dvPairs(readDvs(spark, path, version)))
   }
 
@@ -286,10 +332,10 @@ object BucketedSnapshots {
     val touched = (mFrom.keySet ++ mTo.keySet)
       .filter(b => mFrom.get(b) != mTo.get(b) ||
         dFrom.getOrElse(b, Nil) != dTo.getOrElse(b, Nil)).toSeq.sorted
-    def side(m: Map[Int, Long], d: Map[Int, Seq[Long]]): DataFrame = {
+    def side(v: Long, m: Map[Int, Long], d: Map[Int, Seq[Long]]): DataFrame = {
       val dirs = touched.flatMap(b => m.get(b).map(bv => s"$path/b=$b/v=$bv"))
       if (dirs.nonEmpty) {
-        val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val raw = readDirs(spark, path, v, dirs)
         foldDeletes(spark, path, raw,
           dvPairs(d.filter { case (b, _) => touched.contains(b) }))
       } else {
@@ -300,7 +346,7 @@ object BucketedSnapshots {
           throw new java.io.FileNotFoundException(s"no bucket data under $path"))
       }
     }
-    (side(mFrom, dFrom), side(mTo, dTo))
+    (side(fromV, mFrom, dFrom), side(toV, mTo, dTo))
   }
 
   /** Last-writer-wins keyed upsert; returns the committed table version. */
@@ -617,7 +663,7 @@ object BucketedSnapshots {
       if (existingDirs.isEmpty) updates
       else merge(
         foldDeletes(spark, path,
-          spark.read.option("mergeSchema", "true").parquet(existingDirs.map(_._2): _*),
+          readDirs(spark, path, head, existingDirs.map(_._2)),
           dvPairs(headDvs.filter { case (b, _) => touched.contains(b) })),
         updates)
     val newBucketVersions =
@@ -646,6 +692,18 @@ object BucketedSnapshots {
     val nextManifest = headManifest ++ newBucketVersions
     val nextDvs = headDvs.filter { case (b, _) => !newBucketVersions.contains(b) }
     val arity = if (nBuckets > 0) Some(nBuckets) else readNBuckets(spark, path, head)
+    // same header maintenance as main commits, against the BRANCH head
+    val prevKey = readBucketKey(spark, path, head)
+    prevKey.foreach { pk =>
+      require(key == pk,
+        s"table at $path is bucketed on '$pk'; committing keyed on '$key' " +
+          "would scatter keys across mismatched buckets")
+    }
+    val schemaHdr = readTableSchema(spark, path, head) match {
+      case Some(p) => Some(org.apache.spark.sql.graftnative.SchemaOps.merge(p, merged.schema))
+      case None if headManifest.isEmpty => Some(merged.schema)
+      case None => None // legacy head: stay legacy
+    }
     var next = 0L
     var claimed = false
     var attempt = 0
@@ -654,7 +712,8 @@ object BucketedSnapshots {
       val mfTmp = new Path(s"$path/manifest/v=$next.txt.tmp")
       fs.mkdirs(new Path(s"$path/manifest"))
       val out = fs.create(mfTmp, true)
-      try out.write(manifestBody(arity, nextManifest, nextDvs).getBytes("UTF-8"))
+      try out.write(manifestBody(arity, prevKey.orElse(Some(key)), schemaHdr,
+        nextManifest, nextDvs).getBytes("UTF-8"))
       finally out.close()
       claimed = claimExclusive(spark.sparkContext.hadoopConfiguration, fs,
         mfTmp, new Path(manifestPath(path, next)))
@@ -793,7 +852,7 @@ object BucketedSnapshots {
       if (existingDirs.isEmpty) updates
       else merge(
         foldDeletes(spark, path,
-          spark.read.option("mergeSchema", "true").parquet(existingDirs.map(_._2): _*),
+          readDirs(spark, path, cur.get, existingDirs.map(_._2)),
           dvPairs(curDvs.filter { case (b, _) => touched.contains(b) })),
         updates)
     val newBucketVersions =
@@ -831,7 +890,8 @@ object BucketedSnapshots {
     }
     fs.delete(staging, true)
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
-      keepVersions, statCols, newStats, nBuckets)
+      keepVersions, statCols, newStats, nBuckets,
+      bucketKey = key, schemaUpdate = Some(merged.schema))
   }
 
   /** The shared commit tail: write manifest v=next (current entries
@@ -890,7 +950,10 @@ object BucketedSnapshots {
       newStats: Map[Int, Seq[BucketStat]] = Map.empty,
       nBuckets: Int = 0, // 0 = preserve/omit the arity header
       maxRebase: Int = 5,
-      dvAppend: Map[Int, Seq[Long]] = Map.empty): Long = {
+      dvAppend: Map[Int, Seq[Long]] = Map.empty,
+      bucketKey: String = "", // "" = preserve the #bucketKey header
+      schemaUpdate: Option[StructType] = None, // None = preserve #schema
+      schemaReplace: Boolean = false): Long = { // full rewrite: no merge
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
     var st = state
@@ -923,8 +986,33 @@ object BucketedSnapshots {
       val arity =
         if (nBuckets > 0) Some(nBuckets)
         else cur.flatMap(v => readNBuckets(spark, path, v))
+      // bucket-key header: same preserve rule as arity, plus the scatter
+      // guard — committing under a DIFFERENT key than the table was
+      // built with would put existing keys' rows in the wrong buckets
+      val prevKey = cur.flatMap(v => readBucketKey(spark, path, v))
+      prevKey.foreach { pk =>
+        require(bucketKey.isEmpty || bucketKey == pk,
+          s"table at $path is bucketed on '$pk'; committing keyed on " +
+            s"'$bucketKey' would scatter keys across mismatched buckets")
+      }
+      val keyHdr = if (bucketKey.nonEmpty) Some(bucketKey) else prevKey
+      // recorded-schema header: merged forward on every commit so a read
+      // can skip per-file footer merging; a LEGACY table (committed rows
+      // but no header) stays legacy — recording only this commit's
+      // schema would understate untouched buckets' columns
+      val prevSchema = cur.flatMap(v => readTableSchema(spark, path, v))
+      val schemaHdr: Option[StructType] =
+        if (schemaReplace) schemaUpdate
+        else (prevSchema, schemaUpdate) match {
+          case (Some(p), Some(u)) =>
+            Some(org.apache.spark.sql.graftnative.SchemaOps.merge(p, u))
+          case (Some(p), None) => Some(p)
+          case (None, Some(u)) if cur.isEmpty => Some(u)
+          case _ => None
+        }
       val out = fs.create(mfTmp, true)
-      try out.write(manifestBody(arity, nextManifest, nextDvs).getBytes("UTF-8"))
+      try out.write(
+        manifestBody(arity, keyHdr, schemaHdr, nextManifest, nextDvs).getBytes("UTF-8"))
       finally out.close()
       // CLAIM v=next exclusively: rename WITHOUT overwrite (FileContext
       // Rename.NONE fails on an existing destination, unlike
@@ -1329,7 +1417,7 @@ object BucketedSnapshots {
     val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
     // footer-only pass for the merged schema (types the bounds; at scale
     // this is metadata IO, not data IO)
-    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val full = readDirs(spark, path, version, allDirs)
     val dt = full.schema.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(
         s"column '$column' is not a column of the table at $path " +
@@ -1347,7 +1435,7 @@ object BucketedSnapshots {
     val df =
       if (paths.isEmpty) full.limit(0)
       else foldDeletes(spark, path,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*),
+        readDirs(spark, path, version, paths),
         dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     df.filter(residual)
   }
@@ -1420,7 +1508,7 @@ object BucketedSnapshots {
     if (m.isEmpty) throw new java.io.FileNotFoundException(
       s"bucketed snapshot v=$version at $path has an empty manifest")
     val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
-    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val full = readDirs(spark, path, version, allDirs)
     val dt = full.schema.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(
         s"column '$column' is not a column of the table at $path")).dataType
@@ -1435,7 +1523,7 @@ object BucketedSnapshots {
     val df =
       if (paths.isEmpty) full.limit(0)
       else foldDeletes(spark, path,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*),
+        readDirs(spark, path, version, paths),
         dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     val c = col(column)
     val residual = (lower.map(l => c >= lit(l)).toSeq ++ upper.map(u => c <= lit(u)).toSeq)
@@ -1486,7 +1574,7 @@ object BucketedSnapshots {
     if (m.isEmpty) throw new java.io.FileNotFoundException(
       s"bucketed snapshot v=$version at $path has an empty manifest")
     val allDirs = m.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }
-    val full = spark.read.option("mergeSchema", "true").parquet(allDirs: _*)
+    val full = readDirs(spark, path, version, allDirs)
     val keyDt = full.schema.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(
         s"key '$key' is not a column of the table at $path")).dataType
@@ -1508,8 +1596,8 @@ object BucketedSnapshots {
     val df =
       if (chosen.isEmpty) full.limit(0)
       else foldDeletes(spark, path,
-        spark.read.option("mergeSchema", "true")
-          .parquet(chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }: _*),
+        readDirs(spark, path, version,
+          chosen.toSeq.map { case (b, bv) => s"$path/b=$b/v=$bv" }),
         dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
     df.filter(col(key).isin(keys: _*))
   }
@@ -1657,9 +1745,11 @@ object BucketedSnapshots {
     }
     fs.delete(staging, true)
     // the new manifest REPLACES the bucket set wholesale: pass an empty
-    // current manifest so stale old-arity entries never leak in
+    // current manifest so stale old-arity entries never leak in (and the
+    // schema header REPLACES too — every dir was just rewritten)
     commitManifest(spark, path, state, casBase, Map.empty,
-      newBucketVersions, keepVersions, statCols, newStats, newNBuckets)
+      newBucketVersions, keepVersions, statCols, newStats, newNBuckets,
+      bucketKey = key, schemaUpdate = Some(rows.schema), schemaReplace = true)
   }
 
   /** Next version for one bucket: one past the max dir present (orphans

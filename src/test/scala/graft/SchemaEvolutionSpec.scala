@@ -106,6 +106,40 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(feed == Set((1L, "a", Some(7L), "U"), (2L, "b", Some(8L), "I")))
   }
 
+  test("recorded #schema header: reads resolve schema from the manifest, never from per-file footer merging") {
+    val path = fresh("schemahdr")
+    BucketedSnapshots.upsertByKey(spark,
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v"), path, "k", 8,
+      keepVersions = 3)
+    val v = BucketedSnapshots.currentVersion(spark, path).get
+    assert(BucketedSnapshots.readTableSchema(spark, path, v)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v")), "header must record the schema")
+    assert(BucketedSnapshots.readBucketKey(spark, path, v).contains("k"),
+      "header must record the bucket key")
+    // plant a foreign-schema file inside one committed bucket dir: a
+    // footer-merging read would surface its column; the recorded-schema
+    // read provably never consults footers for schema
+    val m = BucketedSnapshots.readManifest(spark, path, v)
+    val (b, bv) = m.head
+    Seq((100000L, 1.0, "smuggled")).toDF("k", "v", "smuggled").coalesce(1)
+      .write.mode("append").parquet(s"$path/b=$b/v=$bv")
+    val cur = BucketedSnapshots.readCurrent(spark, path)
+    assert(cur.columns.toSeq == Seq("k", "v"),
+      "schema must come from the recorded header (zero footer IO)")
+    val legacyCols = spark.read.option("mergeSchema", "true")
+      .parquet(m.toSeq.map { case (bb, vv) => s"$path/b=$bb/v=$vv" }: _*).columns.toSet
+    assert(legacyCols == Set("k", "v", "smuggled"),
+      "sanity: a footer merge WOULD have seen the planted column")
+    // and the evolving commit merges the header forward
+    BucketedSnapshots.upsertByKey(spark,
+      Seq((3L, 30.0, "x")).toDF("k", "v", "tag"), path, "k", 8, keepVersions = 3)
+    val v2 = BucketedSnapshots.currentVersion(spark, path).get
+    assert(BucketedSnapshots.readTableSchema(spark, path, v2)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v", "tag")))
+    assert(BucketedSnapshots.readSnapshot(spark, path, v2).columns.toSeq ==
+      Seq("k", "v", "tag"))
+  }
+
   test("seq-aware CDC merge (versioned, non-bucketed) evolves too") {
     val path = fresh("cdcv")
     Cdc.applyChangesVersioned(spark,
