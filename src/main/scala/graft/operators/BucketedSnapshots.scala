@@ -461,47 +461,26 @@ object BucketedSnapshots {
         .filter(col("b").isin(appendBuckets.map(Int.box): _*))
         .repartition(col("b"))
         .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
       appendBuckets.foreach { b =>
         val src = new Path(staging, s"b=$b")
         if (!fs.exists(src))
           throw new java.io.IOException(s"deleteKeys: failed to stage dv keys for bucket $b")
-        fs.mkdirs(new Path(s"$path/b=$b"))
-        var attempts = 0
-        var claimed = false
-        while (!claimed) {
-          val id = nextDvVersion(spark, path, b)
-          val dst = new Path(dvDir(path, b, id))
-          try {
-            fc.rename(src, dst) // Rename.NONE: fails on an existing dst
-            newDvIds(b) = id
-            claimed = true
-          } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                 _: java.nio.file.FileAlreadyExistsException |
-                 _: org.apache.hadoop.fs.PathExistsException =>
-              attempts += 1
-              if (attempts > 64) throw new CommitConflictException(
-                s"deleteKeys at $path: could not claim a dv id for bucket $b " +
-                  "after 64 attempts — a concurrent writer is racing this delete")
-          }
-        }
+        newDvIds(b) = claimBucketDir(spark, path, b, src, "dv")
       }
       fs.delete(staging, true)
     }
     // budget-exhausted buckets fold copy-on-write: existing sidecars AND
-    // this commit's keys absorbed into a fresh data dir
+    // this commit's keys absorbed into a fresh data dir (written to a
+    // per-writer sibling dir, then claimed create-exclusively)
     val newBucketVersions = foldSet.toSeq.sorted.map { b =>
-      val nv = nextBucketVersion(spark, path, b)
-      val dst = new Path(s"$path/b=$b/v=$nv")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      val tmp = new Path(
+        path + "__vstaging_fold_" + java.util.UUID.randomUUID().toString.take(12))
       foldDeletes(spark, path,
         spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}"),
         curDvs.getOrElse(b, Nil).map(b -> _))
         .join(broadcast(kdf), Seq(key), "left_anti")
-        .write.mode(SaveMode.Overwrite).parquet(dst.toString)
-      b -> nv
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      b -> claimBucketDir(spark, path, b, tmp, "v")
     }.toMap
     // folded buckets carry their (wider-safe) BUCKET-LEVEL zonemap stats;
     // per-file entries drop with the rewrite (file names change)
@@ -666,27 +645,19 @@ object BucketedSnapshots {
           readDirs(spark, path, head, existingDirs.map(_._2)),
           dvPairs(headDvs.filter { case (b, _) => touched.contains(b) })),
         updates)
-    val newBucketVersions =
-      touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
-    val staging = new Path(path + "__vstaging_branch")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val staging = new Path(
+      path + "__vstaging_branch_" + java.util.UUID.randomUUID().toString.take(12))
     merged.withColumn("b", bucketOf)
       .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
     val statCols = effectiveStatCols(
       readStats(spark, path, head)._1, statsColumns, merged.schema)
     val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
-    touched.foreach { b =>
+    val newBucketVersions = touched.map { b =>
       val src = new Path(staging, s"b=$b")
-      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
-      fs.mkdirs(new Path(s"$path/b=$b"))
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) {
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"branch commit: failed to stage $dst")
-      } else {
-        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
-      }
-    }
+      if (!fs.exists(src))
+        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(src.toString)
+      b -> claimBucketDir(spark, path, b, src, "v")
+    }.toMap
     fs.delete(staging, true)
     // manifest for the branch head: same claimed-version namespace as main
     val nextManifest = headManifest ++ newBucketVersions
@@ -855,13 +826,12 @@ object BucketedSnapshots {
           readDirs(spark, path, cur.get, existingDirs.map(_._2)),
           dvPairs(curDvs.filter { case (b, _) => touched.contains(b) })),
         updates)
-    val newBucketVersions =
-      touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
-    // ONE staging write partitioned by bucket, then per-bucket renames
-    // into immutable v-dirs (renames of INVISIBLE dirs — the commit point
-    // is still only the pointer flip)
-    val staging = new Path(path + "__vstaging")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    // ONE staging write partitioned by bucket into a PER-WRITER sibling
+    // dir, then per-bucket CREATE-EXCLUSIVE claims of immutable v-dirs
+    // (renames of INVISIBLE dirs — the commit point is still only the
+    // pointer flip; racing writers can never clobber each other's dirs)
+    val staging = new Path(
+      path + "__vstaging_" + java.util.UUID.randomUUID().toString.take(12))
     merged.withColumn("b", bucketOf)
       .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
     // zonemap stats for the TOUCHED buckets, off the staged write (one
@@ -872,22 +842,16 @@ object BucketedSnapshots {
       cur.map(v => readStats(spark, path, v)._1).getOrElse(Nil),
       statsColumns, merged.schema)
     val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
-    touched.foreach { b =>
+    val newBucketVersions = touched.map { b =>
       val src = new Path(staging, s"b=$b")
-      val dstDir = new Path(s"$path/b=$b")
-      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
-      fs.mkdirs(dstDir)
-      if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
-      if (fs.exists(src)) {
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"bucketed commit: failed to stage $dst")
-      } else {
+      if (!fs.exists(src)) {
         // every key of this bucket deduped away in the merge: an EMPTY
-        // bucket version — represent as an empty dir with a marker-less
-        // parquet write of the merged schema
-        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
+        // bucket version — stage a marker-less parquet write of the
+        // merged schema, claimed like any other dir
+        merged.limit(0).write.mode(SaveMode.Overwrite).parquet(src.toString)
       }
-    }
+      b -> claimBucketDir(spark, path, b, src, "v")
+    }.toMap
     fs.delete(staging, true)
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, statCols, newStats, nBuckets,
@@ -1661,15 +1625,14 @@ object BucketedSnapshots {
       .map(_._1).sorted
     if (fragmented.isEmpty) return cur
     val newBucketVersions = fragmented.map { b =>
-      val nv = nextBucketVersion(spark, path, b)
-      val dst = new Path(s"$path/b=$b/v=$nv")
-      if (fs.exists(dst)) fs.delete(dst, true) // orphan from a dead run
+      val tmp = new Path(
+        path + "__vstaging_compact_" + java.util.UUID.randomUUID().toString.take(12))
       foldDeletes(spark, path,
         spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}"),
         curDvs.getOrElse(b, Nil).map(b -> _))
         .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(dst.toString)
-      b -> nv
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      b -> claimBucketDir(spark, path, b, tmp, "v")
     }.toMap
     // no row-value change: the compacted buckets' BUCKET-LEVEL zonemap
     // stats carry verbatim (after a dv fold the carried bounds may be
@@ -1721,28 +1684,21 @@ object BucketedSnapshots {
     require(rows.columns.contains(key), s"key '$key' is not a column of the table at $path")
     val bucketOf = pmod(xxhash64(col(key)), lit(newNBuckets.toLong)).cast("int")
     val prevStatCols = readStats(spark, path, cur)._1
-    // one staging write under the NEW arity, then per-bucket renames —
+    // one staging write under the NEW arity, then per-bucket claims —
     // same invisibility as mergeCommit (the commit point is the flip)
-    val staging = new Path(path + "__vstaging_rebucket")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val staging = new Path(
+      path + "__vstaging_rebucket_" + java.util.UUID.randomUUID().toString.take(12))
     rows.withColumn("b", bucketOf)
       .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
     val touched = (0 until newNBuckets).toIndexedSeq
     val statCols = effectiveStatCols(prevStatCols, Nil, rows.schema)
     val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
-    val newBucketVersions = touched.map(b => b -> nextBucketVersion(spark, path, b)).toMap
-    touched.foreach { b =>
+    val newBucketVersions = touched.map { b =>
       val src = new Path(staging, s"b=$b")
-      val dst = new Path(s"$path/b=$b/v=${newBucketVersions(b)}")
-      fs.mkdirs(new Path(s"$path/b=$b"))
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) {
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"rebucket: failed to stage $dst")
-      } else {
-        rows.limit(0).write.mode(SaveMode.Overwrite).parquet(dst.toString)
-      }
-    }
+      if (!fs.exists(src))
+        rows.limit(0).write.mode(SaveMode.Overwrite).parquet(src.toString)
+      b -> claimBucketDir(spark, path, b, src, "v")
+    }.toMap
     fs.delete(staging, true)
     // the new manifest REPLACES the bucket set wholesale: pass an empty
     // current manifest so stale old-arity entries never leak in (and the
@@ -1755,33 +1711,59 @@ object BucketedSnapshots {
   /** Next version for one bucket: one past the max dir present (orphans
     * from dead runs never get their slot reused).
     */
-  private def nextBucketVersion(spark: SparkSession, path: String, b: Int): Long = {
+  private def nextBucketVersion(spark: SparkSession, path: String, b: Int): Long =
+    nextDirVersion(spark, path, b, "v")
+
+  private def nextDirVersion(
+      spark: SparkSession, path: String, b: Int, kind: String): Long = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
     val base = new Path(s"$path/b=$b")
     val floor =
       if (!fs.exists(base)) 0L
       else fs.listStatus(base).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-        .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(kind + "="))
+        .flatMap(st => st.getPath.getName.stripPrefix(kind + "=").toLongOption)
         .foldLeft(0L)(math.max)
     floor + 1
   }
 
-  /** Next delete-vector id for one bucket (same one-past-max-dir rule as
-    * [[nextBucketVersion]], over `dv=` dirs).
+  /** CLAIM a fresh `$kind=<id>` dir under `$path/b=$b` create-exclusively:
+    * rename `src` onto the one-past-max id via `FileContext` with the
+    * no-overwrite semantics of [[claimExclusive]], retrying with a fresh
+    * id when a concurrent writer takes the same slot. Never clobbers an
+    * existing dir — two racing commits each keep their own placed dirs
+    * and the MANIFEST claim decides commit order (the loser's dirs become
+    * unreferenced orphans for [[vacuum]]/retention, never corruption).
+    * Returns the claimed id; `src` is left intact on a lost claim so the
+    * retry can move it.
     */
-  private def nextDvVersion(spark: SparkSession, path: String, b: Int): Long = {
+  private def claimBucketDir(
+      spark: SparkSession, path: String, b: Int,
+      src: org.apache.hadoop.fs.Path, kind: String): Long = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
-    val base = new Path(s"$path/b=$b")
-    val floor =
-      if (!fs.exists(base)) 0L
-      else fs.listStatus(base).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("dv="))
-        .flatMap(st => st.getPath.getName.stripPrefix("dv=").toLongOption)
-        .foldLeft(0L)(math.max)
-    floor + 1
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/b=$b"))
+    var attempts = 0
+    while (true) {
+      val id = nextDirVersion(spark, path, b, kind)
+      val dst = new Path(s"$path/b=$b/$kind=$id")
+      try {
+        fc.rename(src, dst) // Rename.NONE: fails on an existing dst
+        return id
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          attempts += 1
+          if (attempts > 64) throw new CommitConflictException(
+            s"commit at $path: could not claim a $kind dir for bucket $b " +
+              "after 64 attempts — a concurrent writer is racing this commit")
+      }
+    }
+    0L // unreachable
   }
 
   private def allManifestVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -1858,5 +1840,90 @@ object BucketedSnapshots {
             .foreach { case (p, _) => fs.delete(p, true) }
         }
       }
+  }
+
+  /** VACUUM: delete every filesystem object of the table that NO
+    * retained, tagged, or branch-pinned version references and whose age
+    * exceeds `olderThanMs`:
+    *
+    *  - unreferenced `b=N/v=M` data dirs and `b=N/dv=J` sidecars at ANY
+    *    id — retention [[gc]] only sweeps below its reference floors, so
+    *    claim-lost and crashed-run orphans ABOVE the referenced ceiling
+    *    accumulate until vacuum;
+    *  - manifests and stats sidecars of unreferenced versions (including
+    *    a DISCARDED branch's intermediate commits), plus crashed `.tmp`
+    *    manifest claims;
+    *  - crashed writers' sibling staging dirs (`<table>__vstaging*`).
+    *
+    * The age horizon is the concurrency guard: an in-flight commit's
+    * just-claimed dirs and just-written staging are younger than any sane
+    * horizon, and vacuum never participates in the create-exclusive claim
+    * protocol — it only deletes NEVER-REFERENCED names, which a claimant
+    * re-lists on every claim retry, so a freed slot can only ever be
+    * reclaimed by a writer that owns it exclusively. Run `olderThanMs=0`
+    * only on a quiesced table. Returns the number of deleted objects.
+    */
+  def vacuum(
+      spark: SparkSession, path: String, olderThanMs: Long = 3600000L): Int = {
+    import org.apache.hadoop.fs.Path
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val fs = fsOf(spark, path)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= olderThanMs
+    // the full pin set: retained window + tags + branch heads
+    val refVersions = versions(spark, path)
+    val live: Set[(Int, Long)] =
+      refVersions.flatMap(v => readManifest(spark, path, v).toSeq).toSet
+    val liveDv: Set[(Int, Long)] =
+      refVersions.flatMap(v => dvPairs(readDvs(spark, path, v))).toSet
+    var deleted = 0
+    def rm(p: Path, recursive: Boolean): Unit =
+      if (try fs.delete(p, recursive) catch { case _: java.io.IOException => false })
+        deleted += 1
+    // unreferenced manifests + their stats sidecars + crashed tmp claims
+    val mdir = new Path(s"$path/manifest")
+    if (fs.exists(mdir)) fs.listStatus(mdir).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val isTmp = n.endsWith(".tmp")
+      val vOpt =
+        if (!n.startsWith("v=")) None
+        else if (n.endsWith(".stats.txt"))
+          n.stripPrefix("v=").stripSuffix(".stats.txt").toLongOption
+        else if (n.endsWith(".txt"))
+          n.stripPrefix("v=").stripSuffix(".txt").toLongOption
+        else None
+      // only recognized names are swept; anything else stays (conservative)
+      if (aged(st) && (isTmp || vOpt.exists(v => !refVersions.contains(v))))
+        rm(st.getPath, false)
+    }
+    // unreferenced bucket data dirs and dv sidecars at any id
+    val root = new Path(path)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+      .foreach { bdir =>
+        bdir.getPath.getName.stripPrefix("b=").toIntOption.foreach { bucket =>
+          fs.listStatus(bdir.getPath).toSeq.foreach { st =>
+            val n = st.getPath.getName
+            val keep =
+              (n.startsWith("v=") && n.stripPrefix("v=").toLongOption
+                .exists(bv => live.contains(bucket -> bv))) ||
+              (n.startsWith("dv=") && n.stripPrefix("dv=").toLongOption
+                .exists(j => liveDv.contains(bucket -> j)))
+            if (!keep && st.isDirectory && aged(st) &&
+                (n.startsWith("v=") || n.startsWith("dv=")))
+              rm(st.getPath, true)
+          }
+        }
+      }
+    // crashed writers' sibling staging dirs
+    val parent = root.getParent
+    if (parent != null && fs.exists(parent)) {
+      val prefix = root.getName + "__vstaging"
+      fs.listStatus(parent).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) && aged(st))
+        .foreach(st => rm(st.getPath, true))
+    }
+    deleted
   }
 }
