@@ -274,6 +274,47 @@ object BucketedSnapshots {
         throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
     }
 
+  /** Read a committed version THROUGH THE PLANNER-VISIBLE layout
+    * ([[graft.sources.SnapCatalog]]): the scan reports the table's
+    * `bucket(nBuckets, bucketKey)` partitioning as
+    * `KeyGroupedPartitioning`, so joining two maintained tables bucketed
+    * on the same key at the same arity plans with ZERO exchanges
+    * (storage-partitioned join; mismatched arity falls back to normal
+    * shuffles, PlanSpec-asserted both ways). Outstanding delete vectors
+    * fold INSIDE THE READER (each dv-laden bucket drains its
+    * sidecar-sized key set and row-filters; clean buckets keep the fully
+    * vectorized columnar path) — an anti-join above the scan would hide
+    * the partitioning from the planner's SPJ matching, which only looks
+    * through Project/Filter. Same rows as [[readSnapshot]] always;
+    * requires the `#bucketKey=` header (any r15+ commit).
+    *
+    * At 100 TB: every serve ⋈ feature, corpus ⋈ signature-state, or
+    * feed-consume base join of co-bucketed maintained tables stops
+    * shuffling EITHER side — the cost the reference's 256-way
+    * `address_partition` scheme could only prune around.
+    */
+  def readSnapshotSPJ(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val have = versions(spark, path)
+    if (!have.contains(version))
+      throw new java.io.FileNotFoundException(
+        s"bucketed snapshot v=$version at $path is not a retained committed version " +
+          s"(retained: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapCatalog")
+    // absolute path: the identifier must resolve from any working dir
+    val abs = fsOf(spark, path).makeQualified(new org.apache.hadoop.fs.Path(path))
+      .toUri.getPath
+    spark.table(s"graft.`$abs##$version`")
+  }
+
+  /** [[readSnapshotSPJ]] on the live version. */
+  def readCurrentSPJ(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshotSPJ(spark, path, v)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
+
   /** CHANGE DATA FEED between two committed table versions, MANIFEST-
     * PRUNED: only buckets whose `(bucket -> bucketVersion)` manifest entry
     * changed between the versions are read on either side — an untouched

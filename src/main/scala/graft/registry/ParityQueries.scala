@@ -2355,6 +2355,52 @@ object ParityQueries {
     * and proves budget folds, compaction folds, re-upsert-once, GC, and
     * tag pinning.
     */
+  /** STORAGE-PARTITIONED JOIN of two maintained bucketed tables
+    * ([[graft.operators.BucketedSnapshots.readCurrentSPJ]] through
+    * [[graft.sources.SnapCatalog]]): both rollups land bucketed on
+    * `user_id` at arity 16, the DSv2 scan reports `bucket(16, user_id)`
+    * as KeyGroupedPartitioning, and the join plans with ZERO exchanges —
+    * SpjSpec asserts the plan shape; this row proves the VALUES through
+    * the full path, including the READER-LEVEL delete-vector fold
+    * (`%17 = 3` users deleted on the left AFTER the rollup committed,
+    * folded during the scan itself so the co-partitioning survives).
+    * At 100 TB this is the serve ⋈ feature join with neither side
+    * shuffled — the cost the reference's 256-way `address_partition`
+    * scheme could only prune around (reference:
+    * src/pipelines/analytics/ddl/transpose_borrow_events.sql:4).
+    */
+  private val joinSpjBucketedTables = Q(
+    "join_spj_bucketed_tables",
+    (s, d) => {
+      val ev = evDf(s, d)
+      val left = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), max(col("event_id")).as("max_event"))
+      val right = ev.filter(col("event_id") % 2 === 0).groupBy("user_id").agg(
+        count(lit(1)).as("n_even"), min(col("event_id")).as("min_even"))
+      val pl = "/root/repo/target/tmp/spjl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pr = "/root/repo/target/tmp/spjr_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(pl, pr).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, left, pl, "user_id", 16, keepVersions = 2)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, right, pr, "user_id", 16, keepVersions = 2)
+      graft.operators.BucketedSnapshots.deleteKeys(s, pl,
+        left.filter(col("user_id") % 17 === 3).select("user_id"), "user_id",
+        keepVersions = 2)
+      graft.operators.BucketedSnapshots.readCurrentSPJ(s, pl)
+        .join(graft.operators.BucketedSnapshots.readCurrentSPJ(s, pr), Seq("user_id"))
+    },
+    Some(s"""WITH $EV,
+      l AS (SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_event
+        FROM ev GROUP BY 1),
+      r AS (SELECT user_id, COUNT(*) AS n_even, MIN(event_id) AS min_even
+        FROM ev WHERE event_id % 2 = 0 GROUP BY 1)
+      SELECT l.user_id, l.n_events, l.max_event, r.n_even, r.min_even
+      FROM l JOIN r ON l.user_id = r.user_id WHERE l.user_id % 17 <> 3"""))
+
   private val snapshotDeleteVectors = Q(
     "snapshot_delete_vectors",
     (s, d) => {
@@ -3113,5 +3159,5 @@ object ParityQueries {
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
     snapshotDeleteVectors, snapshotBranchWap, snapshotHistoryMeta,
     snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
-    streamingFeedConsume, ctasFullRefresh, upsertServe)
+    streamingFeedConsume, ctasFullRefresh, upsertServe, joinSpjBucketedTables)
 }
