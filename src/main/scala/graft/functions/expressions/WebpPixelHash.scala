@@ -38,16 +38,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * Scale: one codegen'd projection, payload never shuffles — only the
   * 8-byte hash flows into the banded pair machinery.
   *
-  * Assurance: every fixture variant round-trips pixel-exactly against
-  * the pre-encode raster, and WebpSpec additionally decodes
-  * HAND-AUTHORED spec-derived streams (golden-byte-pinned, written
-  * without the fixture encoder) covering the header, simple-code, and
-  * canonical-assignment paths. No independent WebP codec ships in this
-  * sandbox (no ImageIO plugin, no dwebp), so the LZ77 distance-map,
-  * transform, and cache paths beyond those streams rest on
-  * encoder/decoder self-consistency plus the [[planeCodeToDistance]]
-  * unit tests — a DOCUMENTED assurance gap until a vendored cwebp
-  * corpus is available.
+  * Assurance: INDEPENDENT-CODEC differential — vendored fixtures
+  * produced by the system libwebp (`tools/gen_webp_fixtures.py`, real
+  * cwebp-class VP8L streams using all four transforms, the color cache,
+  * and meta-prefix images) decode pixel-exactly
+  * (WebpLibwebpDifferentialSpec), every [[WebpFixture]] variant
+  * round-trips pixel-exactly against the pre-encode raster, and
+  * WebpSpec additionally decodes HAND-AUTHORED spec-derived streams
+  * (golden-byte-pinned) covering the header, simple-code, and
+  * canonical-assignment paths.
   */
 case class WebpPixelHash(child: Expression) extends UnaryExpression {
 
