@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * for. A VP8L re-encode (different predictor set, palettization, color
   * cache, LZ77 choices) shares almost no bytes with the original, so the
   * byte-level [[BlockHash64]] provably misses it; the decoded-pixel
-  * dHash lands it at Hamming 0. Lossy `VP8 ` and animated (`ANMF`)
-  * payloads are DOCUMENTED-UNSUPPORTED (like progressive JPEG): they
-  * return NULL and keep the byte-level family.
+  * dHash lands it at Hamming 0. LOSSY `VP8 ` intra keyframes — the
+  * dominant CDN re-encode class — decode natively too ([[Vp8Decode]]:
+  * boolean coder, mode/coefficient trees, iWHT/iDCT, all intra
+  * predictors, in-loop deblocking; byte-exact against the system
+  * libwebp's YUV reconstruction, WebpVp8DifferentialSpec) with the dHash
+  * taken straight off the luma plane. Animated (`ANMF`) payloads remain
+  * DOCUMENTED-UNSUPPORTED: they return NULL and keep the byte-level
+  * family.
   *
   * Returns NULL for anything not cleanly decodable: wrong container,
   * lossy-only payload, bad signature/version, dimensions outside
@@ -601,8 +606,7 @@ object WebpPixelHash {
 
   def hash(b: Array[Byte]): java.lang.Long = {
     val g = decodeArgb(b)
-    if (g == null) null
-    else {
+    if (g != null) {
       val (argb, w, h) = g
       val px = new Array[Int](argb.length)
       var i = 0
@@ -612,8 +616,44 @@ object WebpPixelHash {
         i += 1
       }
       java.lang.Long.valueOf(PngPixelHash.dhash(px, w, h))
+    } else {
+      // LOSSY (`VP8 ` intra keyframe): native decode to YUV420, dHash
+      // straight off the luma plane — the hash input VP8L reaches via
+      // the ARGB->luma reduction anyway
+      val f = decodeVp8(b)
+      if (f == null || f.w < 9 || f.h < 8) null
+      else {
+        val px = new Array[Int](f.w * f.h)
+        var y = 0
+        while (y < f.h) {
+          var x = 0
+          while (x < f.w) { px(y * f.w + x) = f.y(y * f.yStride + x); x += 1 }
+          y += 1
+        }
+        java.lang.Long.valueOf(PngPixelHash.dhash(px, f.w, f.h))
+      }
     }
   }
+
+  /** Walk the container to a lossy `VP8 ` chunk and decode it natively
+    * ([[Vp8Decode]]); null on anything else. Never throws.
+    */
+  private[expressions] def decodeVp8(b: Array[Byte]): Vp8Decode.Frame =
+    try {
+      if (b == null || b.length < 20) return null
+      if (!tag(b, 0, "RIFF") || !tag(b, 8, "WEBP")) return null
+      var pos = 12
+      while (pos + 8 <= b.length) {
+        val sz = le32(b, pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8L) return null
+        val l = sz.toInt
+        if (pos + 8 + l > b.length) return null
+        if (tag(b, pos, "VP8 "))
+          return Vp8Decode.decode(b, pos + 8, pos + 8 + l)
+        pos += 8 + l + (l & 1)
+      }
+      null
+    } catch { case Bad => null; case scala.util.control.NonFatal(_) => null }
 
   /** Full ARGB decode `(pixels row-major, w, h)`, or null on anything
     * unclean. Never throws.

@@ -67,4 +67,33 @@ class WebpLibwebpDifferentialSpec extends SparkSpec {
       assert(hashed.longValue() == want, s"$name: hash must match the raw-raster dHash")
     }
   }
+
+  test("real LOSSY VP8 streams hash within the near-dup threshold of their source raster (CDN re-encode class)") {
+    val lossy = manifest.filter(_._5 == "vp8")
+    assert(lossy.size >= 30)
+    lossy.foreach { case (name, w, h, q, _) =>
+      // f13 (16x16 hard-edged checkerboard) is a content pathology, not a
+      // decoder property: libwebp's OWN decode of it drifts 20-32 dHash
+      // bits from the source (tile edges alias against the 9-column
+      // grid under quantization); every other fixture drifts <= 4
+      if (w >= 9 && h >= 8 && name != "f13_blocks_16x16") {
+        val hashed = WebpPixelHash.hash(res(s"$name.q$q.webp"))
+        assert(hashed != null, s"$name q$q: lossy decode must hash")
+        val src = res(s"$name.rgb")
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          luma(i) = (299 * (src(i * 3) & 0xff) + 587 * (src(i * 3 + 1) & 0xff) +
+            114 * (src(i * 3 + 2) & 0xff)) / 1000
+          i += 1
+        }
+        val want = PngPixelHash.dhash(luma, w, h)
+        val ham = java.lang.Long.bitCount(hashed.longValue() ^ want)
+        // RGB->YUV->quantized-DCT->YUV luma differs slightly from the
+        // BT.601 integer luma of the raw raster; the structural dHash
+        // must still land the pair well inside the duplicate threshold
+        assert(ham <= 10, s"$name q$q: Hamming $ham vs source raster (want <= 10)")
+      }
+    }
+  }
 }

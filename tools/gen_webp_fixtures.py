@@ -31,6 +31,12 @@ LIB.WebPEncodeLosslessRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_in
 LIB.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_ubyte)
 LIB.WebPDecodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+LIB.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+LIB.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                              ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 
 
 def lcg(seed):
@@ -87,6 +93,26 @@ def dec(data):
     return rgb, w.value, h.value
 
 
+def dec_yuv(data):
+    """libwebp's raw YUV420 reconstruction — the NORMATIVE decoder output
+    before any upsampler/colorspace choice; what the Scala VP8 decoder
+    must reproduce byte-exactly."""
+    w = ctypes.c_int(); h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)(); v = ctypes.POINTER(ctypes.c_ubyte)()
+    stride = ctypes.c_int(); uv_stride = ctypes.c_int()
+    p = LIB.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(u), ctypes.byref(v),
+                          ctypes.byref(stride), ctypes.byref(uv_stride))
+    assert p
+    W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    y = b"".join(bytes(bytearray(p[r * S: r * S + W])) for r in range(H))
+    uu = b"".join(bytes(bytearray(u[r * US: r * US + cw])) for r in range(ch))
+    vv = b"".join(bytes(bytearray(v[r * US: r * US + cw])) for r in range(ch))
+    LIB.WebPFree(p)
+    return y, uu, vv, W, H
+
+
 def main():
     outdir = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/webp")
     os.makedirs(outdir, exist_ok=True)
@@ -113,10 +139,13 @@ def main():
                 ly = enc_lossy(rgb, w, h, q)
                 lrgb, lw, lh = dec(ly)
                 assert (lw, lh) == (w, h)
+                yy, uu, vv, _, _ = dec_yuv(ly)
                 with open(os.path.join(outdir, f"{name}.q{q}.webp"), "wb") as f:
                     f.write(ly)
                 with open(os.path.join(outdir, f"{name}.q{q}.rgb"), "wb") as f:
                     f.write(lrgb)
+                with open(os.path.join(outdir, f"{name}.q{q}.yuv"), "wb") as f:
+                    f.write(yy + uu + vv)
                 manifest.append(f"{name} {w} {h} {q} vp8")
             idx += 1
 
