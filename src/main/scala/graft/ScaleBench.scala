@@ -243,6 +243,13 @@ object ScaleBench {
         val media = graft.operators.Multimodal.pixelWebpCorpus(docsAt(k), "doc_id")
         graft.operators.Multimodal.webpPairs(media, maxHamming = 2).count()
       },
+      // r15 lossy-VP8 addendum: the full intra-keyframe decode (boolean
+      // coder, token trees, iDCT, deblocking) through the same banded
+      // machinery — per-row constant is the decode
+      "webp_lossy_neardup" -> { k: Int =>
+        val media = graft.operators.Multimodal.pixelWebpLossyCorpus(docsAt(k), "doc_id")
+        graft.operators.Multimodal.webpPairs(media, maxHamming = 6).count()
+      },
       // r14 FLAC addendum: the cross-container hash (WAV + native FLAC
       // decode) through the same banded machinery
       "flac_neardup" -> { k: Int =>

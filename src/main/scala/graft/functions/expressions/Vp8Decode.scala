@@ -238,10 +238,10 @@ private[expressions] object Vp8Decode {
   /** Keyframe Y-mode tree and fixed probs (RFC 6386 s11.2); modes:
     * 0=DC 1=V 2=H 3=TM 4=B_PRED.
     */
-  private val KfYModeTree = Array(-4, 2, 4, 6, -0, -1, -2, -3)
-  private val KfYModeProb = Array(145, 156, 163, 128)
-  private val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
-  private val KfUvModeProb = Array(142, 114, 183)
+  private[expressions] val KfYModeTree = Array(-4, 2, 4, 6, -0, -1, -2, -3)
+  private[expressions] val KfYModeProb = Array(145, 156, 163, 128)
+  private[expressions] val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
+  private[expressions] val KfUvModeProb = Array(142, 114, 183)
 
   /** 4x4 submode tree (RFC 6386 s11.5) in the DECODING-TABLE numbering
     * the extracted kBModesProba rows are indexed with (libwebp's enum,
@@ -249,24 +249,24 @@ private[expressions] object Vp8Decode {
     * B_RD=4 B_VR=5 B_LD=6 B_VL=7 B_HD=8 B_HU=9. [[predict4]] uses the
     * same numbering.
     */
-  private val BModeTree = Array(
+  private[expressions] val BModeTree = Array(
     -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
 
   /** Token tree (RFC 6386 s13.2): leaves 0..4 literal values, 5..10 the
     * six extra-bit categories, 11 = EOB.
     */
-  private val TokenTree = Array(
+  private[expressions] val TokenTree = Array(
     -11, 2, -0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6, 18, 20, -7, -8, -9, -10)
-  private val CatProbs: Array[Array[Int]] = Array(
+  private[expressions] val CatProbs: Array[Array[Int]] = Array(
     Array(159), Array(165, 145), Array(173, 148, 140), Array(176, 155, 140, 135),
     Array(180, 157, 141, 134, 130), Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
-  private val CatBase = Array(5, 7, 11, 19, 35, 67)
+  private[expressions] val CatBase = Array(5, 7, 11, 19, 35, 67)
 
   /** Coefficient-position -> probability band (RFC 6386 s13.3). */
-  private val Bands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+  private[expressions] val Bands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
   /** Zigzag scan. */
-  private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
-  private val SegTree = Array(2, 4, -0, -1, -2, -3)
+  private[expressions] val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private[expressions] val SegTree = Array(2, 4, -0, -1, -2, -3)
 
   private object Bad extends RuntimeException with scala.util.control.NoStackTrace
   private def bad(): Nothing = throw Bad

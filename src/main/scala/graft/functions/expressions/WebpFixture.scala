@@ -76,7 +76,7 @@ object WebpFixture {
 
   val Modes: Set[String] = Set(
     "base", "subg", "pred", "pal", "cache", "meta", "pal4", "pal4lit",
-    "truncated", "garbage", "lossy")
+    "truncated", "garbage", "lossy", "vp8q8", "vp8q25")
 
   private final val Dim = 16
 
@@ -124,8 +124,12 @@ object WebpFixture {
     case "garbage" =>
       java.security.MessageDigest.getInstance("MD5").digest(s"$id|junk".getBytes("UTF-8"))
     case "lossy" =>
+      // a MALFORMED `VP8 ` chunk (not a decodable keyframe): stays the
+      // corrupt-row class even now that real lossy decodes
       val junk = java.security.MessageDigest.getInstance("MD5").digest(s"$id|vp8".getBytes("UTF-8"))
       riff(Seq("VP8 " -> (junk ++ junk)))
+    case "vp8q8" => Vp8Fixture.build(id, 8) // real lossy, near-lossless quantizer
+    case "vp8q25" => Vp8Fixture.build(id, 25) // real lossy, coarser re-encode
     case other => throw new IllegalArgumentException(s"synthetic_webp: unknown mode '$other'")
   }
 

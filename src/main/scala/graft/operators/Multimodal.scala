@@ -610,6 +610,30 @@ object Multimodal {
     base.unionByName(twins)
   }
 
+  /** LOSSY-WebP duplicate-class corpus: lossless VP8L originals with two
+    * planted REAL `VP8 ` re-encodes of the same raster per twin id — the
+    * near-lossless CDN re-encode (qi=8, `media_id+100000`) and a coarser
+    * second-generation re-encode (qi=25, `media_id+200000`), both
+    * produced by the native [[graft.functions.expressions.Vp8Fixture]]
+    * encoder (streams real libwebp decodes identically — Vp8FixtureSpec).
+    * Corrupt classes keep totality honest: torn containers and malformed
+    * `VP8 ` payloads hash NULL and stay singletons.
+    */
+  def pixelWebpLossyCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticWebp
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 25 && pmod(id, lit(13)) === 0, syntheticWebp(id, "truncated"))
+        .when(id >= 25 && pmod(id, lit(17)) === 0, syntheticWebp(id, "lossy"))
+        .otherwise(syntheticWebp(id, "base")).as("payload"))
+    val cdn = docs.filter(id < 25).select(
+      (id + 100000L).as("media_id"), syntheticWebp(id, "vp8q8").as("payload"))
+    val regen = docs.filter(id < 25).select(
+      (id + 200000L).as("media_id"), syntheticWebp(id, "vp8q25").as("payload"))
+    base.unionByName(cdn).unionByName(regen)
+  }
+
   /** WebP pixel-level fingerprint projection: `(media_id, pxhash)` via
     * the codegen'd [[graft.functions.expressions.WebpPixelHash]] — NULL
     * for anything not cleanly decodable. Zero-shuffle.

@@ -3828,6 +3828,54 @@ object TrainingQueries {
       Multimodal.pixelWebpCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 2,
       boundary = graft.operators.Boundary.None)))
 
+  /** LOSSY-WebP near-dup ([[Multimodal.webpPairs]] over
+    * [[Multimodal.pixelWebpLossyCorpus]]): the CDN re-encode class the
+    * round-14 verdict ranked #2 — lossless originals against REAL `VP8 `
+    * intra keyframes of the same raster, decoded by the native
+    * [[graft.functions.expressions.Vp8Decode]] (boolean coder,
+    * mode/token trees, iWHT/iDCT, all intra predictors, in-loop
+    * deblocking; BYTE-EXACT against the system libwebp's YUV
+    * reconstruction on vendored fixtures, WebpVp8DifferentialSpec). Each
+    * twin id plants a near-lossless re-encode (qi=8) and a
+    * second-generation coarser one (qi=25); all three stream pairs land
+    * inside Hamming 6 (Vp8FixtureSpec bounds them per class), zero
+    * shared bytes. Torn containers and malformed `VP8 ` payloads hash
+    * NULL and drop out. Oracle: planted-pair derivation from ids
+    * (hammings vary with quantization, so the pair SET is the fact).
+    */
+  private val dedupWebpLossyNearDup = Q(
+    "dedup_webp_lossy_neardup",
+    (s, d) => Multimodal.webpPairs(
+      Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6)
+      .select("media_id_1", "media_id_2"),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.webpPairs(
+      Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)
+      .select("media_id_1", "media_id_2")))
+
+  /** Lossy-WebP pairs → connected components → keep/drop: the lossless
+    * original and BOTH lossy generations collapse onto the base id;
+    * corrupt rows stay singletons.
+    */
+  private val dedupWebpLossyClusters = Q(
+    "dedup_webp_lossy_clusters",
+    (s, d) => Multimodal.webpClusters(
+      Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6),
+    Some("""SELECT doc_id AS media_id, doc_id AS component, TRUE AS keep FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, FALSE FROM documents WHERE doc_id < 25"""),
+    planView = Some((s, d) => Multimodal.webpClusters(
+      Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)))
+
   /** CROSS-CONTAINER audio near-dup ([[Multimodal.crossAudioPairs]] over
     * [[Multimodal.crossAudioCorpus]]): WAV originals vs FLAC encodes of
     * the SAME samples — the duplicate class where the archive serves the
@@ -5551,6 +5599,7 @@ object TrainingQueries {
     dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupWebpPixelNearDup, dedupWebpPixelClusters,
+    dedupWebpLossyNearDup, dedupWebpLossyClusters,
     dedupFlacAudioNearDup, dedupFlacAudioClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
     pipelineCrawlExtract, textPdfExtract,
