@@ -85,4 +85,68 @@ object Bpe {
     */
   def tokenize(textCol: Column, vocab: Seq[(String, Int)], maxLen: Int = 4): Column =
     NativeColumns.bpeTokenize(Text.words(textCol), vocab, maxLen)
+
+  /** BYTE-LEVEL BPE merge training (GPT-2 family, Sennrich-style
+    * sequential merges): pretokenize with
+    * [[graft.functions.expressions.ByteBpeTokenize.Pretokenizer]], build
+    * the weighted pretoken dictionary with ONE map-side-combined
+    * aggregation (Zipf-small: the only corpus-sized step), then run the
+    * merge rounds driver-side over the dictionary — each round merges
+    * the (count DESC, left-hex ASC, right-hex ASC) argmax adjacent pair,
+    * exactly the total order the DuckDB oracle's unrolled stages use.
+    * Returns the ordered merge list as uppercase-hex byte-sequence
+    * pairs; ids are 0..255 bytes then 256+rank.
+    */
+  def trainByteMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val dict: Array[(Array[String], Long)] = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(expressions.ByteBpeTokenize.Pretokenizer), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .collect()
+      .map(r => (r.getString(0).getBytes("UTF-8").map(b => f"${b & 0xff}%02X"): Array[String], r.getLong(1)))
+    var words = dict
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, wc) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = numMerges
+      else {
+        val (best, _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += best
+        words = words.map { case (toks, wc) =>
+          if (toks.length < 2) (toks, wc)
+          else {
+            val nt = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == best._1 && toks(i + 1) == best._2) {
+                nt += best._1 + best._2; i += 2
+              } else { nt += toks(i); i += 1 }
+            }
+            (nt.toArray, wc)
+          }
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** struct(n_tokens, id_checksum, ids) of `textCol` under the trained
+    * byte-level merge table — one codegen-fallback projection.
+    */
+  def byteTokenize(textCol: Column, merges: Seq[(String, String)]): Column =
+    NativeColumns.byteBpeTokenize(textCol, merges)
 }

@@ -2640,6 +2640,66 @@ object TrainingQueries {
         FROM docw JOIN wstat s USING (w) GROUP BY doc_id)"""
   }
 
+  /** The DuckDB mirror of [[graft.functions.Bpe.trainByteMerges]] +
+    * [[graft.functions.expressions.ByteBpeTokenize]] — TRUE sequential
+    * byte-level BPE (GPT-2 family), re-derived from scratch: pretoken
+    * dictionary via the shared lookahead-free regex, then `numMerges`
+    * UNROLLED merge stages (each picks the (count DESC, hex ASC, hex
+    * ASC) argmax adjacent pair over the current dictionary tokenization
+    * and re-tokenizes via leftmost non-overlapping `replace` on the
+    * bracketed-hex representation — exactly the subword-nmt semantics
+    * the native apply uses), and the apply as the same replace chain
+    * over every document's pretokens. Token ids: 0..255 bytes, then
+    * 256+rank (duplicate byte sequences resolve to the earliest rank on
+    * both sides). Emits `bbdstat(doc_id, n_tokens, id_checksum)` with a
+    * POSITION-WEIGHTED checksum — the exact id sequence is pinned.
+    */
+  private def byteBpeCtes(numMerges: Int = 24): String = {
+    val rx = graft.functions.expressions.ByteBpeTokenize.Pretokenizer.replace("'", "''")
+    def t1(k: Int) = s"COALESCE((SELECT tok1 FROM bb_m$k), 'Z')"
+    def t2(k: Int) = s"COALESCE((SELECT tok2 FROM bb_m$k), 'Z')"
+    val stages = (1 to numMerges).map { k =>
+      s"""bb_p$k AS (SELECT l[i] AS tok1, l[i + 1] AS tok2, SUM(wc) AS cnt FROM (
+        SELECT wc, l, unnest(range(1, len(l))) AS i FROM (
+          SELECT wc, string_split(seq[2:-2], '][') AS l FROM bb_d${k - 1})) GROUP BY 1, 2),
+      bb_m$k AS MATERIALIZED (SELECT tok1, tok2 FROM bb_p$k ORDER BY cnt DESC, tok1 ASC, tok2 ASC LIMIT 1),
+      bb_d$k AS MATERIALIZED (SELECT w, wc, replace(seq,
+        '[' || ${t1(k)} || '][' || ${t2(k)} || ']',
+        '[' || ${t1(k)} || ${t2(k)} || ']') AS seq FROM bb_d${k - 1})"""
+    }.mkString(",\n      ")
+    val applyChain = (1 to numMerges).foldLeft("seq") { (acc, k) =>
+      s"""replace($acc,
+        '[' || ${t1(k)} || '][' || ${t2(k)} || ']',
+        '[' || ${t1(k)} || ${t2(k)} || ']')"""
+    }
+    val mergeVocab = (1 to numMerges).map { k =>
+      s"SELECT ${t1(k)} || ${t2(k)} AS tok, CAST(${255 + k} AS BIGINT) AS id"
+    }.mkString(" UNION ALL ")
+    s"""bb_doc AS MATERIALIZED (SELECT doc_id, $bpeSaltSql AS text FROM documents),
+      bb_w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(regexp_extract_all(text, '$rx')) AS w FROM bb_doc) GROUP BY 1),
+      bb_d0 AS (SELECT w, wc,
+        regexp_replace(hex(encode(w)), '(..)', '[\\1]', 'g') AS seq FROM bb_w),
+      $stages,
+      bb_pt AS (SELECT doc_id, pre, pi FROM (SELECT doc_id,
+        unnest(regexp_extract_all(text, '$rx')) AS pre,
+        unnest(range(1, len(regexp_extract_all(text, '$rx')) + 1)) AS pi FROM bb_doc)),
+      bb_seqf AS MATERIALIZED (SELECT doc_id, pi, $applyChain AS seq FROM (
+        SELECT doc_id, pi,
+          regexp_replace(hex(encode(pre)), '(..)', '[\\1]', 'g') AS seq FROM bb_pt)),
+      bb_tokl AS (SELECT doc_id, pi, string_split(seq[2:-2], '][') AS l FROM bb_seqf),
+      bb_tok AS (SELECT doc_id, pi, unnest(l) AS tok,
+        unnest(range(1, len(l) + 1)) AS ti FROM bb_tokl),
+      bb_voc AS (SELECT tok, MIN(id) AS id FROM (
+        SELECT printf('%02X', i) AS tok, CAST(i AS BIGINT) AS id FROM range(256) t(i)
+        UNION ALL $mergeVocab) GROUP BY tok),
+      bb_ids AS (SELECT t.doc_id, v.id,
+        CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pi, t.ti) AS BIGINT) AS pos
+        FROM bb_tok t JOIN bb_voc v USING (tok)),
+      bbdstat AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(id * pos) AS BIGINT) AS id_checksum FROM bb_ids GROUP BY doc_id)"""
+  }
+
   /** The DuckDB mirror of [[graft.functions.Unigram.trainModel]] +
     * [[graft.functions.expressions.UnigramTokenize]]: BOTH training
     * rounds re-derived from scratch — round-0 counts/costs, the Viterbi
@@ -2782,11 +2842,14 @@ object TrainingQueries {
           col("n_tokens").cast("double") / col("n_words").cast("double"))
         .withColumn("chars_per_token",
           col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      val bmerges = graft.functions.Bpe.trainByteMerges(docs, "text", 24)
       report(graft.functions.Bpe.tokenize(col("text"), bvocab), "bpe")
         .unionByName(report(graft.functions.Unigram.tokenize(col("text"), umodel), "unigram"))
+        .unionByName(report(graft.functions.Bpe.byteTokenize(col("text"), bmerges), "bpe_bytes"))
     },
     Some(s"""WITH RECURSIVE ${bpeCtes()},
       ${unigramCtes()},
+      ${byteBpeCtes()},
       bf AS (SELECT b.lang, COALESCE(ds.n_tokens, 0) AS nt,
           len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
             x -> length(x) > 0)) AS nw,
@@ -2796,7 +2859,12 @@ object TrainingQueries {
           len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
             x -> length(x) > 0)) AS nw,
           length(b.text) AS nc
-        FROM ubdoc b LEFT JOIN udstat ds ON b.doc_id = ds.doc_id)
+        FROM ubdoc b LEFT JOIN udstat ds ON b.doc_id = ds.doc_id),
+      bbf AS (SELECT b.lang, COALESCE(ds.n_tokens, 0) AS nt,
+          len(list_filter(string_split_regex(lower(trim(b.text)), ' +'),
+            x -> length(x) > 0)) AS nw,
+          length(b.text) AS nc
+        FROM bdoc b LEFT JOIN bbdstat ds ON b.doc_id = ds.doc_id)
       SELECT lang, 'bpe' AS tokenizer, CAST(SUM(nt) AS BIGINT) AS n_tokens,
         CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
         CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE AS fertility,
@@ -2807,7 +2875,13 @@ object TrainingQueries {
         CAST(SUM(nw) AS BIGINT), CAST(SUM(nc) AS BIGINT),
         CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE,
         CAST(SUM(nc) AS BIGINT)::DOUBLE / CAST(SUM(nt) AS BIGINT)::DOUBLE
-      FROM uf GROUP BY 1"""))
+      FROM uf GROUP BY 1
+      UNION ALL
+      SELECT lang, 'bpe_bytes', CAST(SUM(nt) AS BIGINT),
+        CAST(SUM(nw) AS BIGINT), CAST(SUM(nc) AS BIGINT),
+        CAST(SUM(nt) AS BIGINT)::DOUBLE / CAST(SUM(nw) AS BIGINT)::DOUBLE,
+        CAST(SUM(nc) AS BIGINT)::DOUBLE / CAST(SUM(nt) AS BIGINT)::DOUBLE
+      FROM bbf GROUP BY 1"""))
 
   /** Per-doc REAL tokenizer counts: train the vocab on the salted corpus
     * (two tiny aggregations + a <= 1.1k-row collect — the model), then one
@@ -2831,6 +2905,35 @@ object TrainingQueries {
       SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
         COALESCE(ds.id_checksum, 0) AS id_checksum
       FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id"""))
+
+  /** BYTE-LEVEL BPE, the production-LLM tokenizer shape (GPT-2 family;
+    * round-14 verdict item #3): regex pretokenization, UTF-8 bytes as
+    * the total-fallback base alphabet (ids 0..255 — no unknowns by
+    * construction), TRUE sequential merge training
+    * ([[graft.functions.Bpe.trainByteMerges]] — one corpus-sized
+    * aggregation builds the Zipf-small pretoken dictionary, merge rounds
+    * run over the dictionary), applied by the native rank-order
+    * expression ([[graft.functions.expressions.ByteBpeTokenize]]). The
+    * oracle re-derives BOTH training (24 unrolled argmax-pair stages
+    * over a bracketed-hex representation) and apply, and the checksum is
+    * position-weighted — the exact id SEQUENCE of every document is
+    * differentially pinned, not just the counts.
+    */
+  private val byteBpeTokenizeQ = Q(
+    "text_bpe_bytes_tokenize",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val merges = graft.functions.Bpe.trainByteMerges(docs, "text", 24)
+      docs
+        .withColumn("__st", graft.functions.Bpe.byteTokenize(col("text"), merges))
+        .select(col("doc_id"),
+          coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__st.id_checksum"), lit(0L)).as("id_checksum"))
+    },
+    Some(s"""WITH ${byteBpeCtes()}
+      SELECT d.doc_id, COALESCE(b.n_tokens, 0) AS n_tokens,
+        COALESCE(b.id_checksum, 0) AS id_checksum
+      FROM documents d LEFT JOIN bbdstat b ON d.doc_id = b.doc_id"""))
 
   /** Tokenizer fertility report ([[graft.functions.Bpe]] eval): per
     * language, tokens-per-word and chars-per-token under the trained
@@ -2919,6 +3022,33 @@ object TrainingQueries {
     Some(s"""WITH RECURSIVE ${bpeCtes()},
       w AS (SELECT d.doc_id, d.lang, COALESCE(ds.n_tokens, 0) AS n_tokens
         FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id),
+      c AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
+      SELECT doc_id, lang, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id FROM c"""))
+
+  /** [[bpeTokenPack]] PARAMETERIZED BY TOKENIZER: the same packing
+    * contract sized in BYTE-LEVEL BPE tokens ([[graft.functions.Bpe
+    * .trainByteMerges]]/[[graft.functions.expressions.ByteBpeTokenize]])
+    * — swapping the tokenizer must only change the token accounting, not
+    * the packing machinery, and the oracle re-derives the byte-BPE
+    * counts from scratch to prove the packs land identically.
+    */
+  private val byteBpeTokenPack = Q(
+    "sel_token_pack_bpe_bytes",
+    (s, d) => {
+      val docs = bpeSalted(Tables.documents(s, d))
+      val merges = graft.functions.Bpe.trainByteMerges(docs, "text", 24)
+      graft.quality.Selection.packByTokenBudget(
+        docs
+          .withColumn("__st", graft.functions.Bpe.byteTokenize(col("text"), merges))
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("__st.n_tokens"), lit(0L)).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, shardCol = "lang")
+    },
+    Some(s"""WITH ${byteBpeCtes()},
+      w AS (SELECT d.doc_id, d.lang, COALESCE(b.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN bbdstat b ON d.doc_id = b.doc_id),
       c AS (SELECT doc_id, lang, n_tokens,
         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM w)
@@ -5590,7 +5720,8 @@ object TrainingQueries {
     vocabTopK, collocations, corpusSummary, domainStats, langId, langIdConfidence,
     hashSample, stratSample, weightedSampleQ, weightedStratQ, mixResample, mixTemperature,
     chunkTokens, tokenPack, packManifestQ, curriculumInterleaveQ, dsirQ,
-    bpeTokenizeQ, bpeHistogram, bpeTokenPack, bpeFertilityQ,
+    bpeTokenizeQ, byteBpeTokenizeQ, bpeHistogram, bpeTokenPack, byteBpeTokenPack,
+    bpeFertilityQ,
     unigramTokenizeQ, tokenizerFertilityCompareQ, shardShuffle,
     jsonlRoundtrip, csvRoundtrip, orcRoundtrip, schemaEvolution,
     multimodalDecode, multimodalFrameSample, multimodalImageDims,

@@ -83,6 +83,16 @@ object NativeColumns {
       graft.functions.expressions.BpeTokenize(
         ExpressionUtils.expression(words), vocab, maxLen)))
 
+  /** BYTE-LEVEL BPE apply (GPT-2 family): regex pretokenization, UTF-8
+    * bytes as the fallback alphabet (no unknowns), trained merges in
+    * rank order — struct(n_tokens, id_checksum, ids), one per-row pass
+    * (see [[graft.functions.expressions.ByteBpeTokenize]]).
+    */
+  def byteBpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    Column(ExpressionColumnNode(
+      graft.functions.expressions.ByteBpeTokenize(
+        ExpressionUtils.expression(text), merges)))
+
   /** Unigram-LM (SentencePiece-family) tokenizer apply: Viterbi
     * minimum-cost segmentation under integer millibit costs, ties to the
     * longer token (see [[graft.functions.expressions.UnigramTokenize]]) —
