@@ -4141,6 +4141,41 @@ object TrainingQueries {
       FROM documents
       WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0"""))
 
+  /** DOCX TEXT EXTRACTION ([[org.apache.spark.sql.graftnative
+    * .NativeColumns.docxText]]): the office-document leg of the crawl
+    * chain (round-14 verdict item #4) — a REAL ZIP walk (EOCD scan,
+    * central directory, local headers, STORED + raw-DEFLATE inflate,
+    * CRC verification) to `word/document.xml`, then WordprocessingML
+    * reduced to text: runs concatenated per paragraph (multiple `<w:r>`
+    * per `<w:p>`, `xml:space="preserve"` runs), paragraphs joined with
+    * newlines, entities unescaped in a single pass. Fixtures cover
+    * deflated, stored, and multi-entry containers ([Content_Types],
+    * styles siblings force the directory walk); torn (`%13`) and
+    * non-zip (`%17`) payloads extract NULL and drop. The oracle
+    * re-derives the contract text per id in SQL.
+    */
+  private val textDocxExtract = Q(
+    "text_docx_extract",
+    (s, d) => {
+      import org.apache.spark.sql.graftnative.NativeColumns.{docxText, syntheticDocx}
+      val id = col("doc_id").cast("long")
+      val payload =
+        when(pmod(id, lit(13)) === 0, syntheticDocx(id, "truncated"))
+          .when(pmod(id, lit(17)) === 0, syntheticDocx(id, "garbage"))
+          .when(pmod(id, lit(3)) === 0, syntheticDocx(id, "deflated"))
+          .when(pmod(id, lit(3)) === 1, syntheticDocx(id, "stored"))
+          .otherwise(syntheticDocx(id, "multi"))
+      Tables.documents(s, d).select(id.as("doc_id"), docxText(payload).as("txt"))
+        .filter(col("txt").isNotNull)
+    },
+    Some("""SELECT doc_id,
+        'docx ' || md5(CAST(doc_id AS VARCHAR) || '|dx0') || chr(10) ||
+        'runs ' || md5(CAST(doc_id AS VARCHAR) || '|dx1') || ' joined' || chr(10) ||
+        'esc <&> "q" ''a''' || chr(10) ||
+        'tail ' || md5(CAST(doc_id AS VARCHAR) || '|dx2') AS txt
+      FROM documents
+      WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0"""))
+
   /** THE CRAWL-INGESTION COMPOSITION: WARC shard → native record parse →
     * HTTP response split → status gate → HTML extraction — the real
     * "Common Crawl in, clean text out" front half of a training
@@ -4163,7 +4198,7 @@ object TrainingQueries {
   private val pipelineCrawlExtract = Q(
     "pipeline_crawl_extract",
     (s, d) => {
-      import org.apache.spark.sql.graftnative.NativeColumns.{pdfText, syntheticPdf, warcRecords}
+      import org.apache.spark.sql.graftnative.NativeColumns.{docxText, pdfText, syntheticDocx, syntheticPdf, warcRecords}
       val id = col("doc_id").cast("long")
       val page = htmlSalted(Tables.documents(s, d).select("doc_id", "text"))
       // records are BINARY end-to-end (r14): the PDF branch's body is
@@ -4183,8 +4218,14 @@ object TrainingQueries {
       val pdfBody = concat(
         encode(lit("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"), "UTF-8"),
         syntheticPdf(id, "flate"))
+      val docxCt =
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+      val docxBody = concat(
+        encode(lit(s"HTTP/1.1 200 OK\r\nContent-Type: $docxCt\r\n\r\n"), "UTF-8"),
+        syntheticDocx(id, "deflated"))
       val whole = concat(
-        recOf(htmlBody, "/page"), recOf(notFound, "/missing"), recOf(pdfBody, "/doc.pdf"))
+        recOf(htmlBody, "/page"), recOf(notFound, "/missing"),
+        recOf(pdfBody, "/doc.pdf"), recOf(docxBody, "/doc.docx"))
       val payload = when(pmod(id, lit(13)) === 0,
         substring(whole, 1, 200)) // torn shard
         .otherwise(whole)
@@ -4208,6 +4249,8 @@ object TrainingQueries {
         .select(col("doc_id"), col("ctype"),
           when(col("ctype") === "application/pdf",
             pdfText(col("raw").substr(col("off"), octet_length(col("raw")))))
+            .when(col("ctype") === docxCt,
+              docxText(col("raw").substr(col("off"), octet_length(col("raw")))))
             .otherwise(Text.extractHtmlText(
               decode(col("raw"), "UTF-8")
                 .substr(col("off"), octet_length(col("raw")).cast("int"))))
@@ -4223,6 +4266,14 @@ object TrainingQueries {
         'hex ' || md5(CAST(doc_id AS VARCHAR) || '|pdf2') || chr(10) ||
         'page2 ' || md5(CAST(doc_id AS VARCHAR) || '|pdf3') || chr(10) ||
         'more ' || md5(CAST(doc_id AS VARCHAR) || '|pdf4')
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id,
+        'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+        'docx ' || md5(CAST(doc_id AS VARCHAR) || '|dx0') || chr(10) ||
+        'runs ' || md5(CAST(doc_id AS VARCHAR) || '|dx1') || ' joined' || chr(10) ||
+        'esc <&> "q" ''a''' || chr(10) ||
+        'tail ' || md5(CAST(doc_id AS VARCHAR) || '|dx2')
       FROM documents WHERE doc_id % 13 <> 0"""))
 
   /** VIDEO POSTER-FRAME near-dup ([[Multimodal.videoPairs]] over the
@@ -5733,7 +5784,7 @@ object TrainingQueries {
     dedupWebpLossyNearDup, dedupWebpLossyClusters,
     dedupFlacAudioNearDup, dedupFlacAudioClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
-    pipelineCrawlExtract, textPdfExtract,
+    pipelineCrawlExtract, textPdfExtract, textDocxExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,

@@ -297,6 +297,25 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.PdfText(
       ExpressionUtils.expression(payload))))
 
+  /** DOCX text extraction: ZIP central-directory walk (EOCD → entries →
+    * local headers, STORED + DEFLATE with CRC verify) to
+    * `word/document.xml`, then WordprocessingML reduced to text — the
+    * office-document leg of the crawl extraction chain. NULL for
+    * anything not cleanly walkable — see
+    * [[graft.functions.expressions.DocxText]].
+    */
+  def docxText(payload: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.DocxText(
+      ExpressionUtils.expression(payload))))
+
+  /** Deterministic synthetic DOCX generator over a long id column
+    * (fixture corpora only — see
+    * [[graft.functions.expressions.DocxFixture]]).
+    */
+  def syntheticDocx(id: Column, mode: String): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.SyntheticDocx(
+      ExpressionUtils.expression(id), mode)))
+
   /** Deterministic synthetic PDF generator over a long id column
     * (fixture corpora only — see [[graft.functions.expressions.SyntheticPdf]]).
     */
