@@ -398,10 +398,11 @@ object BucketedSnapshots {
       key: String,
       nBuckets: Int,
       keepVersions: Int = 2,
-      statsColumns: Seq[String] = Nil): Long =
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long =
     mergeCommit(spark, updates, path, key, nBuckets, keepVersions,
       (existing, batch) => Incremental.mergeByKey(existing, batch, key),
-      statsColumns)
+      statsColumns, bloomColumns)
 
   /** Delete-aware CDC apply through the same commit — [[Cdc.applyChanges]]'
     * seq-aware merge rule on the touched buckets, one atomic flip; read the
@@ -824,7 +825,8 @@ object BucketedSnapshots {
       nBuckets: Int,
       keepVersions: Int,
       merge: (DataFrame, DataFrame) => DataFrame,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -883,6 +885,11 @@ object BucketedSnapshots {
       cur.map(v => readStats(spark, path, v)._1).getOrElse(Nil),
       statsColumns, merged.schema)
     val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
+    // bloom sidecars: declared columns are sticky via the sidecar header
+    val bloomCols = (cur.map(v => readBlooms(spark, path, v)._1).getOrElse(Nil) ++
+      bloomColumns).distinct
+    val newBlooms = computeBucketBlooms(
+      spark, staging.toString, bloomCols, touched, 100000L, 0.03)
     val newBucketVersions = touched.map { b =>
       val src = new Path(staging, s"b=$b")
       if (!fs.exists(src)) {
@@ -896,7 +903,8 @@ object BucketedSnapshots {
     fs.delete(staging, true)
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, statCols, newStats, nBuckets,
-      bucketKey = key, schemaUpdate = Some(merged.schema))
+      bucketKey = key, schemaUpdate = Some(merged.schema),
+      addBloomCols = bloomCols, newBlooms = newBlooms)
   }
 
   /** The shared commit tail: write manifest v=next (current entries
@@ -958,7 +966,9 @@ object BucketedSnapshots {
       dvAppend: Map[Int, Seq[Long]] = Map.empty,
       bucketKey: String = "", // "" = preserve the #bucketKey header
       schemaUpdate: Option[StructType] = None, // None = preserve #schema
-      schemaReplace: Boolean = false): Long = { // full rewrite: no merge
+      schemaReplace: Boolean = false, // full rewrite: no merge
+      addBloomCols: Seq[String] = Nil,
+      newBlooms: Map[Int, Seq[(String, Array[Byte])]] = Map.empty): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
     var st = state
@@ -1066,6 +1076,19 @@ object BucketedSnapshots {
           else prevStats.getOrElse(b, Nil).map(stat => b -> stat)
         }
         writeStats(spark, path, next, cols, entries)
+      }
+      // bloom sidecar: same carry rule; a REWRITTEN bucket without fresh
+      // filters drops its entries (conservative absent)
+      val (prevBloomCols, prevBlooms) =
+        cur.map(v => readBlooms(spark, path, v)).getOrElse((Nil, Map.empty[Int, Map[String, Array[Byte]]]))
+      val bcols = (prevBloomCols ++ addBloomCols).distinct
+      if (bcols.nonEmpty) {
+        val bentries = nextManifest.keySet.toSeq.sorted.flatMap { b =>
+          if (newBucketVersions.contains(b))
+            newBlooms.getOrElse(b, Nil).map { case (c, bits) => (b, c, bits) }
+          else prevBlooms.getOrElse(b, Map.empty).toSeq.map { case (c, bits) => (b, c, bits) }
+        }
+        writeBlooms(spark, path, next, bcols, bentries)
       }
       // THE commit point: atomic pointer replace with the retained history.
       // Retention is COUNT-based (newest keepVersions committed versions) —
@@ -1181,6 +1204,159 @@ object BucketedSnapshots {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"bucketed commit: failed to write stats $dst")
   }
+
+  // ---- per-bucket BLOOM sidecars (the Iceberg bloom-filter-index
+  // role): commit-time filters over DECLARED high-cardinality string
+  // columns, probed by equality reads BEFORE opening buckets. Zonemaps
+  // prune ranges; URL/domain-style equality inside a bucket still
+  // scanned — this closes that. Absence is always safe (a bucket or
+  // column with no entry is simply read); rewrite paths that don't
+  // recompute (compaction, delete folds) DROP the bucket's entries
+  // conservatively until the next data commit re-covers them. ----
+
+  private def bloomPath(path: String, v: Long) = s"$path/manifest/v=$v.bloom.txt"
+
+  /** `(declared bloom columns, bucket -> col -> serialized filter)`. */
+  private[graft] def readBlooms(
+      spark: SparkSession, path: String,
+      v: Long): (Seq[String], Map[Int, Map[String, Array[Byte]]]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val p = new Path(bloomPath(path, v))
+    if (!fs.exists(p)) return (Nil, Map.empty)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = txt.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty).toSeq
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val entries = lines.drop(1).flatMap { line =>
+      line.split(",", 3) match {
+        case Array(b, c, bits) =>
+          b.toIntOption.map(bb => (bb, c, java.util.Base64.getDecoder.decode(bits)))
+        case _ => None
+      }
+    }
+    (cols, entries.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(x => x._2 -> x._3).toMap })
+  }
+
+  private def writeBlooms(
+      spark: SparkSession, path: String, v: Long, cols: Seq[String],
+      entries: Seq[(Int, String, Array[Byte])]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val tmp = new Path(bloomPath(path, v) + ".tmp")
+    val dst = new Path(bloomPath(path, v))
+    val content = (s"#cols=${cols.mkString(",")}" +:
+      entries.map { case (b, c, bits) =>
+        s"$b,$c,${java.util.Base64.getEncoder.encodeToString(bits)}" })
+      .mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"bucketed commit: failed to write blooms $dst")
+  }
+
+  /** Distributed per-bucket bloom build over the staged write: one RDD
+    * aggregation per declared column, filters merged per bucket
+    * (mergeable Spark sketches) — the staged churn is the input, never
+    * the table.
+    */
+  private def computeBucketBlooms(
+      spark: SparkSession, stagingPath: String, cols: Seq[String],
+      touched: Seq[Int], expectedItems: Long,
+      fpp: Double): Map[Int, Seq[(String, Array[Byte])]] = {
+    if (cols.isEmpty || touched.isEmpty) return Map.empty
+    // the staged write is partitioned by "b" — partition discovery on
+    // the staging ROOT surfaces it as a column
+    val staged = spark.read.parquet(stagingPath)
+    val present = cols.filter(staged.columns.contains)
+    val out = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]]
+    present.foreach { c =>
+      val bloomOf = staged
+        .select(col("b").cast("int").as("b"), xxhash64(col(c)).as("h"))
+        .filter(col("h").isNotNull)
+        .rdd.map(r => (r.getInt(0), r.getLong(1)))
+        .aggregateByKey(null: org.apache.spark.util.sketch.BloomFilter)(
+          (bf, h) => {
+            val f = if (bf == null)
+              org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+            else bf
+            f.putLong(h); f
+          },
+          (a, b) => {
+            if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+          })
+        .collect()
+      bloomOf.foreach { case (b, bf) =>
+        if (bf != null && touched.contains(b)) {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          out.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += (c -> bos.toByteArray)
+        }
+      }
+    }
+    out.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+
+  /** Buckets of `version` that MIGHT hold any of `values` in `column`:
+    * bloom-probed (xxhash64 keying, same as the filters were built
+    * with); buckets or columns with no sidecar entry are kept —
+    * CONSERVATIVE-ONLY pruning, false negatives impossible by
+    * construction (BloomSidecarSpec proves it against planted
+    * hit/miss matrices).
+    */
+  def bloomPrunedBuckets(
+      spark: SparkSession, path: String, version: Long, column: String,
+      values: Seq[Any]): Seq[Int] = {
+    val m = readManifest(spark, path, version)
+    val (_, blooms) = readBlooms(spark, path, version)
+    // driver-side xxhash64, bit-identical to the builder's xxhash64(col)
+    val hashes = values.filter(_ != null).map { v =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }
+    m.keySet.toSeq.sorted.filter { b =>
+      blooms.get(b).flatMap(_.get(column)) match {
+        case None => true // no entry: must read
+        case Some(bits) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bits))
+          hashes.exists(bf.mightContainLong)
+      }
+    }
+  }
+
+  /** EQUALITY read through the bloom sidecars: only buckets that might
+    * contain one of `values` in `column` are opened, delete vectors
+    * fold as usual (sound: deletes only narrow, the pre-delete filter
+    * stays a superset), and the exact residual filter runs on top.
+    */
+  def readSnapshotEquals(
+      spark: SparkSession, path: String, version: Long, column: String,
+      values: Seq[String]): DataFrame = {
+    val m = readManifest(spark, path, version)
+    val chosen = bloomPrunedBuckets(spark, path, version, column, values).toSet
+    val dirs = m.toSeq.filter(t => chosen.contains(t._1))
+      .map { case (b, bv) => s"$path/b=$b/v=$bv" }
+    val dvs = readDvs(spark, path, version)
+    val df =
+      if (dirs.isEmpty) readSnapshot(spark, path, version).limit(0)
+      else foldDeletes(spark, path, readDirs(spark, path, version, dirs),
+        dvPairs(dvs.filter { case (b, _) => chosen.contains(b) }))
+    df.filter(col(column).isin(values: _*))
+  }
+
+  /** [[readSnapshotEquals]] on the live version. */
+  def readCurrentEquals(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[String]): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readSnapshotEquals(spark, path, v, column, values)
+      case None =>
+        throw new java.io.FileNotFoundException(s"no committed snapshot under $path")
+    }
 
   private def isStatType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._

@@ -2401,6 +2401,37 @@ object ParityQueries {
       SELECT l.user_id, l.n_events, l.max_event, r.n_even, r.min_even
       FROM l JOIN r ON l.user_id = r.user_id WHERE l.user_id % 17 <> 3"""))
 
+  /** PER-BUCKET BLOOM SIDECARS ([[graft.operators.BucketedSnapshots]]
+    * `bloomColumns`/`readCurrentEquals`): commit-time filters over a
+    * declared high-cardinality string column, probed by equality reads
+    * BEFORE opening buckets — the Iceberg bloom-index role for the
+    * URL/domain-equality class zonemaps can't prune. Derivation: per-user
+    * rollup with a per-user tag string committed once with `tag`
+    * declared; the read probes a fixed value list (three present, one
+    * absent) and must return exactly the matching rows — a false
+    * negative (over-pruned bucket) would drop a row and hash-mismatch.
+    * BloomSidecarSpec additionally COUNTS opened buckets against a
+    * planted hit/miss matrix and proves carry/drop rules.
+    */
+  private val snapshotBloomPrunedRead = Q(
+    "snapshot_bloom_pruned_read",
+    (s, d) => {
+      val base = evDf(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("tag", concat(lit("u"), col("user_id")))
+      val path = "/root/repo/target/tmp/bloom_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.BucketedSnapshots.upsertByKey(
+        s, base, path, "user_id", nBuckets = 16, keepVersions = 2,
+        bloomColumns = Seq("tag"))
+      graft.operators.BucketedSnapshots.readCurrentEquals(
+        s, path, "tag", Seq("u3", "u44", "u77", "absent-x"))
+    },
+    Some(s"""WITH $EV,
+      agg AS (SELECT user_id, COUNT(*) AS n, 'u' || CAST(user_id AS VARCHAR) AS tag
+        FROM ev GROUP BY 1)
+      SELECT user_id, n, tag FROM agg WHERE tag IN ('u3', 'u44', 'u77', 'absent-x')"""))
+
   private val snapshotDeleteVectors = Q(
     "snapshot_delete_vectors",
     (s, d) => {
@@ -3157,7 +3188,7 @@ object ParityQueries {
     jsonExtract, jsonExplodeSeq, jsonKeysProfile,
     sortPagination, upsertKeyed, upsertBucketed, upsertBucketedVersioned, upsertVersioned,
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
-    snapshotDeleteVectors, snapshotBranchWap, snapshotHistoryMeta,
+    snapshotDeleteVectors, snapshotBranchWap, snapshotHistoryMeta, snapshotBloomPrunedRead,
     snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
     streamingFeedConsume, ctasFullRefresh, upsertServe, joinSpjBucketedTables)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.BucketedSnapshots
+import org.apache.spark.sql.functions._
+
+/** Per-bucket bloom sidecars: commit-time filters over declared
+  * high-cardinality string columns, equality reads probing the sidecar
+  * BEFORE opening buckets. The spec counts OPENED buckets against a
+  * planted hit/miss matrix, proves conservative-only pruning (every
+  * actual row always returned — no false negatives by construction),
+  * carry-across-commits, and the drop-on-rewrite rule.
+  */
+class BloomSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val path = s"target/tmp/bloomspec_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
+  // url values land in the bucket of their OWN row key k — the planted
+  // matrix: url "u<k>" lives only in bucket(k)
+  private def mkTable(path: String): Unit = {
+    val df = (1L to 2000L).map(i => (i, s"u$i", i * 2.0)).toDF("k", "url", "v")
+    BucketedSnapshots.upsertByKey(spark, df, path, "k", 16,
+      keepVersions = 2, bloomColumns = Seq("url"))
+  }
+
+  test("equality reads open ONLY the buckets whose filters might hold the values") {
+    val path = fresh("prune")
+    mkTable(path)
+    val v = BucketedSnapshots.currentVersion(spark, path).get
+    val all = BucketedSnapshots.readManifest(spark, path, v).keySet
+    // a PRESENT value: its bucket must be kept; most others pruned
+    val kept = BucketedSnapshots.bloomPrunedBuckets(spark, path, v, "url", Seq("u77"))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"present value must prune to a strict subset, kept ${kept.size}/${all.size}")
+    // an ABSENT value: vanishingly unlikely to survive 16 filters at 3% fpp
+    val keptMiss = BucketedSnapshots.bloomPrunedBuckets(
+      spark, path, v, "url", Seq("nosuchvalue-zz"))
+    assert(keptMiss.size <= 2, s"absent value kept ${keptMiss.size} buckets")
+    // rows come back exactly
+    val got = BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u77"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((77L, "u77", 154.0)))
+    assert(BucketedSnapshots.readCurrentEquals(
+      spark, path, "url", Seq("nosuchvalue-zz")).count() == 0)
+  }
+
+  test("no false negatives: every planted value is found through the pruned read") {
+    val path = fresh("total")
+    mkTable(path)
+    (1L to 200L).foreach { i =>
+      val got = BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq(s"u$i"))
+        .as[(Long, String, Double)].collect()
+      assert(got.length == 1 && got(0)._1 == i, s"value u$i must be found")
+    }
+    // multi-value reads union the probes
+    val got = BucketedSnapshots.readCurrentEquals(
+      spark, path, "url", Seq("u5", "u1500", "absent"))
+      .as[(Long, String, Double)].collect().map(_._1).toSet
+    assert(got == Set(5L, 1500L))
+  }
+
+  test("declared columns are sticky and filters carry across commits; touched buckets refresh") {
+    val path = fresh("carry")
+    mkTable(path)
+    // a later commit WITHOUT re-declaring still maintains the sidecar
+    BucketedSnapshots.upsertByKey(spark,
+      Seq((3000L, "ufresh", 1.0)).toDF("k", "url", "v"), path, "k", 16,
+      keepVersions = 2)
+    val v = BucketedSnapshots.currentVersion(spark, path).get
+    assert(BucketedSnapshots.readBlooms(spark, path, v)._1 == Seq("url"))
+    val got = BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("ufresh"))
+      .as[(Long, String, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(3000L))
+    // old values still found (carried filters)
+    assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u42"))
+      .count() == 1)
+  }
+
+  test("delete vectors fold inside equality reads (deletes only narrow — probe stays a superset)") {
+    val path = fresh("dv")
+    mkTable(path)
+    BucketedSnapshots.deleteKeys(spark, path, Seq(77L).toDF("k"), "k", keepVersions = 2)
+    assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u77")).count() == 0,
+      "deleted row must not resurface through the bloom path")
+    assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u78")).count() == 1)
+  }
+
+  test("compaction drops rewritten buckets' entries conservatively (reads still correct)") {
+    val path = fresh("compact")
+    mkTable(path)
+    BucketedSnapshots.deleteKeys(spark, path, Seq(5L).toDF("k"), "k", keepVersions = 2)
+    BucketedSnapshots.compact(spark, path, keepVersions = 2)
+    // rewritten buckets lost their filters: absent = always read = correct
+    (1L to 50L).filterNot(_ == 5L).foreach { i =>
+      assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq(s"u$i")).count() == 1,
+        s"u$i must survive compaction through the bloom path")
+    }
+    assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u5")).count() == 0)
+  }
+}
