@@ -190,6 +190,12 @@ object ScaleBench {
       "dedup_span_coverage" -> { k: Int =>
         Dedup.spanCoverage(docsAt(k), "doc_id", "text", k = 3).count()
       },
+      // r15 suffix-array addendum: prefix-doubling construction + LCP
+      // walk must stay O(n log n) — the gate measures the exponent
+      "suffix_spans" -> { k: Int =>
+        graft.operators.SuffixDedup.duplicateSpanCoverage(
+          docsAt(k), "doc_id", "text", minTokens = 6).count()
+      },
       "graph_triangle_count" -> { k: Int =>
         graft.operators.Triangles.perNodeTriangles(edgesAt(k)).count()
       },

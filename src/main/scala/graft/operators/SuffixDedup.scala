@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT-SUBSTRING dedup via a DISTRIBUTED SUFFIX ARRAY — the true
+  * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better") form the k-gram-window machinery approximates: find every
+  * token position covered by a duplicated substring of >= `minTokens`
+  * tokens, as adjacent-suffix LCPs over the concatenated corpus.
+  *
+  * Construction is PREFIX DOUBLING, O(n log n) total work in O(log n)
+  * rounds (the scale gate measures the exponent):
+  *
+  *  1. one global position per token (per-doc offsets by a window over
+  *     doc lengths + a cumulative shift), with a UNIQUE boundary
+  *     sentinel after each doc so no suffix match crosses a document's
+  *     end while cross-document boilerplate still matches;
+  *  2. initial ranks = dense rank of the token string (one distributed
+  *     sort via `sortBy + zipWithIndex` — never a single-partition
+  *     window);
+  *  3. each round pairs `rank(i)` with `rank(i + h)` (a shifted
+  *     self-join on position) and re-ranks the pairs, doubling `h`
+  *     until every rank is unique;
+  *  4. suffix order = sort by final rank; each adjacent pair's LCP is
+  *     recovered from the SAVED round ranks by the classic descending-
+  *     powers walk (log n small joins over the n-1 adjacent pairs — no
+  *     quadratic rescan of text);
+  *  5. a suffix whose neighbor LCP `L >= minTokens` contributes the
+  *     covered interval `[i, i+L)`; the union of those intervals is
+  *     EXACTLY the union of duplicated `minTokens`-windows (maximality
+  *     of nearest-neighbor LCP in suffix order), which is what the SQL
+  *     oracle re-derives independently.
+  *
+  * Output: `(doc_id, n_tokens, covered_tokens)` — the per-document
+  * duplicated-span coverage the span-removal assembler consumes.
+  *
+  * 100 TB: every step is a shuffle-on-key or a distributed sort; round
+  * count grows with log of corpus length, per-round cost is linear.
+  * Token payloads leave the scan once (as ranks); text never re-shuffles.
+  */
+object SuffixDedup {
+
+  def duplicateSpanCoverage(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ---- 1. global positions + unique per-doc boundary sentinels ----
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val docLens = toks.groupBy("doc_id").agg((max("pos") + 1).cast("long").as("len"))
+      .withColumn("off",
+        coalesce(sum(col("len") + 1) // +1: the boundary sentinel slot
+          .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val positioned = toks.join(broadcast(docLens.select("doc_id", "off")), "doc_id")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("off") + col("pos")).as("g"), col("tok"))
+
+    // initial ranks: dense rank of token string; sentinels get UNIQUE
+    // ranks above every real token's
+    val tokRanks = {
+      val distinctToks = positioned.select("tok").distinct()
+      val ranked = distinctToks.rdd.map(_.getString(0)).sortBy(identity)
+        .zipWithIndex().map { case (t, i) => (t, i) }
+      spark.createDataFrame(ranked).toDF("tok", "r")
+    }
+    val nTokRanks = tokRanks.count()
+    val sentinels = docLens.select(
+      col("doc_id"), lit(null).cast("string").as("tok"),
+      (col("off") + col("len")).as("g"), lit(-1L).as("pos"))
+      .withColumn("r", lit(nTokRanks) + col("doc_id"))
+      .select(col("doc_id"), col("pos"), col("g"), col("r"))
+    // localCheckpoint: each round's LINEAGE is truncated — 15+ stacked
+    // self-joins would otherwise grow the logical plan geometrically and
+    // exhaust the driver during analysis, long before data size matters
+    var rank = positioned.join(tokRanks, "tok")
+      .select(col("doc_id"), col("pos"), col("g"), col("r"))
+      .unionByName(sentinels)
+      .localCheckpoint(true)
+    val n = rank.count()
+
+    // ---- 2/3. prefix doubling; keep each round for the LCP walk ----
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
+    rounds += 0L -> rank // h=1 ranks under key "first 1 token" (power index by shift h)
+    var h = 1L
+    var distinctRanks = rank.select("r").distinct().count()
+    while (distinctRanks < n) {
+      val shifted = rank.select((col("g") - h).as("g"), col("r").as("r2"))
+      val paired = rank.join(shifted, Seq("g"), "left")
+        .select(col("doc_id"), col("pos"), col("g"), col("r"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val pairRanks = {
+        val d = paired.select("r", "r2").distinct().rdd
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(identity)
+          .zipWithIndex().map { case ((a, b), i) => (a, b, i) }
+        spark.createDataFrame(d).toDF("r", "r2", "nr")
+      }
+      val next = paired.join(pairRanks, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("g"), col("nr").as("r"))
+        .localCheckpoint(true)
+      h *= 2
+      rounds += h -> next // ranks under "first 2h'... " key: shift to pair = h
+      rank = next
+      distinctRanks = rank.select("r").distinct().count()
+    }
+
+    // ---- 4. adjacent pairs in suffix order, LCP by descending powers ----
+    // suffix order: global sort by final rank (ranks are unique)
+    val ordered = rank.select(col("g"), col("r"))
+    val adjacency = {
+      val sorted = ordered.rdd.map(r => (r.getLong(1), r.getLong(0))).sortByKey()
+        .map(_._2).zipWithIndex().map { case (g, i) => (i, g) }
+      val a = spark.createDataFrame(sorted).toDF("i", "ga")
+      val b = spark.createDataFrame(sorted).toDF("ib", "gb")
+      a.join(b.withColumn("i", col("ib") - 1).drop("ib"), "i")
+        .select(col("ga"), col("gb"))
+    }
+    // walk saved rounds high->low: extend the common prefix wherever the
+    // round's ranks agree at the current lcp offset
+    var pairs = adjacency.withColumn("lcp", lit(0L)).localCheckpoint(true)
+    rounds.reverse.foreach { case (span, rdf) =>
+      val width = math.max(span, 1L) // round h covers h tokens (h=0 entry covers 1)
+      val ra = rdf.select(col("g").as("qa"), col("r").as("rka"))
+      val rb = rdf.select(col("g").as("qb"), col("r").as("rkb"))
+      val next = pairs
+        .withColumn("qa", col("ga") + col("lcp"))
+        .withColumn("qb", col("gb") + col("lcp"))
+        .join(ra, Seq("qa"), "left")
+        .join(rb, Seq("qb"), "left")
+        .withColumn("lcp",
+          when(col("rka").isNotNull && col("rkb").isNotNull &&
+            col("rka") === col("rkb"), col("lcp") + width)
+            .otherwise(col("lcp")))
+        .select("ga", "gb", "lcp")
+        .localCheckpoint(true)
+      pairs.unpersist()
+      pairs = next
+    }
+
+    // neighbor LCP per suffix = max over its two order-neighbors
+    val neighborLcp = pairs.select(col("ga").as("g"), col("lcp"))
+      .unionByName(pairs.select(col("gb").as("g"), col("lcp")))
+      .groupBy("g").agg(max("lcp").as("nl"))
+      .filter(col("nl") >= minTokens)
+
+    // ---- 5. spans back to (doc, pos); merge + count coverage ----
+    val spans = rank.select(col("doc_id"), col("pos"), col("g"))
+      .filter(col("pos") >= 0) // sentinels out
+      .join(neighborLcp, "g")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("nl")).as("e")) // [s, e) in doc-token coords
+    // boundary sentinel guarantees e never crosses the doc end
+    val covered = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("covered_tokens"))
+    docLens.select(col("doc_id"), col("len").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+}

@@ -181,6 +181,48 @@ object TrainingQueries {
       WHERE text_md5 NOT IN (SELECT md5(text) FROM documents)"""),
     planView = Some((s, d) => bloomIngest(s, d, graft.operators.Boundary.None)))
 
+  /** EXACT-SUBSTRING dedup via the DISTRIBUTED SUFFIX ARRAY
+    * ([[graft.operators.SuffixDedup.duplicateSpanCoverage]] — the true
+    * Lee et al. 2022 form, round-14 verdict item #5): prefix-doubling
+    * suffix construction over the concatenated corpus with unique
+    * per-doc boundary sentinels, adjacent-suffix LCPs recovered from
+    * the saved round ranks, and per-document coverage by duplicated
+    * spans of >= 6 tokens. The corpus plants an 11-token boilerplate
+    * tail on every `%3 = 0` document (the cross-document legal-footer
+    * class). The oracle re-derives the IDENTICAL fact through the
+    * equivalent characterization (a position is covered iff some
+    * 6-token window through it occurs >= 2 times — nearest-neighbor LCP
+    * maximality makes the two definitions coincide, SuffixDedupSpec
+    * proves it against brute force), so the suffix machinery is checked
+    * end-to-end without asking SQL to build a suffix array.
+    */
+  private val dedupSuffixSpans = Q(
+    "dedup_suffix_spans",
+    (s, d) => {
+      val boiler = " legal notice all rights reserved contact support team for help today"
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SuffixDedup.duplicateSpanCoverage(corpus, "doc_id", "text", 6)
+    },
+    Some(s"""WITH d2 AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+          THEN text || ' legal notice all rights reserved contact support team for help today'
+          ELSE text END AS text FROM documents),
+      t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> length(x) > 0) AS toks FROM d2),
+      g AS (SELECT doc_id, i AS q,
+          array_to_string(toks[i:i+5], chr(31)) AS gram
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i FROM t
+          WHERE len(toks) >= 6)),
+      gcnt AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1),
+      dw AS (SELECT g.doc_id, g.q FROM g JOIN gcnt USING (gram) WHERE gcnt.c >= 2),
+      cov AS (SELECT doc_id, COUNT(DISTINCT p) AS cv FROM (
+          SELECT doc_id, unnest(range(q, q + 6)) AS p FROM dw) GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(cov.cv, 0) AS BIGINT) AS covered_tokens
+      FROM t LEFT JOIN cov USING (doc_id)"""))
+
   /** Span-level duplicate fractions (arXiv:2107.06499): every stage —
     * positional trigram windows with multiplicity, gram document
     * frequency, the df>=2 rollup, the exact double fraction — is
@@ -5747,7 +5789,7 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     labelPropQ, hybridRetrieveQ, annRecallQ, annNdcgQ, khopQ, evalLshQ, containmentQ, splitLeakageQ,
     linkRankQ, triangleCountQ,
-    dedupExact, dedupExactBloom, dedupSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
+    dedupExact, dedupExactBloom, dedupSpans, dedupSuffixSpans, dedupFingerprint, dedupNgramJaccard, dedupNgramIndexed,
     dedupMinhashSignature, dedupMinhashLsh, dedupMinhashLshMd5,
     dedupMinhashIncremental, dedupSimhash,
     dedupClusterAssign, dedupClusterIncremental, dedupClusterKeepBest, dedupClusterSplit,

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.SuffixDedup
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array exact-substring dedup: planted boilerplate
+  * coverage against a brute-force duplicated-k-window reference, doc
+  * boundaries (no cross-doc span bleed), within-doc repeats, and the
+  * no-duplicates corpus.
+  */
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: position p covered iff some k-window
+    * containing it occurs >= 2 times in the corpus.
+    */
+  private def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val grams = scala.collection.mutable.HashMap.empty[Seq[String], Int]
+    toks.foreach { case (_, ts) =>
+      ts.sliding(k).filter(_.size == k).foreach(g => grams(g) = grams.getOrElse(g, 0) + 1)
+    }
+    toks.map { case (id, ts) =>
+      val covered = scala.collection.mutable.BitSet.empty
+      ts.sliding(k).zipWithIndex.foreach { case (g, q) =>
+        if (g.size == k && grams(g) >= 2) (q until q + k).foreach(covered += _)
+      }
+      id -> ((ts.size.toLong, covered.size.toLong))
+    }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] =
+    SuffixDedup.duplicateSpanCoverage(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("cross-document boilerplate coverage matches the brute-force reference exactly") {
+    val boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    val docs = (0L until 20L).map { i =>
+      val body = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+      val t = if (i % 3 == 0) s"$body $boiler" else body
+      (i, t)
+    }
+    val k = 6
+    assert(run(docs, k) == reference(docs, k))
+  }
+
+  test("within-document repetition is found; spans never cross doc boundaries") {
+    val rep = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$rep unique middle tokens here $rep"),
+      (2L, "totally different content with no repeats at all okay"),
+      // doc 3 ENDS with the prefix of doc 4's START: must not merge
+      (3L, "one two three four five six seven"),
+      (4L, "five six seven eight nine ten eleven"))
+    val k = 4
+    assert(run(docs, k) == reference(docs, k))
+  }
+
+  test("a corpus with no >=k duplicates reports zero coverage everywhere") {
+    val docs = (0L until 10L).map(i =>
+      (i, (0 until 25).map(j => s"u${i}q$j").mkString(" ")))
+    val got = run(docs, 5)
+    assert(got.values.forall(_._2 == 0L))
+    assert(got.values.map(_._1).toSet == Set(25L))
+  }
+
+  test("randomized corpora agree with the reference (seeded)") {
+    val rnd = new scala.util.Random(123)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val docs = (0L until 15L).map { i =>
+      (i, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    Seq(3, 5, 8).foreach { k =>
+      assert(run(docs, k) == reference(docs, k), s"k=$k")
+    }
+  }
+}
