@@ -114,6 +114,20 @@ object WebpPixelHash {
       v
     }
     def readBit(): Int = readBits(1)
+    /** Next 8 stream bits LSB-first, zero-padded past end (no throw) —
+      * the primary-table peek; pair with [[skip]].
+      */
+    def peek8(): Int = {
+      while (bitCnt < 8 && pos < end) {
+        bitBuf |= (b(pos) & 0xffL) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      (bitBuf & 0xff).toInt
+    }
+    def skip(n: Int): Unit = {
+      if (bitCnt < n) bad() // only reachable past end-of-stream
+      bitBuf >>>= n; bitCnt -= n
+    }
   }
 
   // --------------------------------------------------------------
@@ -170,8 +184,39 @@ object WebpPixelHash {
       while (l <= maxLen) { off(l) = total; total += count(l); l += 1 }
       off
     }
+    /** 8-bit primary decode table (r15 profile pass): index = the next
+      * 8 stream bits as they sit LSB-first in the reader; entry =
+      * `(len << 16) | sym` for codes of <= 8 bits, 0 = fall back to the
+      * bit walk. Most VP8L code words are short — the table turns the
+      * per-symbol bit loop into one peek+skip.
+      */
+    private val lookup: Array[Int] =
+      if (single >= 0) new Array[Int](0)
+      else {
+        val t = new Array[Int](256)
+        var l = 1
+        val lim = math.min(maxLen, 8)
+        while (l <= lim) {
+          var j = 0
+          while (j < count(l)) {
+            val sym = syms(offsets(l) + j)
+            val code = first(l) + j // MSB-first over stream bits
+            var rev = 0
+            var k = 0
+            while (k < l) { rev |= ((code >> (l - 1 - k)) & 1) << k; k += 1 }
+            var idx = rev
+            val step = 1 << l
+            while (idx < 256) { t(idx) = (l << 16) | sym; idx += step }
+            j += 1
+          }
+          l += 1
+        }
+        t
+      }
     def read(br: Br): Int = {
       if (single >= 0) return single
+      val e = lookup(br.peek8())
+      if (e != 0) { br.skip(e >>> 16); return e & 0xffff }
       var code = 0; var len = 0
       while (true) {
         code = (code << 1) | br.readBit()
