@@ -97,7 +97,9 @@ class RegistrySpec extends AnyFunSuite {
       // r14: the WebP pixel and WAV<->FLAC cross-container families route
       // the same hammingPairs64 signature boundary
       "dedup_webp_pixel_neardup", "dedup_webp_pixel_clusters",
-      "dedup_flac_audio_neardup", "dedup_flac_audio_clusters")
+      "dedup_flac_audio_neardup", "dedup_flac_audio_clusters",
+      // r15: the lossy-VP8 family routes the same boundary
+      "dedup_webp_lossy_neardup", "dedup_webp_lossy_clusters")
     val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
     assert(got == expected,
       s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
