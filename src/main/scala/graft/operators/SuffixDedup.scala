@@ -162,9 +162,16 @@ object SuffixDedup {
     val covered = spans
       .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("p"))
       .groupBy("doc_id").agg(countDistinct("p").as("covered_tokens"))
-    docLens.select(col("doc_id"), col("len").as("n_tokens"))
+    val out = docLens.select(col("doc_id"), col("len").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      // materialize the (doc-count-sized) result, then FREE the round
+      // checkpoints — without this, repeated invocations accumulate every
+      // round's block storage and eventually OOM the executors
+      .localCheckpoint(true)
+    rounds.foreach(_._2.unpersist())
+    pairs.unpersist()
+    out
   }
 }
