@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT-SUBSTRING dedup via a DISTRIBUTED SUFFIX ARRAY — the true
@@ -13,10 +12,13 @@ import org.apache.spark.sql.functions._
   * Construction is PREFIX DOUBLING, O(n log n) total work in O(log n)
   * rounds (the scale gate measures the exponent):
   *
-  *  1. one global position per token (per-doc offsets by a window over
-  *     doc lengths + a cumulative shift), with a UNIQUE boundary
-  *     sentinel after each doc so no suffix match crosses a document's
-  *     end while cross-document boilerplate still matches;
+  *  1. one global position per token (per-doc offsets by a TWO-PHASE
+  *     distributed prefix sum over the doc-length frame — per-partition
+  *     subtotals, a partition-count-sized prefix on the driver, then
+  *     per-partition running sums; never a single-partition window),
+  *     with a UNIQUE boundary sentinel after each doc so no suffix
+  *     match crosses a document's end while cross-document boilerplate
+  *     still matches;
   *  2. initial ranks = dense rank of the token string (one distributed
   *     sort via `sortBy + zipWithIndex` — never a single-partition
   *     window);
@@ -55,24 +57,52 @@ object SuffixDedup {
         split(trim(col(textCol)), "\\s+").as("ws"))
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
-    val docLens = toks.groupBy("doc_id").agg((max("pos") + 1).cast("long").as("len"))
-      .withColumn("off",
-        coalesce(sum(col("len") + 1) // +1: the boundary sentinel slot
-          .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-    val positioned = toks.join(broadcast(docLens.select("doc_id", "off")), "doc_id")
+    // per-doc offsets: TWO-PHASE distributed prefix sum over the
+    // doc-length frame in doc_id order (the sel_curriculum_interleave
+    // ranking pattern) — a global Window.orderBy here would funnel every
+    // doc length through ONE task, the classic 10^9-doc straggler
+    val lensSorted = toks.groupBy("doc_id")
+      .agg((max("pos") + 1).cast("long").as("len"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1) // distributed range sort by doc_id (ascending)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition subtotals — partition-count-sized collect
+    val partTotals = lensSorted.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _._2 + 1L) // +1: the boundary sentinel slot
+      Iterator(i -> s)
+    }.collect().toMap
+    val partBase = {
+      val nParts = lensSorted.getNumPartitions
+      val arr = new Array[Long](nParts)
+      var acc = 0L; var i = 0
+      while (i < nParts) { arr(i) = acc; acc += partTotals.getOrElse(i, 0L); i += 1 }
+      arr
+    }
+    // phase 2: running offsets within each partition from its base
+    val docLens = spark.createDataFrame(
+      lensSorted.mapPartitionsWithIndex { case (i, it) =>
+        var off = partBase(i)
+        it.map { case (d, l) => val o = off; off += l + 1L; (d, l, o) }
+      }).toDF("doc_id", "len", "off")
+      .localCheckpoint(true) // consumed 3x: position join, sentinels, output
+    lensSorted.unpersist(false)
+    // plain keyed join (no broadcast hint): docLens is doc-count-sized —
+    // AQE broadcasts it when small, shuffles when a billion docs make a
+    // driver-sized broadcast the actual hazard
+    val positioned = toks.join(docLens.select("doc_id", "off"), "doc_id")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         (col("off") + col("pos")).as("g"), col("tok"))
 
-    // initial ranks: dense rank of token string; sentinels get UNIQUE
-    // ranks above every real token's
+    // initial ranks: dense rank of token string (vocabulary-sized sort);
+    // sentinels get UNIQUE ranks above every real token's
     val tokRanks = {
       val distinctToks = positioned.select("tok").distinct()
       val ranked = distinctToks.rdd.map(_.getString(0)).sortBy(identity)
         .zipWithIndex().map { case (t, i) => (t, i) }
-      spark.createDataFrame(ranked).toDF("tok", "r")
+      spark.createDataFrame(ranked).toDF("tok", "r").localCheckpoint(true)
     }
     val nTokRanks = tokRanks.count()
+    val nDocs = docLens.count()
     val sentinels = docLens.select(
       col("doc_id"), lit(null).cast("string").as("tok"),
       (col("off") + col("len")).as("g"), lit(-1L).as("pos"))
@@ -86,31 +116,39 @@ object SuffixDedup {
       .unionByName(sentinels)
       .localCheckpoint(true)
     val n = rank.count()
+    tokRanks.unpersist() // consumed only by the materialized initial ranks
 
     // ---- 2/3. prefix doubling; keep each round for the LCP walk ----
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
     rounds += 0L -> rank // h=1 ranks under key "first 1 token" (power index by shift h)
     var h = 1L
-    var distinctRanks = rank.select("r").distinct().count()
+    // initial distinct-rank count is KNOWN (token ranks are dense
+    // 0..nTokRanks-1, sentinel ranks nTokRanks+doc_id all unique) — no
+    // distinct pass; per round it falls out of the pair-rank frame's own
+    // count, saving one full distinct+count over n positions per round
+    var distinctRanks = nTokRanks + nDocs
     while (distinctRanks < n) {
       val shifted = rank.select((col("g") - h).as("g"), col("r").as("r2"))
       val paired = rank.join(shifted, Seq("g"), "left")
         .select(col("doc_id"), col("pos"), col("g"), col("r"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
+      // checkpointed so the (distinct -> sort -> zipWithIndex) pipeline
+      // runs ONCE; its row count IS the new distinct-rank count
       val pairRanks = {
         val d = paired.select("r", "r2").distinct().rdd
           .map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(identity)
           .zipWithIndex().map { case ((a, b), i) => (a, b, i) }
-        spark.createDataFrame(d).toDF("r", "r2", "nr")
+        spark.createDataFrame(d).toDF("r", "r2", "nr").localCheckpoint(true)
       }
+      distinctRanks = pairRanks.count()
       val next = paired.join(pairRanks, Seq("r", "r2"))
         .select(col("doc_id"), col("pos"), col("g"), col("nr").as("r"))
         .localCheckpoint(true)
+      pairRanks.unpersist() // round-scoped; keeping it is the r15 OOM shape
       h *= 2
       rounds += h -> next // ranks under "first 2h'... " key: shift to pair = h
       rank = next
-      distinctRanks = rank.select("r").distinct().count()
     }
 
     // ---- 4. adjacent pairs in suffix order, LCP by descending powers ----
@@ -172,6 +210,7 @@ object SuffixDedup {
       .localCheckpoint(true)
     rounds.foreach(_._2.unpersist())
     pairs.unpersist()
+    docLens.unpersist()
     out
   }
 }

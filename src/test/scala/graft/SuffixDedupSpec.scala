@@ -64,6 +64,24 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet == Set(25L))
   }
 
+  test("offset rewrite: scrambled multi-partition input matches brute force " +
+    "(two-phase prefix sums == the old global window)") {
+    // varying doc lengths + a shuffled 13-partition layout exercise the
+    // per-partition subtotal/base arithmetic; any mis-offset would merge
+    // or split spans across doc boundaries and break the coverage map
+    val boiler = "common footer text duplicated across many documents here"
+    val docs = (0L until 40L).map { i =>
+      val body = (0 until (5 + i % 7).toInt).map(j => s"t${i}v$j").mkString(" ")
+      (i, if (i % 4 == 0) s"$body $boiler" else body)
+    }
+    val k = 4
+    val scrambled = new scala.util.Random(7).shuffle(docs).toDF("doc_id", "text")
+      .repartition(13)
+    val got = SuffixDedup.duplicateSpanCoverage(scrambled, "doc_id", "text", k)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == reference(docs, k))
+  }
+
   test("randomized corpora agree with the reference (seeded)") {
     val rnd = new scala.util.Random(123)
     val vocab = (0 until 40).map(i => s"t$i")
