@@ -307,6 +307,50 @@ object BucketedSnapshots {
     spark.table(s"graft.`$abs##$version`")
   }
 
+  /** Bucket-subset SPJ read (`path##version##b=...`): only the named
+    * buckets' partitions are planned, still with the full
+    * KeyGroupedPartitioning report and the reader-level dv fold — the
+    * merge paths' existing side.
+    */
+  private[graft] def readSnapshotSPJBuckets(
+      spark: SparkSession, path: String, version: Long,
+      buckets: Seq[Int]): DataFrame = {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.SnapCatalog")
+    val abs = fsOf(spark, path).makeQualified(new org.apache.hadoop.fs.Path(path))
+      .toUri.getPath
+    spark.table(s"graft.`$abs##$version##b=${buckets.sorted.mkString(",")}`")
+  }
+
+  /** Diagnostic observability for the merge paths' read routing (test
+    * assertions only — never a data path): merge commits whose existing
+    * side planned through the SPJ catalog.
+    */
+  private[graft] val spjMergeReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** The delete-folded view of version `v`'s TOUCHED buckets — every
+    * merge commit's existing side. Routed through the SPJ catalog
+    * whenever the version carries the bucket-layout headers at this
+    * commit's key/arity, so the merge's full-outer join plans with ZERO
+    * exchanges on the TABLE side — only the churn-sized batch shuffles
+    * (`v2.bucketing.shuffle`); pre-header tables keep the plain
+    * readDirs+foldDeletes path. Row-identical either way.
+    */
+  private def mergeExistingSide(
+      spark: SparkSession, path: String, v: Long, key: String, nBuckets: Int,
+      touched: Seq[Int], existingDirs: Seq[(Int, String)],
+      dvs: Map[Int, Seq[Long]]): DataFrame = {
+    val spjOk = readNBuckets(spark, path, v).contains(nBuckets) &&
+      readBucketKey(spark, path, v).contains(key) &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (spjOk) {
+      spjMergeReads.incrementAndGet()
+      readSnapshotSPJBuckets(spark, path, v, existingDirs.map(_._1))
+    } else
+      foldDeletes(spark, path, readDirs(spark, path, v, existingDirs.map(_._2)),
+        dvPairs(dvs.filter { case (b, _) => touched.contains(b) }))
+  }
+
   /** [[readSnapshotSPJ]] on the live version. */
   def readCurrentSPJ(spark: SparkSession, path: String): DataFrame =
     currentVersion(spark, path) match {
@@ -683,9 +727,8 @@ object BucketedSnapshots {
     val merged =
       if (existingDirs.isEmpty) updates
       else merge(
-        foldDeletes(spark, path,
-          readDirs(spark, path, head, existingDirs.map(_._2)),
-          dvPairs(headDvs.filter { case (b, _) => touched.contains(b) })),
+        mergeExistingSide(spark, path, head, key, nBuckets, touched,
+          existingDirs, headDvs),
         updates)
     val staging = new Path(
       path + "__vstaging_branch_" + java.util.UUID.randomUUID().toString.take(12))
@@ -807,6 +850,17 @@ object BucketedSnapshots {
     readSnapshot(spark, path, version).filter(!col(Cdc.DeletedMeta))
       .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
 
+  /** [[readTableAt]] through the SPJ catalog ([[readSnapshotSPJ]]): the
+    * same tombstone-filtered rows, with the bucket layout reported to
+    * the planner — Filter/Project preserve the KeyGroupedPartitioning,
+    * so a keyed join against this view shuffles only its OTHER side
+    * (`spark.sql.sources.v2.bucketing.shuffle.enabled`), never the
+    * maintained table.
+    */
+  def readTableAtSPJ(spark: SparkSession, path: String, version: Long): DataFrame =
+    readSnapshotSPJ(spark, path, version).filter(!col(Cdc.DeletedMeta))
+      .drop(Cdc.SeqMeta, Cdc.DeletedMeta, Cdc.RankMeta)
+
   /** The shared commit: merge the batch into the TOUCHED buckets' current
     * rows, write new per-bucket dirs + the next manifest, flip the
     * pointer, GC. Commit sequence (a crash anywhere leaves a consistent
@@ -865,9 +919,8 @@ object BucketedSnapshots {
     val merged =
       if (existingDirs.isEmpty) updates
       else merge(
-        foldDeletes(spark, path,
-          readDirs(spark, path, cur.get, existingDirs.map(_._2)),
-          dvPairs(curDvs.filter { case (b, _) => touched.contains(b) })),
+        mergeExistingSide(spark, path, cur.get, key, nBuckets, touched,
+          existingDirs, curDvs),
         updates)
     // ONE staging write partitioned by bucket into a PER-WRITER sibling
     // dir, then per-bucket CREATE-EXCLUSIVE claims of immutable v-dirs
@@ -886,8 +939,23 @@ object BucketedSnapshots {
       statsColumns, merged.schema)
     val newStats = computeBucketStats(spark, staging.toString, statCols, touched)
     // bloom sidecars: declared columns are sticky via the sidecar header
-    val bloomCols = (cur.map(v => readBlooms(spark, path, v)._1).getOrElse(Nil) ++
+    val prevBloomHdr = cur.map(v => readBlooms(spark, path, v))
+    val bloomCols = (prevBloomHdr.map(_._1).getOrElse(Nil) ++
       bloomColumns).distinct
+    // commit-time type guard (the statsColumns isStatType rule): a bloom
+    // column present in this commit's schema must be a type the probe
+    // can re-hash (string/long/int); its type is recorded in the sidecar
+    // header so probes hash exactly as the build's xxhash64(col) did
+    val bloomTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      prevBloomHdr.map(_._2).getOrElse(Map.empty) ++
+        bloomCols.flatMap { c =>
+          merged.schema.find(_.name == c).map { f =>
+            require(isBloomType(f.dataType),
+              s"bloom column '$c' must be string, bigint, or int " +
+                s"(probes hash by the recorded type), got ${f.dataType.catalogString}")
+            c -> f.dataType
+          }
+        }.toMap
     val newBlooms = computeBucketBlooms(
       spark, staging.toString, bloomCols, touched, 100000L, 0.03)
     val newBucketVersions = touched.map { b =>
@@ -904,7 +972,7 @@ object BucketedSnapshots {
     commitManifest(spark, path, state, casBase, curManifest, newBucketVersions,
       keepVersions, statCols, newStats, nBuckets,
       bucketKey = key, schemaUpdate = Some(merged.schema),
-      addBloomCols = bloomCols, newBlooms = newBlooms)
+      addBloomCols = bloomCols, newBlooms = newBlooms, bloomTypes = bloomTypes)
   }
 
   /** The shared commit tail: write manifest v=next (current entries
@@ -968,7 +1036,8 @@ object BucketedSnapshots {
       schemaUpdate: Option[StructType] = None, // None = preserve #schema
       schemaReplace: Boolean = false, // full rewrite: no merge
       addBloomCols: Seq[String] = Nil,
-      newBlooms: Map[Int, Seq[(String, Array[Byte])]] = Map.empty): Long = {
+      newBlooms: Map[Int, Seq[(String, Array[Byte])]] = Map.empty,
+      bloomTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Long = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val fs = fsOf(spark, path)
     var st = state
@@ -1078,9 +1147,12 @@ object BucketedSnapshots {
         writeStats(spark, path, next, cols, entries)
       }
       // bloom sidecar: same carry rule; a REWRITTEN bucket without fresh
-      // filters drops its entries (conservative absent)
-      val (prevBloomCols, prevBlooms) =
-        cur.map(v => readBlooms(spark, path, v)).getOrElse((Nil, Map.empty[Int, Map[String, Array[Byte]]]))
+      // filters drops its entries (conservative absent); recorded types
+      // carry with the columns (prior header first, this commit refines)
+      val (prevBloomCols, prevBloomTypes, prevBlooms) =
+        cur.map(v => readBlooms(spark, path, v)).getOrElse(
+          (Nil, Map.empty[String, org.apache.spark.sql.types.DataType],
+            Map.empty[Int, Map[String, Array[Byte]]]))
       val bcols = (prevBloomCols ++ addBloomCols).distinct
       if (bcols.nonEmpty) {
         val bentries = nextManifest.keySet.toSeq.sorted.flatMap { b =>
@@ -1088,7 +1160,7 @@ object BucketedSnapshots {
             newBlooms.getOrElse(b, Nil).map { case (c, bits) => (b, c, bits) }
           else prevBlooms.getOrElse(b, Map.empty).toSeq.map { case (c, bits) => (b, c, bits) }
         }
-        writeBlooms(spark, path, next, bcols, bentries)
+        writeBlooms(spark, path, next, bcols, prevBloomTypes ++ bloomTypes, bentries)
       }
       // THE commit point: atomic pointer replace with the retained history.
       // Retention is COUNT-based (newest keepVersions committed versions) —
@@ -1216,38 +1288,61 @@ object BucketedSnapshots {
 
   private def bloomPath(path: String, v: Long) = s"$path/manifest/v=$v.bloom.txt"
 
-  /** `(declared bloom columns, bucket -> col -> serialized filter)`. */
+  /** `(declared bloom columns, column -> recorded key type,
+    * bucket -> col -> serialized filter)`. The `#types=` header (aligned
+    * with `#cols=`) records each column's type AT BUILD TIME so probes
+    * hash exactly as [[computeBucketBlooms]]' `xxhash64(col)` did —
+    * without it a long-keyed filter probed with string hashing would
+    * miss every value and silently over-prune. A sidecar without the
+    * header (pre-r16) is all-string by construction.
+    */
   private[graft] def readBlooms(
-      spark: SparkSession, path: String,
-      v: Long): (Seq[String], Map[Int, Map[String, Array[Byte]]]) = {
+      spark: SparkSession, path: String, v: Long)
+      : (Seq[String], Map[String, org.apache.spark.sql.types.DataType],
+         Map[Int, Map[String, Array[Byte]]]) = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.StringType
     val fs = fsOf(spark, path)
     val p = new Path(bloomPath(path, v))
-    if (!fs.exists(p)) return (Nil, Map.empty)
+    if (!fs.exists(p)) return (Nil, Map.empty, Map.empty)
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = txt.split("\n").iterator.map(_.stripLineEnd).filter(_.nonEmpty).toSeq
-    val cols = lines.headOption.filter(_.startsWith("#cols="))
+    val headers = lines.takeWhile(_.startsWith("#"))
+    val cols = headers.find(_.startsWith("#cols="))
       .map(_.stripPrefix("#cols=").split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val entries = lines.drop(1).flatMap { line =>
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      headers.find(_.startsWith("#types="))
+        .map(_.stripPrefix("#types=").split(",").toSeq.filter(_.nonEmpty))
+        .map { ts =>
+          cols.zip(ts.map(t =>
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)))
+            .toMap
+        }
+        .getOrElse(cols.map(_ -> StringType).toMap)
+    val entries = lines.dropWhile(_.startsWith("#")).flatMap { line =>
       line.split(",", 3) match {
         case Array(b, c, bits) =>
           b.toIntOption.map(bb => (bb, c, java.util.Base64.getDecoder.decode(bits)))
         case _ => None
       }
     }
-    (cols, entries.groupBy(_._1).map { case (b, xs) =>
+    (cols, types, entries.groupBy(_._1).map { case (b, xs) =>
       b -> xs.map(x => x._2 -> x._3).toMap })
   }
 
   private def writeBlooms(
       spark: SparkSession, path: String, v: Long, cols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType],
       entries: Seq[(Int, String, Array[Byte])]): Unit = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.StringType
     val fs = fsOf(spark, path)
     val tmp = new Path(bloomPath(path, v) + ".tmp")
     val dst = new Path(bloomPath(path, v))
-    val content = (s"#cols=${cols.mkString(",")}" +:
+    val typesLine =
+      s"#types=${cols.map(c => types.getOrElse(c, StringType).catalogString).mkString(",")}"
+    val content = (Seq(s"#cols=${cols.mkString(",")}", typesLine) ++
       entries.map { case (b, c, bits) =>
         s"$b,$c,${java.util.Base64.getEncoder.encodeToString(bits)}" })
       .mkString("\n")
@@ -1299,9 +1394,53 @@ object BucketedSnapshots {
     out.map { case (k, v) => k -> v.toSeq }.toMap
   }
 
+  /** A bloom-indexable column type: the probe re-derives the builder's
+    * `xxhash64(col)` driver-side, so only types with a type-keyed probe
+    * implementation are accepted (mirrors `isStatType`'s commit-time
+    * guard — anything else would build filters no probe can hit and
+    * silently over-prune).
+    */
+  private def isBloomType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType => true
+      case _ => false
+    }
+  }
+
+  /** Driver-side xxhash64 of one probe value, bit-identical to how
+    * [[computeBucketBlooms]]' `xxhash64(col)` hashed the column's NATIVE
+    * type (Spark hashes longs/ints/strings differently — a string-hash
+    * probe against a long-built filter misses every value).
+    */
+  private def bloomProbeHash(
+      dt: org.apache.spark.sql.types.DataType, v: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.types._
+    def asLong: Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case s: String => s.trim.toLong
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"bloom probe value '$other' (${other.getClass.getName}) is not an " +
+          s"integral key for a ${dt.catalogString} bloom column")
+    }
+    dt match {
+      case LongType => XXH64.hashLong(asLong, 42L)
+      case IntegerType => XXH64.hashInt(asLong.toInt, 42L)
+      case _ =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }
+  }
+
   /** Buckets of `version` that MIGHT hold any of `values` in `column`:
-    * bloom-probed (xxhash64 keying, same as the filters were built
-    * with); buckets or columns with no sidecar entry are kept —
+    * bloom-probed (xxhash64 over the column's RECORDED type — the
+    * sidecar's `#types=` header — exactly as the filters were built);
+    * buckets or columns with no sidecar entry are kept —
     * CONSERVATIVE-ONLY pruning, false negatives impossible by
     * construction (BloomSidecarSpec proves it against planted
     * hit/miss matrices).
@@ -1310,13 +1449,9 @@ object BucketedSnapshots {
       spark: SparkSession, path: String, version: Long, column: String,
       values: Seq[Any]): Seq[Int] = {
     val m = readManifest(spark, path, version)
-    val (_, blooms) = readBlooms(spark, path, version)
-    // driver-side xxhash64, bit-identical to the builder's xxhash64(col)
-    val hashes = values.filter(_ != null).map { v =>
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
-      org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-    }
+    val (_, types, blooms) = readBlooms(spark, path, version)
+    val dt = types.getOrElse(column, org.apache.spark.sql.types.StringType)
+    val hashes = values.filter(_ != null).map(v => bloomProbeHash(dt, v))
     m.keySet.toSeq.sorted.filter { b =>
       blooms.get(b).flatMap(_.get(column)) match {
         case None => true // no entry: must read
@@ -2022,6 +2157,7 @@ object BucketedSnapshots {
       .foreach { v =>
         fs.delete(new Path(manifestPath(path, v)), false)
         fs.delete(new Path(statsPath(path, v)), false) // sidecar, if any
+        fs.delete(new Path(bloomPath(path, v)), false) // sidecar, if any
       }
     val root = new Path(path)
     if (fs.exists(root)) fs.listStatus(root).toSeq
@@ -2072,13 +2208,22 @@ object BucketedSnapshots {
     *    manifest claims;
     *  - crashed writers' sibling staging dirs (`<table>__vstaging*`).
     *
-    * The age horizon is the concurrency guard: an in-flight commit's
-    * just-claimed dirs and just-written staging are younger than any sane
-    * horizon, and vacuum never participates in the create-exclusive claim
-    * protocol — it only deletes NEVER-REFERENCED names, which a claimant
-    * re-lists on every claim retry, so a freed slot can only ever be
-    * reclaimed by a writer that owns it exclusively. Run `olderThanMs=0`
-    * only on a quiesced table. Returns the number of deleted objects.
+    * The age horizon is the concurrency guard, and it is an INVARIANT
+    * THE CALLER OWNS: `olderThanMs` MUST exceed the longest possible
+    * commit duration of any writer on this table (stage write + claim +
+    * manifest write). A claimed-but-not-yet-committed dir or a live
+    * staging dir that outlives the horizon — a big fold on a slow
+    * cluster — IS deleted mid-commit and fails that writer's commit
+    * (data stays consistent: the pointer never flipped; the writer
+    * retries from staging). The 1 h default suits interactive tables;
+    * size it to ≥ 2× the slowest observed commit for large batch loads.
+    * Within the horizon the guard is sound: an in-flight commit's
+    * just-claimed dirs and just-written staging are younger than it, and
+    * vacuum never participates in the create-exclusive claim protocol —
+    * it only deletes NEVER-REFERENCED names, which a claimant re-lists
+    * on every claim retry, so a freed slot can only ever be reclaimed by
+    * a writer that owns it exclusively. Run `olderThanMs=0` only on a
+    * quiesced table. Returns the number of deleted objects.
     */
   def vacuum(
       spark: SparkSession, path: String, olderThanMs: Long = 3600000L): Int = {
@@ -2107,6 +2252,8 @@ object BucketedSnapshots {
         if (!n.startsWith("v=")) None
         else if (n.endsWith(".stats.txt"))
           n.stripPrefix("v=").stripSuffix(".stats.txt").toLongOption
+        else if (n.endsWith(".bloom.txt")) // before the plain .txt rule
+          n.stripPrefix("v=").stripSuffix(".bloom.txt").toLongOption
         else if (n.endsWith(".txt"))
           n.stripPrefix("v=").stripSuffix(".txt").toLongOption
         else None

@@ -95,6 +95,43 @@ object FeedConsumer {
   def readRollup(spark: SparkSession, consumerPath: String): DataFrame =
     BucketedSnapshots.readTable(spark, rollupPath(consumerPath))
 
+  /** The PINNED downstream base, read through the SPJ catalog whenever
+    * the version carries the bucket-layout headers (always, for tables
+    * this consumer committed itself — r15+): the planner sees the rollup
+    * table's KeyGroupedPartitioning on `groupCol`, so the base join
+    * shuffles ONLY the churn-sized delta/fresh side and the
+    * group-cardinality rollup side stays exchange-free (SpjSpec asserts
+    * the plan; row-identical to [[BucketedSnapshots.readTableAt]]).
+    */
+  private def readBase(
+      spark: SparkSession, roll: String, v: Long, groupCol: String): DataFrame =
+    if (BucketedSnapshots.readBucketKey(spark, roll, v).contains(groupCol))
+      BucketedSnapshots.readTableAtSPJ(spark, roll, v)
+    else BucketedSnapshots.readTableAt(spark, roll, v)
+
+  /** The incremental rollup update: pinned base left-joined onto the
+    * signed per-group deltas, stored types preserved. Factored so the
+    * SPJ plan contract is assertable in isolation (SpjSpec).
+    */
+  private[graft] def nextRollup(
+      delta: DataFrame, base: DataFrame, groupCol: String,
+      measures: Seq[String]): DataFrame =
+    delta.join(base, Seq(groupCol), "left").select(
+      col(groupCol) +:
+        (coalesce(col("n"), lit(0L)) + col("d_n")).as("n") +:
+        measures.map { m =>
+          // keep the stored type: Spark widens decimal sums-of-sums,
+          // and a widened type would trip the retype rejection in the
+          // downstream merge's schema alignment
+          val dt = base.schema(s"sum_$m").dataType
+          // coalesce BOTH sides: a group whose feed rows all carry NULL
+          // for this measure yields d_m = NULL, and base + NULL would
+          // null out the stored rollup (diverging from a from-scratch agg)
+          (coalesce(col(s"sum_$m"), lit(0).cast(dt)) +
+            coalesce(col(s"d_$m"), lit(0).cast(dt)))
+            .cast(dt).as(s"sum_$m")
+        }: _*)
+
   /** Process all upstream commits past the offset; returns the downstream
     * rollup version now corresponding to the upstream head (unchanged if
     * already caught up or only data-less commits — e.g. compaction —
@@ -145,7 +182,7 @@ object FeedConsumer {
         // recomputes byte-identical rows at the same seq.
         val snap = BucketedSnapshots.readTableAt(spark, tablePath, curUp)
         val fresh = aggOf(snap, groupCol, measures)
-        val base = BucketedSnapshots.readTableAt(spark, roll, downBaseV)
+        val base = readBase(spark, roll, downBaseV, groupCol)
         val upserts = fresh
           .withColumn("seq", lit(curUp)).withColumn("op", lit("U"))
         // groups that vanished upstream since the pinned base: tombstone
@@ -183,23 +220,10 @@ object FeedConsumer {
           writeOffset(spark, consumerPath, curUp, downBaseV)
           return Some(downBaseV)
         }
-        // PINNED base — never the live downstream version (idempotent redo)
-        val base = BucketedSnapshots.readTableAt(spark, roll, downBaseV)
-        val next = delta.join(base, Seq(groupCol), "left").select(
-          col(groupCol) +:
-            (coalesce(col("n"), lit(0L)) + col("d_n")).as("n") +:
-            measures.map { m =>
-              // keep the stored type: Spark widens decimal sums-of-sums,
-              // and a widened type would trip the retype rejection in the
-              // downstream merge's schema alignment
-              val dt = base.schema(s"sum_$m").dataType
-              // coalesce BOTH sides: a group whose feed rows all carry NULL
-              // for this measure yields d_m = NULL, and base + NULL would
-              // null out the stored rollup (diverging from a from-scratch agg)
-              (coalesce(col(s"sum_$m"), lit(0).cast(dt)) +
-                coalesce(col(s"d_$m"), lit(0).cast(dt)))
-                .cast(dt).as(s"sum_$m")
-            }: _*)
+        // PINNED base — never the live downstream version (idempotent
+        // redo); read SPJ so only the churn-sized delta shuffles
+        val base = readBase(spark, roll, downBaseV, groupCol)
+        val next = nextRollup(delta, base, groupCol, measures)
         val ops = next
           .withColumn("seq", lit(curUp))
           .withColumn("op", when(col("n") === 0L, "D").otherwise("U"))

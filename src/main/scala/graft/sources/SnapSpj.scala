@@ -55,11 +55,21 @@ class SnapCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val full = (ident.namespace() :+ ident.name()).mkString(".")
-    val (path, version) = full.lastIndexOf("##") match {
-      case -1 => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-      case i => (full.substring(0, i), full.substring(i + 2).toLong)
+    // optional trailing bucket subset: `path##version##b=3,7,9` — the
+    // merge path's existing-side read (only the TOUCHED buckets of the
+    // live version, still KeyGroupedPartitioning-reported)
+    val (stem, subset) = full.lastIndexOf("##b=") match {
+      case i if i >= 0 &&
+          full.substring(i + 4).split(",").forall(s => s.nonEmpty && s.forall(_.isDigit)) =>
+        (full.substring(0, i),
+          Some(full.substring(i + 4).split(",").map(_.toInt).toSet))
+      case _ => (full, None)
     }
-    new SnapTable(SparkSession.active, path, version)
+    val (path, version) = stem.lastIndexOf("##") match {
+      case -1 => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      case i => (stem.substring(0, i), stem.substring(i + 2).toLong)
+    }
+    new SnapTable(SparkSession.active, path, version, subset)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
@@ -125,13 +135,18 @@ object GraftBucketFunction extends UnboundFunction {
 }
 
 private[sources] class SnapTable(
-    spark: SparkSession, path: String, version: Long) extends Table with SupportsRead {
+    spark: SparkSession, path: String, version: Long,
+    bucketSubset: Option[Set[Int]] = None) extends Table with SupportsRead {
   import graft.operators.BucketedSnapshots
 
-  private[sources] lazy val manifest: Map[Int, Long] =
-    BucketedSnapshots.readManifest(spark, path, version)
-  private lazy val dvs: Map[Int, Seq[Long]] =
-    BucketedSnapshots.readDvs(spark, path, version)
+  private[sources] lazy val manifest: Map[Int, Long] = {
+    val m = BucketedSnapshots.readManifest(spark, path, version)
+    bucketSubset.fold(m)(s => m.filter { case (b, _) => s.contains(b) })
+  }
+  private lazy val dvs: Map[Int, Seq[Long]] = {
+    val d = BucketedSnapshots.readDvs(spark, path, version)
+    bucketSubset.fold(d)(s => d.filter { case (b, _) => s.contains(b) })
+  }
   private lazy val nBuckets: Option[Int] =
     BucketedSnapshots.readNBuckets(spark, path, version)
   private lazy val bucketKey: Option[String] =
@@ -144,7 +159,9 @@ private[sources] class SnapTable(
         .schema
     }
 
-  override def name(): String = s"graft_snap:$path##$version"
+  override def name(): String =
+    s"graft_snap:$path##$version" +
+      bucketSubset.fold("")(s => s"##b=${s.toSeq.sorted.mkString(",")}")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)

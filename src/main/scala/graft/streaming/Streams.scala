@@ -767,16 +767,20 @@ object Streams {
     *     for each new survivor that is its cluster's minimum, `D` for
     *     each PREVIOUSLY-KEPT doc a new link just demoted (a later
     *     bridge doc can merge two served clusters; the loser must leave
-    *     the serve table) — applied through the delete-aware BUCKETED
-    *     [[graft.operators.Cdc.applyChangesBucketed]] with
-    *     `seq = batchId`: replays are no-ops by the (seq, op-rank)
-    *     argmax, D beats I on the same batch, a demotion always carries
-    *     a later seq than its insert, and each micro-batch rewrites ONLY
-    *     the serve buckets holding its changed keys — the serve table is
-    *     corpus-sized, so a full-rewrite sink here would be the exact
-    *     per-batch amplification the bucketed CDC layout exists to kill.
-    *     Read the live table with
-    *     [[graft.operators.Cdc.readTableBucketed]].
+    *     the serve table) — applied through the delete-aware VERSIONED
+    *     table format ([[graft.operators.BucketedSnapshots
+    *     .applyChanges]]) with `seq = batchId`: replays are content
+    *     no-ops by the (seq, op-rank) argmax, D beats I on the same
+    *     batch, a demotion always carries a later seq than its insert,
+    *     and each micro-batch rewrites ONLY the serve buckets holding
+    *     its changed keys — the serve table is corpus-sized, so a
+    *     full-rewrite sink here would be the exact per-batch
+    *     amplification the bucketed CDC layout exists to kill. The
+    *     merge's existing side reads through the SPJ catalog, so the
+    *     per-batch merge shuffles only the BATCH's changes — the serve
+    *     table side plans exchange-free (r16; SpjSpec asserts). Read
+    *     the live table with [[graft.operators.BucketedSnapshots
+    *     .readTable]].
     *
     * REPLAY SAFETY (at-least-once foreachBatch): every state write is an
     * OVERWRITE of a batch-id-keyed subdirectory (`buckets/b<id>`,
@@ -935,7 +939,8 @@ object Streams {
     if (!newPairs.isEmpty)
       newAsg.write.mode("overwrite").parquet(s"$statePath/cc/b$batchId")
     if (!skipServeApply && !changes.isEmpty)
-      Cdc.applyChangesBucketed(spark, changes, servePath, "doc_id", serveBuckets)
+      graft.operators.BucketedSnapshots.applyChanges(
+        spark, changes, servePath, "doc_id", serveBuckets)
   }
 
   /** Maintenance companion to [[lshDedupAvailableNow]]: fold the

@@ -90,6 +90,75 @@ class BloomSidecarSpec extends SparkSpec {
     assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u78")).count() == 1)
   }
 
+  test("long-keyed bloom columns prune AND find every value (type-keyed probe hashing)") {
+    // pre-r16 the probe hashed values as strings while the build hashed
+    // the native long — every probe missed and matching rows were
+    // silently dropped; the #types= header now keys the probe hash
+    val path = fresh("longkey")
+    val df = (1L to 2000L).map(i => (i, i * 1000L, i * 2.0)).toDF("k", "block", "v")
+    BucketedSnapshots.upsertByKey(spark, df, path, "k", 16,
+      keepVersions = 2, bloomColumns = Seq("block"))
+    val v = BucketedSnapshots.currentVersion(spark, path).get
+    val all = BucketedSnapshots.readManifest(spark, path, v).keySet
+    // probe with a native Long AND with its string form: both must hash
+    // by the recorded bigint type
+    val keptL = BucketedSnapshots.bloomPrunedBuckets(spark, path, v, "block", Seq(77000L))
+    val keptS = BucketedSnapshots.bloomPrunedBuckets(spark, path, v, "block", Seq("77000"))
+    assert(keptL == keptS, "long and string probes must hash identically")
+    assert(keptL.nonEmpty && keptL.size < all.size,
+      s"present long value must prune to a strict subset, kept ${keptL.size}/${all.size}")
+    val got = BucketedSnapshots.readCurrentEquals(spark, path, "block", Seq("77000"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((77L, 77000L, 154.0)), s"row must be FOUND, got $got")
+    (1L to 100L).foreach { i =>
+      assert(BucketedSnapshots.readCurrentEquals(
+        spark, path, "block", Seq(s"${i * 1000L}")).count() == 1,
+        s"block ${i * 1000L} must be found through the pruned read")
+    }
+    assert(BucketedSnapshots.bloomPrunedBuckets(
+      spark, path, v, "block", Seq(999999999L)).size <= 2)
+  }
+
+  test("a non-indexable bloom column type is rejected at commit time") {
+    val path = fresh("badtype")
+    val df = (1L to 10L).map(i => (i, i * 0.5)).toDF("k", "score")
+    val e = intercept[IllegalArgumentException] {
+      BucketedSnapshots.upsertByKey(spark, df, path, "k", 4,
+        keepVersions = 2, bloomColumns = Seq("score"))
+    }
+    assert(e.getMessage.contains("bloom column 'score'"), e.getMessage)
+  }
+
+  test("retention gc and vacuum collect bloom sidecars of unreferenced versions") {
+    val path = fresh("gc")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bloomFiles: Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/manifest")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).filter(_.endsWith(".bloom.txt")).toSet
+    }
+    mkTable(path) // v1
+    (2 to 5).foreach { i =>
+      BucketedSnapshots.upsertByKey(spark,
+        Seq((i * 1000L, s"uextra$i", 1.0)).toDF("k", "url", "v"), path, "k", 16,
+        keepVersions = 2, bloomColumns = Seq("url"))
+    }
+    // keepVersions=2: retention gc must have dropped old versions' blooms
+    val retained = BucketedSnapshots.versions(spark, path).toSet
+    assert(bloomFiles.forall { n =>
+      retained.contains(n.stripPrefix("v=").stripSuffix(".bloom.txt").toLong)
+    }, s"gc must not strand bloom sidecars: have $bloomFiles, retained $retained")
+    // an orphaned sidecar of an unreferenced version: vacuum sweeps it
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/manifest/v=999.bloom.txt")
+    val out = fs.create(orphan, true)
+    out.write("#cols=url\n#types=string".getBytes("UTF-8")); out.close()
+    assert(BucketedSnapshots.vacuum(spark, path, olderThanMs = 0L) >= 1)
+    assert(!fs.exists(orphan), "vacuum must recognize and sweep v=N.bloom.txt")
+    // live reads unharmed
+    assert(BucketedSnapshots.readCurrentEquals(spark, path, "url", Seq("u42")).count() == 1)
+  }
+
   test("compaction drops rewritten buckets' entries conservatively (reads still correct)") {
     val path = fresh("compact")
     mkTable(path)

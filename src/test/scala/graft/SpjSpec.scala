@@ -60,13 +60,23 @@ class SpjSpec extends SparkSpec {
     }
   }
 
-  test("mismatched arity (16 vs 32) falls back to a shuffled plan with identical results") {
-    noBroadcast {
+  test("mismatched arity (16 vs 32) re-shuffles exactly ONE side to the other's layout, identical results") {
+    noBroadcast { noAqe {
       val j = BucketedSnapshots.readCurrentSPJ(spark, pa)
         .join(BucketedSnapshots.readCurrentSPJ(spark, pc), Seq("k"))
-      assert(shuffles(j) >= 2, "incompatible arities must fall back to shuffles")
+      // incompatible arities can't co-locate for free: one side must
+      // exchange (pre-r16 both did, via hash; with v2.bucketing.shuffle
+      // one side re-buckets to the other's KeyGroupedPartitioning —
+      // strictly fewer bytes moved)
+      val exchanges = planTree(j).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"exactly one side must re-bucket:\n${planTree(j)}")
+      assert(exchanges.head.outputPartitioning.toString.contains("keygroupedpartitioning"),
+        "the re-bucket must target the other side's KeyGroupedPartitioning, not a plain hash")
       assert(j.count() == 900) // keys 101..1000
-    }
+    } }
   }
 
   test("delete vectors fold inside the reader: SPJ rows == plain-read rows, key-pruned scans included") {
@@ -92,6 +102,105 @@ class SpjSpec extends SparkSpec {
     assert(f.collect().map(_.getString(1)).toSeq == Seq("n500"))
     val plan = f.queryExecution.executedPlan.toString
     assert(plan.contains("BatchScan"), s"expected the DSv2 scan:\n$plan")
+  }
+
+  private def noAqe[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** The physical plan with exchanges as EnsureRequirements placed them.
+    * ONLY inspectable with AQE off: under AQE the walkable
+    * `AdaptiveSparkPlanExec.inputPlan` PRECEDES EnsureRequirements — a
+    * tree walk over it finds zero exchanges in ANY join and every
+    * exchange-count assertion passes vacuously (the r16 bug this guard
+    * exists to keep out).
+    */
+  private def planTree(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    val p = df.queryExecution.executedPlan
+    assert(!p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+      "wrap plan-shape assertions in noAqe {} — AQE hides EnsureRequirements' placement")
+    p
+  }
+
+  /** Shuffle exchanges whose subtree contains the DSv2 scan — the
+    * maintained-table side re-shuffling SPJ exists to eliminate.
+    */
+  private def exchangesAboveScan(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+          }.isDefined => e
+    }.size
+
+  test("one-sided SPJ: a derived delta joins the maintained table with ZERO " +
+    "exchanges on the table side (v2.bucketing.shuffle)") {
+    noBroadcast { noAqe {
+      val delta = (1L to 300L).map(i => (i, 1.0)).toDF("k", "d")
+        .groupBy("k").agg(sum("d").as("dv"))
+      val j = delta.join(BucketedSnapshots.readCurrentSPJ(spark, pa), Seq("k"), "left")
+      assert(j.count() == 300)
+      val p = planTree(j)
+      assert(exchangesAboveScan(p) == 0,
+        s"the maintained side must NOT re-shuffle — only the delta side:\n$p")
+      // ...and the delta side DID shuffle into the table's layout (the
+      // plan is one-sided, not magically exchange-free)
+      assert(p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists(_.outputPartitioning.toString.contains("keygroupedpartitioning")),
+        s"the delta side must re-bucket to the table's KeyGroupedPartitioning:\n$p")
+    } }
+  }
+
+  test("bucket-subset identifier reads exactly those buckets' (dv-folded) rows") {
+    val v = BucketedSnapshots.currentVersion(spark, pa).get
+    val m = BucketedSnapshots.readManifest(spark, pa, v)
+    val subset = m.keySet.toSeq.sorted.take(5)
+    val viaSubset = BucketedSnapshots.readSnapshotSPJBuckets(spark, pa, v, subset)
+    val plain = BucketedSnapshots.readCurrent(spark, pa)
+      .filter(pmod(xxhash64(col("k")), lit(16L)).cast("int").isin(subset.map(Int.box): _*))
+    assert(viaSubset.except(plain).count() == 0 && plain.except(viaSubset).count() == 0,
+      "subset SPJ read must equal the plain read restricted to those buckets")
+  }
+
+  test("merge commits route their existing side through the SPJ catalog " +
+    "(the serve-merge / upsert 100 TB shape)") {
+    val path = fresh("mergespj")
+    BucketedSnapshots.upsertByKey(spark,
+      (1L to 500L).map(i => (i, i * 1.0)).toDF("k", "v"), path, "k", 8,
+      keepVersions = 2)
+    val before = BucketedSnapshots.spjMergeReads.get()
+    BucketedSnapshots.upsertByKey(spark,
+      (1L to 50L).map(i => (i, -i * 1.0)).toDF("k", "v"), path, "k", 8,
+      keepVersions = 2)
+    assert(BucketedSnapshots.spjMergeReads.get() > before,
+      "the second commit's existing side must read through the SPJ catalog")
+    val got = BucketedSnapshots.readCurrent(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 500 && got(5L) == -5.0 && got(400L) == 400.0,
+      "merge values must be unchanged by the SPJ routing")
+  }
+
+  test("feed-consumer pinned-base join: the rollup table side plans exchange-free") {
+    val path = fresh("rollup")
+    val init = (1L to 300L).map(i => (s"g${i % 30}", 1L, i)).toDF("g", "one", "m")
+      .groupBy("g").agg(sum("one").as("n"), sum("m").as("sum_m"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    val v = BucketedSnapshots.applyChanges(spark, init, path, "g", 8)
+    noBroadcast { noAqe {
+      val delta = (1L to 40L).map(i => (s"g${i % 30}", 1L, i * 10L)).toDF("g", "dn", "dm")
+        .groupBy("g").agg(sum("dn").as("d_n"), sum("dm").as("d_m"))
+      val next = graft.operators.FeedConsumer.nextRollup(
+        delta, BucketedSnapshots.readTableAtSPJ(spark, path, v), "g", Seq("m"))
+      assert(exchangesAboveScan(planTree(next)) == 0,
+        s"the pinned rollup base must not shuffle:\n${planTree(next)}")
+      val plain = graft.operators.FeedConsumer.nextRollup(
+        delta, BucketedSnapshots.readTableAt(spark, path, v), "g", Seq("m"))
+      assert(next.except(plain).count() == 0 && plain.except(next).count() == 0,
+        "SPJ and plain pinned-base joins must be row-identical")
+    } }
   }
 
   test("a pinned old version reads through SPJ too (immutable identifier)") {

@@ -605,7 +605,7 @@ class StreamsSpec extends SparkSpec {
     5L -> csD)                   // exact duplicate of 3: never served
 
   private def csServe(path: String): Map[Long, Long] =
-    graft.operators.Cdc.readTableBucketed(spark, path)
+    graft.operators.BucketedSnapshots.readTable(spark, path)
       .as[(Long, Long)].collect().toMap
 
   test("corpusServe: fixture pair structure is the transitive bridge (precondition)") {
@@ -689,10 +689,14 @@ class StreamsSpec extends SparkSpec {
     }
     drain()
     val before = csServe(s"$base/serve")
-    // RAW serve rows including tombstones: a replayed I or D that slipped
-    // through would change this set even if the live view looked fine
-    def raw(): Set[Seq[Any]] = spark.read.parquet(s"$base/serve")
-      .collect().map(_.toSeq).toSet
+    // RAW serve rows including tombstones and seq metadata: a replayed I
+    // or D that slipped through would change this set even if the live
+    // view looked fine (the versioned format may commit a new VERSION on
+    // replay — content idempotence is the contract, so compare the live
+    // version's raw stored rows)
+    def raw(): Set[Seq[Any]] =
+      graft.operators.BucketedSnapshots.readCurrent(spark, s"$base/serve")
+        .collect().map(_.toSeq).toSet
     val rawBefore = raw()
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
     drain() // every batch replays against retained state
