@@ -32,13 +32,24 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *  - `quant`      — requantized with a coarser table (std / 4): the
   *                   quality-bump re-encode; near-identical pixels,
   *                   Hamming within a small bound vs base.
+  *  - `prog`       — the SAME coefficients delivered as a REAL
+  *                   progressive (SOF2) stream: DC successive
+  *                   approximation (Al=1 first scan + Ah=1 refinement),
+  *                   AC spectral selection in two bands each at Al=1
+  *                   then refined to Al=0 — EOB-runs, ZRL, buffered
+  *                   correction bits, the full T.81 Annex G machinery.
+  *                   Identical coefficients ⇒ identical IDCT output ⇒
+  *                   dHash Hamming EXACTLY 0 vs base — the
+  *                   `jpegtran -progressive` lossless re-encode.
   *  - `truncated`  — `base` with the tail cut mid-entropy-data (the torn
   *                   download; must decode to NULL, never throw).
   *  - `garbage`    — not a JPEG at all.
   *  - `progressive`— `base` bytes with the frame marker flipped to SOF2:
-  *                   a valid-looking progressive header the baseline
-  *                   decoder must cleanly reject (NULL ⇒ the byte-level
-  *                   [[BlockHash64]] family keeps covering it).
+  *                   an INVALID progressive stream (its single scan keeps
+  *                   the baseline Ss=0..Se=63 script, which Annex G
+  *                   forbids) the decoder must cleanly reject (NULL ⇒
+  *                   the byte-level [[BlockHash64]] family keeps covering
+  *                   it).
   */
 case class SyntheticJpeg(child: Expression, mode: String) extends UnaryExpression {
 
@@ -71,7 +82,8 @@ case class SyntheticJpeg(child: Expression, mode: String) extends UnaryExpressio
 object JpegFixture {
 
   val Modes: Set[String] =
-    Set("base", "framing", "quant", "exif", "truncated", "garbage", "progressive")
+    Set("base", "framing", "quant", "exif", "prog", "truncated", "garbage",
+      "progressive")
 
   private final val Dim = 16
 
@@ -112,6 +124,18 @@ object JpegFixture {
   private val H1Ac = (flatBits(8, 162), AcVals)
   private val H2Dc = (flatBits(5, 12), DcVals)
   private val H2Ac = (flatBits(9, 162), AcVals)
+  /** Progressive AC alphabet: EOBn run-length symbols (r<<4|0 for
+    * r=0..14, T.81 G.1.2.2) ahead of ZRL and the (run,size) grid — the
+    * baseline table only carries EOB0.
+    */
+  private val AcProgVals: Array[Byte] = {
+    val syms = Array.newBuilder[Byte]
+    for (r <- 0 to 14) syms += (r << 4).toByte // EOB0..EOB14
+    syms += 0xf0.toByte                        // ZRL
+    for (run <- 0 to 15; size <- 1 to 10) syms += ((run << 4) | size).toByte
+    syms.result() // 176 symbols
+  }
+  private val HPAc = (flatBits(9, 176), AcProgVals)
 
   /** symbol -> (code, length) from a canonical (bits, vals) spec. */
   private def encodeTable(spec: (Array[Int], Array[Byte])): Array[Int] = {
@@ -133,6 +157,7 @@ object JpegFixture {
   private val EncH1Ac = encodeTable(H1Ac)
   private val EncH2Dc = encodeTable(H2Dc)
   private val EncH2Ac = encodeTable(H2Ac)
+  private val EncHPAc = encodeTable(HPAc)
 
   /** 16×16 luma source: 9×9 md5 control grid at 2-px spacing, integer
     * bilinear. The 2-px control spacing matches the dHash cell pitch
@@ -261,8 +286,160 @@ object JpegFixture {
     body
   }
 
+  // ---- progressive (SOF2) encoder -----------------------------------
+  // T.81 Annex G successive-approximation + spectral-selection delivery
+  // of base's EXACT quantized coefficients; scan-by-scan algorithm per
+  // libjpeg's jcphuff (encode_mcu_{DC,AC}_{first,refine}): EOB-run
+  // accumulation, ZRL folding, per-run buffered correction bits.
+
+  private def ptAc(v: Int, al: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+
+  /** One AC first scan of `band` at point transform `al` (G.1.2.2). */
+  private def acFirstScan(out: java.io.ByteArrayOutputStream,
+      zz: Array[Array[Int]], ss: Int, se: Int, al: Int): Unit = {
+    writeSeg(out, 0xda, Array[Byte](1, 1, 0, ss.toByte, se.toByte, al.toByte))
+    val w = new BitWriter(out)
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      var nbits = 0; var t = eobrun
+      while ({ t >>= 1; t != 0 }) nbits += 1
+      val sym = EncHPAc(nbits << 4)
+      w.put(sym & 0xffff, sym >>> 16)
+      if (nbits > 0) w.put(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+    }
+    zz.foreach { z =>
+      var run = 0
+      var k = ss
+      while (k <= se) {
+        val v = ptAc(z(k), al)
+        if (v == 0) run += 1
+        else {
+          flushEob() // pending EOB-run ends before this block's first symbol
+          while (run > 15) {
+            val zr = EncHPAc(0xf0); w.put(zr & 0xffff, zr >>> 16); run -= 16
+          }
+          val s = magnitude(v)
+          val sym = EncHPAc((run << 4) | s)
+          w.put(sym & 0xffff, sym >>> 16)
+          w.put(if (v < 0) v + (1 << s) - 1 else v, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) eobrun += 1 // block's band tail is zero: extend the EOB-run
+    }
+    flushEob()
+    w.flush()
+  }
+
+  /** One AC refinement scan of `band`, Ah=al+1 → Al=al (G.1.2.3):
+    * newly-significant coefficients as (run,1)+sign, one buffered
+    * correction bit per previously-nonzero coefficient passed, emitted
+    * after the symbol that advances over it (ZRL / run+1 / EOBn).
+    */
+  private def acRefineScan(out: java.io.ByteArrayOutputStream,
+      zz: Array[Array[Int]], ss: Int, se: Int, al: Int): Unit = {
+    writeSeg(out, 0xda,
+      Array[Byte](1, 1, 0, ss.toByte, se.toByte, (((al + 1) << 4) | al).toByte))
+    val w = new BitWriter(out)
+    var eobrun = 0
+    val be = scala.collection.mutable.ArrayBuffer.empty[Int] // EOB-region bits
+    def flushEob(): Unit = if (eobrun > 0) {
+      var nbits = 0; var t = eobrun
+      while ({ t >>= 1; t != 0 }) nbits += 1
+      val sym = EncHPAc(nbits << 4)
+      w.put(sym & 0xffff, sym >>> 16)
+      if (nbits > 0) w.put(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+      be.foreach(b => w.put(b, 1)); be.clear()
+    }
+    zz.foreach { z =>
+      val absv = Array.tabulate(se - ss + 1)(i => math.abs(z(ss + i)) >> al)
+      var eob = ss - 1 // last newly-significant position (ZRL-fold bound)
+      var k = ss
+      while (k <= se) { if (absv(k - ss) == 1) eob = k; k += 1 }
+      var run = 0
+      val br = scala.collection.mutable.ArrayBuffer.empty[Int] // in-block bits
+      k = ss
+      while (k <= se) {
+        val t = absv(k - ss)
+        if (t == 0) run += 1
+        else {
+          // ZRLs the moment the zero-history run exceeds 15 at ANY
+          // nonzero position — so br never holds bits for positions past
+          // the 16 slots this ZRL covers — but never when the rest of
+          // the block folds into an EOB
+          while (run > 15 && k <= eob) {
+            flushEob()
+            val zr = EncHPAc(0xf0); w.put(zr & 0xffff, zr >>> 16); run -= 16
+            br.foreach(b => w.put(b, 1)); br.clear()
+          }
+          if (t > 1) br += (t & 1) // previously nonzero: one correction bit
+          else { // t == 1: newly significant at this precision
+            flushEob()
+            val sym = EncHPAc((run << 4) | 1)
+            w.put(sym & 0xffff, sym >>> 16)
+            w.put(if (z(k) < 0) 0 else 1, 1)
+            br.foreach(b => w.put(b, 1)); br.clear()
+            run = 0
+          }
+        }
+        k += 1
+      }
+      if (run > 0 || br.nonEmpty) { eobrun += 1; be ++= br }
+    }
+    flushEob()
+    w.flush()
+  }
+
+  private def buildProgressive(id: Long): Array[Byte] = {
+    val px = sourcePixels(id)
+    val zz = Array((0, 0), (8, 0), (0, 8), (8, 8)).map { case (bx, by) =>
+      val nat = fdctQuant(px, bx, by, QuantFine)
+      Array.tabulate(64)(k => nat(JpegPixelHash.ZigZag(k))) // zigzag order
+    }
+    val out = new java.io.ByteArrayOutputStream(768)
+    out.write(0xff); out.write(0xd8) // SOI
+    writeSeg(out, 0xe0, // APP0 JFIF 1.1, no thumbnail (as base)
+      Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSeg(out, 0xdb, dqtBody(QuantFine))
+    writeSeg(out, 0xc2, Array[Byte](8, 0, Dim.toByte, 0, Dim.toByte, 1, 1, 0x11, 0))
+    writeSeg(out, 0xc4, dhtBody(0, H1Dc))
+    writeSeg(out, 0xc4, dhtBody(1, HPAc))
+    // scan 1: DC first at Al=1 (arithmetic-shift point transform, G.1.2.1)
+    writeSeg(out, 0xda, Array[Byte](1, 1, 0, 0, 0, 0x01))
+    locally {
+      val w = new BitWriter(out)
+      var pred = 0
+      zz.foreach { z =>
+        val v = z(0) >> 1
+        val diff = v - pred; pred = v
+        val t = magnitude(diff)
+        val dc = EncH1Dc(t)
+        w.put(dc & 0xffff, dc >>> 16)
+        if (t > 0) w.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      }
+      w.flush()
+    }
+    acFirstScan(out, zz, 1, 5, 1)   // scan 2: low band at Al=1
+    acFirstScan(out, zz, 6, 63, 1)  // scan 3: high band at Al=1
+    // scan 4: DC refinement Ah=1 -> Al=0 — one raw bit per block
+    writeSeg(out, 0xda, Array[Byte](1, 1, 0, 0, 0, 0x10))
+    locally {
+      val w = new BitWriter(out)
+      zz.foreach(z => w.put(z(0) & 1, 1))
+      w.flush()
+    }
+    acRefineScan(out, zz, 1, 5, 0)  // scan 5: low band Ah=1 -> Al=0
+    acRefineScan(out, zz, 6, 63, 0) // scan 6: high band Ah=1 -> Al=0
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   def build(id: Long, mode: String): Array[Byte] = mode match {
     case "garbage" => s"NOTJPEG|$id".getBytes("UTF-8")
+    case "prog" => buildProgressive(id)
     case "truncated" =>
       val full = build(id, "base")
       java.util.Arrays.copyOfRange(full, 0, full.length - 20)

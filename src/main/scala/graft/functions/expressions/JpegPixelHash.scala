@@ -215,6 +215,9 @@ object JpegPixelHash {
     var width = 0; var height = 0
     var restartInterval = 0
     var sofSeen = false
+    var progressive = false
+    var prog: ProgState = null
+    var entropySkipTo = -1
     var orientation = 1
 
     while (pos + 1 < b.length) {
@@ -225,7 +228,13 @@ object JpegPixelHash {
       val m = b(pos) & 0xff; pos += 1
       m match {
         case 0xd8 => return null                       // a second SOI: garbage
-        case 0xd9 => return null                       // EOI before any scan
+        case 0xd9 =>
+          // EOI: a progressive frame finishes HERE (scans accumulated);
+          // for baseline it means no scan was reached — garbage
+          if (prog == null) return null
+          val g = finishProgressive(prog, comps, quant, quantSeen)
+          val og = orient(g, orientation)
+          return if (og == null || og.w < 9 || og.h < 8) null else og
         case 0x01 => ()                                // TEM: standalone
         case x if x >= 0xd0 && x <= 0xd7 => ()         // stray RST: standalone
         case _ =>
@@ -271,8 +280,9 @@ object JpegPixelHash {
                 if (tc == 0) dcTables(th) = t else acTables(th) = t
                 p += 17 + total
               }
-            case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 baseline/extended, SOF2 progressive
               if (sofSeen) return null
+              progressive = m == 0xc2
               val prec = b(seg) & 0xff
               if (prec != 8) return null
               height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
@@ -293,14 +303,54 @@ object JpegPixelHash {
                 c += 1
               }
               sofSeen = true
-            case x if (x >= 0xc2 && x <= 0xcf) && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-              return null // progressive / arithmetic / lossless / hierarchical
+            case x if (x >= 0xc3 && x <= 0xcf) && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+              return null // arithmetic / lossless / hierarchical
             case 0xe1 => // APP1: EXIF orientation, if present and sane
               val o = exifOrientation(b, seg, len)
               if (o >= 1 && o <= 8) orientation = o
             case 0xdd => // DRI: body is the 2-byte restart interval
               if (len < 2) return null
               restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+            case 0xda if progressive => // SOS: one of the frame's many scans
+              if (!sofSeen) return null
+              if (prog == null) {
+                prog = ProgState.init(comps, width, height)
+                if (prog == null) return null
+              }
+              val ns = b(seg) & 0xff
+              if (ns < 1 || ns > comps.length || len < 4 + 2 * ns) return null
+              val scanComps = new Array[Component](ns)
+              var c = 0
+              while (c < ns) {
+                val cs = b(seg + 1 + 2 * c) & 0xff
+                val comp = comps.find(_.id == cs).orNull
+                if (comp == null) return null
+                comp.dcTbl = (b(seg + 2 + 2 * c) & 0xff) >> 4
+                comp.acTbl = b(seg + 2 + 2 * c) & 0x0f
+                if (comp.dcTbl > 3 || comp.acTbl > 3) return null
+                scanComps(c) = comp
+                c += 1
+              }
+              val o = seg + 1 + 2 * ns
+              if (o + 3 > b.length) return null
+              val ss = b(o) & 0xff
+              val se = b(o + 1) & 0xff
+              val ah = (b(o + 2) & 0xff) >> 4
+              val al = b(o + 2) & 0x0f
+              // T.81 G.1: DC scans are Ss=Se=0 (may interleave); AC scans
+              // are a single component over 1..63; refinements step one bit
+              if (ss > se || se > 63 || ah > 13 || al > 13) return null
+              if (ss == 0 && se != 0) return null
+              if (ss > 0 && ns != 1) return null
+              if (ah != 0 && ah != al + 1) return null
+              val entropyStart = seg + len
+              if (!progScan(b, entropyStart, prog, comps, scanComps,
+                ss, se, ah, al, restartInterval,
+                quant, quantSeen, dcTables, acTables)) return null
+              // the walk resumes at the next marker (more scans, DHT/DRI
+              // updates between them, finally EOI)
+              entropySkipTo = entropyEnd(b, entropyStart)
+
             case 0xda => // SOS — the one scan we decode
               if (!sofSeen) return null
               val ns = b(seg) & 0xff
@@ -328,7 +378,9 @@ object JpegPixelHash {
               return if (og == null || og.w < 9 || og.h < 8) null else og
             case _ => () // APPn / COM / anything else: skip
           }
-          pos = seg + len
+          pos =
+            if (entropySkipTo >= 0) { val p = entropySkipTo; entropySkipTo = -1; p }
+            else seg + len
       }
     }
     null // no SOS reached
@@ -545,6 +597,325 @@ object JpegPixelHash {
       y += 1
     }
     new PngPixelHash.Gray(px, w, h)
+  }
+
+  // ---- progressive (SOF2) decode ------------------------------------
+  // Multi-scan coefficient accumulation per ITU T.81 Annex G: spectral
+  // selection (each AC scan carries one zigzag band of ONE component)
+  // and successive approximation (first scans deliver coefficients at
+  // reduced precision Al, refinement scans append one bit each). Only
+  // the LUMA plane's coefficients are stored (the dHash contract —
+  // chroma scans advance the entropy stream or are skipped whole);
+  // dequantization + IDCT run once, at EOI, over the accumulated
+  // coefficients — exactly the samples a baseline re-encode of the same
+  // coefficients produces, so progressive↔baseline twins land at
+  // Hamming 0 (JpegSpec).
+
+  /** Accumulated progressive state: the luma coefficient store in ZIGZAG
+    * order per block on the PADDED MCU grid (interleaved DC scans cover
+    * padding blocks; non-interleaved AC scans cover the real grid only),
+    * plus the per-scan EOB-run register.
+    */
+  private final class ProgState(
+      val lumaBlocksW: Int, val lumaBlocksH: Int,
+      val realBlocksW: Int, val realBlocksH: Int,
+      val mcusX: Int, val mcusY: Int,
+      val hMax: Int, val vMax: Int,
+      val lw: Int, val lh: Int) {
+    val coef = new Array[Int](lumaBlocksW * lumaBlocksH * 64)
+    var eobrun = 0
+    var sawScan = false
+  }
+
+  private object ProgState {
+    def init(comps: Array[Component], width: Int, height: Int): ProgState = {
+      import PngPixelHash.{MaxDim, MaxPixels}
+      var hMax = 1; var vMax = 1
+      comps.foreach { c => hMax = math.max(hMax, c.h); vMax = math.max(vMax, c.v) }
+      val luma = comps(0)
+      val lw = (width.toLong * luma.h + hMax - 1) / hMax
+      val lh = (height.toLong * luma.v + vMax - 1) / vMax
+      if (lw < 9 || lw > MaxDim || lh < 8 || lh > MaxDim) return null
+      if (lw * lh > MaxPixels) return null
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      val bw = mcusX * luma.h
+      val bh = mcusY * luma.v
+      if (bw.toLong * bh * 64 > 8L * MaxPixels) return null
+      new ProgState(bw, bh,
+        ((lw + 7) / 8).toInt, ((lh + 7) / 8).toInt,
+        mcusX, mcusY, hMax, vMax, lw.toInt, lh.toInt)
+    }
+  }
+
+  /** First raw index at/after `from` holding a real marker (FF followed
+    * by neither a stuffed 00 nor an RSTn) — the end of a scan's entropy
+    * segment, found WITHOUT decoding (skipped chroma scans).
+    */
+  private def entropyEnd(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val nx = b(p + 1) & 0xff
+        if (nx != 0x00 && !(nx >= 0xd0 && nx <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    b.length
+  }
+
+  /** Decode one progressive scan into the accumulated state. Returns
+    * false on anything unclean. Scans of non-luma components that don't
+    * interleave with luma are SKIPPED (the caller advances by
+    * [[entropyEnd]] — entropy data never contains a bare marker).
+    */
+  private def progScan(
+      b: Array[Byte], entropyStart: Int, st: ProgState,
+      comps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      quant: Array[Array[Int]], quantSeen: Array[Boolean],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable]): Boolean = {
+    val luma = comps(0)
+    st.eobrun = 0
+    st.sawScan = true
+    // single-component scan of a component we don't store: skip whole
+    if (scanComps.length == 1 && (scanComps(0) ne luma)) return true
+    val r = new BitReader(b, entropyStart)
+    var rstNext = 0
+    scanComps.foreach(_.dcPred = 0)
+
+    def restart(mcu: Int): Boolean = {
+      if (restartInterval == 0 || mcu == 0 || mcu % restartInterval != 0) return true
+      r.align()
+      var p = r.pos
+      val limit = math.min(b.length - 1, p + 4)
+      while (p < limit &&
+        !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == (0xd0 + rstNext)))
+        p += 1
+      if (!(p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+        (b(p + 1) & 0xff) == (0xd0 + rstNext))) return false
+      r.resume(p + 2)
+      rstNext = (rstNext + 1) & 7
+      scanComps.foreach(_.dcPred = 0)
+      st.eobrun = 0
+      true
+    }
+
+    if (ss == 0) {
+      // ---- DC scan (interleaved or single-component) ----
+      if (ah == 0 && scanComps.exists(c => dcTables(c.dcTbl) == null)) return false
+      // geometry: interleaved scans walk the frame MCU grid; a
+      // single-component scan walks that component's real block grid
+      val interleaved = scanComps.length > 1
+      val (mcusX, mcusY) =
+        if (interleaved) (st.mcusX, st.mcusY)
+        else {
+          val c = scanComps(0)
+          (((st.lw.toLong * c.h / luma.h + 7) / 8).toInt, // == real blocks for luma
+            ((st.lh.toLong * c.v / luma.v + 7) / 8).toInt)
+        }
+      val nonLumaOnly = !scanComps.contains(luma)
+      if (nonLumaOnly) return true // single-comp chroma DC: skipped above; Ns>1 w/o luma: nothing stored but stream must advance... decode anyway
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (!restart(mcu)) return false
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          val isLuma = c eq luma
+          val (hh, vv) = if (interleaved) (c.h, c.v) else (1, 1)
+          var by = 0
+          while (by < vv) {
+            var bx = 0
+            while (bx < hh) {
+              val bxx = if (interleaved) mx * c.h + bx else mx
+              val byy = if (interleaved) my * c.v + by else my
+              if (ah == 0) {
+                val t = r.decode(dcTables(c.dcTbl))
+                if (t < 0 || t > 15) return false
+                val diff = r.extend(t)
+                if (r.bad) return false
+                c.dcPred += diff
+                if (isLuma)
+                  st.coef((byy * st.lumaBlocksW + bxx) * 64) = c.dcPred << al
+              } else {
+                val bit = r.bit()
+                if (bit < 0) return false
+                if (isLuma && bit == 1)
+                  st.coef((byy * st.lumaBlocksW + bxx) * 64) |= (1 << al)
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      true
+    } else {
+      // ---- AC scan: single component == luma (others skipped above) ----
+      val c = scanComps(0)
+      if (acTables(c.acTbl) == null) return false
+      val p1 = 1 << al
+      val m1 = -1 << al
+      val bw = st.realBlocksW
+      val bh = st.realBlocksH
+      var blk = 0
+      val total = bw * bh
+      while (blk < total) {
+        if (!restart(blk)) return false
+        val bi = ((blk / bw) * st.lumaBlocksW + (blk % bw)) * 64
+        if (ah == 0) {
+          // first scan of this band at this precision (T.81 G.1.2.2)
+          if (st.eobrun > 0) st.eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = r.decode(acTables(c.acTbl))
+              if (rs < 0) return false
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run < 15) {
+                  st.eobrun = (1 << run) - 1
+                  if (run > 0) {
+                    val extra = r.bits(run)
+                    if (extra < 0) return false
+                    st.eobrun += extra
+                  }
+                  done = true
+                } else k += 16 // ZRL
+              } else {
+                k += run
+                if (k > se) return false
+                st.coef(bi + k) = r.extend(size) << al
+                if (r.bad) return false
+                k += 1
+              }
+            }
+          }
+        } else {
+          // refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine):
+          // newly-significant coefficients arrive as ±1<<Al; every
+          // nonzero coefficient passed over contributes one correction bit
+          var k = ss
+          if (st.eobrun == 0) {
+            var inBlock = true
+            while (k <= se && inBlock) {
+              val rs = r.decode(acTables(c.acTbl))
+              if (rs < 0) return false
+              var run = rs >> 4; val size = rs & 0x0f
+              var newval = 0
+              if (size == 0) {
+                if (run < 15) {
+                  // refinement EOB-run counts the CURRENT block too: its
+                  // band tail still carries correction bits (the tail
+                  // loop below runs, then decrements) — T.81 G.1.2.3 /
+                  // libjpeg's EOBRUN = 1 << r
+                  st.eobrun = 1 << run
+                  if (run > 0) {
+                    val extra = r.bits(run)
+                    if (extra < 0) return false
+                    st.eobrun += extra
+                  }
+                  inBlock = false // remaining band handled by the EOB branch
+                }
+                // run == 15: ZRL — skip 16 zero-history coefficients
+              } else {
+                if (size != 1) return false // refinement codes only ±1
+                val sgn = r.bit()
+                if (sgn < 0) return false
+                newval = if (sgn == 1) p1 else m1
+              }
+              if (inBlock) {
+                var seek = true
+                while (k <= se && seek) {
+                  val v = st.coef(bi + k)
+                  if (v != 0) {
+                    val cb = r.bit()
+                    if (cb < 0) return false
+                    if (cb == 1 && (v & p1) == 0)
+                      st.coef(bi + k) = v + (if (v >= 0) p1 else m1)
+                  } else {
+                    if (run == 0) seek = false
+                    else run -= 1
+                  }
+                  if (seek) k += 1
+                }
+                if (newval != 0 && k <= se) st.coef(bi + k) = newval
+                k += 1
+              }
+            }
+          }
+          if (st.eobrun > 0) {
+            // EOB region: correction bits for the band's remaining
+            // nonzero coefficients only
+            while (k <= se) {
+              val v = st.coef(bi + k)
+              if (v != 0) {
+                val cb = r.bit()
+                if (cb < 0) return false
+                if (cb == 1 && (v & p1) == 0)
+                  st.coef(bi + k) = v + (if (v >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            st.eobrun -= 1
+          }
+        }
+        blk += 1
+      }
+      true
+    }
+  }
+
+  /** Dequantize + IDCT the accumulated luma coefficients, crop to the
+    * component's natural dims.
+    */
+  private def finishProgressive(
+      st: ProgState, comps: Array[Component],
+      quant: Array[Array[Int]], quantSeen: Array[Boolean]): PngPixelHash.Gray = {
+    if (st == null || !st.sawScan) return null
+    val luma = comps(0)
+    if (!quantSeen(luma.tq)) return null
+    val q = quant(luma.tq)
+    val pw = st.lumaBlocksW * 8
+    val coefNat = new Array[Int](64)
+    val pixel = new Array[Int](64)
+    val plane = new Array[Int](pw * st.lumaBlocksH * 8)
+    var by = 0
+    while (by < st.realBlocksH) {
+      var bx = 0
+      while (bx < st.realBlocksW) {
+        val bi = (by * st.lumaBlocksW + bx) * 64
+        java.util.Arrays.fill(coefNat, 0)
+        var k = 0
+        while (k < 64) {
+          coefNat(ZigZag(k)) = st.coef(bi + k) * q(k)
+          k += 1
+        }
+        idctIslow(coefNat, pixel)
+        var y = 0
+        while (y < 8) {
+          val row = (by * 8 + y) * pw + bx * 8
+          var x = 0
+          while (x < 8) { plane(row + x) = pixel(y * 8 + x); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val px = new Array[Int](st.lw * st.lh)
+    var y = 0
+    while (y < st.lh) {
+      System.arraycopy(plane, y * pw, px, y * st.lw, st.lw)
+      y += 1
+    }
+    new PngPixelHash.Gray(px, st.lw, st.lh)
   }
 
   // ---- fixed-point integer IDCT -------------------------------------

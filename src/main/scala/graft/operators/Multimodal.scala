@@ -438,6 +438,30 @@ object Multimodal {
     base.unionByName(twins).unionByName(exifTwins)
   }
 
+  /** The PROGRESSIVE-delivery corpus (r16): baseline bases with planted
+    * `jpegtran -progressive` twins at `id + 100000` for `id < 20` — the
+    * SAME coefficients re-delivered as a real SOF2 multi-scan stream (DC
+    * successive approximation, two spectral-selection AC bands each
+    * refined Al=1→0), which decodes to bit-identical samples ⇒ Hamming
+    * EXACTLY 0. Corrupt rows (`id >= 20`): `%13` progressive torn
+    * mid-scan, `%17` the SOF2-FLIPPED header whose baseline scan script
+    * Annex G forbids — both hash NULL and stay covered by the byte-level
+    * family.
+    */
+  def jpegProgressiveCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticJpeg
+    val id = col(idCol).cast("long")
+    val torn = substring(syntheticJpeg(id, "prog"), 1, 160)
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 20 && pmod(id, lit(13)) === 0, torn)
+        .when(id >= 20 && pmod(id, lit(17)) === 0, syntheticJpeg(id, "progressive"))
+        .otherwise(syntheticJpeg(id, "base")).as("payload"))
+    val twins = docs.filter(id < 20).select(
+      (id + 100000L).as("media_id"), syntheticJpeg(id, "prog").as("payload"))
+    base.unionByName(twins)
+  }
+
   /** JPEG pixel-level fingerprint projection: `(media_id, pxhash)` via the
     * codegen'd [[graft.functions.expressions.JpegPixelHash]] — NULL pxhash
     * for anything not cleanly-decodable baseline (progressive, torn,

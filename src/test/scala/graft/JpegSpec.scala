@@ -41,8 +41,11 @@ class JpegSpec extends SparkSpec {
       s"closest non-twin pair at Hamming ${nonTwin.min} — inside the pair threshold")
   }
 
-  test("truncated / garbage / progressive variants decode to NULL, never throw") {
+  test("truncated / garbage / invalid-progressive variants decode to NULL, never throw") {
     (25L until 60L).foreach { id =>
+      // "progressive" is the SOF2-FLIPPED base: its single scan keeps the
+      // baseline Ss=0..Se=63 script, which Annex G forbids — the
+      // progressive path must reject it, not misdecode it
       Seq("truncated", "garbage", "progressive").foreach { m =>
         assert(JpegPixelHash.hash(JpegFixture.build(id, m)) == null,
           s"$m fixture $id must hash NULL")
@@ -50,6 +53,96 @@ class JpegSpec extends SparkSpec {
     }
     assert(JpegPixelHash.hash(null) == null)
     assert(JpegPixelHash.hash(Array.emptyByteArray) == null)
+  }
+
+  test("progressive re-encode twins (SA + spectral selection) hash IDENTICALLY") {
+    (0L until 25L).foreach { id =>
+      val bytes = JpegFixture.build(id, "prog")
+      assert((2 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+        "prog fixture must carry SOF2")
+      val p = JpegPixelHash.hash(bytes)
+      assert(p != null, s"progressive twin $id must decode")
+      assert(ham(p, baseHash(id)) == 0,
+        s"id $id: same coefficients delivered progressively must hash at Hamming 0")
+    }
+  }
+
+  test("torn progressive streams decode to NULL, never throw") {
+    (0L until 25L).foreach { id =>
+      val full = JpegFixture.build(id, "prog")
+      // cut at several depths: mid-header, mid-early-scan, mid-last-scan
+      Seq(full.length / 4, full.length / 2, full.length - 20).foreach { n =>
+        assert(JpegPixelHash.hash(java.util.Arrays.copyOfRange(full, 0, n)) == null,
+          s"prog fixture $id cut at $n must hash NULL")
+      }
+    }
+  }
+
+  test("ImageIO-ENCODED progressive color 4:2:0: the multi-scan path matches ImageIO's own decode") {
+    // an independent encoder's scan script (libjpeg jpeg_simple_progression:
+    // interleaved DC at Al=1, AC successive approximation with EOB-runs)
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + (x * 3) % 180
+      val g = 200 - (y * 3) % 160
+      val b = 60 + ((x + y) * 2) % 150
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    val bytes = bos.toByteArray
+    // prove it IS progressive: an SOF2 marker must be present
+    assert((2 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "ImageIO must have emitted SOF2")
+    val ours = JpegPixelHash.hash(bytes)
+    assert(ours != null, "ImageIO's progressive color JPEG must decode")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = back.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+    }
+    val iio = PngPixelHash.dhash(px, w, h)
+    assert(ham(iio.longValue(), ours.longValue()) <= 4,
+      s"progressive color JPEG: luma-dHash differential at Hamming ${ham(iio, ours)}")
+  }
+
+  test("ImageIO-ENCODED progressive grayscale JPEG matches its own decode") {
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, 30 + (x * 5 + y * 3) % 200)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    val bytes = bos.toByteArray
+    assert((2 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "ImageIO must have emitted SOF2")
+    val ours = JpegPixelHash.hash(bytes)
+    assert(ours != null, "ImageIO's progressive gray JPEG must decode")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) px(y * w + x) = back.getRaster.getSample(x, y, 0)
+    val iio = PngPixelHash.dhash(px, w, h)
+    assert(ham(iio.longValue(), ours.longValue()) <= 2,
+      s"progressive gray JPEG differential at Hamming ${ham(iio, ours)}")
   }
 
   test("ImageIO differential on our gray fixtures: an independent decoder sees the same image") {
