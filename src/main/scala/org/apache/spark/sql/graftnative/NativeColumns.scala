@@ -308,6 +308,16 @@ object NativeColumns {
     Column(ExpressionColumnNode(graft.functions.expressions.DocxText(
       ExpressionUtils.expression(payload))))
 
+  /** HTTP/1.1 chunked transfer-coding reassembly (RFC 9112 §7.1) over
+    * body bytes — the raw-capture leg of the crawl extraction chain
+    * (WARC response payloads often keep the transfer coding). NULL on
+    * any framing violation — see
+    * [[graft.functions.expressions.HttpChunkedDecode]].
+    */
+  def httpUnchunk(body: Column): Column =
+    Column(ExpressionColumnNode(graft.functions.expressions.HttpChunkedDecode(
+      ExpressionUtils.expression(body))))
+
   /** Deterministic synthetic DOCX generator over a long id column
     * (fixture corpora only — see
     * [[graft.functions.expressions.DocxFixture]]).

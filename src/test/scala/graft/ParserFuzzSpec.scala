@@ -247,8 +247,49 @@ class ParserFuzzSpec extends AnyFunSuite {
       graft.functions.expressions.FlacContentHash.hash(payload)
       // and to the PDF xref/object/content-stream walk (r14)
       graft.functions.expressions.PdfText.extract(payload)
+      // and to the HTTP chunked-framing reassembly (r16): null or a
+      // strictly-smaller byte payload, never a throw
+      val un = graft.functions.expressions.HttpChunkedDecode.decode(payload)
+      if (un != null) assert(un.length <= payload.length,
+        "de-chunked bytes can never exceed the framed input")
       i += 1
     }
+  }
+
+  test("HttpChunkedDecode: round-trips well-formed framings; rejects malformed ones as null") {
+    import graft.functions.expressions.HttpChunkedDecode.decode
+    def enc(parts: Seq[Array[Byte]], trailer: String = ""): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { p =>
+        out.write(s"${p.length.toHexString}\r\n".getBytes("ISO-8859-1"))
+        out.write(p); out.write("\r\n".getBytes("ISO-8859-1"))
+      }
+      out.write(s"0\r\n$trailer\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val parts = (0 to rnd.nextInt(4)).map { _ =>
+        val b = new Array[Byte](1 + rnd.nextInt(300)); rnd.nextBytes(b); b
+      }
+      val whole = parts.toArray.flatten
+      assert(java.util.Arrays.equals(decode(enc(parts)), whole), "plain round-trip")
+      assert(java.util.Arrays.equals(
+        decode(enc(parts, "X-Trailer: v\r\n")), whole), "trailer round-trip")
+    }
+    // chunk extension after the size; uppercase hex
+    assert(new String(decode(
+      "5;ext=1\r\nhello\r\n2\r\nhi\r\n0\r\n\r\n".getBytes("ISO-8859-1")),
+      "ISO-8859-1") == "hellohi")
+    assert(new String(decode(
+      "A\r\n0123456789\r\n0\r\n\r\n".getBytes("ISO-8859-1")), "ISO-8859-1") ==
+      "0123456789")
+    // malformed: non-hex size, size past buffer, missing CRLFs, truncation
+    assert(decode("zz\r\nhi\r\n0\r\n\r\n".getBytes("ISO-8859-1")) == null)
+    assert(decode("ff\r\nshort\r\n0\r\n\r\n".getBytes("ISO-8859-1")) == null)
+    assert(decode("2\r\nhiXX0\r\n\r\n".getBytes("ISO-8859-1")) == null)
+    assert(decode("2\r\nhi\r\n0\r\n".getBytes("ISO-8859-1")) == null) // no final CRLF
+    assert(decode(Array.emptyByteArray) == null)
   }
 
   test("GifPixelHash: fuzzing DECODABLE GIFs (truncations, bit flips, splices) never throws") {
@@ -297,7 +338,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     val bases = Seq(
       JpegFixture.build(1L, "base"),
       JpegFixture.build(2L, "framing"),
-      JpegFixture.build(3L, "quant"))
+      JpegFixture.build(3L, "quant"),
+      // multi-scan progressive streams: mutations land in scan headers,
+      // EOB-runs, and refinement correction bits (r16)
+      JpegFixture.build(4L, "prog"),
+      JpegFixture.build(5L, "prog"))
     var i = 0
     while (i < 2000) {
       val b = bases(rnd.nextInt(bases.length))
