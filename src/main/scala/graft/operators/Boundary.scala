@@ -26,12 +26,32 @@ sealed trait Boundary {
 }
 
 object Boundary {
+  /** Total MATERIALIZING applications ([[Local]]/[[AtPath]]; [[None]]
+    * never counts) — the observable PlanSpec's planView-coverage
+    * contract derives from: a registry query whose `run` moves this
+    * counter crosses a boundary and must expose a lazy `planView` twin,
+    * so plan-hygiene sweeps can never be blinded by a checkpoint. Purely
+    * diagnostic; never read on a data path.
+    */
+  private[graft] val crossings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Count a materialization performed OUTSIDE [[Boundary.apply]] — a
+    * persist-based stage cache (the assembly pattern) or an
+    * aggregate-action build (the bloom join's filter) — toward the same
+    * derived planView contract: the plan the consumer sees afterwards
+    * hides work exactly like a checkpoint does.
+    */
+  private[graft] def recordExternal(): Unit = crossings.incrementAndGet()
+
   case object None extends Boundary {
     def apply(df: DataFrame): DataFrame = df
   }
 
   case object Local extends Boundary {
-    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    def apply(df: DataFrame): DataFrame = {
+      crossings.incrementAndGet()
+      df.localCheckpoint()
+    }
   }
 
   /** Each application lands in its own subdirectory, so one AtPath instance
@@ -40,6 +60,7 @@ object Boundary {
   final case class AtPath(dir: String) extends Boundary {
     private val n = new java.util.concurrent.atomic.AtomicInteger
     def apply(df: DataFrame): DataFrame = {
+      crossings.incrementAndGet()
       val sub = s"$dir/b${n.getAndIncrement()}"
       df.write.mode("overwrite").parquet(sub)
       df.sparkSession.read.parquet(sub)

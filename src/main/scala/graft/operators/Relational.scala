@@ -273,6 +273,10 @@ object Relational {
         .getOrElse(throw new IllegalArgumentException(
           s"bloomFilteredJoin: join keys have incompatible types $bigT vs $smallT"))
     val joined = big.join(small, big(bigKey) === small(smallKey), "inner")
+    // the filter build is an aggregate ACTION: a materialization boundary
+    // for the derived planView contract (the returned plan carries the
+    // bloom as an opaque broadcast literal)
+    Boundary.recordExternal()
     val bloom = small
       .agg(NativeColumns.bloomFilterAgg(
         xxhash64(col(smallKey).cast(common)), expectedItems, numBits))

@@ -297,7 +297,12 @@ object FeaturePipeline {
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def mat(df: DataFrame): DataFrame =
       if (boundary == Boundary.None) df
-      else { persisted += df; df.persist(StorageLevel.MEMORY_AND_DISK) }
+      else {
+        // a persist is a materialization boundary for the derived
+        // planView contract even though it bypasses Boundary.apply
+        Boundary.recordExternal()
+        persisted += df; df.persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val e = mat(evDf(s, d))
     val borrow = mat(eventsShaped(e, "purchase"))
     val repay = eventsShaped(e, "error")

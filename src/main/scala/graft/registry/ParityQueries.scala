@@ -1767,7 +1767,8 @@ object ParityQueries {
       fin AS (SELECT user_id, seq AS last_seq, event_type AS last_type
         FROM w WHERE rn = 1 AND op <> 'D')
       SELECT last_type, COUNT(*) AS n, CAST(SUM(last_seq) AS BIGINT) AS sum_last_seq
-      FROM fin GROUP BY 1"""))
+      FROM fin GROUP BY 1"""),
+    bench = true)
 
   /** The ALWAYS-ON CDF loop ([[graft.streaming.Streams
     * .feedConsumeAvailableNow]]): change records arrive as TWO
@@ -2184,7 +2185,8 @@ object ParityQueries {
         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
           (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC) AS rn FROM ch)
       SELECT user_id, seq AS last_seq, event_type AS last_type, value AS last_value
-      FROM w WHERE rn = 1 AND op <> 'D'"""))
+      FROM w WHERE rn = 1 AND op <> 'D'"""),
+    bench = true)
 
   /** RIGHT-TO-BE-FORGOTTEN sweep over the bucketed CDC snapshot
     * ([[graft.operators.Cdc.eraseKeys]]): the `snk_cdc_apply_bucketed`
@@ -2399,7 +2401,8 @@ object ParityQueries {
       r AS (SELECT user_id, COUNT(*) AS n_even, MIN(event_id) AS min_even
         FROM ev WHERE event_id % 2 = 0 GROUP BY 1)
       SELECT l.user_id, l.n_events, l.max_event, r.n_even, r.min_even
-      FROM l JOIN r ON l.user_id = r.user_id WHERE l.user_id % 17 <> 3"""))
+      FROM l JOIN r ON l.user_id = r.user_id WHERE l.user_id % 17 <> 3"""),
+    bench = true)
 
   /** PER-BUCKET BLOOM SIDECARS ([[graft.operators.BucketedSnapshots]]
     * `bloomColumns`/`readCurrentEquals`): commit-time filters over a

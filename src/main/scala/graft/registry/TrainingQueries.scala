@@ -221,7 +221,8 @@ object TrainingQueries {
           SELECT doc_id, unnest(range(q, q + 6)) AS p FROM dw) GROUP BY 1)
       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         CAST(COALESCE(cov.cv, 0) AS BIGINT) AS covered_tokens
-      FROM t LEFT JOIN cov USING (doc_id)"""))
+      FROM t LEFT JOIN cov USING (doc_id)"""),
+    bench = true)
 
   /** Span-level duplicate fractions (arXiv:2107.06499): every stage —
     * positional trigram windows with multiplicity, gram document
@@ -534,7 +535,24 @@ object TrainingQueries {
     },
     Some(s"""WITH RECURSIVE $augCte, ${simhashCtes("aug")}, $ccCloseCtes
         SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster_id
-        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""))
+        FROM aug d LEFT JOIN cl ON cl.node = d.doc_id"""),
+    // pre-boundary plan: the pair-sketch stage fully lazy (the CC rounds
+    // inside still checkpoint — see pipeline_corpus_clean's planView note)
+    planView = Some((s, d) => {
+      val docs = augmentedDocs(Tables.documents(s, d))
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, tokenHash = Dedup.Md5ShingleHash,
+        boundary = graft.operators.Boundary.None)
+      val day1 = pairs.filter(pmod(col("doc_id_1"), lit(2)) === 0)
+      val day2 = pairs.filter(pmod(col("doc_id_1"), lit(2)) === 1)
+      val assignment = Dedup.connectedComponents(day1, "doc_id_1", "doc_id_2")
+      val cc = Dedup
+        .connectedComponentsIncremental(assignment, day2, "doc_id_1", "doc_id_2")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    }))
 
   private val dedupClusterAssign = Q(
     "dedup_cluster_assign",
@@ -2975,7 +2993,8 @@ object TrainingQueries {
     Some(s"""WITH ${byteBpeCtes()}
       SELECT d.doc_id, COALESCE(b.n_tokens, 0) AS n_tokens,
         COALESCE(b.id_checksum, 0) AS id_checksum
-      FROM documents d LEFT JOIN bbdstat b ON d.doc_id = b.doc_id"""))
+      FROM documents d LEFT JOIN bbdstat b ON d.doc_id = b.doc_id"""),
+    bench = true)
 
   /** Tokenizer fertility report ([[graft.functions.Bpe]] eval): per
     * language, tokens-per-word and chars-per-token under the trained
@@ -3896,6 +3915,33 @@ object TrainingQueries {
       Multimodal.pixelJpegCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
       boundary = graft.operators.Boundary.None)))
 
+  /** PROGRESSIVE JPEG near-dup (r16, [[Multimodal.jpegPairs]] over
+    * [[Multimodal.jpegProgressiveCorpus]]): the decoder's SOF2 multi-scan
+    * path — spectral selection, successive approximation (DC Al=1 +
+    * refinement, AC bands Al=1→0 with EOB-runs, ZRL folding, buffered
+    * correction bits per T.81 Annex G) — accumulates the coefficient
+    * store scan by scan and IDCTs once at EOI, so the planted
+    * `jpegtran -progressive` twins carry base's EXACT coefficients and
+    * the oracle asserts Hamming EXACTLY 0. Torn-mid-scan and
+    * invalid-scan-script (baseline Ss=0..Se=63 under SOF2) rows hash
+    * NULL and drop out. Oracle: the planted-pair derivation from ids
+    * (the decode is differentially verified against ImageIO's OWN
+    * progressive encodes — color 4:2:0 interleaved-DC and grayscale —
+    * and fuzzed never-throw in ParserFuzzSpec/JpegSpec).
+    */
+  private val dedupJpegProgressiveNearDup = Q(
+    "dedup_jpeg_progressive_neardup",
+    (s, d) => Multimodal.jpegPairs(
+      Multimodal.jpegProgressiveCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4)
+      .withColumn("hamming", col("hamming").cast("long")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 20"""),
+    planView = Some((s, d) => Multimodal.jpegPairs(
+      Multimodal.jpegProgressiveCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 4,
+      boundary = graft.operators.Boundary.None)
+      .withColumn("hamming", col("hamming").cast("long"))))
+
   /** Audio twin of [[dedupImageNearDup]] — little-endian RIFF headers, the
     * %13 garbage rows, same planted twins; one fingerprint family serves
     * every modality because the hash math is byte-source-agnostic.
@@ -4026,6 +4072,7 @@ object TrainingQueries {
       SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id < 25
       UNION ALL
       SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id < 25"""),
+    bench = true,
     planView = Some((s, d) => Multimodal.webpPairs(
       Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
       boundary = graft.operators.Boundary.None)
@@ -4232,15 +4279,21 @@ object TrainingQueries {
     * extraction — records are BINARY end-to-end so the compressed PDF
     * body survives the WARC framing. Each page ships with a planted 404
     * sibling record the status gate must drop; torn shards (`%13`)
-    * parse NULL and drop whole. Oracle: the clean HTML text re-derived
-    * from `documents.text` through the SQL twin of the extraction
-    * chain, UNION the PDF text re-derived from the fixture contract,
-    * restricted to the non-torn 200s.
+    * parse NULL and drop whole. (r16) A `%5 = 2` slice of pages keeps
+    * its `Transfer-Encoding: chunked` framing — real WARC captures
+    * store raw response bytes — and reassembles through the native
+    * [[org.apache.spark.sql.graftnative.NativeColumns.httpUnchunk]]
+    * decoder (hex chunk sizes, extensions, trailer section) BEFORE the
+    * extractors run. Oracle: the clean HTML text re-derived from
+    * `documents.text` through the SQL twin of the extraction chain,
+    * UNION the PDF text re-derived from the fixture contract,
+    * restricted to the non-torn 200s — UNCHANGED by the chunked slice,
+    * which makes the oracle itself the de-chunking differential.
     */
   private val pipelineCrawlExtract = Q(
     "pipeline_crawl_extract",
     (s, d) => {
-      import org.apache.spark.sql.graftnative.NativeColumns.{docxText, pdfText, syntheticDocx, syntheticPdf, warcRecords}
+      import org.apache.spark.sql.graftnative.NativeColumns.{docxText, httpUnchunk, pdfText, syntheticDocx, syntheticPdf, warcRecords}
       val id = col("doc_id").cast("long")
       val page = htmlSalted(Tables.documents(s, d).select("doc_id", "text"))
       // records are BINARY end-to-end (r14): the PDF branch's body is
@@ -4255,6 +4308,24 @@ object TrainingQueries {
         bodyBin, encode(lit("\r\n\r\n"), "UTF-8"))
       val htmlBody = encode(concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html")), "UTF-8")
+      // a slice of pages arrives with the transfer coding INTACT (real
+      // WARC captures store raw response bytes — warcio only de-chunks
+      // when asked): two hex-sized chunks + a trailer header. The
+      // de-chunked text must equal the plain record's, so the UNCHANGED
+      // oracle is itself the differential for the chunked decoder.
+      val htmlBin = encode(col("html"), "UTF-8")
+      val c1n = least(octet_length(htmlBin), lit(17))
+      val c1 = htmlBin.substr(lit(1), c1n)
+      val c2 = htmlBin.substr(c1n + 1, octet_length(htmlBin))
+      val crlf = encode(lit("\r\n"), "UTF-8")
+      val chunkedHtml = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), "UTF-8"),
+        encode(lower(hex(c1n)), "UTF-8"), crlf, c1, crlf,
+        when(octet_length(c2) > 0, concat(
+          encode(lower(hex(octet_length(c2))), "UTF-8"), crlf, c2, crlf))
+          .otherwise(lit(Array.emptyByteArray)),
+        encode(lit("0\r\nX-Crawl-Trailer: ok\r\n\r\n"), "UTF-8"))
       val notFound = encode(
         lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot found"), "UTF-8")
       val pdfBody = concat(
@@ -4265,8 +4336,10 @@ object TrainingQueries {
       val docxBody = concat(
         encode(lit(s"HTTP/1.1 200 OK\r\nContent-Type: $docxCt\r\n\r\n"), "UTF-8"),
         syntheticDocx(id, "deflated"))
+      val pageRec = when(pmod(id, lit(5)) === 2, recOf(chunkedHtml, "/page"))
+        .otherwise(recOf(htmlBody, "/page"))
       val whole = concat(
-        recOf(htmlBody, "/page"), recOf(notFound, "/missing"),
+        pageRec, recOf(notFound, "/missing"),
         recOf(pdfBody, "/doc.pdf"), recOf(docxBody, "/doc.docx"))
       val payload = when(pmod(id, lit(13)) === 0,
         substring(whole, 1, 200)) // torn shard
@@ -4288,14 +4361,20 @@ object TrainingQueries {
         .filter(col("status") === 200) // the 404 sibling drops here
         .withColumn("ctype", regexp_extract(col("head"), "Content-Type: ([^\r\n]+)", 1))
         .withColumn("off", col("hdrEnd") + 4) // ASCII region: char pos == byte pos
+        // transfer coding: a chunked capture reassembles BEFORE any
+        // extractor sees the bytes (httpUnchunk — NULL framing drops the
+        // record like every other malformed leg)
+        .withColumn("te",
+          regexp_extract(col("head"), "Transfer-Encoding: ([^\r\n]+)", 1))
+        .withColumn("bodyraw", col("raw").substr(col("off"), octet_length(col("raw"))))
+        .withColumn("body",
+          when(col("te") === "chunked", httpUnchunk(col("bodyraw")))
+            .otherwise(col("bodyraw")))
+        .filter(col("body").isNotNull)
         .select(col("doc_id"), col("ctype"),
-          when(col("ctype") === "application/pdf",
-            pdfText(col("raw").substr(col("off"), octet_length(col("raw")))))
-            .when(col("ctype") === docxCt,
-              docxText(col("raw").substr(col("off"), octet_length(col("raw")))))
-            .otherwise(Text.extractHtmlText(
-              decode(col("raw"), "UTF-8")
-                .substr(col("off"), octet_length(col("raw")).cast("int"))))
+          when(col("ctype") === "application/pdf", pdfText(col("body")))
+            .when(col("ctype") === docxCt, docxText(col("body")))
+            .otherwise(Text.extractHtmlText(decode(col("body"), "UTF-8")))
             .as("clean"))
     },
     Some(s"""SELECT doc_id, 'text/html' AS ctype, ${htmlChainSql(htmlSaltSql)} AS clean
@@ -5339,7 +5418,7 @@ object TrainingQueries {
       graft.streaming.Streams.corpusServeAvailableNow(stream,
         s"$base/state", s"$base/serve", s"$base/ckpt", "doc_id", "text")
         .awaitTermination()
-      graft.operators.Cdc.readTableBucketed(s, s"$base/serve")
+      graft.operators.BucketedSnapshots.readTable(s, s"$base/serve")
     },
     Some(s"""WITH RECURSIVE
       gq AS (SELECT doc_id, text FROM documents WHERE ${QSql.score} >= 0.6),
@@ -5820,7 +5899,8 @@ object TrainingQueries {
     multimodalDecode, multimodalFrameSample, multimodalImageDims,
     multimodalAudioMeta, multimodalVideoMeta, multimodalPhash, dedupImageNearDup,
     dedupImagePixelNearDup, dedupImagePixelClusters,
-    dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupAudioNearDup,
+    dedupJpegPixelNearDup, dedupJpegPixelClusters, dedupJpegProgressiveNearDup,
+    dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupWebpPixelNearDup, dedupWebpPixelClusters,
     dedupWebpLossyNearDup, dedupWebpLossyClusters,

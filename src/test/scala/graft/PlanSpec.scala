@@ -35,7 +35,12 @@ class PlanSpec extends SparkSpec {
     // r11: ORC roundtrip / hilbert sink / agg-state fold / the two real
     // drains all write in run(); their hygiene lives in their own specs
     "src_orc_roundtrip", "layout_hilbert", "snk_agg_incremental",
-    "streaming_sequence_match", "streaming_cms_ingest", "streaming_aggstate_ingest")
+    "streaming_sequence_match", "streaming_cms_ingest", "streaming_aggstate_ingest",
+    // r16: the foreachBatch dedup/serve loops run availableNow streams and
+    // write state + serve tables in run(); their plan hygiene (per-batch
+    // shapes, replay safety) lives in StreamsSpec
+    "streaming_lsh_dedup", "streaming_pixel_dedup", "streaming_jpeg_dedup",
+    "streaming_webp_dedup", "streaming_audio_dedup", "pipeline_streaming_serve")
 
   /** Sanctioned nested-loop sites: exact brute-force top-k is a cross
     * product by definition, and the quantized two-phase variant scans the
@@ -77,6 +82,33 @@ class PlanSpec extends SparkSpec {
         if (bad.nonEmpty) Some(s"${q.name}: ${bad.mkString(", ")}") else None
       }
     assert(offenders.isEmpty, s"quadratic joins found:\n${offenders.mkString("\n")}")
+  }
+
+  test("planView is present exactly where run() crosses a boundary (derived, not hand-listed)") {
+    graft.sources.Tables.configure(spark)
+    // DERIVED contract (r15 verdict #5): Boundary.Local/AtPath count
+    // their materializations, so the set of boundary-crossing queries is
+    // OBSERVED per run() — a new family that routes a boundary without a
+    // planView fails here with a pointed message, and no hand list can
+    // go stale. Effectful queries (writes/streams) are covered by their
+    // own specs and skipped, as in the cartesian sweep above.
+    val offenders = Registry.all.filterNot(q => effectful(q.name)).flatMap { q =>
+      val before = graft.operators.Boundary.crossings.get()
+      q.run(spark, sf)
+      val crossed = graft.operators.Boundary.crossings.get() > before
+      if (crossed && q.planView.isEmpty)
+        Some(s"${q.name}: run() crosses a materialization boundary but exposes no " +
+          "planView — plan-hygiene sweeps cannot see through a checkpoint; add a " +
+          "Boundary.None twin")
+      else if (!crossed && q.planView.isDefined)
+        Some(s"${q.name}: declares a planView but run() never crossed a boundary — " +
+          "drop the twin or route the boundary")
+      else None
+    }
+    // free the ~40 boundary queries' checkpoint blocks before later tests
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    assert(offenders.isEmpty, s"planView contract violations:\n${offenders.mkString("\n")}")
   }
 
   test("moving-sum window reuses the aggregation's exchange — one shuffle total") {

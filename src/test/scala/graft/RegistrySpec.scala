@@ -60,48 +60,9 @@ class RegistrySpec extends AnyFunSuite {
     assert(keys.nonEmpty)
   }
 
-  test("planView is present exactly where run() crosses a boundary (spot contract)") {
-    // the boundary-crossing queries — keep in sync when a new operator
-    // takes a Boundary parameter with a Local default (r7 added the four
-    // simhashPairs-derived programs when its persist became a boundary)
-    val expected = Set("feature_assembly", "dedup_semantic", "pipeline_corpus_clean",
-      "pipeline_corpus_clean_html", "pipeline_training_build", "pipeline_training_build_bpe",
-      "dedup_exact_bloom_ingest", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
-      "dedup_minhash_incremental", "text_tfidf_topterms",
-      "dedup_simhash_pairs", "dedup_cluster_assign", "dedup_cluster_keep_best",
-      "dedup_cluster_split",
-      // r10: the perceptual near-dup family routes hammingPairs64's
-      // signature boundary
-      "dedup_image_neardup", "dedup_audio_neardup", "dedup_media_neardup_clusters",
-      // r10: bm25's inverted index is tf-materialized (three consumers)
-      "text_bm25_retrieve",
-      // r10: hybrid fusion routes bm25Retrieve, so it inherits the boundary
-      "text_hybrid_retrieve",
-      // r10: the LSH-vs-exact eval routes minhashLsh's signature boundary,
-      // the leakage audit routes simhashPairs'
-      "eval_lsh_dedup", "eval_split_leakage",
-      // r11: the bloom join's filter build is a tiny aggregate action —
-      // the lazy twin is the PLAIN join (bloom-free), value-identical by
-      // the no-false-negatives argument
-      "join_bloom_filtered",
-      // r12: the pixel-level near-dup family routes hammingPairs64's
-      // signature boundary like the byte-level family
-      "dedup_image_pixel_neardup", "dedup_image_pixel_clusters",
-      // r13: the JPEG pixel family routes the same boundary
-      "dedup_jpeg_pixel_neardup", "dedup_jpeg_pixel_clusters",
-      // r13: the GIF, audio-envelope, and video poster-frame families
-      // route the same hammingPairs64 signature boundary
-      "dedup_gif_pixel_neardup", "dedup_gif_pixel_clusters",
-      "dedup_audio_content_neardup", "dedup_audio_content_clusters",
-      "dedup_video_frame_neardup", "dedup_video_frame_clusters",
-      // r14: the WebP pixel and WAV<->FLAC cross-container families route
-      // the same hammingPairs64 signature boundary
-      "dedup_webp_pixel_neardup", "dedup_webp_pixel_clusters",
-      "dedup_flac_audio_neardup", "dedup_flac_audio_clusters",
-      // r15: the lossy-VP8 family routes the same boundary
-      "dedup_webp_lossy_neardup", "dedup_webp_lossy_clusters")
-    val got = Registry.all.filter(_.planView.isDefined).map(_.name).toSet
-    assert(got == expected,
-      s"planView coverage drifted; missing=${(expected -- got).mkString(",")} extra=${(got -- expected).mkString(",")}")
-  }
+  // The planView-coverage contract lives in PlanSpec ("planView is
+  // present exactly where run() crosses a boundary (derived)"): it is
+  // DERIVED from Boundary.crossings instrumentation per run(), replacing
+  // the hand-maintained name list that broke on exactly the
+  // new-family-forgets-the-list pattern in rounds 14 and 15.
 }

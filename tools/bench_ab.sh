@@ -37,9 +37,17 @@ python3 - "$HEADLINE" "$REFLINE" <<'EOF'
 import json, sys
 h = json.loads(sys.argv[1].split(" ", 1)[1])
 r = json.loads(sys.argv[2].split(" ", 1)[1])
-print(f"ratio HEAD/REF total: {h['value']/r['value']:.3f} ({h['value']:.2f}s vs {r['value']:.2f}s)")
-per = {q: h["queries"][q] / r["queries"][q]
-       for q in h["queries"] if r["queries"].get(q, 0) > 0}
+# compare over the SHARED query set only: a round that widens the bench
+# surface must not read as a total-time regression against the older REF
+shared = [q for q in h["queries"] if r["queries"].get(q, 0) > 0]
+hs = sum(h["queries"][q] for q in shared)
+rs = sum(r["queries"][q] for q in shared)
+print(f"ratio HEAD/REF shared-total: {hs/rs:.3f} ({hs:.2f}s vs {rs:.2f}s over {len(shared)} shared queries)")
+per = {q: h["queries"][q] / r["queries"][q] for q in shared}
 worst = sorted(per.items(), key=lambda kv: -kv[1])[:5]
 print("worst per-query ratios:", ", ".join(f"{q}={v:.2f}" for q, v in worst))
+new_only = sorted(q for q in h["queries"] if q not in per)
+if new_only:
+    print("HEAD-only queries (no REF baseline):",
+          ", ".join(f"{q}={h['queries'][q]:.2f}s" for q in new_only))
 EOF
