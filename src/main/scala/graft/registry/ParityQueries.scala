@@ -1846,6 +1846,50 @@ object ParityQueries {
         COALESCE(u.n, b.n) AS "nEvents"
       FROM base b FULL OUTER JOIN upd u ON b.wa = u.wa"""))
 
+  /** EXTERNAL document-store (features-db) sink
+    * ([[graft.operators.DocStoreSink.upsertDocuments]] through the
+    * [[graft.sources.DocStore]] SPI): the reference's MongoDB leg —
+    * key-matched bulk upserts of the serve-schema feature documents
+    * (save_defi_features_features_db.py:28-34, chunk fan-out :78-84) —
+    * re-expressed as a foreachPartition writer: documents built
+    * column-side (`to_json(struct)`, codegen'd), ONE connection per
+    * partition, batched bulk writes, exponential-backoff retries, and
+    * at-least-once task execution made exactly-once IN EFFECT by the
+    * store's key-matched seq-guarded replace (DocStoreSinkSpec drives
+    * retries, replays, out-of-order seqs, and CDC tombstones through the
+    * failure-injectable [[graft.sources.MemDocStore]]). run() pushes the
+    * aggregate TWICE — the reference's daily replay — and reads the store
+    * back; equality with the single-push oracle IS the idempotence claim.
+    */
+  private val docStoreUpsert = Q(
+    "snk_docstore_upsert",
+    (s, d) => {
+      val name = "registry_snk_docstore"
+      graft.sources.MemDocStore.clear(name)
+      val feats = evDf(s, d)
+        .groupBy(concat(lit("0xw"), col("user_id").cast("string")).as("wallet_address"))
+        .agg(dsum(col("value")).as("total_eth_value"), count(lit(1)).as("n_events"),
+          max(col("epoch")).as("last_epoch"))
+      val serve = Incremental.toServeSchema(feats)
+      val store = new graft.sources.MemDocStore(name)
+      graft.operators.DocStoreSink.upsertDocuments(
+        serve, store, "walletAddress", batchSize = 64)
+      // the daily replay: pushing the same frame again must converge,
+      // never duplicate (replace-equal idempotence)
+      graft.operators.DocStoreSink.upsertDocuments(
+        serve, store, "walletAddress", batchSize = 64)
+      val docs = graft.sources.MemDocStore.contents(name).values.map(_._2).toSeq
+      import s.implicits._
+      docs.toDF("json")
+        .select(from_json(col("json"), serve.schema).as("doc"))
+        .select(col("doc.*"))
+    },
+    Some(s"""WITH $EV
+      SELECT '0xw' || CAST(user_id AS VARCHAR) AS "walletAddress",
+        ${DS("value")} AS "totalEthValue", COUNT(*) AS "nEvents",
+        MAX(epoch) AS "lastEpoch"
+      FROM ev GROUP BY 1"""))
+
   /** Full-refresh (CTAS drop+rebuild) sink round trip, overwrite-of-existing
     * included: a first build writes a STALE slice (pre-mid epochs only), the
     * refresh overwrites with the full rebuild — the oracle aggregates the
@@ -3193,5 +3237,6 @@ object ParityQueries {
     upsertSchemaEvolution, snapshotStatsPrunedRead, snapshotStatsPrunedReadStr,
     snapshotDeleteVectors, snapshotBranchWap, snapshotHistoryMeta, snapshotBloomPrunedRead,
     snapshotPointLookup, snapshotTaggedRead, snapshotFeedConsume,
-    streamingFeedConsume, ctasFullRefresh, upsertServe, joinSpjBucketedTables)
+    streamingFeedConsume, ctasFullRefresh, upsertServe, docStoreUpsert,
+    joinSpjBucketedTables)
 }

@@ -31,6 +31,7 @@ class PlanSpec extends SparkSpec {
     "src_graphql_keyset_paginated", "src_graphql_keyset_resume",
     "src_graphql_address_filtered", "streaming_paged_ingest",
     "snk_upsert_keyed", "snk_upsert_bucketed", "snk_upsert_versioned", "snk_upsert_serve",
+    "snk_docstore_upsert",
     "snk_ctas_full_refresh", "layout_bucketed_join", "layout_zorder",
     // r11: ORC roundtrip / hilbert sink / agg-state fold / the two real
     // drains all write in run(); their hygiene lives in their own specs
