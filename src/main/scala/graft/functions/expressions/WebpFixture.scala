@@ -76,7 +76,8 @@ object WebpFixture {
 
   val Modes: Set[String] = Set(
     "base", "subg", "pred", "pal", "cache", "meta", "pal4", "pal4lit",
-    "truncated", "garbage", "lossy", "vp8q8", "vp8q25")
+    "truncated", "garbage", "lossy", "vp8q8", "vp8q25",
+    "anim", "animlossy", "animtrunc")
 
   private final val Dim = 16
 
@@ -130,7 +131,80 @@ object WebpFixture {
       riff(Seq("VP8 " -> (junk ++ junk)))
     case "vp8q8" => Vp8Fixture.build(id, 8) // real lossy, near-lossless quantizer
     case "vp8q25" => Vp8Fixture.build(id, 25) // real lossy, coarser re-encode
+    case "anim" =>
+      // the still image re-delivered as an ANIMATION (container-spec VP8X
+      // animation flag + ANIM + per-frame ANMF): frame 1 is base's EXACT
+      // VP8L stream — the poster-frame hash lands at Hamming 0 — and
+      // frame 2 is a DIFFERENT image, so consulting any later frame
+      // would visibly break the pair
+      riff(Seq(
+        "VP8X" -> vp8xAnim(Dim, Dim),
+        "ANIM" -> animHeader,
+        "ANMF" -> anmf(Dim, Dim, "VP8L", vp8l(argbPixels(id), PlainOpts)),
+        "ANMF" -> anmf(Dim, Dim, "VP8L", vp8l(argbPixels(id + 777), PlainOpts))))
+    case "animlossy" =>
+      // animation whose frames are REAL lossy `VP8 ` re-encodes of the
+      // same raster (the GIF->animated-WebP conversion class): frame 1 =
+      // the q8 near-lossless re-encode, frame 2 a different image
+      riff(Seq(
+        "VP8X" -> vp8xAnim(Dim, Dim),
+        "ANIM" -> animHeader,
+        "ANMF" -> anmf(Dim, Dim, "VP8 ", chunkData(Vp8Fixture.build(id, 8), "VP8 ")),
+        "ANMF" -> anmf(Dim, Dim, "VP8 ", chunkData(Vp8Fixture.build(id + 777, 8), "VP8 "))))
+    case "animtrunc" =>
+      val full = build(id, "anim")
+      java.util.Arrays.copyOfRange(full, 0, 40 + (id % 30).toInt) // mid-first-ANMF
     case other => throw new IllegalArgumentException(s"synthetic_webp: unknown mode '$other'")
+  }
+
+  /** Extract a chunk's payload from a built RIFF container (fixture
+    * plumbing: [[Vp8Fixture.build]] returns a whole still container and
+    * the animation modes embed its `VP8 ` stream in a frame).
+    */
+  private def chunkData(container: Array[Byte], fourcc: String): Array[Byte] = {
+    var pos = 12
+    while (pos + 8 <= container.length) {
+      val l = ((container(pos + 4) & 0xff) | ((container(pos + 5) & 0xff) << 8) |
+        ((container(pos + 6) & 0xff) << 16) | ((container(pos + 7) & 0xff) << 24))
+      if (container(pos) == fourcc.charAt(0) && container(pos + 1) == fourcc.charAt(1) &&
+        container(pos + 2) == fourcc.charAt(2) && container(pos + 3) == fourcc.charAt(3))
+        return java.util.Arrays.copyOfRange(container, pos + 8, pos + 8 + l)
+      pos += 8 + l + (l & 1)
+    }
+    throw new IllegalStateException(s"fixture container lacks $fourcc")
+  }
+
+  /** VP8X with the ANIMATION flag set (container spec: flags bit 0x02). */
+  private def vp8xAnim(w: Int, h: Int): Array[Byte] = {
+    val b = vp8xHeader(w, h)
+    b(0) = 0x02.toByte
+    b
+  }
+
+  /** ANIM chunk body: BGRA background (transparent) + 2B loop count (0 =
+    * infinite).
+    */
+  private val animHeader: Array[Byte] = new Array[Byte](6)
+
+  /** One ANMF chunk: 16-byte frame header (x/2, y/2, w-1, h-1 as 24-bit
+    * LE, 24-bit duration, flags byte: no blend, dispose-none) followed by
+    * the embedded frame stream as a sub-chunk.
+    */
+  private def anmf(w: Int, h: Int, fourcc: String, stream: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(stream.length + 32)
+    def le24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff)
+    }
+    le24(0); le24(0)        // frame at the canvas origin
+    le24(w - 1); le24(h - 1)
+    le24(40)                // 40 ms
+    out.write(0)            // reserved(6) | blend=0 | dispose=0
+    out.write(fourcc.getBytes("US-ASCII"))
+    out.write(stream.length & 0xff); out.write((stream.length >>> 8) & 0xff)
+    out.write((stream.length >>> 16) & 0xff); out.write((stream.length >>> 24) & 0xff)
+    out.write(stream, 0, stream.length)
+    if ((stream.length & 1) == 1) out.write(0) // even padding
+    out.toByteArray
   }
 
   // --------------------------------------------------------------

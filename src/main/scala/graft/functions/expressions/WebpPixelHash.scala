@@ -30,9 +30,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * boolean coder, mode/coefficient trees, iWHT/iDCT, all intra
   * predictors, in-loop deblocking; byte-exact against the system
   * libwebp's YUV reconstruction, WebpVp8DifferentialSpec) with the dHash
-  * taken straight off the luma plane. Animated (`ANMF`) payloads remain
-  * DOCUMENTED-UNSUPPORTED: they return NULL and keep the byte-level
-  * family.
+  * taken straight off the luma plane. ANIMATED (`ANMF`) containers decode
+  * by the POSTER-FRAME rule (r16, the AVI convention): the FIRST frame's
+  * embedded VP8L/`VP8 ` stream hashes — so a still image re-wrapped as an
+  * animation (the CDN/GIF-conversion class) lands at Hamming 0 against
+  * its still original — and later frames are never consulted.
   *
   * Returns NULL for anything not cleanly decodable: wrong container,
   * lossy-only payload, bad signature/version, dimensions outside
@@ -695,10 +697,37 @@ object WebpPixelHash {
         if (pos + 8 + l > b.length) return null
         if (tag(b, pos, "VP8 "))
           return Vp8Decode.decode(b, pos + 8, pos + 8 + l)
+        if (tag(b, pos, "ANMF")) {
+          // animated: the POSTER-FRAME rule (the AVI convention) — decode
+          // the FIRST frame's embedded stream; a stream in a LATER frame
+          // must never be consulted, so the walk ends inside this chunk
+          val (s, e) = frameStream(b, pos, l, "VP8 ")
+          return if (s < 0) null else Vp8Decode.decode(b, s, e)
+        }
         pos += 8 + l + (l & 1)
       }
       null
     } catch { case Bad => null; case scala.util.control.NonFatal(_) => null }
+
+  /** Bounds of the first frame's `fourcc` stream inside an `ANMF` chunk
+    * at `pos` (16-byte frame header, then embedded sub-chunks — ALPH and
+    * friends skipped), or (-1, -1) if absent/malformed.
+    */
+  private def frameStream(b: Array[Byte], pos: Int, l: Int,
+      fourcc: String): (Int, Int) = {
+    if (l < 16) return (-1, -1)
+    var p = pos + 8 + 16
+    val end = pos + 8 + l
+    while (p + 8 <= end) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || sz > Int.MaxValue - 8L) return (-1, -1)
+      val l2 = sz.toInt
+      if (p + 8 + l2 > end) return (-1, -1)
+      if (tag(b, p, fourcc)) return (p + 8, p + 8 + l2)
+      p += 8 + l2 + (l2 & 1)
+    }
+    (-1, -1)
+  }
 
   /** Full ARGB decode `(pixels row-major, w, h)`, or null on anything
     * unclean. Never throws.
@@ -717,9 +746,14 @@ object WebpPixelHash {
         if (pos + 8 + l > b.length) return null
         if (tag(b, pos, "VP8L"))
           return decodeVp8l(b, pos + 8, pos + 8 + l)
+        if (tag(b, pos, "ANMF")) {
+          // animated: poster-frame rule — only the FIRST frame's stream
+          val (s, e) = frameStream(b, pos, l, "VP8L")
+          return if (s < 0) null else decodeVp8l(b, s, e)
+        }
         pos += 8 + l + (l & 1) // chunks pad to even
       }
-      null // no VP8L chunk (lossy/animated/truncated container)
+      null // no VP8L chunk (lossy/truncated container)
     } catch { case Bad => null; case scala.util.control.NonFatal(_) => null }
 
   private def decodeVp8l(b: Array[Byte], start: Int, end: Int): (Array[Int], Int, Int) = {

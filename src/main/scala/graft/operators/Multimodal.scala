@@ -658,6 +658,32 @@ object Multimodal {
     base.unionByName(cdn).unionByName(regen)
   }
 
+  /** ANIMATED-WebP duplicate-class corpus (r16): still VP8L originals
+    * with the two animation re-delivery classes planted —
+    *  - `id + 100000` (`id < 20`): the SAME VP8L stream re-wrapped as an
+    *    animation (VP8X animation flag + ANIM + ANMF frames; frame 2 is
+    *    a DIFFERENT image) — the poster-frame rule lands it at Hamming
+    *    EXACTLY 0 against the still;
+    *  - `id + 200000` (`id < 10`): an animation whose first frame is the
+    *    REAL lossy `VP8 ` q8 re-encode of the same raster (the
+    *    GIF→animated-WebP conversion class) — within the Hamming-6
+    *    threshold like the still lossy family.
+    * Corrupt rows: `%13` of `id >= 20` torn mid-first-frame (NULL).
+    */
+  def webpAnimCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NativeColumns.syntheticWebp
+    val id = col(idCol).cast("long")
+    val base = docs.select(
+      id.as("media_id"),
+      when(id >= 20 && pmod(id, lit(13)) === 0, syntheticWebp(id, "animtrunc"))
+        .otherwise(syntheticWebp(id, "base")).as("payload"))
+    val rewrap = docs.filter(id < 20).select(
+      (id + 100000L).as("media_id"), syntheticWebp(id, "anim").as("payload"))
+    val convLossy = docs.filter(id < 10).select(
+      (id + 200000L).as("media_id"), syntheticWebp(id, "animlossy").as("payload"))
+    base.unionByName(rewrap).unionByName(convLossy)
+  }
+
   /** WebP pixel-level fingerprint projection: `(media_id, pxhash)` via
     * the codegen'd [[graft.functions.expressions.WebpPixelHash]] — NULL
     * for anything not cleanly decodable. Zero-shuffle.

@@ -83,7 +83,7 @@ class WebpSpec extends SparkSpec {
 
   test("truncated / garbage / lossy variants decode to NULL, never throw") {
     (25L until 60L).foreach { id =>
-      Seq("truncated", "garbage", "lossy").foreach { m =>
+      Seq("truncated", "garbage", "lossy", "animtrunc").foreach { m =>
         assert(WebpPixelHash.hash(WebpFixture.build(id, m)) == null,
           s"$m fixture $id must hash NULL")
       }
@@ -92,13 +92,33 @@ class WebpSpec extends SparkSpec {
     assert(WebpPixelHash.hash(Array.emptyByteArray) == null)
   }
 
+  test("animated re-wrap hashes EXACTLY as its still original; later frames are never consulted") {
+    (0L until 25L).foreach { id =>
+      // frame 1 carries base's exact VP8L stream; frame 2 is a DIFFERENT
+      // image — a decoder consulting any later frame breaks the pair
+      val a = WebpPixelHash.hash(WebpFixture.build(id, "anim"))
+      assert(a != null, s"anim fixture $id must decode")
+      assert(ham(a, baseHash(id)) == 0,
+        s"id $id: still-to-animated re-wrap must hash at Hamming exactly 0")
+      // the lossy-frame animation hashes as its STILL lossy re-encode
+      val al = WebpPixelHash.hash(WebpFixture.build(id, "animlossy"))
+      val still = WebpPixelHash.hash(WebpFixture.build(id, "vp8q8"))
+      assert(al != null && still != null, s"animlossy/vp8q8 $id must decode")
+      assert(ham(al, still.longValue()) == 0,
+        s"id $id: the animated lossy poster frame must hash as the still q8 stream")
+    }
+  }
+
   test("byte-mutation fuzz over real VP8L streams never throws") {
     val rnd = new scala.util.Random(20260818L)
     val bases = Seq(
       WebpFixture.build(1L, "base"), WebpFixture.build(2L, "subg"),
       WebpFixture.build(3L, "pred"), WebpFixture.build(4L, "pal"),
       WebpFixture.build(5L, "cache"), WebpFixture.build(6L, "meta"),
-      WebpFixture.build(7L, "pal4"))
+      WebpFixture.build(7L, "pal4"),
+      // animated containers: mutations land in VP8X/ANIM/ANMF framing and
+      // inside the embedded frame streams (r16)
+      WebpFixture.build(8L, "anim"), WebpFixture.build(9L, "animlossy"))
     var i = 0
     while (i < 3000) {
       val b = bases(rnd.nextInt(bases.length)).clone()
