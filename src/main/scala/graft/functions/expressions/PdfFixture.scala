@@ -55,7 +55,8 @@ case class SyntheticPdf(child: Expression, mode: String) extends UnaryExpression
 object PdfFixture {
 
   val Modes: Set[String] =
-    Set("flate", "raw", "modern", "modernpred", "truncated", "garbage", "xrefstream")
+    Set("flate", "raw", "modern", "modernpred", "truncated", "garbage", "xrefstream",
+      "cid", "cidtrunc")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -80,7 +81,108 @@ object PdfFixture {
     case "garbage" =>
       java.security.MessageDigest.getInstance("MD5").digest(s"$id|pdfjunk".getBytes("UTF-8"))
     case "xrefstream" => assemble(id, compress = true, xrefStream = true)
+    case "cid" => assembleCid(id)
+    case "cidtrunc" =>
+      val full = assembleCid(id)
+      java.util.Arrays.copyOfRange(full, 0, (full.length * 3) / 5)
     case other => throw new IllegalArgumentException(s"synthetic_pdf: unknown mode '$other'")
+  }
+
+  /** The SAME text delivered through a Type0/Identity-H CID font (the
+    * embedded-subset shape every modern PDF producer emits): page 1's
+    * show strings are 2-byte CID codes — 'p'/'d'/'f' through private-use
+    * codes the ToUnicode CMap maps via `bfchar`, everything else through
+    * an ASCII-identity `bfrange` — with a mid-page `Tf` switch back to
+    * the simple font for one line; page 2 stays simple-font. Extracted
+    * text must equal [[expectedText]] exactly.
+    */
+  private def assembleCid(id: Long): Array[Byte] = {
+    def h(k: Int) = md5hex(s"$id|pdf$k")
+    // 'p'->E000 'd'->E001 'f'->E002 (bfchar); others = ASCII code (bfrange)
+    def codes(s: String): String = s.map {
+      case 'p' => "E000"
+      case 'd' => "E001"
+      case 'f' => "E002"
+      case c => f"${c.toInt}%04X"
+    }.mkString
+    val content1 =
+      s"""BT
+         |/F0 12 Tf
+         |72 720 Td
+         |<${codes(s"pdf ${h(0)}")}> Tj
+         |0 -14 Td
+         |[<${codes("kern ")}> -120 <${codes(h(1))}>] TJ
+         |0 -14 Td
+         |/F1 12 Tf
+         |(esc \\( \\) \\\\ end) Tj
+         |0 -14 Td
+         |/F0 12 Tf
+         |<${codes(s"hex ${h(2)}")}> Tj
+         |ET""".stripMargin.getBytes("ISO-8859-1")
+    val content2 =
+      s"""BT
+         |/F1 12 Tf
+         |72 720 Td
+         |(page2 ${h(3)}) Tj
+         |(more ${h(4)}) '
+         |ET""".stripMargin.getBytes("ISO-8859-1")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+         |/CMapName /Synth-UCS def
+         |/CMapType 2 def
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |3 beginbfchar
+         |<E000> <0070>
+         |<E001> <0064>
+         |<E002> <0066>
+         |endbfchar
+         |1 beginbfrange
+         |<0020> <007E> <0020>
+         |endbfrange
+         |endcmap
+         |CMap defined
+         |end end""".stripMargin.getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = new Array[Int](11)
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    def streamObj(num: Int, raw: Array[Byte]): Unit = obj(num) {
+      val data = deflate(raw)
+      w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F0 8 0 R /F1 4 0 R >> >> /Contents 6 0 R >>"))
+    obj(4)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    obj(5)(w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents [7 0 R] >>"))
+    streamObj(6, content1)
+    streamObj(7, content2)
+    obj(8)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H " +
+      "/Encoding /Identity-H /DescendantFonts [9 0 R] /ToUnicode 10 0 R >>"))
+    obj(9)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+      "/DW 1000 >>"))
+    streamObj(10, cmap)
+    val xrefOff = out.size()
+    w("xref\n0 11\n")
+    w("0000000000 65535 f \n")
+    (1 to 10).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w("trailer\n<< /Size 11 /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {

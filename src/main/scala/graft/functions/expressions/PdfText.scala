@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (kerning numbers ignored), `Td`/`TD`/`T*`/`'` break lines, pages
   * join with a newline. String literals decode the full escape set
   * (`\( \) \\ \n \r \t \b \f`, octal, line continuations, balanced
-  * nested parens); hex strings decode per spec; bytes map via Latin-1
-  * (standard-font text; CID/Type0 composite fonts are out of scope and
-  * extract as raw bytes).
+  * nested parens); hex strings decode per spec; simple-font bytes map
+  * via Latin-1. CID/Type0 composite fonts (r16 — the embedded-subset
+  * shape every modern producer emits): `Tf` tracks the current font
+  * through the page's `/Resources /Font` dict, and an
+  * Identity-H/V-encoded Type0 font decodes its show strings as 2-byte
+  * CID codes through the font's `/ToUnicode` CMap (bfchar + bfrange,
+  * incl. the array form; unmapped codes contribute nothing). A Type0
+  * font without a parseable ToUnicode has no recoverable text — the
+  * document declines to NULL, like every other malformed leg.
   *
   * Returns NULL for anything not cleanly walkable: bad header, missing
   * or malformed xref (table or stream), broken object graph, non-Flate
@@ -589,6 +595,7 @@ object PdfText {
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     pages.result().foreach { page =>
       emitNl()
+      val fonts = pageFonts(doc, page)
       val contents = page.get("Contents") match {
         case None => Vector.empty[V]
         case Some(v) => doc.deref(v) match {
@@ -606,7 +613,7 @@ object PdfText {
           case Some(VName("FlateDecode")) => inflate(raw)
           case _ => bad() // other filters: documented-unsupported
         }
-        interpret(data, sb, emitNl _)
+        interpret(data, sb, emitNl _, fonts)
       }
     }
     val out = sb.toString
@@ -636,16 +643,221 @@ object PdfText {
     } finally inf.end()
   }
 
+  /** The page's font resources, name -> Some(cid->text map) for a
+    * Type0/Identity CID font with a usable `/ToUnicode` CMap, None for a
+    * simple (single-byte, Latin-1-shown) font. A Type0 font WITHOUT a
+    * parseable ToUnicode has no recoverable text mapping — conservative
+    * decline ([[bad]]), the whole-document NULL rule.
+    */
+  private def pageFonts(doc: Doc, page: Map[String, V]): Map[String, Option[Map[Int, String]]] = {
+    val res = page.get("Resources").map(doc.deref) match {
+      case Some(VDict(m)) => m
+      case _ => return Map.empty
+    }
+    val fontDict = res.get("Font").map(doc.deref) match {
+      case Some(VDict(m)) => m
+      case _ => return Map.empty
+    }
+    fontDict.map { case (name, fv) =>
+      val fm = doc.deref(fv) match { case VDict(m) => m; case _ => bad() }
+      val isType0 = fm.get("Subtype").contains(VName("Type0"))
+      if (!isType0) name -> None
+      else {
+        // composite font: only the identity CID encodings are in scope
+        // (the overwhelmingly dominant embedded-subset shape); a custom
+        // CMap encoding would need the full CMap machinery
+        doc.deref(fm.getOrElse("Encoding", bad())) match {
+          case VName("Identity-H") | VName("Identity-V") => ()
+          case _ => bad()
+        }
+        val r = fm.getOrElse("ToUnicode", bad()) match {
+          case r: VRef => r
+          case _ => bad()
+        }
+        val (v, raw) = doc.obj(r.num)
+        if (raw == null) bad()
+        val dict = v match { case VDict(m) => m; case _ => bad() }
+        val data = dict.get("Filter") match {
+          case None => raw
+          case Some(VName("FlateDecode")) => inflate(raw)
+          case _ => bad()
+        }
+        name -> Some(parseToUnicode(data))
+      }
+    }
+  }
+
+  /** Parse a `/ToUnicode` CMap stream's `bfchar`/`bfrange` sections into
+    * code -> text (PDF 32000 §9.10.3; dst strings are UTF-16BE, a
+    * bfrange's hex dst increments its LAST code unit across the range).
+    * Sections outside bfchar/bfrange (codespacerange, the CIDInit
+    * boilerplate) are skipped at token level. Anything malformed: [[bad]].
+    */
+  private[expressions] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    var p = 0
+    var entries = 0
+    def ws(): Unit = {
+      var go = true
+      while (go && p < data.length) {
+        val c = data(p) & 0xff
+        if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0) p += 1
+        else if (c == '%') { while (p < data.length && data(p) != '\n') p += 1 }
+        else go = false
+      }
+    }
+    def hexDigit(c: Int): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else bad()
+    // a <...> hex string as raw bytes (odd digit count pads 0, as PDF)
+    def hexStr(): Array[Byte] = {
+      p += 1 // '<'
+      val digits = new StringBuilder
+      while (p < data.length && data(p) != '>') {
+        val c = data(p) & 0xff
+        if (!(c == ' ' || c == '\r' || c == '\n' || c == '\t')) digits.append(c.toChar)
+        p += 1
+      }
+      if (p >= data.length) bad()
+      p += 1 // '>'
+      // codes are <= 4 bytes; dst runs can be ligature expansions ("ffi")
+      // — cap generously, decline absurdity
+      if (digits.length > 32) bad()
+      val s = if ((digits.length & 1) == 1) digits.toString + "0" else digits.toString
+      val b = new Array[Byte](s.length / 2)
+      var i = 0
+      while (i < b.length) {
+        b(i) = ((hexDigit(s.charAt(2 * i)) << 4) | hexDigit(s.charAt(2 * i + 1))).toByte
+        i += 1
+      }
+      b
+    }
+    def codeOf(b: Array[Byte]): Int = {
+      if (b.isEmpty || b.length > 4) bad()
+      var v = 0
+      b.foreach(x => v = (v << 8) | (x & 0xff))
+      v
+    }
+    def textOf(b: Array[Byte]): String = new String(b, "UTF-16BE")
+    def keyword(): String = {
+      val start = p
+      while (p < data.length) {
+        val c = data(p) & 0xff
+        if (c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0 ||
+          c == '<' || c == '>' || c == '[' || c == ']' || c == '/' || c == '(' || c == '%')
+          return new String(data, start, p - start, "ISO-8859-1")
+        p += 1
+      }
+      new String(data, start, p - start, "ISO-8859-1")
+    }
+    def addEntry(): Unit = { entries += 1; if (entries > (1 << 16)) bad() }
+    var mode = 0 // 0 outside, 1 bfchar, 2 bfrange
+    while ({ ws(); p < data.length }) {
+      val c = data(p) & 0xff
+      if (c == '<' && p + 1 < data.length && data(p + 1) == '<') {
+        // a dict (CIDSystemInfo boilerplate): skip balanced << >>
+        var depth = 0
+        var go = true
+        while (go && p < data.length) {
+          if (p + 1 < data.length && data(p) == '<' && data(p + 1) == '<') { depth += 1; p += 2 }
+          else if (p + 1 < data.length && data(p) == '>' && data(p + 1) == '>') {
+            depth -= 1; p += 2; if (depth == 0) go = false
+          } else p += 1
+        }
+        if (depth != 0) bad()
+      } else if (c == '>') p += 1 // stray: tolerate
+      else if (c == '<') {
+        val first = hexStr()
+        if (mode == 1) {
+          ws(); if (p >= data.length || data(p) != '<') bad()
+          out += codeOf(first) -> textOf(hexStr())
+          addEntry()
+        } else if (mode == 2) {
+          ws(); if (p >= data.length || data(p) != '<') bad()
+          val hi = codeOf(hexStr())
+          val lo = codeOf(first)
+          if (hi < lo || hi - lo > 0xffff) bad()
+          ws()
+          if (p < data.length && data(p) == '[') {
+            p += 1
+            var code = lo
+            while ({ ws(); p < data.length && data(p) != ']' }) {
+              if (data(p) != '<' || code > hi) bad()
+              out += code -> textOf(hexStr())
+              addEntry()
+              code += 1
+            }
+            if (p >= data.length) bad()
+            p += 1 // ']'
+          } else if (p < data.length && data(p) == '<') {
+            val dst = textOf(hexStr())
+            if (dst.isEmpty) bad()
+            var code = lo
+            while (code <= hi) {
+              val off = code - lo
+              val lastUnit = (dst.charAt(dst.length - 1) + off).toChar
+              out += code -> (dst.substring(0, dst.length - 1) + lastUnit)
+              addEntry()
+              code += 1
+            }
+          } else bad()
+        }
+        // outside a bf section (codespacerange etc.): ignored
+      } else if (c == '[' || c == ']') p += 1
+      else if (c == '/') { p += 1; keyword(); () }
+      else if (c == '(') { // literal string (CMapName defs): skip balanced
+        var depth = 1; p += 1
+        while (depth > 0 && p < data.length) {
+          val x = data(p) & 0xff
+          if (x == '\\') p += 1
+          else if (x == '(') depth += 1
+          else if (x == ')') depth -= 1
+          p += 1
+        }
+        if (depth != 0) bad()
+      } else {
+        keyword() match {
+          case "beginbfchar" => mode = 1
+          case "endbfchar" => mode = 0
+          case "beginbfrange" => mode = 2
+          case "endbfrange" => mode = 0
+          case "" => bad()
+          case _ => () // numbers, def, begincmap, usedict boilerplate
+        }
+      }
+    }
+    out.result()
+  }
+
   /** The content-stream text interpreter: a tiny operand-stack machine
     * over the same lexer, handling only what text extraction needs.
+    * `fonts` carries the page's resolved font map — `Tf` switches the
+    * SHOW decoding between single-byte Latin-1 (simple fonts) and 2-byte
+    * CID codes through the font's ToUnicode map (Type0/Identity — the
+    * embedded-subset shape; unmapped codes contribute nothing, the same
+    * conservative rule real extractors apply).
     */
-  private def interpret(data: Array[Byte], sb: StringBuilder, emitNl: () => Unit): Unit = {
+  private def interpret(data: Array[Byte], sb: StringBuilder, emitNl: () => Unit,
+      fonts: Map[String, Option[Map[Int, String]]] = Map.empty): Unit = {
     val lx = new Lexer(data, 0)
     var lastStr: Array[Byte] = null
     var arr: Vector[V] = null
+    var lastName: String = null
+    var cidMap: Map[Int, String] = null // null = simple font
     var steps = 0
     def show(bytes: Array[Byte]): Unit =
-      bytes.foreach(x => sb.append((x & 0xff).toChar)) // Latin-1
+      if (cidMap == null) bytes.foreach(x => sb.append((x & 0xff).toChar)) // Latin-1
+      else {
+        if ((bytes.length & 1) != 0) bad() // Identity-H codes are 2 bytes
+        var i = 0
+        while (i < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          cidMap.get(code).foreach(sb.append(_))
+          i += 2
+        }
+      }
     while ({ lx.ws(); lx.pos < data.length }) {
       steps += 1
       if (steps > (1 << 22)) bad()
@@ -655,7 +867,7 @@ object PdfText {
         lx.value() // inline dict (marked content props): parse + drop
       } else if (c == '<') { lx.pos += 1; lastStr = lx.hexString().asInstanceOf[VStr].v }
       else if (c == '[') { arr = lx.value() match { case VArr(v) => v; case _ => bad() } }
-      else if (c == '/') { lx.pos += 1; lx.name(); () }
+      else if (c == '/') { lx.pos += 1; lastName = lx.name() }
       else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) { lx.number(); () }
       else {
         // operator: a run of non-delimiter, non-numeric chars
@@ -671,6 +883,10 @@ object PdfText {
         if (lx.pos == start) bad() // stray delimiter
         val op = new String(data, start, lx.pos - start, "ISO-8859-1")
         op match {
+          case "Tf" => // current font: switches the show decoding
+            cidMap =
+              if (lastName == null) null
+              else fonts.get(lastName).flatten.orNull
           case "Tj" => if (lastStr != null) show(lastStr)
           case "'" | "\"" => emitNl(); if (lastStr != null) show(lastStr)
           case "TJ" =>

@@ -23,6 +23,36 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("Type0/Identity-H CID text decodes through the ToUnicode CMap to the SAME contract text") {
+    (0L until 30L).foreach { id =>
+      // page 1 shows 2-byte CID codes (bfchar private-use + bfrange
+      // ASCII identity) with a mid-page Tf switch back to the simple
+      // font; page 2 stays simple-font — the output must be identical
+      // to the single-byte encodings'
+      val got = PdfText.extract(PdfFixture.build(id, "cid"))
+      assert(got == PdfFixture.expectedText(id), s"id=$id cid:\ngot: $got")
+      assert(PdfText.extract(PdfFixture.build(id, "cidtrunc")) == null,
+        s"id=$id torn CID must extract NULL")
+    }
+  }
+
+  test("ToUnicode parser: bfrange array form, last-unit increment, malformed declines") {
+    def cmap(body: String): Array[Byte] =
+      s"begincmap\n$body\nendcmap".getBytes("ISO-8859-1")
+    val arr = PdfText.parseToUnicode(cmap(
+      "1 beginbfrange\n<0001> <0003> [<0041> <0042 0043> <0044>]\nendbfrange"))
+    assert(arr == Map(1 -> "A", 2 -> "BC", 3 -> "D"))
+    val inc = PdfText.parseToUnicode(cmap(
+      "1 beginbfrange\n<0010> <0012> <0061>\nendbfrange"))
+    assert(inc == Map(0x10 -> "a", 0x11 -> "b", 0x12 -> "c"))
+    intercept[Throwable] { // hi < lo
+      PdfText.parseToUnicode(cmap("1 beginbfrange\n<0005> <0001> <0041>\nendbfrange"))
+    }
+    intercept[Throwable] { // dangling bfchar src without dst
+      PdfText.parseToUnicode(cmap("1 beginbfchar\n<0001>\nendbfchar"))
+    }
+  }
+
   test("the contract covers every interpreted operator class") {
     val t = PdfFixture.expectedText(1L)
     assert(t.contains("pdf "), "Tj literal")
@@ -48,7 +78,10 @@ class PdfSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260820L)
     val bases = Seq(
       PdfFixture.build(1L, "flate"), PdfFixture.build(2L, "raw"),
-      PdfFixture.build(3L, "modern"), PdfFixture.build(4L, "modernpred"))
+      PdfFixture.build(3L, "modern"), PdfFixture.build(4L, "modernpred"),
+      // CID shape: mutations land in the Type0 font dict, the ToUnicode
+      // CMap stream, and 2-byte hex show strings (r16)
+      PdfFixture.build(5L, "cid"))
     var i = 0
     while (i < 3000) {
       val b = bases(rnd.nextInt(bases.length)).clone()
