@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *     sort via `sortBy + zipWithIndex` — never a single-partition
   *     window);
   *  3. each round pairs `rank(i)` with `rank(i + h)` (a shifted
-  *     self-join on position) and re-ranks the pairs, doubling `h`
-  *     until every rank is unique;
+  *     self-join on position) and DENSE-RE-RANKS the pairs in one
+  *     distributed range sort — rank = key changes strictly before the
+  *     row, assigned from driver-collected per-partition edge summaries
+  *     (first/last key + change count; the two-phase shape again) —
+  *     doubling `h` until every rank is unique; one n-row shuffle per
+  *     round, no distinct pass, no rank join-back;
   *  4. suffix order = sort by final rank; each adjacent pair's LCP is
   *     recovered from the SAVED round ranks by the classic descending-
   *     powers walk (log n small joins over the n-1 adjacent pairs — no
@@ -132,20 +136,60 @@ object SuffixDedup {
       val paired = rank.join(shifted, Seq("g"), "left")
         .select(col("doc_id"), col("pos"), col("g"), col("r"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
-      // checkpointed so the (distinct -> sort -> zipWithIndex) pipeline
-      // runs ONCE; its row count IS the new distinct-rank count
-      val pairRanks = {
-        val d = paired.select("r", "r2").distinct().rdd
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(identity)
-          .zipWithIndex().map { case ((a, b), i) => (a, b, i) }
-        spark.createDataFrame(d).toDF("r", "r2", "nr").localCheckpoint(true)
+      // dense re-rank in ONE distributed range sort of the positions by
+      // their pair key — rank = number of key CHANGES strictly before the
+      // row, assigned per partition from driver-collected edge summaries
+      // (first/last key + change count per partition: the same two-phase
+      // shape as the offset step). This replaces the r15 round body's
+      // distinct(n) -> sort(distinct) -> zipWithIndex -> JOIN-BACK(n by
+      // (r, r2)) pipeline: two full-frame shuffles and a second execution
+      // of the pair join gone per round (~2x the round constant), and the
+      // new distinct-rank count falls out of the same edge summaries.
+      val keyed = paired.rdd
+        .map(r => ((r.getLong(3), r.getLong(4)), (r.getLong(0), r.getLong(1), r.getLong(2))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sortedRdd = keyed.sortByKey(ascending = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+        var first: (Long, Long) = null
+        var last: (Long, Long) = null
+        var changes = 0L
+        it.foreach { case (k, _) =>
+          if (first == null) first = k
+          else if (k != last) changes += 1
+          last = k
+        }
+        Iterator(i -> ((first, last, changes)))
+      }.collect().toMap
+      val nParts = sortedRdd.getNumPartitions
+      val base = new Array[Long](nParts) // rank of each partition's first row
+      var acc = 0L                       // rank of the last key seen so far
+      var prevLast: (Long, Long) = null
+      var p = 0
+      while (p < nParts) {
+        edges.get(p).filter(_._1 != null).foreach { case (first, last, changes) =>
+          if (prevLast != null && first != prevLast) acc += 1
+          base(p) = acc
+          acc += changes
+          prevLast = last
+        }
+        if (edges.get(p).forall(_._1 == null)) base(p) = acc // empty partition
+        p += 1
       }
-      distinctRanks = pairRanks.count()
-      val next = paired.join(pairRanks, Seq("r", "r2"))
-        .select(col("doc_id"), col("pos"), col("g"), col("nr").as("r"))
+      distinctRanks = if (prevLast == null) 0L else acc + 1
+      val next = spark.createDataFrame(
+        sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+          var r = base(i)
+          var prev: (Long, Long) = null
+          it.map { case (k, (docId, pos, g)) =>
+            if (prev != null && k != prev) r += 1
+            prev = k
+            (docId, pos, g, r)
+          }
+        }).toDF("doc_id", "pos", "g", "r")
         .localCheckpoint(true)
-      pairRanks.unpersist() // round-scoped; keeping it is the r15 OOM shape
+      keyed.unpersist(false)
+      sortedRdd.unpersist(false) // round-scoped; keeping it is the r15 OOM shape
       h *= 2
       rounds += h -> next // ranks under "first 2h'... " key: shift to pair = h
       rank = next

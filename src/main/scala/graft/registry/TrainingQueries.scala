@@ -4095,6 +4095,38 @@ object TrainingQueries {
       Multimodal.pixelWebpLossyCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
       boundary = graft.operators.Boundary.None)))
 
+  /** ANIMATED-WebP near-dup (r16, [[Multimodal.webpPairs]] over
+    * [[Multimodal.webpAnimCorpus]]): the decoder's POSTER-FRAME rule —
+    * an `ANMF` container hashes its FIRST frame's embedded VP8L/`VP8 `
+    * stream and never consults later frames (every planted animation's
+    * frame 2 is a DIFFERENT image, so a wrong-frame decode visibly
+    * breaks the pair set). Covers both real animation re-delivery
+    * classes: the still re-wrapped as an animation (exact stream carry
+    * ⇒ Hamming 0, `exact_rewrap` oracle-asserted) and the
+    * GIF→animated-WebP conversion whose first frame is a real lossy
+    * `VP8 ` re-encode of the same raster (within the Hamming-6
+    * threshold, like the still lossy family). Torn-mid-frame rows hash
+    * NULL (fuzzed in WebpSpec). Oracle: the planted-pair derivation.
+    */
+  private val dedupWebpAnimNearDup = Q(
+    "dedup_webp_anim_neardup",
+    (s, d) => Multimodal.webpPairs(
+      Multimodal.webpAnimCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6)
+      .select(col("media_id_1"), col("media_id_2"),
+        (col("media_id_2") < 200000L && col("hamming") === 0).as("exact_rewrap")),
+    Some("""SELECT doc_id AS media_id_1, doc_id + 100000 AS media_id_2,
+        TRUE AS exact_rewrap
+      FROM documents WHERE doc_id < 20
+      UNION ALL  -- the lossy-frame conversion class: near, not exact
+      SELECT doc_id, doc_id + 200000, FALSE FROM documents WHERE doc_id < 10
+      UNION ALL  -- re-wrap vs conversion: both near the shared still
+      SELECT doc_id + 100000, doc_id + 200000, FALSE FROM documents WHERE doc_id < 10"""),
+    planView = Some((s, d) => Multimodal.webpPairs(
+      Multimodal.webpAnimCorpus(Tables.documents(s, d), "doc_id"), maxHamming = 6,
+      boundary = graft.operators.Boundary.None)
+      .select(col("media_id_1"), col("media_id_2"),
+        (col("media_id_2") < 200000L && col("hamming") === 0).as("exact_rewrap"))))
+
   /** CROSS-CONTAINER audio near-dup ([[Multimodal.crossAudioPairs]] over
     * [[Multimodal.crossAudioCorpus]]): WAV originals vs FLAC encodes of
     * the SAME samples — the duplicate class where the archive serves the
@@ -4229,6 +4261,41 @@ object TrainingQueries {
         'more ' || md5(CAST(doc_id AS VARCHAR) || '|pdf4') AS txt
       FROM documents
       WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0"""))
+
+  /** CID-FONT PDF TEXT EXTRACTION (r16): the Type0/Identity-H composite
+    * font shape EVERY modern producer emits for embedded subsets — the
+    * largest real-crawl PDF slice that previously declined to NULL. The
+    * interpreter tracks the current font through `/Resources /Font` +
+    * `Tf`, and a Type0 font's show strings decode as 2-byte CID codes
+    * through its `/ToUnicode` CMap (`bfchar` private-use entries +
+    * ASCII-identity `bfrange`, array form covered in PdfSpec); a
+    * mid-page `Tf` switch back to a simple font exercises mixed
+    * encodings on one page. The fixture delivers the SAME contract text
+    * as the single-byte encodings, so the oracle is the same SQL
+    * re-derivation; torn CID payloads (`%13`) extract NULL and drop.
+    * A Type0 font WITHOUT a parseable ToUnicode has no recoverable text
+    * and declines the document to NULL (the conservative rule).
+    */
+  private val textPdfExtractCid = Q(
+    "text_pdf_extract_cid",
+    (s, d) => {
+      import org.apache.spark.sql.graftnative.NativeColumns.{pdfText, syntheticPdf}
+      val id = col("doc_id").cast("long")
+      val payload =
+        when(pmod(id, lit(13)) === 0, syntheticPdf(id, "cidtrunc"))
+          .otherwise(syntheticPdf(id, "cid"))
+      Tables.documents(s, d).select(id.as("doc_id"), pdfText(payload).as("txt"))
+        .filter(col("txt").isNotNull)
+    },
+    Some("""SELECT doc_id,
+        'pdf ' || md5(CAST(doc_id AS VARCHAR) || '|pdf0') || chr(10) ||
+        'kern ' || md5(CAST(doc_id AS VARCHAR) || '|pdf1') || chr(10) ||
+        'esc ( ) \ end' || chr(10) ||
+        'hex ' || md5(CAST(doc_id AS VARCHAR) || '|pdf2') || chr(10) ||
+        'page2 ' || md5(CAST(doc_id AS VARCHAR) || '|pdf3') || chr(10) ||
+        'more ' || md5(CAST(doc_id AS VARCHAR) || '|pdf4') AS txt
+      FROM documents
+      WHERE doc_id % 13 <> 0"""))
 
   /** DOCX TEXT EXTRACTION ([[org.apache.spark.sql.graftnative
     * .NativeColumns.docxText]]): the office-document leg of the crawl
@@ -5903,10 +5970,10 @@ object TrainingQueries {
     dedupAudioNearDup,
     dedupGifPixelNearDup, dedupGifPixelClusters,
     dedupWebpPixelNearDup, dedupWebpPixelClusters,
-    dedupWebpLossyNearDup, dedupWebpLossyClusters,
+    dedupWebpLossyNearDup, dedupWebpLossyClusters, dedupWebpAnimNearDup,
     dedupFlacAudioNearDup, dedupFlacAudioClusters,
     dedupVideoFrameNearDup, dedupVideoFrameClusters, srcWarcRecords,
-    pipelineCrawlExtract, textPdfExtract, textDocxExtract,
+    pipelineCrawlExtract, textPdfExtract, textPdfExtractCid, textDocxExtract,
     dedupAudioContentNearDup, dedupAudioContentClusters,
     dedupMediaNearDupClusters,
     streamingWindowed, streamingDedup, streamingIntervalJoin, streamingUpsert,
