@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** EXACT-SUBSTRING dedup via a DISTRIBUTED SUFFIX ARRAY — the true
   * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -20,8 +22,7 @@ import org.apache.spark.sql.functions._
   *     match crosses a document's end while cross-document boilerplate
   *     still matches;
   *  2. initial ranks = dense rank of the token string (one distributed
-  *     sort via `sortBy + zipWithIndex` — never a single-partition
-  *     window);
+  *     sort — never a single-partition window);
   *  3. each round pairs `rank(i)` with `rank(i + h)` (a shifted
   *     self-join on position) and DENSE-RE-RANKS the pairs in one
   *     distributed range sort — rank = key changes strictly before the
@@ -45,8 +46,49 @@ import org.apache.spark.sql.functions._
   * 100 TB: every step is a shuffle-on-key or a distributed sort; round
   * count grows with log of corpus length, per-round cost is linear.
   * Token payloads leave the scan once (as ranks); text never re-shuffles.
+  *
+  * CONSTANT-FACTOR SHAPE (r16 optimization round): ONE driver sync per
+  * doubling round (the edge-summary collect). The re-ranked round frame is
+  * a LAZY columnar cache (`createDataFrame(...).persist`) over the round's
+  * sort shuffle — materialized by the next consumer's own job (no per-round
+  * checkpoint action or block copy), then scanned as in-memory batches by
+  * the self-join and the LCP walk. Rescans of the sorted RDD reuse its
+  * shuffle files, so nothing upstream recomputes. The LCP walk is ONE lazy
+  * DAG materialized once at its end (it used to checkpoint every step),
+  * and suffix-order adjacency is partition-boundary handoff over an EXACT
+  * interpolation partitioner on the dense final ranks (p = r*P/n — no
+  * sampling pass, no zipWithIndex, no n-row self-join). The tokenization is
+  * cached across its three consumers. Bench evidence in
+  * OPTIMIZATION_r16.md.
   */
 object SuffixDedup {
+
+  /** Exact range partitioner for a DENSE key domain [0, d): partition
+    * p = floor(key * numParts / d) — monotone (global sort order across
+    * partitions) and sample-free (no extra pass, unlike RangePartitioner).
+    * Double math so key*numParts cannot overflow at extreme scale;
+    * IEEE multiply/divide are monotone, so order is preserved and equal
+    * keys always land together. Density-adaptivity is NOT needed for the
+    * final-rank sort (ranks are a dense permutation — perfectly uniform);
+    * for the doubling rounds the primary key is the PREVIOUS round's dense
+    * rank, so a partition only overfills when one rank-run exceeds n/P
+    * rows (a token that is a large fraction of the whole corpus) — and the
+    * edge-summary ranker is already correct across partition-spanning
+    * runs, so that is a straggler bound, not a correctness edge.
+    */
+  private final class DenseLongPartitioner(d: Long, parts: Int)
+      extends Partitioner {
+    require(d > 0 && parts > 0)
+    override def numPartitions: Int = parts
+    private def part(k: Long): Int = {
+      val p = (k.toDouble * parts / d).toInt
+      if (p < 0) 0 else if (p >= parts) parts - 1 else p
+    }
+    override def getPartition(key: Any): Int = key match {
+      case (r: Long, _) => part(r)
+      case r: Long => part(r)
+    }
+  }
 
   def duplicateSpanCoverage(
       docs: DataFrame, idCol: String, textCol: String,
@@ -54,6 +96,23 @@ object SuffixDedup {
     require(minTokens >= 2, "minTokens must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_SUFFIX_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(s: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[suffix] $s ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
+    // every persisted RDD lives until the output is materialized (the LCP
+    // walk re-scans all rounds), then is freed — leaking them across
+    // invocations is the r15 executor-OOM shape
+    val pinnedDfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pinnedRdds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (sys.env.contains("SPARK_GRAFT_SUFFIX_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
 
     // ---- 1. global positions + unique per-doc boundary sentinels ----
     val toks = docs
@@ -61,6 +120,9 @@ object SuffixDedup {
         split(trim(col(textCol)), "\\s+").as("ws"))
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
+      // scanned 3x (doc lengths, vocabulary, position join) — cache the
+      // tokenization instead of re-running the per-doc regex split
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // per-doc offsets: TWO-PHASE distributed prefix sum over the
     // doc-length frame in doc_id order (the sel_curriculum_interleave
     // ranking pattern) — a global Window.orderBy here would funnel every
@@ -69,17 +131,20 @@ object SuffixDedup {
       .agg((max("pos") + 1).cast("long").as("len"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1) // distributed range sort by doc_id (ascending)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase 1: per-partition subtotals — partition-count-sized collect
-    val partTotals = lensSorted.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L; it.foreach(s += _._2 + 1L) // +1: the boundary sentinel slot
-      Iterator(i -> s)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition (subtotal, count) — partition-count-sized
+    // collect; the count rides along so nDocs needs no second job
+    val partStats = lensSorted.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; var c = 0L
+      it.foreach { kv => s += kv._2 + 1L; c += 1L } // +1: boundary sentinel slot
+      Iterator(i -> ((s, c)))
     }.collect().toMap
+    val nDocs = partStats.valuesIterator.map(_._2).sum
     val partBase = {
       val nParts = lensSorted.getNumPartitions
       val arr = new Array[Long](nParts)
       var acc = 0L; var i = 0
-      while (i < nParts) { arr(i) = acc; acc += partTotals.getOrElse(i, 0L); i += 1 }
+      while (i < nParts) { arr(i) = acc; acc += partStats.get(i).fold(0L)(_._1); i += 1 }
       arr
     }
     // phase 2: running offsets within each partition from its base
@@ -90,6 +155,7 @@ object SuffixDedup {
       }).toDF("doc_id", "len", "off")
       .localCheckpoint(true) // consumed 3x: position join, sentinels, output
     lensSorted.unpersist(false)
+    mark("offsets")
     // plain keyed join (no broadcast hint): docLens is doc-count-sized —
     // AQE broadcasts it when small, shuffles when a billion docs make a
     // driver-sized broadcast the actual hazard
@@ -98,29 +164,49 @@ object SuffixDedup {
         (col("off") + col("pos")).as("g"), col("tok"))
 
     // initial ranks: dense rank of token string (vocabulary-sized sort);
-    // sentinels get UNIQUE ranks above every real token's
-    val tokRanks = {
-      val distinctToks = positioned.select("tok").distinct()
-      val ranked = distinctToks.rdd.map(_.getString(0)).sortBy(identity)
-        .zipWithIndex().map { case (t, i) => (t, i) }
-      spark.createDataFrame(ranked).toDF("tok", "r").localCheckpoint(true)
+    // sentinels get UNIQUE ranks above every real token's. Two-phase
+    // indexing over the sorted vocab (per-partition sizes collected once)
+    // replaces zipWithIndex + count — one fewer job each.
+    val (tokRanks, nTokRanks) = {
+      val sortedToks = positioned.select("tok").distinct()
+        .rdd.map(_.getString(0)).sortBy(identity)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sizes = sortedToks.mapPartitionsWithIndex { case (i, it) =>
+        Iterator(i -> it.size.toLong)
+      }.collect().toMap
+      val nParts = sortedToks.getNumPartitions
+      val bases = new Array[Long](nParts)
+      var acc = 0L; var i = 0
+      while (i < nParts) { bases(i) = acc; acc += sizes.getOrElse(i, 0L); i += 1 }
+      pinnedRdds += sortedToks
+      val df = spark.createDataFrame(
+        sortedToks.mapPartitionsWithIndex { case (i, it) =>
+          var r = bases(i)
+          it.map { t => val out = (t, r); r += 1L; out }
+        }).toDF("tok", "r")
+      (df, acc)
     }
-    val nTokRanks = tokRanks.count()
-    val nDocs = docLens.count()
+    mark("tokRanks")
     val sentinels = docLens.select(
       col("doc_id"), lit(null).cast("string").as("tok"),
       (col("off") + col("len")).as("g"), lit(-1L).as("pos"))
       .withColumn("r", lit(nTokRanks) + col("doc_id"))
       .select(col("doc_id"), col("pos"), col("g"), col("r"))
-    // localCheckpoint: each round's LINEAGE is truncated — 15+ stacked
-    // self-joins would otherwise grow the logical plan geometrically and
-    // exhaust the driver during analysis, long before data size matters
-    var rank = positioned.join(tokRanks, "tok")
+    // the initial frame is scanned by round 1 (twice), the LCP walk
+    // (twice) and the position recovery — cache it; the first consumer
+    // materializes it. n is already known from the offset collect
+    // (sum of doc lengths + one sentinel per doc), so no count job.
+    val initial = positioned.join(tokRanks, "tok")
       .select(col("doc_id"), col("pos"), col("g"), col("r"))
       .unionByName(sentinels)
-      .localCheckpoint(true)
-    val n = rank.count()
-    tokRanks.unpersist() // consumed only by the materialized initial ranks
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = partStats.valuesIterator.map(_._1).sum
+    // the doubling rounds and the LCP walk only ever need (g, r): doc_id
+    // and pos would otherwise ride along through every per-round shuffle
+    // (~2x the bytes) just to be read back at the very end — the position
+    // recovery joins the (doc_id, pos, g) triplets from `initial` instead
+    var rank = initial.select(col("g"), col("r"))
+    mark("initialRank")
 
     // ---- 2/3. prefix doubling; keep each round for the LCP walk ----
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
@@ -128,28 +214,32 @@ object SuffixDedup {
     var h = 1L
     // initial distinct-rank count is KNOWN (token ranks are dense
     // 0..nTokRanks-1, sentinel ranks nTokRanks+doc_id all unique) — no
-    // distinct pass; per round it falls out of the pair-rank frame's own
-    // count, saving one full distinct+count over n positions per round
+    // distinct pass; per round it falls out of the edge summaries
     var distinctRanks = nTokRanks + nDocs
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     while (distinctRanks < n) {
       val shifted = rank.select((col("g") - h).as("g"), col("r").as("r2"))
       val paired = rank.join(shifted, Seq("g"), "left")
-        .select(col("doc_id"), col("pos"), col("g"), col("r"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
+        .select(col("g"), col("r"), coalesce(col("r2"), lit(-1L)).as("r2"))
       // dense re-rank in ONE distributed range sort of the positions by
       // their pair key — rank = number of key CHANGES strictly before the
       // row, assigned per partition from driver-collected edge summaries
       // (first/last key + change count per partition: the same two-phase
-      // shape as the offset step). This replaces the r15 round body's
-      // distinct(n) -> sort(distinct) -> zipWithIndex -> JOIN-BACK(n by
-      // (r, r2)) pipeline: two full-frame shuffles and a second execution
-      // of the pair join gone per round (~2x the round constant), and the
-      // new distinct-rank count falls out of the same edge summaries.
+      // shape as the offset step). The primary sort key is the PREVIOUS
+      // round's dense rank, so the exact interpolation partitioner
+      // replaces sortByKey's RangePartitioner — no sampling pass over the
+      // pair join, and the single driver sync per round is the edge
+      // collect. The re-ranked frame is a LAZY leaf over the persisted
+      // sorted RDD: consumers re-run the (narrow, cached) assignment map
+      // instead of paying a second full materialization per round.
       val keyed = paired.rdd
-        .map(r => ((r.getLong(3), r.getLong(4)), (r.getLong(0), r.getLong(1), r.getLong(2))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sortedRdd = keyed.sortByKey(ascending = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(0)))
+      // NOT persisted: the only rescans (edge collect + the cached-DF
+      // materialization below) reuse the shuffle files of this
+      // repartitionAndSort — a fetch+merge, not a recompute of the join
+      val sortedRdd = keyed
+        .repartitionAndSortWithinPartitions(
+          new DenseLongPartitioner(distinctRanks, parts))
       val edges = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
         var first: (Long, Long) = null
         var last: (Long, Long) = null
@@ -181,39 +271,68 @@ object SuffixDedup {
         sortedRdd.mapPartitionsWithIndex { case (i, it) =>
           var r = base(i)
           var prev: (Long, Long) = null
-          it.map { case (k, (docId, pos, g)) =>
+          it.map { case (k, g) =>
             if (prev != null && k != prev) r += 1
             prev = k
-            (docId, pos, g, r)
+            (g, r)
           }
-        }).toDF("doc_id", "pos", "g", "r")
-        .localCheckpoint(true)
-      keyed.unpersist(false)
-      sortedRdd.unpersist(false) // round-scoped; keeping it is the r15 OOM shape
+        }).toDF("g", "r")
+        // LAZY columnar cache: materialized by the NEXT round's edge
+        // collect (or the walk) as part of its own job — no extra action,
+        // and every later scan (self-join second side, walk ra/rb) reads
+        // the in-memory columnar batches instead of re-running the
+        // RDD->Row conversion. This is the measured winner over both
+        // per-round localCheckpoint (extra job + block write per round)
+        // and fully-lazy leaves (conversion re-ran per scan).
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pinnedDfs += next // walk re-scans every round; freed after output
       h *= 2
+      mark(s"round h=$h distinct=$distinctRanks")
       rounds += h -> next // ranks under "first 2h'... " key: shift to pair = h
       rank = next
     }
 
     // ---- 4. adjacent pairs in suffix order, LCP by descending powers ----
-    // suffix order: global sort by final rank (ranks are unique)
-    val ordered = rank.select(col("g"), col("r"))
+    // suffix order: global sort by final rank. Final ranks are a DENSE
+    // UNIQUE permutation of [0, n), so the exact interpolation partitioner
+    // is perfectly uniform and adjacency is partition-boundary handoff:
+    // each partition emits its internal consecutive pairs plus one pair
+    // joining its last element to the next non-empty partition's first
+    // element (a partition-count-sized collect) — no zipWithIndex, no
+    // n-row self-join.
     val adjacency = {
-      val sorted = ordered.rdd.map(r => (r.getLong(1), r.getLong(0))).sortByKey()
-        .map(_._2).zipWithIndex().map { case (g, i) => (i, g) }
-      val a = spark.createDataFrame(sorted).toDF("i", "ga")
-      val b = spark.createDataFrame(sorted).toDF("ib", "gb")
-      a.join(b.withColumn("i", col("ib") - 1).drop("ib"), "i")
-        .select(col("ga"), col("gb"))
+      val sortedByR = rank.select(col("r"), col("g"))
+        .rdd.map(row => (row.getLong(0), row.getLong(1)))
+        .repartitionAndSortWithinPartitions(new DenseLongPartitioner(n, parts))
+      val heads = sortedByR.mapPartitionsWithIndex { case (i, it) =>
+        if (it.hasNext) Iterator(i -> it.next()._2) else Iterator.empty
+      }.collect().toMap
+      val nP = sortedByR.getNumPartitions
+      spark.createDataFrame(
+        sortedByR.mapPartitionsWithIndex { case (i, it) =>
+          val nextHead: Option[Long] =
+            (i + 1 until nP).iterator.flatMap(j => heads.get(j)).nextOption()
+          val gs = it.map(_._2)
+          if (!gs.hasNext) Iterator.empty[(Long, Long)]
+          else {
+            var prev = gs.next()
+            val internal = gs.map { g => val out = (prev, g); prev = g; out }
+            // boundary pair built AFTER internal is exhausted (++ is lazy,
+            // so `prev` is this partition's last element by then)
+            internal ++ nextHead.iterator.map(hd => (prev, hd))
+          }
+        }).toDF("ga", "gb")
     }
     // walk saved rounds high->low: extend the common prefix wherever the
-    // round's ranks agree at the current lcp offset
-    var pairs = adjacency.withColumn("lcp", lit(0L)).localCheckpoint(true)
+    // round's ranks agree at the current lcp offset. The whole walk is ONE
+    // lazy DAG — log(LRS) stacked small joins — materialized once at the
+    // end (the neighbor-max consumes it twice).
+    var pairs = adjacency.withColumn("lcp", lit(0L))
     rounds.reverse.foreach { case (span, rdf) =>
       val width = math.max(span, 1L) // round h covers h tokens (h=0 entry covers 1)
       val ra = rdf.select(col("g").as("qa"), col("r").as("rka"))
       val rb = rdf.select(col("g").as("qb"), col("r").as("rkb"))
-      val next = pairs
+      pairs = pairs
         .withColumn("qa", col("ga") + col("lcp"))
         .withColumn("qb", col("gb") + col("lcp"))
         .join(ra, Seq("qa"), "left")
@@ -223,10 +342,9 @@ object SuffixDedup {
             col("rka") === col("rkb"), col("lcp") + width)
             .otherwise(col("lcp")))
         .select("ga", "gb", "lcp")
-        .localCheckpoint(true)
-      pairs.unpersist()
-      pairs = next
     }
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    mark("lcpwalk")
 
     // neighbor LCP per suffix = max over its two order-neighbors
     val neighborLcp = pairs.select(col("ga").as("g"), col("lcp"))
@@ -235,7 +353,7 @@ object SuffixDedup {
       .filter(col("nl") >= minTokens)
 
     // ---- 5. spans back to (doc, pos); merge + count coverage ----
-    val spans = rank.select(col("doc_id"), col("pos"), col("g"))
+    val spans = initial.select(col("doc_id"), col("pos"), col("g"))
       .filter(col("pos") >= 0) // sentinels out
       .join(neighborLcp, "g")
       .select(col("doc_id"), col("pos").as("s"),
@@ -248,13 +366,17 @@ object SuffixDedup {
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
-      // materialize the (doc-count-sized) result, then FREE the round
-      // checkpoints — without this, repeated invocations accumulate every
+      // materialize the (doc-count-sized) result, then FREE the pinned
+      // round RDDs — without this, repeated invocations accumulate every
       // round's block storage and eventually OOM the executors
       .localCheckpoint(true)
-    rounds.foreach(_._2.unpersist())
+    mark("output")
+    pinnedDfs.foreach(_.unpersist())
+    pinnedRdds.foreach(_.unpersist(false))
+    initial.unpersist() // the initial-frame cache
     pairs.unpersist()
     docLens.unpersist()
     out
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }

@@ -88,4 +88,11 @@ object PlanProbe {
       (r, c.actions.get, c.scans.get)
     } finally spark.listenerManager.unregister(c)
   }
+
+  /** Drain the async listener bus (private[spark]) — exposed for tools
+    * that attribute listener events to a per-query measurement window
+    * (graft.tools.JobStats).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(60000)
 }
