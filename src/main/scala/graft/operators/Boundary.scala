@@ -50,7 +50,15 @@ object Boundary {
   case object Local extends Boundary {
     def apply(df: DataFrame): DataFrame = {
       crossings.incrementAndGet()
-      df.localCheckpoint()
+      // LAZY: the blocks materialize inside the FIRST consumer's job
+      // instead of a dedicated action per boundary (an eager checkpoint
+      // cost the minhash pipeline 3 extra jobs; the blocks, the plan
+      // truncation, and every consumer's reuse are identical). Safe
+      // because boundary inputs here are pure transforms of immutable
+      // sources — nothing upstream is deleted between apply and the
+      // first action. Concurrent AQE stages racing the first
+      // materialization serialize per block in BlockManager.getOrElseUpdate.
+      df.localCheckpoint(eager = false)
     }
   }
 

@@ -48,6 +48,31 @@ object BucketedSnapshots {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run `body` under a Spark job description so the commit protocol's
+    * jobs are attributable to their phases in the UI / JobStats census.
+    */
+  private def label[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** ONE listing of a staged `partitionBy("b")` write → bucket id ->
+    * staged dir. Replaces per-bucket `fs.exists` probes (one RPC per
+    * bucket on a remote store) with a single directory listing.
+    */
+  private def stagedBucketDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): Map[Int, org.apache.hadoop.fs.Path] =
+    if (!fs.exists(staging)) Map.empty
+    else fs.listStatus(staging).iterator.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("b=")) scala.util.Try(n.stripPrefix("b=").toInt)
+        .toOption.map(_ -> st.getPath)
+      else None
+    }.toMap
+
   private def manifestPath(path: String, v: Long) = s"$path/manifest/v=$v.txt"
 
   /** (bucket -> bucket version) of a committed table version. Header
@@ -521,53 +546,57 @@ object BucketedSnapshots {
           "need it to bucket the keys (pre-header tables: delete via a rewriting upsert)"))
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
     val kdf = keys.select(col(key)).filter(col(key).isNotNull).distinct()
+    // ONE staged partitioned write of (key, b) into a PER-WRITER staging
+    // dir — the touched-bucket set falls out of the staging listing, so
+    // the keys DAG runs exactly once (it used to run once for a
+    // bucket-discovery collect and again for this write); buckets with no
+    // manifest entry (keys that can't exist) stage inertly and are swept
+    // with the staging dir
+    val staging = new Path(
+      path + "__vstaging_dv_" + java.util.UUID.randomUUID().toString.take(12))
+    kdf.withColumn("b", bucketOf)
+      .repartition(col("b"))
+      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    val stagedDirs = stagedBucketDirs(fs, staging)
     // buckets that exist AND are named by a key (driver-small)
-    val touched = kdf.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted.toIndexedSeq
-      .filter(curManifest.contains)
-    if (touched.isEmpty) return cur
+    val touched = stagedDirs.keys.toIndexedSeq.sorted.filter(curManifest.contains)
+    if (touched.isEmpty) { fs.delete(staging, true); return cur }
     val foldSet = touched.filter(b =>
       curDvs.getOrElse(b, Nil).size + 1 > maxDvsPerBucket).toSet
     val appendBuckets = touched.filterNot(foldSet)
-    // sidecars for the append buckets: one staged partitioned write of
-    // (key, b) into a PER-WRITER staging dir, then each bucket's dir
-    // CLAIMS its dv id create-exclusively (FileContext Rename.NONE fails
-    // on an existing destination) — two concurrent deleteKeys can never
-    // clobber each other's staged or placed dirs; a lost id claim retries
-    // with a fresh one-past-max id, and the manifest claim below then
-    // decides commit order (the loser's conflict check sees the winner's
-    // dv entry). A dead run's claimed-but-unreferenced dv dir is an
-    // orphan ABOVE every referenced id — invisible to readers, swept by
+    // sidecars for the append buckets: each bucket's staged dir CLAIMS its
+    // dv id create-exclusively (FileContext Rename.NONE fails on an
+    // existing destination) — two concurrent deleteKeys can never clobber
+    // each other's staged or placed dirs; a lost id claim retries with a
+    // fresh one-past-max id, and the manifest claim below then decides
+    // commit order (the loser's conflict check sees the winner's dv
+    // entry). A dead run's claimed-but-unreferenced dv dir is an orphan
+    // ABOVE every referenced id — invisible to readers, swept by
     // [[vacuum]]/retention once the referenced ceiling passes it.
     val newDvIds = scala.collection.mutable.Map.empty[Int, Long]
-    if (appendBuckets.nonEmpty) {
-      val staging = new Path(
-        path + "__vstaging_dv_" + java.util.UUID.randomUUID().toString.take(12))
-      kdf.withColumn("b", bucketOf)
-        .filter(col("b").isin(appendBuckets.map(Int.box): _*))
-        .repartition(col("b"))
-        .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
-      appendBuckets.foreach { b =>
-        val src = new Path(staging, s"b=$b")
-        if (!fs.exists(src))
-          throw new java.io.IOException(s"deleteKeys: failed to stage dv keys for bucket $b")
-        newDvIds(b) = claimBucketDir(spark, path, b, src, "dv")
-      }
-      fs.delete(staging, true)
+    appendBuckets.foreach { b =>
+      newDvIds(b) = claimBucketDir(spark, path, b, stagedDirs(b), "dv")
     }
     // budget-exhausted buckets fold copy-on-write: existing sidecars AND
     // this commit's keys absorbed into a fresh data dir (written to a
-    // per-writer sibling dir, then claimed create-exclusively)
+    // per-writer sibling dir, then claimed create-exclusively). The
+    // anti-join side reads the bucket's STAGED keys back (materialized
+    // parquet — the upstream keys DAG never re-runs per fold; keys of
+    // other buckets can't collide, same xxhash64 routes equal values to
+    // equal buckets, so the bucket's own staged slice is exact)
     val newBucketVersions = foldSet.toSeq.sorted.map { b =>
       val tmp = new Path(
         path + "__vstaging_fold_" + java.util.UUID.randomUUID().toString.take(12))
       foldDeletes(spark, path,
         spark.read.parquet(s"$path/b=$b/v=${curManifest(b)}"),
         curDvs.getOrElse(b, Nil).map(b -> _))
-        .join(broadcast(kdf), Seq(key), "left_anti")
+        .join(broadcast(
+          spark.read.parquet(stagedDirs(b).toString).select(col(key))),
+          Seq(key), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       b -> claimBucketDir(spark, path, b, tmp, "v")
     }.toMap
+    fs.delete(staging, true)
     // folded buckets carry their (wider-safe) BUCKET-LEVEL zonemap stats;
     // per-file entries drop with the rewrite (file names change)
     val prevStats = readStats(spark, path, cur)._2
@@ -901,35 +930,60 @@ object BucketedSnapshots {
     // CAS base for the pointer flip (raw, see Snapshots.commitWith)
     val casBase = Snapshots.pointerStateRaw(spark, path).map(_._1)
     val curManifest = cur.map(v => readManifest(spark, path, v)).getOrElse(Map.empty)
-    // touched buckets: driver-small by construction (<= nBuckets ints)
-    // (bucket id hashes the KEY only, so schema evolution never moves rows)
-    val touched = updates.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted.toIndexedSeq
-    // an EMPTY batch touches nothing: committing would write an empty (or
-    // verbatim-copied) manifest for no data change — make it a no-op that
-    // returns the live version (0 on a never-committed table)
-    if (touched.isEmpty) return cur.getOrElse(0L)
-    val existingDirs = touched.flatMap(b =>
-      curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
-    // merge against the DELETE-FOLDED view of the touched buckets: a
-    // rewritten bucket's new dir absorbs its delete vectors (its manifest
-    // entry comes out sidecar-free), so a deleted key re-upserted in this
-    // batch comes back exactly once
-    val curDvs = cur.map(v => readDvs(spark, path, v)).getOrElse(Map.empty)
-    val merged =
-      if (existingDirs.isEmpty) updates
-      else merge(
-        mergeExistingSide(spark, path, cur.get, key, nBuckets, touched,
-          existingDirs, curDvs),
-        updates)
     // ONE staging write partitioned by bucket into a PER-WRITER sibling
     // dir, then per-bucket CREATE-EXCLUSIVE claims of immutable v-dirs
     // (renames of INVISIBLE dirs — the commit point is still only the
     // pointer flip; racing writers can never clobber each other's dirs)
     val staging = new Path(
       path + "__vstaging_" + java.util.UUID.randomUUID().toString.take(12))
-    merged.withColumn("b", bucketOf)
-      .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    val (merged, collectedTouched): (DataFrame, Option[IndexedSeq[Int]]) =
+      if (curManifest.isEmpty) {
+        // FIRST commit (or an empty table): nothing to merge, so the batch
+        // stages DIRECTLY and the touched-bucket set falls out of the
+        // staging listing — the upstream batch DAG runs exactly once (the
+        // staged write), never a second time for bucket discovery
+        label(spark, "snap-commit: stage batch") {
+          updates.withColumn("b", bucketOf)
+            .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+        }
+        (updates, None)
+      } else {
+        // touched buckets: driver-small by construction (<= nBuckets ints)
+        // (bucket id hashes the KEY only, so schema evolution never moves
+        // rows); column-pruned — the collect computes only the key hash
+        val touched = label(spark, "snap-commit: bucket discovery") {
+          updates.select(bucketOf.as("b")).distinct()
+            .collect().map(_.getInt(0)).sorted.toIndexedSeq
+        }
+        // an EMPTY batch touches nothing: committing would write an empty
+        // (or verbatim-copied) manifest for no data change — no-op
+        if (touched.isEmpty) return cur.getOrElse(0L)
+        val existingDirs = touched.flatMap(b =>
+          curManifest.get(b).map(bv => b -> s"$path/b=$b/v=$bv"))
+        // merge against the DELETE-FOLDED view of the touched buckets: a
+        // rewritten bucket's new dir absorbs its delete vectors (its
+        // manifest entry comes out sidecar-free), so a deleted key
+        // re-upserted in this batch comes back exactly once
+        val curDvs = cur.map(v => readDvs(spark, path, v)).getOrElse(Map.empty)
+        val m =
+          if (existingDirs.isEmpty) updates
+          else merge(
+            mergeExistingSide(spark, path, cur.get, key, nBuckets, touched,
+              existingDirs, curDvs),
+            updates)
+        label(spark, "snap-commit: merge + stage") {
+          m.withColumn("b", bucketOf)
+            .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+        }
+        (m, Some(touched))
+      }
+    // staged bucket dirs in ONE listing (replaces the per-bucket fs.exists
+    // probes below); on the first-commit path this IS the touched set —
+    // a staged dir exists exactly for each bucket with >= 1 batch row
+    val stagedBuckets = stagedBucketDirs(fs, staging)
+    val touched: IndexedSeq[Int] =
+      collectedTouched.getOrElse(stagedBuckets.keys.toIndexedSeq.sorted)
+    if (touched.isEmpty) { fs.delete(staging, true); return cur.getOrElse(0L) }
     // zonemap stats for the TOUCHED buckets, off the staged write (one
     // column-pruned aggregation over the touched data only — the 1%-churn
     // batch, never the table); declared columns are sticky across commits
@@ -960,7 +1014,7 @@ object BucketedSnapshots {
       spark, staging.toString, bloomCols, touched, 100000L, 0.03)
     val newBucketVersions = touched.map { b =>
       val src = new Path(staging, s"b=$b")
-      if (!fs.exists(src)) {
+      if (!stagedBuckets.contains(b)) {
         // every key of this bucket deduped away in the merge: an EMPTY
         // bucket version — stage a marker-less parquet write of the
         // merged schema, claimed like any other dir

@@ -203,34 +203,39 @@ object FeedConsumer {
       case Some((fromV, downBaseV)) =>
         val feed = BucketedSnapshots.readTableChangesBetween(
           spark, tablePath, key, fromV, curUp, updatePreimages = true)
-        val adds = feed.filter(col("op").isin("I", "U_post"))
-        val subs = feed.filter(col("op").isin("D", "U_pre"))
-        // signed per-group deltas: adds positive, subs negative
-        val delta = aggOf(adds, groupCol, measures)
-          .unionByName(
-            aggOf(subs, groupCol, measures).select(
-              col(groupCol) +:
-                (-col("n")).as("n") +:
-                measures.map(m => (-col(s"sum_$m")).as(s"sum_$m")): _*))
+        // signed per-group deltas in ONE pass over the feed (adds credit,
+        // subs debit): per-row ±1 / ±measure summed directly replaces the
+        // previous two-aggregation union (the feed scanned once, one
+        // shuffle instead of three); the eager localCheckpoint makes the
+        // emptiness probe and the downstream base join share ONE
+        // execution — the probe used to run the whole churn-sized DAG a
+        // second time before the real consumer re-ran it
+        val sign = when(col("op").isin("I", "U_post"), lit(1L)).otherwise(lit(-1L))
+        val delta = feed
+          .filter(col("op").isin("I", "U_post", "D", "U_pre"))
           .groupBy(groupCol).agg(
-            sum(col("n")).cast("long").as("d_n"),
-            measures.map(m => sum(col(s"sum_$m")).as(s"d_$m")): _*)
-        if (delta.isEmpty) {
-          // data-less upstream commits (compaction): just advance
-          writeOffset(spark, consumerPath, curUp, downBaseV)
-          return Some(downBaseV)
-        }
-        // PINNED base — never the live downstream version (idempotent
-        // redo); read SPJ so only the churn-sized delta shuffles
-        val base = readBase(spark, roll, downBaseV, groupCol)
-        val next = nextRollup(delta, base, groupCol, measures)
-        val ops = next
-          .withColumn("seq", lit(curUp))
-          .withColumn("op", when(col("n") === 0L, "D").otherwise("U"))
-        val downV = BucketedSnapshots.applyChanges(
-          spark, ops, roll, groupCol, nBuckets, keepVersions = keepVersions)
-        writeOffset(spark, consumerPath, curUp, downV)
-        Some(downV)
+            sum(sign).cast("long").as("d_n"),
+            measures.map(m =>
+              sum(when(sign === lit(1L), col(m)).otherwise(-col(m))).as(s"d_$m")): _*)
+          .localCheckpoint(true)
+        try {
+          if (delta.isEmpty) {
+            // data-less upstream commits (compaction): just advance
+            writeOffset(spark, consumerPath, curUp, downBaseV)
+            return Some(downBaseV)
+          }
+          // PINNED base — never the live downstream version (idempotent
+          // redo); read SPJ so only the churn-sized delta shuffles
+          val base = readBase(spark, roll, downBaseV, groupCol)
+          val next = nextRollup(delta, base, groupCol, measures)
+          val ops = next
+            .withColumn("seq", lit(curUp))
+            .withColumn("op", when(col("n") === 0L, "D").otherwise("U"))
+          val downV = BucketedSnapshots.applyChanges(
+            spark, ops, roll, groupCol, nBuckets, keepVersions = keepVersions)
+          writeOffset(spark, consumerPath, curUp, downV)
+          Some(downV)
+        } finally delta.unpersist()
     }
   }
 }

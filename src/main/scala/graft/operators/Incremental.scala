@@ -258,21 +258,57 @@ object Incremental {
     // a half-swapped table (worst case: a bucket sitting in `__old` with
     // no live dir — its unmatched keys would silently vanish)
     recoverBucketed(fs, path)
-    // touched buckets: driver-small by construction (<= nBuckets ints)
-    val touched = updates.select(bucketOf.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted.toIndexedSeq
-    val existing = touched.filter(k => fs.exists(new Path(s"$path/b=$k")))
-    // one merge job: read ONLY the touched buckets' current rows.
-    // mergeSchema: after an evolving commit, buckets carry mixed schemas —
-    // union-by-name with null backfill is exactly the evolution contract
-    val merged =
-      if (existing.isEmpty) updates
-      else merge(
-        spark.read.option("mergeSchema", "true")
-          .parquet(existing.map(k => s"$path/b=$k"): _*),
-        updates)
-    stageAndCommitBuckets(spark, merged.withColumn("b", bucketOf), path, touched)
+    // live bucket dirs in ONE listing (replaces per-bucket fs.exists
+    // probes — one RPC per bucket on a remote store); `b=K__old` leftovers
+    // fail the int parse and are excluded, same as the exact-name probes
+    val liveBuckets: Set[Int] =
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).iterator.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("b=")) n.stripPrefix("b=").toIntOption else None
+      }.toSet
+    val staging = new Path(path + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (liveBuckets.isEmpty) {
+      // FIRST commit (or an empty table): nothing to merge, so the batch
+      // stages DIRECTLY and the touched-bucket set falls out of the
+      // staging listing — the upstream batch DAG runs exactly once (the
+      // staged write), never a second time for bucket discovery
+      updates.withColumn("b", bucketOf)
+        .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+      val touched = stagedBucketInts(fs, staging)
+      commitStagedBuckets(spark, fs, staging, path, touched)
+    } else {
+      // touched buckets: driver-small by construction (<= nBuckets ints)
+      val touched = updates.select(bucketOf.as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      val existing = touched.filter(liveBuckets)
+      // one merge job: read ONLY the touched buckets' current rows.
+      // mergeSchema: after an evolving commit, buckets carry mixed schemas —
+      // union-by-name with null backfill is exactly the evolution contract
+      val merged =
+        if (existing.isEmpty) updates
+        else merge(
+          spark.read.option("mergeSchema", "true")
+            .parquet(existing.map(k => s"$path/b=$k"): _*),
+          updates)
+      merged.withColumn("b", bucketOf)
+        .write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+      commitStagedBuckets(spark, fs, staging, path, touched)
+    }
   }
+
+  /** The staged `partitionBy("b")` dirs as sorted bucket ints — one
+    * listing, used where the staged write itself defines the touched set.
+    */
+  private def stagedBucketInts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path): IndexedSeq[Int] =
+    if (!fs.exists(staging)) IndexedSeq.empty
+    else fs.listStatus(staging).iterator.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("b=")) n.stripPrefix("b=").toIntOption else None
+    }.toIndexedSeq.sorted
 
   /** Stage `withB` (rows already carrying their `b` bucket column) and
     * commit the listed buckets through the write-ahead-manifest two-rename
@@ -294,6 +330,21 @@ object Incremental {
     val staging = new Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     withB.write.partitionBy("b").mode(SaveMode.Overwrite).parquet(staging.toString)
+    commitStagedBuckets(spark, fs, staging, path, touched, dropMissing)
+  }
+
+  /** The commit tail of [[stageAndCommitBuckets]] for callers that staged
+    * the data themselves (the first-commit fast path in [[mergeBucketed]]).
+    */
+  private def commitStagedBuckets(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      path: String,
+      touched: Seq[Int],
+      dropMissing: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
     // WRITE-AHEAD MANIFEST: batch intent (the touched bucket list) recorded
     // AFTER staging is fully written and BEFORE the first rename — so a
     // crash anywhere in the rename loop leaves both the intent and the

@@ -140,6 +140,20 @@ object SuffixDedup {
       Iterator(i -> ((s, c)))
     }.collect().toMap
     val nDocs = partStats.valuesIterator.map(_._2).sum
+    // EMPTY corpus (no docs, or every text whitespace-only): nothing can
+    // be duplicated — return the empty output frame instead of feeding
+    // n = 0 into the partitioners (DenseLongPartitioner requires d > 0)
+    if (nDocs == 0L) {
+      lensSorted.unpersist(false)
+      toks.unpersist()
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_tokens", LongType),
+          StructField("covered_tokens", LongType))))
+    }
     val partBase = {
       val nParts = lensSorted.getNumPartitions
       val arr = new Array[Long](nParts)
@@ -147,12 +161,27 @@ object SuffixDedup {
       while (i < nParts) { arr(i) = acc; acc += partStats.get(i).fold(0L)(_._1); i += 1 }
       arr
     }
+    // dense per-doc index bases (same two-phase shape, over the counts):
+    // sentinel ranks derive from THIS index, not the raw doc_id — sparse
+    // or giant ids would otherwise push every sentinel key past the
+    // round-1 partitioner's domain and clamp them into one partition
+    val docBase = {
+      val nParts = lensSorted.getNumPartitions
+      val arr = new Array[Long](nParts)
+      var acc = 0L; var i = 0
+      while (i < nParts) { arr(i) = acc; acc += partStats.get(i).fold(0L)(_._2); i += 1 }
+      arr
+    }
     // phase 2: running offsets within each partition from its base
     val docLens = spark.createDataFrame(
       lensSorted.mapPartitionsWithIndex { case (i, it) =>
-        var off = partBase(i)
-        it.map { case (d, l) => val o = off; off += l + 1L; (d, l, o) }
-      }).toDF("doc_id", "len", "off")
+        var off = partBase(i); var di = docBase(i)
+        it.map { case (d, l) =>
+          val o = off; off += l + 1L
+          val ix = di; di += 1L
+          (d, l, o, ix)
+        }
+      }).toDF("doc_id", "len", "off", "di")
       .localCheckpoint(true) // consumed 3x: position join, sentinels, output
     lensSorted.unpersist(false)
     mark("offsets")
@@ -187,10 +216,17 @@ object SuffixDedup {
       (df, acc)
     }
     mark("tokRanks")
+    // sentinel rank = nTokRanks + dense doc index (di): unique, above
+    // every real token's rank, and monotone in doc_id (docLens is sorted
+    // by doc_id), so the suffix order is IDENTICAL to ranking by doc_id —
+    // but the keys stay inside [0, nTokRanks + nDocs), the exact domain
+    // round 1's interpolation partitioner spreads (raw sparse ids would
+    // all clamp into the last partition: one straggler carrying every
+    // sentinel)
     val sentinels = docLens.select(
       col("doc_id"), lit(null).cast("string").as("tok"),
-      (col("off") + col("len")).as("g"), lit(-1L).as("pos"))
-      .withColumn("r", lit(nTokRanks) + col("doc_id"))
+      (col("off") + col("len")).as("g"), lit(-1L).as("pos"),
+      (lit(nTokRanks) + col("di")).as("r"))
       .select(col("doc_id"), col("pos"), col("g"), col("r"))
     // the initial frame is scanned by round 1 (twice), the LCP walk
     // (twice) and the position recovery — cache it; the first consumer
@@ -376,6 +412,7 @@ object SuffixDedup {
     initial.unpersist() // the initial-frame cache
     pairs.unpersist()
     docLens.unpersist()
+    toks.unpersist() // the tokenization cache — every persist pairs with an unpersist
     out
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }

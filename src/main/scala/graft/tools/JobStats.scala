@@ -39,8 +39,21 @@ object JobStats {
     val shufR = new AtomicLong
     val shufW = new AtomicLong
     val spill = new AtomicLong
+    // detail mode: one line per job (callsite + description) so a
+    // commit-heavy query's job count is attributable to its phases
+    val detail = sys.env.contains("SPARK_GRAFT_JOBSTATS_DETAIL")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (detail) {
+          // the result stage's name carries the action's callsite
+          // ("collect at Foo.scala:123"); planned tasks overcount (skipped
+          // stages are listed), so both are printed as attribution hints
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("")
+          val nTasks = j.stageInfos.map(_.numTasks).sum
+          System.err.println(f"  [job] ${j.jobId}%4d stages=${j.stageInfos.size}%2d tasks=$nTasks%4d $site")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
@@ -64,6 +77,9 @@ object JobStats {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
+      // drain BEFORE attaching: late-dispatched warmup stage/job events
+      // must not land in the measured window's counters
+      org.apache.spark.sql.graftnative.PlanProbe.drainListenerBus(spark)
       jobs.set(0); stages.set(0); tasks.set(0); shufR.set(0); shufW.set(0); spill.set(0)
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

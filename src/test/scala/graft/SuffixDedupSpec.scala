@@ -82,6 +82,51 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got == reference(docs, k))
   }
 
+  test("empty corpus (no docs / whitespace-only texts) returns the empty frame") {
+    // r16 regression guard: n == 0 must early-return, not feed the
+    // partitioner's require(d > 0)
+    val empty = Seq.empty[(Long, String)]
+    assert(run(empty, 4).isEmpty)
+    val blank = Seq((1L, "   "), (2L, ""), (3L, "\t \n"))
+    assert(run(blank, 4).isEmpty)
+  }
+
+  test("sparse/giant doc ids: sentinel ranks stay dense, results exact") {
+    // ids far beyond nTokRanks + nDocs — raw-id sentinel ranks would
+    // exceed the round-1 partitioner domain (straggler clamp); dense
+    // per-doc indexes keep the same order with in-domain keys
+    val boiler = "shared footer line repeated across documents verbatim"
+    val docs = Seq(5L, 1000000007L, 9223372036854L, 42L, 777777777777L)
+      .zipWithIndex.map { case (id, i) =>
+        val body = (0 until 12).map(j => s"d${i}w$j").mkString(" ")
+        (id, if (i % 2 == 0) s"$body $boiler" else body)
+      }
+    val k = 4
+    assert(run(docs, k) == reference(docs, k))
+  }
+
+  test("repeated invocations do not accumulate persisted blocks (toks leak guard)") {
+    // the r15 executor-OOM shape is ACCUMULATION: a persist without a
+    // paired unpersist leaves one more corpus-sized cache per invocation.
+    // Only the two localCheckpoints (docLens, output) may survive a run —
+    // their blocks are constant per invocation and freed by GC — so the
+    // persisted-RDD count must be identical after every invocation.
+    val docs = (0L until 12L).map(i =>
+      (i, (0 until 20).map(j => s"r${i}s$j").mkString(" ") + " common tail here for all"))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val counts = (1 to 3).map { _ =>
+      SuffixDedup.duplicateSpanCoverage(docs.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .count()
+      val n = spark.sparkContext.getPersistentRDDs.size
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      n
+    }
+    assert(counts.distinct.size == 1,
+      s"persisted-RDD count grew across invocations: $counts")
+    // and the survivors are only the two localCheckpoints
+    assert(counts.head <= 2, s"unexpected persisted RDDs after a run: ${counts.head}")
+  }
+
   test("randomized corpora agree with the reference (seeded)") {
     val rnd = new scala.util.Random(123)
     val vocab = (0 until 40).map(i => s"t$i")
