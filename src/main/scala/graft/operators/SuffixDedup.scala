@@ -197,7 +197,11 @@ object SuffixDedup {
     // indexing over the sorted vocab (per-partition sizes collected once)
     // replaces zipWithIndex + count — one fewer job each.
     val (tokRanks, nTokRanks) = {
-      val sortedToks = positioned.select("tok").distinct()
+      // vocabulary straight off the cached tokenization: `positioned`
+      // would drag the docLens join into this branch (Catalyst can't
+      // prune an inner join under distinct), and the join adds nothing —
+      // every toks doc_id is in docLens by construction
+      val sortedToks = toks.select("tok").distinct()
         .rdd.map(_.getString(0)).sortBy(identity)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = sortedToks.mapPartitionsWithIndex { case (i, it) =>
@@ -364,6 +368,14 @@ object SuffixDedup {
     // lazy DAG — log(LRS) stacked small joins — materialized once at the
     // end (the neighbor-max consumes it twice).
     var pairs = adjacency.withColumn("lcp", lit(0L))
+    // descending-width budget for the MINTOKENS PRUNE below: after a
+    // round of width w, the remaining rounds can add at most
+    // sum(their widths) to a pair's lcp — a pair that provably finishes
+    // below minTokens can never set a >= minTokens neighbor max, so it
+    // drops out of every remaining (smaller-width) walk join. For the
+    // tail rounds this discards the overwhelming majority of adjacent
+    // pairs (most neighbor LCPs are 0-1).
+    var remainingWidths = rounds.iterator.map(x => math.max(x._1, 1L)).sum
     rounds.reverse.foreach { case (span, rdf) =>
       val width = math.max(span, 1L) // round h covers h tokens (h=0 entry covers 1)
       val ra = rdf.select(col("g").as("qa"), col("r").as("rka"))
@@ -378,6 +390,9 @@ object SuffixDedup {
             col("rka") === col("rkb"), col("lcp") + width)
             .otherwise(col("lcp")))
         .select("ga", "gb", "lcp")
+      remainingWidths -= width
+      if (remainingWidths < minTokens)
+        pairs = pairs.filter(col("lcp") + remainingWidths >= minTokens)
     }
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     mark("lcpwalk")
@@ -394,10 +409,24 @@ object SuffixDedup {
       .join(neighborLcp, "g")
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + col("nl")).as("e")) // [s, e) in doc-token coords
-    // boundary sentinel guarantees e never crosses the doc end
+    // boundary sentinel guarantees e never crosses the doc end.
+    // coverage = interval-union length per doc by a SWEEP over each doc's
+    // spans in start order: a span contributes max(0, e - max(s, M)),
+    // M = running max end over the doc's earlier spans (the sum is
+    // invariant to tie order, so the result is deterministic). The
+    // explode-to-positions form this replaces generated one row PER
+    // COVERED TOKEN and distinct-aggregated them — rows ~ covered corpus
+    // size instead of ~ span count. The window partitions BY DOC (never
+    // a global orderBy), so parallelism is doc-granular, same as before.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val covered = spans
-      .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("p"))
-      .groupBy("doc_id").agg(countDistinct("p").as("covered_tokens"))
+      .withColumn("m", max("e").over(byDoc))
+      .select(col("doc_id"),
+        greatest(col("e") - greatest(col("s"), coalesce(col("m"), col("s"))),
+          lit(0L)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("covered_tokens"))
     val out = docLens.select(col("doc_id"), col("len").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
